@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One registered query: the Spark implementation plus (when SQL-expressible)
+  * the equivalent DuckDB oracle SQL over the same parquet tables. Column names
+  * MUST match between the two — the driver sorts columns by name then hashes
+  * values. Every query ends with a deterministic ORDER BY over a unique key so
+  * the row order is oracle-stable. */
+final case class QueryDef(
+    name: String,
+    doc: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Registry {
+  lazy val all: Seq[QueryDef] =
+    queries.CoreEtlQueries.defs ++
+      queries.RelationalQueries.defs ++
+      queries.TextQueries.defs ++
+      queries.DedupQueries.defs ++
+      queries.SimilarityQueries.defs
+
+  lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-data-pipeline surface (north star X4):
+  * tokenization, token statistics, stopword/quality scoring, language-ID
+  * heuristic, and k-gram fingerprinting. All built-in expressions (split /
+  * higher-order array functions / md5) so everything stays inside
+  * whole-stage codegen and has an exact DuckDB-oracle equivalent.
+  *
+  * Scale: all are per-row narrow transforms — no shuffle, embarrassingly
+  * parallel, safe at any scale. Only downstream group-bys shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (documents fixture is space-separated tokens). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Total character count across tokens (engine-stable long). */
+  def sumTokenLen(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+
+  /** Count of tokens drawn from `words`. */
+  def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  val StopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "is", "in")
+
+  /** Language marker lexicons for the n-gram/stopword language-ID heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "es" -> Seq("el", "la", "de", "los", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "un"),
+    "zh" -> Seq("的", "是", "了", "我"))
+
+  /** Deterministic argmax over marker scores: first language (in LangMarkers
+    * order) whose score is positive and >= all others; 'und' when no marker
+    * hits. Mirrors a sequential CASE in the oracle SQL. */
+  def predictedLang(scores: Seq[(String, Column)]): Column = {
+    val cases = scores.zipWithIndex.map { case ((lang, s), _) =>
+      val geAll = scores.filter(_._1 != lang).map(o => s >= o._2).reduce(_ && _)
+      (s > 0 && geAll, lang)
+    }
+    cases.foldRight(lit("und"): Column) { case ((cond, lang), els) => when(cond, lang).otherwise(els) }
+  }
+
+  /** K-gram document fingerprint: min md5 over all character k-grams — a
+    * winnowing-style content signature robust to small edits at either end.
+    * Short docs (< k chars) hash the whole text. `substr(Column, Column,
+    * Column)` (not `substring`) because the position is dynamic. */
+  def fingerprint(text: Column, k: Int): Column =
+    array_min(transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => md5(substr(text, i, lit(k)))))
+
+  /** Distinct character k-gram set (for n-gram Jaccard similarity). */
+  def charNgrams(text: Column, k: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => substr(text, i, lit(k))))
+}

@@ -1,0 +1,165 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.{Dedup, Etl, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.QueryUtil.halfUp4
+
+/** Deduplication coverage over `documents` (north star X1/X2): exact
+  * content-hash dedup, MinHash+LSH near-dup detection (3-token shingles, 12
+  * hashes, 4 bands × 3 rows, Jaccard-verified), SimHash bucketing, and
+  * char-n-gram Jaccard similarity. */
+object DedupQueries {
+
+  /** 3-token sequence shingles (order-sensitive — permuted docs don't
+    * collide), distinct, whole-text fallback for docs shorter than k. */
+  private def tokenShingles(text: org.apache.spark.sql.Column) = {
+    val toks = split(text, " ")
+    array_distinct(
+      when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+        .otherwise(array(text)))
+  }
+
+  private val shinglesSql =
+    """list_distinct(CASE WHEN len(toks) >= 3
+      |    THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+      |    ELSE [text] END)""".stripMargin
+
+  /** X1: exact dedup by full-content hash; deterministic survivor (min
+    * doc_id), like the reference's first-insert-wins unique key (D1). */
+  def exactDedup(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val hashed = Tables.documents(spark, dir)
+      .select($"doc_id", md5($"text").as("content_hash"))
+    Etl.dedupByHash(hashed, "content_hash", Seq("doc_id")).orderBy("doc_id")
+  }
+
+  private val exactOracle =
+    """SELECT doc_id, content_hash
+      |FROM (SELECT doc_id, md5(text) AS content_hash,
+      |             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |      FROM documents)
+      |WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
+
+  /** X2: MinHash+LSH near-dup pairs, Jaccard >= 0.5 verified on the true
+    * shingle sets. Pipeline: shingle → 12 minhashes → 4 band buckets →
+    * bucket self-join (candidates) → exact verify. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id", tokenShingles($"text").as("shingles"))
+    val sig = base.select(col("doc_id") +: col("shingles") +: Dedup.minhashSig($"shingles", 12): _*)
+    val cand = Dedup.lshCandidates(sig, "doc_id", bands = 4, rowsPerBand = 3)
+    val pairs = cand
+      .join(base.select($"doc_id".as("a"), $"shingles".as("sa")), "a")
+      .join(base.select($"doc_id".as("b"), $"shingles".as("sb")), "b")
+    pairs
+      .select($"a", $"b", halfUp4(Dedup.jaccard($"sa", $"sb")).as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+      .orderBy("a", "b")
+  }
+
+  private val minhashOracle = {
+    val mh = (0 until 12).map(j =>
+      s"list_aggregate(list_transform(shingles, s -> md5('$j:' || s)), 'min') AS mh$j").mkString(",\n       ")
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(concat_ws('|', mh${3 * b}, mh${3 * b + 1}, mh${3 * b + 2})) AS bh FROM sig")
+      .mkString("\n       UNION ALL ")
+    s"""WITH t AS (SELECT doc_id, $shinglesSql AS shingles
+       |           FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)),
+       |sig AS (SELECT doc_id, shingles,
+       |       $mh
+       |       FROM t),
+       |bands AS (
+       |       $bands),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |         FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       |pairs AS (SELECT a, b, ta.shingles AS sa, tb.shingles AS sb
+       |          FROM cand JOIN t ta ON ta.doc_id = a JOIN t tb ON tb.doc_id = b),
+       |j AS (SELECT a, b,
+       |        floor((CAST(len(list_filter(sa, s -> list_contains(sb, s))) AS DOUBLE)
+       |              / (len(sa) + len(sb) - len(list_filter(sa, s -> list_contains(sb, s))))) * 10000 + 0.5) / 10000.0 AS jaccard
+       |      FROM pairs)
+       |SELECT a, b, jaccard FROM j
+       |WHERE jaccard >= 0.5
+       |ORDER BY a, b""".stripMargin
+  }
+
+  /** X2 variant: 16-bit SimHash over distinct tokens; docs in the same
+    * SimHash bucket are near-dup candidates, verified by token-set Jaccard. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id", TextAnalysis.tokenSet($"text").as("toks"))
+      .select($"doc_id", $"toks", Dedup.simhashBits($"toks", 16).as("simhash"))
+    val l = base.select($"doc_id".as("a"), $"toks".as("ta"), $"simhash")
+    val r = base.select($"doc_id".as("b"), $"toks".as("tb"), $"simhash")
+    l.join(r, Seq("simhash")).filter($"a" < $"b")
+      .select($"a", $"b", $"simhash", halfUp4(Dedup.jaccard($"ta", $"tb")).as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+      .orderBy("a", "b")
+  }
+
+  private val simhashOracle = {
+    val bitExprs = (0 until 16).map { p =>
+      val nib = p / 4 + 1
+      val shift = 3 - p % 4
+      s"""CASE WHEN list_sum(list_transform(toks, t ->
+         |  CASE WHEN ((strpos('0123456789abcdef', substr(md5(t), $nib, 1)) - 1) >> $shift) & 1 = 1
+         |       THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END""".stripMargin
+    }.mkString(" ||\n       ")
+    s"""WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+       |s AS (SELECT doc_id, toks,
+       |       $bitExprs AS simhash
+       |      FROM t),
+       |p AS (SELECT x.doc_id AS a, y.doc_id AS b, x.simhash AS simhash, x.toks AS ta, y.toks AS tb
+       |      FROM s x JOIN s y ON x.simhash = y.simhash AND x.doc_id < y.doc_id),
+       |j AS (SELECT a, b, simhash,
+       |        floor((CAST(len(list_filter(ta, s -> list_contains(tb, s))) AS DOUBLE)
+       |              / (len(ta) + len(tb) - len(list_filter(ta, s -> list_contains(tb, s))))) * 10000 + 0.5) / 10000.0 AS jaccard
+       |      FROM p)
+       |SELECT a, b, simhash, jaccard FROM j
+       |WHERE jaccard >= 0.5
+       |ORDER BY a, b""".stripMargin
+  }
+
+  /** X2 variant: character-trigram Jaccard similarity, blocked by `source`
+    * (deterministic blocking attribute; at 100 TB the block would be an LSH
+    * bucket instead — see minhashLsh). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", TextAnalysis.charNgrams($"text", 3).as("g3"))
+    val l = g.select($"source", $"doc_id".as("a"), $"g3".as("ga"))
+    val r = g.select($"source", $"doc_id".as("b"), $"g3".as("gb"))
+    l.join(r, Seq("source")).filter($"a" < $"b")
+      .select($"source", $"a", $"b", halfUp4(Dedup.jaccard($"ga", $"gb")).as("jaccard"))
+      .filter($"jaccard" >= 0.8)
+      .orderBy("a", "b")
+  }
+
+  private val ngramOracle =
+    """WITH g AS (SELECT doc_id, source,
+      |             list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+      |                                          i -> substr(text, CAST(i AS INTEGER), 3))) AS g3
+      |           FROM documents),
+      |p AS (SELECT x.source AS source, x.doc_id AS a, y.doc_id AS b, x.g3 AS ga, y.g3 AS gb
+      |      FROM g x JOIN g y ON x.source = y.source AND x.doc_id < y.doc_id),
+      |j AS (SELECT source, a, b,
+      |        floor((CAST(len(list_filter(ga, s -> list_contains(gb, s))) AS DOUBLE)
+      |              / (len(ga) + len(gb) - len(list_filter(ga, s -> list_contains(gb, s))))) * 10000 + 0.5) / 10000.0 AS jaccard
+      |      FROM p)
+      |SELECT source, a, b, jaccard FROM j
+      |WHERE jaccard >= 0.8
+      |ORDER BY a, b""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("x10_exact_dedup", "exact content-hash dedup, deterministic survivor (X1)", exactDedup, Some(exactOracle)),
+    QueryDef("x11_minhash_lsh", "MinHash+LSH near-dup pairs, Jaccard-verified (X2)", minhashLsh, Some(minhashOracle)),
+    QueryDef("x12_simhash", "16-bit SimHash bucket near-dups (X2)", simhash, Some(simhashOracle)),
+    QueryDef("x13_ngram_jaccard", "char-trigram Jaccard near-dups, source-blocked (X2)", ngramJaccard, Some(ngramOracle)))
+}

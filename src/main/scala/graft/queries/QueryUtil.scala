@@ -1,0 +1,15 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine numeric helpers for oracle parity. */
+object QueryUtil {
+  /** Half-up rounding to 4 places via floor — `round()` differs between
+    * Spark (HALF_UP) and DuckDB (half-to-even) exactly on `.xxxx5`
+    * boundaries, which rational ratios (jaccard, stopword ratios, weighted
+    * scores over clean decimals) DO hit. `floor(x*1e4 + 0.5)/1e4` is
+    * identical in both engines given bit-identical inputs. Only for
+    * non-negative values. */
+  def halfUp4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000.0
+}

@@ -1,0 +1,140 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity coverage over `embeddings` (north star X3): brute-force
+  * cosine top-k, sign-LSH bucketed ANN, embedding near-dup pairs, and array
+  * scalar ops. Embeddings are 64-dim unit vectors (norm ≈ 1), but cosine is
+  * always computed with the full dot/(|a||b|) formula. */
+object SimilarityQueries {
+
+  /** DuckDB rendering of Similarity.cosine for vectors `$a.embedding` vs
+    * `$b`: element-wise double cast, sequential sum, full normalization. */
+  private def cosineSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+       |    * sqrt(list_sum(list_transform(range(1, len($b) + 1), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin
+
+  /** X3 baseline: brute-force cosine top-5 for each query vector
+    * (vec_id % 100 = 0). The query set is broadcast; the corpus is scanned
+    * once with no shuffle; per-query top-k via ranking window on the (small)
+    * pair set. 100 TB: identical plan — broadcast queries, scan corpus,
+    * partial top-k per partition via TakeOrdered semantics. */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+    emb.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        round(Similarity.cosine($"qv", $"embedding"), 4).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"q_id", $"rk", $"vec_id", $"cosine")
+      .orderBy("q_id", "rk")
+  }
+
+  private val cosineTopKOracle =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+       |p AS (SELECT q_id, e.vec_id AS vec_id,
+       |        round(${cosineSql("qv", "e.embedding")}, 4) AS cosine
+       |      FROM embeddings e JOIN q ON e.vec_id <> q.q_id),
+       |r AS (SELECT q_id, vec_id, cosine,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+       |      FROM p)
+       |SELECT q_id, rk, vec_id, cosine FROM r
+       |WHERE rk <= 5
+       |ORDER BY q_id, rk""".stripMargin
+
+  /** X3 scale path: sign-projection LSH — candidates share an 8-bit
+    * hyperoctant bucket, top-3 within bucket. Trades recall for a candidate
+    * set ~1/256 of the corpus per query. */
+  def signLshTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", Similarity.signBucket($"embedding", 8).as("bkt"))
+    val q = emb.filter($"vec_id" % 25 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"bkt")
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+    emb.join(broadcast(q), Seq("bkt")).filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        round(Similarity.cosine($"qv", $"embedding"), 4).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"q_id", $"rk", $"vec_id", $"cosine")
+      .orderBy("q_id", "rk")
+  }
+
+  private def bucketSql(v: String): String =
+    (1 to 8).map(i => s"CASE WHEN $v[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+
+  private val signLshOracle =
+    s"""WITH e AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bkt FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS qv, bkt FROM e WHERE vec_id % 25 = 0),
+       |p AS (SELECT q.q_id, e.vec_id AS vec_id,
+       |        round(${cosineSql("q.qv", "e.embedding")}, 4) AS cosine
+       |      FROM e JOIN q ON e.bkt = q.bkt AND e.vec_id <> q.q_id),
+       |r AS (SELECT q_id, vec_id, cosine,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+       |      FROM p)
+       |SELECT q_id, rk, vec_id, cosine FROM r
+       |WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
+
+  /** X2/X3: embedding near-dup pairs — all pairs with cosine >= 0.45
+    * (fixture max is ~0.51; threshold picks out the closest pairs).
+    * Brute-force all-pairs is fine at fixture scale; the 100 TB path blocks
+    * by signBucket first (see signLshTopK). */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.embeddings(spark, dir).select($"vec_id".as("a"), $"embedding".as("va"))
+    val r = Tables.embeddings(spark, dir).select($"vec_id".as("b"), $"embedding".as("vb"))
+    l.join(r, $"a" < $"b")
+      .select($"a", $"b", round(Similarity.cosine($"va", $"vb"), 4).as("cosine"))
+      .filter($"cosine" >= 0.45)
+      .orderBy("a", "b")
+  }
+
+  private val nearDupOracle =
+    s"""WITH p AS (SELECT x.vec_id AS a, y.vec_id AS b,
+       |        round(${cosineSql("x.embedding", "y.embedding")}, 4) AS cosine
+       |      FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
+       |SELECT a, b, cosine FROM p
+       |WHERE cosine >= 0.45
+       |ORDER BY a, b""".stripMargin
+
+  /** Array scalar ops on the embedding column (dim, element access, L2 norm). */
+  def arrayOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir).select(
+      $"vec_id",
+      size($"embedding").as("dim"),
+      round(element_at($"embedding", 1).cast("double"), 6).as("e1"),
+      round(element_at($"embedding", 64).cast("double"), 6).as("e64"),
+      round(Similarity.norm($"embedding"), 4).as("l2norm"),
+      $"label")
+      .orderBy("vec_id")
+  }
+
+  private val arrayOpsOracle =
+    """SELECT vec_id,
+      |       CAST(len(embedding) AS INTEGER) AS dim,
+      |       round(CAST(embedding[1] AS DOUBLE), 6) AS e1,
+      |       round(CAST(embedding[64] AS DOUBLE), 6) AS e64,
+      |       round(sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      |                                          i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))), 4) AS l2norm,
+      |       label
+      |FROM embeddings
+      |ORDER BY vec_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("x30_cosine_topk", "brute-force cosine top-5 per query vector (X3)", cosineTopK, Some(cosineTopKOracle)),
+    QueryDef("x31_sign_lsh_topk", "sign-LSH bucketed approximate top-3 (X3)", signLshTopK, Some(signLshOracle)),
+    QueryDef("x32_embedding_neardup", "embedding cosine near-dup pairs (X2)", embeddingNearDup, Some(nearDupOracle)),
+    QueryDef("x33_array_ops", "array scalar ops over embedding column", arrayOps, Some(arrayOpsOracle)))
+}

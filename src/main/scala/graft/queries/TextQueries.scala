@@ -1,0 +1,152 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.queries.QueryUtil.halfUp4
+
+/** Text-analysis coverage over the `documents` fixture (north star X4):
+  * token statistics, quality scoring, language-ID heuristic, k-gram
+  * fingerprinting, corpus term frequencies. */
+object TextQueries {
+
+  private val stopList = TextAnalysis.StopwordsEn.map(w => s"'$w'").mkString(", ")
+
+  def tokenStats(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val toks = TextAnalysis.tokens($"text")
+    Tables.documents(spark, dir).select(
+      $"doc_id",
+      size(toks).as("n_tok"),
+      size(array_distinct(toks)).as("n_uniq"),
+      halfUp4(TextAnalysis.sumTokenLen(toks).cast("double") / size(toks)).as("avg_tok_len"),
+      halfUp4(TextAnalysis.countIn(toks, TextAnalysis.StopwordsEn).cast("double") / size(toks)).as("stop_ratio"))
+      .orderBy("doc_id")
+  }
+
+  private val tokenStatsOracle =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+       |SELECT doc_id,
+       |       CAST(len(toks) AS INTEGER) AS n_tok,
+       |       CAST(len(list_distinct(toks)) AS INTEGER) AS n_uniq,
+       |       floor((CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)) * 10000 + 0.5) / 10000.0 AS avg_tok_len,
+       |       floor((CAST(len(list_filter(toks, t -> t IN ($stopList))) AS DOUBLE) / len(toks)) * 10000 + 0.5) / 10000.0 AS stop_ratio
+       |FROM t
+       |ORDER BY doc_id""".stripMargin
+
+  /** Language-ID heuristic: marker-token scores per language, deterministic
+    * argmax (LangMarkers priority order), confusion counts vs the labeled
+    * `lang` column. */
+  def langId(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val toks = TextAnalysis.tokens($"text")
+    val scores = TextAnalysis.LangMarkers.map { case (l, ws) => l -> TextAnalysis.countIn(toks, ws) }
+    Tables.documents(spark, dir)
+      .select($"lang", TextAnalysis.predictedLang(scores).as("pred"))
+      .groupBy($"lang", $"pred")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"pred")
+  }
+
+  private val langIdOracle = {
+    val scoreExpr = TextAnalysis.LangMarkers.map { case (l, ws) =>
+      s"len(list_filter(toks, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS s_$l"
+    }.mkString(",\n       |       ")
+    val langs = TextAnalysis.LangMarkers.map(_._1)
+    val cases = langs.map { l =>
+      val ge = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN s_$l > 0 AND $ge THEN '$l'"
+    }.mkString("\n       |            ")
+    s"""WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+       |s AS (SELECT lang,
+       |       $scoreExpr
+       |      FROM t),
+       |p AS (SELECT lang,
+       |       CASE $cases
+       |            ELSE 'und' END AS pred
+       |      FROM s)
+       |SELECT lang, pred, count(*) AS n
+       |FROM p
+       |GROUP BY lang, pred
+       |ORDER BY lang, pred""".stripMargin
+  }
+
+  /** Quality score: bounded length, non-stopword share, mean token length —
+    * combined with fixed weights, rounded once. */
+  def quality(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val toks = TextAnalysis.tokens($"text")
+    val nTok = size(toks)
+    val avgLen = TextAnalysis.sumTokenLen(toks).cast("double") / nTok
+    val stopRatio = TextAnalysis.countIn(toks, TextAnalysis.StopwordsEn).cast("double") / nTok
+    Tables.documents(spark, dir).select(
+      $"doc_id",
+      nTok.as("n_tok"),
+      halfUp4(stopRatio).as("stop_ratio"),
+      halfUp4(
+        lit(0.3) * (least(nTok, lit(100)).cast("double") / 100.0)
+          + lit(0.4) * (lit(1.0) - stopRatio)
+          + lit(0.3) * (least(avgLen, lit(10.0)) / 10.0)).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  private val qualityOracle =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |m AS (SELECT doc_id,
+       |       CAST(len(toks) AS INTEGER) AS n_tok,
+       |       CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS avg_len,
+       |       CAST(len(list_filter(toks, t -> t IN ($stopList))) AS DOUBLE) / len(toks) AS stop_ratio
+       |      FROM t)
+       |SELECT doc_id, n_tok,
+       |       floor(stop_ratio * 10000 + 0.5) / 10000.0 AS stop_ratio,
+       |       floor((0.3 * (CAST(least(n_tok, 100) AS DOUBLE) / 100.0)
+       |             + 0.4 * (1.0 - stop_ratio)
+       |             + 0.3 * (least(avg_len, 10.0) / 10.0)) * 10000 + 0.5) / 10000.0 AS quality
+       |FROM m
+       |ORDER BY doc_id""".stripMargin
+
+  /** K-gram fingerprint (X4 "document fingerprinting"): min-md5 over all
+    * character 16-grams. */
+  def fingerprint(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(
+      $"doc_id",
+      TextAnalysis.fingerprint($"text", 16).as("fp"),
+      greatest(length($"text") - 15, lit(1)).as("n_grams"))
+      .orderBy("doc_id")
+  }
+
+  private val fingerprintOracle =
+    """SELECT doc_id,
+      |       list_aggregate(list_transform(range(1, greatest(length(text) - 15, 1) + 1),
+      |                                     i -> md5(substr(text, CAST(i AS INTEGER), 16))), 'min') AS fp,
+      |       CAST(greatest(length(text) - 15, 1) AS INTEGER) AS n_grams
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Corpus term frequency: explode + count + top-50 (TakeOrdered). */
+  def termFreq(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(explode(TextAnalysis.tokens($"text")).as("term"))
+      .groupBy($"term")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"term")
+      .limit(50)
+  }
+
+  private val termFreqOracle =
+    """SELECT term, count(*) AS cnt
+      |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      |GROUP BY term
+      |ORDER BY cnt DESC, term
+      |LIMIT 50""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("x40_token_stats", "per-doc token statistics (X4)", tokenStats, Some(tokenStatsOracle)),
+    QueryDef("x41_lang_id", "marker-lexicon language-ID heuristic (X4)", langId, Some(langIdOracle)),
+    QueryDef("x42_quality_score", "document quality scoring (X4)", quality, Some(qualityOracle)),
+    QueryDef("x43_fingerprint", "character k-gram min-hash fingerprint (X4)", fingerprint, Some(fingerprintOracle)),
+    QueryDef("x44_term_freq", "corpus term frequency top-50 (X4)", termFreq, Some(termFreqOracle)))
+}
