@@ -19,7 +19,8 @@ object Registry {
       queries.RelationalQueries.defs ++
       queries.TextQueries.defs ++
       queries.DedupQueries.defs ++
-      queries.SimilarityQueries.defs
+      queries.SimilarityQueries.defs ++
+      queries.ConnectorQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

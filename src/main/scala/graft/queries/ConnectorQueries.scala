@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.multimodal.Multimodal
+import graft.sources.{PaginatedSource, SyntheticPageClient}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Connector + multimodal coverage. The paginated-source query runs the full
+  * SRC1→P1→F1–F4 path over a deterministic synthetic client (network-free);
+  * because every generated field is a pure function of the item index, the
+  * DuckDB oracle regenerates the expected rows directly from `range()` —
+  * the Spark side additionally exercises the real JSON envelope layer
+  * (from_json + explode). */
+object ConnectorQueries {
+
+  private val TotalItems = 1234
+  private val QueryPageSize = 100
+
+  def paginatedConnector(spark: SparkSession, dir: String) = {
+    val client = new SyntheticPageClient(TotalItems, QueryPageSize)
+    PaginatedSource.bulkExtract(spark, client, parallelism = 8, pageSize = QueryPageSize)
+      .orderBy("hash")
+  }
+
+  private val paginatedOracle =
+    """WITH r AS (SELECT unnest(range(0, 1234)) AS i),
+      |f AS (SELECT
+      |  'L-' || CAST(i % 997 AS VARCHAR) AS lead_id,
+      |  'https://x/p/' || CAST(i AS VARCHAR) || '?utm=' || CAST(i AS VARCHAR) AS url,
+      |  CASE WHEN i % 53 = 0 THEN '' ELSE 'S-' || CAST(i // 7 AS VARCHAR) END AS session_id,
+      |  CAST(i % 5 AS VARCHAR) AS "order",
+      |  CASE WHEN i % 37 = 0 THEN 'not-a-date'
+      |       ELSE CAST(1 + i % 12 AS VARCHAR) || '/' || CAST(1 + i % 28 AS VARCHAR) || '/2025 ' ||
+      |            CAST(1 + i % 12 AS VARCHAR) || ':' || lpad(CAST(i % 60 AS VARCHAR), 2, '0') || ':00 ' ||
+      |            CASE WHEN i % 2 = 0 THEN 'AM' ELSE 'PM' END END AS rawdate,
+      |  'T-' || CAST(i % 13 AS VARCHAR) AS type_id,
+      |  'cat' || CAST(i % 3 AS VARCHAR) AS event_category,
+      |  'ev_' || CAST(i % 11 AS VARCHAR) || '?src=mail' AS raw_event_name
+      |FROM r)
+      |SELECT lead_id, url, session_id, "order",
+      |       try_strptime(rawdate, '%m/%d/%Y %I:%M:%S %p') AS date,
+      |       type_id, event_category,
+      |       substr(split_part(raw_event_name, '?', 1), 1, 256) AS event_name,
+      |       substr(md5(concat_ws('|', lead_id, url, session_id, "order",
+      |                            type_id, event_category, raw_event_name, rawdate)), 1, 16) AS hash
+      |FROM f
+      |ORDER BY hash""".stripMargin
+
+  /** X7: media metadata extraction through the typed mapPartitions decode
+    * stage. The fake decode derives metadata from md5 hex nibbles, which the
+    * oracle reproduces with strpos-based hex parsing. */
+  def multimodalMeta(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val media = Multimodal.attachFakeMedia(Tables.documents(spark, dir))
+    Multimodal.decodeMeta(media).toDF().orderBy("doc_id")
+  }
+
+  private val multimodalOracle = {
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr(md5(text), ${i + 1}, 1)) - 1)"
+    s"""SELECT doc_id,
+       |       CAST(strlen(text) AS INTEGER) AS media_len,
+       |       CAST(64 + (${nib(0)} * 16 + ${nib(1)}) % 448 AS INTEGER) AS width,
+       |       CAST(64 + (${nib(2)} * 16 + ${nib(3)}) % 448 AS INTEGER) AS height,
+       |       CAST(1 + ${nib(0)} % 30 AS INTEGER) AS n_frames
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("src1_paginated_connector",
+      "paginated REST connector end-to-end over synthetic envelope pages (SRC1,P1,F1-F4)",
+      paginatedConnector, Some(paginatedOracle)),
+    QueryDef("x70_multimodal_meta",
+      "binary media column + typed mapPartitions metadata decode (X7)",
+      multimodalMeta, Some(multimodalOracle)))
+}

@@ -1,0 +1,153 @@
+package graft.sources
+
+import graft.operators.Etl
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Paginated REST source re-expressing the reference connector
+  * (`/root/reference/app/salesforce_extractor.py`) Spark-first:
+  *
+  *  - SRC1 (:106-136, :248): page-numbered GET with envelope
+  *    `{count, items[]}`, page size 2500 → one Spark task per page chunk via
+  *    `spark.range(start, total+1)` + `mapPartitions(fetch)`.
+  *  - SRC2 (:86-104): auth is a connector concern — the transport is an
+  *    injected [[PageClient]]; a real HTTP client holds a lazy bearer token
+  *    per executor. Keeping the transport injectable makes the connector
+  *    fully testable offline (SURVEY.md §5.4).
+  *  - SRC3 (:126-136): single 401 re-auth-and-replay retry —
+  *    [[RetryingClient]].
+  *  - S1 (:250-280): offset CDC — `incrementalStartPage` reproduces
+  *    `max(1, ceil(db_count / page_size))`, including the deliberate
+  *    re-fetch of the partial boundary page whose overlap is swallowed
+  *    downstream by hash dedup (D1, `:389`).
+  *  - P1/F3/F4 (:153-181): nested-JSON flatten with EMPTY-STRING defaults
+  *    for absent keys, null-on-failure date parse, content hash.
+  *
+  * Scale: page fetches distribute as `parallelism` tasks each pulling a
+  * contiguous page run; no driver materialization (only the page-1 count
+  * pre-flight runs on the driver). At 100 TB-equivalent page counts the
+  * same shape holds — `spark.range` partitions the page id space evenly and
+  * fetch is pipelined per partition iterator.
+  */
+object PaginatedSource {
+
+  /** As per API response (salesforce_extractor.py:248). */
+  val PageSize = 2500
+
+  /** Transport abstraction: fetch one page of envelope JSON. Implementations
+    * must be Serializable — they ship to executors. */
+  trait PageClient extends Serializable {
+    @throws[UnauthorizedException]
+    def fetchPage(page: Int): String
+  }
+
+  final class UnauthorizedException(msg: String) extends RuntimeException(msg)
+
+  /** SRC3: on 401, re-auth once and replay; a second 401 propagates —
+    * exactly the reference's single-retry semantics (:126-136). */
+  final class RetryingClient(inner: PageClient, reauth: () => Unit) extends PageClient {
+    def fetchPage(page: Int): String =
+      try inner.fetchPage(page)
+      catch {
+        case _: UnauthorizedException =>
+          reauth()
+          inner.fetchPage(page)
+      }
+  }
+
+  /** Page envelope schema (salesforce_extractor.py:268,:291,:345 and
+    * FIXTURES.md "Reference-shape fixtures"). */
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("count", LongType),
+    StructField("items", ArrayType(StructType(Seq(
+      StructField("keys", StructType(Seq(
+        StructField("lead_id", StringType),
+        StructField("url", StringType),
+        StructField("session_id", StringType),
+        StructField("order", StringType)))),
+      StructField("values", StructType(Seq(
+        StructField("type_id", StringType),
+        StructField("event_category", StringType),
+        StructField("event_name", StringType),
+        StructField("date", StringType))))))))))
+
+  /** A2: driver-side pre-flight — fetch page 1, read the envelope `count`
+    * (salesforce_extractor.py:263-269). */
+  def totalCount(spark: SparkSession, client: PageClient): Long = {
+    import spark.implicits._
+    val first = Seq(client.fetchPage(1)).toDS()
+    first.select(from_json($"value", envelopeSchema).getField("count"))
+      .head().getLong(0)
+  }
+
+  /** S1: `start_page = max(1, ceil(db_count / page_size))`
+    * (salesforce_extractor.py:264). */
+  def incrementalStartPage(dbCount: Long, pageSize: Int = PageSize): Int =
+    math.max(1L, (dbCount + pageSize - 1) / pageSize).toInt
+
+  def totalPages(apiCount: Long, pageSize: Int = PageSize): Int =
+    ((apiCount + pageSize - 1) / pageSize).toInt
+
+  /** SRC1: distributed scan of pages [startPage, endPage] as raw envelope
+    * JSON strings. */
+  def rawPages(spark: SparkSession, client: PageClient,
+               startPage: Int, endPage: Int, parallelism: Int = 8): Dataset[String] = {
+    import spark.implicits._
+    spark.range(startPage, endPage + 1L)
+      .repartition(math.min(parallelism, math.max(1, endPage - startPage + 1)))
+      .as[Long]
+      .mapPartitions(pages => pages.map(p => client.fetchPage(p.toInt)))
+  }
+
+  /** P1+F3+F4: envelope JSON → flattened lead-activity rows with the
+    * reference's exact defaulting (absent keys → "", only `date` nullable)
+    * and 16-hex content hash over the full projection. */
+  def flattenPages(pages: Dataset[String]): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val s = (c: org.apache.spark.sql.Column) => coalesce(c, lit(""))
+    pages
+      .select(from_json($"value", envelopeSchema).as("page"))
+      .select(explode($"page.items").as("item"))
+      .select(
+        s($"item.keys.lead_id").as("lead_id"),
+        s($"item.keys.url").as("url"),
+        s($"item.keys.session_id").as("session_id"),
+        s($"item.keys.order").as("order"),
+        Etl.parseSfmcDate($"item.values.date").as("date"),
+        s($"item.values.type_id").as("type_id"),
+        s($"item.values.event_category").as("event_category"),
+        Etl.cleanEventName(s($"item.values.event_name")).as("event_name"),
+        Etl.contentHash(
+          $"item.keys.lead_id", $"item.keys.url", $"item.keys.session_id", $"item.keys.order",
+          $"item.values.type_id", $"item.values.event_category", $"item.values.event_name",
+          $"item.values.date").as("hash"))
+  }
+
+  /** T6 bulk mode: full scan from page 1 (reference truncates the sink
+    * first = SaveMode.Overwrite downstream). */
+  def bulkExtract(spark: SparkSession, client: PageClient, parallelism: Int = 8,
+                  pageSize: Int = PageSize): DataFrame = {
+    val total = totalPages(totalCount(spark, client), pageSize)
+    flattenPages(rawPages(spark, client, 1, total, parallelism))
+  }
+
+  /** T6+S1 incremental mode: scan only pages >= the high-watermark page for
+    * `dbCount` already-loaded rows, then anti-join-merge into `existing`
+    * (overlap rows on the boundary page are dropped by hash — the
+    * reference's ON DUPLICATE KEY no-op). Returns `existing` unchanged when
+    * the API has nothing new (salesforce_extractor.py:271-274). */
+  def incrementalExtract(spark: SparkSession, client: PageClient, existing: DataFrame,
+                         dbCount: Long, parallelism: Int = 8,
+                         pageSize: Int = PageSize): DataFrame = {
+    val apiCount = totalCount(spark, client)
+    if (apiCount <= dbCount) existing
+    else {
+      val start = incrementalStartPage(dbCount, pageSize)
+      val end = totalPages(apiCount, pageSize)
+      val incoming = flattenPages(rawPages(spark, client, start, end, parallelism))
+      Etl.mergeIncremental(existing, incoming, "hash")
+    }
+  }
+}

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.operators.Etl
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming re-expression of the reference's incremental mode
+  * (SURVEY.md §2 rows S1–S3): the reference simulates streaming with Python
+  * generators + offset CDC + DB-unique-key dedup; here the same semantics
+  * are file-source micro-batches with `Trigger.AvailableNow` and an
+  * idempotent per-batch merge (append only hashes not already in the sink).
+  *
+  * Scale: `foreachBatch` materializes the existing key set per micro-batch —
+  * fine while the sink's distinct-hash set broadcasts; at 100 TB the sink
+  * would be bucketed by hash and the anti-join stays shuffle-free on the
+  * batch side.
+  */
+object IncrementalStream {
+
+  /** Drain all available source files (JSON lines with `schema`) into the
+    * parquet sink at `sinkDir`, idempotently: within-batch dedup on
+    * `hashCol`, then anti-join against the hashes already present. Returns
+    * when the AvailableNow drain finishes. */
+  def mergeAvailableNow(spark: SparkSession, srcDir: String, schema: StructType,
+                        hashExprCols: Seq[String], sinkDir: String,
+                        checkpoint: String): Unit = {
+    val stream = spark.readStream.schema(schema).json(srcDir)
+    val hashed = stream.withColumn("hash",
+      Etl.contentHash(hashExprCols.map(col): _*))
+    val query = hashed.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss = batch.sparkSession
+        val deduped = Etl.dedupByHash(batch, "hash", hashExprCols.take(1))
+        val existingHashes =
+          try ss.read.parquet(sinkDir).select("hash").distinct()
+          catch { case _: Throwable => ss.emptyDataFrame.withColumn("hash", lit("")) }
+        // Materialize the existing key set BEFORE appending to the same
+        // path — a lazy scan would race its own write.
+        existingHashes.cache().count()
+        deduped.join(existingHashes, Seq("hash"), "left_anti")
+          .write.mode("append").parquet(sinkDir)
+        existingHashes.unpersist()
+        ()
+      }
+      .start()
+    query.awaitTermination()
+  }
+
+  /** Watermarked session-window aggregation (X6 streaming variant): events
+    * per (user, session) with a gap-based session window — the Structured
+    * Streaming analog of RelationalQueries.q22's batch sessionization. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.streaming.IncrementalStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming incremental semantics (S1–S3): AvailableNow drain,
+  * idempotent merge across overlapping batches, session windows. */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("payload", StringType)))
+
+  private def writeBatch(dir: String, name: String, rows: Seq[(Long, String)]): Unit = {
+    val lines = rows.map { case (i, p) => s"""{"id":$i,"payload":"$p"}""" }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, name),
+      lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  test("S1-S3: AvailableNow drain merges idempotently across overlapping files") {
+    val src = tmpDir("stream_src")
+    val sink = tmpDir("stream_sink") + "/out"
+    val cp1 = tmpDir("stream_cp1")
+    val cp2 = tmpDir("stream_cp2")
+
+    writeBatch(src, "b1.json", (0L until 10L).map(i => i -> s"p$i"))
+    IncrementalStream.mergeAvailableNow(spark, src, schema, Seq("id", "payload"), sink, cp1)
+    assert(spark.read.parquet(sink).count() == 10)
+
+    // second drain with fresh checkpoint re-reads b1 AND new overlapping b2:
+    // rows 5..14 overlap 5..9 — the merge must swallow the overlap (D1/SNK1)
+    writeBatch(src, "b2.json", (5L until 15L).map(i => i -> s"p$i"))
+    IncrementalStream.mergeAvailableNow(spark, src, schema, Seq("id", "payload"), sink, cp2)
+    val out = spark.read.parquet(sink)
+    assert(out.count() == 15)
+    assert(out.select("hash").distinct().count() == 15)
+  }
+
+  test("X6: session_window groups events by gap (batch-mode check)") {
+    val events = Seq(
+      (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"), // session 1
+      (1L, "2024-01-01 01:00:00"),                              // session 2 (50m gap)
+      (2L, "2024-01-01 00:00:00"))
+      .toDF("user_id", "ts_s")
+      .select($"user_id", $"ts_s".cast("timestamp").as("ts"))
+    val sess = IncrementalStream.sessionCounts(events, "30 minutes")
+      .orderBy("user_id", "session_start")
+      .select($"user_id", $"n_events").as[(Long, Long)].collect().toSeq
+    assert(sess == Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
+}
