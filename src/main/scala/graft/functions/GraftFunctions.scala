@@ -1,0 +1,431 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot inner loops of the similarity /
+  * dedup operators. The built-in higher-order functions (`zip_with` +
+  * `aggregate`, `array_intersect`) are interpreted per element — on
+  * millions of candidate pairs that dominates the whole bench (60s+49s of a
+  * 144s sf0.1 run before these existed). Each expression here keeps the
+  * exact semantics of the declarative formula it replaces (same fold order,
+  * same hash inputs) so the DuckDB oracles are unchanged.
+  *
+  * Registered by name via [[GraftFunctions.register]]; call sites use
+  * `call_function` — no SQL-text round trip, normal Catalyst resolution.
+  */
+
+/** `vec_dot(array<float>, array<float>) -> double`: element-wise
+  * double-cast product, sequential left-to-right sum — bit-identical to
+  * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0d, +)` and to
+  * the oracle's `list_sum(list_transform(...))`. Null element or length
+  * mismatch → null (fold-with-null poisoning). Whole-stage codegen'd:
+  * the loop runs over primitive floats with no per-element allocation. */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n$$ = $a.numElements();
+         |if (n$$ != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double acc$$ = 0.0;
+         |  boolean anyNull$$ = false;
+         |  for (int i$$ = 0; i$$ < n$$; i$$++) {
+         |    if ($a.isNullAt(i$$) || $b.isNullAt(i$$)) { anyNull$$ = true; break; }
+         |    acc$$ += ((double) $a.getFloat(i$$)) * ((double) $b.getFloat(i$$));
+         |  }
+         |  if (anyNull$$) { ${ev.isNull} = true; } else { ${ev.value} = acc$$; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `sorted_intersect_count(array<string>, array<string>) -> int`: merge-walk
+  * intersection count over two SORTED-DISTINCT string arrays — equals
+  * `size(array_intersect(a, b))` (and the oracle's
+  * `len(list_filter(a, s -> list_contains(b, s)))`) but O(n+m) with zero
+  * allocation instead of a per-pair hash set. Callers sort with
+  * `array_sort(array_distinct(...))`, whose ordering is UTF8String binary
+  * order — the same comparison used here. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var c = 0
+    val n = x.numElements(); val m = y.numElements()
+    while (i < n && j < m) {
+      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int i$$ = 0, j$$ = 0, c$$ = 0;
+         |int n$$ = $a.numElements(), m$$ = $b.numElements();
+         |while (i$$ < n$$ && j$$ < m$$) {
+         |  int cmp$$ = $a.getUTF8String(i$$).compareTo($b.getUTF8String(j$$));
+         |  if (cmp$$ == 0) { c$$++; i$$++; j$$++; }
+         |  else if (cmp$$ < 0) { i$$++; } else { j$$++; }
+         |}
+         |${ev.value} = c$$;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `sorted_int_intersect_count(array<int>, array<int>) -> int`: merge-walk
+  * intersection count over two SORTED int arrays — for set elements that
+  * have been bijectively packed into ints (e.g. ≤4 ASCII chars), where the
+  * string merge-walk would spend its time allocating UTF8String wrappers.
+  * Count-identical to the string version under any bijective encoding. */
+case class SortedIntIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_int_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var c = 0
+    val n = x.numElements(); val m = y.numElements()
+    while (i < n && j < m) {
+      val u = x.getInt(i); val v = y.getInt(j)
+      if (u == v) { c += 1; i += 1; j += 1 }
+      else if (u < v) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int i$$ = 0, j$$ = 0, c$$ = 0;
+         |int n$$ = $a.numElements(), m$$ = $b.numElements();
+         |while (i$$ < n$$ && j$$ < m$$) {
+         |  int u$$ = $a.getInt(i$$); int v$$ = $b.getInt(j$$);
+         |  if (u$$ == v$$) { c$$++; i$$++; j$$++; }
+         |  else if (u$$ < v$$) { i$$++; } else { j$$++; }
+         |}
+         |${ev.value} = c$$;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `simhash_bits(array<string>) -> string`: 16-bit SimHash over a token
+  * array in ONE pass — one md5 per token instead of 16 interpreted
+  * `aggregate` lambdas each re-hashing every token. Bit p of a token is bit
+  * `3 - p%4` of hex nibble `p/4` of `md5(token)`; the signature is the
+  * '0'/'1' string of sign(sum ±1) — identical to the oracle's generated
+  * strpos-based SQL. Row-level work (docs, not pairs) → CodegenFallback is
+  * fine; the inner loop is tight JVM code. */
+case class SimHashBits(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "simhash_bits"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sums = new Array[Int](16)
+    var t = 0
+    val n = toks.numElements()
+    while (t < n) {
+      if (!toks.isNullAt(t)) {
+        val digest = md.digest(toks.getUTF8String(t).getBytes)
+        var p = 0
+        while (p < 16) {
+          val nibble = (digest(p / 4 / 2) >> (if ((p / 4) % 2 == 0) 4 else 0)) & 0xf
+          val bit = (nibble >> (3 - p % 4)) & 1
+          sums(p) += (if (bit == 1) 1 else -1)
+          p += 1
+        }
+        md.reset()
+      }
+      t += 1
+    }
+    UTF8String.fromString(sums.map(s => if (s > 0) '1' else '0').mkString)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `minhash_sig(array<string>, k) -> array<string>`: k lexicographic-min
+  * md5 hex digests of `"<j>:<shingle>"` in one pass over the shingle array —
+  * same family as `array_min(transform(shingles, s -> md5(concat(j, ':',
+  * s))))` per j, without k interpreted lambda sweeps. */
+case class MinHashSig(child: Expression, numHashes: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = child
+  override def right: Expression = numHashes
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  private lazy val k: Int = numHashes.eval(null).asInstanceOf[Int]
+
+  private val hexChars = "0123456789abcdef".toCharArray
+  private def toHex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = hexChars((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  // "<j>:" prefixes pre-encoded once; per (shingle, j) we feed the digest
+  // two byte chunks instead of building and encoding a fresh string.
+  private lazy val prefixes: Array[Array[Byte]] =
+    (0 until k).map(j => s"$j:".getBytes("UTF-8")).toArray
+
+  override protected def nullSafeEval(input: Any, kAny: Any): Any = {
+    val shingles = input.asInstanceOf[ArrayData]
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mins = Array.fill[String](k)(null)
+    var s = 0
+    val n = shingles.numElements()
+    while (s < n) {
+      if (!shingles.isNullAt(s)) {
+        val shBytes = shingles.getUTF8String(s).getBytes
+        var j = 0
+        while (j < k) {
+          md.update(prefixes(j))
+          md.update(shBytes)
+          val hex = toHex(md.digest())
+          if (mins(j) == null || hex < mins(j)) mins(j) = hex
+          j += 1
+        }
+      }
+      s += 1
+    }
+    new GenericArrayData(mins.map(m => UTF8String.fromString(if (m == null) "" else m)))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(child = l, numHashes = r)
+}
+
+/** `char_ngram_ints(string, k) -> array<int>`: sorted-distinct character
+  * k-grams (k <= 4) bijectively packed into ints (base-256 big-endian,
+  * absent chars -> 0) — the whole pipeline (positions, pack, sort, dedupe)
+  * in one JVM pass. The declarative transform+array_sort form pays an
+  * interpreted lambda comparator per element comparison (~5k per doc),
+  * which dominated the n-gram join. Count semantics identical to the
+  * string-gram version under the bijective packing. */
+case class CharNgramInts(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "char_ngram_ints"
+
+  override protected def nullSafeEval(text: Any, kAny: Any): Any = {
+    val t = text.asInstanceOf[UTF8String].toString
+    val k = kAny.asInstanceOf[Int]
+    val n = math.max(t.length - (k - 1), 1)
+    val packed = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      var v = 0
+      var o = 0
+      while (o < k) {
+        val c = if (i + o < t.length) t.charAt(i + o).toInt else 0
+        v = (v << 8) | (c & 0xff)
+        o += 1
+      }
+      packed(i) = v
+      i += 1
+    }
+    java.util.Arrays.sort(packed)
+    // in-place dedupe of the sorted array
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (w == 0 || packed(i) != packed(w - 1)) { packed(w) = packed(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(packed, w))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `token_shingles(string, k) -> array<string>`: sorted-distinct k-token
+  * sequence shingles (split on single space, joined with space), whole-text
+  * fallback for docs shorter than k tokens — one JVM pass, UTF8 binary sort
+  * order (what sorted_intersect_count expects). */
+case class TokenShingles(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "token_shingles"
+
+  override protected def nullSafeEval(text: Any, kAny: Any): Any = {
+    val t = text.asInstanceOf[UTF8String].toString
+    val k = kAny.asInstanceOf[Int]
+    val toks = t.split(" ", -1)
+    val out =
+      if (toks.length >= k) {
+        val shingles = new Array[String](toks.length - (k - 1))
+        var i = 0
+        while (i < shingles.length) {
+          val sb = new java.lang.StringBuilder(toks(i))
+          var o = 1
+          while (o < k) { sb.append(' ').append(toks(i + o)); o += 1 }
+          shingles(i) = sb.toString
+          i += 1
+        }
+        shingles
+      } else Array(t)
+    val utf8 = out.map(UTF8String.fromString).distinct
+    java.util.Arrays.sort(utf8, (a: UTF8String, b: UTF8String) => a.compareTo(b))
+    new GenericArrayData(utf8.asInstanceOf[Array[AnyRef]])
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `sorted_token_set(string) -> array<string>`: sorted-distinct single
+  * tokens — TokenShingles with k=1 semantics, for token-set jaccard. */
+case class SortedTokenSet(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "sorted_token_set"
+
+  override protected def nullSafeEval(text: Any): Any = {
+    val toks = text.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val utf8 = toks.map(UTF8String.fromString).distinct
+    java.util.Arrays.sort(utf8, (a: UTF8String, b: UTF8String) => a.compareTo(b))
+    new GenericArrayData(utf8.asInstanceOf[Array[AnyRef]])
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `minhash_bands(array<string>, k, rowsPerBand) -> array<string>`: LSH band
+  * hashes in ONE call — minhash signature (same md5('<j>:'||shingle) family
+  * as MinHashSig) banded as md5(mh[b*r] || '|' || ... || mh[b*r+r-1]).
+  * Returning the bands directly (single column reference) sidesteps
+  * CollapseProject re-inlining the signature computation into every
+  * extracted column. */
+case class MinHashBands(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_bands"
+
+  private lazy val k: Int = second.eval(null).asInstanceOf[Int]
+  private lazy val rowsPerBand: Int = third.eval(null).asInstanceOf[Int]
+  private lazy val prefixes: Array[Array[Byte]] =
+    (0 until k).map(j => s"$j:".getBytes("UTF-8")).toArray
+
+  private val hexChars = "0123456789abcdef".toCharArray
+  private def toHex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = hexChars((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  override protected def nullSafeEval(shinglesAny: Any, kAny: Any, rAny: Any): Any = {
+    val shingles = shinglesAny.asInstanceOf[ArrayData]
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mins = Array.fill[String](k)(null)
+    var s = 0
+    val n = shingles.numElements()
+    while (s < n) {
+      if (!shingles.isNullAt(s)) {
+        val shBytes = shingles.getUTF8String(s).getBytes
+        var j = 0
+        while (j < k) {
+          md.update(prefixes(j))
+          md.update(shBytes)
+          val hex = toHex(md.digest())
+          if (mins(j) == null || hex < mins(j)) mins(j) = hex
+          j += 1
+        }
+      }
+      s += 1
+    }
+    val numBands = k / rowsPerBand
+    val bands = new Array[AnyRef](numBands)
+    var b = 0
+    while (b < numBands) {
+      val joined = (0 until rowsPerBand)
+        .map(r0 => { val m = mins(b * rowsPerBand + r0); if (m == null) "" else m })
+        .mkString("|")
+      bands(b) = UTF8String.fromString(toHex(md.digest(joined.getBytes("UTF-8"))))
+      b += 1
+    }
+    new GenericArrayData(bands)
+  }
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(first = a, second = b, third = c)
+}
+
+object GraftFunctions {
+  /** Idempotent registration of the native functions into the session's
+    * FunctionRegistry (runtime equivalent of SparkSessionExtensions
+    * injectFunction — the driver owns session construction, so injection
+    * at build time isn't available). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vec_dot", es => FloatVecDot(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("sorted_intersect_count", es => SortedIntersectCount(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("sorted_int_intersect_count", es => SortedIntIntersectCount(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("simhash_bits", es => SimHashBits(es.head), "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSig(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("minhash_bands", es => MinHashBands(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("char_ngram_ints", es => CharNgramInts(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("token_shingles", es => TokenShingles(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("sorted_token_set", es => SortedTokenSet(es.head), "built-in")
+  }
+}

@@ -21,27 +21,27 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** MinHash signature columns mh0..mh{k-1} over a (distinct) shingle array. */
-  def minhashSig(shingles: Column, numHashes: Int): Seq[Column] =
-    (0 until numHashes).map { j =>
-      array_min(transform(shingles, s => md5(concat(lit(s"$j:"), s)))).as(s"mh$j")
-    }
-
-  /** LSH band hash over rows `[bandIdx*rowsPerBand, ...)` of the signature. */
-  def bandHash(bandIdx: Int, rowsPerBand: Int): Column =
-    md5(concat_ws("|", (0 until rowsPerBand).map(r => col(s"mh${bandIdx * rowsPerBand + r}")): _*))
+  /** MinHash signature columns mh0..mh{k-1} over a (distinct) shingle array.
+    * One-pass native expression (graft.functions.MinHashSig): same
+    * `min(md5(j || ':' || shingle))` family as the k-lambda declarative
+    * form, without k interpreted sweeps over the array. */
+  def minhashSig(shingles: Column, numHashes: Int): Seq[Column] = {
+    val sig = call_function("minhash_sig", shingles, lit(numHashes))
+    (0 until numHashes).map(j => element_at(sig, j + 1).as(s"mh$j"))
+  }
 
   /** Candidate near-dup pairs (a < b on `idCol`) from banded MinHash: docs
-    * sharing any band bucket. `df` must already carry mh0..mh{bands*rows-1}.
+    * sharing any band bucket. Signature + band hashes come from the native
+    * one-pass `minhash_bands` (band b = md5(mh[b*r] || '|' || ...)).
     * Buckets larger than `maxBucket` are dropped (skew guard — a degenerate
     * bucket of size m contributes m² pairs). */
-  def lshCandidates(df: DataFrame, idCol: String, bands: Int, rowsPerBand: Int,
+  def lshCandidates(df: DataFrame, idCol: String, shinglesCol: String,
+                    numHashes: Int, rowsPerBand: Int,
                     maxBucket: Int = 1000): DataFrame = {
     val banded = df.select(
       col(idCol),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"), bandHash(b, rowsPerBand).as("bh"))): _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      posexplode(call_function("minhash_bands",
+        col(shinglesCol), lit(numHashes), lit(rowsPerBand))).as(Seq("band", "bh")))
     val pruned = banded
       .withColumn("__bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))))
@@ -58,6 +58,22 @@ object Dedup {
     * which counts the intersection with list_filter/list_contains. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** Jaccard over SORTED-distinct arrays via the native merge-walk
+    * intersection count — same value as [[jaccard]], O(n+m) with no
+    * per-pair hash set. Use on candidate-pair joins (the hot path). */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    val inter = call_function("sorted_intersect_count", a, b).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** Jaccard over SORTED int-packed arrays (see charNgramInts): primitive
+    * merge walk, no per-element allocation — the hot-path form for n-gram
+    * pair joins. Same value as jaccard/jaccardSorted. */
+  def jaccardSortedInt(a: Column, b: Column): Column = {
+    val inter = call_function("sorted_int_intersect_count", a, b).cast("double")
     inter / (size(a) + size(b) - inter)
   }
 

@@ -4,31 +4,28 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Vector-similarity operators over `ArrayType(FloatType)` embedding columns
-  * (north star X3): dot product / norm / cosine via higher-order array
-  * functions (codegen'd, no UDF), and a sign-random-projection LSH bucket for
-  * the approximate path.
+  * (north star X3). The dot product is the native codegen'd `vec_dot`
+  * expression (graft.functions.FloatVecDot) — element-wise double cast,
+  * sequential sum, bit-identical to the declarative
+  * `aggregate(zip_with(...))` it replaced but ~50× faster on pair joins
+  * because the loop runs inside whole-stage codegen.
   *
-  * Floats are cast to double element-wise BEFORE multiplying, and every
-  * emitted similarity is rounded — that makes the value bit-reproducible in
-  * the DuckDB oracle (same fold order, same width).
-  *
-  * Scale (100 TB): brute-force top-k is a broadcast of the (small) query set
-  * against a full scan of the corpus — one pass, no shuffle on the corpus
-  * side, then a per-query top-k. The approximate path buckets both sides by
-  * `signBucket` so the join only meets candidates sharing a hyperoctant;
-  * recall/cost is tuned by the number of sign bits (use multiple bucket
-  * tables for multi-probe).
+  * Scale (100 TB): brute-force top-k = broadcast the (small) query set,
+  * single corpus scan, per-query top-k; approximate path = sign-LSH
+  * bucketing so the join only meets candidates in the same hyperoctant.
+  * Precompute norms per row BEFORE any pair join (norm is O(dim) — doing it
+  * per pair multiplies work by the candidate count).
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Requires GraftFunctions.register (done by Tables.load). */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Full cosine. On pair joins prefer `dot(a,b) / (normA * normB)` with
+    * norms precomputed per side — identical doubles, O(dim) less work per
+    * pair. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Sign-projection LSH bucket: '0'/'1' string of the signs of the first

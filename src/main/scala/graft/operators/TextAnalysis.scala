@@ -17,7 +17,11 @@ object TextAnalysis {
   /** Whitespace tokenization (documents fixture is space-separated tokens). */
   def tokens(text: Column): Column = split(text, " ")
 
-  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+  /** Sorted-distinct token set — sorted so pair-join consumers can use the
+    * native merge-walk intersection (Dedup.jaccardSorted). Native one-pass
+    * expression: the declarative array_sort pays an interpreted comparator
+    * lambda per comparison. */
+  def tokenSet(text: Column): Column = call_function("sorted_token_set", text)
 
   /** Total character count across tokens (engine-stable long). */
   def sumTokenLen(toks: Column): Column =
@@ -58,8 +62,17 @@ object TextAnalysis {
       i => md5(substr(text, i, lit(k)))))
 
   /** Distinct character k-gram set (for n-gram Jaccard similarity). */
+  /** Distinct character k-grams (k <= 4, ASCII) bijectively packed into
+    * ints (base-256 big-endian; absent chars -> 0) and sorted — the
+    * allocation-free representation for Dedup.jaccardSortedInt. Intersection
+    * counts are identical to the string-gram version. */
+  def charNgramInts(text: Column, k: Int): Column = {
+    require(k <= 4, "int packing holds at most 4 ASCII bytes")
+    call_function("char_ngram_ints", text, lit(k))
+  }
+
   def charNgrams(text: Column, k: Int): Column =
-    array_distinct(transform(
+    array_sort(array_distinct(transform(
       sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
-      i => substr(text, i, lit(k))))
+      i => substr(text, i, lit(k)))))
 }

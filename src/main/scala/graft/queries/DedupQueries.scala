@@ -13,15 +13,10 @@ import graft.queries.QueryUtil.halfUp4
 object DedupQueries {
 
   /** 3-token sequence shingles (order-sensitive — permuted docs don't
-    * collide), distinct, whole-text fallback for docs shorter than k. */
-  private def tokenShingles(text: org.apache.spark.sql.Column) = {
-    val toks = split(text, " ")
-    array_distinct(
-      when(size(toks) >= 3,
-        transform(sequence(lit(1), size(toks) - 2),
-          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
-        .otherwise(array(text)))
-  }
+    * collide), sorted-distinct, whole-text fallback for docs shorter than k
+    * tokens. Native one-pass expression (graft.functions.TokenShingles). */
+  private def tokenShingles(text: org.apache.spark.sql.Column) =
+    call_function("token_shingles", text, lit(3))
 
   private val shinglesSql =
     """list_distinct(CASE WHEN len(toks) >= 3
@@ -52,13 +47,12 @@ object DedupQueries {
     import spark.implicits._
     val base = Tables.documents(spark, dir)
       .select($"doc_id", tokenShingles($"text").as("shingles"))
-    val sig = base.select(col("doc_id") +: col("shingles") +: Dedup.minhashSig($"shingles", 12): _*)
-    val cand = Dedup.lshCandidates(sig, "doc_id", bands = 4, rowsPerBand = 3)
+    val cand = Dedup.lshCandidates(base, "doc_id", "shingles", numHashes = 12, rowsPerBand = 3)
     val pairs = cand
       .join(base.select($"doc_id".as("a"), $"shingles".as("sa")), "a")
       .join(base.select($"doc_id".as("b"), $"shingles".as("sb")), "b")
     pairs
-      .select($"a", $"b", halfUp4(Dedup.jaccard($"sa", $"sb")).as("jaccard"))
+      .select($"a", $"b", halfUp4(Dedup.jaccardSorted($"sa", $"sb")).as("jaccard"))
       .filter($"jaccard" >= 0.5)
       .orderBy("a", "b")
   }
@@ -96,10 +90,14 @@ object DedupQueries {
     val base = Tables.documents(spark, dir)
       .select($"doc_id", TextAnalysis.tokenSet($"text").as("toks"))
       .select($"doc_id", $"toks", Dedup.simhashBits($"toks", 16).as("simhash"))
-    val l = base.select($"doc_id".as("a"), $"toks".as("ta"), $"simhash")
-    val r = base.select($"doc_id".as("b"), $"toks".as("tb"), $"simhash")
-    l.join(r, Seq("simhash")).filter($"a" < $"b")
-      .select($"a", $"b", $"simhash", halfUp4(Dedup.jaccard($"ta", $"tb")).as("jaccard"))
+    val withN = base.withColumn("nt", size($"toks"))
+    val l = withN.select($"doc_id".as("a"), $"toks".as("ta"), $"simhash", $"nt".as("na"))
+    val r = withN.select($"doc_id".as("b"), $"toks".as("tb"), $"simhash", $"nt".as("nb"))
+    // Exact prefilter (implied by jaccard >= 0.5): 2*min(|A|,|B|) >= max.
+    l.join(r,
+        l("simhash") === r("simhash") && $"a" < $"b" &&
+          $"na" * 2 >= $"nb" && $"nb" * 2 >= $"na")
+      .select($"a", $"b", l("simhash").as("simhash"), halfUp4(Dedup.jaccardSorted($"ta", $"tb")).as("jaccard"))
       .filter($"jaccard" >= 0.5)
       .orderBy("a", "b")
   }
@@ -133,11 +131,19 @@ object DedupQueries {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val g = Tables.documents(spark, dir)
-      .select($"doc_id", $"source", TextAnalysis.charNgrams($"text", 3).as("g3"))
-    val l = g.select($"source", $"doc_id".as("a"), $"g3".as("ga"))
-    val r = g.select($"source", $"doc_id".as("b"), $"g3".as("gb"))
-    l.join(r, Seq("source")).filter($"a" < $"b")
-      .select($"source", $"a", $"b", halfUp4(Dedup.jaccard($"ga", $"gb")).as("jaccard"))
+      .select($"doc_id", $"source", TextAnalysis.charNgramInts($"text", 3).as("g3"))
+      .withColumn("n3", size($"g3"))
+    val l = g.select($"source", $"doc_id".as("a"), $"g3".as("ga"), $"n3".as("na"))
+    val r = g.select($"source", $"doc_id".as("b"), $"g3".as("gb"), $"n3".as("nb"))
+    // Exact prefilter: J >= 0.8 implies |A∩B| <= min(|A|,|B|) and
+    // |A∪B| >= max(|A|,|B|), so min/max >= 0.8 — integer form 5*min >= 4*max.
+    // Result-preserving (implied by the jaccard threshold), but evaluated in
+    // the join condition BEFORE the O(n+m) merge walk, and it keeps most of
+    // the 622k same-source pairs from ever materializing.
+    l.join(r,
+        l("source") === r("source") && $"a" < $"b" &&
+          $"na" * 5 >= $"nb" * 4 && $"nb" * 5 >= $"na" * 4)
+      .select(l("source"), $"a", $"b", halfUp4(Dedup.jaccardSortedInt($"ga", $"gb")).as("jaccard"))
       .filter($"jaccard" >= 0.8)
       .orderBy("a", "b")
   }

@@ -26,13 +26,16 @@ object SimilarityQueries {
     * partial top-k per partition via TakeOrdered semantics. */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Norms are precomputed per row BEFORE the pair join (identical doubles
+    // to computing them per pair — sqrt of the same vec_dot(v,v) sum).
     val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", Similarity.norm($"embedding").as("nrm"))
     val q = emb.filter($"vec_id" % 100 === 0)
-      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"nrm".as("qn"))
     val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
     emb.join(broadcast(q), $"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id",
-        round(Similarity.cosine($"qv", $"embedding"), 4).as("cosine"))
+        round(Similarity.dot($"qv", $"embedding") / ($"qn" * $"nrm"), 4).as("cosine"))
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= 5)
       .select($"q_id", $"rk", $"vec_id", $"cosine")
@@ -57,13 +60,14 @@ object SimilarityQueries {
   def signLshTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding", Similarity.signBucket($"embedding", 8).as("bkt"))
+      .select($"vec_id", $"embedding", Similarity.signBucket($"embedding", 8).as("bkt"),
+        Similarity.norm($"embedding").as("nrm"))
     val q = emb.filter($"vec_id" % 25 === 0)
-      .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"bkt")
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"bkt", $"nrm".as("qn"))
     val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
     emb.join(broadcast(q), Seq("bkt")).filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id",
-        round(Similarity.cosine($"qv", $"embedding"), 4).as("cosine"))
+        round(Similarity.dot($"qv", $"embedding") / ($"qn" * $"nrm"), 4).as("cosine"))
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= 3)
       .select($"q_id", $"rk", $"vec_id", $"cosine")
@@ -92,10 +96,12 @@ object SimilarityQueries {
     * by signBucket first (see signLshTopK). */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val l = Tables.embeddings(spark, dir).select($"vec_id".as("a"), $"embedding".as("va"))
-    val r = Tables.embeddings(spark, dir).select($"vec_id".as("b"), $"embedding".as("vb"))
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", Similarity.norm($"embedding").as("nrm"))
+    val l = emb.select($"vec_id".as("a"), $"embedding".as("va"), $"nrm".as("na"))
+    val r = emb.select($"vec_id".as("b"), $"embedding".as("vb"), $"nrm".as("nb"))
     l.join(r, $"a" < $"b")
-      .select($"a", $"b", round(Similarity.cosine($"va", $"vb"), 4).as("cosine"))
+      .select($"a", $"b", round(Similarity.dot($"va", $"vb") / ($"na" * $"nb"), 4).as("cosine"))
       .filter($"cosine" >= 0.45)
       .orderBy("a", "b")
   }

@@ -49,7 +49,7 @@ class OperatorsSpec extends SparkTestBase {
     val sig = docs.select(col("doc_id") +: col("shingles") +: Dedup.minhashSig($"shingles", 12): _*)
     val mh = sig.orderBy("doc_id").drop("doc_id", "shingles").collect()
     assert(mh(0) == mh(1) && mh(0) != mh(2))
-    val cand = Dedup.lshCandidates(sig, "doc_id", bands = 4, rowsPerBand = 3)
+    val cand = Dedup.lshCandidates(docs, "doc_id", "shingles", numHashes = 12, rowsPerBand = 3)
     assert(cand.as[(Long, Long)].collect().toSet == Set((1L, 2L)))
   }
 
