@@ -1,0 +1,21 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Dev tool: dump formatted physical plans for plan-shape auditing. */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    val names = if (args.nonEmpty) args.toSeq else Seq(
+      "q02_filter_pushdown", "q04_broadcast_snowflake", "q09_global_topk",
+      "q03_join_agg", "x30_cosine_topk", "q01_pricing_summary")
+    names.foreach { n =>
+      println(s"\n===== $n =====")
+      Registry.byName(n).fn(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -17,6 +17,7 @@ object Registry {
   lazy val all: Seq[QueryDef] =
     queries.CoreEtlQueries.defs ++
       queries.RelationalQueries.defs ++
+      queries.RelationalQueries2.defs ++
       queries.TextQueries.defs ++
       queries.DedupQueries.defs ++
       queries.SimilarityQueries.defs ++

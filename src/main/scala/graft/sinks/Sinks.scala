@@ -1,0 +1,71 @@
+package graft.sinks
+
+import graft.operators.Etl
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Sink-side operators re-expressing the reference's write path
+  * (`/root/reference/app/salesforce_extractor.py`):
+  *
+  *  - SNK2 (:78-84) create-table-if-not-exists → [[ensureExists]]
+  *  - SNK3 (:353-360) TRUNCATE-then-load full refresh → [[bulkReplace]]
+  *  - SNK1 (:197-230) idempotent batch upsert keyed on unique `hash` →
+  *    [[appendNew]] (anti-join + append — the relational equivalent of
+  *    `INSERT ... ON DUPLICATE KEY UPDATE hash=hash`)
+  *  - S3 (:295-330) micro-batched sink writes (2500 rows/round-trip) →
+  *    [[foreachBatched]] (foreachPartition + grouped iterator; for JDBC
+  *    targets this is `option("batchsize", 2500)`)
+  *
+  * Scale: appendNew's anti-join shuffles on the hash unless the existing
+  * key set broadcasts; at 100 TB the sink table is bucketed by hash so the
+  * big side never reshuffles. bulkReplace is a pure distributed write
+  * (dynamic partition overwrite when the sink is partitioned).
+  */
+object Sinks {
+
+  /** Reference sink batch size (salesforce_extractor.py:296). */
+  val BatchSize = 2500
+
+  /** SNK2: create the sink (empty, with `schema`) iff absent. */
+  def ensureExists(spark: SparkSession, path: String, schema: StructType): Unit = {
+    val exists =
+      try { spark.read.parquet(path).schema; true }
+      catch { case _: Throwable => false }
+    if (!exists)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.mode(SaveMode.ErrorIfExists).parquet(path)
+  }
+
+  /** SNK3+T6: full refresh — truncate-equivalent overwrite. */
+  def bulkReplace(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** SNK1: append only rows whose `hashCol` is not already in the sink;
+    * within-batch dups collapse deterministically first. Returns the number
+    * of rows actually inserted (the reference's `total_inserted` counter,
+    * A3). The existing key set is materialized before the append so the
+    * read can't race its own write. */
+  def appendNew(spark: SparkSession, df: DataFrame, path: String,
+                hashCol: String, tieBreak: Seq[String]): Long = {
+    val deduped = Etl.dedupByHash(df, hashCol, tieBreak)
+    val existingOpt =
+      try Some(spark.read.parquet(path).select(hashCol).distinct())
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val fresh = existingOpt
+      .map(e => deduped.join(e, Seq(hashCol), "left_anti"))
+      .getOrElse(deduped)
+      .cache()
+    val n = fresh.count() // materialize BEFORE writing to the same path
+    if (n > 0) fresh.write.mode(SaveMode.Append).parquet(path)
+    fresh.unpersist()
+    n
+  }
+
+  /** S3: partition-local micro-batching — `sink` is invoked once per group
+    * of `batchSize` rows (the shape a JDBC multi-row INSERT wants). */
+  def foreachBatched(df: DataFrame, batchSize: Int = BatchSize)(
+      sink: Seq[org.apache.spark.sql.Row] => Unit): Unit =
+    df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      it.grouped(batchSize).foreach(g => sink(g))
+    }
+}
