@@ -18,6 +18,7 @@ object Registry {
     queries.CoreEtlQueries.defs ++
       queries.RelationalQueries.defs ++
       queries.RelationalQueries2.defs ++
+      queries.RelationalQueries3.defs ++
       queries.TextQueries.defs ++
       queries.DedupQueries.defs ++
       queries.SimilarityQueries.defs ++

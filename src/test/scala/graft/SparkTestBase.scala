@@ -7,11 +7,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * mirrors the driver harness config: UTC, small shuffle partitions). */
 trait SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = {
+    // keep catalog artifacts (derby metastore, warehouse) out of the repo
+    val scratch = java.nio.file.Files.createTempDirectory("graft_test").toString
+    System.setProperty("derby.system.home", scratch)
     val s = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", s"$scratch/warehouse")
       .getOrCreate()
     graft.functions.GraftFunctions.register(s)
     s
