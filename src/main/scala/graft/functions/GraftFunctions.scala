@@ -154,29 +154,31 @@ case class SortedIntIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** `simhash_bits(array<string>) -> string`: 16-bit SimHash over a token
-  * array in ONE pass — one md5 per token instead of 16 interpreted
-  * `aggregate` lambdas each re-hashing every token. Bit p of a token is bit
-  * `3 - p%4` of hex nibble `p/4` of `md5(token)`; the signature is the
-  * '0'/'1' string of sign(sum ±1) — identical to the oracle's generated
-  * strpos-based SQL. Row-level work (docs, not pairs) → CodegenFallback is
-  * fine; the inner loop is tight JVM code. */
-case class SimHashBits(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+/** `simhash_bits(array<string>, bits) -> string`: `bits`-wide (≤ 128)
+  * SimHash over a token array in ONE pass — one md5 per token instead of
+  * `bits` interpreted `aggregate` lambdas each re-hashing every token. Bit
+  * p of a token is bit `3 - p%4` of hex nibble `p/4` of `md5(token)`; the
+  * signature is the '0'/'1' string of sign(sum ±1) — identical to the
+  * oracle's generated strpos-based SQL. Row-level work (docs, not pairs)
+  * → CodegenFallback is fine; the inner loop is tight JVM code. */
+case class SimHashBits(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = StringType
   override def prettyName: String = "simhash_bits"
 
-  override protected def nullSafeEval(input: Any): Any = {
+  private lazy val bits: Int = right.eval(null).asInstanceOf[Int]
+
+  override protected def nullSafeEval(input: Any, bitsAny: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
     val md = java.security.MessageDigest.getInstance("MD5")
-    val sums = new Array[Int](16)
+    val sums = new Array[Int](bits)
     var t = 0
     val n = toks.numElements()
     while (t < n) {
       if (!toks.isNullAt(t)) {
         val digest = md.digest(toks.getUTF8String(t).getBytes)
         var p = 0
-        while (p < 16) {
+        while (p < bits) {
           val nibble = (digest(p / 4 / 2) >> (if ((p / 4) % 2 == 0) 4 else 0)) & 0xf
           val bit = (nibble >> (3 - p % 4)) & 1
           sums(p) += (if (bit == 1) 1 else -1)
@@ -189,7 +191,8 @@ case class SimHashBits(child: Expression)
     UTF8String.fromString(sums.map(s => if (s > 0) '1' else '0').mkString)
   }
 
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** `minhash_sig(array<string>, k) -> array<string>`: k lexicographic-min
@@ -421,7 +424,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("vec_dot", es => FloatVecDot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("sorted_intersect_count", es => SortedIntersectCount(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("sorted_int_intersect_count", es => SortedIntIntersectCount(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("simhash_bits", es => SimHashBits(es.head), "built-in")
+    reg.createOrReplaceTempFunction("simhash_bits", es => SimHashBits(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSig(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("minhash_bands", es => MinHashBands(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("char_ngram_ints", es => CharNgramInts(es(0), es(1)), "built-in")

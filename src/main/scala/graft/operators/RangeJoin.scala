@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Banded range join: pairs of rows within a bounded interval of each other
+  * (`0 <= b.sec - a.sec <= width`) on a shared key. The naive inequality
+  * join is O(n²) per key — Catalyst can only plan it as a nested-loop
+  * filter. Bucketizing by `width`-sized bands turns it into an EQUI-join:
+  * a match within `width` seconds must land in the same band as `a` or the
+  * next one, so `a` probes exactly two bands. Each qualifying pair matches
+  * exactly once (b's band equals one specific probe value).
+  *
+  * Scale: two shuffle-keyed equi-joins worth of work on (key, band) — the
+  * band inflates the left side 2×, nothing else. Skewed bands are ordinary
+  * join skew (AQE handles them).
+  */
+object RangeJoin {
+
+  /** Pairs (a, b) with `a.idCol < b.idCol`, same `key`, and
+    * `0 <= floorEpoch(b.ts) - floorEpoch(a.ts) <= widthSec`. Returns the
+    * a/b id pair plus key and the second-difference. */
+  def withinInterval(df: DataFrame, key: String, idCol: String, tsCol: String,
+                     widthSec: Long): DataFrame = {
+    val base = df.select(
+      col(key), col(idCol),
+      unix_timestamp(col(tsCol).cast("timestamp")).as("__sec"))
+      .withColumn("__band", col("__sec").divide(widthSec).cast("long") * widthSec) // floor to band start
+    val probe = base
+      .withColumn("__probe", explode(array(col("__band"), col("__band") + widthSec)))
+      .select(col(key), col(idCol).as("a"), col("__sec").as("__asec"), col("__probe"))
+    val build = base.select(col(key), col(idCol).as("b"), col("__sec").as("__bsec"),
+      col("__band").as("__probe"))
+    probe.join(build, Seq(key, "__probe"))
+      .filter(col("a") < col("b") &&
+        col("__bsec") - col("__asec") >= 0 && col("__bsec") - col("__asec") <= widthSec)
+      .select(col(key), col("a"), col("b"), (col("__bsec") - col("__asec")).as("gap_sec"))
+  }
+}

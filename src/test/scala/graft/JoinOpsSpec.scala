@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.{AsOf, RangeJoin}
+import org.apache.spark.sql.functions._
+
+/** Semantics of the temporal join operators on hand-built cases. */
+class JoinOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("as-of join: strictly-earlier match, null when none, equal-ts excluded") {
+    val trades = Seq((1L, "k", 2L), (2L, "k", 3L), (3L, "k", 6L), (4L, "other", 1L))
+      .toDF("trade_id", "k", "t")
+    val quotes = Seq(("k", 1L, 10.0), ("k", 3L, 30.0), ("k", 5L, 50.0))
+      .toDF("k", "qt", "price")
+    val out = AsOf.joinPrior(trades, quotes, "k", "t", "qt", Seq("price"))
+      .select($"trade_id", $"asof_ts", $"asof_price")
+      .orderBy("trade_id")
+      .as[(Long, Option[Long], Option[Double])].collect().toSeq
+    assert(out == Seq(
+      (1L, Some(1L), Some(10.0)),  // t=2 -> quote@1
+      (2L, Some(1L), Some(10.0)),  // t=3 -> quote@1 (STRICT: quote@3 excluded)
+      (3L, Some(5L), Some(50.0)),  // t=6 -> quote@5
+      (4L, None, None)))           // no quotes for key "other"
+  }
+
+  test("range join: pairs within width found exactly once, incl. across bands") {
+    val ev = Seq(
+      (1L, 10L, 5L), (1L, 11L, 12L),  // gap 7, crosses the 10s band boundary
+      (1L, 12L, 14L),                 // 11-12 gap 2 same band; 10-12 gap 9
+      (1L, 13L, 40L),                 // isolated
+      (2L, 20L, 5L), (2L, 21L, 5L))   // same-second pair, other user
+      .toDF("user_id", "event_id", "sec")
+      .select($"user_id", $"event_id", timestamp_seconds($"sec").as("ts"))
+    val pairs = RangeJoin.withinInterval(ev, "user_id", "event_id", "ts", 10L)
+      .select($"a", $"b", $"gap_sec")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 11L, 7L), (10L, 12L, 9L), (11L, 12L, 2L), (20L, 21L, 0L)))
+  }
+}
