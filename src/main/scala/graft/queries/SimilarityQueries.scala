@@ -114,6 +114,73 @@ object SimilarityQueries {
        |WHERE cosine >= 0.45
        |ORDER BY a, b""".stripMargin
 
+  /** X3 scale path #2 — IVF: a coarse quantizer (fixed centroid subset,
+    * vec_id % 97) assigns every vector to its nearest centroid; each query
+    * probes its nprobe=2 nearest clusters and searches only there. The
+    * assignment/probe ranks order by cosine ROUNDED to 6 so the argmin is
+    * engine-stable. 100 TB: centroids broadcast, assignment is one scan,
+    * search joins only within probed clusters (candidate set ~nprobe/k of
+    * the corpus). */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", Similarity.norm($"embedding").as("nrm"))
+    val cents = emb.filter($"vec_id" % 97 === 0)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cv"), $"nrm".as("cn"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select($"vec_id", $"embedding", $"nrm", $"cent_id",
+        round(Similarity.dot($"embedding", $"cv") / ($"nrm" * $"cn"), 6).as("ccos"))
+      .withColumn("arn", row_number().over(wAssign)).filter($"arn" === 1)
+      .select($"vec_id", $"embedding", $"nrm", $"cent_id")
+    val wProbe = Window.partitionBy($"q_id").orderBy($"ccos".desc, $"cent_id")
+    val probes = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"nrm".as("qn"))
+      .crossJoin(broadcast(cents))
+      .select($"q_id", $"qv", $"qn", $"cent_id",
+        round(Similarity.dot($"qv", $"cv") / ($"qn" * $"cn"), 6).as("ccos"))
+      .withColumn("prn", row_number().over(wProbe)).filter($"prn" <= 2)
+      .select($"q_id", $"qv", $"qn", $"cent_id")
+    val wTop = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+    probes.join(assigned, "cent_id").filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        round(Similarity.dot($"qv", $"embedding") / ($"qn" * $"nrm"), 4).as("cosine"))
+      .withColumn("rk", row_number().over(wTop)).filter($"rk" <= 3)
+      .select($"q_id", $"rk", $"vec_id", $"cosine")
+      .orderBy("q_id", "rk")
+  }
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private val ivfOracle =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |             sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |           FROM embeddings),
+       |c AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn FROM e WHERE vec_id % 97 = 0),
+       |ac AS (SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
+       |         round(${dotSql("e.embedding", "c.cv")} / (e.nrm * c.cn), 6) AS ccos
+       |       FROM e CROSS JOIN c),
+       |assigned AS (SELECT vec_id, embedding, nrm, cent_id
+       |             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM ac)
+       |             WHERE rn = 1),
+       |qc AS (SELECT e.vec_id AS q_id, e.embedding AS qv, e.nrm AS qn, c.cent_id,
+       |         round(${dotSql("e.embedding", "c.cv")} / (e.nrm * c.cn), 6) AS ccos
+       |       FROM e CROSS JOIN c WHERE e.vec_id % 100 = 0),
+       |probes AS (SELECT q_id, qv, qn, cent_id
+       |           FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ccos DESC, cent_id) AS rn FROM qc)
+       |           WHERE rn <= 2),
+       |p AS (SELECT probes.q_id, assigned.vec_id,
+       |        round(${dotSql("probes.qv", "assigned.embedding")} / (probes.qn * assigned.nrm), 4) AS cosine
+       |      FROM probes JOIN assigned USING (cent_id)
+       |      WHERE assigned.vec_id <> probes.q_id),
+       |r AS (SELECT q_id, vec_id, cosine,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+       |      FROM p)
+       |SELECT q_id, rk, vec_id, cosine FROM r
+       |WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
+
   /** Array scalar ops on the embedding column (dim, element access, L2 norm). */
   def arrayOps(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -142,5 +209,6 @@ object SimilarityQueries {
     QueryDef("x30_cosine_topk", "brute-force cosine top-5 per query vector (X3)", cosineTopK, Some(cosineTopKOracle)),
     QueryDef("x31_sign_lsh_topk", "sign-LSH bucketed approximate top-3 (X3)", signLshTopK, Some(signLshOracle)),
     QueryDef("x32_embedding_neardup", "embedding cosine near-dup pairs (X2)", embeddingNearDup, Some(nearDupOracle)),
-    QueryDef("x33_array_ops", "array scalar ops over embedding column", arrayOps, Some(arrayOpsOracle)))
+    QueryDef("x33_array_ops", "array scalar ops over embedding column", arrayOps, Some(arrayOpsOracle)),
+    QueryDef("x34_ivf_topk", "IVF coarse-quantized ANN, nprobe=2 (X3 scale path)", ivfTopK, Some(ivfOracle)))
 }

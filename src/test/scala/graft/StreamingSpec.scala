@@ -38,6 +38,26 @@ class StreamingSpec extends SparkTestBase {
     assert(out.select("hash").distinct().count() == 15)
   }
 
+  test("S1 streaming: watermarked dropDuplicates dedups across micro-batches") {
+    val src = tmpDir("wm_src")
+    writeBatch(src, "a.json", Seq(1L -> "x", 2L -> "y", 1L -> "x"))
+    writeBatch(src, "b.json", Seq(2L -> "y", 3L -> "z"))
+    val stream = spark.readStream.schema(schema).json(src)
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_seconds(
+        org.apache.spark.sql.functions.col("id") + 1000000000L))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("id")
+    val q = stream.writeStream.format("memory").queryName("wm_dedup")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("wm_cp"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("wm_dedup")
+    assert(out.count() == 3)
+    assert(out.select("id").distinct().count() == 3)
+  }
+
   test("X6: session_window groups events by gap (batch-mode check)") {
     val events = Seq(
       (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"), // session 1
