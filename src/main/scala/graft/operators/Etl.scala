@@ -60,7 +60,12 @@ object Etl {
     *
     * Scale: the anti-join shuffles both sides on `hashCol` unless the existing
     * key set is small enough to broadcast; at 100 TB bucket the sink table by
-    * `hashCol` so the anti-join is shuffle-free on the big side. */
+    * `hashCol` so the anti-join is shuffle-free on the big side.
+    *
+    * Lineage note: the result references `existing` twice, so folding this
+    * in a loop without a materialization boundary grows the plan
+    * exponentially — write through a sink (Sinks.appendNew does) or
+    * `localCheckpoint` between merges. */
   def mergeIncremental(existing: DataFrame, incoming: DataFrame, hashCol: String = "hash"): DataFrame =
     existing.unionByName(
       incoming.join(existing.select(hashCol), Seq(hashCol), "left_anti"))
