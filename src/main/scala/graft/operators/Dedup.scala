@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Skew guard: LSH band buckets larger than this are dropped (a bucket of
+    * m docs contributes m² candidate pairs). Shared with the DuckDB oracle
+    * SQL so implementation and oracle can't silently diverge. */
+  val DefaultMaxBucket = 1000
+
   /** MinHash signature columns mh0..mh{k-1} over a (distinct) shingle array.
     * One-pass native expression (graft.functions.MinHashSig): same
     * `min(md5(j || ':' || shingle))` family as the k-lambda declarative
@@ -37,7 +42,7 @@ object Dedup {
     * bucket of size m contributes m² pairs). */
   def lshCandidates(df: DataFrame, idCol: String, shinglesCol: String,
                     numHashes: Int, rowsPerBand: Int,
-                    maxBucket: Int = 1000): DataFrame = {
+                    maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val banded = df.select(
       col(idCol),
       posexplode(call_function("minhash_bands",

@@ -22,6 +22,7 @@ object RangeJoin {
     * a/b id pair plus key and the second-difference. */
   def withinInterval(df: DataFrame, key: String, idCol: String, tsCol: String,
                      widthSec: Long): DataFrame = {
+    require(widthSec > 0, "widthSec must be positive — width 0 would duplicate the probe band")
     val base = df.select(
       col(key), col(idCol),
       unix_timestamp(col(tsCol).cast("timestamp")).as("__sec"))

@@ -70,8 +70,12 @@ object DedupQueries {
        |       FROM t),
        |bands AS (
        |       $bands),
+       |bands_pruned AS (SELECT doc_id, band, bh
+       |                 FROM (SELECT *, count(*) OVER (PARTITION BY band, bh) AS bn FROM bands)
+       |                 WHERE bn <= ${Dedup.DefaultMaxBucket}),
        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-       |         FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       |         FROM bands_pruned x JOIN bands_pruned y
+       |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
        |pairs AS (SELECT a, b, ta.shingles AS sa, tb.shingles AS sb
        |          FROM cand JOIN t ta ON ta.doc_id = a JOIN t tb ON tb.doc_id = b),
        |j AS (SELECT a, b,
