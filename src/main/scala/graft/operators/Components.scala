@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components by iterative min-label propagation — the step that
+  * turns near-dup PAIRS into dedup GROUPS (keep one canonical doc per
+  * component).
+  *
+  * Each node starts labeled with its own id; every iteration each node
+  * takes the min of its label and its neighbors' labels; at fixpoint every
+  * node carries the min id of its component (deterministic canonical
+  * representative).
+  *
+  * Scale: one join + aggregate per iteration, all keyed shuffles;
+  * iterations needed = graph diameter (near-dup clusters are shallow — a
+  * handful). `localCheckpoint` per iteration truncates lineage, the same
+  * hazard mergeIncremental documents. This is the standard "large-star /
+  * small-star"-lite; for billion-edge graphs promote to the full
+  * alternating algorithm, same plan primitives.
+  */
+object Components {
+
+  /** @param nodes  one column `idCol`
+    * @param edges  two columns `a`, `b` (undirected, a < b convention fine)
+    * @return (idCol, component) where component = min id reachable */
+  def connectedComponents(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
+                          idCol: String, maxIter: Int = 20): DataFrame = {
+    // symmetric edge list: neighbor view in both directions. Materialized
+    // once — the edge source may be an expensive pipeline (e.g. the LSH
+    // candidate join) and every iteration references it again.
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    var labels = nodes.select(col(idCol), col(idCol).as("component")).localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // each node pulls the min label among its neighbors
+      val neighborMin = sym
+        .join(labels.withColumnRenamed(idCol, "dst"), Seq("dst"))
+        .groupBy(col("src").as(idCol))
+        .agg(min(col("component")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq(idCol), "left")
+        .select(col(idCol),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      changed = updated.join(labels.withColumnRenamed("component", "old"), Seq(idCol))
+        .filter(col("component") =!= col("old")).count()
+      labels = updated
+      iter += 1
+    }
+    labels
+  }
+}

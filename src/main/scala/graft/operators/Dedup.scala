@@ -85,21 +85,11 @@ object Dedup {
   /** SimHash over a (distinct) token array: `bits`-wide sign-of-sums
     * signature rendered as a '0'/'1' string (string form keeps exact DuckDB
     * parity — no cross-engine integer-width concerns). Bit p of a token is
-    * bit (3 - p%4) of hex nibble p/4 of md5(token). */
+    * bit (3 - p%4) of hex nibble p/4 of md5(token). Native one-pass
+    * expression (graft.functions.SimHashBits) — one md5 per token instead
+    * of `bits` interpreted aggregate lambdas each re-hashing every token. */
   def simhashBits(toks: Column, bits: Int): Column = {
-    val bitCols = (0 until bits).map { p =>
-      val nibbleIdx = p / 4 + 1
-      val shift = 3 - p % 4
-      val contrib = (t: Column) => {
-        // instr(Column, Column) has no direct Scala binding — call by name.
-        val nibble = call_function("instr",
-          lit("0123456789abcdef"), substring(md5(t), nibbleIdx, 1)) - 1
-        val bit = shiftright(nibble, shift).bitwiseAND(lit(1))
-        when(bit === 1, 1).otherwise(-1)
-      }
-      val s = aggregate(toks, lit(0), (acc, t) => acc + contrib(t))
-      when(s > 0, lit("1")).otherwise(lit("0"))
-    }
-    concat(bitCols: _*)
+    require(bits >= 1 && bits <= 128, "md5 provides at most 128 signature bits")
+    call_function("simhash_bits", toks, lit(bits))
   }
 }

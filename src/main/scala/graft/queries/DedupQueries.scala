@@ -57,13 +57,16 @@ object DedupQueries {
       .orderBy("a", "b")
   }
 
-  private val minhashOracle = {
+  /** Shared oracle CTE chain (shingles → signature → bands → skew-pruned →
+    * candidates → verified jaccard), reused by the pair query and the
+    * clustering oracle. */
+  private def minhashCtes(withKeyword: String): String = {
     val mh = (0 until 12).map(j =>
       s"list_aggregate(list_transform(shingles, s -> md5('$j:' || s)), 'min') AS mh$j").mkString(",\n       ")
     val bands = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, md5(concat_ws('|', mh${3 * b}, mh${3 * b + 1}, mh${3 * b + 2})) AS bh FROM sig")
       .mkString("\n       UNION ALL ")
-    s"""WITH t AS (SELECT doc_id, $shinglesSql AS shingles
+    s"""$withKeyword t AS (SELECT doc_id, $shinglesSql AS shingles
        |           FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)),
        |sig AS (SELECT doc_id, shingles,
        |       $mh
@@ -82,18 +85,50 @@ object DedupQueries {
        |        floor((CAST(len(list_filter(sa, s -> list_contains(sb, s))) AS DOUBLE)
        |              / (len(sa) + len(sb) - len(list_filter(sa, s -> list_contains(sb, s))))) * 10000 + 0.5) / 10000.0 AS jaccard
        |      FROM pairs)
-       |SELECT a, b, jaccard FROM j
-       |WHERE jaccard >= 0.5
-       |ORDER BY a, b""".stripMargin
+       |""".stripMargin
   }
 
-  /** X2 variant: 16-bit SimHash over distinct tokens; docs in the same
+  private val minhashOracle =
+    minhashCtes("WITH") +
+      """SELECT a, b, jaccard FROM j
+        |WHERE jaccard >= 0.5
+        |ORDER BY a, b""".stripMargin
+
+  /** X2 near-dup → dedup groups: connected components over the verified
+    * near-dup pairs; every doc gets the min doc_id of its component as
+    * cluster id, the representative flagged canonical. Spark: iterative
+    * min-label propagation (Components.connectedComponents); oracle:
+    * recursive-CTE transitive closure — independent algorithms, same
+    * fixpoint. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = minhashLsh(spark, dir).select($"a", $"b")
+    val nodes = Tables.documents(spark, dir).select($"doc_id")
+    graft.operators.Components.connectedComponents(spark, nodes, pairs, "doc_id")
+      .select($"doc_id", $"component".as("cluster_id"),
+        ($"doc_id" === $"component").cast("int").as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  private val clustersOracle =
+    minhashCtes("WITH RECURSIVE") +
+      """, pairs2 AS (SELECT a, b FROM j WHERE jaccard >= 0.5),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs2 UNION ALL SELECT b AS src, a AS dst FROM pairs2),
+        |reach AS (SELECT doc_id AS id, doc_id AS r FROM documents
+        |          UNION
+        |          SELECT e.src AS id, reach.r AS r FROM edges e JOIN reach ON e.dst = reach.id)
+        |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id,
+        |       CAST(min(r) = id AS INTEGER) AS is_canonical
+        |FROM reach GROUP BY id
+        |ORDER BY doc_id""".stripMargin
+
+  /** X2 variant: 32-bit SimHash over distinct tokens; docs in the same
     * SimHash bucket are near-dup candidates, verified by token-set Jaccard. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = Tables.documents(spark, dir)
       .select($"doc_id", TextAnalysis.tokenSet($"text").as("toks"))
-      .select($"doc_id", $"toks", Dedup.simhashBits($"toks", 16).as("simhash"))
+      .select($"doc_id", $"toks", Dedup.simhashBits($"toks", 32).as("simhash"))
     val withN = base.withColumn("nt", size($"toks"))
     val l = withN.select($"doc_id".as("a"), $"toks".as("ta"), $"simhash", $"nt".as("na"))
     val r = withN.select($"doc_id".as("b"), $"toks".as("tb"), $"simhash", $"nt".as("nb"))
@@ -107,7 +142,7 @@ object DedupQueries {
   }
 
   private val simhashOracle = {
-    val bitExprs = (0 until 16).map { p =>
+    val bitExprs = (0 until 32).map { p =>
       val nib = p / 4 + 1
       val shift = 3 - p % 4
       s"""CASE WHEN list_sum(list_transform(toks, t ->
@@ -171,5 +206,6 @@ object DedupQueries {
     QueryDef("x10_exact_dedup", "exact content-hash dedup, deterministic survivor (X1)", exactDedup, Some(exactOracle)),
     QueryDef("x11_minhash_lsh", "MinHash+LSH near-dup pairs, Jaccard-verified (X2)", minhashLsh, Some(minhashOracle)),
     QueryDef("x12_simhash", "16-bit SimHash bucket near-dups (X2)", simhash, Some(simhashOracle)),
-    QueryDef("x13_ngram_jaccard", "char-trigram Jaccard near-dups, source-blocked (X2)", ngramJaccard, Some(ngramOracle)))
+    QueryDef("x13_ngram_jaccard", "char-trigram Jaccard near-dups, source-blocked (X2)", ngramJaccard, Some(ngramOracle)),
+    QueryDef("x14_dedup_clusters", "connected-component dedup groups over near-dup pairs (X2)", dedupClusters, Some(clustersOracle)))
 }

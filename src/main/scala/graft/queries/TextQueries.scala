@@ -143,10 +143,72 @@ object TextQueries {
       |ORDER BY cnt DESC, term
       |LIMIT 50""".stripMargin
 
+  /** TF-IDF: per-doc term scores tf * ln(N/df), top-3 terms per doc. */
+  def tfidf(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val n = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+    val terms = docs
+      .select($"doc_id", explode(TextAnalysis.tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfreq = terms.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"score".desc, $"term")
+    terms.join(dfreq, "term").crossJoin(n)
+      .select($"doc_id", $"term",
+        round($"tf" * log($"n_docs" / $"df"), 4).as("score"))
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+      .select($"doc_id", $"rk", $"term", $"score")
+      .orderBy("doc_id", "rk")
+  }
+
+  private val tfidfOracle =
+    """WITH terms AS (SELECT doc_id, term, count(*) AS tf
+      |               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      |               GROUP BY doc_id, term),
+      |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (SELECT doc_id, term,
+      |             round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS score
+      |           FROM terms JOIN dfreq USING (term) CROSS JOIN n),
+      |r AS (SELECT doc_id, term, score,
+      |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+      |      FROM scored)
+      |SELECT doc_id, rk, term, score FROM r
+      |WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin
+
+  /** Corpus bigram frequencies (order-sensitive n-gram stats). */
+  def bigrams(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val toks = TextAnalysis.tokens($"text")
+    val bg = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    Tables.documents(spark, dir)
+      .select(explode(bg).as("bigram"))
+      .groupBy($"bigram").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"bigram")
+      .limit(40)
+  }
+
+  private val bigramsOracle =
+    """SELECT bigram, count(*) AS cnt
+      |FROM (SELECT unnest(CASE WHEN len(toks) >= 2
+      |               THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+      |               ELSE [] END) AS bigram
+      |      FROM (SELECT string_split(text, ' ') AS toks FROM documents))
+      |GROUP BY bigram
+      |ORDER BY cnt DESC, bigram
+      |LIMIT 40""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x40_token_stats", "per-doc token statistics (X4)", tokenStats, Some(tokenStatsOracle)),
     QueryDef("x41_lang_id", "marker-lexicon language-ID heuristic (X4)", langId, Some(langIdOracle)),
     QueryDef("x42_quality_score", "document quality scoring (X4)", quality, Some(qualityOracle)),
     QueryDef("x43_fingerprint", "character k-gram min-hash fingerprint (X4)", fingerprint, Some(fingerprintOracle)),
-    QueryDef("x44_term_freq", "corpus term frequency top-50 (X4)", termFreq, Some(termFreqOracle)))
+    QueryDef("x44_term_freq", "corpus term frequency top-50 (X4)", termFreq, Some(termFreqOracle)),
+    QueryDef("x46_tfidf", "TF-IDF top-3 terms per document (X4)", tfidf, Some(tfidfOracle)),
+    QueryDef("x47_bigrams", "corpus bigram frequency top-40 (X4)", bigrams, Some(bigramsOracle)))
 }
