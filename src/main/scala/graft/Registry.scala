@@ -19,6 +19,7 @@ object Registry {
       queries.RelationalQueries.defs ++
       queries.RelationalQueries2.defs ++
       queries.RelationalQueries3.defs ++
+      queries.RelationalQueries4.defs ++
       queries.JoinOpQueries.defs ++
       queries.TextQueries.defs ++
       queries.DedupQueries.defs ++

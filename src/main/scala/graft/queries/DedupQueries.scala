@@ -60,7 +60,7 @@ object DedupQueries {
   /** Shared oracle CTE chain (shingles → signature → bands → skew-pruned →
     * candidates → verified jaccard), reused by the pair query and the
     * clustering oracle. */
-  private def minhashCtes(withKeyword: String): String = {
+  private[queries] def minhashCtes(withKeyword: String): String = {
     val mh = (0 until 12).map(j =>
       s"list_aggregate(list_transform(shingles, s -> md5('$j:' || s)), 'min') AS mh$j").mkString(",\n       ")
     val bands = (0 until 4).map(b =>

@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fourth coverage batch: RANGE window frames, bag-semantics set ops,
+  * null-handling (na.fill/na.drop surface), reproducible hash sampling,
+  * and edit distance. */
+object RelationalQueries4 {
+
+  /** RANGE frame over a numeric order (30-day trailing revenue per
+    * customer) plus lead/nth_value — the frame kinds q08 didn't cover.
+    * Epoch seconds as the range key so the frame bound is engine-stable. */
+  def q33(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val sec = unix_timestamp($"o_orderdate".cast("timestamp"))
+    val wRange = Window.partitionBy($"o_custkey").orderBy($"osec")
+      .rangeBetween(-30L * 86400, 0)
+    val wRow = Window.partitionBy($"o_custkey").orderBy($"osec", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .withColumn("osec", sec)
+      .select(
+        $"o_custkey", $"o_orderkey",
+        round(sum($"o_totalprice").over(wRange), 2).as("trailing30d"),
+        lead($"o_orderkey", 1).over(wRow).as("next_order"),
+        nth_value($"o_orderkey", 2).over(
+          wRow.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("second_order"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  private val q33Oracle =
+    """SELECT o_custkey, o_orderkey,
+      |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY osec
+      |                                     RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2) AS trailing30d,
+      |       lead(o_orderkey, 1) OVER w AS next_order,
+      |       nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY osec, o_orderkey
+      |                                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_order
+      |FROM (SELECT *, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS osec FROM orders)
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY osec, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Bag-semantics set ops: EXCEPT ALL / INTERSECT ALL keep multiplicity
+    * (q10 covered the distinct variants). Built over l_suppkey multisets. */
+  def q34(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val a = Tables.lineitem(spark, dir).filter($"l_orderkey" % 2 === 0).select($"l_suppkey".as("k"))
+    val b = Tables.lineitem(spark, dir).filter($"l_orderkey" % 3 === 0).select($"l_suppkey".as("k"))
+    val exceptAll = a.exceptAll(b).groupBy($"k").agg(count(lit(1)).as("n"))
+      .select(lit("except_all").as("op"), $"k", $"n")
+    val intersectAll = a.intersectAll(b).groupBy($"k").agg(count(lit(1)).as("n"))
+      .select(lit("intersect_all").as("op"), $"k", $"n")
+    exceptAll.unionByName(intersectAll).orderBy($"op", $"k")
+  }
+
+  private val q34Oracle =
+    """WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_orderkey % 2 = 0),
+      |b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_orderkey % 3 = 0)
+      |SELECT 'except_all' AS op, k, count(*) AS n
+      |FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY k
+      |UNION ALL
+      |SELECT 'intersect_all' AS op, k, count(*) AS n
+      |FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY k
+      |ORDER BY op, k""".stripMargin
+
+  /** Null handling via the DataFrameNaFunctions surface: inject nulls,
+    * then na.fill defaults and na.drop filtering. */
+  def q35(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val withNulls = Tables.orders(spark, dir)
+      .filter($"o_orderkey" <= 400)
+      .select(
+        $"o_orderkey",
+        nullif($"o_orderstatus", lit("O")).as("status"),
+        when($"o_totalprice" > 100000, $"o_totalprice").as("big_price"))
+    val filled = withNulls.na.fill(Map("status" -> "OPEN", "big_price" -> 0.0))
+      .withColumnRenamed("status", "status_filled")
+      .withColumnRenamed("big_price", "big_price_filled")
+    val kept = withNulls.na.drop(Seq("big_price"))
+      .select($"o_orderkey").withColumn("survived_drop", lit(1))
+    filled.join(kept, Seq("o_orderkey"), "left")
+      .na.fill(Map("survived_drop" -> 0))
+      .orderBy($"o_orderkey")
+  }
+
+  private val q35Oracle =
+    """WITH w AS (SELECT o_orderkey,
+      |             nullif(o_orderstatus, 'O') AS status,
+      |             CASE WHEN o_totalprice > 100000 THEN o_totalprice END AS big_price
+      |           FROM orders WHERE o_orderkey <= 400)
+      |SELECT o_orderkey,
+      |       coalesce(status, 'OPEN') AS status_filled,
+      |       coalesce(big_price, 0.0) AS big_price_filled,
+      |       CAST(big_price IS NOT NULL AS INTEGER) AS survived_drop
+      |FROM w
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Reproducible sampling: hash-based Bernoulli (~10%) — unlike
+    * df.sample, identical across engines, partitionings, and reruns; the
+    * scalable way to carve deterministic subsets at 100 TB. */
+  def q36(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter(substring(md5(concat_ws("|", $"l_orderkey", $"l_linenumber")), 1, 2) < "1a")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val q36Oracle =
+    """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |WHERE substr(md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))), 1, 2) < '1a'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Edit distance on the LSH candidate pairs' text prefixes (string
+    * similarity family; DuckDB and Spark share the unit-cost Levenshtein
+    * definition). */
+  def x48(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", substring($"text", 1, 60).as("pre"))
+    val pairs = DedupQueries.minhashLsh(spark, dir).select($"a", $"b")
+    pairs
+      .join(docs.select($"doc_id".as("a"), $"pre".as("pa")), "a")
+      .join(docs.select($"doc_id".as("b"), $"pre".as("pb")), "b")
+      .select($"a", $"b", levenshtein($"pa", $"pb").as("edit_dist"))
+      .orderBy("a", "b")
+  }
+
+  private val x48Oracle =
+    DedupQueries.minhashCtes("WITH") +
+      """, docs AS (SELECT doc_id, substr(text, 1, 60) AS pre FROM documents)
+        |SELECT p.a, p.b, CAST(levenshtein(da.pre, db.pre) AS INTEGER) AS edit_dist
+        |FROM (SELECT a, b FROM j WHERE jaccard >= 0.5) p
+        |JOIN docs da ON da.doc_id = p.a
+        |JOIN docs db ON db.doc_id = p.b
+        |ORDER BY p.a, p.b""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q33_window_range_frame", "RANGE frame (30d trailing), lead, nth_value", q33, Some(q33Oracle)),
+    QueryDef("q34_bag_setops", "EXCEPT ALL / INTERSECT ALL multiplicity semantics", q34, Some(q34Oracle)),
+    QueryDef("q35_na_handling", "na.fill / na.drop null-handling surface", q35, Some(q35Oracle)),
+    QueryDef("q36_hash_sample", "deterministic hash-Bernoulli sampling", q36, Some(q36Oracle)),
+    QueryDef("x48_edit_distance", "Levenshtein over near-dup candidate prefixes", x48, Some(x48Oracle)))
+}
