@@ -138,10 +138,51 @@ object RelationalQueries4 {
         |JOIN docs db ON db.doc_id = p.b
         |ORDER BY p.a, p.b""".stripMargin
 
+  /** Native DataFrame pivot API (fixed value list -> stable columns;
+    * q18 is the manual CASE equivalent). */
+  def q37(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(round(sum($"l_quantity"), 2))
+      .orderBy($"l_linestatus")
+  }
+
+  private val q37Oracle =
+    """SELECT l_linestatus,
+      |       round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
+      |       round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
+      |       round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
+      |FROM lineitem
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  /** Native unpivot/melt API (wide -> long). */
+  def q38(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .select($"p_partkey", $"p_size".cast("double").as("size"),
+        $"p_retailprice".as("retailprice"))
+      .unpivot(Array($"p_partkey"), Array($"size", $"retailprice"), "metric", "value")
+      .select($"p_partkey", $"metric", round($"value", 2).as("value"))
+      .orderBy($"p_partkey", $"metric")
+  }
+
+  private val q38Oracle =
+    """SELECT p_partkey, metric, round(value, 2) AS value
+      |FROM (
+      |  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+      |  UNION ALL
+      |  SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part)
+      |ORDER BY p_partkey, metric""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_window_range_frame", "RANGE frame (30d trailing), lead, nth_value", q33, Some(q33Oracle)),
     QueryDef("q34_bag_setops", "EXCEPT ALL / INTERSECT ALL multiplicity semantics", q34, Some(q34Oracle)),
     QueryDef("q35_na_handling", "na.fill / na.drop null-handling surface", q35, Some(q35Oracle)),
     QueryDef("q36_hash_sample", "deterministic hash-Bernoulli sampling", q36, Some(q36Oracle)),
-    QueryDef("x48_edit_distance", "Levenshtein over near-dup candidate prefixes", x48, Some(x48Oracle)))
+    QueryDef("x48_edit_distance", "Levenshtein over near-dup candidate prefixes", x48, Some(x48Oracle)),
+    QueryDef("q37_pivot", "native DataFrame pivot with fixed value columns", q37, Some(q37Oracle)),
+    QueryDef("q38_unpivot", "native unpivot/melt wide-to-long", q38, Some(q38Oracle)))
 }
