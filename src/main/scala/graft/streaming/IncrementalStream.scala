@@ -19,6 +19,32 @@ import org.apache.spark.sql.types.StructType
   */
 object IncrementalStream {
 
+  /** Per-user running aggregate carried as explicit state. */
+  final case class UserStats(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Custom keyed state via mapGroupsWithState: a running per-user
+    * (count, sum) that survives across micro-batches through the
+    * checkpoint — the Structured Streaming surface for state machines the
+    * built-in windowed aggregations can't express. NoTimeout here; an
+    * event-time timeout + watermark turns the same shape into expiring
+    * sessions. */
+  def runningUserStats(events: org.apache.spark.sql.Dataset[(Long, Double)]):
+      org.apache.spark.sql.Dataset[UserStats] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[UserStats, UserStats](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state) =>
+          val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0.0))
+          val batch = rows.toSeq
+          val next = UserStats(uid, prev.n_events + batch.size,
+            prev.sum_value + batch.map(_._2).sum)
+          state.update(next)
+          next
+      }
+  }
+
   /** Drain all available source files (JSON lines with `schema`) into the
     * parquet sink at `sinkDir`, idempotently: within-batch dedup on
     * `hashCol`, then anti-join against the hashes already present. Returns

@@ -58,6 +58,46 @@ class StreamingSpec extends SparkTestBase {
     assert(out.select("id").distinct().count() == 3)
   }
 
+  test("S3 custom state: mapGroupsWithState accumulates across micro-batches") {
+    val src = tmpDir("mgs_src")
+    val cp = tmpDir("mgs_cp")
+    val out = tmpDir("mgs_out") + "/updates"
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(
+        StructType(Seq(StructField("user_id", LongType), StructField("value", DoubleType))))
+        .json(src)
+      import spark.implicits._
+      // memory sink can't recover a checkpoint; foreachBatch can
+      val q = IncrementalStream.runningUserStats(stream.as[(Long, Double)])
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[IncrementalStream.UserStats], _: Long) =>
+          batch.write.mode("append").parquet(out); ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(src, "b1.json"),
+      Seq("""{"user_id":1,"value":2.0}""", """{"user_id":1,"value":3.0}""",
+        """{"user_id":2,"value":5.0}""").mkString("\n").getBytes)
+    drain()
+    // second batch, SAME checkpoint -> state must carry over
+    java.nio.file.Files.write(java.nio.file.Paths.get(src, "b2.json"),
+      Seq("""{"user_id":1,"value":10.0}""").mkString("\n").getBytes)
+    drain()
+    import spark.implicits._
+    val latest = spark.read.parquet(out)
+      .groupBy($"user_id")
+      .agg(org.apache.spark.sql.functions.max($"n_events").as("n"),
+        org.apache.spark.sql.functions.max($"sum_value").as("s"))
+      .orderBy("user_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    // user 1: batch1 state (2, 5.0) then batch2 accumulates to (3, 15.0)
+    assert(latest == Seq((1L, 3L, 15.0), (2L, 1L, 5.0)))
+  }
+
   test("X6: session_window groups events by gap (batch-mode check)") {
     val events = Seq(
       (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"), // session 1
