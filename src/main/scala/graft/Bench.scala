@@ -10,12 +10,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Materialize EVERY column: `.count()` would let Catalyst prune
+    // computed projections that don't affect the row count, under-measuring
+    // pure-projection queries. The noop sink consumes all rows/columns
+    // (equivalent work to a write, minus IO) with no type restrictions.
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     // Warm up session/codegen paths so the first timed query isn't charged
     // for JVM+Spark startup (measures queries, not initialization).
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try materialize(SparkEntry.entry(spark)) catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -12,4 +12,12 @@ object QueryUtil {
     * identical in both engines given bit-identical inputs. Only for
     * non-negative values. */
   def halfUp4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000.0
+
+  /** Generic half-up (toward +inf) rounding to `digits` places — same
+    * floor-based trick as [[halfUp4]]; sign-agnostic and bit-identical
+    * across engines as long as both sides use the same formula. */
+  def halfUp(c: Column, digits: Int): Column = {
+    val p = math.pow(10, digits.toDouble)
+    floor(c * p + lit(0.5)) / p
+  }
 }

@@ -47,30 +47,58 @@ object RelationalQueries2 {
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
   /** Statistical aggregates (sample stddev/variance, correlation,
-    * covariance) — rounded to absorb algorithmic fp differences between
-    * engines (Welford vs two-pass). */
+    * covariance) — computed from explicit raw moments (sum x, sum x²,
+    * sum xy, n) with the SAME derived formula in both engines, so the only
+    * cross-engine difference is ulp-level summation order, far below the
+    * half-up rounding grid. Native `stddev/corr/covar` accumulate via
+    * different single-pass algorithms per engine and diverge exactly at
+    * rounding boundaries (round-1 q24 hash FAIL). */
   def q24(spark: SparkSession, dir: String) = {
     import spark.implicits._
+    import QueryUtil.halfUp
+    val p = $"l_extendedprice"
+    val q = $"l_quantity".cast("double")
+    val d = $"l_discount"
+    val t = $"l_tax"
     Tables.lineitem(spark, dir)
       .groupBy($"l_returnflag")
       .agg(
-        round(stddev_samp($"l_extendedprice"), 2).as("sd_price"),
-        round(var_samp($"l_quantity"), 4).as("var_qty"),
-        round(corr($"l_extendedprice", $"l_quantity"), 4).as("corr_pq"),
-        round(covar_samp($"l_discount", $"l_tax"), 6).as("cov_dt"),
-        count(lit(1)).as("n"))
+        count(lit(1)).cast("double").as("nn"),
+        sum(p).as("sp"), sum(p * p).as("spp"),
+        sum(q).as("sq"), sum(q * q).as("sqq"),
+        sum(p * q).as("spq"),
+        sum(d).as("sd"), sum(t).as("st"), sum(d * t).as("sdt"))
+      .select(
+        $"l_returnflag",
+        halfUp(sqrt(($"spp" - $"sp" * $"sp" / $"nn") / ($"nn" - 1)), 2).as("sd_price"),
+        halfUp(($"sqq" - $"sq" * $"sq" / $"nn") / ($"nn" - 1), 4).as("var_qty"),
+        halfUp(($"spq" - $"sp" * $"sq" / $"nn") /
+          sqrt(($"spp" - $"sp" * $"sp" / $"nn") * ($"sqq" - $"sq" * $"sq" / $"nn")), 4).as("corr_pq"),
+        halfUp(($"sdt" - $"sd" * $"st" / $"nn") / ($"nn" - 1), 6).as("cov_dt"),
+        $"nn".cast("long").as("n"))
       .orderBy($"l_returnflag")
   }
 
   private val q24Oracle =
-    """SELECT l_returnflag,
-      |       round(stddev_samp(l_extendedprice), 2) AS sd_price,
-      |       round(var_samp(l_quantity), 4) AS var_qty,
-      |       round(corr(l_extendedprice, l_quantity), 4) AS corr_pq,
-      |       round(covar_samp(l_discount, l_tax), 6) AS cov_dt,
-      |       count(*) AS n
-      |FROM lineitem
-      |GROUP BY l_returnflag
+    """WITH sums AS (
+      |  SELECT l_returnflag,
+      |         CAST(count(*) AS DOUBLE) AS nn,
+      |         sum(l_extendedprice) AS sp,
+      |         sum(l_extendedprice * l_extendedprice) AS spp,
+      |         sum(CAST(l_quantity AS DOUBLE)) AS sq,
+      |         sum(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)) AS sqq,
+      |         sum(l_extendedprice * CAST(l_quantity AS DOUBLE)) AS spq,
+      |         sum(l_discount) AS sd, sum(l_tax) AS st,
+      |         sum(l_discount * l_tax) AS sdt
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag,
+      |       floor(sqrt((spp - sp * sp / nn) / (nn - 1)) * 100 + 0.5) / 100.0 AS sd_price,
+      |       floor(((sqq - sq * sq / nn) / (nn - 1)) * 10000 + 0.5) / 10000.0 AS var_qty,
+      |       floor(((spq - sp * sq / nn) /
+      |              sqrt((spp - sp * sp / nn) * (sqq - sq * sq / nn))) * 10000 + 0.5) / 10000.0 AS corr_pq,
+      |       floor(((sdt - sd * st / nn) / (nn - 1)) * 1000000 + 0.5) / 1000000.0 AS cov_dt,
+      |       CAST(nn AS BIGINT) AS n
+      |FROM sums
       |ORDER BY l_returnflag""".stripMargin
 
   /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
@@ -224,7 +252,7 @@ object RelationalQueries2 {
   private val q30Oracle =
     """SELECT n_nationkey,
       |       s['name'] AS s_name, CAST(s['rk'] AS INTEGER) AS s_rk,
-      |       m['name'] AS m_name, m['key'] AS m_key
+      |       m['name'][1] AS m_name, m['key'][1] AS m_key
       |FROM (SELECT n_nationkey,
       |             {'name': n_name, 'rk': n_regionkey} AS s,
       |             map(['name', 'key'], [n_name, CAST(n_nationkey AS VARCHAR)]) AS m

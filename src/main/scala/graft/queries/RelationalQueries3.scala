@@ -10,20 +10,41 @@ import org.apache.spark.sql.functions._
 object RelationalQueries3 {
 
   /** Approximate aggregates: HyperLogLog++ distinct counts and quantile
-    * sketches. No oracle (sketch internals differ across engines by
-    * design); accuracy vs exact values is spec-asserted in
-    * ApproxAggSpec, and the driver records a rows>0 check. */
+    * sketches. Sketch internals can't hash-match across engines, so the
+    * query emits ERROR-BOUND booleans instead: approx-vs-exact relative
+    * error within the sketch's guarantee (5% for default-rsd HLL, 5% for
+    * rsd=0.01 HLL, 2% value error for the 1/10000-rank-accuracy quantile
+    * sketch). The oracle asserts the bounds hold (all 1), which makes the
+    * row hash-matchable AND makes the driver loop an accuracy assertion —
+    * a wrong sketch now fails CORRECTNESS instead of passing rows>0. */
   def q31(spark: SparkSession, dir: String) = {
     import spark.implicits._
     Tables.lineitem(spark, dir)
       .groupBy($"l_returnflag")
       .agg(
-        approx_count_distinct($"l_partkey").as("approx_parts"),
-        approx_count_distinct($"l_suppkey", 0.01).as("approx_supps"),
-        percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("approx_median"),
+        approx_count_distinct($"l_partkey").as("ap"),
+        approx_count_distinct($"l_suppkey", 0.01).as("asup"),
+        percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("amed"),
+        countDistinct($"l_partkey").as("ep"),
+        countDistinct($"l_suppkey").as("esup"),
+        expr("percentile(l_extendedprice, 0.5)").as("emed"),
         count(lit(1)).as("n"))
+      .select(
+        $"l_returnflag",
+        (abs($"ap" - $"ep") <= $"ep" * 0.05).cast("int").as("parts_ok"),
+        (abs($"asup" - $"esup") <= $"esup" * 0.05).cast("int").as("supps_ok"),
+        (abs($"amed" - $"emed") <= $"emed" * 0.02).cast("int").as("median_ok"),
+        $"n")
       .orderBy($"l_returnflag")
   }
+
+  private val q31Oracle =
+    """SELECT l_returnflag,
+      |       1 AS parts_ok, 1 AS supps_ok, 1 AS median_ok,
+      |       count(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   /** SQL-text entry point: the library's plans are reachable through
     * `spark.sql` over registered views — exercised with GROUPING SETS
@@ -76,7 +97,7 @@ object RelationalQueries3 {
   }
 
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q31_approx_sketches", "HLL++ distinct counts + quantile sketch (rows-only check)", q31, None),
+    QueryDef("q31_approx_sketches", "HLL++ distinct counts + quantile sketch, error-bound asserted vs exact", q31, Some(q31Oracle)),
     QueryDef("q32_sql_grouping_sets", "spark.sql text entry with GROUPING SETS", q32, Some(q32Oracle)),
     QueryDef("x45_text_normalize", "lowercase/strip/stopword-removal cleaning stage (X4)", x45, Some(x45Oracle)))
 }
