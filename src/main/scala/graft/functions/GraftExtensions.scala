@@ -21,16 +21,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         es => FloatVecDot(es(0), es(1))),
       ("sorted_intersect_count", "intersection size of two sorted string arrays",
         es => SortedIntersectCount(es(0), es(1))),
-      ("sorted_int_intersect_count", "intersection size of two sorted int arrays",
-        es => SortedIntIntersectCount(es(0), es(1))),
+      ("sorted_long_intersect_count", "intersection size of two sorted long arrays",
+        es => SortedLongIntersectCount(es(0), es(1))),
       ("simhash_bits", "bits-wide simhash signature of a token array",
         es => SimHashBits(es(0), es(1))),
       ("minhash_sig", "k minhash values of a shingle array",
         es => MinHashSig(es(0), es(1))),
       ("minhash_bands", "LSH band hashes of a shingle array",
         es => MinHashBands(es(0), es(1), es(2))),
-      ("char_ngram_ints", "sorted-distinct int-packed char k-grams",
-        es => CharNgramInts(es(0), es(1))),
+      ("char_ngram_longs", "sorted-distinct long-packed char k-grams",
+        es => CharNgramLongs(es(0), es(1))),
+      ("long_minhash_bands", "LSH band hashes of a long-packed element set",
+        es => LongMinHashBands(es(0), es(1), es(2))),
+      ("token_ngrams", "all adjacent k-token grams in document order",
+        es => TokenNgrams(es(0), es(1))),
       ("token_shingles", "sorted-distinct k-token shingles",
         es => TokenShingles(es(0), es(1))),
       ("sorted_token_set", "sorted-distinct tokens",

@@ -112,15 +112,16 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** `sorted_int_intersect_count(array<int>, array<int>) -> int`: merge-walk
-  * intersection count over two SORTED int arrays — for set elements that
-  * have been bijectively packed into ints (e.g. ≤4 ASCII chars), where the
-  * string merge-walk would spend its time allocating UTF8String wrappers.
-  * Count-identical to the string version under any bijective encoding. */
-case class SortedIntIntersectCount(left: Expression, right: Expression)
+/** `sorted_long_intersect_count(array<bigint>, array<bigint>) -> int`:
+  * merge-walk intersection count over two SORTED long arrays — for set
+  * elements that have been bijectively packed into longs (e.g. ≤3 UTF-16
+  * chars), where the string merge-walk would spend its time allocating
+  * UTF8String wrappers. Count-identical to the string version under any
+  * bijective encoding. */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = IntegerType
-  override def prettyName: String = "sorted_int_intersect_count"
+  override def prettyName: String = "sorted_long_intersect_count"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -128,7 +129,7 @@ case class SortedIntIntersectCount(left: Expression, right: Expression)
     var i = 0; var j = 0; var c = 0
     val n = x.numElements(); val m = y.numElements()
     while (i < n && j < m) {
-      val u = x.getInt(i); val v = y.getInt(j)
+      val u = x.getLong(i); val v = y.getLong(j)
       if (u == v) { c += 1; i += 1; j += 1 }
       else if (u < v) i += 1
       else j += 1
@@ -142,7 +143,7 @@ case class SortedIntIntersectCount(left: Expression, right: Expression)
          |int i$$ = 0, j$$ = 0, c$$ = 0;
          |int n$$ = $a.numElements(), m$$ = $b.numElements();
          |while (i$$ < n$$ && j$$ < m$$) {
-         |  int u$$ = $a.getInt(i$$); int v$$ = $b.getInt(j$$);
+         |  long u$$ = $a.getLong(i$$); long v$$ = $b.getLong(j$$);
          |  if (u$$ == v$$) { c$$++; i$$++; j$$++; }
          |  else if (u$$ < v$$) { i$$++; } else { j$$++; }
          |}
@@ -253,30 +254,34 @@ case class MinHashSig(child: Expression, numHashes: Expression)
     copy(child = l, numHashes = r)
 }
 
-/** `char_ngram_ints(string, k) -> array<int>`: sorted-distinct character
-  * k-grams (k <= 4) bijectively packed into ints (base-256 big-endian,
-  * absent chars -> 0) — the whole pipeline (positions, pack, sort, dedupe)
-  * in one JVM pass. The declarative transform+array_sort form pays an
-  * interpreted lambda comparator per element comparison (~5k per doc),
-  * which dominated the n-gram join. Count semantics identical to the
-  * string-gram version under the bijective packing. */
-case class CharNgramInts(left: Expression, right: Expression)
+/** `char_ngram_longs(string, k) -> array<bigint>`: sorted-distinct character
+  * k-grams (k <= 3) bijectively packed into longs (base-65536 big-endian
+  * over full UTF-16 code units, absent chars -> 0) — the whole pipeline
+  * (positions, pack, sort, dedupe) in one JVM pass. The declarative
+  * transform+array_sort form pays an interpreted lambda comparator per
+  * element comparison (~5k per doc), which dominated the n-gram join.
+  * 16-bit packing keeps the encoding bijective for ALL BMP text (the
+  * earlier 8-bit variant silently collided distinct CJK chars equal mod
+  * 256); count semantics identical to the string-gram version for BMP
+  * input (astral chars occupy two UTF-16 units and would diverge from a
+  * code-point oracle — not present in the fixtures). */
+case class CharNgramLongs(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  override def prettyName: String = "char_ngram_ints"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_ngram_longs"
 
   override protected def nullSafeEval(text: Any, kAny: Any): Any = {
     val t = text.asInstanceOf[UTF8String].toString
     val k = kAny.asInstanceOf[Int]
     val n = math.max(t.length - (k - 1), 1)
-    val packed = new Array[Int](n)
+    val packed = new Array[Long](n)
     var i = 0
     while (i < n) {
-      var v = 0
+      var v = 0L
       var o = 0
       while (o < k) {
         val c = if (i + o < t.length) t.charAt(i + o).toInt else 0
-        v = (v << 8) | (c & 0xff)
+        v = (v << 16) | (c & 0xffffL)
         o += 1
       }
       packed(i) = v
@@ -291,6 +296,110 @@ case class CharNgramInts(left: Expression, right: Expression)
       i += 1
     }
     new GenericArrayData(java.util.Arrays.copyOf(packed, w))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Shared parameters of the multiplicative minhash family over long-packed
+  * set elements: h_j(v) = (a_j * (v mod P) + b_j) mod P with P = 2^31 - 1.
+  * Reducing v mod P BEFORE the multiply keeps every intermediate below
+  * 2^62 — no overflow in either Java long or DuckDB BIGINT arithmetic, so
+  * the oracle can reproduce the hash exactly with plain integer SQL (md5
+  * minhash needs ~12 digests per element; this is a handful of multiplies,
+  * ~100× cheaper on char-gram-sized sets). */
+object LongMinHash {
+  val P: Long = 2147483647L
+  def a(j: Int): Long = (1000003L * (j + 1)) % P
+  def b(j: Int): Long = (8191L * (j + 127)) % P
+  /** Band combine: h = fold(h * 31 + m) over the band's row minhashes —
+    * m < 2^31, so r=3 stays below 2^42. */
+  val BandMult: Long = 31L
+  /** Minhash of an empty set (list_min over empty is NULL in SQL —
+    * coalesce to this sentinel, one above any real hash value). */
+  val EmptyMin: Long = P
+}
+
+/** `long_minhash_bands(array<bigint>, k, rowsPerBand) -> array<bigint>`:
+  * LSH band hashes over a long-packed element set in ONE pass — k
+  * multiplicative minhashes (LongMinHash family) folded into k/rowsPerBand
+  * band values (h = h*31 + m per row). Long-domain sibling of
+  * `minhash_bands`: same banding semantics, integer hashing instead of
+  * md5, exactly reproducible in the oracle with arithmetic SQL. */
+case class LongMinHashBands(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "long_minhash_bands"
+
+  private lazy val k: Int = second.eval(null).asInstanceOf[Int]
+  private lazy val rowsPerBand: Int = third.eval(null).asInstanceOf[Int]
+  private lazy val aArr: Array[Long] = (0 until k).map(LongMinHash.a).toArray
+  private lazy val bArr: Array[Long] = (0 until k).map(LongMinHash.b).toArray
+
+  override protected def nullSafeEval(elemsAny: Any, kAny: Any, rAny: Any): Any = {
+    val elems = elemsAny.asInstanceOf[ArrayData]
+    val mins = Array.fill[Long](k)(LongMinHash.EmptyMin)
+    val n = elems.numElements()
+    var s = 0
+    while (s < n) {
+      if (!elems.isNullAt(s)) {
+        val vm = elems.getLong(s) % LongMinHash.P
+        var j = 0
+        while (j < k) {
+          val h = (aArr(j) * vm + bArr(j)) % LongMinHash.P
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      s += 1
+    }
+    val numBands = k / rowsPerBand
+    val bands = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var h = 0L
+      var r0 = 0
+      while (r0 < rowsPerBand) {
+        h = h * LongMinHash.BandMult + mins(b * rowsPerBand + r0)
+        r0 += 1
+      }
+      bands(b) = h
+      b += 1
+    }
+    new GenericArrayData(bands)
+  }
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(first = a, second = b, third = c)
+}
+
+/** `token_ngrams(string, k) -> array<string>`: ALL adjacent k-token grams in
+  * document order (NOT distinct — frequency consumers count occurrences),
+  * split on single space, joined with space; empty array for docs shorter
+  * than k tokens. One JVM pass; replaces the interpreted
+  * `transform(sequence(...), i -> concat_ws(...))` lambda that dominated
+  * the bigram bench. */
+case class TokenNgrams(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "token_ngrams"
+
+  override protected def nullSafeEval(text: Any, kAny: Any): Any = {
+    val t = text.asInstanceOf[UTF8String].toString
+    val k = kAny.asInstanceOf[Int]
+    val toks = t.split(" ", -1)
+    if (toks.length < k) return new GenericArrayData(Array.empty[AnyRef])
+    val out = new Array[AnyRef](toks.length - (k - 1))
+    var i = 0
+    while (i < out.length) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var o = 1
+      while (o < k) { sb.append(' ').append(toks(i + o)); o += 1 }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -423,11 +532,13 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("vec_dot", es => FloatVecDot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("sorted_intersect_count", es => SortedIntersectCount(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("sorted_int_intersect_count", es => SortedIntIntersectCount(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("sorted_long_intersect_count", es => SortedLongIntersectCount(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("simhash_bits", es => SimHashBits(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSig(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("minhash_bands", es => MinHashBands(es(0), es(1), es(2)), "built-in")
-    reg.createOrReplaceTempFunction("char_ngram_ints", es => CharNgramInts(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("char_ngram_longs", es => CharNgramLongs(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("long_minhash_bands", es => LongMinHashBands(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("token_ngrams", es => TokenNgrams(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("token_shingles", es => TokenShingles(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("sorted_token_set", es => SortedTokenSet(es.head), "built-in")
   }
