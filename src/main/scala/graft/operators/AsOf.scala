@@ -29,36 +29,35 @@ object AsOf {
 
   /** @param right unique per (key, ts); its `payload` columns are attached
     *              to each left row as `asof_<name>` (null when no earlier
-    *              right row exists). */
+    *              right row exists). The match timestamp and payload are
+    *              carried together in ONE struct, non-null exactly when the
+    *              row IS a right row — so `last(ignoreNulls)` can never mix
+    *              the timestamp of one right row with the payload of an
+    *              older one, even when a payload value is legitimately
+    *              NULL. */
   def joinPrior(left: DataFrame, right: DataFrame, key: String, leftTs: String,
                 rightTs: String, payload: Seq[String]): DataFrame = {
     val lCols = left.columns
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__tag", lit(1))
-      .withColumn("__rts", lit(null).cast(right.schema(rightTs).dataType))
-    val lWithNullPayload = payload.foldLeft(l)((df, p) =>
-      df.withColumn(s"__p_$p", lit(null).cast(right.schema(p).dataType)))
-    val rBase = right
+      .select((lCols.toSeq ++ Seq("__ts", "__tag")).map(col): _*)
+    val r = right
       .withColumn("__ts", col(rightTs))
       .withColumn("__tag", lit(0))
-      .withColumn("__rts", col(rightTs))
-    val r = payload.foldLeft(rBase)((df, p) => df.withColumn(s"__p_$p", col(p)))
-      .select((key +: "__ts" +: "__tag" +: "__rts" +: payload.map(p => s"__p_$p")).map(col): _*)
-    // left keeps all its columns; right contributes only key/ts/payload
-    val lSel = lWithNullPayload.select(
-      (lCols.toSeq ++ Seq("__ts", "__tag", "__rts") ++ payload.map(p => s"__p_$p")).map(col): _*)
-    val unioned = lSel.unionByName(r, allowMissingColumns = true)
+      .withColumn("__r", struct(col(rightTs).as("__match_ts") +: payload.map(col): _*))
+      .select(col(key), col("__ts"), col("__tag"), col("__r"))
+    // unionByName fills the left side's missing __r with a NULL struct —
+    // exactly the presence marker the carry-forward keys on.
+    val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col(key)).orderBy(col("__ts").asc, col("__tag").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = unioned
-      .withColumn("__asof_ts", last(col("__rts"), ignoreNulls = true).over(w))
-    val withPayload = payload.foldLeft(carried)((df, p) =>
-      df.withColumn(s"asof_$p", last(col(s"__p_$p"), ignoreNulls = true).over(w)))
-    withPayload
+    val carried = unioned.withColumn("__last", last(col("__r"), ignoreNulls = true).over(w))
+    val unpacked = payload.foldLeft(
+      carried.withColumn("asof_ts", col("__last.__match_ts")))((df, p) =>
+      df.withColumn(s"asof_$p", col(s"__last.$p")))
+    unpacked
       .filter(col("__tag") === 1)
-      .withColumnRenamed("__asof_ts", "asof_ts")
-      .drop("__ts", "__tag", "__rts")
-      .drop(payload.map(p => s"__p_$p"): _*)
+      .drop("__ts", "__tag", "__r", "__last")
   }
 }

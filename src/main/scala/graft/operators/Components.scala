@@ -23,9 +23,13 @@ object Components {
 
   /** @param nodes  one column `idCol`
     * @param edges  two columns `a`, `b` (undirected, a < b convention fine)
+    * @param maxIter iteration budget — a safety rail, NOT a silent
+    *                truncation: the loop runs to fixpoint and THROWS if the
+    *                budget is exhausted first (labels would be wrong for
+    *                components with diameter > maxIter).
     * @return (idCol, component) where component = min id reachable */
   def connectedComponents(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
-                          idCol: String, maxIter: Int = 20): DataFrame = {
+                          idCol: String, maxIter: Int = 50): DataFrame = {
     // symmetric edge list: neighbor view in both directions. Materialized
     // once — the edge source may be an expensive pipeline (e.g. the LSH
     // candidate join) and every iteration references it again.
@@ -36,20 +40,27 @@ object Components {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      // each node pulls the min label among its neighbors
+      // each node pulls the min label among its neighbors; the convergence
+      // flag rides along in the same projection, so the count of changed
+      // rows is a cheap scan of the checkpointed result — one materializing
+      // job per iteration instead of a second label-vs-label join.
       val neighborMin = sym
         .join(labels.withColumnRenamed(idCol, "dst"), Seq("dst"))
         .groupBy(col("src").as(idCol))
         .agg(min(col("component")).as("nmin"))
       val updated = labels.join(neighborMin, Seq(idCol), "left")
         .select(col(idCol),
-          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"),
+          (coalesce(col("nmin"), col("component")) < col("component")).cast("long").as("__chg"))
         .localCheckpoint(true)
-      changed = updated.join(labels.withColumnRenamed("component", "old"), Seq(idCol))
-        .filter(col("component") =!= col("old")).count()
-      labels = updated
+      changed = updated.agg(coalesce(sum(col("__chg")), lit(0L))).first().getLong(0)
+      labels = updated.drop("__chg")
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          s"($changed labels still changing) — raise maxIter or promote to large-star/small-star")
     labels
   }
 }

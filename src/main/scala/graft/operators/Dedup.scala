@@ -74,11 +74,12 @@ object Dedup {
     inter / (size(a) + size(b) - inter)
   }
 
-  /** Jaccard over SORTED int-packed arrays (see charNgramInts): primitive
+  /** Jaccard over SORTED long-packed arrays (see charNgramLongs): primitive
     * merge walk, no per-element allocation — the hot-path form for n-gram
-    * pair joins. Same value as jaccard/jaccardSorted. */
-  def jaccardSortedInt(a: Column, b: Column): Column = {
-    val inter = call_function("sorted_int_intersect_count", a, b).cast("double")
+    * pair joins. Same value as jaccard/jaccardSorted under any bijective
+    * packing. */
+  def jaccardSortedLong(a: Column, b: Column): Column = {
+    val inter = call_function("sorted_long_intersect_count", a, b).cast("double")
     inter / (size(a) + size(b) - inter)
   }
 

@@ -61,14 +61,14 @@ object TextAnalysis {
       sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
       i => md5(substr(text, i, lit(k)))))
 
-  /** Distinct character k-gram set (for n-gram Jaccard similarity). */
-  /** Distinct character k-grams (k <= 4, ASCII) bijectively packed into
-    * ints (base-256 big-endian; absent chars -> 0) and sorted — the
-    * allocation-free representation for Dedup.jaccardSortedInt. Intersection
-    * counts are identical to the string-gram version. */
-  def charNgramInts(text: Column, k: Int): Column = {
-    require(k <= 4, "int packing holds at most 4 ASCII bytes")
-    call_function("char_ngram_ints", text, lit(k))
+  /** Distinct character k-grams (k <= 4) bijectively packed into longs
+    * (base-65536 big-endian over UTF-16 code units; absent chars -> 0) and
+    * sorted — the allocation-free representation for
+    * Dedup.jaccardSortedLong. Bijective for all BMP text (incl. CJK), so
+    * intersection counts are identical to the string-gram version. */
+  def charNgramLongs(text: Column, k: Int): Column = {
+    require(k <= 4, "long packing holds at most 4 UTF-16 code units")
+    call_function("char_ngram_longs", text, lit(k))
   }
 
   def charNgrams(text: Column, k: Int): Column =

@@ -132,12 +132,15 @@ object DedupQueries {
     val withN = base.withColumn("nt", size($"toks"))
     val l = withN.select($"doc_id".as("a"), $"toks".as("ta"), $"simhash", $"nt".as("na"))
     val r = withN.select($"doc_id".as("b"), $"toks".as("tb"), $"simhash", $"nt".as("nb"))
-    // Exact prefilter (implied by jaccard >= 0.5): 2*min(|A|,|B|) >= max.
+    // Exact prefilter (implied by RAW jaccard >= 0.5): 2*min(|A|,|B|) >= max.
+    // The final filter is on the raw jaccard so prefilter and threshold
+    // can't diverge at a rounding boundary.
     l.join(r,
         l("simhash") === r("simhash") && $"a" < $"b" &&
           $"na" * 2 >= $"nb" && $"nb" * 2 >= $"na")
-      .select($"a", $"b", l("simhash").as("simhash"), halfUp4(Dedup.jaccardSorted($"ta", $"tb")).as("jaccard"))
-      .filter($"jaccard" >= 0.5)
+      .select($"a", $"b", l("simhash").as("simhash"), Dedup.jaccardSorted($"ta", $"tb").as("jraw"))
+      .filter($"jraw" >= 0.5)
+      .select($"a", $"b", $"simhash", halfUp4($"jraw").as("jaccard"))
       .orderBy("a", "b")
   }
 
@@ -156,11 +159,11 @@ object DedupQueries {
        |p AS (SELECT x.doc_id AS a, y.doc_id AS b, x.simhash AS simhash, x.toks AS ta, y.toks AS tb
        |      FROM s x JOIN s y ON x.simhash = y.simhash AND x.doc_id < y.doc_id),
        |j AS (SELECT a, b, simhash,
-       |        floor((CAST(len(list_filter(ta, s -> list_contains(tb, s))) AS DOUBLE)
-       |              / (len(ta) + len(tb) - len(list_filter(ta, s -> list_contains(tb, s))))) * 10000 + 0.5) / 10000.0 AS jaccard
+       |        CAST(len(list_filter(ta, s -> list_contains(tb, s))) AS DOUBLE)
+       |              / (len(ta) + len(tb) - len(list_filter(ta, s -> list_contains(tb, s)))) AS jraw
        |      FROM p)
-       |SELECT a, b, simhash, jaccard FROM j
-       |WHERE jaccard >= 0.5
+       |SELECT a, b, simhash, floor(jraw * 10000 + 0.5) / 10000.0 AS jaccard FROM j
+       |WHERE jraw >= 0.5
        |ORDER BY a, b""".stripMargin
   }
 
@@ -170,20 +173,23 @@ object DedupQueries {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val g = Tables.documents(spark, dir)
-      .select($"doc_id", $"source", TextAnalysis.charNgramInts($"text", 3).as("g3"))
+      .select($"doc_id", $"source", TextAnalysis.charNgramLongs($"text", 3).as("g3"))
       .withColumn("n3", size($"g3"))
     val l = g.select($"source", $"doc_id".as("a"), $"g3".as("ga"), $"n3".as("na"))
     val r = g.select($"source", $"doc_id".as("b"), $"g3".as("gb"), $"n3".as("nb"))
     // Exact prefilter: J >= 0.8 implies |A∩B| <= min(|A|,|B|) and
     // |A∪B| >= max(|A|,|B|), so min/max >= 0.8 — integer form 5*min >= 4*max.
-    // Result-preserving (implied by the jaccard threshold), but evaluated in
-    // the join condition BEFORE the O(n+m) merge walk, and it keeps most of
-    // the 622k same-source pairs from ever materializing.
+    // Result-preserving because the final filter is on the RAW jaccard (the
+    // prefilter and the threshold live on the same grid; filtering a rounded
+    // value would admit pairs with raw J just below 0.8 that the prefilter
+    // legitimately dropped). Evaluated in the join condition BEFORE the
+    // O(n+m) merge walk, keeping most same-source pairs from materializing.
     l.join(r,
         l("source") === r("source") && $"a" < $"b" &&
           $"na" * 5 >= $"nb" * 4 && $"nb" * 5 >= $"na" * 4)
-      .select(l("source"), $"a", $"b", halfUp4(Dedup.jaccardSortedInt($"ga", $"gb")).as("jaccard"))
-      .filter($"jaccard" >= 0.8)
+      .select(l("source"), $"a", $"b", Dedup.jaccardSortedLong($"ga", $"gb").as("jraw"))
+      .filter($"jraw" >= 0.8)
+      .select($"source", $"a", $"b", halfUp4($"jraw").as("jaccard"))
       .orderBy("a", "b")
   }
 
@@ -195,11 +201,11 @@ object DedupQueries {
       |p AS (SELECT x.source AS source, x.doc_id AS a, y.doc_id AS b, x.g3 AS ga, y.g3 AS gb
       |      FROM g x JOIN g y ON x.source = y.source AND x.doc_id < y.doc_id),
       |j AS (SELECT source, a, b,
-      |        floor((CAST(len(list_filter(ga, s -> list_contains(gb, s))) AS DOUBLE)
-      |              / (len(ga) + len(gb) - len(list_filter(ga, s -> list_contains(gb, s))))) * 10000 + 0.5) / 10000.0 AS jaccard
+      |        CAST(len(list_filter(ga, s -> list_contains(gb, s))) AS DOUBLE)
+      |              / (len(ga) + len(gb) - len(list_filter(ga, s -> list_contains(gb, s)))) AS jraw
       |      FROM p)
-      |SELECT source, a, b, jaccard FROM j
-      |WHERE jaccard >= 0.8
+      |SELECT source, a, b, floor(jraw * 10000 + 0.5) / 10000.0 AS jaccard FROM j
+      |WHERE jraw >= 0.8
       |ORDER BY a, b""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(

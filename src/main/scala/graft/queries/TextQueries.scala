@@ -178,16 +178,14 @@ object TextQueries {
       |WHERE rk <= 3
       |ORDER BY doc_id, rk""".stripMargin
 
-  /** Corpus bigram frequencies (order-sensitive n-gram stats). */
+  /** Corpus bigram frequencies (order-sensitive n-gram stats). Native
+    * one-pass `token_ngrams` — the declarative
+    * `transform(sequence(...), i -> concat_ws(...))` form pays an
+    * interpreted lambda per element, which dominated this query's bench. */
   def bigrams(spark: SparkSession, dir: String) = {
     import spark.implicits._
-    val toks = TextAnalysis.tokens($"text")
-    val bg = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
     Tables.documents(spark, dir)
-      .select(explode(bg).as("bigram"))
+      .select(explode(call_function("token_ngrams", $"text", lit(2))).as("bigram"))
       .groupBy($"bigram").agg(count(lit(1)).as("cnt"))
       .orderBy($"cnt".desc, $"bigram")
       .limit(40)

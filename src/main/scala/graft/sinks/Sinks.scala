@@ -26,11 +26,14 @@ object Sinks {
   /** Reference sink batch size (salesforce_extractor.py:296). */
   val BatchSize = 2500
 
-  /** SNK2: create the sink (empty, with `schema`) iff absent. */
+  /** SNK2: create the sink (empty, with `schema`) iff absent. Only
+    * AnalysisException (path not found / unreadable as a table) means
+    * "absent" — IO or permission failures propagate instead of silently
+    * triggering a create over a sink that exists. */
   def ensureExists(spark: SparkSession, path: String, schema: StructType): Unit = {
     val exists =
       try { spark.read.parquet(path).schema; true }
-      catch { case _: Throwable => false }
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
     if (!exists)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .write.mode(SaveMode.ErrorIfExists).parquet(path)

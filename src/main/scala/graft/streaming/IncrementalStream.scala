@@ -61,9 +61,14 @@ object IncrementalStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val ss = batch.sparkSession
         val deduped = Etl.dedupByHash(batch, "hash", hashExprCols.take(1))
+        // Only AnalysisException (sink doesn't exist yet) means "no keys";
+        // a real read failure (corrupt footer, IO) must propagate — treating
+        // it as empty would disable the anti-join and append duplicates,
+        // the exact idempotence guarantee this operator provides.
         val existingHashes =
           try ss.read.parquet(sinkDir).select("hash").distinct()
-          catch { case _: Throwable => ss.emptyDataFrame.withColumn("hash", lit("")) }
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            ss.emptyDataFrame.withColumn("hash", lit("")) }
         // Materialize the existing key set BEFORE appending to the same
         // path — a lazy scan would race its own write.
         existingHashes.cache().count()
