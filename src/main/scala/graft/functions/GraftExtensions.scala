@@ -38,7 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("token_shingles", "sorted-distinct k-token shingles",
         es => TokenShingles(es(0), es(1))),
       ("sorted_token_set", "sorted-distinct tokens",
-        es => SortedTokenSet(es.head)))
+        es => SortedTokenSet(es.head)),
+      ("kgram_min_md5", "lexicographic-min md5 over char k-grams",
+        es => KgramMinMd5(es(0), es(1))))
     fns.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }

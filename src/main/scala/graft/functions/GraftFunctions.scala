@@ -523,6 +523,55 @@ case class MinHashBands(first: Expression, second: Expression, third: Expression
     copy(first = a, second = b, third = c)
 }
 
+/** `kgram_min_md5(string, k) -> string`: lexicographic-min md5 hex digest
+  * over all character k-gram substrings (whole text when shorter than k) —
+  * the winnowing-style fingerprint `array_min(transform(sequence(...),
+  * i -> md5(substr(text, i, k))))` in ONE JVM pass. The declarative form
+  * pays an interpreted lambda + UTF8String substring + hex-string
+  * allocation per position (~|text| md5 calls through the interpreter per
+  * doc). Digests are compared as unsigned bytes, which equals hex-string
+  * lexicographic order (hex digits are monotone per nibble). BMP-safe:
+  * Java char == code point for BMP text (same caveat as char_ngram_longs). */
+case class KgramMinMd5(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "kgram_min_md5"
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  override protected def nullSafeEval(text: Any, kAny: Any): Any = {
+    val t = text.asInstanceOf[UTF8String].toString
+    val k = kAny.asInstanceOf[Int]
+    val n = math.max(t.length - (k - 1), 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var best: Array[Byte] = null
+    var i = 0
+    while (i < n) {
+      val sub = t.substring(i, math.min(i + k, t.length))
+      val d = md.digest(sub.getBytes("UTF-8"))
+      if (best == null || {
+        var c = 0; var r = 0
+        while (c < d.length && r == 0) {
+          r = java.lang.Integer.compare(d(c) & 0xff, best(c) & 0xff); c += 1
+        }
+        r < 0
+      }) best = d
+      i += 1
+    }
+    val out = new Array[Char](best.length * 2)
+    var j = 0
+    while (j < best.length) {
+      out(2 * j) = hexChars((best(j) >> 4) & 0xf)
+      out(2 * j + 1) = hexChars(best(j) & 0xf)
+      j += 1
+    }
+    UTF8String.fromString(new String(out))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object GraftFunctions {
   /** Idempotent registration of the native functions into the session's
     * FunctionRegistry (runtime equivalent of SparkSessionExtensions
@@ -541,5 +590,6 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("token_ngrams", es => TokenNgrams(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("token_shingles", es => TokenShingles(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("sorted_token_set", es => SortedTokenSet(es.head), "built-in")
+    reg.createOrReplaceTempFunction("kgram_min_md5", es => KgramMinMd5(es(0), es(1)), "built-in")
   }
 }

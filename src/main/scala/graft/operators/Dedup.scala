@@ -42,11 +42,30 @@ object Dedup {
     * bucket of size m contributes m² pairs). */
   def lshCandidates(df: DataFrame, idCol: String, shinglesCol: String,
                     numHashes: Int, rowsPerBand: Int,
-                    maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val banded = df.select(
+                    maxBucket: Int = DefaultMaxBucket): DataFrame =
+    bandSelfJoin(df.select(
       col(idCol),
       posexplode(call_function("minhash_bands",
-        col(shinglesCol), lit(numHashes), lit(rowsPerBand))).as(Seq("band", "bh")))
+        col(shinglesCol), lit(numHashes), lit(rowsPerBand))).as(Seq("band", "bh"))),
+      idCol, maxBucket)
+
+  /** lshCandidates over LONG-packed element sets (see charNgramLongs):
+    * multiplicative LongMinHash family instead of md5 — a handful of
+    * integer multiplies per (element, hash) and exactly reproducible in the
+    * oracle with arithmetic SQL. Same banding/skew-cap semantics. */
+  def lshCandidatesLong(df: DataFrame, idCol: String, elemsCol: String,
+                        numHashes: Int, rowsPerBand: Int,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame =
+    bandSelfJoin(df.select(
+      col(idCol),
+      posexplode(call_function("long_minhash_bands",
+        col(elemsCol), lit(numHashes), lit(rowsPerBand))).as(Seq("band", "bh"))),
+      idCol, maxBucket)
+
+  /** Shared tail of the LSH pipelines: cap giant buckets (skew guard),
+    * self-join per (band, bh), emit distinct (a < b) candidate pairs.
+    * `banded` must have columns (idCol, band, bh). */
+  private[graft] def bandSelfJoin(banded: DataFrame, idCol: String, maxBucket: Int): DataFrame = {
     val pruned = banded
       .withColumn("__bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))))

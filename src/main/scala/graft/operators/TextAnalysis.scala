@@ -54,12 +54,12 @@ object TextAnalysis {
 
   /** K-gram document fingerprint: min md5 over all character k-grams — a
     * winnowing-style content signature robust to small edits at either end.
-    * Short docs (< k chars) hash the whole text. `substr(Column, Column,
-    * Column)` (not `substring`) because the position is dynamic. */
+    * Short docs (< k chars) hash the whole text. Native one-pass expression
+    * (graft.functions.KgramMinMd5) — the declarative
+    * `array_min(transform(sequence(...), i -> md5(substr(...))))` pays an
+    * interpreted lambda + hex allocation per text position. */
   def fingerprint(text: Column, k: Int): Column =
-    array_min(transform(
-      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
-      i => md5(substr(text, i, lit(k)))))
+    call_function("kgram_min_md5", text, lit(k))
 
   /** Distinct character k-grams (k <= 4) bijectively packed into longs
     * (base-65536 big-endian over UTF-16 code units; absent chars -> 0) and

@@ -167,51 +167,82 @@ object DedupQueries {
        |ORDER BY a, b""".stripMargin
   }
 
-  /** X2 variant: character-trigram Jaccard similarity, blocked by `source`
-    * (deterministic blocking attribute; at 100 TB the block would be an LSH
-    * bucket instead — see minhashLsh). */
+  /** X2 variant: character-trigram Jaccard near-dups, LSH-blocked. Grams
+    * are long-packed trigrams (charNgramLongs); candidates come from the
+    * multiplicative-minhash band join (8 hashes × 2 rows/band → band
+    * collision prob J² per band, ~0.98 recall at J=0.8), verified with the
+    * O(n+m) long merge walk. Subquadratic at any scale — the earlier
+    * source-blocked form was O(block²) (622k same-source pairs at sf0.1).
+    * The oracle reproduces packing, hash family, banding, skew cap, and
+    * verification with plain integer SQL, so both engines see the identical
+    * candidate set. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val g = Tables.documents(spark, dir)
-      .select($"doc_id", $"source", TextAnalysis.charNgramLongs($"text", 3).as("g3"))
+      .select($"doc_id", TextAnalysis.charNgramLongs($"text", 3).as("g3"))
       .withColumn("n3", size($"g3"))
-    val l = g.select($"source", $"doc_id".as("a"), $"g3".as("ga"), $"n3".as("na"))
-    val r = g.select($"source", $"doc_id".as("b"), $"g3".as("gb"), $"n3".as("nb"))
-    // Exact prefilter: J >= 0.8 implies |A∩B| <= min(|A|,|B|) and
-    // |A∪B| >= max(|A|,|B|), so min/max >= 0.8 — integer form 5*min >= 4*max.
-    // Result-preserving because the final filter is on the RAW jaccard (the
-    // prefilter and the threshold live on the same grid; filtering a rounded
-    // value would admit pairs with raw J just below 0.8 that the prefilter
-    // legitimately dropped). Evaluated in the join condition BEFORE the
-    // O(n+m) merge walk, keeping most same-source pairs from materializing.
-    l.join(r,
-        l("source") === r("source") && $"a" < $"b" &&
-          $"na" * 5 >= $"nb" * 4 && $"nb" * 5 >= $"na" * 4)
-      .select(l("source"), $"a", $"b", Dedup.jaccardSortedLong($"ga", $"gb").as("jraw"))
+    val cand = Dedup.lshCandidatesLong(g, "doc_id", "g3", numHashes = 8, rowsPerBand = 2)
+    // Exact size prefilter (implied by raw J >= 0.8: min/max >= 0.8, integer
+    // form 5*min >= 4*max) evaluated BEFORE the merge walk; the final filter
+    // is on the RAW jaccard so prefilter and threshold share one grid.
+    cand
+      .join(g.select($"doc_id".as("a"), $"g3".as("ga"), $"n3".as("na")), "a")
+      .join(g.select($"doc_id".as("b"), $"g3".as("gb"), $"n3".as("nb")), "b")
+      .filter($"na" * 5 >= $"nb" * 4 && $"nb" * 5 >= $"na" * 4)
+      .select($"a", $"b", Dedup.jaccardSortedLong($"ga", $"gb").as("jraw"))
       .filter($"jraw" >= 0.8)
-      .select($"source", $"a", $"b", halfUp4($"jraw").as("jaccard"))
+      .select($"a", $"b", halfUp4($"jraw").as("jaccard"))
       .orderBy("a", "b")
   }
 
-  private val ngramOracle =
-    """WITH g AS (SELECT doc_id, source,
-      |             list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
-      |                                          i -> substr(text, CAST(i AS INTEGER), 3))) AS g3
-      |           FROM documents),
-      |p AS (SELECT x.source AS source, x.doc_id AS a, y.doc_id AS b, x.g3 AS ga, y.g3 AS gb
-      |      FROM g x JOIN g y ON x.source = y.source AND x.doc_id < y.doc_id),
-      |j AS (SELECT source, a, b,
-      |        CAST(len(list_filter(ga, s -> list_contains(gb, s))) AS DOUBLE)
-      |              / (len(ga) + len(gb) - len(list_filter(ga, s -> list_contains(gb, s)))) AS jraw
-      |      FROM p)
-      |SELECT source, a, b, floor(jraw * 10000 + 0.5) / 10000.0 AS jaccard FROM j
-      |WHERE jraw >= 0.8
-      |ORDER BY a, b""".stripMargin
+  /** Oracle mirror of ngramJaccard: same 16-bit-per-char packing (unicode
+    * code point == UTF-16 unit for BMP), same LongMinHash constants (shared
+    * via graft.functions.LongMinHash — implementation and oracle can't
+    * drift), same banding, skew cap, prefilter, and raw-threshold verify. */
+  private val ngramOracle = {
+    import graft.functions.LongMinHash
+    val P = LongMinHash.P
+    val k = 8; val rpb = 2
+    def ch(off: Int) =
+      s"(CASE WHEN i + $off <= length(text) THEN unicode(substr(text, CAST(i + $off AS INTEGER), 1)) ELSE 0 END)"
+    val pack = s"${ch(0)} * 4294967296 + ${ch(1)} * 65536 + ${ch(2)}"
+    val mh = (0 until k).map(j =>
+      s"coalesce(list_min(list_transform(g3, v -> (${LongMinHash.a(j)} * (v % $P) + ${LongMinHash.b(j)}) % $P)), $P) AS mh$j")
+      .mkString(",\n       ")
+    val bands = (0 until k / rpb).map(b =>
+      s"SELECT doc_id, $b AS band, mh${rpb * b} * ${LongMinHash.BandMult} + mh${rpb * b + 1} AS bh FROM sig")
+      .mkString("\n       UNION ALL ")
+    s"""WITH g AS (SELECT doc_id,
+       |             list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+       |                                          i -> $pack)) AS g3
+       |           FROM documents),
+       |sig AS (SELECT doc_id,
+       |       $mh
+       |       FROM g),
+       |bands AS (
+       |       $bands),
+       |bands_pruned AS (SELECT doc_id, band, bh
+       |                 FROM (SELECT *, count(*) OVER (PARTITION BY band, bh) AS bn FROM bands)
+       |                 WHERE bn <= ${Dedup.DefaultMaxBucket}),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |         FROM bands_pruned x JOIN bands_pruned y
+       |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       |pairs AS (SELECT a, b, ga.g3 AS ga, gb.g3 AS gb
+       |          FROM cand JOIN g ga ON ga.doc_id = a JOIN g gb ON gb.doc_id = b
+       |          WHERE len(ga.g3) * 5 >= len(gb.g3) * 4 AND len(gb.g3) * 5 >= len(ga.g3) * 4),
+       |j AS (SELECT a, b,
+       |        CAST(len(list_filter(ga, s -> list_contains(gb, s))) AS DOUBLE)
+       |              / (len(ga) + len(gb) - len(list_filter(ga, s -> list_contains(gb, s)))) AS jraw
+       |      FROM pairs)
+       |SELECT a, b, floor(jraw * 10000 + 0.5) / 10000.0 AS jaccard FROM j
+       |WHERE jraw >= 0.8
+       |ORDER BY a, b""".stripMargin
+  }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x10_exact_dedup", "exact content-hash dedup, deterministic survivor (X1)", exactDedup, Some(exactOracle)),
     QueryDef("x11_minhash_lsh", "MinHash+LSH near-dup pairs, Jaccard-verified (X2)", minhashLsh, Some(minhashOracle)),
     QueryDef("x12_simhash", "16-bit SimHash bucket near-dups (X2)", simhash, Some(simhashOracle)),
-    QueryDef("x13_ngram_jaccard", "char-trigram Jaccard near-dups, source-blocked (X2)", ngramJaccard, Some(ngramOracle)),
+    QueryDef("x13_ngram_jaccard", "char-trigram Jaccard near-dups, LSH-blocked (X2)", ngramJaccard, Some(ngramOracle)),
     QueryDef("x14_dedup_clusters", "connected-component dedup groups over near-dup pairs (X2)", dedupClusters, Some(clustersOracle)))
 }

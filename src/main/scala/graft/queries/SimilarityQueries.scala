@@ -74,8 +74,8 @@ object SimilarityQueries {
       .orderBy("q_id", "rk")
   }
 
-  private def bucketSql(v: String): String =
-    (1 to 8).map(i => s"CASE WHEN $v[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+  private def bucketSql(v: String, bits: Int = 8): String =
+    (1 to bits).map(i => s"CASE WHEN $v[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
 
   private val signLshOracle =
     s"""WITH e AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bkt FROM embeddings),
@@ -90,29 +90,62 @@ object SimilarityQueries {
        |WHERE rk <= 3
        |ORDER BY q_id, rk""".stripMargin
 
-  /** X2/X3: embedding near-dup pairs — all pairs with cosine >= 0.45
-    * (fixture max is ~0.51; threshold picks out the closest pairs).
-    * Brute-force all-pairs is fine at fixture scale; the 100 TB path blocks
-    * by signBucket first (see signLshTopK). */
+  /** x32 banding: 8 bands × 4 sign bits over dims 1..32. A pair collides
+    * when any band's 4 signs all agree. At a realistic near-dup threshold
+    * (cos 0.9) recall is ≥ 99.8% with 1/16 per-band candidate fraction; at
+    * this fixture's deliberately weak 0.45 threshold (near-uniform vectors,
+    * sign-agreement prob per dim only ~0.65) measured recall is 11/14
+    * (sf0.01) / 110/144 (sf0.1) with ~2× pair pruning — the price of ANY
+    * blocking when the similarity gap is weak. */
+  private val NearDupBands = 8
+  private val NearDupRowsPerBand = 4
+
+  /** X2/X3: embedding near-dup pairs — cosine >= 0.45 among banded sign-LSH
+    * candidates. The pair join is a shuffle equi-join on (band, 4-sign-bit
+    * key) with the shared skew cap, NOT an O(n²) BroadcastNestedLoopJoin —
+    * the join shape that survives 100 TB. The oracle reproduces the
+    * identical banding, so both engines see the same candidate set. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding", Similarity.norm($"embedding").as("nrm"))
-    val l = emb.select($"vec_id".as("a"), $"embedding".as("va"), $"nrm".as("na"))
-    val r = emb.select($"vec_id".as("b"), $"embedding".as("vb"), $"nrm".as("nb"))
-    l.join(r, $"a" < $"b")
+      .select($"vec_id", $"embedding", Similarity.norm($"embedding").as("nrm"),
+        Similarity.signBucket($"embedding", NearDupBands * NearDupRowsPerBand).as("sb"))
+    val banded = emb.select($"vec_id",
+      posexplode(array((0 until NearDupBands).map(t =>
+        substring($"sb", t * NearDupRowsPerBand + 1, NearDupRowsPerBand)): _*))
+        .as(Seq("band", "bh")))
+    val cand = graft.operators.Dedup.bandSelfJoin(banded, "vec_id",
+      graft.operators.Dedup.DefaultMaxBucket)
+    cand
+      .join(emb.select($"vec_id".as("a"), $"embedding".as("va"), $"nrm".as("na")), "a")
+      .join(emb.select($"vec_id".as("b"), $"embedding".as("vb"), $"nrm".as("nb")), "b")
       .select($"a", $"b", round(Similarity.dot($"va", $"vb") / ($"na" * $"nb"), 4).as("cosine"))
       .filter($"cosine" >= 0.45)
       .orderBy("a", "b")
   }
 
-  private val nearDupOracle =
-    s"""WITH p AS (SELECT x.vec_id AS a, y.vec_id AS b,
-       |        round(${cosineSql("x.embedding", "y.embedding")}, 4) AS cosine
-       |      FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
+  private val nearDupOracle = {
+    val bands = (0 until NearDupBands).map(t =>
+      s"SELECT vec_id, $t AS band, substr(sb, ${t * NearDupRowsPerBand + 1}, $NearDupRowsPerBand) AS bh FROM e")
+      .mkString("\n       UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |             ${bucketSql("embedding", NearDupBands * NearDupRowsPerBand)} AS sb
+       |           FROM embeddings),
+       |bands AS (
+       |       $bands),
+       |bands_pruned AS (SELECT vec_id, band, bh
+       |                 FROM (SELECT *, count(*) OVER (PARTITION BY band, bh) AS bn FROM bands)
+       |                 WHERE bn <= ${graft.operators.Dedup.DefaultMaxBucket}),
+       |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |         FROM bands_pruned x JOIN bands_pruned y
+       |           ON x.band = y.band AND x.bh = y.bh AND x.vec_id < y.vec_id),
+       |p AS (SELECT a, b,
+       |        round(${cosineSql("ea.embedding", "eb.embedding")}, 4) AS cosine
+       |      FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b)
        |SELECT a, b, cosine FROM p
        |WHERE cosine >= 0.45
        |ORDER BY a, b""".stripMargin
+  }
 
   /** X3 scale path #2 — IVF: a coarse quantizer (fixed centroid subset,
     * vec_id % 97) assigns every vector to its nearest centroid; each query
