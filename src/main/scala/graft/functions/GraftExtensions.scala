@@ -40,7 +40,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("sorted_token_set", "sorted-distinct tokens",
         es => SortedTokenSet(es.head)),
       ("kgram_min_md5", "lexicographic-min md5 over char k-grams",
-        es => KgramMinMd5(es(0), es(1))))
+        es => KgramMinMd5(es(0), es(1))),
+      ("fence", "identity optimizer fence (blocks predicate pushdown)",
+        es => OptimizerFence(es.head)))
     fns.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }

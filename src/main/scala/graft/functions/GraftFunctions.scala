@@ -442,17 +442,42 @@ case class TokenShingles(left: Expression, right: Expression)
 }
 
 /** `sorted_token_set(string) -> array<string>`: sorted-distinct single
-  * tokens — TokenShingles with k=1 semantics, for token-set jaccard. */
+  * tokens — TokenShingles with k=1 semantics, for token-set jaccard.
+  * Splits on the raw UTF-8 bytes (0x20 never occurs inside a multi-byte
+  * sequence, so byte-splitting == `split(' ', -1)` including empty tokens),
+  * sorts UTF8String slices of the one shared buffer, and dedupes adjacent
+  * equals — no String decode/encode round-trip and no hash-set, which
+  * dominated the per-doc cost on large documents. */
 case class SortedTokenSet(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "sorted_token_set"
 
   override protected def nullSafeEval(text: Any): Any = {
-    val toks = text.asInstanceOf[UTF8String].toString.split(" ", -1)
-    val utf8 = toks.map(UTF8String.fromString).distinct
-    java.util.Arrays.sort(utf8, (a: UTF8String, b: UTF8String) => a.compareTo(b))
-    new GenericArrayData(utf8.asInstanceOf[Array[AnyRef]])
+    val bytes = text.asInstanceOf[UTF8String].getBytes
+    var nTok = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') nTok += 1; i += 1 }
+    val toks = new Array[UTF8String](nTok)
+    var t = 0
+    var start = 0
+    i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        toks(t) = UTF8String.fromBytes(bytes, start, i - start)
+        t += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(toks, (a: UTF8String, b: UTF8String) => a.compareTo(b))
+    var w = 0
+    i = 0
+    while (i < nTok) {
+      if (w == 0 || !toks(i).equals(toks(w - 1))) { toks(w) = toks(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(toks, w).asInstanceOf[Array[AnyRef]])
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -572,6 +597,28 @@ case class KgramMinMd5(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `fence(x)`: identity, marked non-deterministic — an optimizer fence.
+  * Aliasing an expensive expression (merge-walk jaccard, vec_dot cosine)
+  * and then filtering on the alias normally re-inlines the expression into
+  * BOTH the pushed-down filter and the projection (PushPredicateThroughNonJoin
+  * substitutes aliases; Filter and Project don't share subexpression
+  * elimination), doubling the per-pair cost. Predicates are never pushed
+  * through a non-deterministic projection, so wrapping the alias in
+  * `fence` forces single evaluation; the value is bit-identical to the
+  * child's, so oracle parity is untouched. Use ONLY in Project (analysis
+  * rejects non-deterministic expressions in most other operators). */
+case class OptimizerFence(child: Expression) extends UnaryExpression {
+  override lazy val deterministic: Boolean = false
+  override def foldable: Boolean = false
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "fence"
+  override protected def nullSafeEval(v: Any): Any = v
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => c)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object GraftFunctions {
   /** Idempotent registration of the native functions into the session's
     * FunctionRegistry (runtime equivalent of SparkSessionExtensions
@@ -591,5 +638,6 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("token_shingles", es => TokenShingles(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("sorted_token_set", es => SortedTokenSet(es.head), "built-in")
     reg.createOrReplaceTempFunction("kgram_min_md5", es => KgramMinMd5(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("fence", es => OptimizerFence(es.head), "built-in")
   }
 }

@@ -51,8 +51,10 @@ object DedupQueries {
     val pairs = cand
       .join(base.select($"doc_id".as("a"), $"shingles".as("sa")), "a")
       .join(base.select($"doc_id".as("b"), $"shingles".as("sb")), "b")
+    // fence: keep the merge-walk jaccard from being re-inlined into the
+    // pushed-down filter (would double the per-pair cost).
     pairs
-      .select($"a", $"b", halfUp4(Dedup.jaccardSorted($"sa", $"sb")).as("jaccard"))
+      .select($"a", $"b", QueryUtil.fence(halfUp4(Dedup.jaccardSorted($"sa", $"sb"))).as("jaccard"))
       .filter($"jaccard" >= 0.5)
       .orderBy("a", "b")
   }
@@ -138,7 +140,8 @@ object DedupQueries {
     l.join(r,
         l("simhash") === r("simhash") && $"a" < $"b" &&
           $"na" * 2 >= $"nb" && $"nb" * 2 >= $"na")
-      .select($"a", $"b", l("simhash").as("simhash"), Dedup.jaccardSorted($"ta", $"tb").as("jraw"))
+      .select($"a", $"b", l("simhash").as("simhash"),
+        QueryUtil.fence(Dedup.jaccardSorted($"ta", $"tb")).as("jraw"))
       .filter($"jraw" >= 0.5)
       .select($"a", $"b", $"simhash", halfUp4($"jraw").as("jaccard"))
       .orderBy("a", "b")
@@ -189,7 +192,7 @@ object DedupQueries {
       .join(g.select($"doc_id".as("a"), $"g3".as("ga"), $"n3".as("na")), "a")
       .join(g.select($"doc_id".as("b"), $"g3".as("gb"), $"n3".as("nb")), "b")
       .filter($"na" * 5 >= $"nb" * 4 && $"nb" * 5 >= $"na" * 4)
-      .select($"a", $"b", Dedup.jaccardSortedLong($"ga", $"gb").as("jraw"))
+      .select($"a", $"b", QueryUtil.fence(Dedup.jaccardSortedLong($"ga", $"gb")).as("jraw"))
       .filter($"jraw" >= 0.8)
       .select($"a", $"b", halfUp4($"jraw").as("jaccard"))
       .orderBy("a", "b")

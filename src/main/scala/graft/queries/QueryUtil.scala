@@ -20,4 +20,11 @@ object QueryUtil {
     val p = math.pow(10, digits.toDouble)
     floor(c * p + lit(0.5)) / p
   }
+
+  /** Optimizer fence (graft.functions.OptimizerFence): identity wrapper
+    * that stops a subsequent filter-on-alias from re-inlining the wrapped
+    * expression into the pushed-down predicate — use around an EXPENSIVE
+    * projected value (merge-walk jaccard, pair cosine) that a filter then
+    * consumes, so it's evaluated once per row instead of twice. */
+  def fence(c: Column): Column = call_function("fence", c)
 }

@@ -116,10 +116,13 @@ object SimilarityQueries {
         .as(Seq("band", "bh")))
     val cand = graft.operators.Dedup.bandSelfJoin(banded, "vec_id",
       graft.operators.Dedup.DefaultMaxBucket)
+    // fence: keep the 64-dim vec_dot from being re-inlined into the
+    // pushed-down threshold filter (would double the per-pair cost).
     cand
       .join(emb.select($"vec_id".as("a"), $"embedding".as("va"), $"nrm".as("na")), "a")
       .join(emb.select($"vec_id".as("b"), $"embedding".as("vb"), $"nrm".as("nb")), "b")
-      .select($"a", $"b", round(Similarity.dot($"va", $"vb") / ($"na" * $"nb"), 4).as("cosine"))
+      .select($"a", $"b", QueryUtil.fence(
+        round(Similarity.dot($"va", $"vb") / ($"na" * $"nb"), 4)).as("cosine"))
       .filter($"cosine" >= 0.45)
       .orderBy("a", "b")
   }
