@@ -125,12 +125,36 @@ object PaginatedSource {
           $"item.values.date").as("hash"))
   }
 
+  /** SRC1 via the DataSource V2 table ([[PaginatedTableProvider]]): same
+    * rows as [[rawPages]], but planner-visible — `page` predicates prune
+    * the fetched range at planning time, column pruning can skip the body
+    * fetch, and the scan shows one InputPartition per page run. */
+  def rawPagesV2(spark: SparkSession, clientName: String, client: PageClient,
+                 startPage: Int, endPage: Int, parallelism: Int = 8): Dataset[String] = {
+    import spark.implicits._
+    PaginatedTableProvider.registerClient(clientName, client)
+    spark.read.format("graft-pages")
+      .option("client", clientName)
+      .option("startpage", startPage)
+      .option("endpage", endPage)
+      .option("parallelism", parallelism)
+      .load()
+      .select("value").as[String]
+  }
+
   /** T6 bulk mode: full scan from page 1 (reference truncates the sink
     * first = SaveMode.Overwrite downstream). */
   def bulkExtract(spark: SparkSession, client: PageClient, parallelism: Int = 8,
                   pageSize: Int = PageSize): DataFrame = {
     val total = totalPages(totalCount(spark, client), pageSize)
     flattenPages(rawPages(spark, client, 1, total, parallelism))
+  }
+
+  /** [[bulkExtract]] through the DSv2 scan — the planner-integrated path. */
+  def bulkExtractV2(spark: SparkSession, clientName: String, client: PageClient,
+                    parallelism: Int = 8, pageSize: Int = PageSize): DataFrame = {
+    val total = totalPages(totalCount(spark, client), pageSize)
+    flattenPages(rawPagesV2(spark, clientName, client, 1, total, parallelism))
   }
 
   /** T6+S1 incremental mode: scan only pages >= the high-watermark page for

@@ -1,0 +1,160 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 form of the paginated REST source (SURVEY.md §2 SRC1's
+  * planner-integrated shape; reference behavior
+  * `/root/reference/app/salesforce_extractor.py:106-136`): the page-id space
+  * becomes a real `Table` whose scan plans ONE `InputPartition` per
+  * contiguous page run, so the planner sees the connector instead of an
+  * opaque `mapPartitions`.
+  *
+  * Planner integration this buys over [[PaginatedSource.rawPages]]:
+  *  - **page-range pruning**: `WHERE page >= k` (and =, <, <=, >) is pushed
+  *    into the scan and narrows the fetched run BEFORE any HTTP call — the
+  *    incremental high-watermark read becomes a plain filter;
+  *  - **column pruning**: a `page`-only projection never fetches the body
+  *    (the reader consults the pruned schema per column);
+  *  - partition count = page-run count, visible to the scheduler.
+  *
+  * The transport stays an injected [[PaginatedSource.PageClient]] (SRC2):
+  * DSv2 instantiates providers reflectively with string options, so clients
+  * are registered under a name on the driver ([[PaginatedTableProvider.registerClient]])
+  * and resolved at PLANNING time; the (Serializable) client instance then
+  * ships inside each `InputPartition`, exactly like the mapPartitions form.
+  *
+  * Scale: page runs distribute across executors with no driver
+  * materialization; a 401 inside a task retries via whatever retry
+  * decoration the registered client carries (SRC3).
+  */
+class PaginatedTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-pages"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PaginatedTableProvider.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new PagesTable()
+}
+
+object PaginatedTableProvider {
+  /** One row per fetched page: its id and the raw envelope JSON. */
+  val Schema: StructType = StructType(Seq(
+    StructField("page", IntegerType, nullable = false),
+    StructField("value", StringType, nullable = false)))
+
+  private val clients =
+    new java.util.concurrent.ConcurrentHashMap[String, PaginatedSource.PageClient]()
+
+  /** Driver-side injection point: name a client instance for `option("client", name)`. */
+  def registerClient(name: String, client: PaginatedSource.PageClient): Unit =
+    clients.put(name, client)
+
+  private[sources] def client(name: String): PaginatedSource.PageClient = {
+    val c = clients.get(name)
+    require(c != null, s"no PageClient registered under '$name' — call registerClient first")
+    c
+  }
+}
+
+private[sources] class PagesTable extends Table with SupportsRead {
+  override def name(): String = "graft_pages"
+  override def schema(): StructType = PaginatedTableProvider.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PagesScanBuilder(options)
+}
+
+/** Narrows [startPage, endPage] with every pushable `page` predicate and
+  * prunes the projected columns. */
+private[sources] class PagesScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private val clientName = {
+    val n = options.get("client")
+    require(n != null, "option 'client' (registered PageClient name) is required")
+    n
+  }
+  private var start: Int = options.getInt("startpage", 1)
+  private var end: Int = options.getInt("endpage", -1)
+  require(end >= 0, "option 'endpage' is required")
+  private val parallelism: Int = options.getInt("parallelism", 8)
+  private var required: StructType = PaginatedTableProvider.Schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo("page", v: Int)            => start = math.max(start, v); end = math.min(end, v); true
+      case GreaterThan("page", v: Int)        => start = math.max(start, v + 1); true
+      case GreaterThanOrEqual("page", v: Int) => start = math.max(start, v); true
+      case LessThan("page", v: Int)           => end = math.min(end, v - 1); true
+      case LessThanOrEqual("page", v: Int)    => end = math.min(end, v); true
+      case _                                  => false
+    }
+    pushed = accepted
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def build(): Scan =
+    new PagesScan(PaginatedTableProvider.client(clientName), start, end, parallelism, required, pushed)
+}
+
+private[sources] class PagesScan(client: PaginatedSource.PageClient,
+                                 start: Int, end: Int, parallelism: Int,
+                                 required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-pages pages=[$start..$end] PushedFilters: [${pushed.mkString(", ")}]"
+
+  /** One partition per contiguous page run; run sizes differ by at most 1. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = end - start + 1
+    if (n <= 0) Array.empty
+    else {
+      val runs = math.min(parallelism, n)
+      (0 until runs).map { r =>
+        val lo = start + (n.toLong * r / runs).toInt
+        val hi = start + (n.toLong * (r + 1) / runs).toInt - 1
+        PagesInputPartition(lo, hi, client): InputPartition
+      }.toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new PagesReaderFactory(required)
+}
+
+private[sources] case class PagesInputPartition(startPage: Int, endPage: Int,
+                                                client: PaginatedSource.PageClient)
+    extends InputPartition
+
+private[sources] class PagesReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[PagesInputPartition]
+    new PartitionReader[InternalRow] {
+      private var page = p.startPage - 1
+      override def next(): Boolean = { page += 1; page <= p.endPage }
+      override def get(): InternalRow = InternalRow.fromSeq(
+        required.fieldNames.toSeq.map {
+          // the fetch happens only if `value` survived column pruning
+          case "page"  => page
+          case "value" => UTF8String.fromString(p.client.fetchPage(page))
+        })
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -70,4 +70,60 @@ class PaginatedSourceSpec extends SparkTestBase {
     val client = new PS.RetryingClient(dead, () => ())
     intercept[PS.UnauthorizedException](client.fetchPage(1))
   }
+
+  private def v2Reader(name: String, client: PS.PageClient, endPage: Int, parallelism: Int) = {
+    graft.sources.PaginatedTableProvider.registerClient(name, client)
+    spark.read.format("graft-pages")
+      .option("client", name).option("endpage", endPage).option("parallelism", parallelism)
+      .load()
+  }
+
+  test("SRC1/DSv2: one InputPartition per page run") {
+    val client = new SyntheticPageClient(1000, pageSize = 100)
+    assert(v2Reader("dsv2_runs", client, endPage = 10, parallelism = 4)
+      .rdd.getNumPartitions == 4)
+    // fewer pages than parallelism -> one run per page
+    assert(v2Reader("dsv2_runs", client, endPage = 3, parallelism = 8)
+      .rdd.getNumPartitions == 3)
+  }
+
+  test("SRC1/DSv2: page predicates prune the fetched range at the scan") {
+    FetchRecorder.pages.clear()
+    val client = new RecordingClient(new SyntheticPageClient(1000, pageSize = 100))
+    val df = v2Reader("dsv2_prune", client, endPage = 10, parallelism = 4)
+      .filter($"page" >= 4 && $"page" <= 6)
+    assert(df.select("value").collect().length == 3)
+    // only the surviving run was fetched — the pushed range never saw pages 1-3 or 7-10
+    import scala.jdk.CollectionConverters._
+    assert(FetchRecorder.pages.asScala.map(_.toInt).toSet == Set(4, 5, 6))
+  }
+
+  test("SRC1/DSv2: page-only projection never fetches the body") {
+    FetchRecorder.pages.clear()
+    val client = new RecordingClient(new SyntheticPageClient(1000, pageSize = 100))
+    val df = v2Reader("dsv2_prunecols", client, endPage = 10, parallelism = 4).select("page")
+    assert(df.count() == 10)
+    assert(FetchRecorder.pages.isEmpty)
+  }
+
+  test("SRC1/DSv2: flattened output equals the mapPartitions path") {
+    val v2 = PS.bulkExtractV2(spark, "dsv2_eq",
+      new SyntheticPageClient(250, pageSize = 100), parallelism = 4, pageSize = 100)
+    val v1 = PS.bulkExtract(spark, new SyntheticPageClient(250, pageSize = 100),
+      parallelism = 4, pageSize = 100)
+    assert(v2.count() == 250)
+    assert(v2.select("hash").except(v1.select("hash")).count() == 0)
+    assert(v1.select("hash").except(v2.select("hash")).count() == 0)
+  }
+}
+
+/** JVM-wide fetch log: the client instance is serialized into each task, so
+  * an instance counter can't observe executor-side fetches even in local
+  * mode — a singleton object (per-classloader) can. */
+object FetchRecorder {
+  val pages: java.util.Set[Integer] = java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
+}
+
+class RecordingClient(inner: PS.PageClient) extends PS.PageClient {
+  def fetchPage(page: Int): String = { FetchRecorder.pages.add(page); inner.fetchPage(page) }
 }
