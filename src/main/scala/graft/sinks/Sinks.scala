@@ -71,4 +71,22 @@ object Sinks {
     df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       it.grouped(batchSize).foreach(g => sink(g))
     }
+
+  /** SNK1+S3 in JDBC shape: stream `df` through `upsert` in `batchSize`-row
+    * batches — the unit of the reference's multi-row
+    * `INSERT ... ON DUPLICATE KEY UPDATE hash=hash`
+    * (salesforce_extractor.py:197-230, batch loop :295-330; for a Spark
+    * JDBC target this is `option("batchsize", 2500)` plus an upsert
+    * statement per partition) — and return the total rows the sink reported
+    * inserted (the reference's `total_inserted` counter, A3). `upsert` must
+    * be key-idempotent (insert-or-ignore), which makes whole-job replay
+    * safe: a retried task re-upserts the same keys and reports 0 new. */
+  def upsertBatched(df: DataFrame, batchSize: Int = BatchSize)(
+      upsert: Seq[org.apache.spark.sql.Row] => Int): Long = {
+    val inserted = df.sparkSession.sparkContext.longAccumulator("graft.upsert.inserted")
+    df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      it.grouped(batchSize).foreach(g => inserted.add(upsert(g).toLong))
+    }
+    inserted.value
+  }
 }

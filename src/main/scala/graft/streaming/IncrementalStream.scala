@@ -48,11 +48,16 @@ object IncrementalStream {
   /** Drain all available source files (JSON lines with `schema`) into the
     * parquet sink at `sinkDir`, idempotently: within-batch dedup on
     * `hashCol`, then anti-join against the hashes already present. Returns
-    * when the AvailableNow drain finishes. */
+    * when the AvailableNow drain finishes.
+    *
+    * `mode` is the JSON parse mode: PERMISSIVE (default) nulls out
+    * malformed lines; FAILFAST fails the stream on the first bad line —
+    * the reference's raise-on-bad-input behavior
+    * (salesforce_extractor.py:126-136). */
   def mergeAvailableNow(spark: SparkSession, srcDir: String, schema: StructType,
                         hashExprCols: Seq[String], sinkDir: String,
-                        checkpoint: String): Unit = {
-    val stream = spark.readStream.schema(schema).json(srcDir)
+                        checkpoint: String, mode: String = "PERMISSIVE"): Unit = {
+    val stream = spark.readStream.schema(schema).option("mode", mode).json(srcDir)
     val hashed = stream.withColumn("hash",
       Etl.contentHash(hashExprCols.map(col): _*))
     val query = hashed.writeStream

@@ -39,6 +39,28 @@ class SinksSpec extends SparkTestBase {
     assert(Sinks.appendNew(spark, Seq(("b", 5), ("c", 3)).toDF("hash", "v"), path, "hash", Seq("v")) == 0)
   }
 
+  test("SNK1+S3: JDBC-shaped upsert — batch-bounded, counts inserts, replay-idempotent") {
+    FakeJdbcTable.reset()
+    val df = spark.range(0, 6000)
+      .select(concat(lit("h"), col("id")).as("hash"), col("id").as("v"))
+      .coalesce(2)
+    def runOnce(): Long = Sinks.upsertBatched(df, batchSize = 2500) { rows =>
+      FakeJdbcTable.recordBatch(rows.size)
+      rows.count(r => FakeJdbcTable.insertIgnore(r.getString(0)))
+    }
+    val n1 = runOnce()
+    assert(n1 == 6000)
+    assert(FakeJdbcTable.size == 6000)
+    // batch contract: never more than 2500 rows per round-trip, all rows sent
+    val sizes = FakeJdbcTable.batchSizes
+    assert(sizes.forall(_ <= 2500) && sizes.sum == 6000)
+    // replay (e.g. a retried job) re-sends every row; ON DUPLICATE KEY
+    // semantics make it a no-op and the inserted count reports 0
+    val n2 = runOnce()
+    assert(n2 == 0)
+    assert(FakeJdbcTable.size == 6000)
+  }
+
   test("S3: foreachBatched groups rows into batch-size chunks") {
     // closure ships to executors — collect batch sizes via accumulator
     val acc = spark.sparkContext.collectionAccumulator[Int]("batchSizes")
@@ -47,5 +69,23 @@ class SinksSpec extends SparkTestBase {
     }
     val s = scala.jdk.CollectionConverters.ListHasAsScala(acc.value).asScala.toSeq
     assert(s.nonEmpty && s.sum == 25 && s.forall(_ <= 10))
+  }
+}
+
+/** In-JVM stand-in for a MySQL table with a unique key on `hash`
+  * (reference sink salesforce_extractor.py:197-230): insertIgnore is
+  * INSERT ... ON DUPLICATE KEY UPDATE hash=hash. A singleton object so
+  * executor-side closures (which get a serialized copy of any instance)
+  * still hit the same table in local mode. */
+object FakeJdbcTable {
+  private val keys = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val batches = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+  def reset(): Unit = { keys.clear(); batches.clear() }
+  def insertIgnore(key: String): Boolean = keys.add(key)
+  def recordBatch(n: Int): Unit = batches.add(n)
+  def size: Int = keys.size()
+  def batchSizes: Seq[Int] = {
+    import scala.jdk.CollectionConverters._
+    batches.asScala.map(_.toInt).toSeq
   }
 }

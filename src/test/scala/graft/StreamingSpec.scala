@@ -38,6 +38,28 @@ class StreamingSpec extends SparkTestBase {
     assert(out.select("hash").distinct().count() == 15)
   }
 
+  test("F-modes: FAILFAST fails the drain on a malformed line; PERMISSIVE nulls it") {
+    val src = tmpDir("ff_src")
+    val sinkF = tmpDir("ff_sink") + "/out"
+    val sinkP = tmpDir("ff_sinkp") + "/out"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(src, "bad.json"),
+      Seq("""{"id":1,"payload":"ok"}""", """{"id":2,""", """{"id":3,"payload":"ok3"}""")
+        .mkString("\n").getBytes("UTF-8"))
+    // reference behavior (raise on bad input): the stream must FAIL, not
+    // silently load a partial page
+    intercept[Exception] {
+      IncrementalStream.mergeAvailableNow(spark, src, schema, Seq("id", "payload"),
+        sinkF, tmpDir("ff_cp"), mode = "FAILFAST")
+    }
+    // PERMISSIVE keeps draining: the malformed line becomes a null row
+    IncrementalStream.mergeAvailableNow(spark, src, schema, Seq("id", "payload"),
+      sinkP, tmpDir("ff_cpp"), mode = "PERMISSIVE")
+    val out = spark.read.parquet(sinkP)
+    assert(out.count() == 3)
+    assert(out.filter(col("id").isNull).count() == 1)
+  }
+
   test("S1 streaming: watermarked dropDuplicates dedups across micro-batches") {
     val src = tmpDir("wm_src")
     writeBatch(src, "a.json", Seq(1L -> "x", 2L -> "y", 1L -> "x"))
