@@ -23,6 +23,18 @@ class JoinOpsSpec extends SparkTestBase {
       (4L, None, None)))           // no quotes for key "other"
   }
 
+  test("as-of join: NULL payload on the matched row is returned, not an older value") {
+    // quote@3 has a NULL price: a trade at t=4 must see (ts=3, price=NULL) —
+    // carrying ts and payload independently would pair ts=3 with price@1
+    val trades = Seq((1L, "k", 4L)).toDF("trade_id", "k", "t")
+    val quotes = Seq(("k", 1L, Some(10.0)), ("k", 3L, None))
+      .toDF("k", "qt", "price")
+    val out = AsOf.joinPrior(trades, quotes, "k", "t", "qt", Seq("price"))
+      .select($"trade_id", $"asof_ts", $"asof_price")
+      .as[(Long, Option[Long], Option[Double])].collect().toSeq
+    assert(out == Seq((1L, Some(3L), None)))
+  }
+
   test("range join: pairs within width found exactly once, incl. across bands") {
     val ev = Seq(
       (1L, 10L, 5L), (1L, 11L, 12L),  // gap 7, crosses the 10s band boundary

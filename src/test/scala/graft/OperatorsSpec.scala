@@ -83,4 +83,68 @@ class OperatorsSpec extends SparkTestBase {
       .select(Similarity.signBucket($"v", 4).as("b"))
     assert(df.as[String].head() == "1010")
   }
+
+  test("charNgramLongs: bijective for BMP text — mod-256-colliding CJK chars stay distinct") {
+    // U+4E00 and U+4F00 collide under 8-bit packing (equal mod 256 after
+    // truncation patterns); 16-bit packing must keep their grams apart
+    val df = Seq(("\u4e00\u4e01\u4e02", "\u4f00\u4f01\u4f02")).toDF("a", "b")
+    val (ga, gb) = df.select(
+      TextAnalysis.charNgramLongs($"a", 3).as("ga"),
+      TextAnalysis.charNgramLongs($"b", 3).as("gb"))
+      .as[(Seq[Long], Seq[Long])].head()
+    assert(ga.nonEmpty && gb.nonEmpty && ga.toSet.intersect(gb.toSet).isEmpty)
+    // and the long merge-walk agrees with the string-gram jaccard (0 here)
+    val j = df.select(Dedup.jaccardSortedLong(
+      TextAnalysis.charNgramLongs($"a", 3), TextAnalysis.charNgramLongs($"b", 3)).as("j"))
+      .as[Double].head()
+    assert(j == 0.0)
+  }
+
+  test("charNgramLongs matches string grams on mixed ASCII+CJK text") {
+    val texts = Seq("hello world", "h\u4e16\u754cllo wor\u4e16d", "ab")
+    val df = texts.toDF("text")
+    val viaLongs = df.select(size(TextAnalysis.charNgramLongs($"text", 3)).as("n"))
+      .as[Int].collect().toSeq
+    val viaStrings = df.select(size(TextAnalysis.charNgrams($"text", 3)).as("n"))
+      .as[Int].collect().toSeq
+    assert(viaLongs == viaStrings)
+  }
+
+  test("fence: filter on a fenced alias does not re-inline the expression") {
+    // spark.range base: a Seq-backed LocalRelation would be folded away at
+    // optimization time and leave no plan to inspect
+    // the id-dependent concat keeps the strings non-foldable, so the
+    // jaccard can't be constant-folded out of the plan
+    val df = spark.range(1)
+      .select(concat(lit("a b c"), when($"id" < 0, lit("z")).otherwise(lit(""))).as("x"),
+        lit("a b d").as("y"))
+      .select(graft.queries.QueryUtil.fence(
+        Dedup.jaccardSorted(
+          TextAnalysis.tokenSet($"x"), TextAnalysis.tokenSet($"y"))).as("j"))
+      .filter($"j" >= 0.1)
+    val plan = df.queryExecution.executedPlan.toString
+    // exactly one evaluation site: the Project; the Filter must reference
+    // the attribute, not a second sorted_intersect_count call
+    assert(plan.split("sorted_intersect_count").length - 1 == 2, plan)
+    // (2 textual occurrences = numerator+denominator of the ONE jaccard;
+    // the unfenced form shows 4: the filter repeats both)
+    assert(df.as[Double].collect().toSeq == Seq(0.5))
+  }
+
+  test("connectedComponents: fixpoint labels; budget exhaustion throws") {
+    val nodes = spark.range(0, 6).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("a", "b")
+    val labels = graft.operators.Components
+      .connectedComponents(spark, nodes, edges, "id")
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L, 5L -> 5L))
+    // a 5-node chain has diameter 4: maxIter=2 must fail loudly, not
+    // return wrong labels
+    val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      graft.operators.Components
+        .connectedComponents(spark, spark.range(0, 5).toDF("id"), chain, "id", maxIter = 2)
+        .collect()
+    }
+  }
 }
