@@ -42,7 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("kgram_min_md5", "lexicographic-min md5 over char k-grams",
         es => KgramMinMd5(es(0), es(1))),
       ("fence", "identity optimizer fence (blocks predicate pushdown)",
-        es => OptimizerFence(es.head)))
+        es => OptimizerFence(es.head)),
+      ("stop_strip", "normalize text and strip stopwords in one pass",
+        es => StopStrip(es(0), es(1))))
     fns.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }

@@ -597,6 +597,57 @@ case class KgramMinMd5(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `stop_strip(text, stopwords) -> struct<clean_text string, n_stop int>`:
+  * the x45 normalization pipeline in ONE pass — lowercase (UTF8String
+  * toLowerCase, same as `lower`), strip chars outside [a-z0-9 ], trim,
+  * split on single space, then drop empty + stopword tokens for
+  * `clean_text` and count stopword tokens as `n_stop`. Equals
+  * `array_join(filter(split(trim(regexp_replace(lower(text),'[^a-z0-9 ]','')),' '),
+  * t -> t NOT IN stops AND t <> ''), ' ')` + the matching size(filter(...)),
+  * which paid two interpreted HOF lambdas re-evaluating the split per use.
+  * `stopwords` must be a foldable array literal. */
+case class StopStrip(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean_text", StringType, nullable = false),
+    StructField("n_stop", IntegerType, nullable = false)))
+  override def prettyName: String = "stop_strip"
+
+  private lazy val stops: Set[String] = {
+    val arr = right.eval(null).asInstanceOf[ArrayData]
+    (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString).toSet
+  }
+
+  override protected def nullSafeEval(text: Any, stopsAny: Any): Any = {
+    val lowered = text.asInstanceOf[UTF8String].toLowerCase.toString
+    val sb = new java.lang.StringBuilder(lowered.length)
+    var i = 0
+    while (i < lowered.length) {
+      val c = lowered.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == ' ') sb.append(c)
+      i += 1
+    }
+    // after the strip only [a-z0-9 ] remain, so trimming spaces == SQL trim
+    val toks = sb.toString.trim.split(" ", -1)
+    var nStop = 0
+    val clean = new java.lang.StringBuilder
+    var t = 0
+    while (t < toks.length) {
+      val tok = toks(t)
+      if (stops.contains(tok)) nStop += 1
+      else if (tok.nonEmpty) {
+        if (clean.length > 0) clean.append(' ')
+        clean.append(tok)
+      }
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(UTF8String.fromString(clean.toString), nStop)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** `fence(x)`: identity, marked non-deterministic — an optimizer fence.
   * Aliasing an expensive expression (merge-walk jaccard, vec_dot cosine)
   * and then filtering on the alias normally re-inlines the expression into
@@ -639,5 +690,6 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("sorted_token_set", es => SortedTokenSet(es.head), "built-in")
     reg.createOrReplaceTempFunction("kgram_min_md5", es => KgramMinMd5(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("fence", es => OptimizerFence(es.head), "built-in")
+    reg.createOrReplaceTempFunction("stop_strip", es => StopStrip(es(0), es(1)), "built-in")
   }
 }

@@ -81,16 +81,19 @@ object RelationalQueries3 {
       |ORDER BY returnflag, linestatus""".stripMargin
 
   /** X4 text normalization: lowercase, strip non-alphanumerics, drop
-    * stopwords, re-join — the canonical cleaning stage before dedup. */
+    * stopwords, re-join — the canonical cleaning stage before dedup.
+    * Native one-pass `stop_strip` (the declarative form paid two
+    * interpreted HOF lambdas each re-splitting the text); the fence keeps
+    * CollapseProject from inlining the struct into both field extracts. */
   def x45(spark: SparkSession, dir: String) = {
     import spark.implicits._
     val stop = graft.operators.TextAnalysis.StopwordsEn
-    val toks = split(trim(regexp_replace(lower($"text"), lit("[^a-z0-9 ]"), lit(""))), " ")
     Tables.documents(spark, dir)
-      .select(
-        $"doc_id",
-        array_join(filter(toks, t => !t.isInCollection(stop) && t =!= ""), " ").as("clean_text"),
-        size(filter(toks, t => t.isInCollection(stop))).as("n_stop_removed"))
+      .select($"doc_id", QueryUtil.fence(
+        call_function("stop_strip", $"text", array(stop.map(lit): _*))).as("s"))
+      .select($"doc_id",
+        $"s.clean_text".as("clean_text"),
+        $"s.n_stop".as("n_stop_removed"))
       .orderBy("doc_id")
   }
 
