@@ -59,4 +59,58 @@ object Multimodal {
       it.map(m => fakeDecode(m, md))
     }
   }
+
+  /** One sampled frame: payload slice riding with its index. */
+  final case class MediaFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Per-frame extracted features (4 fake dims in [0,1]). */
+  final case class FrameFeatures(doc_id: Long, frame_idx: Int, frame_len: Int,
+                                 f0: Double, f1: Double, f2: Double, f3: Double)
+
+  /** Video-style frame sampling: keep every `everyK`-th of the doc's
+    * `n_frames` (from the decode metadata), one output row per kept frame —
+    * the 1→N explode shape of a real frame sampler, flatMap'd
+    * partition-locally. FAKE framing (same stub status as [[fakeDecode]]):
+    * frame i is the fixed-stride CHARACTER slice of the payload text
+    * (stride = max(1, charLen / n_frames)), re-encoded to bytes — character
+    * slicing keeps every frame reproducible by the SQL oracle
+    * (`substr(text, i*stride+1, stride)`) even for multi-byte CJK payloads,
+    * where byte slicing would split code points. */
+  def sampleFrames(ds: Dataset[MediaDoc], everyK: Int): Dataset[MediaFrame] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { m =>
+        val nFrames = fakeDecode(m, md).n_frames
+        val text = new String(m.content, java.nio.charset.StandardCharsets.UTF_8)
+        val stride = math.max(1, text.length / nFrames)
+        (0 until nFrames).iterator
+          .filter(i => i % everyK == 0 && i * stride < text.length)
+          .map { i =>
+            val slice = text.substring(i * stride, math.min((i + 1) * stride, text.length))
+            MediaFrame(m.doc_id, i, slice.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+      }
+    }
+  }
+
+  /** Feature extraction over sampled frames (the embed/score stage of a
+    * media pipeline): 4 fake dims derived from the frame digest's leading
+    * nibbles, scaled to [0,1] — deterministic, oracle-reproducible; a real
+    * model swaps in behind the same partition-local-resource shape. */
+  def frameFeatures(frames: Dataset[MediaFrame]): Dataset[FrameFeatures] = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { fr =>
+        md.reset()
+        val d = md.digest(fr.frame)
+        def nib(i: Int): Int = (d(i / 2) >> (4 * (1 - i % 2))) & 0xf
+        FrameFeatures(fr.doc_id, fr.frame_idx, fr.frame.length,
+          nib(0) / 15.0, nib(1) / 15.0, nib(2) / 15.0, nib(3) / 15.0)
+      }
+    }
+  }
 }

@@ -70,11 +70,48 @@ object ConnectorQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** X7 stage 2+3: frame sampling (1→N explode via partition-local flatMap,
+    * every 3rd frame) then per-frame feature extraction — the full
+    * decode → sample → featurize media pipeline with scalar outputs the
+    * oracle reproduces from character slices. */
+  def frameSample(spark: SparkSession, dir: String) = {
+    val media = Multimodal.attachFakeMedia(Tables.documents(spark, dir))
+    Multimodal.frameFeatures(Multimodal.sampleFrames(media, everyK = 3))
+      .toDF().orderBy("doc_id", "frame_idx")
+  }
+
+  private val frameSampleOracle = {
+    def nibOf(expr: String, i: Int) =
+      s"(strpos('0123456789abcdef', substr(md5($expr), ${i + 1}, 1)) - 1)"
+    s"""WITH m AS (SELECT doc_id, text,
+       |             1 + ${nibOf("text", 0)} % 30 AS n_frames,
+       |             length(text) AS clen
+       |           FROM documents),
+       |s AS (SELECT doc_id, text, clen, n_frames,
+       |             greatest(1, clen // n_frames) AS stride
+       |      FROM m),
+       |f AS (SELECT doc_id, text, clen, stride, unnest(range(0, n_frames)) AS i FROM s),
+       |fs AS (SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+       |         substr(text, CAST(i * stride + 1 AS INTEGER), CAST(stride AS INTEGER)) AS ftext
+       |       FROM f WHERE i % 3 = 0 AND i * stride < clen)
+       |SELECT doc_id, frame_idx,
+       |       CAST(strlen(ftext) AS INTEGER) AS frame_len,
+       |       ${nibOf("ftext", 0)} / 15.0 AS f0,
+       |       ${nibOf("ftext", 1)} / 15.0 AS f1,
+       |       ${nibOf("ftext", 2)} / 15.0 AS f2,
+       |       ${nibOf("ftext", 3)} / 15.0 AS f3
+       |FROM fs
+       |ORDER BY doc_id, frame_idx""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("src1_paginated_connector",
       "paginated REST connector end-to-end over synthetic envelope pages (SRC1,P1,F1-F4)",
       paginatedConnector, Some(paginatedOracle)),
     QueryDef("x70_multimodal_meta",
       "binary media column + typed mapPartitions metadata decode (X7)",
-      multimodalMeta, Some(multimodalOracle)))
+      multimodalMeta, Some(multimodalOracle)),
+    QueryDef("x71_frame_sample",
+      "frame sampling + per-frame feature extraction over media columns (X7)",
+      frameSample, Some(frameSampleOracle)))
 }

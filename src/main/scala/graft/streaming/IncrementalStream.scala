@@ -45,6 +45,42 @@ object IncrementalStream {
       }
   }
 
+  /** One closed (gap-expired) session. */
+  final case class SessionSummary(user_id: Long, n_events: Long,
+                                  first_ms: Long, last_ms: Long)
+
+  /** Expiring sessions via flatMapGroupsWithState with an EVENT-TIME
+    * timeout: per-user state accumulates (count, first, last) and arms a
+    * timeout at `last + gap`; when the watermark passes it, the group fires
+    * with zero input rows, emits the closed session, and drops its state —
+    * the state-machine shape `mapGroupsWithState` can't express (a timeout
+    * firing emits 0/1 rows, not exactly one). Input must carry a watermark
+    * on `ts`. Bounded state: one (3×Long) entry per OPEN session, removed
+    * at close — survives any scale the keyed state store survives. */
+  def expiringSessions(events: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp)],
+                       gapMs: Long): org.apache.spark.sql.Dataset[SessionSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), SessionSummary](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, rows, state) =>
+          if (state.hasTimedOut) {
+            val (n, first, last) = state.get
+            state.remove()
+            Iterator(SessionSummary(uid, n, first, last))
+          } else {
+            val times = rows.map(_._2.getTime).toSeq
+            val (n0, f0, l0) = state.getOption.getOrElse((0L, Long.MaxValue, Long.MinValue))
+            val next = (n0 + times.size, math.min(f0, times.min), math.max(l0, times.max))
+            state.update(next)
+            state.setTimeoutTimestamp(next._3 + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Drain all available source files (JSON lines with `schema`) into the
     * parquet sink at `sinkDir`, idempotently: within-batch dedup on
     * `hashCol`, then anti-join against the hashes already present. Returns

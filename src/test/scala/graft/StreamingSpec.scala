@@ -120,6 +120,47 @@ class StreamingSpec extends SparkTestBase {
     assert(latest == Seq((1L, 3L, 15.0), (2L, 1L, 5.0)))
   }
 
+  test("S3 custom state: event-time timeout closes sessions after the gap") {
+    val src = tmpDir("exp_src")
+    val cp = tmpDir("exp_cp")
+    val out = tmpDir("exp_out") + "/sessions"
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(
+        StructType(Seq(StructField("user_id", LongType), StructField("sec", LongType))))
+        .json(src)
+        .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"))
+        .withWatermark("ts", "0 seconds")
+      import spark.implicits._
+      val q = IncrementalStream.expiringSessions(
+        stream.as[(Long, java.sql.Timestamp)], gapMs = 60000L)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[IncrementalStream.SessionSummary], _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    def file(name: String, rows: (Long, Long)*): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(src, name),
+        rows.map { case (u, s) => s"""{"user_id":$u,"sec":$s}""" }.mkString("\n").getBytes)
+    file("b1.json", (1L, 1000L), (1L, 1010L))          // user 1: two events 10s apart
+    drain()
+    file("b2.json", (2L, 2000L))                        // advances watermark past 1010+60
+    drain()
+    file("b3.json", (2L, 2001L))                        // next batch fires user 1's timeout
+    drain()
+    import spark.implicits._
+    val sessions = spark.read.parquet(out)
+      .as[IncrementalStream.SessionSummary].collect().toSeq
+    val u1 = sessions.filter(_.user_id == 1L)
+    assert(u1 == Seq(IncrementalStream.SessionSummary(1L, 2L, 1000000L, 1010000L)))
+    // user 2's session is still open (watermark hasn't passed 2001+60)
+    assert(!sessions.exists(_.user_id == 2L))
+  }
+
   test("X6: session_window groups events by gap (batch-mode check)") {
     val events = Seq(
       (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"), // session 1
