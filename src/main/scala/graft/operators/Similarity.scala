@@ -36,4 +36,41 @@ object Similarity {
   def signBucket(v: Column, bits: Int): Column =
     concat((1 to bits).map(i =>
       when(element_at(v, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
+  /** Lloyd refinement for the IVF coarse quantizer: assign every vector to
+    * its nearest centroid (cosine argmax, deterministic tiebreak on
+    * cent_id), replace each centroid with the mean of its assigned vectors,
+    * repeat. The explode → groupBy(cent, dim) → re-assemble shape keeps the
+    * whole iteration declarative: one broadcast join + two keyed shuffles
+    * per iteration, no driver-side vectors — at 100 TB the assignment scan
+    * dominates exactly as it should. Float means are NOT cross-engine
+    * hash-stable (sum order varies), so trained quantizers are spec-graded
+    * (recall vs brute force), while the oracle-paired x34 keeps the fixed
+    * quantizer.
+    *
+    * @param emb (vec_id, embedding, nrm)
+    * @param cents (cent_id, cv, cn)
+    * @return refined (cent_id, cv, cn) */
+  def refineCentroids(emb: org.apache.spark.sql.DataFrame,
+                      cents: org.apache.spark.sql.DataFrame,
+                      iters: Int): org.apache.spark.sql.DataFrame = {
+    var cur = cents
+    for (_ <- 0 until iters) {
+      val wAssign = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id"))
+      val assigned = emb.crossJoin(broadcast(cur))
+        .select(col("vec_id"), col("embedding"), col("cent_id"),
+          (dot(col("embedding"), col("cv")) / (col("nrm") * col("cn"))).as("ccos"))
+        .withColumn("arn", row_number().over(wAssign)).filter(col("arn") === 1)
+      val means = assigned
+        .select(col("cent_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("cent_id"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          e => e.getField("m").cast("float")).as("cv"))
+      cur = means.select(col("cent_id"), col("cv"), norm(col("cv")).as("cn"))
+    }
+    cur
+  }
 }

@@ -43,6 +43,16 @@ object Sinks {
   def bulkReplace(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** SNK3 at 100 TB: partitioned full refresh with DYNAMIC partition
+    * overwrite — only the partitions present in `df` are replaced, the
+    * rest of the sink is untouched, so a daily re-load rewrites one day,
+    * not the table. */
+  def bulkReplacePartitions(df: DataFrame, path: String, partCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCols: _*)
+      .parquet(path)
+
   /** SNK1: append only rows whose `hashCol` is not already in the sink;
     * within-batch dups collapse deterministically first. Returns the number
     * of rows actually inserted (the reference's `total_inserted` counter,
