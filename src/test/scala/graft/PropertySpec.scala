@@ -52,6 +52,57 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: native expressions == their declarative equivalents on random text") {
+    import org.apache.spark.sql.functions._
+    // mixed-script text: ASCII words, digits, punctuation, CJK runs
+    val tokenGen = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)),
+      Gen.listOfN(3, Gen.choose(0x4e00, 0x4eff)).map(_.map(_.toChar).mkString),
+      Gen.const(""), Gen.const("the"), Gen.const("a?b"))
+    val textGen = Gen.listOfN(8, tokenGen).map(_.mkString(" "))
+    (1L to 10L).foreach { seed =>
+      val texts = sample(Gen.listOfN(20, textGen), seed)
+      val df = texts.toDF("text").repartition(3) // defeat LocalRelation folding
+      // token_shingles / sorted_token_set / token_ngrams vs declarative forms
+      val stop = graft.operators.TextAnalysis.StopwordsEn
+      val toks = split($"text", " ")
+      val rows = df.select(
+        call_function("sorted_token_set", $"text").as("n_set"),
+        array_sort(array_distinct(toks)).as("d_set"),
+        call_function("token_ngrams", $"text", lit(2)).as("n_bg"),
+        when(size(toks) >= 2, transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+          .otherwise(array().cast("array<string>")).as("d_bg"),
+        call_function("kgram_min_md5", $"text", lit(5)).as("n_fp"),
+        array_min(transform(sequence(lit(1), greatest(length($"text") - 4, lit(1))),
+          i => md5(substr($"text", i, lit(5))))).as("d_fp"),
+        call_function("stop_strip", $"text", array(stop.map(lit): _*)).as("n_ss"),
+        struct(
+          array_join(filter(split(trim(regexp_replace(lower($"text"), lit("[^a-z0-9 ]"), lit(""))), " "),
+            t => !t.isInCollection(stop) && t =!= ""), " ").as("clean_text"),
+          size(filter(split(trim(regexp_replace(lower($"text"), lit("[^a-z0-9 ]"), lit(""))), " "),
+            t => t.isInCollection(stop))).as("n_stop")).as("d_ss"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"sorted_token_set seed=$seed")
+        assert(r.getSeq[String](2) == r.getSeq[String](3), s"token_ngrams seed=$seed")
+        assert(r.getString(4) == r.getString(5), s"kgram_min_md5 seed=$seed")
+        assert(r.getStruct(6) == r.getStruct(7), s"stop_strip seed=$seed")
+      }
+      // charNgramLongs intersection counts == string-gram intersection counts
+      val pairs = texts.zip(texts.reverse).toDF("a", "b").repartition(3)
+      val cnt = pairs.select(
+        call_function("sorted_long_intersect_count",
+          graft.operators.TextAnalysis.charNgramLongs($"a", 3),
+          graft.operators.TextAnalysis.charNgramLongs($"b", 3)).as("n"),
+        size(array_intersect(
+          graft.operators.TextAnalysis.charNgrams($"a", 3),
+          graft.operators.TextAnalysis.charNgrams($"b", 3))).as("d"))
+        .as[(Int, Int)].collect()
+      cnt.foreach { case (n, d) => assert(n == d, s"charNgramLongs seed=$seed") }
+    }
+  }
+
   test("property: contentHash is 16 lowercase hex, collision-free on distinct small sets") {
     (1L to 8L).foreach { seed =>
       val strs = sample(Gen.listOfN(30, Gen.alphaNumStr.map(_.take(12))), seed).distinct
