@@ -125,6 +125,37 @@ class ScaleSpec extends SparkTestBase {
     assert(out == Seq(("a", 1, 10), ("b", 1, 20), ("d", 2, 99)))
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // one hot key carrying ~90% of the left side
+      val left = spark.range(0, 200000)
+        .select(when($"id" % 10 =!= 0, lit(7L)).otherwise($"id" % 1000).as("k"),
+          concat(lit("pad-pad-pad-pad-pad-"), $"id").as("payload"))
+      val right = spark.range(0, 1000).select($"id".as("k"), lit("dim").as("d"))
+      val joined = left.join(right, "k")
+      // drive THIS plan instance (count()/rdd each wrap a NEW QueryExecution
+      // and would leave this AdaptiveSparkPlan un-finalized)
+      val plan = joined.queryExecution.executedPlan
+      assert(plan.executeCollect().nonEmpty)
+      val finalPlan = plan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected AQE to mark the skewed join:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("approximate aggregates land within tolerance of exact") {
     val exact = Tables.lineitem(spark, sfDir)
       .agg(countDistinct($"l_partkey").cast("double").as("d"),
