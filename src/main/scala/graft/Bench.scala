@@ -19,15 +19,27 @@ object Bench {
     // Warm up session/codegen paths so the first timed query isn't charged
     // for JVM+Spark startup (measures queries, not initialization).
     try materialize(SparkEntry.entry(spark)) catch { case _: Throwable => () }
+    // A failing query must be VISIBLE, not a suspiciously-fast timing: the
+    // round-2 bench recorded a broken query as 0.1s and its absence from
+    // the correctness dump was the only trace. Failures land in an
+    // "errors" map (and stderr) alongside the timings.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
+      try materialize(fn(spark, sfDir)) catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          System.err.println(s"[bench] $name FAILED: ${errors(name)}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
