@@ -614,6 +614,8 @@ case class StopStrip(left: Expression, right: Expression)
   override def prettyName: String = "stop_strip"
 
   private lazy val stops: Set[String] = {
+    require(right.foldable,
+      "stop_strip stopwords must be a foldable array literal, not a per-row column")
     val arr = right.eval(null).asInstanceOf[ArrayData]
     (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString).toSet
   }

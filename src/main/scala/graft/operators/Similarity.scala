@@ -68,8 +68,17 @@ object Similarity {
         .agg(avg(col("x")).as("m"))
         .groupBy(col("cent_id"))
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-          e => e.getField("m").cast("float")).as("cv"))
-      cur = means.select(col("cent_id"), col("cv"), norm(col("cv")).as("cn"))
+          e => e.getField("m").cast("float")).as("mv"))
+        .withColumn("mn", norm(col("mv")))
+      // keep the previous centroid when its cluster went empty (it would
+      // silently vanish from the groupBy) or degenerated to the zero vector
+      // (norm 0 → NaN cosines, which sort ABOVE every real value under
+      // desc and would capture all assignments next iteration)
+      cur = cur.select(col("cent_id"), col("cv").as("prev_cv"), col("cn").as("prev_cn"))
+        .join(means, Seq("cent_id"), "left")
+        .select(col("cent_id"),
+          when(col("mn") > 0, col("mv")).otherwise(col("prev_cv")).as("cv"),
+          when(col("mn") > 0, col("mn")).otherwise(col("prev_cn")).as("cn"))
     }
     cur
   }

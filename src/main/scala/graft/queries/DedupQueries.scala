@@ -245,7 +245,7 @@ object DedupQueries {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x10_exact_dedup", "exact content-hash dedup, deterministic survivor (X1)", exactDedup, Some(exactOracle)),
     QueryDef("x11_minhash_lsh", "MinHash+LSH near-dup pairs, Jaccard-verified (X2)", minhashLsh, Some(minhashOracle)),
-    QueryDef("x12_simhash", "16-bit SimHash bucket near-dups (X2)", simhash, Some(simhashOracle)),
+    QueryDef("x12_simhash", "32-bit SimHash bucket near-dups (X2)", simhash, Some(simhashOracle)),
     QueryDef("x13_ngram_jaccard", "char-trigram Jaccard near-dups, LSH-blocked (X2)", ngramJaccard, Some(ngramOracle)),
     QueryDef("x14_dedup_clusters", "connected-component dedup groups over near-dup pairs (X2)", dedupClusters, Some(clustersOracle)))
 }

@@ -90,7 +90,15 @@ object Sinks {
     * statement per partition) — and return the total rows the sink reported
     * inserted (the reference's `total_inserted` counter, A3). `upsert` must
     * be key-idempotent (insert-or-ignore), which makes whole-job replay
-    * safe: a retried task re-upserts the same keys and reports 0 new. */
+    * safe: a retried task re-upserts the same keys and reports 0 new.
+    *
+    * Counter caveat (same as the reference's affected-rows counting): the
+    * accumulator only keeps updates from SUCCESSFUL task attempts, but the
+    * sink keeps a failed attempt's inserts — so under a mid-task retry the
+    * returned count can UNDERCOUNT rows this job actually inserted (the
+    * retry's idempotent re-upsert reports 0 for them). The sink contents
+    * are exact; the counter is a floor. Exact counting needs a
+    * sink-transactional ledger, which plain JDBC upsert doesn't provide. */
   def upsertBatched(df: DataFrame, batchSize: Int = BatchSize)(
       upsert: Seq[org.apache.spark.sql.Row] => Int): Long = {
     val inserted = df.sparkSession.sparkContext.longAccumulator("graft.upsert.inserted")

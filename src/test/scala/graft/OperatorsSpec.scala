@@ -147,4 +147,18 @@ class OperatorsSpec extends SparkTestBase {
         .collect()
     }
   }
+
+  test("refineCentroids: an empty cluster keeps its centroid (no silent k shrink, no NaN)") {
+    val emb = Seq((1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.95f, 0.05f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("nrm", Similarity.norm($"embedding"))
+    // centroid 20 points away from every vector -> zero assignments
+    val cents = Seq((10L, Seq(1f, 0f)), (20L, Seq(-1f, 0f))).toDF("cent_id", "cv")
+      .withColumn("cn", Similarity.norm($"cv"))
+    val refined = Similarity.refineCentroids(emb, cents, iters = 2)
+      .orderBy("cent_id").collect()
+    assert(refined.length == 2)
+    assert(refined(1).getAs[scala.collection.Seq[Float]]("cv").toSeq == Seq(-1f, 0f)) // kept, not dropped
+    assert(!refined.exists(r => r.getAs[Double]("cn").isNaN || r.getAs[Double]("cn") == 0.0))
+  }
 }
