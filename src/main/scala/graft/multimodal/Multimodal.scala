@@ -95,6 +95,29 @@ object Multimodal {
     }
   }
 
+  /** Resized media record: payload plus the target geometry it now claims. */
+  final case class ResizedMedia(doc_id: Long, content: Array[Byte], mime: String,
+                                width: Int, height: Int)
+
+  /** Resize stage: binary-in/binary-out with explicit target geometry —
+    * the schema/batch shape of a real image resizer (payload column rides
+    * through, metadata updates, per-partition codec init). FAKE transform
+    * (stub, like [[fakeDecode]]): output payload is the input truncated to
+    * `w*h/64` bytes (a stand-in for "smaller image, content derived from
+    * the original") — deterministic, size-monotone with the target area. */
+  def resizeTo(ds: Dataset[MediaDoc], w: Int, h: Int): Dataset[ResizedMedia] = {
+    require(w > 0 && h > 0, "target geometry must be positive")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      // real codecs initialize here, once per partition
+      it.map { m =>
+        val outLen = math.min(m.content.length, math.max(1, w * h / 64))
+        ResizedMedia(m.doc_id, java.util.Arrays.copyOf(m.content, outLen), m.mime, w, h)
+      }
+    }
+  }
+
   /** Feature extraction over sampled frames (the embed/score stage of a
     * media pipeline): 4 fake dims derived from the frame digest's leading
     * nibbles, scaled to [0,1] — deterministic, oracle-reproducible; a real

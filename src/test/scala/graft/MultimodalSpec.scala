@@ -41,6 +41,16 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("resizeTo: geometry attached, payload bounded by target area, schema preserved") {
+    val docs = Seq((1L, "x" * 2000), (2L, "y")).toDF("doc_id", "text")
+    val resized = Multimodal.resizeTo(Multimodal.attachFakeMedia(docs), 64, 64)
+      .collect().sortBy(_.doc_id)
+    assert(resized.map(r => (r.width, r.height)).toSeq == Seq((64, 64), (64, 64)))
+    assert(resized(0).content.length == 64 * 64 / 64)  // truncated to target area
+    assert(resized(1).content.length == 1)             // never grows past the input
+    assert(resized.forall(_.mime == "image/fake"))
+  }
+
   test("frameFeatures: deterministic [0,1] features, byte-accurate frame_len") {
     val docs = Seq((1L, "hello world, a modest payload")).toDF("doc_id", "text")
     val frames = Multimodal.sampleFrames(Multimodal.attachFakeMedia(docs), everyK = 1)
