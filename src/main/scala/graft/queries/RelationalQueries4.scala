@@ -177,8 +177,54 @@ object RelationalQueries4 {
       |  SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part)
       |ORDER BY p_partkey, metric""".stripMargin
 
+  /** Correlated EXISTS: customers with any 300k+ order. Catalyst
+    * decorrelates to a left-semi join — the subquery never executes
+    * per-row (`.explain` shows LeftSemi on o_custkey). */
+  def q39(spark: SparkSession, dir: String) = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT c_custkey, c_name
+        |FROM customer_v c
+        |WHERE EXISTS (SELECT 1 FROM orders_v o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val q39Oracle =
+    """SELECT c_custkey, c_name
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Correlated SCALAR subquery: per-order item count. Decorrelates to an
+    * aggregate + left outer join (coalesce for orders absent from
+    * lineitem). */
+  def q40(spark: SparkSession, dir: String) = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT o_orderkey, round(o_totalprice, 2) AS totalprice,
+        |       coalesce((SELECT count(*) FROM lineitem_v l
+        |                 WHERE l.l_orderkey = o.o_orderkey), 0) AS n_items
+        |FROM orders_v o
+        |WHERE o_orderkey <= 400
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  private val q40Oracle =
+    """SELECT o_orderkey, round(o_totalprice, 2) AS totalprice,
+      |       coalesce((SELECT count(*) FROM lineitem l
+      |                 WHERE l.l_orderkey = o.o_orderkey), 0) AS n_items
+      |FROM orders o
+      |WHERE o_orderkey <= 400
+      |ORDER BY o_orderkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_window_range_frame", "RANGE frame (30d trailing), lead, nth_value", q33, Some(q33Oracle)),
+    QueryDef("q39_exists_correlated", "correlated EXISTS decorrelated to semi-join", q39, Some(q39Oracle)),
+    QueryDef("q40_scalar_correlated", "correlated scalar subquery (per-row count)", q40, Some(q40Oracle)),
     QueryDef("q34_bag_setops", "EXCEPT ALL / INTERSECT ALL multiplicity semantics", q34, Some(q34Oracle)),
     QueryDef("q35_na_handling", "na.fill / na.drop null-handling surface", q35, Some(q35Oracle)),
     QueryDef("q36_hash_sample", "deterministic hash-Bernoulli sampling", q36, Some(q36Oracle)),
