@@ -44,7 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("fence", "identity optimizer fence (blocks predicate pushdown)",
         es => OptimizerFence(es.head)),
       ("stop_strip", "normalize text and strip stopwords in one pass",
-        es => StopStrip(es(0), es(1))))
+        es => StopStrip(es(0), es(1))),
+      ("winnow_fps", "winnowing fingerprint set (min per k-gram hash window)",
+        es => WinnowFps(es(0), es(1), es(2))))
     fns.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }

@@ -597,6 +597,70 @@ case class KgramMinMd5(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `winnow_fps(text, k, w) -> array<string>`: winnowing fingerprints
+  * (Schleimer/Wilkerson/Aiken's MOSS scheme): md5 each character k-gram by
+  * position, slide a w-window over the position hashes, keep each window's
+  * MINIMUM, return the sorted-distinct set — a position-robust document
+  * signature where two docs sharing a long-enough substring share a
+  * fingerprint. Tie rule doesn't affect the SET (equal mins contribute one
+  * value). Whole text hashes as one gram when shorter than k; a single
+  * window covers everything when there are fewer than w position hashes.
+  * One JVM pass; the declarative form would pay an interpreted lambda per
+  * (position × window) pair. */
+case class WinnowFps(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+
+  private val hexChars = "0123456789abcdef".toCharArray
+  private def toHex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = hexChars((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  override protected def nullSafeEval(text: Any, kAny: Any, wAny: Any): Any = {
+    val t = text.asInstanceOf[UTF8String].toString
+    val k = kAny.asInstanceOf[Int]
+    val w = wAny.asInstanceOf[Int]
+    val m = math.max(t.length - (k - 1), 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = new Array[String](m)
+    var i = 0
+    while (i < m) {
+      hashes(i) = toHex(md.digest(
+        t.substring(i, math.min(i + k, t.length)).getBytes("UTF-8")))
+      i += 1
+    }
+    val nWin = math.max(m - w + 1, 1)
+    val fps = new java.util.TreeSet[String]()
+    var j = 0
+    while (j < nWin) {
+      var min = hashes(j)
+      var o = 1
+      while (o < w && j + o < m) {
+        if (hashes(j + o) < min) min = hashes(j + o)
+        o += 1
+      }
+      fps.add(min)
+      j += 1
+    }
+    val out = new Array[AnyRef](fps.size)
+    val it = fps.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = UTF8String.fromString(it.next()); p += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(first = a, second = b, third = c)
+}
+
 /** `stop_strip(text, stopwords) -> struct<clean_text string, n_stop int>`:
   * the x45 normalization pipeline in ONE pass — lowercase (UTF8String
   * toLowerCase, same as `lower`), strip chars outside [a-z0-9 ], trim,
@@ -693,5 +757,6 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("kgram_min_md5", es => KgramMinMd5(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("fence", es => OptimizerFence(es.head), "built-in")
     reg.createOrReplaceTempFunction("stop_strip", es => StopStrip(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("winnow_fps", es => WinnowFps(es(0), es(1), es(2)), "built-in")
   }
 }

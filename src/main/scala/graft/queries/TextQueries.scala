@@ -201,7 +201,40 @@ object TextQueries {
       |ORDER BY cnt DESC, bigram
       |LIMIT 40""".stripMargin
 
+  /** X4/X1: winnowing fingerprint sets (MOSS scheme) — min md5 per sliding
+    * window of 8-gram position hashes, the position-robust signature used
+    * for substring-level dedup. Output is scalar-only (count, first, set
+    * hash): the driver compare can't sort list cells, and the set hash
+    * pins the full set anyway. */
+  def winnow(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        QueryUtil.fence(call_function("winnow_fps", $"text", lit(8), lit(4))).as("fps"))
+      .select($"doc_id",
+        size($"fps").as("n_fp"),
+        element_at($"fps", 1).as("fp_first"),
+        md5(array_join($"fps", "")).as("fp_set_hash"))
+      .orderBy("doc_id")
+  }
+
+  private val winnowOracle =
+    """WITH h AS (SELECT doc_id,
+      |             list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+      |                            i -> md5(substr(text, CAST(i AS INTEGER), 8))) AS hs
+      |           FROM documents),
+      |w AS (SELECT doc_id, hs, len(hs) AS m FROM h),
+      |f AS (SELECT doc_id,
+      |        list_sort(list_distinct(list_transform(range(1, greatest(m - 4 + 1, 1) + 1),
+      |          j -> list_aggregate(hs[CAST(j AS INTEGER):CAST(least(j + 3, m) AS INTEGER)], 'min')))) AS fps
+      |      FROM w)
+      |SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fp, fps[1] AS fp_first,
+      |       md5(array_to_string(fps, '')) AS fp_set_hash
+      |FROM f
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x49_winnowing", "winnowing fingerprint sets (MOSS min-per-window) (X4)", winnow, Some(winnowOracle)),
     QueryDef("x40_token_stats", "per-doc token statistics (X4)", tokenStats, Some(tokenStatsOracle)),
     QueryDef("x41_lang_id", "marker-lexicon language-ID heuristic (X4)", langId, Some(langIdOracle)),
     QueryDef("x42_quality_score", "document quality scoring (X4)", quality, Some(qualityOracle)),

@@ -161,4 +161,20 @@ class OperatorsSpec extends SparkTestBase {
     assert(refined(1).getAs[scala.collection.Seq[Float]]("cv").toSeq == Seq(-1f, 0f)) // kept, not dropped
     assert(!refined.exists(r => r.getAs[Double]("cn").isNaN || r.getAs[Double]("cn") == 0.0))
   }
+
+  test("winnowing: docs sharing a long substring share a fingerprint; disjoint docs don't") {
+    val shared = "the winnowing guarantee is substring matching"
+    val df = Seq(
+      (1L, "prefix one " + shared + " suffix alpha"),
+      (2L, "other start " + shared + " different end"),
+      (3L, "completely unrelated content with no overlap at all"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", call_function("winnow_fps", $"text", lit(8), lit(4)).as("fps"))
+    val fps = df.as[(Long, Seq[String])].collect().toMap
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty,
+      "a shared >= k+w-1 char substring must contribute a common fingerprint")
+    assert(fps(1L).toSet.intersect(fps(3L).toSet).isEmpty)
+    // sorted-distinct output
+    assert(fps.values.forall(l => l == l.sorted && l.distinct == l))
+  }
 }
