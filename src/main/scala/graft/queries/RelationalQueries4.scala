@@ -221,8 +221,40 @@ object RelationalQueries4 {
       |WHERE o_orderkey <= 400
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Higher-order array functions (exists / forall / filter / aggregate /
+    * zip_with) over the embedding column. Folds are sequential
+    * left-to-right with double casts — the exact arithmetic the oracle's
+    * list_sum(list_transform(...)) reproduces (same pattern proven by the
+    * cosine queries). Coverage query, not a hot path — interpreted lambdas
+    * are fine at one pass per row. */
+  def q41(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val e = $"embedding"
+    Tables.embeddings(spark, dir).select(
+      $"vec_id",
+      exists(e, x => x.cast("double") > 0.2).cast("int").as("has_big"),
+      forall(e, x => abs(x.cast("double")) <= lit(1.0)).cast("int").as("all_bounded"),
+      size(filter(e, x => x.cast("double") < 0)).as("n_neg"),
+      round(aggregate(e, lit(0.0), (acc, x) => acc + x.cast("double")), 4).as("sum_elems"),
+      round(aggregate(zip_with(e, reverse(e), (a, b) => a.cast("double") * b.cast("double")),
+        lit(0.0), (acc, x) => acc + x), 4).as("rev_dot"))
+      .orderBy("vec_id")
+  }
+
+  private val q41Oracle =
+    """SELECT vec_id,
+      |       CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.2)) > 0 AS INTEGER) AS has_big,
+      |       CAST(len(list_filter(embedding, x -> abs(CAST(x AS DOUBLE)) <= 1.0)) = len(embedding) AS INTEGER) AS all_bounded,
+      |       CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) < 0)) AS INTEGER) AS n_neg,
+      |       round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sum_elems,
+      |       round(list_sum(list_transform(range(1, len(embedding) + 1),
+      |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[len(embedding) + 1 - i] AS DOUBLE))), 4) AS rev_dot
+      |FROM embeddings
+      |ORDER BY vec_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_window_range_frame", "RANGE frame (30d trailing), lead, nth_value", q33, Some(q33Oracle)),
+    QueryDef("q41_hof_arrays", "higher-order array functions (exists/forall/filter/aggregate/zip_with)", q41, Some(q41Oracle)),
     QueryDef("q39_exists_correlated", "correlated EXISTS decorrelated to semi-join", q39, Some(q39Oracle)),
     QueryDef("q40_scalar_correlated", "correlated scalar subquery (per-row count)", q40, Some(q40Oracle)),
     QueryDef("q34_bag_setops", "EXCEPT ALL / INTERSECT ALL multiplicity semantics", q34, Some(q34Oracle)),
