@@ -273,6 +273,8 @@ case class CharNgramLongs(left: Expression, right: Expression)
   override protected def nullSafeEval(text: Any, kAny: Any): Any = {
     val t = text.asInstanceOf[UTF8String].toString
     val k = kAny.asInstanceOf[Int]
+    // 4 × 16-bit units fill the long exactly; k=5 would silently truncate
+    require(k >= 1 && k <= 4, s"char_ngram_longs supports 1 <= k <= 4, got $k")
     val n = math.max(t.length - (k - 1), 1)
     val packed = new Array[Long](n)
     var i = 0
@@ -628,6 +630,7 @@ case class WinnowFps(first: Expression, second: Expression, third: Expression)
     val t = text.asInstanceOf[UTF8String].toString
     val k = kAny.asInstanceOf[Int]
     val w = wAny.asInstanceOf[Int]
+    require(k >= 1 && w >= 1, s"winnow_fps needs k >= 1 and w >= 1, got k=$k w=$w")
     val m = math.max(t.length - (k - 1), 1)
     val md = java.security.MessageDigest.getInstance("MD5")
     val hashes = new Array[String](m)
