@@ -131,6 +131,12 @@ object DedupQueries {
     val base = Tables.documents(spark, dir)
       .select($"doc_id", TextAnalysis.tokenSet($"text").as("toks"))
       .select($"doc_id", $"toks", Dedup.simhashBits($"toks", 32).as("simhash"))
+      // skew guard, mirrored in the oracle: a degenerate bucket of m equal
+      // signatures contributes m² pairs — cap like the LSH band buckets
+      .withColumn("__bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"simhash")))
+      .filter($"__bn" <= Dedup.DefaultMaxBucket)
+      .drop("__bn")
     val withN = base.withColumn("nt", size($"toks"))
     val l = withN.select($"doc_id".as("a"), $"toks".as("ta"), $"simhash", $"nt".as("na"))
     val r = withN.select($"doc_id".as("b"), $"toks".as("tb"), $"simhash", $"nt".as("nb"))
@@ -156,9 +162,12 @@ object DedupQueries {
          |       THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END""".stripMargin
     }.mkString(" ||\n       ")
     s"""WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
-       |s AS (SELECT doc_id, toks,
+       |s0 AS (SELECT doc_id, toks,
        |       $bitExprs AS simhash
        |      FROM t),
+       |s AS (SELECT doc_id, toks, simhash
+       |      FROM (SELECT *, count(*) OVER (PARTITION BY simhash) AS bn FROM s0)
+       |      WHERE bn <= ${Dedup.DefaultMaxBucket}),
        |p AS (SELECT x.doc_id AS a, y.doc_id AS b, x.simhash AS simhash, x.toks AS ta, y.toks AS tb
        |      FROM s x JOIN s y ON x.simhash = y.simhash AND x.doc_id < y.doc_id),
        |j AS (SELECT a, b, simhash,
