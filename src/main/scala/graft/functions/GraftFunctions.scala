@@ -196,6 +196,22 @@ case class SimHashBits(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Shared lowercase-hex rendering for the md5-based expressions — one
+  * definition so an encoding fix can't silently miss a sibling. */
+private[functions] object Hex {
+  private val chars = "0123456789abcdef".toCharArray
+  def toHex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = chars((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = chars(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+}
+
 /** `minhash_sig(array<string>, k) -> array<string>`: k lexicographic-min
   * md5 hex digests of `"<j>:<shingle>"` in one pass over the shingle array —
   * same family as `array_min(transform(shingles, s -> md5(concat(j, ':',
@@ -209,18 +225,6 @@ case class MinHashSig(child: Expression, numHashes: Expression)
   override def foldable: Boolean = children.forall(_.foldable)
 
   private lazy val k: Int = numHashes.eval(null).asInstanceOf[Int]
-
-  private val hexChars = "0123456789abcdef".toCharArray
-  private def toHex(bytes: Array[Byte]): String = {
-    val out = new Array[Char](bytes.length * 2)
-    var i = 0
-    while (i < bytes.length) {
-      out(2 * i) = hexChars((bytes(i) >> 4) & 0xf)
-      out(2 * i + 1) = hexChars(bytes(i) & 0xf)
-      i += 1
-    }
-    new String(out)
-  }
 
   // "<j>:" prefixes pre-encoded once; per (shingle, j) we feed the digest
   // two byte chunks instead of building and encoding a fresh string.
@@ -240,7 +244,7 @@ case class MinHashSig(child: Expression, numHashes: Expression)
         while (j < k) {
           md.update(prefixes(j))
           md.update(shBytes)
-          val hex = toHex(md.digest())
+          val hex = Hex.toHex(md.digest())
           if (mins(j) == null || hex < mins(j)) mins(j) = hex
           j += 1
         }
@@ -255,8 +259,11 @@ case class MinHashSig(child: Expression, numHashes: Expression)
 }
 
 /** `char_ngram_longs(string, k) -> array<bigint>`: sorted-distinct character
-  * k-grams (k <= 3) bijectively packed into longs (base-65536 big-endian
-  * over full UTF-16 code units, absent chars -> 0) — the whole pipeline
+  * k-grams (1 <= k <= 4) bijectively packed into longs (base-65536
+  * big-endian over full UTF-16 code units, absent chars -> 0; at k = 4 a
+  * first char >= U+8000 sets the sign bit, so the sorted order is
+  * signed-long order, not lexicographic gram order — sets and intersection
+  * counts are unaffected) — the whole pipeline
   * (positions, pack, sort, dedupe) in one JVM pass. The declarative
   * transform+array_sort form pays an interpreted lambda comparator per
   * element comparison (~5k per doc), which dominated the n-gram join.
@@ -501,18 +508,6 @@ case class MinHashBands(first: Expression, second: Expression, third: Expression
   private lazy val prefixes: Array[Array[Byte]] =
     (0 until k).map(j => s"$j:".getBytes("UTF-8")).toArray
 
-  private val hexChars = "0123456789abcdef".toCharArray
-  private def toHex(bytes: Array[Byte]): String = {
-    val out = new Array[Char](bytes.length * 2)
-    var i = 0
-    while (i < bytes.length) {
-      out(2 * i) = hexChars((bytes(i) >> 4) & 0xf)
-      out(2 * i + 1) = hexChars(bytes(i) & 0xf)
-      i += 1
-    }
-    new String(out)
-  }
-
   override protected def nullSafeEval(shinglesAny: Any, kAny: Any, rAny: Any): Any = {
     val shingles = shinglesAny.asInstanceOf[ArrayData]
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -526,7 +521,7 @@ case class MinHashBands(first: Expression, second: Expression, third: Expression
         while (j < k) {
           md.update(prefixes(j))
           md.update(shBytes)
-          val hex = toHex(md.digest())
+          val hex = Hex.toHex(md.digest())
           if (mins(j) == null || hex < mins(j)) mins(j) = hex
           j += 1
         }
@@ -540,7 +535,7 @@ case class MinHashBands(first: Expression, second: Expression, third: Expression
       val joined = (0 until rowsPerBand)
         .map(r0 => { val m = mins(b * rowsPerBand + r0); if (m == null) "" else m })
         .mkString("|")
-      bands(b) = UTF8String.fromString(toHex(md.digest(joined.getBytes("UTF-8"))))
+      bands(b) = UTF8String.fromString(Hex.toHex(md.digest(joined.getBytes("UTF-8"))))
       b += 1
     }
     new GenericArrayData(bands)
@@ -564,8 +559,6 @@ case class KgramMinMd5(left: Expression, right: Expression)
   override def dataType: DataType = StringType
   override def prettyName: String = "kgram_min_md5"
 
-  private val hexChars = "0123456789abcdef".toCharArray
-
   override protected def nullSafeEval(text: Any, kAny: Any): Any = {
     val t = text.asInstanceOf[UTF8String].toString
     val k = kAny.asInstanceOf[Int]
@@ -585,14 +578,7 @@ case class KgramMinMd5(left: Expression, right: Expression)
       }) best = d
       i += 1
     }
-    val out = new Array[Char](best.length * 2)
-    var j = 0
-    while (j < best.length) {
-      out(2 * j) = hexChars((best(j) >> 4) & 0xf)
-      out(2 * j + 1) = hexChars(best(j) & 0xf)
-      j += 1
-    }
-    UTF8String.fromString(new String(out))
+    UTF8String.fromString(Hex.toHex(best))
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -608,23 +594,13 @@ case class KgramMinMd5(left: Expression, right: Expression)
   * value). Whole text hashes as one gram when shorter than k; a single
   * window covers everything when there are fewer than w position hashes.
   * One JVM pass; the declarative form would pay an interpreted lambda per
-  * (position × window) pair. */
+  * (position × window) pair. BMP-safe like the other gram expressions:
+  * Java-char positions equal code-point positions only for BMP text —
+  * astral input would diverge from a code-point-indexed SQL oracle. */
 case class WinnowFps(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "winnow_fps"
-
-  private val hexChars = "0123456789abcdef".toCharArray
-  private def toHex(bytes: Array[Byte]): String = {
-    val out = new Array[Char](bytes.length * 2)
-    var i = 0
-    while (i < bytes.length) {
-      out(2 * i) = hexChars((bytes(i) >> 4) & 0xf)
-      out(2 * i + 1) = hexChars(bytes(i) & 0xf)
-      i += 1
-    }
-    new String(out)
-  }
 
   override protected def nullSafeEval(text: Any, kAny: Any, wAny: Any): Any = {
     val t = text.asInstanceOf[UTF8String].toString
@@ -636,7 +612,7 @@ case class WinnowFps(first: Expression, second: Expression, third: Expression)
     val hashes = new Array[String](m)
     var i = 0
     while (i < m) {
-      hashes(i) = toHex(md.digest(
+      hashes(i) = Hex.toHex(md.digest(
         t.substring(i, math.min(i + k, t.length)).getBytes("UTF-8")))
       i += 1
     }

@@ -112,7 +112,10 @@ object Multimodal {
     ds.mapPartitions { it =>
       // real codecs initialize here, once per partition
       it.map { m =>
-        val outLen = math.min(m.content.length, math.max(1, w * h / 64))
+        // long arithmetic: w*h in Int overflows for large geometries and
+        // would silently truncate every payload to 1 byte
+        val target = math.max(1L, w.toLong * h / 64L)
+        val outLen = math.min(m.content.length.toLong, target).toInt
         ResizedMedia(m.doc_id, java.util.Arrays.copyOf(m.content, outLen), m.mime, w, h)
       }
     }

@@ -62,15 +62,22 @@ object Dedup {
         col(elemsCol), lit(numHashes), lit(rowsPerBand))).as(Seq("band", "bh"))),
       idCol, maxBucket)
 
+  /** Skew guard shared by every bucket self-join: drop rows whose bucket
+    * (the given partition columns) holds more than `maxBucket` rows — a
+    * bucket of m rows contributes m² candidate pairs. Oracles mirror this
+    * with the identical `count(*) OVER (PARTITION BY ...)` filter. */
+  private[graft] def capBuckets(df: DataFrame, bucketCols: Seq[String],
+                                maxBucket: Int): DataFrame =
+    df.withColumn("__bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(bucketCols.map(col): _*)))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
+
   /** Shared tail of the LSH pipelines: cap giant buckets (skew guard),
     * self-join per (band, bh), emit distinct (a < b) candidate pairs.
     * `banded` must have columns (idCol, band, bh). */
   private[graft] def bandSelfJoin(banded: DataFrame, idCol: String, maxBucket: Int): DataFrame = {
-    val pruned = banded
-      .withColumn("__bn", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))))
-      .filter(col("__bn") <= maxBucket)
-      .drop("__bn")
+    val pruned = capBuckets(banded, Seq("band", "bh"), maxBucket)
     val l = pruned.select(col(idCol).as("a"), col("band"), col("bh"))
     val r = pruned.select(col(idCol).as("b"), col("band"), col("bh"))
     l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))

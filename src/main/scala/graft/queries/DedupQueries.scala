@@ -131,13 +131,10 @@ object DedupQueries {
     val base = Tables.documents(spark, dir)
       .select($"doc_id", TextAnalysis.tokenSet($"text").as("toks"))
       .select($"doc_id", $"toks", Dedup.simhashBits($"toks", 32).as("simhash"))
-      // skew guard, mirrored in the oracle: a degenerate bucket of m equal
-      // signatures contributes m² pairs — cap like the LSH band buckets
-      .withColumn("__bn", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"simhash")))
-      .filter($"__bn" <= Dedup.DefaultMaxBucket)
-      .drop("__bn")
-    val withN = base.withColumn("nt", size($"toks"))
+    // skew guard, mirrored in the oracle: a degenerate bucket of m equal
+    // signatures contributes m² pairs — same shared cap as the LSH bands
+    val capped = Dedup.capBuckets(base, Seq("simhash"), Dedup.DefaultMaxBucket)
+    val withN = capped.withColumn("nt", size($"toks"))
     val l = withN.select($"doc_id".as("a"), $"toks".as("ta"), $"simhash", $"nt".as("na"))
     val r = withN.select($"doc_id".as("b"), $"toks".as("tb"), $"simhash", $"nt".as("nb"))
     // Exact prefilter (implied by RAW jaccard >= 0.5): 2*min(|A|,|B|) >= max.

@@ -246,9 +246,9 @@ object RelationalQueries4 {
       |       CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.2)) > 0 AS INTEGER) AS has_big,
       |       CAST(len(list_filter(embedding, x -> abs(CAST(x AS DOUBLE)) <= 1.0)) = len(embedding) AS INTEGER) AS all_bounded,
       |       CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) < 0)) AS INTEGER) AS n_neg,
-      |       round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sum_elems,
-      |       round(list_sum(list_transform(range(1, len(embedding) + 1),
-      |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[len(embedding) + 1 - i] AS DOUBLE))), 4) AS rev_dot
+      |       round(coalesce(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 0.0), 4) AS sum_elems,
+      |       round(coalesce(list_sum(list_transform(range(1, len(embedding) + 1),
+      |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[len(embedding) + 1 - i] AS DOUBLE))), 0.0), 4) AS rev_dot
       |FROM embeddings
       |ORDER BY vec_id""".stripMargin
 
