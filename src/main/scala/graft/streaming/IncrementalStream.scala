@@ -122,6 +122,22 @@ object IncrementalStream {
     query.awaitTermination()
   }
 
+  /** Stream-stream INNER join with an event-time range condition: each
+    * click joins the views of the same user at most `windowSec` seconds
+    * BEFORE it (attribution). Both sides carry watermarks, and the range
+    * condition bounds how long each side's rows stay in the join state —
+    * without it the state store grows forever. Columns must be
+    * pre-disambiguated (`view_user`/`click_user` etc.): stream-stream joins
+    * can't reference ambiguous names. State per side ≈ watermark delay ×
+    * arrival rate, independent of total history — the 100 TB-safe shape. */
+  def clickViewJoin(views: DataFrame, clicks: DataFrame, windowSec: Long,
+                    watermark: String = "1 hour"): DataFrame =
+    views.withWatermark("view_ts", watermark)
+      .join(clicks.withWatermark("click_ts", watermark),
+        expr(s"""view_user = click_user AND
+                 |click_ts >= view_ts AND
+                 |click_ts <= view_ts + INTERVAL $windowSec SECONDS""".stripMargin))
+
   /** Watermarked session-window aggregation (X6 streaming variant): events
     * per (user, session) with a gap-based session window — the Structured
     * Streaming analog of RelationalQueries.q22's batch sessionization. */

@@ -161,6 +161,38 @@ class StreamingSpec extends SparkTestBase {
     assert(!sessions.exists(_.user_id == 2L))
   }
 
+  test("stream-stream interval join: clicks attribute to in-window views only") {
+    val vSrc = tmpDir("ssj_views")
+    val cSrc = tmpDir("ssj_clicks")
+    def write(dir: String, name: String, rows: Seq[(Long, Long)], tsField: String): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name),
+        rows.map { case (u, s) => s"""{"u":$u,"sec":$s}""" }.mkString("\n").getBytes)
+    // user 1: views at t=100, t=500; clicks at t=150 (joins view@100),
+    //         t=700 (outside 300s of both views -> dropped... 700-500=200 <= 300 so joins view@500)
+    // user 2: click with no view -> dropped (inner join)
+    write(vSrc, "v.json", Seq((1L, 100L), (1L, 500L)), "view_ts")
+    write(cSrc, "c.json", Seq((1L, 150L), (1L, 700L), (2L, 160L)), "click_ts")
+    val vSchema = StructType(Seq(StructField("u", LongType), StructField("sec", LongType)))
+    val views = spark.readStream.schema(vSchema).json(vSrc)
+      .select(col("u").as("view_user"), timestamp_seconds(col("sec")).as("view_ts"))
+    val clicks = spark.readStream.schema(vSchema).json(cSrc)
+      .select(col("u").as("click_user"), timestamp_seconds(col("sec")).as("click_ts"))
+    val joined = IncrementalStream.clickViewJoin(views, clicks, windowSec = 300L)
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("ssj_cp"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import spark.implicits._
+    val out = spark.table("ssj_out")
+      .select(col("click_user"),
+        unix_timestamp(col("view_ts")).as("v"),
+        unix_timestamp(col("click_ts")).as("c"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 100L, 150L), (1L, 500L, 700L)))
+  }
+
   test("X6: session_window groups events by gap (batch-mode check)") {
     val events = Seq(
       (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"), // session 1
