@@ -125,6 +125,21 @@ class ScaleSpec extends SparkTestBase {
     assert(out == Seq(("a", 1, 10), ("b", 1, 20), ("d", 2, 99)))
   }
 
+  test("partition pruning: a month filter on a date-partitioned sink prunes at the scan") {
+    val path = tmpDir("partprune") + "/t"
+    val orders = Tables.orders(spark, sfDir)
+      .withColumn("omonth", date_format($"o_orderdate", "yyyy-MM"))
+    orders.write.partitionBy("omonth").mode("overwrite").parquet(path)
+    val target = orders.select($"omonth").orderBy($"omonth").head().getString(0)
+    val pruned = spark.read.parquet(path).filter($"omonth" === target)
+    val plan = pruned.queryExecution.executedPlan.toString
+    // the month predicate must become a PARTITION filter (directory-level
+    // skip), not a data filter evaluated per row
+    assert(plan.contains("PartitionFilters") && plan.contains(target), plan)
+    assert(!plan.contains(s"Filter (omonth"), s"month filter must not run per-row:\n$plan")
+    assert(pruned.count() == orders.filter($"omonth" === target).count())
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
     val confs = Seq(
       "spark.sql.adaptive.enabled" -> "true",
