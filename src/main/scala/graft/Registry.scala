@@ -24,7 +24,8 @@ object Registry {
       queries.TextQueries.defs ++
       queries.DedupQueries.defs ++
       queries.SimilarityQueries.defs ++
-      queries.ConnectorQueries.defs
+      queries.ConnectorQueries.defs ++
+      queries.PipelineQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
