@@ -11,7 +11,11 @@ object ExplainAudit {
     val dir = "/root/testdata/sf0.01"
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q02_filter_pushdown", "q04_broadcast_snowflake", "q09_global_topk",
-      "q03_join_agg", "x30_cosine_topk", "q01_pricing_summary")
+      "q03_join_agg", "x30_cosine_topk", "q01_pricing_summary",
+      // round-3 shapes worth re-auditing by default: banded near-dup joins
+      // (no nested loops), fenced verify stages, decorrelated subqueries
+      "x13_ngram_jaccard", "x32_embedding_neardup", "q39_exists_correlated",
+      "x90_prep_pipeline")
     names.foreach { n =>
       println(s"\n===== $n =====")
       Registry.byName(n).fn(spark, dir).explain("formatted")
