@@ -13,9 +13,11 @@ object ExplainAudit {
       "q02_filter_pushdown", "q04_broadcast_snowflake", "q09_global_topk",
       "q03_join_agg", "x30_cosine_topk", "q01_pricing_summary",
       // round-3 shapes worth re-auditing by default: banded near-dup joins
-      // (no nested loops), fenced verify stages, decorrelated subqueries
-      "x13_ngram_jaccard", "x32_embedding_neardup", "q39_exists_correlated",
-      "x90_prep_pipeline")
+      // (no nested loops), fenced verify stages, decorrelated subqueries.
+      // (NOT x90/x14: connected components runs eager label-propagation
+      // jobs at DataFrame-construction time — auditing them executes the
+      // heaviest pipeline in the repo, not just plans it.)
+      "x13_ngram_jaccard", "x32_embedding_neardup", "q39_exists_correlated")
     names.foreach { n =>
       println(s"\n===== $n =====")
       Registry.byName(n).fn(spark, dir).explain("formatted")

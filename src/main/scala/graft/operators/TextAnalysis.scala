@@ -33,6 +33,30 @@ object TextAnalysis {
 
   val StopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "is", "in")
 
+  /** SQL literal list of [[StopwordsEn]] for oracle fragments. */
+  val StopwordsEnSql: String = StopwordsEn.map(w => s"'$w'").mkString(", ")
+
+  /** The x42 quality score (UNROUNDED — callers apply halfUp4): bounded
+    * length + non-stopword share + mean token length with fixed weights.
+    * ONE definition shared by every query that gates on quality, so the
+    * scoring can't silently drift between them. */
+  def qualityScore(toks: Column): Column = {
+    val nTok = size(toks)
+    val avgLen = sumTokenLen(toks).cast("double") / nTok
+    val stopRatio = countIn(toks, StopwordsEn).cast("double") / nTok
+    lit(0.3) * (least(nTok, lit(100)).cast("double") / 100.0) +
+      lit(0.4) * (lit(1.0) - stopRatio) +
+      lit(0.3) * (least(avgLen, lit(10.0)) / 10.0)
+  }
+
+  /** DuckDB rendering of [[qualityScore]] over a token-list column —
+    * identical operations in identical order, so the doubles match
+    * bit-for-bit. */
+  def qualityScoreSql(toks: String): String =
+    s"""(0.3 * (CAST(least(len($toks), 100) AS DOUBLE) / 100.0)
+       | + 0.4 * (1.0 - CAST(len(list_filter($toks, t -> t IN ($StopwordsEnSql))) AS DOUBLE) / len($toks))
+       | + 0.3 * (least(CAST(list_sum(list_transform($toks, t -> length(t))) AS DOUBLE) / len($toks), 10.0) / 10.0))""".stripMargin
+
   /** Language marker lexicons for the n-gram/stopword language-ID heuristic. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to", "is"),

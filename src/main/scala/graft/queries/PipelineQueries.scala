@@ -29,15 +29,9 @@ object PipelineQueries {
   def prepPipeline(spark: SparkSession, dir: String) = {
     import spark.implicits._
     val toks = TextAnalysis.tokens($"text")
-    val nTok = size(toks)
-    val avgLen = TextAnalysis.sumTokenLen(toks).cast("double") / nTok
-    val stopRatio = TextAnalysis.countIn(toks, TextAnalysis.StopwordsEn).cast("double") / nTok
     val scored = Tables.documents(spark, dir).select(
-      $"doc_id", $"lang", nTok.as("n_tok"),
-      halfUp4(
-        lit(0.3) * (least(nTok, lit(100)).cast("double") / 100.0)
-          + lit(0.4) * (lit(1.0) - stopRatio)
-          + lit(0.3) * (least(avgLen, lit(10.0)) / 10.0)).as("quality"))
+      $"doc_id", $"lang", size(toks).as("n_tok"),
+      halfUp4(TextAnalysis.qualityScore(toks)).as("quality"))
     val exactSurvivors = DedupQueries.exactDedup(spark, dir).select($"doc_id")
     val canonical = DedupQueries.dedupClusters(spark, dir)
       .filter($"is_canonical" === 1).select($"doc_id")
@@ -61,9 +55,7 @@ object PipelineQueries {
          |          WHERE rn = 1),
          |q AS (SELECT doc_id, lang,
          |        CAST(len(toks) AS INTEGER) AS n_tok,
-         |        floor((0.3 * (CAST(least(len(toks), 100) AS DOUBLE) / 100.0)
-         |              + 0.4 * (1.0 - CAST(len(list_filter(toks, t -> t IN (${TextAnalysis.StopwordsEn.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE) / len(toks))
-         |              + 0.3 * (least(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks), 10.0) / 10.0)) * 10000 + 0.5) / 10000.0 AS quality
+         |        floor(${TextAnalysis.qualityScoreSql("toks")} * 10000 + 0.5) / 10000.0 AS quality
          |      FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents))
          |SELECT q.doc_id, lang, n_tok, quality
          |FROM q JOIN canon ON canon.doc_id = q.doc_id

@@ -77,17 +77,12 @@ object TextQueries {
   def quality(spark: SparkSession, dir: String) = {
     import spark.implicits._
     val toks = TextAnalysis.tokens($"text")
-    val nTok = size(toks)
-    val avgLen = TextAnalysis.sumTokenLen(toks).cast("double") / nTok
-    val stopRatio = TextAnalysis.countIn(toks, TextAnalysis.StopwordsEn).cast("double") / nTok
+    val stopRatio = TextAnalysis.countIn(toks, TextAnalysis.StopwordsEn).cast("double") / size(toks)
     Tables.documents(spark, dir).select(
       $"doc_id",
-      nTok.as("n_tok"),
+      size(toks).as("n_tok"),
       halfUp4(stopRatio).as("stop_ratio"),
-      halfUp4(
-        lit(0.3) * (least(nTok, lit(100)).cast("double") / 100.0)
-          + lit(0.4) * (lit(1.0) - stopRatio)
-          + lit(0.3) * (least(avgLen, lit(10.0)) / 10.0)).as("quality"))
+      halfUp4(TextAnalysis.qualityScore(toks)).as("quality"))
       .orderBy("doc_id")
   }
 

@@ -133,10 +133,16 @@ class ScaleSpec extends SparkTestBase {
     val target = orders.select($"omonth").orderBy($"omonth").head().getString(0)
     val pruned = spark.read.parquet(path).filter($"omonth" === target)
     val plan = pruned.queryExecution.executedPlan.toString
-    // the month predicate must become a PARTITION filter (directory-level
-    // skip), not a data filter evaluated per row
-    assert(plan.contains("PartitionFilters") && plan.contains(target), plan)
-    assert(!plan.contains(s"Filter (omonth"), s"month filter must not run per-row:\n$plan")
+    // the month predicate must appear INSIDE the scan's PartitionFilters
+    // bracket (directory-level skip) — `plan.contains("PartitionFilters")`
+    // alone is vacuous, the scan prints an empty entry even without pruning
+    val partFilter = ("""PartitionFilters: \[[^\]]*omonth[^\]]*""" +
+      java.util.regex.Pattern.quote(target)).r
+    assert(partFilter.findFirstIn(plan).isDefined, plan)
+    // and no per-row FilterExec may reference the partition column
+    // (attribute names print with exprIds, so match loosely)
+    assert("""\bFilter \([^\n]*omonth""".r.findFirstIn(plan).isEmpty,
+      s"month filter must not run per-row:\n$plan")
     assert(pruned.count() == orders.filter($"omonth" === target).count())
   }
 

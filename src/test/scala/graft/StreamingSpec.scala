@@ -164,14 +164,15 @@ class StreamingSpec extends SparkTestBase {
   test("stream-stream interval join: clicks attribute to in-window views only") {
     val vSrc = tmpDir("ssj_views")
     val cSrc = tmpDir("ssj_clicks")
-    def write(dir: String, name: String, rows: Seq[(Long, Long)], tsField: String): Unit =
+    def write(dir: String, name: String, rows: Seq[(Long, Long)]): Unit =
       java.nio.file.Files.write(java.nio.file.Paths.get(dir, name),
         rows.map { case (u, s) => s"""{"u":$u,"sec":$s}""" }.mkString("\n").getBytes)
-    // user 1: views at t=100, t=500; clicks at t=150 (joins view@100),
-    //         t=700 (outside 300s of both views -> dropped... 700-500=200 <= 300 so joins view@500)
+    // user 1: views at t=100, t=500; click@150 joins view@100 (gap 50),
+    //         click@700 joins ONLY view@500 (gap 200 <= 300; view@100 is
+    //         600s stale), so each click attributes exactly once
     // user 2: click with no view -> dropped (inner join)
-    write(vSrc, "v.json", Seq((1L, 100L), (1L, 500L)), "view_ts")
-    write(cSrc, "c.json", Seq((1L, 150L), (1L, 700L), (2L, 160L)), "click_ts")
+    write(vSrc, "v.json", Seq((1L, 100L), (1L, 500L)))
+    write(cSrc, "c.json", Seq((1L, 150L), (1L, 700L), (2L, 160L)))
     val vSchema = StructType(Seq(StructField("u", LongType), StructField("sec", LongType)))
     val views = spark.readStream.schema(vSchema).json(vSrc)
       .select(col("u").as("view_user"), timestamp_seconds(col("sec")).as("view_ts"))
