@@ -702,7 +702,16 @@ case class StopStrip(left: Expression, right: Expression)
   * through a non-deterministic projection, so wrapping the alias in
   * `fence` forces single evaluation; the value is bit-identical to the
   * child's, so oracle parity is untouched. Use ONLY in Project (analysis
-  * rejects non-deterministic expressions in most other operators). */
+  * rejects non-deterministic expressions in most other operators).
+  *
+  * CAVEAT — the non-determinism is a lie the optimizer believes globally:
+  * a fenced Project blocks pushdown of ALL predicates above it (not just
+  * the one on the fenced alias) and any other determinism-gated rule. So
+  * fence only the FINAL projection of a subtree, after every pushable
+  * predicate (source filters, partition pruning) already sits below it;
+  * never compose an unrelated pushable filter above a fenced Project or it
+  * silently loses pruning. Long-term alternative: a subexpression-
+  * elimination rewrite instead of the determinism flag. */
 case class OptimizerFence(child: Expression) extends UnaryExpression {
   override lazy val deterministic: Boolean = false
   override def foldable: Boolean = false

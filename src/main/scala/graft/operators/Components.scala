@@ -39,6 +39,11 @@ object Components {
     var labels = nodes.select(col(idCol), col(idCol).as("component")).localCheckpoint(true)
     var changed = 1L
     var iter = 0
+    // `changed` counts labels updated IN the iteration that just ran, so a
+    // graph whose fixpoint lands exactly on the last budgeted iteration ends
+    // the loop with changed > 0 despite correct labels. Budget exhaustion
+    // therefore triggers one extra VERIFICATION pass (would any label still
+    // change?) before declaring failure.
     while (changed > 0 && iter < maxIter) {
       // each node pulls the min label among its neighbors; the convergence
       // flag rides along in the same projection, so the count of changed
@@ -57,10 +62,19 @@ object Components {
       labels = updated.drop("__chg")
       iter += 1
     }
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter iterations " +
-          s"($changed labels still changing) — raise maxIter or promote to large-star/small-star")
+    if (changed > 0) {
+      val wouldChange = sym
+        .join(labels.withColumnRenamed(idCol, "dst"), Seq("dst"))
+        .groupBy(col("src").as(idCol))
+        .agg(min(col("component")).as("nmin"))
+        .join(labels, Seq(idCol))
+        .filter(col("nmin") < col("component"))
+        .count()
+      if (wouldChange > 0)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter iterations " +
+            s"($wouldChange labels still changing) — raise maxIter or promote to large-star/small-star")
+    }
     labels
   }
 }

@@ -37,16 +37,28 @@ object Similarity {
     concat((1 to bits).map(i =>
       when(element_at(v, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
 
+  /** Fixed-point scale for hash-stable centroid means: coordinates are
+    * floored to integer multiples of 1e-6 BEFORE summing, so the per-cluster
+    * sum is an exact BIGINT — identical under any accumulation order and in
+    * any engine. (A float/double mean would depend on partition sum order
+    * and could never hash-match a sequential oracle.) */
+  val CentroidFixedPoint = 1000000.0
+
   /** Lloyd refinement for the IVF coarse quantizer: assign every vector to
-    * its nearest centroid (cosine argmax, deterministic tiebreak on
-    * cent_id), replace each centroid with the mean of its assigned vectors,
-    * repeat. The explode → groupBy(cent, dim) → re-assemble shape keeps the
-    * whole iteration declarative: one broadcast join + two keyed shuffles
-    * per iteration, no driver-side vectors — at 100 TB the assignment scan
-    * dominates exactly as it should. Float means are NOT cross-engine
-    * hash-stable (sum order varies), so trained quantizers are spec-graded
-    * (recall vs brute force), while the oracle-paired x34 keeps the fixed
-    * quantizer.
+    * its nearest centroid (cosine argmax rounded to 6 for an engine-stable
+    * argmin, deterministic tiebreak on cent_id), replace each centroid with
+    * the mean of its assigned vectors, repeat. The explode → groupBy(cent,
+    * dim) → re-assemble shape keeps the whole iteration declarative: one
+    * broadcast join + two keyed shuffles per iteration, no driver-side
+    * vectors — at 100 TB the assignment scan dominates exactly as it should.
+    *
+    * HASH-STABLE BY CONSTRUCTION: each coordinate is quantized to fixed
+    * point (`floor(x * 1e6)` as BIGINT) before the sum, so the cluster mean
+    * is derived from an exact integer sum — independent of partition count
+    * and accumulation order — then divided and cast to float. A DuckDB
+    * oracle running the same integer arithmetic reproduces the trained
+    * centroids bit-for-bit, which is what lets x34 ship a TRAINED quantizer
+    * and still hash-match (float means were the round-3 blocker).
     *
     * @param emb (vec_id, embedding, nrm)
     * @param cents (cent_id, cv, cn)
@@ -60,15 +72,19 @@ object Similarity {
         .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id"))
       val assigned = emb.crossJoin(broadcast(cur))
         .select(col("vec_id"), col("embedding"), col("cent_id"),
-          (dot(col("embedding"), col("cv")) / (col("nrm") * col("cn"))).as("ccos"))
+          round(dot(col("embedding"), col("cv")) / (col("nrm") * col("cn")), 6).as("ccos"))
         .withColumn("arn", row_number().over(wAssign)).filter(col("arn") === 1)
       val means = assigned
         .select(col("cent_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy(col("cent_id"), col("dim"))
-        .agg(avg(col("x")).as("m"))
+        .agg(sum(floor(col("x").cast("double") * CentroidFixedPoint)).as("sx"),
+          count(lit(1)).as("nx"))
+        .select(col("cent_id"), col("dim"),
+          (col("sx").cast("double") / (col("nx").cast("double") * CentroidFixedPoint))
+            .cast("float").as("m"))
         .groupBy(col("cent_id"))
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-          e => e.getField("m").cast("float")).as("mv"))
+          e => e.getField("m")).as("mv"))
         .withColumn("mn", norm(col("mv")))
       // keep the previous centroid when its cluster went empty (it would
       // silently vanish from the groupBy) or degenerated to the zero vector

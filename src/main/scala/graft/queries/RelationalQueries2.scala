@@ -101,17 +101,42 @@ object RelationalQueries2 {
       |FROM sums
       |ORDER BY l_returnflag""".stripMargin
 
-  /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
-    * `quantile_cont`). */
+  /** Exact interpolated percentiles (≡ DuckDB `quantile_cont`), computed
+    * scale-safely: Spark's `percentile()` aggregate buffers EVERY value of a
+    * group in one in-memory aggregation buffer — a hot group at 100× scale
+    * is an executor OOM. Instead: rank within group (`row_number` after a
+    * shuffle-sort; WindowExec spills its per-group buffer to disk), join the
+    * tiny per-group counts (broadcast), and keep only the two interpolation
+    * neighbors per quantile. Same interpolation formula as Spark's
+    * `Percentile.getPercentile` (`lo*(hi-pos) + hi*(pos-lo)` at 0-based
+    * `pos = (n-1)*q`), so results are bit-compatible with the old plan. */
   def q25(spark: SparkSession, dir: String) = {
     import spark.implicits._
-    Tables.orders(spark, dir)
-      .groupBy($"o_orderpriority")
-      .agg(
-        round(expr("percentile(o_totalprice, 0.5)"), 2).as("median_price"),
-        round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
-        round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"),
-        count(lit(1)).as("n"))
+    val o = Tables.orders(spark, dir).select($"o_orderpriority", $"o_totalprice")
+    val counts = o.groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+    val ranked = o
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice")))
+      .join(broadcast(counts), "o_orderpriority")
+    val quantiles = Seq(0.5 -> "median_price", 0.25 -> "p25", 0.95 -> "p95")
+    val aggs = quantiles.flatMap { case (q, nm) =>
+      val pos = ($"n" - 1).cast("double") * q
+      Seq(
+        max(when($"rn" === floor(pos) + 1, $"o_totalprice")).as(s"__lo_$nm"),
+        max(when($"rn" === ceil(pos) + 1, $"o_totalprice")).as(s"__hi_$nm"),
+        max(pos).as(s"__pos_$nm"))
+    } :+ max($"n").as("n")
+    val outCols = quantiles.map { case (_, nm) =>
+      val pos = col(s"__pos_$nm")
+      val lo = floor(pos)
+      val hi = ceil(pos)
+      round(when(lo === hi, col(s"__lo_$nm"))
+        .otherwise(col(s"__lo_$nm") * (hi - pos) + col(s"__hi_$nm") * (pos - lo)), 2)
+        .as(nm)
+    }
+    ranked.groupBy($"o_orderpriority")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("o_orderpriority") +: outCols :+ col("n"): _*)
       .orderBy($"o_orderpriority")
   }
 

@@ -152,7 +152,12 @@ private[sources] class PagesReaderFactory(required: StructType)
         required.fieldNames.toSeq.map {
           // the fetch happens only if `value` survived column pruning
           case "page"  => page
-          case "value" => UTF8String.fromString(p.client.fetchPage(page))
+          case "value" =>
+            // the schema declares `value` non-nullable; a null fetch must be
+            // a loud failure here, not a corrupt row downstream
+            val body = p.client.fetchPage(page)
+            require(body != null, s"PageClient.fetchPage($page) returned null")
+            UTF8String.fromString(body)
         })
       override def close(): Unit = ()
     }

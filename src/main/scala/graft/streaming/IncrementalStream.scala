@@ -74,9 +74,20 @@ object IncrementalStream {
             val times = rows.map(_._2.getTime).toSeq
             val (n0, f0, l0) = state.getOption.getOrElse((0L, Long.MaxValue, Long.MinValue))
             val next = (n0 + times.size, math.min(f0, times.min), math.max(l0, times.max))
-            state.update(next)
-            state.setTimeoutTimestamp(next._3 + gapMs)
-            Iterator.empty
+            // flatMapGroupsWithState does NOT drop late rows itself: a
+            // straggler for a session whose `last + gap` is already behind
+            // the watermark would make setTimeoutTimestamp throw (timeouts
+            // must be in the watermark's future) and fail the whole stream.
+            // Such a session is by definition expired — close it now.
+            val target = next._3 + gapMs
+            if (target <= state.getCurrentWatermarkMs()) {
+              if (state.exists) state.remove()
+              Iterator(SessionSummary(uid, next._1, next._2, next._3))
+            } else {
+              state.update(next)
+              state.setTimeoutTimestamp(target)
+              Iterator.empty
+            }
           }
       }
   }
