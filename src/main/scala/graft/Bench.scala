@@ -44,9 +44,11 @@ object Bench {
         }
         i += 1
       }
-      // lower median (deterministic for even counts); 0.0 only on failure,
-      // which is always paired with an `errors` entry
-      name -> (if (times.isEmpty) 0.0 else times.sorted.apply((times.size - 1) / 2))
+      // lower median (deterministic for even counts). A FAILED query always
+      // reports 0.0 — even when earlier runs succeeded — so a nonzero timing
+      // is a reliable success signal; the failure record lives in `errors`.
+      name -> (if (failed || times.isEmpty) 0.0
+               else times.sorted.apply((times.size - 1) / 2))
     }
     // escape quote/backslash and ALL control chars — a stray control byte
     // in an exception message must not break the one JSON line this prints
@@ -61,7 +63,10 @@ object Bench {
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // "total_s" is deliberately the LAST key: the driver stores only the log
+    // TAIL, so early keys (including per-query timings) can truncate away —
+    // the headline number must survive at the end of the line.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","total_s":$total}""")
     spark.stop()
   }
 }

@@ -50,5 +50,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fns.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }
+    // selective predicate pushdown through fenced projections — injected
+    // into the operator-optimization batch, where the stock rules cascade
+    // anything it frees down to the scan (see FencePushdown).
+    ext.injectOptimizerRule(_ => FencePushdown)
   }
 }

@@ -705,13 +705,14 @@ case class StopStrip(left: Expression, right: Expression)
   * rejects non-deterministic expressions in most other operators).
   *
   * CAVEAT — the non-determinism is a lie the optimizer believes globally:
-  * a fenced Project blocks pushdown of ALL predicates above it (not just
-  * the one on the fenced alias) and any other determinism-gated rule. So
-  * fence only the FINAL projection of a subtree, after every pushable
-  * predicate (source filters, partition pruning) already sits below it;
-  * never compose an unrelated pushable filter above a fenced Project or it
-  * silently loses pruning. Long-term alternative: a subexpression-
-  * elimination rewrite instead of the determinism flag. */
+  * Catalyst's own rules will not push ANY predicate through a fenced
+  * Project, and other determinism-gated rules stay conservative too. The
+  * [[FencePushdown]] rule repairs the worst of it: conjuncts that do NOT
+  * consume a fenced alias are re-pushed below the Project (and cascade to
+  * the scan), so an unrelated filter above a fenced projection no longer
+  * loses pruning — spec-proven in OperatorsSpec. Still prefer fencing only
+  * the FINAL projection of a subtree: rules other than predicate pushdown
+  * (e.g. CollapseProject cost checks) remain fence-conservative. */
 case class OptimizerFence(child: Expression) extends UnaryExpression {
   override lazy val deterministic: Boolean = false
   override def foldable: Boolean = false
@@ -746,5 +747,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("fence", es => OptimizerFence(es.head), "built-in")
     reg.createOrReplaceTempFunction("stop_strip", es => StopStrip(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("winnow_fps", es => WinnowFps(es(0), es(1), es(2)), "built-in")
+    // selective pushdown through fenced projections (see FencePushdown);
+    // extraOptimizations is the runtime analogue of injectOptimizerRule
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(FencePushdown))
+      spark.experimental.extraOptimizations = cur ++ FencePushdown.batch
   }
 }

@@ -3,21 +3,31 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Connected components by iterative min-label propagation — the step that
-  * turns near-dup PAIRS into dedup GROUPS (keep one canonical doc per
-  * component).
+/** Connected components by min-label propagation PLUS pointer jumping — the
+  * step that turns near-dup PAIRS into dedup GROUPS (keep one canonical doc
+  * per component).
   *
   * Each node starts labeled with its own id; every iteration each node
-  * takes the min of its label and its neighbors' labels; at fixpoint every
-  * node carries the min id of its component (deterministic canonical
+  * first takes the min of its label and its neighbors' labels (propagation,
+  * +1 hop of reach), then jumps through the label map once more
+  * (`L(u) := min(L(u), L_prev(L(u)))` — Shiloach–Vishkin-style shortcut,
+  * which roughly DOUBLES the reach per round). At fixpoint every node
+  * carries the min id of its component (deterministic canonical
   * representative).
   *
-  * Scale: one join + aggregate per iteration, all keyed shuffles;
-  * iterations needed = graph diameter (near-dup clusters are shallow — a
-  * handful). `localCheckpoint` per iteration truncates lineage, the same
-  * hazard mergeIncremental documents. This is the standard "large-star /
-  * small-star"-lite; for billion-edge graphs promote to the full
-  * alternating algorithm, same plan primitives.
+  * Why the jump preserves correctness: the invariant is that `L(u)` is
+  * always the id of a node in u's component with `L(u) <= u` — true at
+  * init, preserved by neighbor mins (neighbors share the component) and by
+  * jumps (`L_prev(L(u))` is in `L(u)`'s = u's component). A state that is
+  * a fixpoint of the NEIGHBOR step alone is already fully labeled: if some
+  * edge (u,w) had `L(u) = m < L(w)`, w would still change — so the
+  * exhaustion check below needs only the propagation condition.
+  *
+  * Scale: two keyed equi-joins + one aggregate per iteration, all keyed
+  * shuffles; iterations needed = O(log diameter) — a 400-hop chain labels
+  * in ~10 rounds where pure propagation needs 400 (ScaleSpec-proven).
+  * `localCheckpoint` per iteration truncates the self-referential lineage,
+  * the same hazard mergeIncremental documents.
   */
 object Components {
 
@@ -45,7 +55,8 @@ object Components {
     // therefore triggers one extra VERIFICATION pass (would any label still
     // change?) before declaring failure.
     while (changed > 0 && iter < maxIter) {
-      // each node pulls the min label among its neighbors; the convergence
+      // each node pulls the min label among its neighbors, then shortcuts
+      // once through the previous label map (pointer jump); the convergence
       // flag rides along in the same projection, so the count of changed
       // rows is a cheap scan of the checkpointed result — one materializing
       // job per iteration instead of a second label-vs-label join.
@@ -53,10 +64,20 @@ object Components {
         .join(labels.withColumnRenamed(idCol, "dst"), Seq("dst"))
         .groupBy(col("src").as(idCol))
         .agg(min(col("component")).as("nmin"))
+      // jump map = the ALREADY-CHECKPOINTED previous labels (not this
+      // round's l1, which would need its own materialization to be safe to
+      // reference twice); jumping through the stale map still doubles reach.
+      val jumpMap = labels
+        .select(col(idCol).as("__jid"), col("component").as("__jcomp"))
       val updated = labels.join(neighborMin, Seq(idCol), "left")
+        .select(col(idCol), col("component").as("__prev"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("l1"))
+        .join(jumpMap, col("l1") === col("__jid"), "left")
         .select(col(idCol),
-          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"),
-          (coalesce(col("nmin"), col("component")) < col("component")).cast("long").as("__chg"))
+          least(col("l1"), coalesce(col("__jcomp"), col("l1"))).as("component"),
+          col("__prev"))
+        .select(col(idCol), col("component"),
+          (col("component") < col("__prev")).cast("long").as("__chg"))
         .localCheckpoint(true)
       changed = updated.agg(coalesce(sum(col("__chg")), lit(0L))).first().getLong(0)
       labels = updated.drop("__chg")
@@ -73,7 +94,8 @@ object Components {
       if (wouldChange > 0)
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxIter iterations " +
-            s"($wouldChange labels still changing) — raise maxIter or promote to large-star/small-star")
+            s"($wouldChange labels still changing) — raise maxIter " +
+            s"(pointer jumping needs ~log2(diameter) iterations)")
     }
     labels
   }

@@ -38,10 +38,13 @@ object Similarity {
       when(element_at(v, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
 
   /** Fixed-point scale for hash-stable centroid means: coordinates are
-    * floored to integer multiples of 1e-6 BEFORE summing, so the per-cluster
-    * sum is an exact BIGINT — identical under any accumulation order and in
-    * any engine. (A float/double mean would depend on partition sum order
-    * and could never hash-match a sequential oracle.) */
+    * quantized HALF-UP (`floor(x * 1e6 + 0.5)`) to integer multiples of 1e-6
+    * BEFORE summing, so the per-cluster sum is an exact BIGINT — identical
+    * under any accumulation order and in any engine. Half-up (not plain
+    * floor) so the quantization is unbiased: truncation toward -inf would
+    * bias every mean coordinate downward by up to 1e-6. (A float/double mean
+    * would depend on partition sum order and could never hash-match a
+    * sequential oracle.) */
   val CentroidFixedPoint = 1000000.0
 
   /** Lloyd refinement for the IVF coarse quantizer: assign every vector to
@@ -53,12 +56,13 @@ object Similarity {
     * vectors — at 100 TB the assignment scan dominates exactly as it should.
     *
     * HASH-STABLE BY CONSTRUCTION: each coordinate is quantized to fixed
-    * point (`floor(x * 1e6)` as BIGINT) before the sum, so the cluster mean
-    * is derived from an exact integer sum — independent of partition count
-    * and accumulation order — then divided and cast to float. A DuckDB
-    * oracle running the same integer arithmetic reproduces the trained
-    * centroids bit-for-bit, which is what lets x34 ship a TRAINED quantizer
-    * and still hash-match (float means were the round-3 blocker).
+    * point (`floor(x * 1e6 + 0.5)` as BIGINT, half-up) before the sum, so
+    * the cluster mean is derived from an exact integer sum — independent of
+    * partition count and accumulation order — then divided and cast to
+    * float. A DuckDB oracle running the same integer arithmetic reproduces
+    * the trained centroids bit-for-bit: x35_ivf_trained_topk runs this
+    * training and hash-matches its oracle (float means were the round-3
+    * blocker).
     *
     * @param emb (vec_id, embedding, nrm)
     * @param cents (cent_id, cv, cn)
@@ -77,7 +81,7 @@ object Similarity {
       val means = assigned
         .select(col("cent_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy(col("cent_id"), col("dim"))
-        .agg(sum(floor(col("x").cast("double") * CentroidFixedPoint)).as("sx"),
+        .agg(sum(floor(col("x").cast("double") * CentroidFixedPoint + lit(0.5))).as("sx"),
           count(lit(1)).as("nx"))
         .select(col("cent_id"), col("dim"),
           (col("sx").cast("double") / (col("nx").cast("double") * CentroidFixedPoint))

@@ -77,6 +77,64 @@ object SimilarityQueries {
   private def bucketSql(v: String, bits: Int = 8): String =
     (1 to bits).map(i => s"CASE WHEN $v[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
 
+  private val ProbeBits = 8
+
+  /** X3: MULTI-PROBE sign-LSH — each query searches its own hyperoctant
+    * PLUS the 8 Hamming-distance-1 buckets (one sign bit flipped). A true
+    * neighbor that disagrees with the query on exactly one of the 8
+    * projected signs — the dominant miss mode of single-bucket LSH — is
+    * recovered, at ~9/256 of the corpus per query instead of 1/256 (probe
+    * buckets are distinct, so no candidate dedup is needed). Same join
+    * shape as x31: probes broadcast, banded equi-join, per-query top-k.
+    * Measured recall vs x30 exact is in PLANS.md. */
+  def multiProbeLshTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding",
+        Similarity.signBucket($"embedding", ProbeBits).as("bkt"),
+        Similarity.norm($"embedding").as("nrm"))
+    val q = emb.filter($"vec_id" % 25 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"bkt", $"nrm".as("qn"))
+    val flips = (1 to ProbeBits).map { i =>
+      concat(
+        substring($"bkt", 1, i - 1),
+        when(substring($"bkt", i, 1) === "1", lit("0")).otherwise(lit("1")),
+        substring($"bkt", i + 1, ProbeBits - i))
+    }
+    val probes = q.select($"q_id", $"qv", $"qn",
+      explode(array(($"bkt" +: flips): _*)).as("pbkt"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+    emb.join(broadcast(probes), $"bkt" === $"pbkt").filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        round(Similarity.dot($"qv", $"embedding") / ($"qn" * $"nrm"), 4).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"q_id", $"rk", $"vec_id", $"cosine")
+      .orderBy("q_id", "rk")
+  }
+
+  private val multiProbeOracle = {
+    val flipSelects = (1 to ProbeBits).map(i =>
+      s"""SELECT q_id, qv, qn, substr(bkt, 1, ${i - 1}) || (CASE WHEN substr(bkt, $i, 1) = '1' THEN '0' ELSE '1' END) || substr(bkt, ${i + 1}, ${ProbeBits - i}) AS pbkt FROM q""")
+      .mkString("\n       UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding, ${bucketSql("embedding", ProbeBits)} AS bkt,
+       |             sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |           FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qn, bkt FROM e WHERE vec_id % 25 = 0),
+       |probes AS (
+       |       SELECT q_id, qv, qn, bkt AS pbkt FROM q
+       |       UNION ALL $flipSelects),
+       |p AS (SELECT probes.q_id, e.vec_id,
+       |        round(${dotSql("probes.qv", "e.embedding")} / (probes.qn * e.nrm), 4) AS cosine
+       |      FROM e JOIN probes ON e.bkt = probes.pbkt AND e.vec_id <> probes.q_id),
+       |r AS (SELECT q_id, vec_id, cosine,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+       |      FROM p)
+       |SELECT q_id, rk, vec_id, cosine FROM r
+       |WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   private val signLshOracle =
     s"""WITH e AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bkt FROM embeddings),
        |q AS (SELECT vec_id AS q_id, embedding AS qv, bkt FROM e WHERE vec_id % 25 = 0),
@@ -163,6 +221,15 @@ object SimilarityQueries {
       .select($"vec_id", $"embedding", Similarity.norm($"embedding").as("nrm"))
     val cents = emb.filter($"vec_id" % 97 === 0)
       .select($"vec_id".as("cent_id"), $"embedding".as("cv"), $"nrm".as("cn"))
+    ivfSearch(spark, emb, cents)
+  }
+
+  /** nprobe=2 IVF search against an arbitrary (cent_id, cv, cn) quantizer —
+    * shared by x34 (fixed seed centroids) and x35 (Lloyd-trained centroids).
+    * Centroids are broadcast twice (corpus assignment + query probing);
+    * the search join meets only vectors in a query's 2 probed clusters. */
+  private def ivfSearch(spark: SparkSession, emb: DataFrame, cents: DataFrame): DataFrame = {
+    import spark.implicits._
     val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
     val assigned = emb.crossJoin(broadcast(cents))
       .select($"vec_id", $"embedding", $"nrm", $"cent_id",
@@ -189,20 +256,24 @@ object SimilarityQueries {
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
-  private val ivfOracle =
-    s"""WITH e AS (SELECT vec_id, embedding,
+  /** Shared CTE prefix: corpus with norms + the fixed seed quantizer. */
+  private val ivfSeedSql =
+    s"""e AS (SELECT vec_id, embedding,
        |             sqrt(${dotSql("embedding", "embedding")}) AS nrm
        |           FROM embeddings),
-       |c AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn FROM e WHERE vec_id % 97 = 0),
-       |ac AS (SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
+       |c AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn FROM e WHERE vec_id % 97 = 0)""".stripMargin
+
+  /** DuckDB rendering of `ivfSearch` against centroid CTE `$c`. */
+  private def ivfSearchSql(c: String): String =
+    s"""ac AS (SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
        |         round(${dotSql("e.embedding", "c.cv")} / (e.nrm * c.cn), 6) AS ccos
-       |       FROM e CROSS JOIN c),
+       |       FROM e CROSS JOIN $c c),
        |assigned AS (SELECT vec_id, embedding, nrm, cent_id
        |             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM ac)
        |             WHERE rn = 1),
        |qc AS (SELECT e.vec_id AS q_id, e.embedding AS qv, e.nrm AS qn, c.cent_id,
        |         round(${dotSql("e.embedding", "c.cv")} / (e.nrm * c.cn), 6) AS ccos
-       |       FROM e CROSS JOIN c WHERE e.vec_id % 100 = 0),
+       |       FROM e CROSS JOIN $c c WHERE e.vec_id % 100 = 0),
        |probes AS (SELECT q_id, qv, qn, cent_id
        |           FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ccos DESC, cent_id) AS rn FROM qc)
        |           WHERE rn <= 2),
@@ -216,6 +287,66 @@ object SimilarityQueries {
        |SELECT q_id, rk, vec_id, cosine FROM r
        |WHERE rk <= 3
        |ORDER BY q_id, rk""".stripMargin
+
+  private val ivfOracle =
+    s"""WITH $ivfSeedSql,
+       |${ivfSearchSql("c")}""".stripMargin
+
+  /** x35 trains for this many Lloyd iterations from the x34 seed. */
+  private val TrainIters = 2
+
+  /** One Lloyd iteration in SQL — the exact fixed-point arithmetic of
+    * [[Similarity.refineCentroids]]: assign each vector to its nearest
+    * centroid (cosine rounded to 6, tiebreak cent_id), mean each cluster via
+    * half-up 1e-6 fixed-point BIGINT sums (order-independent, so Spark's
+    * partitioned sum == DuckDB's sequential sum exactly), keep the previous
+    * centroid for empty/zero-norm clusters. `prev` → centroid CTE `$next`. */
+  private def trainIterSql(prev: String, next: String): String = {
+    val fp = Similarity.CentroidFixedPoint // 1e6, shared constant — no drift
+    s"""a_$next AS (SELECT e.vec_id, e.embedding, c.cent_id,
+       |         round(${dotSql("e.embedding", "c.cv")} / (e.nrm * c.cn), 6) AS ccos
+       |       FROM e CROSS JOIN $prev c),
+       |asg_$next AS (SELECT vec_id, embedding, cent_id
+       |       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM a_$next)
+       |       WHERE rn = 1),
+       |d_$next AS (SELECT cent_id, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM asg_$next),
+       |m_$next AS (SELECT cent_id, i AS dim,
+       |         CAST(CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * $fp + 0.5) AS BIGINT)) AS DOUBLE)
+       |              / (CAST(count(*) AS DOUBLE) * $fp) AS FLOAT) AS m
+       |       FROM d_$next GROUP BY cent_id, i),
+       |mv_$next AS (SELECT cent_id, list(m ORDER BY dim) AS mv FROM m_$next GROUP BY cent_id),
+       |mn_$next AS (SELECT cent_id, mv, sqrt(${dotSql("mv", "mv")}) AS mn FROM mv_$next),
+       |$next AS (SELECT p.cent_id,
+       |         CASE WHEN q.mn > 0 THEN q.mv ELSE p.cv END AS cv,
+       |         CASE WHEN q.mn > 0 THEN q.mn ELSE p.cn END AS cn
+       |       FROM $prev p LEFT JOIN mn_$next q USING (cent_id))""".stripMargin
+  }
+
+  private val ivfTrainedOracle = {
+    val iters = (0 until TrainIters)
+      .map(k => trainIterSql(s"c$k", s"c${k + 1}")).mkString(",\n")
+    s"""WITH $ivfSeedSql,
+       |c0 AS (SELECT * FROM c),
+       |$iters,
+       |${ivfSearchSql(s"c$TrainIters")}""".stripMargin
+  }
+
+  /** X3: IVF with a TRAINED coarse quantizer — [[Similarity.refineCentroids]]
+    * (2 Lloyd iterations from the x34 seed, hash-stable fixed-point means)
+    * feeding the same nprobe=2 search. The oracle re-derives the trained
+    * centroids in SQL from the shared constants, so the training itself is
+    * correctness-gated, not just the search. 100 TB: training is
+    * iters × (one broadcast-join scan + two keyed shuffles); centroids stay
+    * driver-free and broadcast-sized throughout. */
+  def ivfTrainedTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", Similarity.norm($"embedding").as("nrm"))
+    val seed = emb.filter($"vec_id" % 97 === 0)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cv"), $"nrm".as("cn"))
+    val trained = Similarity.refineCentroids(emb, seed, iters = TrainIters)
+    ivfSearch(spark, emb, trained)
+  }
 
   /** Array scalar ops on the embedding column (dim, element access, L2 norm). */
   def arrayOps(spark: SparkSession, dir: String): DataFrame = {
@@ -246,5 +377,7 @@ object SimilarityQueries {
     QueryDef("x31_sign_lsh_topk", "sign-LSH bucketed approximate top-3 (X3)", signLshTopK, Some(signLshOracle)),
     QueryDef("x32_embedding_neardup", "embedding cosine near-dup pairs (X2)", embeddingNearDup, Some(nearDupOracle)),
     QueryDef("x33_array_ops", "array scalar ops over embedding column", arrayOps, Some(arrayOpsOracle)),
-    QueryDef("x34_ivf_topk", "IVF coarse-quantized ANN, nprobe=2 (X3 scale path)", ivfTopK, Some(ivfOracle)))
+    QueryDef("x34_ivf_topk", "IVF coarse-quantized ANN, nprobe=2 (X3 scale path)", ivfTopK, Some(ivfOracle)),
+    QueryDef("x35_ivf_trained_topk", "IVF ANN with Lloyd-trained quantizer, fixed-point hash-stable training (X3)", ivfTrainedTopK, Some(ivfTrainedOracle)),
+    QueryDef("x36_multiprobe_lsh", "multi-probe sign-LSH top-3: base + 8 Hamming-1 buckets (X3)", multiProbeLshTopK, Some(multiProbeOracle)))
 }

@@ -56,7 +56,17 @@ object IncrementalStream {
     * the state-machine shape `mapGroupsWithState` can't express (a timeout
     * firing emits 0/1 rows, not exactly one). Input must carry a watermark
     * on `ts`. Bounded state: one (3×Long) entry per OPEN session, removed
-    * at close — survives any scale the keyed state store survives. */
+    * at close — survives any scale the keyed state store survives.
+    *
+    * At-least-one-summary-per-session, NOT exactly-one: the close-now path
+    * below (sub-watermark straggler for an already-expired session) emits a
+    * summary built from the straggler rows alone, so a session whose
+    * regular timeout already fired can produce a SECOND summary with an
+    * overlapping time range for the same user. Downstream consumers of the
+    * append stream must either tolerate duplicate/overlapping sessions or
+    * re-aggregate by (user, overlapping-range); suppressing the straggler
+    * summary instead would silently DROP late rows, which is the worse
+    * default for an ETL whose sink dedups on content hash anyway. */
   def expiringSessions(events: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp)],
                        gapMs: Long): org.apache.spark.sql.Dataset[SessionSummary] = {
     val spark = events.sparkSession

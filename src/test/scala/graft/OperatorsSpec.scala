@@ -131,6 +131,36 @@ class OperatorsSpec extends SparkTestBase {
     assert(df.as[Double].collect().toSeq == Seq(0.5))
   }
 
+  test("fence + FencePushdown: single eval AND an unrelated predicate reaches the scan") {
+    // the round-4 caveat: one fenced alias froze EVERY predicate above the
+    // Project. FencePushdown restores per-conjunct pushdown — the doc_id
+    // conjunct must land in the parquet scan's PushedFilters while the
+    // fenced jaccard stays single-evaluation.
+    val df = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id",
+        graft.queries.QueryUtil.fence(
+          Dedup.jaccardSorted(
+            TextAnalysis.tokenSet($"text"),
+            TextAnalysis.tokenSet(concat($"text", lit(" qq zz"))))).as("j"))
+      .filter($"j" >= 0.1 && $"doc_id" < 30)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LessThan(doc_id,30)"),
+      s"unrelated conjunct must be pushed into the scan:\n$plan")
+    // exactly one evaluation site for the fenced metric (2 textual
+    // occurrences = numerator+denominator of ONE jaccard; re-inlining
+    // into the filter would show 4)
+    assert(plan.split("sorted_intersect_count").length - 1 == 2, plan)
+    // and the split must not change results
+    val expected = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter($"doc_id" < 30)
+      .select($"doc_id",
+        Dedup.jaccardSorted(
+          TextAnalysis.tokenSet($"text"),
+          TextAnalysis.tokenSet(concat($"text", lit(" qq zz")))).as("j"))
+      .filter($"j" >= 0.1)
+    assert(df.count() == expected.count() && df.count() > 0)
+  }
+
   test("connectedComponents: fixpoint labels; budget exhaustion throws") {
     val nodes = spark.range(0, 6).toDF("id")
     val edges = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("a", "b")

@@ -113,6 +113,64 @@ class ScaleSpec extends SparkTestBase {
     assert(q1 >= q0, s"Lloyd refinement must not worsen the assignment objective ($q1 < $q0)")
   }
 
+  test("shared candidate-pair persistence: one LSH computation serves two consumers") {
+    // the 100 TB deployment shape (PLANS.md): the verified near-dup pair
+    // set is computed ONCE per corpus snapshot and persisted; clustering
+    // (x14 shape) and pair verification (x48 shape) both consume it instead
+    // of re-running the shingle→minhash→band→join pipeline per query.
+    import graft.queries.DedupQueries
+    val pairs = DedupQueries.minhashLsh(spark, sfDir).select($"a", $"b").persist()
+    try {
+      pairs.count() // materialize the cache once
+      // consumer 1: dedup clustering over the shared pairs == standalone x14
+      val nodes = Tables.documents(spark, sfDir).select($"doc_id")
+      val viaShared = graft.operators.Components
+        .connectedComponents(spark, nodes, pairs, "doc_id")
+        .select($"doc_id", $"component".as("cluster_id"))
+      val standalone1 = DedupQueries.dedupClusters(spark, sfDir)
+        .select($"doc_id", $"cluster_id")
+      assert(viaShared.except(standalone1).count() == 0 &&
+        standalone1.except(viaShared).count() == 0)
+      // consumer 2: Levenshtein verification over the shared pairs == x48
+      val docs = Tables.documents(spark, sfDir)
+        .select($"doc_id", substring($"text", 1, 60).as("pre"))
+      val lev = pairs
+        .join(docs.select($"doc_id".as("a"), $"pre".as("pa")), "a")
+        .join(docs.select($"doc_id".as("b"), $"pre".as("pb")), "b")
+        .select($"a", $"b", levenshtein($"pa", $"pb").as("edit_dist"))
+      // both consumers must read the persisted candidate set, not re-run LSH
+      val levPlan = lev.queryExecution.executedPlan.toString
+      val cacheAt = levPlan.indexOf("InMemoryRelation")
+      assert(cacheAt >= 0, s"consumer must scan the cache:\n$levPlan")
+      // the LSH pipeline (minhash bands) may appear only INSIDE the cached
+      // relation's stored lineage, never as a live operator above it
+      val liveOps = levPlan.substring(0, cacheAt)
+      assert(!liveOps.contains("minhash"),
+        s"consumer must not recompute the LSH pipeline:\n$levPlan")
+      val standalone2 = graft.queries.RelationalQueries4.x48(spark, sfDir)
+        .select($"a", $"b", $"edit_dist")
+      assert(lev.except(standalone2).count() == 0 &&
+        standalone2.except(lev).count() == 0)
+    } finally pairs.unpersist()
+  }
+
+  test("connected components: pointer jumping labels 200-hop chains in O(log d) iterations") {
+    import graft.operators.Components
+    // two disjoint 200-node chains: diameter 199 ≫ the 12-iteration budget,
+    // so pure min-label propagation (reach +1 per round) would exhaust the
+    // budget and throw; pointer jumping (reach ~doubles per round) must
+    // reach the fixpoint comfortably within it.
+    val n = 400L
+    val nodes = spark.range(0, n).select($"id".as("doc_id"))
+    val edges = spark.range(0, n - 1).filter($"id" =!= (n / 2 - 1))
+      .select($"id".as("a"), ($"id" + 1).as("b"))
+    val labels = Components.connectedComponents(spark, nodes, edges, "doc_id", maxIter = 12)
+    val comps = labels.groupBy($"component").count()
+      .orderBy($"component").as[(Long, Long)].collect().toSeq
+    assert(comps == Seq((0L, n / 2), (n / 2, n / 2)),
+      s"each chain must collapse to its min id: $comps")
+  }
+
   test("SNK3 partitioned refresh: dynamic overwrite replaces only incoming partitions") {
     val path = tmpDir("dynpart") + "/t"
     graft.sinks.Sinks.bulkReplacePartitions(
