@@ -63,8 +63,115 @@ object PipelineQueries {
          |WHERE quality >= 0.5
          |ORDER BY q.doc_id""".stripMargin
 
+  /** Token budget per packed training sequence (x50). */
+  private val PackBudget = 512L
+  /** Shard count for x50 — the unit of packing parallelism. */
+  private val PackShards = 8L
+
+  /** Sequence packing — the concat-then-chunk layout every pretraining run
+    * does: documents are concatenated in a deterministic order and cut into
+    * fixed token-budget sequences. Each doc gets the training sequence its
+    * tokens start in (`seq_id`) and the offset inside it (`seq_off`).
+    * Packing is per SHARD (`doc_id % 8` here; a real pipeline shards by
+    * output file/worker), so the only wide op is one window per shard —
+    * shards pack independently and in parallel, which is what makes the
+    * layout computable at 100 TB: no global sequential fill, one shuffle
+    * keyed on shard, prefix sums inside each partition. */
+  def packSequences(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select($"doc_id", ($"doc_id" % PackShards).as("shard"),
+        size(TextAnalysis.tokens($"text")).as("n_tok"))
+      .withColumn("cum_before", coalesce(sum($"n_tok").over(w), lit(0L)))
+      .select($"doc_id", $"shard", $"n_tok", $"cum_before",
+        expr(s"cum_before div $PackBudget").as("seq_id"),
+        ($"cum_before" % PackBudget).as("seq_off"))
+      .orderBy("doc_id")
+  }
+
+  private val packOracle =
+    s"""WITH d AS (SELECT doc_id, doc_id % $PackShards AS shard,
+       |             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok
+       |           FROM documents),
+       |c AS (SELECT doc_id, shard, n_tok,
+       |        CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+       |                                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |      FROM d)
+       |SELECT doc_id, shard, n_tok, cum_before,
+       |       cum_before // $PackBudget AS seq_id,
+       |       cum_before % $PackBudget AS seq_off
+       |FROM c
+       |ORDER BY doc_id""".stripMargin
+
+  /** x51 gram/window/threshold, calibrated on the fixtures: 8-char grams
+    * (≈ one word) are hopeless for contamination — templated docs share
+    * thousands of single-word fingerprints (255k flagged pairs at sf0.1).
+    * 32-char grams (≈ 5 words) make overlap bimodal: genuine near-dup
+    * contamination shares many fingerprints, everything else shares none —
+    * the flagged set is IDENTICAL for any threshold in [2,8] at all three
+    * SFs, so the result is calibration-robust. */
+  private val ContamGram = 32
+  private val ContamWindow = 4
+  private val ContamMinShared = 2
+
+  /** Decontamination — flag training documents that overlap an evaluation
+    * set, the check every serious pretraining corpus runs before shipping.
+    * Both sides get winnowing fingerprint sets (x49's substring-robust
+    * signature, here over 32-char ≈ 5-word grams so a shared fingerprint
+    * means a shared PHRASE, not a shared word), the eval set is tiny by
+    * nature (benchmarks), so the plan is: explode fingerprints, BROADCAST
+    * the eval side, one equi-join on the fingerprint — the train corpus is
+    * scanned once and never shuffled. Winnowing (vs raw n-grams) keeps the
+    * per-doc signature ~4× smaller with guaranteed detection of any shared
+    * run ≥ window+gram-1 chars. */
+  def decontaminate(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val fp = Tables.documents(spark, dir)
+      .select($"doc_id",
+        explode(call_function("winnow_fps", $"text",
+          lit(ContamGram), lit(ContamWindow))).as("fp"))
+    val ev = fp.filter($"doc_id" % 40 === 0)
+      .select($"doc_id".as("eval_id"), $"fp")
+    val tr = fp.filter($"doc_id" % 40 =!= 0)
+      .select($"doc_id".as("train_id"), $"fp")
+    // winnow_fps emits a distinct set per doc, so count(*) == distinct count
+    tr.join(broadcast(ev), "fp")
+      .groupBy($"train_id", $"eval_id")
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter($"shared_fp" >= ContamMinShared)
+      .orderBy("train_id", "eval_id")
+  }
+
+  private val decontaminateOracle =
+    s"""WITH h AS (SELECT doc_id,
+       |             list_transform(range(1, greatest(length(text) - ${ContamGram - 1}, 1) + 1),
+       |                            i -> md5(substr(text, CAST(i AS INTEGER), $ContamGram))) AS hs
+       |           FROM documents),
+       |w AS (SELECT doc_id, hs, len(hs) AS m FROM h),
+       |f AS (SELECT doc_id,
+       |        list_sort(list_distinct(list_transform(range(1, greatest(m - $ContamWindow + 1, 1) + 1),
+       |          j -> list_aggregate(hs[CAST(j AS INTEGER):CAST(least(j + ${ContamWindow - 1}, m) AS INTEGER)], 'min')))) AS fps
+       |      FROM w),
+       |e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+       |ev AS (SELECT doc_id AS eval_id, fp FROM e WHERE doc_id % 40 = 0),
+       |tr AS (SELECT doc_id AS train_id, fp FROM e WHERE doc_id % 40 <> 0)
+       |SELECT train_id, eval_id, count(*) AS shared_fp
+       |FROM tr JOIN ev USING (fp)
+       |GROUP BY train_id, eval_id
+       |HAVING count(*) >= $ContamMinShared
+       |ORDER BY train_id, eval_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x90_prep_pipeline",
       "composite corpus-prep pipeline: quality gate + exact dedup + near-dup canonical (X1+X2+X4)",
-      prepPipeline, Some(prepOracle)))
+      prepPipeline, Some(prepOracle)),
+    QueryDef("x50_pack_sequences",
+      "concat-then-chunk sequence packing: per-shard token prefix sums -> (seq_id, seq_off)",
+      packSequences, Some(packOracle)),
+    QueryDef("x51_decontaminate",
+      "train/eval contamination flags via winnowing-fingerprint overlap (broadcast eval side)",
+      decontaminate, Some(decontaminateOracle)))
 }
