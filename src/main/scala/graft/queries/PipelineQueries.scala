@@ -164,6 +164,89 @@ object PipelineQueries {
        |HAVING count(*) >= $ContamMinShared
        |ORDER BY train_id, eval_id""".stripMargin
 
+  /** Epoch seed for x52 — changing it yields a different but equally
+    * deterministic permutation, exactly how a data loader reshuffles
+    * between epochs. */
+  private val ShuffleEpoch = "epoch1"
+
+  /** Epoch shuffle — the reproducible pseudo-random visit order a training
+    * data loader needs: each shard (= loader worker) reads its documents in
+    * md5(epoch, doc_id) order, giving a new deterministic permutation per
+    * epoch seed with zero coordination between shards. Plan: one window per
+    * shard key — no global sort, no single-partition rank; 100 TB shuffles
+    * as wide as the shard count. */
+  def epochShuffle(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"skey", $"doc_id")
+    Tables.documents(spark, dir)
+      .select($"doc_id", ($"doc_id" % PackShards).as("shard"),
+        md5(concat_ws("|", lit(ShuffleEpoch), $"doc_id")).as("skey"))
+      .withColumn("pos", row_number().over(w))
+      .select($"doc_id", $"shard", $"pos", $"skey")
+      .orderBy("doc_id")
+  }
+
+  private val epochShuffleOracle =
+    s"""WITH d AS (SELECT doc_id, doc_id % $PackShards AS shard,
+       |             md5('$ShuffleEpoch' || '|' || CAST(doc_id AS VARCHAR)) AS skey
+       |           FROM documents)
+       |SELECT doc_id, shard,
+       |       CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS INTEGER) AS pos,
+       |       skey
+       |FROM d
+       |ORDER BY doc_id""".stripMargin
+
+  /** x53 mixture rates by source group (source index mod 4) — 16-bit
+    * integer thresholds on the doc hash, so selection is pure integer
+    * comparison in both engines (no float rate arithmetic to diverge). */
+  private val MixtureThresholds = Seq(65536L, 32768L, 16384L, 8192L) // 1, 1/2, 1/4, 1/8
+
+  /** Mixture sampling — reweight a corpus of sources into a training mix:
+    * every source group gets a keep-rate (here 1, 1/2, 1/4, 1/8 by source
+    * index mod 4), and each doc keeps/drops DETERMINISTICALLY by comparing
+    * 16 bits of md5(doc_id) against the group threshold — reproducible
+    * across runs, partitionings, and engines, unlike rand()-based
+    * sampleBy. Output is the per-source audit (docs in, docs kept): narrow
+    * per-row work + one small aggregate; the sampled corpus itself is the
+    * same filter without the groupBy. */
+  def mixtureSample(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val grp = (substring($"source", 4, 10).cast("int") % 4).as("src_grp")
+    val hv = conv(substring(md5(concat_ws("|", lit("mix"), $"doc_id")), 1, 4), 16, 10)
+      .cast("long")
+    val thr = MixtureThresholds.zipWithIndex.foldLeft(lit(0L)) { case (acc, (t, i)) =>
+      when($"src_grp" === i, lit(t)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .select($"source", grp, hv.as("hv"))
+      .withColumn("kept", ($"hv" < thr).cast("int"))
+      .groupBy($"source", $"src_grp")
+      .agg(count(lit(1)).as("n_in"), sum($"kept").as("n_kept"))
+      .orderBy("source")
+  }
+
+  private val mixtureOracle = {
+    val hex = "strpos('0123456789abcdef', "
+    // 16-bit integer from the first 4 hex chars of the doc hash
+    val hv = (1 to 4).map(i => s"($hex substr(h, $i, 1)) - 1)")
+      .reduce((a, b) => s"($a * 16 + $b)")
+    val thr = MixtureThresholds.zipWithIndex
+      .map { case (t, i) => s"WHEN src_grp = $i THEN $t" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+    s"""WITH d AS (SELECT source,
+       |             CAST(substr(source, 4) AS INTEGER) % 4 AS src_grp,
+       |             md5('mix' || '|' || CAST(doc_id AS VARCHAR)) AS h
+       |           FROM documents),
+       |v AS (SELECT source, src_grp, $hv AS hv FROM d)
+       |SELECT source, src_grp,
+       |       CAST(count(*) AS BIGINT) AS n_in,
+       |       CAST(sum(CASE WHEN hv < ($thr) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM v
+       |GROUP BY source, src_grp
+       |ORDER BY source""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x90_prep_pipeline",
       "composite corpus-prep pipeline: quality gate + exact dedup + near-dup canonical (X1+X2+X4)",
@@ -173,5 +256,11 @@ object PipelineQueries {
       packSequences, Some(packOracle)),
     QueryDef("x51_decontaminate",
       "train/eval contamination flags via winnowing-fingerprint overlap (broadcast eval side)",
-      decontaminate, Some(decontaminateOracle)))
+      decontaminate, Some(decontaminateOracle)),
+    QueryDef("x52_epoch_shuffle",
+      "deterministic per-shard epoch shuffle order (data-loader visit order)",
+      epochShuffle, Some(epochShuffleOracle)),
+    QueryDef("x53_mixture_sample",
+      "source-mixture sampling with integer hash thresholds (per-source audit)",
+      mixtureSample, Some(mixtureOracle)))
 }
