@@ -17,7 +17,9 @@ object ExplainAudit {
       // (NOT x90/x14: connected components runs eager label-propagation
       // jobs at DataFrame-construction time — auditing them executes the
       // heaviest pipeline in the repo, not just plans it.)
-      "x13_ngram_jaccard", "x32_embedding_neardup", "q39_exists_correlated")
+      "x13_ngram_jaccard", "x32_embedding_neardup", "q39_exists_correlated",
+      // round-5 shapes: broadcast probe/eval sides, per-shard windows
+      "x36_multiprobe_lsh", "x50_pack_sequences", "x51_decontaminate")
     names.foreach { n =>
       println(s"\n===== $n =====")
       Registry.byName(n).fn(spark, dir).explain("formatted")
