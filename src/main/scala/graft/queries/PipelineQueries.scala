@@ -145,19 +145,25 @@ object PipelineQueries {
       .orderBy("train_id", "eval_id")
   }
 
-  private val decontaminateOracle =
-    s"""WITH h AS (SELECT doc_id,
+  /** Contamination CTE chain (fingerprint → eval/train split), reused by
+    * x51 and the x91 capstone. CTE names are disjoint from the minhash
+    * chain in [[DedupQueries.minhashCtes]] so the two compose in one WITH. */
+  private val contamCtes =
+    s"""fph AS (SELECT doc_id,
        |             list_transform(range(1, greatest(length(text) - ${ContamGram - 1}, 1) + 1),
        |                            i -> md5(substr(text, CAST(i AS INTEGER), $ContamGram))) AS hs
        |           FROM documents),
-       |w AS (SELECT doc_id, hs, len(hs) AS m FROM h),
-       |f AS (SELECT doc_id,
+       |fpw AS (SELECT doc_id, hs, len(hs) AS m FROM fph),
+       |fpf AS (SELECT doc_id,
        |        list_sort(list_distinct(list_transform(range(1, greatest(m - $ContamWindow + 1, 1) + 1),
        |          j -> list_aggregate(hs[CAST(j AS INTEGER):CAST(least(j + ${ContamWindow - 1}, m) AS INTEGER)], 'min')))) AS fps
-       |      FROM w),
-       |e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
-       |ev AS (SELECT doc_id AS eval_id, fp FROM e WHERE doc_id % 40 = 0),
-       |tr AS (SELECT doc_id AS train_id, fp FROM e WHERE doc_id % 40 <> 0)
+       |      FROM fpw),
+       |fpe AS (SELECT doc_id, unnest(fps) AS fp FROM fpf),
+       |ev AS (SELECT doc_id AS eval_id, fp FROM fpe WHERE doc_id % 40 = 0),
+       |tr AS (SELECT doc_id AS train_id, fp FROM fpe WHERE doc_id % 40 <> 0)""".stripMargin
+
+  private val decontaminateOracle =
+    s"""WITH $contamCtes
        |SELECT train_id, eval_id, count(*) AS shared_fp
        |FROM tr JOIN ev USING (fp)
        |GROUP BY train_id, eval_id
@@ -210,44 +216,137 @@ object PipelineQueries {
     * sampleBy. Output is the per-source audit (docs in, docs kept): narrow
     * per-row work + one small aggregate; the sampled corpus itself is the
     * same filter without the groupBy. */
+  /** Shared mixture-selection pieces (Spark + SQL renderings kept adjacent
+    * so the integer arithmetic cannot drift; used by x53 and x91). */
+  private def srcGrpCol = substring(col("source"), 4, 10).cast("int") % 4
+  private def mixHashCol =
+    conv(substring(md5(concat_ws("|", lit("mix"), col("doc_id"))), 1, 4), 16, 10)
+      .cast("long")
+  private def mixThrCol = MixtureThresholds.zipWithIndex.foldLeft(lit(0L)) {
+    case (acc, (t, i)) => when(col("src_grp") === i, lit(t)).otherwise(acc)
+  }
+  private val srcGrpSql = "CAST(substr(source, 4) AS INTEGER) % 4"
+  /** 16-bit integer from the first 4 hex chars of `$h`. */
+  private def hexValSql(h: String) =
+    (1 to 4).map(i => s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1)")
+      .reduce((a, b) => s"($a * 16 + $b)")
+  private val mixThrSql = MixtureThresholds.zipWithIndex
+    .map { case (t, i) => s"WHEN src_grp = $i THEN $t" }
+    .mkString("CASE ", " ", " ELSE 0 END")
+
   def mixtureSample(spark: SparkSession, dir: String) = {
     import spark.implicits._
-    val grp = (substring($"source", 4, 10).cast("int") % 4).as("src_grp")
-    val hv = conv(substring(md5(concat_ws("|", lit("mix"), $"doc_id")), 1, 4), 16, 10)
-      .cast("long")
-    val thr = MixtureThresholds.zipWithIndex.foldLeft(lit(0L)) { case (acc, (t, i)) =>
-      when($"src_grp" === i, lit(t)).otherwise(acc)
-    }
     Tables.documents(spark, dir)
-      .select($"source", grp, hv.as("hv"))
-      .withColumn("kept", ($"hv" < thr).cast("int"))
+      .select($"source", srcGrpCol.as("src_grp"), mixHashCol.as("hv"))
+      .withColumn("kept", ($"hv" < mixThrCol).cast("int"))
       .groupBy($"source", $"src_grp")
       .agg(count(lit(1)).as("n_in"), sum($"kept").as("n_kept"))
       .orderBy("source")
   }
 
-  private val mixtureOracle = {
-    val hex = "strpos('0123456789abcdef', "
-    // 16-bit integer from the first 4 hex chars of the doc hash
-    val hv = (1 to 4).map(i => s"($hex substr(h, $i, 1)) - 1)")
-      .reduce((a, b) => s"($a * 16 + $b)")
-    val thr = MixtureThresholds.zipWithIndex
-      .map { case (t, i) => s"WHEN src_grp = $i THEN $t" }
-      .mkString("CASE ", " ", " ELSE 0 END")
-    s"""WITH d AS (SELECT source,
-       |             CAST(substr(source, 4) AS INTEGER) % 4 AS src_grp,
+  private val mixtureOracle =
+    s"""WITH d AS (SELECT source, $srcGrpSql AS src_grp,
        |             md5('mix' || '|' || CAST(doc_id AS VARCHAR)) AS h
        |           FROM documents),
-       |v AS (SELECT source, src_grp, $hv AS hv FROM d)
+       |v AS (SELECT source, src_grp, ${hexValSql("h")} AS hv FROM d)
        |SELECT source, src_grp,
        |       CAST(count(*) AS BIGINT) AS n_in,
-       |       CAST(sum(CASE WHEN hv < ($thr) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |       CAST(sum(CASE WHEN hv < ($mixThrSql) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
        |FROM v
        |GROUP BY source, src_grp
        |ORDER BY source""".stripMargin
+
+  /** The round-5 capstone — the COMPLETE corpus→training-data flow, every
+    * gate this library ships composed in one dataflow:
+    *
+    *   1. quality + exact-dedup + near-dup-canonical survivors (x90's
+    *      three gates),
+    *   2. eval docs and contaminated train docs removed (x51's
+    *      winnowing-fingerprint overlap, anti-join),
+    *   3. source-mixture sampling (x53's integer hash thresholds),
+    *   4. sequence packing of what remains (x50's per-shard prefix sums),
+    *
+    * emitting, for every document that makes it into the training corpus,
+    * its source, token count, and packed position (shard, seq_id, seq_off).
+    * The oracle rebuilds all SIX stages in ONE SQL statement — recursive
+    * CTE for clusters, fingerprint CTEs for contamination, the same
+    * integer mixture thresholds, the same window prefix sums — and must
+    * agree row-for-row, so the composition itself is correctness-gated.
+    *
+    * Scale: each stage keeps its audited shape (LSH band joins, broadcast
+    * eval side, narrow mixture filter, per-shard packing windows); the
+    * stage boundaries are doc_id equi-joins/anti-joins against survivor
+    * lists that only ever shrink. */
+  def trainingCorpus(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val surv = prepPipeline(spark, dir).select($"doc_id", $"n_tok")
+    val contam = decontaminate(spark, dir).select($"train_id".as("doc_id")).distinct()
+    val src = Tables.documents(spark, dir).select($"doc_id", $"source")
+    val kept = surv
+      .filter($"doc_id" % 40 =!= 0) // eval docs never train
+      .join(contam, Seq("doc_id"), "left_anti")
+      .join(src, "doc_id")
+      .withColumn("src_grp", srcGrpCol)
+      .withColumn("hv", mixHashCol)
+      .filter($"hv" < mixThrCol)
+      .select($"doc_id", $"source", $"n_tok", ($"doc_id" % PackShards).as("shard"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    kept
+      .withColumn("cum_before", coalesce(sum($"n_tok").over(w), lit(0L)))
+      .select($"doc_id", $"source", $"n_tok", $"shard", $"cum_before",
+        expr(s"cum_before div $PackBudget").as("seq_id"),
+        ($"cum_before" % PackBudget).as("seq_off"))
+      .orderBy("doc_id")
   }
 
+  private val trainingCorpusOracle =
+    DedupQueries.minhashCtes("WITH RECURSIVE") +
+      s""", pairs2 AS (SELECT a, b FROM j WHERE jaccard >= 0.5),
+         |edges AS (SELECT a AS src, b AS dst FROM pairs2 UNION ALL SELECT b AS src, a AS dst FROM pairs2),
+         |reach AS (SELECT doc_id AS id, doc_id AS r FROM documents
+         |          UNION
+         |          SELECT e.src AS id, reach.r AS r FROM edges e JOIN reach ON e.dst = reach.id),
+         |canon AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING min(r) = id),
+         |exact AS (SELECT doc_id
+         |          FROM (SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |                FROM documents)
+         |          WHERE rn = 1),
+         |q AS (SELECT doc_id,
+         |        CAST(len(toks) AS INTEGER) AS n_tok,
+         |        floor(${TextAnalysis.qualityScoreSql("toks")} * 10000 + 0.5) / 10000.0 AS quality
+         |      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         |surv AS (SELECT q.doc_id, n_tok
+         |         FROM q JOIN canon ON canon.doc_id = q.doc_id
+         |                JOIN exact ON exact.doc_id = q.doc_id
+         |         WHERE quality >= 0.5),
+         |$contamCtes,
+         |contam AS (SELECT DISTINCT train_id AS doc_id
+         |           FROM (SELECT train_id, eval_id FROM tr JOIN ev USING (fp)
+         |                 GROUP BY train_id, eval_id HAVING count(*) >= $ContamMinShared)),
+         |base AS (SELECT s.doc_id, d.source, s.n_tok,
+         |           $srcGrpSql AS src_grp,
+         |           ${hexValSql(s"md5('mix' || '|' || CAST(s.doc_id AS VARCHAR))")} AS hv
+         |         FROM surv s JOIN documents d ON d.doc_id = s.doc_id
+         |         WHERE s.doc_id % 40 <> 0
+         |           AND s.doc_id NOT IN (SELECT doc_id FROM contam)),
+         |kept AS (SELECT doc_id, source, n_tok, doc_id % $PackShards AS shard
+         |         FROM base WHERE hv < ($mixThrSql)),
+         |packed AS (SELECT doc_id, source, n_tok, shard,
+         |             CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |                                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |           FROM kept)
+         |SELECT doc_id, source, n_tok, shard, cum_before,
+         |       cum_before // $PackBudget AS seq_id,
+         |       cum_before % $PackBudget AS seq_off
+         |FROM packed
+         |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x91_training_corpus",
+      "full corpus->training-data capstone: quality+dedup gates -> decontaminate -> mixture -> pack (X1+X2+X4+r5)",
+      trainingCorpus, Some(trainingCorpusOracle)),
     QueryDef("x90_prep_pipeline",
       "composite corpus-prep pipeline: quality gate + exact dedup + near-dup canonical (X1+X2+X4)",
       prepPipeline, Some(prepOracle)),
