@@ -6,26 +6,31 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.queries.QueryUtil.halfUp4
 
-/** The capstone composite: the full training-data preparation pipeline a
-  * 100 TB corpus runs before pretraining, end to end in ONE dataflow —
-  *
-  *   1. quality gate (x42's score >= 0.5),
-  *   2. exact dedup survivors (x10's min-doc_id-per-content-hash),
-  *   3. near-dup canonical docs only (x14's connected-component
-  *      representative over MinHash-LSH pairs),
-  *
-  * emitting the surviving documents with language and token counts. Each
-  * stage is the already-oracle-verified operator; this query proves they
-  * COMPOSE — the oracle rebuilds the same three gates in one SQL statement
-  * (recursive-CTE transitive closure for the clusters, window dedup for
-  * exact, identical quality arithmetic) and must agree row-for-row.
-  *
-  * Scale: quality is a narrow per-row stage; the dedup gates are the
-  * LSH/band-capped shapes audited in PLANS.md; the final joins are
-  * doc_id equi-joins (broadcast-able survivor lists at any realistic
-  * survivor ratio). */
+/** Training-data logistics: the composite prep capstones (x90 cleans, x91
+  * goes all the way to a packed training corpus) plus the standalone
+  * pipeline operators a 100 TB pretraining corpus needs — sequence packing
+  * (x50), decontamination (x51), epoch shuffle (x52), mixture sampling
+  * (x53). Every query is paired with a DuckDB oracle generated from the
+  * same Scala constants, so thresholds/hash families cannot drift. */
 object PipelineQueries {
 
+  /** x90 — the cleaning composite, end to end in ONE dataflow:
+    *
+    *   1. quality gate (x42's score >= 0.5),
+    *   2. exact dedup survivors (x10's min-doc_id-per-content-hash),
+    *   3. near-dup canonical docs only (x14's connected-component
+    *      representative over MinHash-LSH pairs),
+    *
+    * emitting the surviving documents with language and token counts. Each
+    * stage is the already-oracle-verified operator; this query proves they
+    * COMPOSE — the oracle rebuilds the same three gates in one SQL statement
+    * (recursive-CTE transitive closure for the clusters, window dedup for
+    * exact, identical quality arithmetic) and must agree row-for-row.
+    *
+    * Scale: quality is a narrow per-row stage; the dedup gates are the
+    * LSH/band-capped shapes audited in PLANS.md; the final joins are
+    * doc_id equi-joins (broadcast-able survivor lists at any realistic
+    * survivor ratio). */
   def prepPipeline(spark: SparkSession, dir: String) = {
     import spark.implicits._
     val toks = TextAnalysis.tokens($"text")
