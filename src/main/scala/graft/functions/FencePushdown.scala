@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{And, Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{And, Expression, PlanExpression, PredicateHelper}
 import org.apache.spark.sql.catalyst.optimizer.PushDownPredicates
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -47,6 +47,12 @@ object FencePushdown extends Rule[LogicalPlan] with PredicateHelper {
       val aliasMap = getAliasMap(project)
       val (push, keep) = splitConjunctivePredicates(cond).partition { c =>
         val substituted = replaceAlias(c, aliasMap)
+        // No subqueries: stock pushdown guards this with
+        // canPushThroughCondition (a pushed subquery whose plan shares
+        // output attributes with `child` would capture the wrong exprIds
+        // after decorrelation); mirror it conservatively by never pushing
+        // a conjunct that embeds a plan.
+        !substituted.exists(_.isInstanceOf[PlanExpression[_]]) &&
         substituted.deterministic && substituted.references.subsetOf(child.outputSet)
       }
       if (push.isEmpty) f

@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
   * edge (u,w) had `L(u) = m < L(w)`, w would still change — so the
   * exhaustion check below needs only the propagation condition.
   *
-  * Scale: two keyed equi-joins + one aggregate per iteration, all keyed
-  * shuffles; iterations needed = O(log diameter) — a 400-hop chain labels
-  * in ~10 rounds where pure propagation needs 400 (ScaleSpec-proven).
+  * Scale: per iteration, the neighbor join + aggregate, a distinct-label
+  * shortcut build, and the (AQE-broadcastable, skew-free) jump join — all
+  * keyed shuffles; iterations needed = O(log diameter) — a 400-hop chain
+  * labels in ~10 rounds where pure propagation needs 400 (ScaleSpec-proven).
   * `localCheckpoint` per iteration truncates the self-referential lineage,
   * the same hazard mergeIncremental documents.
   */
@@ -64,15 +65,25 @@ object Components {
         .join(labels.withColumnRenamed(idCol, "dst"), Seq("dst"))
         .groupBy(col("src").as(idCol))
         .agg(min(col("component")).as("nmin"))
-      // jump map = the ALREADY-CHECKPOINTED previous labels (not this
-      // round's l1, which would need its own materialization to be safe to
-      // reference twice); jumping through the stale map still doubles reach.
-      val jumpMap = labels
-        .select(col(idCol).as("__jid"), col("component").as("__jcomp"))
+      // jump map, built from the ALREADY-CHECKPOINTED previous labels (not
+      // this round's l1, which would need its own materialization to be
+      // safe to reference twice): for each DISTINCT current label value v,
+      // the shortcut v -> L_prev(v). Keying the row join on the label value
+      // directly would concentrate a whole component onto one shuffle key
+      // as labels converge (hot-key skew); the distinct() collapses the
+      // duplicates in map-side partial aggregation first, and the shortcut
+      // frame SHRINKS toward #components as convergence proceeds, so AQE
+      // flips the row join to a broadcast — no big-side shuffle at exactly
+      // the iterations where the skew would bite. Jumping through the
+      // stale map still doubles reach per round.
+      val shortcut = labels.select(col("component").as("__jid")).distinct()
+        .join(labels.select(col(idCol).as("__jnode"), col("component").as("__jcomp")),
+          col("__jid") === col("__jnode"))
+        .select(col("__jid"), col("__jcomp"))
       val updated = labels.join(neighborMin, Seq(idCol), "left")
         .select(col(idCol), col("component").as("__prev"),
           least(col("component"), coalesce(col("nmin"), col("component"))).as("l1"))
-        .join(jumpMap, col("l1") === col("__jid"), "left")
+        .join(shortcut, col("l1") === col("__jid"), "left")
         .select(col(idCol),
           least(col("l1"), coalesce(col("__jcomp"), col("l1"))).as("component"),
           col("__prev"))

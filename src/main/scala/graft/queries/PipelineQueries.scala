@@ -46,22 +46,29 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** The x90 gate chain in SQL (near-dup clusters → canon, exact-dedup
+    * survivors, quality scores) — appended after
+    * [[DedupQueries.minhashCtes]] and shared by the x90 and x91 oracles so
+    * the gate arithmetic has exactly one rendering. */
+  private val gateCtes =
+    s"""pairs2 AS (SELECT a, b FROM j WHERE jaccard >= 0.5),
+       |edges AS (SELECT a AS src, b AS dst FROM pairs2 UNION ALL SELECT b AS src, a AS dst FROM pairs2),
+       |reach AS (SELECT doc_id AS id, doc_id AS r FROM documents
+       |          UNION
+       |          SELECT e.src AS id, reach.r AS r FROM edges e JOIN reach ON e.dst = reach.id),
+       |canon AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING min(r) = id),
+       |exact AS (SELECT doc_id
+       |          FROM (SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |                FROM documents)
+       |          WHERE rn = 1),
+       |q AS (SELECT doc_id, lang,
+       |        CAST(len(toks) AS INTEGER) AS n_tok,
+       |        floor(${TextAnalysis.qualityScoreSql("toks")} * 10000 + 0.5) / 10000.0 AS quality
+       |      FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents))""".stripMargin
+
   private val prepOracle =
     DedupQueries.minhashCtes("WITH RECURSIVE") +
-      s""", pairs2 AS (SELECT a, b FROM j WHERE jaccard >= 0.5),
-         |edges AS (SELECT a AS src, b AS dst FROM pairs2 UNION ALL SELECT b AS src, a AS dst FROM pairs2),
-         |reach AS (SELECT doc_id AS id, doc_id AS r FROM documents
-         |          UNION
-         |          SELECT e.src AS id, reach.r AS r FROM edges e JOIN reach ON e.dst = reach.id),
-         |canon AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING min(r) = id),
-         |exact AS (SELECT doc_id
-         |          FROM (SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-         |                FROM documents)
-         |          WHERE rn = 1),
-         |q AS (SELECT doc_id, lang,
-         |        CAST(len(toks) AS INTEGER) AS n_tok,
-         |        floor(${TextAnalysis.qualityScoreSql("toks")} * 10000 + 0.5) / 10000.0 AS quality
-         |      FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents))
+      s""", $gateCtes
          |SELECT q.doc_id, lang, n_tok, quality
          |FROM q JOIN canon ON canon.doc_id = q.doc_id
          |       JOIN exact ON exact.doc_id = q.doc_id
@@ -82,18 +89,39 @@ object PipelineQueries {
     * shards pack independently and in parallel, which is what makes the
     * layout computable at 100 TB: no global sequential fill, one shuffle
     * keyed on shard, prefix sums inside each partition. */
+  /** Append the packing columns (cum_before, seq_id, seq_off) to a frame
+    * carrying (doc_id, shard, n_tok, …) — the ONE Spark rendering of the
+    * packing arithmetic, shared by x50 and x91. */
+  private def withPacking(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"cum_before div $PackBudget"))
+      .withColumn("seq_off", col("cum_before") % PackBudget)
+  }
+
+  /** SQL rendering of [[withPacking]] + final projection over CTE `$src`
+    * (which must carry doc_id, shard, n_tok plus `$extra` columns) — the
+    * ONE oracle rendering of the packing arithmetic, shared by x50/x91. */
+  private def packTailSql(src: String, extra: String): String =
+    s"""packed AS (SELECT *,
+       |             CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+       |                                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |           FROM $src)
+       |SELECT doc_id,$extra n_tok, shard, cum_before,
+       |       cum_before // $PackBudget AS seq_id,
+       |       cum_before % $PackBudget AS seq_off
+       |FROM packed
+       |ORDER BY doc_id""".stripMargin
+
   def packSequences(spark: SparkSession, dir: String) = {
     import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"shard").orderBy($"doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    Tables.documents(spark, dir)
-      .select($"doc_id", ($"doc_id" % PackShards).as("shard"),
-        size(TextAnalysis.tokens($"text")).as("n_tok"))
-      .withColumn("cum_before", coalesce(sum($"n_tok").over(w), lit(0L)))
-      .select($"doc_id", $"shard", $"n_tok", $"cum_before",
-        expr(s"cum_before div $PackBudget").as("seq_id"),
-        ($"cum_before" % PackBudget).as("seq_off"))
+    withPacking(
+      Tables.documents(spark, dir)
+        .select($"doc_id", ($"doc_id" % PackShards).as("shard"),
+          size(TextAnalysis.tokens($"text")).as("n_tok")))
+      .select($"doc_id", $"shard", $"n_tok", $"cum_before", $"seq_id", $"seq_off")
       .orderBy("doc_id")
   }
 
@@ -101,15 +129,7 @@ object PipelineQueries {
     s"""WITH d AS (SELECT doc_id, doc_id % $PackShards AS shard,
        |             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok
        |           FROM documents),
-       |c AS (SELECT doc_id, shard, n_tok,
-       |        CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
-       |                                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
-       |      FROM d)
-       |SELECT doc_id, shard, n_tok, cum_before,
-       |       cum_before // $PackBudget AS seq_id,
-       |       cum_before % $PackBudget AS seq_off
-       |FROM c
-       |ORDER BY doc_id""".stripMargin
+       |${packTailSql("d", "")}""".stripMargin
 
   /** x51 gram/window/threshold, calibrated on the fixtures: 8-char grams
     * (≈ one word) are hopeless for contamination — templated docs share
@@ -230,7 +250,11 @@ object PipelineQueries {
   private def mixThrCol = MixtureThresholds.zipWithIndex.foldLeft(lit(0L)) {
     case (acc, (t, i)) => when(col("src_grp") === i, lit(t)).otherwise(acc)
   }
-  private val srcGrpSql = "CAST(substr(source, 4) AS INTEGER) % 4"
+  // TRY_CAST + the same (4, 10) substring bounds as srcGrpCol: Spark's
+  // cast yields NULL on a malformed suffix (doc then drops out via the
+  // threshold default) — a plain DuckDB CAST would ABORT instead, and an
+  // unbounded substr would parse >10-digit suffixes Spark truncates.
+  private val srcGrpSql = "TRY_CAST(substr(source, 4, 10) AS INTEGER) % 4"
   /** 16-bit integer from the first 4 hex chars of `$h`. */
   private def hexValSql(h: String) =
     (1 to 4).map(i => s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1)")
@@ -295,33 +319,15 @@ object PipelineQueries {
       .withColumn("hv", mixHashCol)
       .filter($"hv" < mixThrCol)
       .select($"doc_id", $"source", $"n_tok", ($"doc_id" % PackShards).as("shard"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"shard").orderBy($"doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    kept
-      .withColumn("cum_before", coalesce(sum($"n_tok").over(w), lit(0L)))
+    withPacking(kept)
       .select($"doc_id", $"source", $"n_tok", $"shard", $"cum_before",
-        expr(s"cum_before div $PackBudget").as("seq_id"),
-        ($"cum_before" % PackBudget).as("seq_off"))
+        $"seq_id", $"seq_off")
       .orderBy("doc_id")
   }
 
   private val trainingCorpusOracle =
     DedupQueries.minhashCtes("WITH RECURSIVE") +
-      s""", pairs2 AS (SELECT a, b FROM j WHERE jaccard >= 0.5),
-         |edges AS (SELECT a AS src, b AS dst FROM pairs2 UNION ALL SELECT b AS src, a AS dst FROM pairs2),
-         |reach AS (SELECT doc_id AS id, doc_id AS r FROM documents
-         |          UNION
-         |          SELECT e.src AS id, reach.r AS r FROM edges e JOIN reach ON e.dst = reach.id),
-         |canon AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING min(r) = id),
-         |exact AS (SELECT doc_id
-         |          FROM (SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-         |                FROM documents)
-         |          WHERE rn = 1),
-         |q AS (SELECT doc_id,
-         |        CAST(len(toks) AS INTEGER) AS n_tok,
-         |        floor(${TextAnalysis.qualityScoreSql("toks")} * 10000 + 0.5) / 10000.0 AS quality
-         |      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      s""", $gateCtes,
          |surv AS (SELECT q.doc_id, n_tok
          |         FROM q JOIN canon ON canon.doc_id = q.doc_id
          |                JOIN exact ON exact.doc_id = q.doc_id
@@ -338,15 +344,7 @@ object PipelineQueries {
          |           AND s.doc_id NOT IN (SELECT doc_id FROM contam)),
          |kept AS (SELECT doc_id, source, n_tok, doc_id % $PackShards AS shard
          |         FROM base WHERE hv < ($mixThrSql)),
-         |packed AS (SELECT doc_id, source, n_tok, shard,
-         |             CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
-         |                                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
-         |           FROM kept)
-         |SELECT doc_id, source, n_tok, shard, cum_before,
-         |       cum_before // $PackBudget AS seq_id,
-         |       cum_before % $PackBudget AS seq_off
-         |FROM packed
-         |ORDER BY doc_id""".stripMargin
+         |${packTailSql("kept", " source,")}""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x91_training_corpus",

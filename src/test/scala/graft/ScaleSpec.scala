@@ -139,14 +139,22 @@ class ScaleSpec extends SparkTestBase {
         .join(docs.select($"doc_id".as("b"), $"pre".as("pb")), "b")
         .select($"a", $"b", levenshtein($"pa", $"pb").as("edit_dist"))
       // both consumers must read the persisted candidate set, not re-run LSH
-      val levPlan = lev.queryExecution.executedPlan.toString
-      val cacheAt = levPlan.indexOf("InMemoryRelation")
-      assert(cacheAt >= 0, s"consumer must scan the cache:\n$levPlan")
-      // the LSH pipeline (minhash bands) may appear only INSIDE the cached
-      // relation's stored lineage, never as a live operator above it
-      val liveOps = levPlan.substring(0, cacheAt)
-      assert(!liveOps.contains("minhash"),
-        s"consumer must not recompute the LSH pipeline:\n$levPlan")
+      // Walk the LOGICAL tree: InMemoryRelation is a leaf (its cached plan
+      // is a field, not a child), so collect() sees exactly the LIVE
+      // operators — unlike the printed plan text, where the cached lineage
+      // and later sibling branches interleave and a substring check can
+      // miss a recompute printed after the first cache node.
+      val logical = lev.queryExecution.optimizedPlan
+      val cacheLeaves = logical.collect {
+        case n if n.getClass.getSimpleName == "InMemoryRelation" => n
+      }
+      assert(cacheLeaves.nonEmpty, s"consumer must scan the cache:\n$logical")
+      val liveExprs = logical.collect {
+        case n if n.getClass.getSimpleName != "InMemoryRelation" =>
+          n.expressions.map(_.toString).mkString(";")
+      }.mkString("\n")
+      assert(!liveExprs.toLowerCase.contains("minhash"),
+        s"consumer must not recompute the LSH pipeline:\n$logical")
       val standalone2 = graft.queries.RelationalQueries4.x48(spark, sfDir)
         .select($"a", $"b", $"edit_dist")
       assert(lev.except(standalone2).count() == 0 &&
