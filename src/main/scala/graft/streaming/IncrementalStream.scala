@@ -45,6 +45,41 @@ object IncrementalStream {
       }
   }
 
+  /** One packed document emitted by [[packStream]]. */
+  final case class PackedDoc(doc_id: Long, shard: Long, n_tok: Int,
+                             cum_before: Long, seq_id: Long, seq_off: Long)
+
+  /** Streaming sequence packing — x50's concat-then-chunk layout maintained
+    * INCREMENTALLY: each shard's running token total lives in keyed state,
+    * so documents arriving across micro-batches receive the same
+    * (seq_id, seq_off) the batch packer would assign once the corpus is
+    * complete — the training-sequence layout stays consistent while
+    * ingestion is still running, no re-pack of old data. Within a batch a
+    * shard's docs pack in doc_id order (deterministic); across batches the
+    * arrival order IS the pack order, which equals the batch packer's
+    * whenever the upstream source delivers id-ordered increments (exactly
+    * what the offset-CDC connector produces). State is one Long per shard —
+    * bounded by the shard count, not the corpus. */
+  def packStream(docs: org.apache.spark.sql.Dataset[(Long, Long, Int)],
+                 budget: Long): org.apache.spark.sql.Dataset[PackedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.groupByKey(_._2)
+      .flatMapGroupsWithState[Long, PackedDoc](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        case (shard, rows, state) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._1).map { case (id, _, n) =>
+            val before = cum
+            cum += n
+            PackedDoc(id, shard, n, before, before / budget, before % budget)
+          }
+          state.update(cum)
+          out.iterator
+      }
+  }
+
   /** One closed (gap-expired) session. */
   final case class SessionSummary(user_id: Long, n_events: Long,
                                   first_ms: Long, last_ms: Long)

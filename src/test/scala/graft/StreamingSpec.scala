@@ -120,6 +120,48 @@ class StreamingSpec extends SparkTestBase {
     assert(latest == Seq((1L, 3L, 15.0), (2L, 1L, 5.0)))
   }
 
+  test("S3 streaming packer: per-shard token totals carry across micro-batches") {
+    val src = tmpDir("pack_src")
+    val cp = tmpDir("pack_cp")
+    val out = tmpDir("pack_out") + "/packed"
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("shard", LongType),
+        StructField("n_tok", IntegerType))))
+        .json(src)
+      val q = IncrementalStream.packStream(stream.as[(Long, Long, Int)], budget = 10)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[IncrementalStream.PackedDoc], _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    def writeDocs(name: String, rows: Seq[(Long, Long, Int)]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(src, name),
+        rows.map { case (d, s, n) => s"""{"doc_id":$d,"shard":$s,"n_tok":$n}""" }
+          .mkString("\n").getBytes("UTF-8"))
+    writeDocs("b1.json", Seq((0L, 0L, 4), (2L, 0L, 5), (1L, 1L, 7)))
+    drain()
+    // second drain, SAME checkpoint: shard 0 resumes at 9 tokens, shard 1
+    // at 7 — doc 6 must straddle into sequence 1 at offset 2
+    writeDocs("b2.json", Seq((4L, 0L, 3), (6L, 0L, 2), (3L, 1L, 5)))
+    drain()
+    val packed = spark.read.parquet(out)
+      .orderBy("doc_id")
+      .as[(Long, Long, Int, Long, Long, Long)].collect().toSeq
+    assert(packed == Seq(
+      (0L, 0L, 4, 0L, 0L, 0L),
+      (1L, 1L, 7, 0L, 0L, 0L),
+      (2L, 0L, 5, 4L, 0L, 4L),
+      (3L, 1L, 5, 7L, 0L, 7L),
+      (4L, 0L, 3, 9L, 0L, 9L),
+      (6L, 0L, 2, 12L, 1L, 2L)))
+  }
+
   test("S3 custom state: event-time timeout closes sessions after the gap") {
     val src = tmpDir("exp_src")
     val cp = tmpDir("exp_cp")
