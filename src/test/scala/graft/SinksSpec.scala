@@ -12,6 +12,38 @@ class SinksSpec extends SparkTestBase {
   private val schema = StructType(Seq(
     StructField("hash", StringType), StructField("v", IntegerType)))
 
+  test("SNK1 DSv2: batched upsert write — exactly-once commit, flush cadence, truncate") {
+    import graft.sinks.UpsertSink
+    val fmt = classOf[graft.sinks.UpsertSinkProvider].getName
+    UpsertSink.clear("t1")
+    // 120 rows in ONE partition with batchsize=50 -> 3 sealed flushes
+    spark.range(0, 120).select(concat(lit("k"), $"id").as("k"), $"id".as("v"))
+      .coalesce(1)
+      .write.format(fmt).mode("append")
+      .option("target", "t1").option("key", "k").option("batchsize", "50")
+      .save()
+    val s = UpsertSink.store("t1")
+    assert(s.rows.size() == 120)
+    assert(s.flushes.get() == 3, s"expected ceil(120/50)=3 flushes, got ${s.flushes.get()}")
+    // idempotent upsert: re-append 40 overlapping keys with NEW values ->
+    // count unchanged, values updated (DB unique-key semantics without a DB)
+    spark.range(0, 40).select(concat(lit("k"), $"id").as("k"), ($"id" + 1000).as("v"))
+      .coalesce(1)
+      .write.format(fmt).mode("append")
+      .option("target", "t1").option("key", "k").option("batchsize", "50")
+      .save()
+    assert(s.rows.size() == 120)
+    assert(s.rows.get("k7") == Seq("k7", 1007L))
+    assert(s.rows.get("k100") == Seq("k100", 100L))
+    // SNK3: overwrite negotiates SupportsTruncate -> full refresh in one commit
+    Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+      .write.format(fmt).mode("overwrite")
+      .option("target", "t1").option("key", "k")
+      .save()
+    assert(s.rows.size() == 2 && s.rows.get("a") == Seq("a", 1L))
+    UpsertSink.clear("t1")
+  }
+
   test("SNK2: ensureExists creates empty sink once, second call no-ops") {
     val path = tmpDir("sink") + "/t"
     Sinks.ensureExists(spark, path, schema)
