@@ -33,4 +33,42 @@ class RegistrySpec extends SparkTestBase {
   test("driver contract: entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("cluster deploy path: GraftExtensions injects functions AND FencePushdown at session build") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.functions._
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // a FRESH session over the same context, configured ONLY through the
+      // extensions hook — the cluster `--conf spark.sql.extensions` path.
+      // Nothing calls GraftFunctions.register here, so anything that works
+      // must have come through the injection.
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions())
+        .getOrCreate()
+      assert(s2 ne prev)
+      // injected native function resolves
+      val d = s2.sql(
+        """SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+          |               array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d""".stripMargin)
+        .collect()(0).getDouble(0)
+      assert(d == 11.0)
+      // injected optimizer rule: an unrelated conjunct above a fenced
+      // projection still reaches the parquet scan (this session has NO
+      // extraOptimizations — only the injected rule can have done it)
+      assert(s2.experimental.extraOptimizations.isEmpty)
+      val df = s2.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), call_function("fence", length(col("text"))).as("j"))
+        .filter(col("j") >= 0 && col("doc_id") < 30)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("LessThan(doc_id,30)"),
+        s"injected FencePushdown must free the doc_id conjunct:\n$plan")
+      assert(df.count() > 0)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
 }
