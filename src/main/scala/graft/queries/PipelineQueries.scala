@@ -91,8 +91,10 @@ object PipelineQueries {
     * keyed on shard, prefix sums inside each partition. */
   /** Append the packing columns (cum_before, seq_id, seq_off) to a frame
     * carrying (doc_id, shard, n_tok, …) — the ONE Spark rendering of the
-    * packing arithmetic, shared by x50 and x91. */
-  private def withPacking(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    * packing arithmetic, shared by x50 and x91 (package-visible so
+    * PropertySpec can differential-test it against a sequential
+    * reference). */
+  private[graft] def withPacking(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

@@ -103,6 +103,29 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: distributed packing == sequential reference for arbitrary token counts") {
+    (1L to 6L).foreach { seed =>
+      val rows = sample(Gen.listOfN(80,
+        Gen.zip(Gen.choose(0L, 500L), Gen.choose(0L, 3L), Gen.choose(1, 40))), seed)
+        .distinctBy(_._1) // unique doc_ids: the pack order must be total
+      val got = graft.queries.PipelineQueries
+        .withPacking(rows.toDF("doc_id", "shard", "n_tok").repartition(5))
+        .select($"doc_id", $"cum_before", $"seq_id", $"seq_off")
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      // sequential reference: per shard in doc_id order, a running total
+      val budget = 512L
+      val expected = rows.groupBy(_._2).flatMap { case (_, docs) =>
+        docs.sortBy(_._1).scanLeft((-1L, 0L)) { case ((_, cum), (id, _, n)) =>
+          (id, cum + n)
+        }.sliding(2).map { case Seq((_, before), (id, _)) =>
+          id -> ((before, before / budget, before % budget))
+        }
+      }.toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("property: contentHash is 16 lowercase hex, collision-free on distinct small sets") {
     (1L to 8L).foreach { seed =>
       val strs = sample(Gen.listOfN(30, Gen.alphaNumStr.map(_.take(12))), seed).distinct
