@@ -62,6 +62,16 @@ object UpsertSink {
   private val stores = new java.util.concurrent.ConcurrentHashMap[String, Store]()
 
   def clear(name: String): Unit = stores.remove(name)
+
+  /** Type-tagged key normalization: a NULL key must not collide with the
+    * string "null", and binary keys must compare by CONTENT (a raw
+    * Array[Byte].toString is identity-based and would defeat upsert
+    * idempotence — every replay would insert a fresh entry). */
+  def keyOf(v: Any): String = v match {
+    case null           => "null:"
+    case b: Array[Byte] => "bin:" + b.map("%02x".format(_)).mkString
+    case other          => "v:" + other.toString
+  }
   def store(name: String): Store = {
     val s = stores.get(name)
     require(s != null, s"no upsert store '$name' — write to it first")
@@ -117,12 +127,20 @@ private[sinks] class UpsertBatchWrite(target: String, schema: StructType,
     * retries and speculative duplicates harmless. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val store = UpsertSink.getOrCreate(target, schema)
+    // a second writer with a different layout must fail loudly, not mix
+    // row shapes in one store behind a stale schema. Nullability is
+    // deliberately ignored (a non-nullable write into a nullable store is
+    // fine — and Spark frames flip nullability freely, e.g. range() vs
+    // Seq.toDF), so compare (name, type) shapes.
+    def shape(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType.sql))
+    require(shape(store.schema) == shape(schema),
+      s"store '$target' has schema ${store.schema.simpleString}, write has ${schema.simpleString}")
     store.synchronized {
       if (truncateFirst) store.rows.clear()
       messages.foreach { case UpsertMessage(batches) =>
         batches.foreach { b =>
           store.flushes.incrementAndGet()
-          b.rows.foreach(vals => store.rows.put(String.valueOf(vals(keyIdx)), vals))
+          b.rows.foreach(vals => store.rows.put(UpsertSink.keyOf(vals(keyIdx)), vals))
         }
       }
     }
@@ -135,20 +153,20 @@ private[sinks] class UpsertWriterFactory(schema: StructType, batchSize: Int)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
+      // Hoisted per-field converters (one allocation per writer, not per
+      // row). Catalyst->Scala conversion DEEP-COPIES every value out of
+      // Spark's internal representations — mandatory, not cosmetic: the
+      // DataWriter contract reuses the InternalRow (and its Unsafe buffer)
+      // across write() calls, so an un-copied UnsafeArrayData/UTF8String
+      // stored in the batch would silently alias the LAST row's bytes.
+      private val fieldTypes = schema.fields.map(_.dataType)
+      private val toScala = fieldTypes.map(
+        org.apache.spark.sql.catalyst.CatalystTypeConverters.createToScalaConverter)
       private val sealedBatches = Seq.newBuilder[UpsertBatch]
       private var buf = Seq.newBuilder[Seq[Any]]
       private var n = 0
       override def write(row: InternalRow): Unit = {
-        buf += schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
-          // detach from Spark's internal representations (UTF8String is
-          // mutable/unsafe-backed; the message must hold plain JVM values)
-          val v = row.get(i, f.dataType)
-          if (v == null) null
-          else f.dataType match {
-            case StringType => v.toString
-            case _          => v
-          }
-        }
+        buf += fieldTypes.indices.map(i => toScala(i)(row.get(i, fieldTypes(i)))).toSeq
         n += 1
         if (n >= batchSize) seal()
       }

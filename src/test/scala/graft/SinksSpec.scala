@@ -33,15 +33,37 @@ class SinksSpec extends SparkTestBase {
       .option("target", "t1").option("key", "k").option("batchsize", "50")
       .save()
     assert(s.rows.size() == 120)
-    assert(s.rows.get("k7") == Seq("k7", 1007L))
-    assert(s.rows.get("k100") == Seq("k100", 100L))
+    assert(s.rows.get(UpsertSink.keyOf("k7")) == Seq("k7", 1007L))
+    assert(s.rows.get(UpsertSink.keyOf("k100")) == Seq("k100", 100L))
     // SNK3: overwrite negotiates SupportsTruncate -> full refresh in one commit
     Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
       .write.format(fmt).mode("overwrite")
       .option("target", "t1").option("key", "k")
       .save()
-    assert(s.rows.size() == 2 && s.rows.get("a") == Seq("a", 1L))
+    assert(s.rows.size() == 2 && s.rows.get(UpsertSink.keyOf("a")) == Seq("a", 1L))
     UpsertSink.clear("t1")
+  }
+
+  test("SNK1 DSv2: complex-typed rows are deep-copied out of the reused InternalRow") {
+    import graft.sinks.UpsertSink
+    val fmt = classOf[graft.sinks.UpsertSinkProvider].getName
+    UpsertSink.clear("t2")
+    // many rows per partition with an ARRAY column: the DataWriter receives
+    // a REUSED row buffer, so values must be detached copies — an aliased
+    // UnsafeArrayData would make every buffered row report the last row's
+    // array (the round-5 review catch)
+    spark.range(0, 50)
+      .select($"id".as("k"), array($"id", $"id" * 10).as("arr"))
+      .coalesce(1)
+      .write.format(fmt).mode("append")
+      .option("target", "t2").option("key", "k")
+      .save()
+    val s2 = UpsertSink.store("t2")
+    assert(s2.rows.size() == 50)
+    (0L until 50L).foreach { i =>
+      assert(s2.rows.get(UpsertSink.keyOf(i)) == Seq(i, Seq(i, i * 10)), s"row $i")
+    }
+    UpsertSink.clear("t2")
   }
 
   test("SNK2: ensureExists creates empty sink once, second call no-ops") {
