@@ -25,7 +25,8 @@ object Registry {
       queries.DedupQueries.defs ++
       queries.SimilarityQueries.defs ++
       queries.ConnectorQueries.defs ++
-      queries.PipelineQueries.defs
+      queries.PipelineQueries.defs ++
+      queries.TrainingQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

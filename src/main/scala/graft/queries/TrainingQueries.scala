@@ -1,0 +1,270 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.QueryUtil.halfUp4
+
+/** Training-corpus preparation operators beyond the x50–x53 tier (north
+  * star: LLM-data-pipeline ops the reference never had — the reference is a
+  * row-at-a-time ETL script, `app/salesforce_extractor.py:153-181`, with no
+  * corpus-level processing at all):
+  *
+  *   - x54 sliding-window chunking (training-sample windows with overlap)
+  *   - x55 corpus-level chunk dedup (CCNet-style paragraph dedup, rebuilt docs)
+  *   - x56 unigram-LM surprisal scoring (CCNet/KenLM-style quality signal)
+  *   - x57 deterministic stratified train/val/test split
+  *   - x58 Gopher-style repetition filters (top-token share, dup-bigram share)
+  *
+  * Every query is oracle-paired; all integer/fixed-point arithmetic is
+  * accumulation-order-free so distributed Spark == sequential DuckDB. */
+object TrainingQueries {
+
+  /** Sliding-window width/stride (tokens) for x54. */
+  private val WinW = 32
+  private val WinS = 24
+
+  /** Non-overlapping dedup chunk size (tokens) for x55. */
+  private val DedupC = 16
+
+  /** Gopher-style repetition thresholds for x58 (chosen to split the
+    * fixture distribution: keep ≈ 60%). Comparisons run on exact rational
+    * doubles (int/int), bit-identical across engines. */
+  private val TopShareMax = 0.11
+  private val DupBigramMax = 0.05
+
+  /** x54: overlapping token windows per document — the standard
+    * training-sample chunking pass (window W=32, stride S=24; every start
+    * offset k*S < n_tok emits a window, tail windows included). Narrow
+    * per-row work: split → explode window starts → slice; no shuffle until
+    * the final ORDER BY (driver-facing only). 100 TB: embarrassingly
+    * parallel, output is written partitioned without any order. */
+  def chunkWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", $"toks",
+        explode(sequence(lit(0), floor((size($"toks") - 1) / lit(WinS)).cast("int"))).as("k"))
+      .select(
+        $"doc_id",
+        $"k".as("chunk_idx"),
+        least(lit(WinW), size($"toks") - $"k" * WinS).cast("int").as("n_tok"),
+        md5(array_join(slice($"toks", $"k" * WinS + 1, lit(WinW)), " ")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  private val chunkWindowsOracle =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |e AS (SELECT doc_id, toks, unnest(range(0, ((len(toks) - 1) // $WinS) + 1)) AS k FROM t)
+       |SELECT doc_id,
+       |       CAST(k AS INTEGER) AS chunk_idx,
+       |       CAST(least($WinW, len(toks) - k * $WinS) AS INTEGER) AS n_tok,
+       |       md5(array_to_string(list_slice(toks, k * $WinS + 1, k * $WinS + $WinW), ' ')) AS chunk_md5
+       |FROM e
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** x55: corpus-level exact chunk dedup (CCNet-style "paragraph" dedup):
+    * documents are cut into non-overlapping 16-token chunks, each chunk
+    * keeps only its FIRST occurrence corpus-wide (first = min (doc_id,
+    * chunk_idx)), and documents are rebuilt from their surviving chunks.
+    * The survivor choice is a row_number over the chunk text — at 100 TB
+    * this is one hash-partitioned shuffle on the chunk (the same shape as
+    * x10 exact doc dedup), and the rebuild is a per-doc ordered fold. */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val chunks = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", $"toks",
+        explode(sequence(lit(0), floor((size($"toks") - 1) / lit(DedupC)).cast("int"))).as("k"))
+      .select($"doc_id", $"k",
+        array_join(slice($"toks", $"k" * DedupC + 1, lit(DedupC)), " ").as("chunk"))
+    val w = Window.partitionBy($"chunk").orderBy($"doc_id", $"k")
+    chunks
+      .withColumn("rn", row_number().over(w))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_chunks"),
+        sum(when($"rn" === 1, 1).otherwise(0)).cast("int").as("n_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when($"rn" === 1, struct($"k", $"chunk")))),
+            s => s.getField("chunk")),
+          " ")).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val chunkDedupOracle =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |e AS (SELECT doc_id, toks, unnest(range(0, ((len(toks) - 1) // $DedupC) + 1)) AS k FROM t),
+       |c AS (SELECT doc_id, k,
+       |        array_to_string(list_slice(toks, k * $DedupC + 1, k * $DedupC + $DedupC), ' ') AS chunk
+       |      FROM e),
+       |r AS (SELECT doc_id, k, chunk,
+       |        row_number() OVER (PARTITION BY chunk ORDER BY doc_id, k) AS rn
+       |      FROM c)
+       |SELECT doc_id,
+       |       CAST(count(*) AS INTEGER) AS n_chunks,
+       |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INTEGER) AS n_kept,
+       |       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY k), '')) AS kept_md5
+       |FROM r
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** x56: unigram-LM surprisal scoring (the shape of CCNet's KenLM
+    * perplexity filter, with a corpus-trained unigram model): train token
+    * frequencies over the whole corpus, then score each document by its
+    * mean per-token surprisal -ln p(tok). Per-token surprisal is quantized
+    * HALF-UP to 1e-6 fixed point BEFORE the per-doc sum, so the document
+    * sum is an integer sum — accumulation-order-free, hence bit-identical
+    * between Spark's partitioned aggregation and DuckDB's sequential scan
+    * (the same trick as the x35 trained centroids). 100 TB: the model is a
+    * vocab-sized table broadcast to a narrow join; two passes over the
+    * corpus, no wide shuffle. */
+  def unigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+    val vocab = tok.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum($"cnt").as("total"))
+    val model = vocab.crossJoin(broadcast(total))
+      .select($"tok",
+        floor((-log($"cnt".cast("double") / $"total")) * lit(1e6) + lit(0.5))
+          .cast("long").as("sfp"))
+    tok.join(broadcast(model), "tok")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("int").as("n_tok"), sum($"sfp").as("sum_fp"))
+      .select($"doc_id", $"n_tok",
+        halfUp4($"sum_fp".cast("double") / 1e6 / $"n_tok").as("avg_surprisal"))
+      .orderBy("doc_id")
+  }
+
+  private val unigramSurprisalOracle =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+      |tot AS (SELECT sum(cnt) AS total FROM v),
+      |m AS (SELECT tok,
+      |        CAST(floor((-ln(CAST(cnt AS DOUBLE) / total)) * 1000000.0 + 0.5) AS BIGINT) AS sfp
+      |      FROM v, tot)
+      |SELECT t.doc_id,
+      |       CAST(count(*) AS INTEGER) AS n_tok,
+      |       floor((CAST(sum(m.sfp) AS DOUBLE) / 1000000.0 / count(*)) * 10000 + 0.5) / 10000.0 AS avg_surprisal
+      |FROM tok t JOIN m ON t.tok = m.tok
+      |GROUP BY t.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** 16-bit integer from the first 4 hex chars of md5 — same cross-engine
+    * idiom as the x53 mixture hash (PipelineQueries), salted differently. */
+  private def splitHashCol =
+    conv(substring(md5(concat_ws("|", lit("split"), col("doc_id"))), 1, 4), 16, 10).cast("long")
+  private val splitHashSql = {
+    val h = "md5(concat_ws('|', 'split', CAST(doc_id AS VARCHAR)))"
+    (1 to 4).map(i => s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1)")
+      .reduce((a, b) => s"($a * 16 + $b)")
+  }
+
+  /** x57: deterministic stratified train/val/test split — each doc lands in
+    * a split by 16 bits of a salted md5 (~80/10/10), reproducible across
+    * engines, reruns, and partitionings (rand()-based splits are none of
+    * those). Output is the per-(lang, split) audit with within-lang shares.
+    * 100 TB: a narrow per-row flag plus a tiny aggregate; the split corpus
+    * itself is the same predicate with no shuffle at all. */
+  def stratifiedSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val split3 = when(splitHashCol < 52429, "train")
+      .when(splitHashCol < 58982, "val")
+      .otherwise("test")
+    Tables.documents(spark, dir)
+      .select($"lang", split3.as("split"))
+      .groupBy($"lang", $"split")
+      .agg(count(lit(1)).cast("int").as("n"))
+      .withColumn("share",
+        halfUp4($"n".cast("double") / sum($"n").over(Window.partitionBy($"lang")).cast("double")))
+      .orderBy("lang", "split")
+  }
+
+  private val stratifiedSplitOracle =
+    s"""WITH s AS (SELECT lang,
+       |        CASE WHEN $splitHashSql < 52429 THEN 'train'
+       |             WHEN $splitHashSql < 58982 THEN 'val'
+       |             ELSE 'test' END AS split
+       |      FROM documents),
+       |g AS (SELECT lang, split, CAST(count(*) AS INTEGER) AS n FROM s GROUP BY lang, split)
+       |SELECT lang, split, n,
+       |       floor((CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS share
+       |FROM g
+       |ORDER BY lang, split""".stripMargin
+
+  /** x58: Gopher-style repetition filters — per document, the share of the
+    * single most frequent token and the share of duplicate bigrams; a doc
+    * is kept when both are under threshold. The keep decision compares
+    * EXACT rationals (int/int in double — bit-identical across engines);
+    * only the reported shares are rounded. 100 TB: both signals are
+    * per-doc token aggregations — one hash shuffle keyed by (doc, token)
+    * whose width is bounded by per-doc vocab, not corpus vocab. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", split($"text", " ").as("toks"))
+    val tokAgg = docs
+      .select($"doc_id", explode($"toks").as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(sum($"c").as("n_tok"), max($"c").as("top_c"))
+    val bigram = when(size($"toks") > 1,
+      transform(sequence(lit(1), size($"toks") - 1),
+        i => concat_ws(" ", element_at($"toks", i), element_at($"toks", i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val bgAgg = docs
+      .select($"doc_id", explode(bigram).as("bg"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bg"), countDistinct($"bg").as("n_dist"))
+    val topShare = $"top_c".cast("double") / $"n_tok".cast("double")
+    val dupShare = when($"n_bg".isNull || $"n_bg" === 0, lit(0.0))
+      .otherwise(lit(1.0) - $"n_dist".cast("double") / $"n_bg".cast("double"))
+    tokAgg.join(bgAgg, Seq("doc_id"), "left")
+      .select(
+        $"doc_id",
+        $"n_tok".cast("int").as("n_tok"),
+        halfUp4(topShare).as("top_share"),
+        halfUp4(dupShare).as("dup_bigram_share"),
+        (topShare <= TopShareMax && dupShare <= DupBigramMax).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val repetitionStatsOracle =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |c AS (SELECT doc_id, tok, count(*) AS c
+       |      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+       |      GROUP BY doc_id, tok),
+       |a AS (SELECT doc_id, sum(c) AS n_tok, max(c) AS top_c FROM c GROUP BY doc_id),
+       |b AS (SELECT doc_id,
+       |        len(bgs) AS n_bg,
+       |        len(list_distinct(bgs)) AS n_dist
+       |      FROM (SELECT doc_id,
+       |              list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS bgs
+       |            FROM t)),
+       |m AS (SELECT a.doc_id,
+       |        CAST(a.n_tok AS DOUBLE) AS n_tok_d,
+       |        CAST(a.top_c AS DOUBLE) / CAST(a.n_tok AS DOUBLE) AS top_share,
+       |        CASE WHEN b.n_bg IS NULL OR b.n_bg = 0 THEN 0.0
+       |             ELSE 1.0 - CAST(b.n_dist AS DOUBLE) / CAST(b.n_bg AS DOUBLE) END AS dup_share,
+       |        CAST(a.n_tok AS INTEGER) AS n_tok
+       |      FROM a LEFT JOIN b ON a.doc_id = b.doc_id)
+       |SELECT doc_id, n_tok,
+       |       floor(top_share * 10000 + 0.5) / 10000.0 AS top_share,
+       |       floor(dup_share * 10000 + 0.5) / 10000.0 AS dup_bigram_share,
+       |       (top_share <= $TopShareMax AND dup_share <= $DupBigramMax) AS keep
+       |FROM m
+       |ORDER BY doc_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("x54_chunk_windows",
+      "sliding-window training-sample chunking (W=32, S=24)", chunkWindows, Some(chunkWindowsOracle)),
+    QueryDef("x55_chunk_dedup",
+      "corpus-level chunk dedup with doc rebuild (CCNet-style)", chunkDedup, Some(chunkDedupOracle)),
+    QueryDef("x56_unigram_surprisal",
+      "unigram-LM mean surprisal quality score (fixed-point sums)", unigramSurprisal, Some(unigramSurprisalOracle)),
+    QueryDef("x57_stratified_split",
+      "deterministic hash train/val/test split audit", stratifiedSplit, Some(stratifiedSplitOracle)),
+    QueryDef("x58_repetition_stats",
+      "Gopher-style repetition filters (top-token, dup-bigram)", repetitionStats, Some(repetitionStatsOracle)))
+}
