@@ -372,6 +372,96 @@ object SimilarityQueries {
       |FROM embeddings
       |ORDER BY vec_id""".stripMargin
 
+  /** Embedding dimensionality of the fixture (all SFs). */
+  private val Dim = 64
+
+  /** x37: int8 scalar-quantized top-k with exact rerank — the SQ
+    * compression path of a vector store: per-dimension (min, max) over the
+    * corpus (order-free aggregates → deterministic "trained" scale model),
+    * every vector quantized to int8 codes, the FULL scan runs on codes
+    * (4× less memory bandwidth than float32 at 100 TB — the scan is
+    * bandwidth-bound, so that is ~4× scan throughput), then only the top-8
+    * approximate candidates per query are re-scored at full precision and
+    * the top-3 emitted. Codes are carried as integer-valued floats (|q| ≤
+    * 127, exact in fp32) so the approximate dot reuses the codegen'd
+    * `vec_dot`; the int dot is exact in double, so CAST to BIGINT is
+    * lossless and bit-identical in both engines. */
+  def int8TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", Similarity.norm($"embedding").as("nrm"))
+    // Per-dim scale model: 64 rows -> one row of two ordered arrays.
+    val dims = emb
+      .select(posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"pos")
+      .agg(min($"x".cast("double")).as("mn"), max($"x".cast("double")).as("mx"))
+    val params = dims.agg(
+      transform(array_sort(collect_list(struct($"pos", $"mn"))), s => s.getField("mn")).as("mns"),
+      transform(array_sort(collect_list(struct($"pos", $"mx"))), s => s.getField("mx")).as("mxs"))
+    val quant = transform(sequence(lit(1), lit(Dim)), i =>
+      when(element_at($"mxs", i) === element_at($"mns", i), lit(0L))
+        .otherwise(
+          floor((element_at($"embedding", i).cast("double") - element_at($"mns", i))
+            / (element_at($"mxs", i) - element_at($"mns", i)) * 254 + lit(0.5))
+            - 127))
+    val coded = emb.crossJoin(broadcast(params))
+      .select($"vec_id", $"embedding", $"nrm", quant.cast("array<float>").as("q"))
+    val qs = coded.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"nrm".as("qn"), $"q".as("qq"))
+    val wApprox = Window.partitionBy($"q_id").orderBy($"iscore".desc, $"vec_id")
+    val wExact = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+    coded.join(broadcast(qs), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", $"qv", $"qn",
+        Similarity.dot($"q", $"qq").cast("long").as("iscore"))
+      .withColumn("ark", row_number().over(wApprox))
+      .filter($"ark" <= 8)
+      .join(emb.select($"vec_id", $"embedding".as("cv"), $"nrm".as("cn")), "vec_id")
+      .select($"q_id", $"vec_id", $"iscore",
+        round(Similarity.dot($"qv", $"cv") / ($"qn" * $"cn"), 4).as("cosine"))
+      .withColumn("rk", row_number().over(wExact))
+      .filter($"rk" <= 3)
+      .select($"q_id", $"rk", $"vec_id", $"cosine", $"iscore")
+      .orderBy("q_id", "rk")
+  }
+
+  private val int8TopKOracle =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |             sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |           FROM embeddings),
+       |dims AS (SELECT i,
+       |           min(CAST(embedding[i] AS DOUBLE)) AS mn,
+       |           max(CAST(embedding[i] AS DOUBLE)) AS mx
+       |         FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS i) d
+       |         GROUP BY i),
+       |p AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dims),
+       |coded AS (SELECT vec_id, embedding, nrm,
+       |            list_transform(range(1, ${Dim + 1}), i ->
+       |              CASE WHEN mxs[i] = mns[i] THEN 0
+       |                   ELSE CAST(floor((CAST(embedding[i] AS DOUBLE) - mns[i])
+       |                          / (mxs[i] - mns[i]) * 254 + 0.5) AS BIGINT) - 127 END) AS q
+       |          FROM e, p),
+       |qs AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qn, q AS qq
+       |       FROM coded WHERE vec_id % 100 = 0),
+       |pairs AS (SELECT qs.q_id, c.vec_id,
+       |            CAST(list_sum(list_transform(range(1, ${Dim + 1}), i ->
+       |              CAST(c.q[i] AS DOUBLE) * CAST(qs.qq[i] AS DOUBLE))) AS BIGINT) AS iscore
+       |          FROM coded c JOIN qs ON c.vec_id <> qs.q_id),
+       |cand AS (SELECT q_id, vec_id, iscore,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY iscore DESC, vec_id) AS ark
+       |         FROM pairs),
+       |exact AS (SELECT cand.q_id, cand.vec_id, cand.iscore,
+       |            round(${dotSql("qs.qv", "e.embedding")} / (qs.qn * e.nrm), 4) AS cosine
+       |          FROM cand
+       |          JOIN e ON e.vec_id = cand.vec_id
+       |          JOIN qs ON qs.q_id = cand.q_id
+       |          WHERE cand.ark <= 8),
+       |r AS (SELECT q_id, vec_id, iscore, cosine,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+       |      FROM exact)
+       |SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, cosine, iscore FROM r
+       |WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x30_cosine_topk", "brute-force cosine top-5 per query vector (X3)", cosineTopK, Some(cosineTopKOracle)),
     QueryDef("x31_sign_lsh_topk", "sign-LSH bucketed approximate top-3 (X3)", signLshTopK, Some(signLshOracle)),
@@ -379,5 +469,6 @@ object SimilarityQueries {
     QueryDef("x33_array_ops", "array scalar ops over embedding column", arrayOps, Some(arrayOpsOracle)),
     QueryDef("x34_ivf_topk", "IVF coarse-quantized ANN, nprobe=2 (X3 scale path)", ivfTopK, Some(ivfOracle)),
     QueryDef("x35_ivf_trained_topk", "IVF ANN with Lloyd-trained quantizer, fixed-point hash-stable training (X3)", ivfTrainedTopK, Some(ivfTrainedOracle)),
-    QueryDef("x36_multiprobe_lsh", "multi-probe sign-LSH top-3: base + 8 Hamming-1 buckets (X3)", multiProbeLshTopK, Some(multiProbeOracle)))
+    QueryDef("x36_multiprobe_lsh", "multi-probe sign-LSH top-3: base + 8 Hamming-1 buckets (X3)", multiProbeLshTopK, Some(multiProbeOracle)),
+    QueryDef("x37_int8_topk", "int8 scalar-quantized scan + exact rerank top-3 (X3)", int8TopK, Some(int8TopKOracle)))
 }
