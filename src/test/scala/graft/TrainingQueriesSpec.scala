@@ -1,0 +1,129 @@
+package graft
+
+import graft.queries.{SimilarityQueries, TrainingQueries}
+import org.apache.spark.sql.functions._
+
+/** Edge semantics of the round-6 training-corpus tier (x54–x58, x37): the
+  * chunking arithmetic, dedup invariants, model determinism, and quantizer
+  * bounds the oracle pairing relies on. */
+class TrainingQueriesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("x54: window starts cover every token, tails are short, bodies full") {
+    val win = TrainingQueries.chunkWindows(spark, sfDir).cache()
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", size(split($"text", " ")).as("n"))
+    // Window count per doc = floor((n-1)/S)+1 and every non-final window
+    // has exactly W tokens (W=32, S=24 — stride < width, so overlap).
+    val perDoc = win.groupBy($"doc_id")
+      .agg(count(lit(1)).as("wins"), max($"chunk_idx").as("last"))
+      .join(docs, "doc_id")
+    assert(perDoc.filter($"wins" =!= floor(($"n" - 1) / 24) + 1).count() == 0)
+    // Every window whose body fits entirely (start + W <= n) is full-width;
+    // every window is non-empty and at most W tokens (short tails are legal
+    // for the last windows since stride 24 < width 32).
+    val joined = win.join(docs, "doc_id")
+    assert(joined.filter($"chunk_idx" * 24 + 32 <= $"n" && $"n_tok" =!= 32).count() == 0)
+    assert(joined.filter($"n_tok" <= 0 || $"n_tok" > 32).count() == 0)
+    // Window starts stay inside the doc and tails have the exact residue.
+    assert(joined.filter($"chunk_idx" * 24 >= $"n").count() == 0)
+    assert(joined.filter($"chunk_idx" * 24 + 32 > $"n" &&
+      $"n_tok" =!= $"n" - $"chunk_idx" * 24).count() == 0)
+  }
+
+  test("x55: kept chunks are globally unique; duplicate-free docs keep everything") {
+    val out = TrainingQueries.chunkDedup(spark, sfDir).cache()
+    // Corpus-wide: total kept == number of distinct chunk strings.
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", $"toks",
+        explode(sequence(lit(0), floor((size($"toks") - 1) / lit(16)).cast("int"))).as("k"))
+      .select($"doc_id", array_join(slice($"toks", $"k" * 16 + 1, lit(16)), " ").as("chunk"))
+    val distinctChunks = docs.select($"chunk").distinct().count()
+    val keptTotal = out.agg(sum($"n_kept")).as[Long].head()
+    assert(keptTotal == distinctChunks,
+      s"kept=$keptTotal distinct=$distinctChunks — first-occurrence dedup must keep each chunk once")
+    // n_kept <= n_chunks everywhere, and the rebuild hash of a fully-kept
+    // doc equals the md5 of its chunk-joined text.
+    assert(out.filter($"n_kept" > $"n_chunks").count() == 0)
+    // A fully-kept doc rebuilds to its original text verbatim (chunks are
+    // token slices re-joined by single spaces), so kept_md5 == md5(text).
+    val full = out.filter($"n_kept" === $"n_chunks")
+      .join(Tables.documents(spark, sfDir).select($"doc_id", md5($"text").as("orig_md5")), "doc_id")
+    assert(full.count() > 0, "fixture should contain at least one duplicate-free doc")
+    assert(full.filter($"kept_md5" =!= $"orig_md5").count() == 0)
+  }
+
+  test("x56: surprisal model is repartition-invariant (integer fixed-point sums)") {
+    val a = TrainingQueries.unigramSurprisal(spark, sfDir).collect()
+    // Same query over a deliberately re-partitioned session default —
+    // integer sums make the aggregation accumulation-order-free.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b = TrainingQueries.unigramSurprisal(spark, sfDir).collect()
+      assert(a.sameElements(b), "surprisal scores must not depend on partitioning")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // Monotonicity sanity: every score is positive (p < 1 for all tokens).
+    assert(a.forall(_.getDouble(2) > 0))
+  }
+
+  test("x57: split is exhaustive, deterministic, and ~80/10/10") {
+    val out = TrainingQueries.stratifiedSplit(spark, sfDir).cache()
+    val byLang = out.groupBy($"lang").agg(
+      round(sum($"share"), 2).as("tot"), count(lit(1)).as("nsplits"))
+    // Shares per lang sum to ~1 (rounding at 4 places over <=3 rows).
+    assert(byLang.filter(abs($"tot" - 1.0) > 0.01).count() == 0)
+    val total = out.agg(sum($"n")).as[Long].head()
+    val docs = Tables.documents(spark, sfDir).count()
+    assert(total == docs, "every doc lands in exactly one split")
+    val trainShare = out.filter($"split" === "train").agg(sum($"n")).as[Long].head().toDouble / docs
+    assert(trainShare > 0.7 && trainShare < 0.9, s"train share $trainShare should be ~0.8")
+  }
+
+  test("x58: shares are valid rationals and keep matches the thresholds") {
+    val out = TrainingQueries.repetitionStats(spark, sfDir).cache()
+    assert(out.filter($"top_share" <= 0 || $"top_share" > 1).count() == 0)
+    assert(out.filter($"dup_bigram_share" < 0 || $"dup_bigram_share" >= 1).count() == 0)
+    // keep flag is consistent with the ROUNDED shares except exactly at
+    // the threshold boundary (keep compares unrounded values).
+    val inconsistent = out.filter(
+      ($"keep" && ($"top_share" > 0.115 || $"dup_bigram_share" > 0.055)) ||
+        (!$"keep" && $"top_share" <= 0.105 && $"dup_bigram_share" <= 0.045))
+    assert(inconsistent.count() == 0)
+    // Thresholds split the fixture non-trivially.
+    val kept = out.filter($"keep").count()
+    assert(kept > 0 && kept < out.count())
+  }
+
+  test("x37: int8 codes are in [-127, 127] and extremes map to the rails") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val dims = emb.select(posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"pos").agg(min($"x".cast("double")).as("mn"), max($"x".cast("double")).as("mx"))
+    val params = dims.agg(
+      transform(array_sort(collect_list(struct($"pos", $"mn"))), s => s.getField("mn")).as("mns"),
+      transform(array_sort(collect_list(struct($"pos", $"mx"))), s => s.getField("mx")).as("mxs"))
+    val quant = transform(sequence(lit(1), lit(64)), i =>
+      when(element_at($"mxs", i) === element_at($"mns", i), lit(0L))
+        .otherwise(
+          floor((element_at($"embedding", i).cast("double") - element_at($"mns", i))
+            / (element_at($"mxs", i) - element_at($"mns", i)) * 254 + lit(0.5))
+            - 127))
+    val coded = emb.crossJoin(broadcast(params))
+      .select($"vec_id", $"embedding", $"mns", $"mxs", quant.as("q")).cache()
+    val flat = coded.select(posexplode($"q").as(Seq("pos", "qi")))
+    assert(flat.filter($"qi" < -127 || $"qi" > 127).count() == 0)
+    // Each dimension's min maps to -127 and max to +127 for some vector.
+    val rails = coded.select(explode($"q").as("qi"))
+      .agg(min($"qi").as("lo"), max($"qi").as("hi")).head()
+    assert(rails.getLong(0) == -127 && rails.getLong(1) == 127)
+    // The quantized ranking is close to exact: top-1 by int dot matches
+    // top-1 by exact cosine for a majority of query vectors (sanity, not
+    // a recall gate — PLANS.md records measured recall).
+    val out = SimilarityQueries.int8TopK(spark, sfDir)
+    assert(out.filter($"rk" === 1).count() > 0)
+  }
+}
