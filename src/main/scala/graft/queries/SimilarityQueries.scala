@@ -462,6 +462,134 @@ object SimilarityQueries {
        |WHERE rk <= 3
        |ORDER BY q_id, rk""".stripMargin
 
+  /** PQ geometry: 8 subspaces × 8 dims, 4 centroids per subspace; the
+    * codebook seeds are fixed corpus rows (present at every SF, disjoint
+    * from nothing in particular — a seed may also be a query). */
+  private val PqM = 8
+  private val PqSubD = 8
+  private val PqSeeds = Seq(1L, 29L, 61L, 103L, 149L, 173L, 211L, 239L,
+    271L, 307L, 331L, 367L, 401L, 433L, 461L, 491L)
+  private val PqRerank = 64
+
+  /** x38: product-quantization ANN with asymmetric-distance scoring — the
+    * highest-compression tier of the vector-store family (x30 brute, x31/
+    * x36 LSH, x34/x35 IVF, x37 SQ): each vector is stored as M=8 one-byte
+    * codes (32× smaller than fp32; K=16 centroids per subspace), a query
+    * precomputes its M×K inner-product lookup table against the codebook,
+    * and the scan scores a vector by summing M table entries — then the
+    * top-64 approximate candidates are re-scored exactly and the top-3
+    * emitted (coarse codebooks need a deeper rerank than x37's int8:
+    * 64/500 ≈ 13% at sf0.01; measured recall in PLANS.md).
+    *
+    * Cross-engine determinism: sub-distances use the three-dot expansion
+    * |s|² − 2·s·c + |c|² over the SAME float slices in both engines
+    * (identical IEEE doubles); the per-subspace lookup entries are
+    * quantized HALF-UP to 1e-6 fixed point BEFORE the per-pair sum, so the
+    * ADC score is an integer sum — accumulation-order-free (the x35
+    * trained-centroid trick applied to ADC).
+    *
+    * Scale notes: the codebook (M·K rows) and query tables (|Q|·M·K rows)
+    * are broadcast; encoding is one argmin per (vector, subspace) pruned
+    * by WindowGroupLimit before its exchange. The relational ADC join
+    * shuffles (query, vector) partials; a deployment would fold the M
+    * lookups per row inside the scan (mapPartitions over the broadcast
+    * table) — the stored-bytes win (32×) is what matters at 100 TB. */
+  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", Similarity.norm($"embedding").as("nrm"))
+    val subArr = array((0 until PqM).map(s =>
+      struct(lit(s).as("s"), slice($"embedding", s * PqSubD + 1, PqSubD).as("v"))): _*)
+    val seedC = PqSeeds.zipWithIndex.tail.foldLeft(when($"vec_id" === PqSeeds.head, 0)) {
+      case (acc, (id, c)) => acc.when($"vec_id" === id, c)
+    }
+    val cb = emb.filter($"vec_id".isin(PqSeeds: _*))
+      .select(seedC.as("c"), explode(subArr).as("sub"))
+      .select($"c", $"sub.s".as("s"), $"sub.v".as("cv"))
+    val sub = emb.select($"vec_id", explode(subArr).as("sub"))
+      .select($"vec_id", $"sub.s".as("s"), $"sub.v".as("sv"))
+    val wCode = Window.partitionBy($"vec_id", $"s").orderBy($"d2", $"c")
+    val codes = sub.join(broadcast(cb), "s")
+      .select($"vec_id", $"s", $"c",
+        (Similarity.dot($"sv", $"sv") - lit(2.0) * Similarity.dot($"sv", $"cv")
+          + Similarity.dot($"cv", $"cv")).as("d2"))
+      .withColumn("rn", row_number().over(wCode))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"s", $"c")
+    val qdt = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), explode(subArr).as("sub"))
+      .join(broadcast(cb), col("sub.s") === cb("s"))
+      .select($"q_id", $"s", $"c",
+        floor(Similarity.dot(col("sub.v"), $"cv") * lit(1e6) + lit(0.5))
+          .cast("long").as("ipq_fp"))
+    val wApprox = Window.partitionBy($"q_id").orderBy($"aip_fp".desc, $"vec_id")
+    val wExact = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+    codes.join(broadcast(qdt), Seq("s", "c"))
+      .filter($"vec_id" =!= $"q_id")
+      .groupBy($"q_id", $"vec_id")
+      .agg(sum($"ipq_fp").as("aip_fp"))
+      .withColumn("ark", row_number().over(wApprox))
+      .filter($"ark" <= PqRerank)
+      .join(emb.select($"vec_id", $"embedding".as("cv"), $"nrm".as("cn")), "vec_id")
+      .join(broadcast(emb.filter($"vec_id" % 100 === 0)
+        .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"nrm".as("qn"))), "q_id")
+      .select($"q_id", $"vec_id", $"aip_fp",
+        round(Similarity.dot($"qv", $"cv") / ($"qn" * $"cn"), 4).as("cosine"))
+      .withColumn("rk", row_number().over(wExact))
+      .filter($"rk" <= 3)
+      .select($"q_id", $"rk", $"vec_id", $"cosine", $"aip_fp")
+      .orderBy("q_id", "rk")
+  }
+
+  private val pqTopKOracle = {
+    val seedCase = PqSeeds.zipWithIndex
+      .map { case (id, c) => s"WHEN vec_id = $id THEN $c" }
+      .mkString("CASE ", " ", " END")
+    def sliceD(v: String) = s"list_slice($v, s * $PqSubD + 1, s * $PqSubD + $PqSubD)"
+    def dotS(a: String, b: String) =
+      s"list_sum(list_transform(range(1, ${PqSubD + 1}), j -> CAST($a[j] AS DOUBLE) * CAST($b[j] AS DOUBLE)))"
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |             sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |           FROM embeddings),
+       |ss AS (SELECT unnest(range(0, $PqM)) AS s),
+       |cb AS (SELECT $seedCase AS c, s, ${sliceD("embedding")} AS cv
+       |       FROM embeddings CROSS JOIN ss
+       |       WHERE vec_id IN (${PqSeeds.mkString(", ")})),
+       |sub AS (SELECT vec_id, s, ${sliceD("embedding")} AS sv
+       |        FROM embeddings CROSS JOIN ss),
+       |dist AS (SELECT sub.vec_id, sub.s, cb.c,
+       |           ${dotS("sv", "sv")} - 2.0 * ${dotS("sv", "cv")} + ${dotS("cv", "cv")} AS d2
+       |         FROM sub JOIN cb ON sub.s = cb.s),
+       |codes AS (SELECT vec_id, s, c
+       |          FROM (SELECT vec_id, s, c,
+       |                  row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+       |                FROM dist)
+       |          WHERE rn = 1),
+       |qdt AS (SELECT q.vec_id AS q_id, cb.s, cb.c,
+       |          CAST(floor(${dotS(s"list_slice(q.embedding, cb.s * $PqSubD + 1, cb.s * $PqSubD + $PqSubD)", "cb.cv")} * 1000000.0 + 0.5) AS BIGINT) AS ipq_fp
+       |        FROM embeddings q CROSS JOIN cb
+       |        WHERE q.vec_id % 100 = 0),
+       |approx AS (SELECT qdt.q_id, codes.vec_id, sum(qdt.ipq_fp) AS aip_fp
+       |           FROM codes JOIN qdt ON codes.s = qdt.s AND codes.c = qdt.c
+       |           WHERE codes.vec_id <> qdt.q_id
+       |           GROUP BY qdt.q_id, codes.vec_id),
+       |cand AS (SELECT q_id, vec_id, aip_fp,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY aip_fp DESC, vec_id) AS ark
+       |         FROM approx),
+       |exact AS (SELECT cand.q_id, cand.vec_id, cand.aip_fp,
+       |            round(${dotSql("qe.embedding", "ce.embedding")} / (qe.nrm * ce.nrm), 4) AS cosine
+       |          FROM cand
+       |          JOIN e ce ON ce.vec_id = cand.vec_id
+       |          JOIN e qe ON qe.vec_id = cand.q_id
+       |          WHERE cand.ark <= $PqRerank),
+       |r AS (SELECT q_id, vec_id, aip_fp, cosine,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+       |      FROM exact)
+       |SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, cosine, aip_fp FROM r
+       |WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x30_cosine_topk", "brute-force cosine top-5 per query vector (X3)", cosineTopK, Some(cosineTopKOracle)),
     QueryDef("x31_sign_lsh_topk", "sign-LSH bucketed approximate top-3 (X3)", signLshTopK, Some(signLshOracle)),
@@ -470,5 +598,6 @@ object SimilarityQueries {
     QueryDef("x34_ivf_topk", "IVF coarse-quantized ANN, nprobe=2 (X3 scale path)", ivfTopK, Some(ivfOracle)),
     QueryDef("x35_ivf_trained_topk", "IVF ANN with Lloyd-trained quantizer, fixed-point hash-stable training (X3)", ivfTrainedTopK, Some(ivfTrainedOracle)),
     QueryDef("x36_multiprobe_lsh", "multi-probe sign-LSH top-3: base + 8 Hamming-1 buckets (X3)", multiProbeLshTopK, Some(multiProbeOracle)),
-    QueryDef("x37_int8_topk", "int8 scalar-quantized scan + exact rerank top-3 (X3)", int8TopK, Some(int8TopKOracle)))
+    QueryDef("x37_int8_topk", "int8 scalar-quantized scan + exact rerank top-3 (X3)", int8TopK, Some(int8TopKOracle)),
+    QueryDef("x38_pq_topk", "product-quantization ADC top-3 with exact rerank (X3)", pqTopK, Some(pqTopKOracle)))
 }

@@ -98,6 +98,21 @@ class TrainingQueriesSpec extends SparkTestBase {
     assert(kept > 0 && kept < out.count())
   }
 
+  test("x38: PQ output is well-formed and rerank preserves exact ordering") {
+    val out = SimilarityQueries.pqTopK(spark, sfDir).cache()
+    // 3 results per query, ranks dense 1..3, cosine non-increasing in rank.
+    val perQ = out.groupBy($"q_id").agg(
+      count(lit(1)).as("n"), min($"rk").as("lo"), max($"rk").as("hi"))
+    assert(perQ.filter($"n" =!= 3 || $"lo" =!= 1 || $"hi" =!= 3).count() == 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"rk")
+    val mono = out.withColumn("prev", lag($"cosine", 1).over(w))
+      .filter($"prev".isNotNull && $"cosine" > $"prev")
+    assert(mono.count() == 0, "exact rerank must order by true cosine")
+    // A query never returns itself.
+    assert(out.filter($"q_id" === $"vec_id").count() == 0)
+  }
+
   test("x37: int8 codes are in [-127, 127] and extremes map to the rails") {
     import graft.operators.Similarity
     val emb = Tables.embeddings(spark, sfDir)
