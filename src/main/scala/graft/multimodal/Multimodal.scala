@@ -121,6 +121,37 @@ object Multimodal {
     }
   }
 
+  /** One audio analysis window: overlapping byte-level frame with its
+    * per-window signal stats. */
+  final case class AudioWindow(doc_id: Long, win_idx: Int, n_samples: Int,
+                               energy: Long, peak: Int)
+
+  /** Audio windowing stage (the STFT-frame shape of an audio pipeline):
+    * the payload is treated as an unsigned-8-bit sample stream and cut
+    * into overlapping windows of `frame` samples every `hop` samples
+    * (every start < length emits a window; tails are short). Per window:
+    * sample count, total energy (sum of sample values) and peak sample —
+    * integer stats, so the SQL rendering (x72) is bit-exact. Real
+    * decode/resample swaps in per partition like the other stages; the
+    * windowing arithmetic and 1→N batch shape are the real deliverable. */
+  def audioWindows(ds: Dataset[MediaDoc], frame: Int, hop: Int): Dataset[AudioWindow] = {
+    require(frame > 0 && hop > 0, "frame and hop must be positive")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.flatMap { m =>
+      val b = m.content
+      Iterator.range(0, b.length, hop).map { s =>
+        val end = math.min(s + frame, b.length)
+        var e = 0L; var p = 0; var i = s
+        while (i < end) {
+          val v = b(i) & 0xff
+          e += v; if (v > p) p = v; i += 1
+        }
+        AudioWindow(m.doc_id, s / hop, end - s, e, p)
+      }
+    }
+  }
+
   /** Feature extraction over sampled frames (the embed/score stage of a
     * media pipeline): 4 fake dims derived from the frame digest's leading
     * nibbles, scaled to [0,1] — deterministic, oracle-reproducible; a real

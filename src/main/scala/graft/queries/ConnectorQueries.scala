@@ -104,7 +104,34 @@ object ConnectorQueries {
        |ORDER BY doc_id, frame_idx""".stripMargin
   }
 
+  /** X7 audio stage: overlapping byte-level windows (frame=64, hop=32)
+    * with integer energy/peak stats — the STFT-frame batch shape. The
+    * payload is the UTF-8 text (pure ASCII fixture), so the oracle
+    * reproduces the byte stream exactly via character codes. */
+  def audioWindows(spark: SparkSession, dir: String) = {
+    val media = Multimodal.attachFakeMedia(Tables.documents(spark, dir))
+    Multimodal.audioWindows(media, frame = 64, hop = 32)
+      .toDF().orderBy("doc_id", "win_idx")
+  }
+
+  private val audioWindowsOracle = {
+    def codes = "list_transform(range(k * 32 + 1, least(k * 32 + 64, n) + 1), i -> ascii(substr(text, CAST(i AS INTEGER), 1)))"
+    s"""WITH c AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       |e AS (SELECT doc_id, text, n, unnest(range(0, ((n - 1) // 32) + 1)) AS k
+       |      FROM c WHERE n > 0)
+       |SELECT doc_id,
+       |       CAST(k AS INTEGER) AS win_idx,
+       |       CAST(least(64, n - k * 32) AS INTEGER) AS n_samples,
+       |       CAST(list_sum($codes) AS BIGINT) AS energy,
+       |       CAST(list_max($codes) AS INTEGER) AS peak
+       |FROM e
+       |ORDER BY doc_id, win_idx""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x72_audio_windows",
+      "overlapping audio sample windows with energy/peak stats (X7)",
+      audioWindows, Some(audioWindowsOracle)),
     QueryDef("src1_paginated_connector",
       "paginated REST connector end-to-end over synthetic envelope pages (SRC1,P1,F1-F4)",
       paginatedConnector, Some(paginatedOracle)),

@@ -62,4 +62,30 @@ class MultimodalSpec extends SparkTestBase {
     val again = Multimodal.frameFeatures(frames).collect()
     assert(feats.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
+
+  test("audioWindows: hop coverage, tail lengths, energy matches byte sums") {
+    val docs = Seq((1L, "a" * 100), (2L, "z"), (3L, "ab" * 40)).toDF("doc_id", "text")
+    val wins = Multimodal.audioWindows(Multimodal.attachFakeMedia(docs), frame = 64, hop = 32)
+      .collect().sortBy(w => (w.doc_id, w.win_idx))
+    // doc 1: n=100 -> starts 0,32,64,96 -> lengths 64,64,36,4
+    val d1 = wins.filter(_.doc_id == 1L)
+    assert(d1.map(_.n_samples).toSeq == Seq(64, 64, 36, 4))
+    assert(d1.forall(w => w.energy == w.n_samples.toLong * 'a'.toInt && w.peak == 'a'.toInt))
+    // doc 2: single sample -> one window of 1
+    val d2 = wins.filter(_.doc_id == 2L)
+    assert(d2.map(w => (w.win_idx, w.n_samples, w.energy, w.peak)).toSeq ==
+      Seq((0, 1, 'z'.toLong, 'z'.toInt)))
+    // doc 3: alternating bytes -> peak is 'b' in every full window
+    val d3 = wins.filter(_.doc_id == 3L)
+    assert(d3.forall(_.peak == 'b'.toInt))
+    assert(d3.head.energy == 32L * ('a'.toInt + 'b'.toInt))
+  }
+
+  test("audioWindows typed byte path == x72 SQL char path on the fixture") {
+    val q = graft.queries.ConnectorQueries.audioWindows(spark, "/root/testdata/sf0.001")
+    val typed = Multimodal.audioWindows(
+      Multimodal.attachFakeMedia(Tables.documents(spark, "/root/testdata/sf0.001")),
+      frame = 64, hop = 32).toDF().orderBy("doc_id", "win_idx")
+    assert(q.except(typed).count() == 0 && typed.except(q).count() == 0)
+  }
 }
