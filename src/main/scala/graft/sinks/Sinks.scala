@@ -107,4 +107,23 @@ object Sinks {
     }
     inserted.value
   }
+
+  /** Training-shard writer: materialize a corpus as one directory per
+    * shard with rows stored in the given visit order — the layout a
+    * sequential dataloader consumes (x52's epoch shuffle computes the
+    * order; this writes it). `repartition(shardCol)` co-locates each
+    * shard in one task, `sortWithinPartitions(shard, order)` makes every
+    * emitted file internally ordered (several shards may share a task;
+    * the dynamic-partition writer still splits them into their own
+    * directories), and `maxRecordsPerFile` bounds file size so a 100 TB
+    * corpus yields evenly-sized reader units instead of one file per
+    * shard. */
+  def writeShards(df: DataFrame, shardCol: String, orderCol: String,
+                  path: String, maxRecordsPerFile: Long = 1000000L): Unit =
+    df.repartition(org.apache.spark.sql.functions.col(shardCol))
+      .sortWithinPartitions(shardCol, orderCol)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(shardCol)
+      .parquet(path)
 }

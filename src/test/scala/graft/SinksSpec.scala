@@ -124,6 +124,34 @@ class SinksSpec extends SparkTestBase {
     val s = scala.jdk.CollectionConverters.ListHasAsScala(acc.value).asScala.toSeq
     assert(s.nonEmpty && s.sum == 25 && s.forall(_ <= 10))
   }
+
+  test("writeShards: one directory per shard, rows file-ordered by the visit rank") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text",
+        ($"doc_id" % 4).as("shard"),
+        substring(md5(concat_ws("|", lit("e1"), $"doc_id")), 1, 8).as("rank"))
+    Sinks.writeShards(docs, "shard", "rank", out, maxRecordsPerFile = 50)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("shard=0", "shard=1", "shard=2", "shard=3"))
+    // Within every emitted file the visit rank is non-decreasing (what a
+    // sequential reader observes), and nothing was lost or duplicated.
+    val back = spark.read.parquet(out).select($"doc_id")
+    // read per file in storage order: parquet preserves row order per file
+    val perFile = spark.read.parquet(out)
+      .select($"rank", input_file_name().as("f"))
+    import spark.implicits._
+    val bad = perFile.as[(String, String)].rdd
+      .groupBy(_._2)
+      .map { case (_, rows) =>
+        val rs = rows.map(_._1).toSeq
+        if (rs == rs.sorted) 0 else 1
+      }.sum()
+    assert(bad == 0.0, "every shard file must be internally rank-ordered")
+    assert(back.count() == docs.count())
+    assert(back.distinct().count() == docs.count())
+  }
 }
 
 /** In-JVM stand-in for a MySQL table with a unique key on `hash`
