@@ -80,6 +80,45 @@ object IncrementalStream {
       }
   }
 
+  /** One gate verdict: whether the doc is the bucket's canonical or a
+    * near-duplicate of it. */
+  final case class DedupVerdict(doc_id: Long, bucket: Long,
+                                is_first: Boolean, canonical: Long)
+
+  /** Streaming near-dup gate — x12's SimHash bucketing maintained
+    * incrementally: keyed state per simhash bucket holds the first-seen
+    * doc_id (the canonical), and every arriving doc is flagged
+    * first-or-duplicate in the micro-batch it arrives, so corpus intake
+    * can drop near-dups while ingestion is still running instead of
+    * re-running batch dedup per load. Within a batch ties resolve by min
+    * doc_id; across batches arrival order wins — which equals the batch
+    * survivor rule (global min id) whenever the upstream delivers
+    * id-ordered increments, exactly what the offset-CDC connector
+    * produces. A replay of the canonical itself (the connector's
+    * boundary-page overlap) re-flags as is_first — idempotent, no state
+    * change. State: one Long per DISTINCT bucket (bounded by the bucket
+    * space, not the corpus). Callers compute `bucket` with
+    * `Dedup.simhashBits` (the same expression works in a streaming
+    * select), so batch and streaming gates share one bucketing. */
+  def nearDupGate(docs: org.apache.spark.sql.Dataset[(Long, Long)]):
+      org.apache.spark.sql.Dataset[DedupVerdict] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.groupByKey(_._2)
+      .flatMapGroupsWithState[Long, DedupVerdict](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        case (bucket, rows, state) =>
+          var canon = state.getOption.getOrElse(-1L)
+          val out = rows.toSeq.sortBy(_._1).map { case (id, _) =>
+            if (canon < 0) { canon = id; DedupVerdict(id, bucket, is_first = true, id) }
+            else DedupVerdict(id, bucket, is_first = id == canon, canon)
+          }
+          state.update(canon)
+          out.iterator
+      }
+  }
+
   /** One closed (gap-expired) session. */
   final case class SessionSummary(user_id: Long, n_events: Long,
                                   first_ms: Long, last_ms: Long)

@@ -162,6 +162,48 @@ class StreamingSpec extends SparkTestBase {
       (6L, 0L, 2, 12L, 1L, 2L)))
   }
 
+  test("X2 streaming near-dup gate: first-wins across batches, replay-idempotent") {
+    val src = tmpDir("ndg_src")
+    val cp = tmpDir("ndg_cp")
+    val out = tmpDir("ndg_out") + "/verdicts"
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("bucket", LongType))))
+        .json(src)
+      val q = IncrementalStream.nearDupGate(stream.as[(Long, Long)])
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[IncrementalStream.DedupVerdict], _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    def writeDocs(name: String, rows: Seq[(Long, Long)]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(src, name),
+        rows.map { case (d, b) => s"""{"doc_id":$d,"bucket":$b}""" }
+          .mkString("\n").getBytes("UTF-8"))
+    // batch 1: bucket 7 sees ids 5 and 1 together -> min id 1 is canonical
+    writeDocs("b1.json", Seq((5L, 7L), (1L, 7L), (2L, 9L)))
+    drain()
+    // batch 2, same checkpoint: 9 is a near-dup of 1; the canonical 1
+    // replays (boundary-page overlap) and stays is_first; a fresh bucket
+    // opens with 3
+    writeDocs("b2.json", Seq((9L, 7L), (1L, 7L), (3L, 11L)))
+    drain()
+    val v = spark.read.parquet(out)
+      .as[(Long, Long, Boolean, Long)].collect().toSeq.sorted
+    assert(v == Seq(
+      (1L, 7L, true, 1L),   // batch-1 canonical (min of 1,5)
+      (1L, 7L, true, 1L),   // batch-2 replay of the canonical: idempotent
+      (2L, 9L, true, 2L),
+      (3L, 11L, true, 3L),
+      (5L, 7L, false, 1L),
+      (9L, 7L, false, 1L)))
+  }
+
   test("S3 custom state: event-time timeout closes sessions after the gap") {
     val src = tmpDir("exp_src")
     val cp = tmpDir("exp_cp")
