@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Third coverage batch: sketch aggregates (rows-only check — HLL/KLL
@@ -32,13 +33,32 @@ object RelationalQueries3 {
         approx_count_distinct($"l_partkey").as("ap"),
         approx_count_distinct($"l_suppkey", 0.01).as("asup"),
         percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("amed"),
-        expr("percentile(l_extendedprice, 0.5)").as("emed"),
         count(lit(1)).as("n"))
     val exact = li.groupBy($"l_returnflag")
       .agg(
         countDistinct($"l_partkey").as("ep"),
         countDistinct($"l_suppkey").as("esup"))
-    sketches.join(exact, "l_returnflag")
+    // Exact median via the q25 rank-join plan (sort window + two-row pick),
+    // NOT the percentile() aggregate: percentile() buffers every group
+    // value in one in-memory aggregation buffer, while the window sort
+    // spills — the only formulation that survives a 100 TB group.
+    val vals = li.select($"l_returnflag", $"l_extendedprice")
+    val cnt = vals.groupBy($"l_returnflag").agg(count(lit(1)).as("cn"))
+    val pos = ($"cn" - 1).cast("double") * 0.5
+    val med = vals
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice")))
+      .join(broadcast(cnt), "l_returnflag")
+      .groupBy($"l_returnflag")
+      .agg(
+        max(when($"rn" === floor(pos) + 1, $"l_extendedprice")).as("__lo"),
+        max(when($"rn" === ceil(pos) + 1, $"l_extendedprice")).as("__hi"),
+        max(pos).as("__pos"))
+      .select($"l_returnflag",
+        when(floor($"__pos") === ceil($"__pos"), $"__lo")
+          .otherwise($"__lo" * (ceil($"__pos") - $"__pos")
+            + $"__hi" * ($"__pos" - floor($"__pos"))).as("emed"))
+    sketches.join(exact, "l_returnflag").join(med, "l_returnflag")
       .select(
         $"l_returnflag",
         (abs($"ap" - $"ep") <= $"ep" * 0.05).cast("int").as("parts_ok"),
