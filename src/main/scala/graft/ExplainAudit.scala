@@ -19,7 +19,10 @@ object ExplainAudit {
       // heaviest pipeline in the repo, not just plans it.)
       "x13_ngram_jaccard", "x32_embedding_neardup", "q39_exists_correlated",
       // round-5 shapes: broadcast probe/eval sides, per-shard windows
-      "x36_multiprobe_lsh", "x50_pack_sequences", "x51_decontaminate")
+      "x36_multiprobe_lsh", "x50_pack_sequences", "x51_decontaminate",
+      // round-6 shapes: chunk-dedup shuffle, broadcast scale/LM models,
+      // quantized-scan top-k pruning (WindowGroupLimit before exchange)
+      "x55_chunk_dedup", "x56_unigram_surprisal", "x37_int8_topk", "x38_pq_topk")
     names.foreach { n =>
       println(s"\n===== $n =====")
       Registry.byName(n).fn(spark, dir).explain("formatted")

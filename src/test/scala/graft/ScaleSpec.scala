@@ -255,4 +255,36 @@ class ScaleSpec extends SparkTestBase {
     assert(math.abs(approx._1 - exact._1) / exact._1 < 0.05)
     assert(math.abs(approx._2 - exact._2) / exact._2 < 0.05)
   }
+
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // At 100 TB the win of a selective dim-side predicate is only realized
+    // if the FACT scan is pruned at runtime — Spark injects a bloom-filter
+    // semi-filter on the join key when the creation side is small and
+    // selective. Thresholds are lowered so the sf0.001 fixture qualifies;
+    // the assertion is on the injected plan node, which is the part that
+    // carries to any scale.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      // the fixture fact scan is far below the 10GB default gate that a
+      // real 100 TB fact table trivially clears
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtimeFilter.number.threshold" -> "10",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = Tables.lineitem(spark, sfDir)
+      val ord = Tables.orders(spark, sfDir).filter($"o_orderpriority" === "1-URGENT")
+      val joined = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("BloomFilter"),
+        s"expected an injected runtime bloom filter in:\n$plan")
+      assert(joined.count() > 0)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
