@@ -256,6 +256,54 @@ object TrainingQueries {
        |FROM m
        |ORDER BY doc_id""".stripMargin
 
+  /** Per-language sample size for x59. */
+  private val WSampleK = 12
+
+  /** x59: deterministic weighted sampling WITHOUT replacement
+    * (Efraimidis–Spirakis): each doc draws u from a salted 16-bit hash and
+    * ranks by u^(1/w) with weight w = n_chars — longer docs
+    * proportionally likelier, no rand(), reproducible across engines,
+    * reruns, and partitionings. Ranking uses the monotone-equivalent
+    * ln(u)/w with ln(u) quantized HALF-UP to 1e-9 fixed point first, so
+    * the sort key is a ratio of exact integers — no cross-engine libm-ulp
+    * risk in the ordering. Top-K per language. 100 TB: narrow per-row
+    * keys + a per-group top-K (WindowGroupLimit prunes per partition
+    * before the shuffle). */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val h = conv(substring(md5(concat_ws("|", lit("wsample"), col("doc_id"))), 1, 4), 16, 10)
+      .cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(65536.0)
+    val lnfp = floor(log(u) * lit(1e9) + lit(0.5)).cast("long")
+    val w = Window.partitionBy($"lang").orderBy($"key".desc, $"doc_id")
+    Tables.documents(spark, dir)
+      .select($"lang", $"doc_id", $"n_chars",
+        (lnfp.cast("double") / $"n_chars".cast("double")).as("key"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= WSampleK)
+      .select($"lang", $"rk", $"doc_id", $"n_chars")
+      .orderBy("lang", "rk")
+  }
+
+  private val weightedSampleOracle = {
+    val h = {
+      val md = "md5(concat_ws('|', 'wsample', CAST(doc_id AS VARCHAR)))"
+      (1 to 4).map(i => s"(strpos('0123456789abcdef', substr($md, $i, 1)) - 1)")
+        .reduce((a, b) => s"($a * 16 + $b)")
+    }
+    s"""WITH k AS (SELECT lang, doc_id, n_chars,
+       |        CAST(floor(ln((CAST($h AS DOUBLE) + 0.5) / 65536.0) * 1000000000.0 + 0.5) AS BIGINT) AS lnfp
+       |      FROM documents),
+       |r AS (SELECT lang, doc_id, n_chars,
+       |        row_number() OVER (PARTITION BY lang
+       |          ORDER BY CAST(lnfp AS DOUBLE) / CAST(n_chars AS DOUBLE) DESC, doc_id) AS rk
+       |      FROM k)
+       |SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id, n_chars
+       |FROM r
+       |WHERE rk <= $WSampleK
+       |ORDER BY lang, rk""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x54_chunk_windows",
       "sliding-window training-sample chunking (W=32, S=24)", chunkWindows, Some(chunkWindowsOracle)),
@@ -266,5 +314,7 @@ object TrainingQueries {
     QueryDef("x57_stratified_split",
       "deterministic hash train/val/test split audit", stratifiedSplit, Some(stratifiedSplitOracle)),
     QueryDef("x58_repetition_stats",
-      "Gopher-style repetition filters (top-token, dup-bigram)", repetitionStats, Some(repetitionStatsOracle)))
+      "Gopher-style repetition filters (top-token, dup-bigram)", repetitionStats, Some(repetitionStatsOracle)),
+    QueryDef("x59_weighted_sample",
+      "deterministic weighted sampling w/o replacement (Efraimidis-Spirakis)", weightedSample, Some(weightedSampleOracle)))
 }

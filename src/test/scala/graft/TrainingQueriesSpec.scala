@@ -98,6 +98,22 @@ class TrainingQueriesSpec extends SparkTestBase {
     assert(kept > 0 && kept < out.count())
   }
 
+  test("x59: weighted sample is deterministic and biased toward heavy docs") {
+    val out = TrainingQueries.weightedSample(spark, sfDir).cache()
+    // Exactly K per language, dense ranks.
+    val perLang = out.groupBy($"lang").agg(count(lit(1)).as("n"), max($"rk").as("mx"))
+    assert(perLang.filter($"n" =!= 12 || $"mx" =!= 12).count() == 0)
+    // Rerun == same sample (pure hash, no rand()).
+    val again = TrainingQueries.weightedSample(spark, sfDir)
+    assert(out.except(again).count() == 0 && again.except(out).count() == 0)
+    // Weighting bias: the sampled mean n_chars exceeds the corpus mean
+    // (weights ARE n_chars; on 500 docs this holds with huge margin).
+    val sampledMean = out.agg(avg($"n_chars")).head().getDouble(0)
+    val corpusMean = Tables.documents(spark, sfDir).agg(avg($"n_chars")).head().getDouble(0)
+    assert(sampledMean > corpusMean,
+      s"weighted sample mean $sampledMean should exceed corpus mean $corpusMean")
+  }
+
   test("x38: PQ output is well-formed and rerank preserves exact ordering") {
     val out = SimilarityQueries.pqTopK(spark, sfDir).cache()
     // 3 results per query, ranks dense 1..3, cosine non-increasing in rank.
