@@ -252,7 +252,43 @@ object RelationalQueries4 {
       |FROM embeddings
       |ORDER BY vec_id""".stripMargin
 
+  /** FULL OUTER join with null-completion: per-nation customer and
+    * supplier aggregates joined over an asymmetric key space (the fixture
+    * has customer-only nations at every SF), counts coalesced to 0, avgs
+    * left null where a side is absent. Completes the join-type surface
+    * (inner/broadcast q03-q04, semi q05, anti q06, left x58's audit,
+    * as-of x60, range x61). */
+  def q42(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir).groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_cust"), QueryUtil.halfUp(avg($"c_acctbal"), 2).as("avg_cust_bal"))
+    val s = Tables.supplier(spark, dir).groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_supp"), QueryUtil.halfUp(avg($"s_acctbal"), 2).as("avg_supp_bal"))
+    c.join(s, $"c_nationkey" === $"s_nationkey", "full")
+      .select(
+        coalesce($"c_nationkey", $"s_nationkey").as("nationkey"),
+        coalesce($"n_cust", lit(0L)).as("n_cust"),
+        $"avg_cust_bal",
+        coalesce($"n_supp", lit(0L)).as("n_supp"),
+        $"avg_supp_bal")
+      .orderBy("nationkey")
+  }
+
+  private val q42Oracle =
+    """WITH c AS (SELECT c_nationkey, count(*) AS n_cust, floor(avg(c_acctbal) * 100 + 0.5) / 100.0 AS avg_cust_bal
+      |           FROM customer GROUP BY c_nationkey),
+      |s AS (SELECT s_nationkey, count(*) AS n_supp, floor(avg(s_acctbal) * 100 + 0.5) / 100.0 AS avg_supp_bal
+      |      FROM supplier GROUP BY s_nationkey)
+      |SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+      |       coalesce(n_cust, 0) AS n_cust,
+      |       avg_cust_bal,
+      |       coalesce(n_supp, 0) AS n_supp,
+      |       avg_supp_bal
+      |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+      |ORDER BY nationkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q42_outer_joins", "FULL OUTER join with null-completion over asymmetric keys", q42, Some(q42Oracle)),
     QueryDef("q33_window_range_frame", "RANGE frame (30d trailing), lead, nth_value", q33, Some(q33Oracle)),
     QueryDef("q41_hof_arrays", "higher-order array functions (exists/forall/filter/aggregate/zip_with)", q41, Some(q41Oracle)),
     QueryDef("q39_exists_correlated", "correlated EXISTS decorrelated to semi-join", q39, Some(q39Oracle)),
