@@ -204,6 +204,50 @@ class StreamingSpec extends SparkTestBase {
       (9L, 7L, false, 1L)))
   }
 
+  test("X2 streaming gate == batch survivor rule on id-ordered fixture intake") {
+    import org.apache.spark.sql.functions._
+    val src = tmpDir("ndg2_src")
+    val cp = tmpDir("ndg2_cp")
+    val out = tmpDir("ndg2_out") + "/verdicts"
+    // Batch truth: min doc_id per 32-bit simhash bucket over sf0.001 docs.
+    val bucketed = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        conv(graft.operators.Dedup.simhashBits(split(col("text"), " "), 32), 2, 10)
+          .cast("long").as("bucket"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val batchCanon = bucketed.groupBy(_._2).map { case (b, rows) => b -> rows.map(_._1).min }
+    // Stream the same pairs in doc_id order across two drains.
+    val (first, second) = bucketed.splitAt(bucketed.length / 2)
+    def writeDocs(name: String, rows: Seq[(Long, Long)]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(src, name),
+        rows.map { case (d, b) => s"""{"doc_id":$d,"bucket":$b}""" }
+          .mkString("\n").getBytes("UTF-8"))
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("bucket", LongType))))
+        .json(src)
+      val q = IncrementalStream.nearDupGate(stream.as[(Long, Long)])
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[IncrementalStream.DedupVerdict], _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    writeDocs("b1.json", first.toSeq); drain()
+    writeDocs("b2.json", second.toSeq); drain()
+    val verdicts = spark.read.parquet(out)
+      .as[(Long, Long, Boolean, Long)].collect()
+    assert(verdicts.length == bucketed.length)
+    // Every verdict's canonical equals the batch min-id survivor, and the
+    // is_first flags mark exactly the survivor set.
+    assert(verdicts.forall { case (_, b, _, canon) => batchCanon(b) == canon })
+    val streamSurvivors = verdicts.filter(_._3).map(_._1).toSet
+    assert(streamSurvivors == batchCanon.values.toSet)
+  }
+
   test("S3 custom state: event-time timeout closes sessions after the gap") {
     val src = tmpDir("exp_src")
     val cp = tmpDir("exp_cp")
