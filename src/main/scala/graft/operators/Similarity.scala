@@ -102,4 +102,49 @@ object Similarity {
     }
     cur
   }
+
+  /** Lloyd refinement for PQ sub-codebooks under SQUARED L2 — the actual
+    * PQ training objective ([[refineCentroids]] is the spherical/cosine
+    * variant for the IVF coarse quantizer; sub-vectors are not unit, so
+    * cosine would be wrong here). Same cross-engine determinism recipe:
+    * the assignment distance uses the three-dot expansion |s|² − 2·s·c +
+    * |c|² (identical IEEE doubles in both engines) rounded to 6 for an
+    * engine-stable argmin with a deterministic tiebreak on the code, and
+    * the cluster means are derived from HALF-UP 1e-6 fixed-point integer
+    * sums — accumulation-order-free, so a sequential SQL oracle reproduces
+    * the trained codebook bit-for-bit. Empty cells keep their previous
+    * centroid (L2 has no zero-vector degeneracy beyond emptiness).
+    *
+    * @param sub (vec_id, s, sv) sub-vector per vector and subspace
+    * @param cb  (s, c, cv) seed codebook
+    * @return refined (s, c, cv) */
+  def refinePqCodebook(sub: org.apache.spark.sql.DataFrame,
+                       cb: org.apache.spark.sql.DataFrame,
+                       iters: Int): org.apache.spark.sql.DataFrame = {
+    var cur = cb
+    for (_ <- 0 until iters) {
+      val wAssign = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"), col("s")).orderBy(col("d2"), col("c"))
+      val assigned = sub.join(broadcast(cur), "s")
+        .select(col("vec_id"), col("s"), col("sv"), col("c"),
+          round(dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cv"))
+            + dot(col("cv"), col("cv")), 6).as("d2"))
+        .withColumn("arn", row_number().over(wAssign)).filter(col("arn") === 1)
+      val means = assigned
+        .select(col("s"), col("c"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy(col("s"), col("c"), col("dim"))
+        .agg(sum(floor(col("x").cast("double") * CentroidFixedPoint + lit(0.5))).as("sx"),
+          count(lit(1)).as("nx"))
+        .select(col("s"), col("c"), col("dim"),
+          (col("sx").cast("double") / (col("nx").cast("double") * CentroidFixedPoint))
+            .cast("float").as("m"))
+        .groupBy(col("s"), col("c"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          e => e.getField("m")).as("mv"))
+      cur = cur.select(col("s"), col("c"), col("cv").as("prev_cv"))
+        .join(means, Seq("s", "c"), "left")
+        .select(col("s"), col("c"), coalesce(col("mv"), col("prev_cv")).as("cv"))
+    }
+    cur
+  }
 }

@@ -494,7 +494,9 @@ object SimilarityQueries {
     * shuffles (query, vector) partials; a deployment would fold the M
     * lookups per row inside the scan (mapPartitions over the broadcast
     * table) — the stored-bytes win (32×) is what matters at 100 TB. */
-  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared PQ plumbing: corpus with norms, per-subspace sub-vectors, and
+    * the fixed seed codebook. */
+  private def pqParts(spark: SparkSession, dir: String) = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding", Similarity.norm($"embedding").as("nrm"))
@@ -503,13 +505,25 @@ object SimilarityQueries {
     val seedC = PqSeeds.zipWithIndex.tail.foldLeft(when($"vec_id" === PqSeeds.head, 0)) {
       case (acc, (id, c)) => acc.when($"vec_id" === id, c)
     }
-    val cb = emb.filter($"vec_id".isin(PqSeeds: _*))
+    val cb0 = emb.filter($"vec_id".isin(PqSeeds: _*))
       .select(seedC.as("c"), explode(subArr).as("sub"))
       .select($"c", $"sub.s".as("s"), $"sub.v".as("cv"))
     val sub = emb.select($"vec_id", explode(subArr).as("sub"))
       .select($"vec_id", $"sub.s".as("s"), $"sub.v".as("sv"))
+    (emb, subArr, sub, cb0)
+  }
+
+  /** Shared PQ search: encode the corpus against `cb`, ADC-score the
+    * broadcast query tables (fixed-point entries, integer pair sums),
+    * exact-rerank the top-[[PqRerank]], emit top-3. */
+  private def pqSearch(spark: SparkSession, emb: DataFrame,
+                       subArr: org.apache.spark.sql.Column,
+                       cb: DataFrame): DataFrame = {
+    import spark.implicits._
     val wCode = Window.partitionBy($"vec_id", $"s").orderBy($"d2", $"c")
-    val codes = sub.join(broadcast(cb), "s")
+    val codes = emb.select($"vec_id", explode(subArr).as("sub"))
+      .select($"vec_id", $"sub.s".as("s"), $"sub.v".as("sv"))
+      .join(broadcast(cb), "s")
       .select($"vec_id", $"s", $"c",
         (Similarity.dot($"sv", $"sv") - lit(2.0) * Similarity.dot($"sv", $"cv")
           + Similarity.dot($"cv", $"cv")).as("d2"))
@@ -541,33 +555,58 @@ object SimilarityQueries {
       .orderBy("q_id", "rk")
   }
 
-  private val pqTopKOracle = {
-    val seedCase = PqSeeds.zipWithIndex
-      .map { case (id, c) => s"WHEN vec_id = $id THEN $c" }
-      .mkString("CASE ", " ", " END")
-    def sliceD(v: String) = s"list_slice($v, s * $PqSubD + 1, s * $PqSubD + $PqSubD)"
-    def dotS(a: String, b: String) =
-      s"list_sum(list_transform(range(1, ${PqSubD + 1}), j -> CAST($a[j] AS DOUBLE) * CAST($b[j] AS DOUBLE)))"
+  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val (emb, subArr, _, cb0) = pqParts(spark, dir)
+    pqSearch(spark, emb, subArr, cb0)
+  }
+
+  /** x39: PQ with a TRAINED codebook — one squared-L2 Lloyd iteration per
+    * subspace over the seed codebook ([[Similarity.refinePqCodebook]]:
+    * engine-stable rounded-d2 argmin assignment, half-up 1e-6 fixed-point
+    * integer means), then the same ADC search as x38. The training itself
+    * is oracle-paired: the DuckDB oracle unrolls the assignment and
+    * recompute CTEs and reproduces the trained codebook bit-for-bit, so
+    * the hash gate certifies distributed training arithmetic == the
+    * sequential reference — the x35 guarantee extended to the PQ
+    * objective. */
+  def pqTrainedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val (emb, subArr, sub, cb0) = pqParts(spark, dir)
+    pqSearch(spark, emb, subArr, Similarity.refinePqCodebook(sub, cb0, PqTrainIters))
+  }
+
+  private val PqTrainIters = 1
+
+  private def pqSeedCase = PqSeeds.zipWithIndex
+    .map { case (id, c) => s"WHEN vec_id = $id THEN $c" }
+    .mkString("CASE ", " ", " END")
+  private def pqSliceD(v: String) = s"list_slice($v, s * $PqSubD + 1, s * $PqSubD + $PqSubD)"
+  private def pqDotS(a: String, b: String) =
+    s"list_sum(list_transform(range(1, ${PqSubD + 1}), j -> CAST($a[j] AS DOUBLE) * CAST($b[j] AS DOUBLE)))"
+
+  /** Shared oracle prefix: corpus, subspaces, seed codebook, sub-vectors. */
+  private def pqPrefixSql =
     s"""WITH e AS (SELECT vec_id, embedding,
        |             sqrt(${dotSql("embedding", "embedding")}) AS nrm
        |           FROM embeddings),
        |ss AS (SELECT unnest(range(0, $PqM)) AS s),
-       |cb AS (SELECT $seedCase AS c, s, ${sliceD("embedding")} AS cv
+       |cb0 AS (SELECT $pqSeedCase AS c, s, ${pqSliceD("embedding")} AS cv
        |       FROM embeddings CROSS JOIN ss
        |       WHERE vec_id IN (${PqSeeds.mkString(", ")})),
-       |sub AS (SELECT vec_id, s, ${sliceD("embedding")} AS sv
-       |        FROM embeddings CROSS JOIN ss),
-       |dist AS (SELECT sub.vec_id, sub.s, cb.c,
-       |           ${dotS("sv", "sv")} - 2.0 * ${dotS("sv", "cv")} + ${dotS("cv", "cv")} AS d2
-       |         FROM sub JOIN cb ON sub.s = cb.s),
+       |sub AS (SELECT vec_id, s, ${pqSliceD("embedding")} AS sv
+       |        FROM embeddings CROSS JOIN ss)""".stripMargin
+
+  private def pqSearchTailSql(cb: String) =
+    s"""dist AS (SELECT sub.vec_id, sub.s, $cb.c,
+       |           ${pqDotS("sv", "sv")} - 2.0 * ${pqDotS("sv", "cv")} + ${pqDotS("cv", "cv")} AS d2
+       |         FROM sub JOIN $cb ON sub.s = $cb.s),
        |codes AS (SELECT vec_id, s, c
        |          FROM (SELECT vec_id, s, c,
        |                  row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
        |                FROM dist)
        |          WHERE rn = 1),
-       |qdt AS (SELECT q.vec_id AS q_id, cb.s, cb.c,
-       |          CAST(floor(${dotS(s"list_slice(q.embedding, cb.s * $PqSubD + 1, cb.s * $PqSubD + $PqSubD)", "cb.cv")} * 1000000.0 + 0.5) AS BIGINT) AS ipq_fp
-       |        FROM embeddings q CROSS JOIN cb
+       |qdt AS (SELECT q.vec_id AS q_id, $cb.s, $cb.c,
+       |          CAST(floor(${pqDotS(s"list_slice(q.embedding, $cb.s * $PqSubD + 1, $cb.s * $PqSubD + $PqSubD)", s"$cb.cv")} * 1000000.0 + 0.5) AS BIGINT) AS ipq_fp
+       |        FROM embeddings q CROSS JOIN $cb
        |        WHERE q.vec_id % 100 = 0),
        |approx AS (SELECT qdt.q_id, codes.vec_id, sum(qdt.ipq_fp) AS aip_fp
        |           FROM codes JOIN qdt ON codes.s = qdt.s AND codes.c = qdt.c
@@ -588,7 +627,32 @@ object SimilarityQueries {
        |SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, cosine, aip_fp FROM r
        |WHERE rk <= 3
        |ORDER BY q_id, rk""".stripMargin
-  }
+
+  private val pqTopKOracle = pqPrefixSql + ",\n" + pqSearchTailSql("cb0")
+
+  /** One unrolled Lloyd iteration: rounded-d2 argmin assignment against
+    * cb0, fixed-point per-dim means, empty cells fall back to the seed. */
+  private val pqTrainSql =
+    s"""td AS (SELECT sub.vec_id, sub.s, cb0.c,
+       |         round(${pqDotS("sv", "sv")} - 2.0 * ${pqDotS("sv", "cv")} + ${pqDotS("cv", "cv")}, 6) AS d2
+       |       FROM sub JOIN cb0 ON sub.s = cb0.s),
+       |ta AS (SELECT vec_id, s, c
+       |       FROM (SELECT vec_id, s, c,
+       |               row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+       |             FROM td)
+       |       WHERE rn = 1),
+       |tm AS (SELECT ta.s, ta.c, j,
+       |         CAST(CAST(sum(CAST(floor(CAST(sv[j] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |              / (CAST(count(*) AS DOUBLE) * 1000000.0) AS FLOAT) AS m
+       |       FROM ta
+       |       JOIN sub ON ta.vec_id = sub.vec_id AND ta.s = sub.s
+       |       CROSS JOIN (SELECT unnest(range(1, ${PqSubD + 1})) AS j) jj
+       |       GROUP BY ta.s, ta.c, j),
+       |tmv AS (SELECT s, c, list(m ORDER BY j) AS mv FROM tm GROUP BY s, c),
+       |cb1 AS (SELECT cb0.s, cb0.c, coalesce(tmv.mv, cb0.cv) AS cv
+       |        FROM cb0 LEFT JOIN tmv ON cb0.s = tmv.s AND cb0.c = tmv.c)""".stripMargin
+
+  private val pqTrainedOracle = pqPrefixSql + ",\n" + pqTrainSql + ",\n" + pqSearchTailSql("cb1")
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x30_cosine_topk", "brute-force cosine top-5 per query vector (X3)", cosineTopK, Some(cosineTopKOracle)),
@@ -599,5 +663,6 @@ object SimilarityQueries {
     QueryDef("x35_ivf_trained_topk", "IVF ANN with Lloyd-trained quantizer, fixed-point hash-stable training (X3)", ivfTrainedTopK, Some(ivfTrainedOracle)),
     QueryDef("x36_multiprobe_lsh", "multi-probe sign-LSH top-3: base + 8 Hamming-1 buckets (X3)", multiProbeLshTopK, Some(multiProbeOracle)),
     QueryDef("x37_int8_topk", "int8 scalar-quantized scan + exact rerank top-3 (X3)", int8TopK, Some(int8TopKOracle)),
-    QueryDef("x38_pq_topk", "product-quantization ADC top-3 with exact rerank (X3)", pqTopK, Some(pqTopKOracle)))
+    QueryDef("x38_pq_topk", "product-quantization ADC top-3 with exact rerank (X3)", pqTopK, Some(pqTopKOracle)),
+    QueryDef("x39_pq_trained_topk", "PQ ANN with L2-Lloyd-trained codebook, fixed-point hash-stable training (X3)", pqTrainedTopK, Some(pqTrainedOracle)))
 }

@@ -114,6 +114,16 @@ class TrainingQueriesSpec extends SparkTestBase {
       s"weighted sample mean $sampledMean should exceed corpus mean $corpusMean")
   }
 
+  test("x39: L2-Lloyd codebook training is repartition-invariant") {
+    val a = SimilarityQueries.pqTrainedTopK(spark, sfDir).collect()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b = SimilarityQueries.pqTrainedTopK(spark, sfDir).collect()
+      assert(a.sameElements(b), "trained PQ search must not depend on partitioning")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("x38: PQ output is well-formed and rerank preserves exact ordering") {
     val out = SimilarityQueries.pqTopK(spark, sfDir).cache()
     // 3 results per query, ranks dense 1..3, cosine non-increasing in rank.
