@@ -386,10 +386,12 @@ object SimilarityQueries {
     * 127, exact in fp32) so the approximate dot reuses the codegen'd
     * `vec_dot`; the int dot is exact in double, so CAST to BIGINT is
     * lossless and bit-identical in both engines. */
-  def int8TopK(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding", Similarity.norm($"embedding").as("nrm"))
+  /** Corpus coded to int8: per-dim (min, max) scale model (order-free
+    * aggregates) broadcast onto every row, codes carried as
+    * integer-valued floats so [[Similarity.dot]] scans them codegen'd.
+    * Shared by [[int8TopK]] and the rail-bounds spec. */
+  private[graft] def int8Coded(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
     // Per-dim scale model: 64 rows -> one row of two ordered arrays.
     val dims = emb
       .select(posexplode($"embedding").as(Seq("pos", "x")))
@@ -404,8 +406,15 @@ object SimilarityQueries {
           floor((element_at($"embedding", i).cast("double") - element_at($"mns", i))
             / (element_at($"mxs", i) - element_at($"mns", i)) * 254 + lit(0.5))
             - 127))
-    val coded = emb.crossJoin(broadcast(params))
+    emb.crossJoin(broadcast(params))
       .select($"vec_id", $"embedding", $"nrm", quant.cast("array<float>").as("q"))
+  }
+
+  def int8TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", Similarity.norm($"embedding").as("nrm"))
+    val coded = int8Coded(emb)
     val qs = coded.filter($"vec_id" % 100 === 0)
       .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"nrm".as("qn"), $"q".as("qq"))
     val wApprox = Window.partitionBy($"q_id").orderBy($"iscore".desc, $"vec_id")
@@ -462,7 +471,7 @@ object SimilarityQueries {
        |WHERE rk <= 3
        |ORDER BY q_id, rk""".stripMargin
 
-  /** PQ geometry: 8 subspaces × 8 dims, 4 centroids per subspace; the
+  /** PQ geometry: 8 subspaces × 8 dims, 16 centroids per subspace; the
     * codebook seeds are fixed corpus rows (present at every SF, disjoint
     * from nothing in particular — a seed may also be a query). */
   private val PqM = 8
@@ -518,11 +527,11 @@ object SimilarityQueries {
     * exact-rerank the top-[[PqRerank]], emit top-3. */
   private def pqSearch(spark: SparkSession, emb: DataFrame,
                        subArr: org.apache.spark.sql.Column,
+                       sub: DataFrame,
                        cb: DataFrame): DataFrame = {
     import spark.implicits._
     val wCode = Window.partitionBy($"vec_id", $"s").orderBy($"d2", $"c")
-    val codes = emb.select($"vec_id", explode(subArr).as("sub"))
-      .select($"vec_id", $"sub.s".as("s"), $"sub.v".as("sv"))
+    val codes = sub
       .join(broadcast(cb), "s")
       .select($"vec_id", $"s", $"c",
         (Similarity.dot($"sv", $"sv") - lit(2.0) * Similarity.dot($"sv", $"cv")
@@ -556,8 +565,8 @@ object SimilarityQueries {
   }
 
   def pqTopK(spark: SparkSession, dir: String): DataFrame = {
-    val (emb, subArr, _, cb0) = pqParts(spark, dir)
-    pqSearch(spark, emb, subArr, cb0)
+    val (emb, subArr, sub, cb0) = pqParts(spark, dir)
+    pqSearch(spark, emb, subArr, sub, cb0)
   }
 
   /** x39: PQ with a TRAINED codebook — one squared-L2 Lloyd iteration per
@@ -571,7 +580,7 @@ object SimilarityQueries {
     * objective. */
   def pqTrainedTopK(spark: SparkSession, dir: String): DataFrame = {
     val (emb, subArr, sub, cb0) = pqParts(spark, dir)
-    pqSearch(spark, emb, subArr, Similarity.refinePqCodebook(sub, cb0, PqTrainIters))
+    pqSearch(spark, emb, subArr, sub, Similarity.refinePqCodebook(sub, cb0, PqTrainIters))
   }
 
   private val PqTrainIters = 1
@@ -608,7 +617,8 @@ object SimilarityQueries {
        |          CAST(floor(${pqDotS(s"list_slice(q.embedding, $cb.s * $PqSubD + 1, $cb.s * $PqSubD + $PqSubD)", s"$cb.cv")} * 1000000.0 + 0.5) AS BIGINT) AS ipq_fp
        |        FROM embeddings q CROSS JOIN $cb
        |        WHERE q.vec_id % 100 = 0),
-       |approx AS (SELECT qdt.q_id, codes.vec_id, sum(qdt.ipq_fp) AS aip_fp
+       |approx AS (SELECT qdt.q_id, codes.vec_id,
+       |             CAST(sum(qdt.ipq_fp) AS BIGINT) AS aip_fp
        |           FROM codes JOIN qdt ON codes.s = qdt.s AND codes.c = qdt.c
        |           WHERE codes.vec_id <> qdt.q_id
        |           GROUP BY qdt.q_id, codes.vec_id),

@@ -81,11 +81,26 @@ class MultimodalSpec extends SparkTestBase {
     assert(d3.head.energy == 32L * ('a'.toInt + 'b'.toInt))
   }
 
-  test("audioWindows typed byte path == x72 SQL char path on the fixture") {
-    val q = graft.queries.ConnectorQueries.audioWindows(spark, "/root/testdata/sf0.001")
+  test("audioWindows typed byte path == independent char-code path on the fixture") {
+    import org.apache.spark.sql.functions._
+    // Rebuild the oracle's ASSUMPTION (bytes == character codes) as an
+    // actual char-based DataFrame computation — a genuinely different
+    // path from the typed flatMap over payload bytes. If a non-ASCII doc
+    // ever lands in the fixture, this is the test that fails.
+    val spark2 = spark
+    import spark2.implicits._
+    val chars = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", transform(split($"text", ""), c => ascii(c)).as("codes"))
+      .select($"doc_id", $"codes",
+        explode(sequence(lit(0), floor((size($"codes") - 1) / lit(32)).cast("int"))).as("k"))
+      .select($"doc_id", $"k".as("win_idx"),
+        least(lit(64), size($"codes") - $"k" * 32).cast("int").as("n_samples"),
+        aggregate(slice($"codes", $"k" * 32 + 1, lit(64)), lit(0L), (acc, x) => acc + x).as("energy"),
+        array_max(slice($"codes", $"k" * 32 + 1, lit(64))).as("peak"))
     val typed = Multimodal.audioWindows(
       Multimodal.attachFakeMedia(Tables.documents(spark, "/root/testdata/sf0.001")),
-      frame = 64, hop = 32).toDF().orderBy("doc_id", "win_idx")
-    assert(q.except(typed).count() == 0 && typed.except(q).count() == 0)
+      frame = 64, hop = 32).toDF()
+    assert(chars.count() == typed.count())
+    assert(chars.except(typed).count() == 0 && typed.except(chars).count() == 0)
   }
 }

@@ -138,17 +138,17 @@ class SinksSpec extends SparkTestBase {
     // Within every emitted file the visit rank is non-decreasing (what a
     // sequential reader observes), and nothing was lost or duplicated.
     val back = spark.read.parquet(out).select($"doc_id")
-    // read per file in storage order: parquet preserves row order per file
-    val perFile = spark.read.parquet(out)
-      .select($"rank", input_file_name().as("f"))
-    import spark.implicits._
-    val bad = perFile.as[(String, String)].rdd
-      .groupBy(_._2)
-      .map { case (_, rows) =>
-        val rs = rows.map(_._1).toSeq
-        if (rs == rs.sorted) 0 else 1
-      }.sum()
-    assert(bad == 0.0, "every shard file must be internally rank-ordered")
+    // Read each emitted file INDIVIDUALLY (single small file -> one input
+    // partition, storage order preserved); a grouped shuffle read could
+    // interleave a file's splits and report spurious disorder.
+    val files = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val rs = spark.read.parquet(f.getAbsolutePath)
+        .select($"rank").collect().map(_.getString(0)).toSeq
+      assert(rs == rs.sorted, s"shard file ${f.getName} must be internally rank-ordered")
+    }
     assert(back.count() == docs.count())
     assert(back.distinct().count() == docs.count())
   }

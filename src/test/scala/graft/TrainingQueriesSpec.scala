@@ -141,26 +141,17 @@ class TrainingQueriesSpec extends SparkTestBase {
 
   test("x37: int8 codes are in [-127, 127] and extremes map to the rails") {
     import graft.operators.Similarity
+    // The PRODUCTION coding path (SimilarityQueries.int8Coded), not a copy:
+    // a change to the quantization ships through this test.
     val emb = Tables.embeddings(spark, sfDir)
-    val dims = emb.select(posexplode($"embedding").as(Seq("pos", "x")))
-      .groupBy($"pos").agg(min($"x".cast("double")).as("mn"), max($"x".cast("double")).as("mx"))
-    val params = dims.agg(
-      transform(array_sort(collect_list(struct($"pos", $"mn"))), s => s.getField("mn")).as("mns"),
-      transform(array_sort(collect_list(struct($"pos", $"mx"))), s => s.getField("mx")).as("mxs"))
-    val quant = transform(sequence(lit(1), lit(64)), i =>
-      when(element_at($"mxs", i) === element_at($"mns", i), lit(0L))
-        .otherwise(
-          floor((element_at($"embedding", i).cast("double") - element_at($"mns", i))
-            / (element_at($"mxs", i) - element_at($"mns", i)) * 254 + lit(0.5))
-            - 127))
-    val coded = emb.crossJoin(broadcast(params))
-      .select($"vec_id", $"embedding", $"mns", $"mxs", quant.as("q")).cache()
+      .select($"vec_id", $"embedding", Similarity.norm($"embedding").as("nrm"))
+    val coded = SimilarityQueries.int8Coded(emb).cache()
     val flat = coded.select(posexplode($"q").as(Seq("pos", "qi")))
     assert(flat.filter($"qi" < -127 || $"qi" > 127).count() == 0)
     // Each dimension's min maps to -127 and max to +127 for some vector.
     val rails = coded.select(explode($"q").as("qi"))
       .agg(min($"qi").as("lo"), max($"qi").as("hi")).head()
-    assert(rails.getLong(0) == -127 && rails.getLong(1) == 127)
+    assert(rails.getFloat(0) == -127f && rails.getFloat(1) == 127f)
     // The quantized ranking is close to exact: top-1 by int dot matches
     // top-1 by exact cosine for a majority of query vectors (sanity, not
     // a recall gate — PLANS.md records measured recall).
