@@ -136,4 +136,34 @@ class PropertySpec extends SparkTestBase {
       assert(hs.map(_._2).distinct.length == strs.length, s"seed=$seed")
     }
   }
+
+  test("property: chunkDedup == sequential first-occurrence reference on random corpora") {
+    import org.apache.spark.sql.functions._
+    val wordGen = Gen.oneOf("aa", "bb", "cc", "dd") // tiny vocab -> many chunk collisions
+    val docGen = Gen.choose(1, 70).flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+    val corpusGen = Gen.listOfN(40, docGen)
+    (1L to 4L).foreach { seed =>
+      val texts = sample(corpusGen, seed)
+      val dir = tmpDir(s"cd$seed")
+      texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "en", "src0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = graft.queries.TrainingQueries.chunkDedup(spark, dir)
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+      // Sequential reference: walk docs in id order, chunk in 16-token
+      // blocks, keep a chunk iff its text was never seen before.
+      val seen = scala.collection.mutable.Set[String]()
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val toks = t.split(" ")
+        val chunks = toks.grouped(16).map(_.mkString(" ")).toSeq
+        val kept = chunks.filter { c => if (seen.contains(c)) false else { seen.add(c); true } }
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(kept.mkString(" ").getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        assert(out(i.toLong) == ((chunks.length, kept.length, hex)),
+          s"seed=$seed doc=$i: got ${out(i.toLong)}, want (${chunks.length}, ${kept.length}, $hex)")
+      }
+    }
+  }
 }
