@@ -287,7 +287,49 @@ object RelationalQueries4 {
       |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
       |ORDER BY nationkey""".stripMargin
 
+  /** Time-bucketed resampling (the downsample-to-bars shape): hourly
+    * buckets per event type with count, volume, and OHLC-style first/last/
+    * min/max values — first/last picked by deterministic (ts, event_id)
+    * row_numbers, not by order-dependent first()/last() aggregates. */
+  def q43(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val w = Window.partitionBy($"bucket", $"event_type")
+    Tables.events(spark, dir)
+      .select(date_trunc("hour", $"ts").as("bucket"), $"event_type",
+        $"value", $"ts", $"event_id")
+      .withColumn("rn_first", row_number().over(w.orderBy($"ts", $"event_id")))
+      .withColumn("rn_last", row_number().over(w.orderBy($"ts".desc, $"event_id".desc)))
+      .groupBy($"bucket", $"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum($"value"), 2).as("volume"),
+        max(when($"rn_first" === 1, $"value")).as("open"),
+        max(when($"rn_last" === 1, $"value")).as("close"),
+        min($"value").as("lo"),
+        max($"value").as("hi"))
+      .orderBy("bucket", "event_type")
+  }
+
+  private val q43Oracle =
+    """WITH b AS (SELECT date_trunc('hour', ts) AS bucket, event_type, value, ts, event_id
+      |           FROM events),
+      |r AS (SELECT *,
+      |        row_number() OVER (PARTITION BY bucket, event_type ORDER BY ts, event_id) AS rn_first,
+      |        row_number() OVER (PARTITION BY bucket, event_type ORDER BY ts DESC, event_id DESC) AS rn_last
+      |      FROM b)
+      |SELECT bucket, event_type,
+      |       count(*) AS n,
+      |       round(sum(value), 2) AS volume,
+      |       max(CASE WHEN rn_first = 1 THEN value END) AS open,
+      |       max(CASE WHEN rn_last = 1 THEN value END) AS close,
+      |       min(value) AS lo,
+      |       max(value) AS hi
+      |FROM r
+      |GROUP BY bucket, event_type
+      |ORDER BY bucket, event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q43_time_bars", "hourly time-bucket resampling with OHLC-style bars", q43, Some(q43Oracle)),
     QueryDef("q42_outer_joins", "FULL OUTER join with null-completion over asymmetric keys", q42, Some(q42Oracle)),
     QueryDef("q33_window_range_frame", "RANGE frame (30d trailing), lead, nth_value", q33, Some(q33Oracle)),
     QueryDef("q41_hof_arrays", "higher-order array functions (exists/forall/filter/aggregate/zip_with)", q41, Some(q41Oracle)),
