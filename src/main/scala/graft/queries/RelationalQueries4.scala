@@ -328,7 +328,87 @@ object RelationalQueries4 {
       |GROUP BY bucket, event_type
       |ORDER BY bucket, event_type""".stripMargin
 
+  /** Ordered-funnel analysis with a 24-hour conversion window: how many
+    * users progress view → click → purchase IN ORDER, each stage strictly
+    * after the previous stage's earliest completion and within 24h of it
+    * (fixed-duration interval — month-length interval arithmetic diverges
+    * across engines, hour arithmetic does not). The earliest-chain
+    * semantics make the result order-independent: stage k is reached iff
+    * min(ts of step k inside the window) exists. Three small aggregates
+    * left-joined onto the user dimension — no sessionization state. */
+  def q44(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"user_id", $"event_type", $"ts")
+    val t1 = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val win = expr("INTERVAL 24 HOURS")
+    val t2 = ev.filter($"event_type" === "click").join(t1, "user_id")
+      .filter($"ts" > $"t1" && $"ts" <= $"t1" + win)
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    val t3 = ev.filter($"event_type" === "purchase").join(t2, "user_id")
+      .filter($"ts" > $"t2" && $"ts" <= $"t2" + win)
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    ev.select($"user_id").distinct()
+      .join(t1, Seq("user_id"), "left")
+      .join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select(
+        when($"t3".isNotNull, 3).when($"t2".isNotNull, 2)
+          .when($"t1".isNotNull, 1).otherwise(0).as("stage"))
+      .groupBy($"stage").agg(count(lit(1)).as("n_users"))
+      .orderBy($"stage")
+  }
+
+  private val q44Oracle =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |t1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |t2 AS (SELECT e.user_id, min(e.ts) AS t2
+      |       FROM events e JOIN t1 ON e.user_id = t1.user_id
+      |       WHERE e.event_type = 'click' AND e.ts > t1.t1
+      |         AND e.ts <= t1.t1 + INTERVAL 24 HOUR GROUP BY e.user_id),
+      |t3 AS (SELECT e.user_id, min(e.ts) AS t3
+      |       FROM events e JOIN t2 ON e.user_id = t2.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+      |         AND e.ts <= t2.t2 + INTERVAL 24 HOUR GROUP BY e.user_id),
+      |s AS (SELECT CASE WHEN t3.t3 IS NOT NULL THEN 3
+      |                  WHEN t2.t2 IS NOT NULL THEN 2
+      |                  WHEN t1.t1 IS NOT NULL THEN 1
+      |                  ELSE 0 END AS stage
+      |      FROM u LEFT JOIN t1 ON u.user_id = t1.user_id
+      |             LEFT JOIN t2 ON u.user_id = t2.user_id
+      |             LEFT JOIN t3 ON u.user_id = t3.user_id)
+      |SELECT stage, count(*) AS n_users FROM s GROUP BY stage ORDER BY stage""".stripMargin
+
+  /** Cohort retention: users grouped by their first-active day, activity
+    * counted per week offset — the classic retention triangle. Activity
+    * reduces to distinct (user, day) pairs first, so the heavy table is
+    * touched once and the join carries one row per active day. */
+  def q45(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val act = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+    val cohort = act.groupBy($"user_id").agg(min($"d").as("c0"))
+    act.join(cohort, "user_id")
+      .select($"user_id", $"c0", floor(datediff($"d", $"c0") / 7).cast("int").as("wk"))
+      .distinct()
+      .groupBy($"c0", $"wk").agg(count(lit(1)).as("active"))
+      .orderBy($"c0", $"wk")
+  }
+
+  private val q45Oracle =
+    """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |c AS (SELECT user_id, min(d) AS c0 FROM act GROUP BY user_id),
+      |w AS (SELECT DISTINCT act.user_id, c.c0,
+      |        CAST(date_diff('day', c.c0, act.d) // 7 AS INTEGER) AS wk
+      |      FROM act JOIN c ON act.user_id = c.user_id)
+      |SELECT c0, wk, count(*) AS active
+      |FROM w
+      |GROUP BY c0, wk
+      |ORDER BY c0, wk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q44_funnel", "ordered funnel stage counts, 24h conversion window", q44, Some(q44Oracle)),
+    QueryDef("q45_cohort_retention", "first-active-day cohorts x week-offset retention", q45, Some(q45Oracle)),
     QueryDef("q43_time_bars", "hourly time-bucket resampling with OHLC-style bars", q43, Some(q43Oracle)),
     QueryDef("q42_outer_joins", "FULL OUTER join with null-completion over asymmetric keys", q42, Some(q42Oracle)),
     QueryDef("q33_window_range_frame", "RANGE frame (30d trailing), lead, nth_value", q33, Some(q33Oracle)),
