@@ -248,6 +248,42 @@ class StreamingSpec extends SparkTestBase {
     assert(streamSurvivors == batchCanon.values.toSet)
   }
 
+  test("unified engine: narrow batch gates run unchanged on a stream, same survivors") {
+    import org.apache.spark.sql.functions._
+    val src = tmpDir("gate_src")
+    val out = tmpDir("gate_out") + "/kept"
+    // The gate: a narrow quality + deterministic-hash predicate — the
+    // x53/x42 shape. EXACTLY the same Column expressions applied to a
+    // batch frame and to readStream: Structured Streaming runs narrow
+    // batch logic verbatim, which is what makes the corpus-intake gates
+    // deployable incrementally without a rewrite.
+    def gate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val toks = split(col("text"), " ")
+      df.filter(size(toks) >= 10 &&
+        conv(substring(md5(concat_ws("|", lit("g"), col("doc_id"))), 1, 4), 16, 10)
+          .cast("long") < 49152)
+    }
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val batchKept = gate(docs).select($"doc_id").as[Long].collect().toSet
+    docs.coalesce(1).write.mode("overwrite").json(src)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .json(src)
+    val q = gate(stream).select($"doc_id")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmpDir("gate_cp"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.write.mode("append").parquet(out); ()
+      }
+      .start()
+    q.awaitTermination()
+    val streamKept = spark.read.parquet(out).as[Long].collect().toSet
+    assert(streamKept == batchKept && batchKept.nonEmpty)
+  }
+
   test("S3 custom state: event-time timeout closes sessions after the gap") {
     val src = tmpDir("exp_src")
     val cp = tmpDir("exp_cp")
