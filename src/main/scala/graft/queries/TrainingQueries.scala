@@ -31,8 +31,13 @@ object TrainingQueries {
   /** Gopher-style repetition thresholds for x58 (chosen to split the
     * fixture distribution: keep ≈ 60%). Comparisons run on exact rational
     * doubles (int/int), bit-identical across engines. */
-  private val TopShareMax = 0.11
-  private val DupBigramMax = 0.05
+  private[queries] val TopShareMax = 0.11
+  private[queries] val DupBigramMax = 0.05
+
+  /** Mean-surprisal ceiling for the x92 capstone's perplexity-outlier
+    * gate (fixture distribution: median 3.402, p90 3.41, max ~4.0 — the
+    * ceiling drops the ~5-8% high-perplexity tail). */
+  private[queries] val SurprisalMax = 3.43
 
   /** x54: overlapping token windows per document — the standard
     * training-sample chunking pass (window W=32, stride S=24; every start
@@ -121,7 +126,11 @@ object TrainingQueries {
     * (the same trick as the x35 trained centroids). 100 TB: the model is a
     * vocab-sized table broadcast to a narrow join; two passes over the
     * corpus, no wide shuffle. */
-  def unigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+  /** Exact per-doc surprisal sums (doc_id, n_tok, sum_fp) — shared by the
+    * x56 report (which rounds for display) and the x92 capstone gate
+    * (which filters on the EXACT rational so Spark and the oracle decide
+    * identically at the threshold). */
+  private[queries] def surprisalScores(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tok = Tables.documents(spark, dir)
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
@@ -134,24 +143,35 @@ object TrainingQueries {
     tok.join(broadcast(model), "tok")
       .groupBy($"doc_id")
       .agg(count(lit(1)).cast("int").as("n_tok"), sum($"sfp").as("sum_fp"))
+  }
+
+  /** High-perplexity outlier gate for the x92 capstone: docs whose mean
+    * surprisal (exact rational) is at most [[SurprisalMax]]. */
+  private[queries] def surprisalKeepIds(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    surprisalScores(spark, dir)
+      .filter($"sum_fp".cast("double") / 1e6 / $"n_tok" <= SurprisalMax)
+      .select($"doc_id")
+  }
+
+  /** Repetition gate for the x92 capstone: keep-flagged doc ids. */
+  private[queries] def repetitionKeepIds(spark: SparkSession, dir: String): DataFrame =
+    repetitionStats(spark, dir).filter(col("keep")).select(col("doc_id"))
+
+  def unigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    surprisalScores(spark, dir)
       .select($"doc_id", $"n_tok",
         halfUp4($"sum_fp".cast("double") / 1e6 / $"n_tok").as("avg_surprisal"))
       .orderBy("doc_id")
   }
 
   private val unigramSurprisalOracle =
-    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-      |v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
-      |tot AS (SELECT sum(cnt) AS total FROM v),
-      |m AS (SELECT tok,
-      |        CAST(floor((-ln(CAST(cnt AS DOUBLE) / total)) * 1000000.0 + 0.5) AS BIGINT) AS sfp
-      |      FROM v, tot)
-      |SELECT t.doc_id,
-      |       CAST(count(*) AS INTEGER) AS n_tok,
-      |       floor((CAST(sum(m.sfp) AS DOUBLE) / 1000000.0 / count(*)) * 10000 + 0.5) / 10000.0 AS avg_surprisal
-      |FROM tok t JOIN m ON t.tok = m.tok
-      |GROUP BY t.doc_id
-      |ORDER BY doc_id""".stripMargin
+    s"""WITH $surCtes
+       |SELECT doc_id, n_tok,
+       |       floor((CAST(sum_fp AS DOUBLE) / 1000000.0 / n_tok) * 10000 + 0.5) / 10000.0 AS avg_surprisal
+       |FROM sur
+       |ORDER BY doc_id""".stripMargin
 
   /** 16-bit integer from the first 4 hex chars of md5 — same cross-engine
     * idiom as the x53 mixture hash (PipelineQueries), salted differently. */
@@ -231,29 +251,12 @@ object TrainingQueries {
   }
 
   private val repetitionStatsOracle =
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |c AS (SELECT doc_id, tok, count(*) AS c
-       |      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
-       |      GROUP BY doc_id, tok),
-       |a AS (SELECT doc_id, sum(c) AS n_tok, max(c) AS top_c FROM c GROUP BY doc_id),
-       |b AS (SELECT doc_id,
-       |        len(bgs) AS n_bg,
-       |        len(list_distinct(bgs)) AS n_dist
-       |      FROM (SELECT doc_id,
-       |              list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS bgs
-       |            FROM t)),
-       |m AS (SELECT a.doc_id,
-       |        CAST(a.n_tok AS DOUBLE) AS n_tok_d,
-       |        CAST(a.top_c AS DOUBLE) / CAST(a.n_tok AS DOUBLE) AS top_share,
-       |        CASE WHEN b.n_bg IS NULL OR b.n_bg = 0 THEN 0.0
-       |             ELSE 1.0 - CAST(b.n_dist AS DOUBLE) / CAST(b.n_bg AS DOUBLE) END AS dup_share,
-       |        CAST(a.n_tok AS INTEGER) AS n_tok
-       |      FROM a LEFT JOIN b ON a.doc_id = b.doc_id)
+    s"""WITH $repCtes
        |SELECT doc_id, n_tok,
        |       floor(top_share * 10000 + 0.5) / 10000.0 AS top_share,
        |       floor(dup_share * 10000 + 0.5) / 10000.0 AS dup_bigram_share,
        |       (top_share <= $TopShareMax AND dup_share <= $DupBigramMax) AS keep
-       |FROM m
+       |FROM rep_m
        |ORDER BY doc_id""".stripMargin
 
   /** Per-language sample size for x59. */
@@ -303,6 +306,48 @@ object TrainingQueries {
        |WHERE rk <= $WSampleK
        |ORDER BY lang, rk""".stripMargin
   }
+
+
+  /** Oracle CTE fragments for composition (used by the x56/x58 oracles
+    * here and the x92 capstone in PipelineQueries — one definition, no
+    * drift between the standalone queries and the composed pipeline). */
+  private[queries] def surCtes: String =
+    """sur_tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |sur_v AS (SELECT tok, count(*) AS cnt FROM sur_tok GROUP BY tok),
+      |sur_tot AS (SELECT sum(cnt) AS total FROM sur_v),
+      |sur_m AS (SELECT tok,
+      |        CAST(floor((-ln(CAST(cnt AS DOUBLE) / total)) * 1000000.0 + 0.5) AS BIGINT) AS sfp
+      |      FROM sur_v, sur_tot),
+      |sur AS (SELECT t.doc_id, CAST(count(*) AS INTEGER) AS n_tok, sum(m.sfp) AS sum_fp
+      |        FROM sur_tok t JOIN sur_m m ON t.tok = m.tok
+      |        GROUP BY t.doc_id)""".stripMargin
+
+  private[queries] def surKeepCte: String =
+    s"""sur_keep AS (SELECT doc_id FROM sur
+       |             WHERE CAST(sum_fp AS DOUBLE) / 1000000.0 / n_tok <= $SurprisalMax)""".stripMargin
+
+  private[queries] def repCtes: String =
+    """rep_t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |rep_c AS (SELECT doc_id, tok, count(*) AS c
+      |      FROM (SELECT doc_id, unnest(toks) AS tok FROM rep_t)
+      |      GROUP BY doc_id, tok),
+      |rep_a AS (SELECT doc_id, sum(c) AS n_tok, max(c) AS top_c FROM rep_c GROUP BY doc_id),
+      |rep_b AS (SELECT doc_id,
+      |        len(bgs) AS n_bg,
+      |        len(list_distinct(bgs)) AS n_dist
+      |      FROM (SELECT doc_id,
+      |              list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS bgs
+      |            FROM rep_t)),
+      |rep_m AS (SELECT a.doc_id,
+      |        CAST(a.top_c AS DOUBLE) / CAST(a.n_tok AS DOUBLE) AS top_share,
+      |        CASE WHEN b.n_bg IS NULL OR b.n_bg = 0 THEN 0.0
+      |             ELSE 1.0 - CAST(b.n_dist AS DOUBLE) / CAST(b.n_bg AS DOUBLE) END AS dup_share,
+      |        CAST(a.n_tok AS INTEGER) AS n_tok
+      |      FROM rep_a a LEFT JOIN rep_b b ON a.doc_id = b.doc_id)""".stripMargin
+
+  private[queries] def repKeepCte: String =
+    s"""rep_keep AS (SELECT doc_id FROM rep_m
+       |             WHERE top_share <= $TopShareMax AND dup_share <= $DupBigramMax)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x54_chunk_windows",
