@@ -48,8 +48,10 @@ object Similarity {
   val CentroidFixedPoint = 1000000.0
 
   /** Lloyd refinement for the IVF coarse quantizer: assign every vector to
-    * its nearest centroid (cosine argmax rounded to 6 for an engine-stable
-    * argmin, deterministic tiebreak on cent_id), replace each centroid with
+    * its nearest centroid (cosine compared UNROUNDED — both engines hold
+    * identical IEEE doubles, and a decimal round() would add a .5-boundary
+    * divergence channel; deterministic tiebreak on cent_id), replace each
+    * centroid with
     * the mean of its assigned vectors, repeat. The explode → groupBy(cent,
     * dim) → re-assemble shape keeps the whole iteration declarative: one
     * broadcast join + two keyed shuffles per iteration, no driver-side
@@ -76,7 +78,7 @@ object Similarity {
         .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id"))
       val assigned = emb.crossJoin(broadcast(cur))
         .select(col("vec_id"), col("embedding"), col("cent_id"),
-          round(dot(col("embedding"), col("cv")) / (col("nrm") * col("cn")), 6).as("ccos"))
+          (dot(col("embedding"), col("cv")) / (col("nrm") * col("cn"))).as("ccos"))
         .withColumn("arn", row_number().over(wAssign)).filter(col("arn") === 1)
       val means = assigned
         .select(col("cent_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
@@ -108,8 +110,12 @@ object Similarity {
     * variant for the IVF coarse quantizer; sub-vectors are not unit, so
     * cosine would be wrong here). Same cross-engine determinism recipe:
     * the assignment distance uses the three-dot expansion |s|² − 2·s·c +
-    * |c|² (identical IEEE doubles in both engines) rounded to 6 for an
-    * engine-stable argmin with a deterministic tiebreak on the code, and
+    * |c|² UNROUNDED — the doubles are identical IEEE values in both
+    * engines, so comparing them directly is engine-stable, while a
+    * decimal round() would ADD a divergence channel (Spark rounds the
+    * shortest decimal rendering half-up, DuckDB rounds the binary value;
+    * they disagree exactly on .5-boundary renderings) — with a
+    * deterministic tiebreak on the code, and
     * the cluster means are derived from HALF-UP 1e-6 fixed-point integer
     * sums — accumulation-order-free, so a sequential SQL oracle reproduces
     * the trained codebook bit-for-bit. Empty cells keep their previous
@@ -127,8 +133,8 @@ object Similarity {
         .partitionBy(col("vec_id"), col("s")).orderBy(col("d2"), col("c"))
       val assigned = sub.join(broadcast(cur), "s")
         .select(col("vec_id"), col("s"), col("sv"), col("c"),
-          round(dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cv"))
-            + dot(col("cv"), col("cv")), 6).as("d2"))
+          (dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cv"))
+            + dot(col("cv"), col("cv"))).as("d2"))
         .withColumn("arn", row_number().over(wAssign)).filter(col("arn") === 1)
       val means = assigned
         .select(col("s"), col("c"), posexplode(col("sv")).as(Seq("dim", "x")))

@@ -308,86 +308,38 @@ object PipelineQueries {
     * eval side, narrow mixture filter, per-shard packing windows); the
     * stage boundaries are doc_id equi-joins/anti-joins against survivor
     * lists that only ever shrink. */
-  def trainingCorpus(spark: SparkSession, dir: String) = {
+  /** Shared capstone builder: the x91 stage chain with optional extra
+    * doc_id keep-gates spliced in before mixture sampling — ONE definition
+    * for both capstones, so the shared stages cannot drift. */
+  private def corpusKept(spark: SparkSession, dir: String,
+                         extraGates: Seq[org.apache.spark.sql.DataFrame]) = {
     import spark.implicits._
     val surv = prepPipeline(spark, dir).select($"doc_id", $"n_tok")
     val contam = decontaminate(spark, dir).select($"train_id".as("doc_id")).distinct()
     val src = Tables.documents(spark, dir).select($"doc_id", $"source")
-    val kept = surv
+    val base = surv
       .filter($"doc_id" % 40 =!= 0) // eval docs never train
       .join(contam, Seq("doc_id"), "left_anti")
+    extraGates.foldLeft(base)((df, g) => df.join(g, "doc_id"))
       .join(src, "doc_id")
       .withColumn("src_grp", srcGrpCol)
       .withColumn("hv", mixHashCol)
       .filter($"hv" < mixThrCol)
       .select($"doc_id", $"source", $"n_tok", ($"doc_id" % PackShards).as("shard"))
-    withPacking(kept)
-      .select($"doc_id", $"source", $"n_tok", $"shard", $"cum_before",
-        $"seq_id", $"seq_off")
-      .orderBy("doc_id")
   }
 
-  private val trainingCorpusOracle =
-    DedupQueries.minhashCtes("WITH RECURSIVE") +
-      s""", $gateCtes,
-         |surv AS (SELECT q.doc_id, n_tok
-         |         FROM q JOIN canon ON canon.doc_id = q.doc_id
-         |                JOIN exact ON exact.doc_id = q.doc_id
-         |         WHERE quality >= 0.5),
-         |$contamCtes,
-         |contam AS (SELECT DISTINCT train_id AS doc_id
-         |           FROM (SELECT train_id, eval_id FROM tr JOIN ev USING (fp)
-         |                 GROUP BY train_id, eval_id HAVING count(*) >= $ContamMinShared)),
-         |base AS (SELECT s.doc_id, d.source, s.n_tok,
-         |           $srcGrpSql AS src_grp,
-         |           ${hexValSql(s"md5('mix' || '|' || CAST(s.doc_id AS VARCHAR))")} AS hv
-         |         FROM surv s JOIN documents d ON d.doc_id = s.doc_id
-         |         WHERE s.doc_id % 40 <> 0
-         |           AND s.doc_id NOT IN (SELECT doc_id FROM contam)),
-         |kept AS (SELECT doc_id, source, n_tok, doc_id % $PackShards AS shard
-         |         FROM base WHERE hv < ($mixThrSql)),
-         |${packTailSql("kept", " source,")}""".stripMargin
-
-  /** The round-6 capstone — x91 plus the round-6 quality tier, EVERY gate
-    * the library ships composed in one dataflow:
-    *
-    *   1. quality + exact-dedup + near-dup-canonical survivors (x90),
-    *   2. eval exclusion + decontamination anti-join (x51),
-    *   3. Gopher-style repetition gate (x58's thresholds on exact
-    *      rationals),
-    *   4. unigram-LM surprisal gate (x56's fixed-point scores, exact
-    *      rational vs [[TrainingQueries.SurprisalMax]]),
-    *   5. source-mixture sampling (x53),
-    *   6. sequence packing (x50).
-    *
-    * The oracle rebuilds all EIGHT stages in one SQL statement from the
-    * SAME CTE fragments the standalone x56/x58 oracles use (one
-    * definition, no drift), so the full composition is correctness-gated
-    * row-for-row. Scale: the two new gates are per-doc token aggregations
-    * (bounded by per-doc vocab) plus one broadcast vocab model — they add
-    * no wide shuffles to x91's audited shape. */
-  def trainingCorpusV2(spark: SparkSession, dir: String) = {
+  private def corpusPacked(spark: SparkSession, dir: String,
+                           extraGates: Seq[org.apache.spark.sql.DataFrame]) = {
     import spark.implicits._
-    val surv = prepPipeline(spark, dir).select($"doc_id", $"n_tok")
-    val contam = decontaminate(spark, dir).select($"train_id".as("doc_id")).distinct()
-    val src = Tables.documents(spark, dir).select($"doc_id", $"source")
-    val kept = surv
-      .filter($"doc_id" % 40 =!= 0)
-      .join(contam, Seq("doc_id"), "left_anti")
-      .join(TrainingQueries.repetitionKeepIds(spark, dir), "doc_id")
-      .join(TrainingQueries.surprisalKeepIds(spark, dir), "doc_id")
-      .join(src, "doc_id")
-      .withColumn("src_grp", srcGrpCol)
-      .withColumn("hv", mixHashCol)
-      .filter($"hv" < mixThrCol)
-      .select($"doc_id", $"source", $"n_tok", ($"doc_id" % PackShards).as("shard"))
-    withPacking(kept)
+    withPacking(corpusKept(spark, dir, extraGates))
       .select($"doc_id", $"source", $"n_tok", $"shard", $"cum_before",
         $"seq_id", $"seq_off")
       .orderBy("doc_id")
   }
 
-  private val trainingCorpusV2Oracle =
+  /** Shared capstone oracle: x91's eight CTE stages with optional extra
+    * CTE blocks and extra base-filter predicates. */
+  private def corpusOracleSql(extraCtes: String, extraPredSql: String): String =
     DedupQueries.minhashCtes("WITH RECURSIVE") +
       s""", $gateCtes,
          |surv AS (SELECT q.doc_id, n_tok
@@ -397,22 +349,36 @@ object PipelineQueries {
          |$contamCtes,
          |contam AS (SELECT DISTINCT train_id AS doc_id
          |           FROM (SELECT train_id, eval_id FROM tr JOIN ev USING (fp)
-         |                 GROUP BY train_id, eval_id HAVING count(*) >= $ContamMinShared)),
-         |${TrainingQueries.repCtes},
-         |${TrainingQueries.repKeepCte},
-         |${TrainingQueries.surCtes},
-         |${TrainingQueries.surKeepCte},
+         |                 GROUP BY train_id, eval_id HAVING count(*) >= $ContamMinShared))$extraCtes,
          |base AS (SELECT s.doc_id, d.source, s.n_tok,
          |           $srcGrpSql AS src_grp,
          |           ${hexValSql(s"md5('mix' || '|' || CAST(s.doc_id AS VARCHAR))")} AS hv
          |         FROM surv s JOIN documents d ON d.doc_id = s.doc_id
          |         WHERE s.doc_id % 40 <> 0
-         |           AND s.doc_id NOT IN (SELECT doc_id FROM contam)
-         |           AND s.doc_id IN (SELECT doc_id FROM rep_keep)
-         |           AND s.doc_id IN (SELECT doc_id FROM sur_keep)),
+         |           AND s.doc_id NOT IN (SELECT doc_id FROM contam)$extraPredSql),
          |kept AS (SELECT doc_id, source, n_tok, doc_id % $PackShards AS shard
          |         FROM base WHERE hv < ($mixThrSql)),
          |${packTailSql("kept", " source,")}""".stripMargin
+
+  def trainingCorpus(spark: SparkSession, dir: String) =
+    corpusPacked(spark, dir, Nil)
+
+  private val trainingCorpusOracle = corpusOracleSql("", "")
+
+  def trainingCorpusV2(spark: SparkSession, dir: String) =
+    corpusPacked(spark, dir, Seq(
+      TrainingQueries.repetitionKeepIds(spark, dir),
+      TrainingQueries.surprisalKeepIds(spark, dir)))
+
+  private val trainingCorpusV2Oracle = corpusOracleSql(
+    s""",
+       |${TrainingQueries.repCtes},
+       |${TrainingQueries.repKeepCte},
+       |${TrainingQueries.surCtes},
+       |${TrainingQueries.surKeepCte}""".stripMargin,
+    s"""
+       |           AND s.doc_id IN (SELECT doc_id FROM rep_keep)
+       |           AND s.doc_id IN (SELECT doc_id FROM sur_keep)""".stripMargin)
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x92_training_corpus_v2",

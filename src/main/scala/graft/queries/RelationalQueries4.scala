@@ -260,10 +260,19 @@ object RelationalQueries4 {
     * as-of x60, range x61). */
   def q42(spark: SparkSession, dir: String) = {
     import spark.implicits._
+    // Money sums quantize to exact integer cents per row BEFORE the sum
+    // (half-up, identical in both engines), so the aggregate is an
+    // accumulation-order-free BIGINT — a raw double avg could drift an
+    // ulp between Spark's partitioned merge and DuckDB's sequential scan
+    // and flip the .xx5 rounding boundary this fixture actually hits.
+    def centsAvg(bal: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      QueryUtil.halfUp(sum(floor(bal * 100 + lit(0.5))).cast("double") / 100.0 / n.cast("double"), 2)
     val c = Tables.customer(spark, dir).groupBy($"c_nationkey")
-      .agg(count(lit(1)).as("n_cust"), QueryUtil.halfUp(avg($"c_acctbal"), 2).as("avg_cust_bal"))
+      .agg(count(lit(1)).as("n_cust"),
+        centsAvg($"c_acctbal", count(lit(1))).as("avg_cust_bal"))
     val s = Tables.supplier(spark, dir).groupBy($"s_nationkey")
-      .agg(count(lit(1)).as("n_supp"), QueryUtil.halfUp(avg($"s_acctbal"), 2).as("avg_supp_bal"))
+      .agg(count(lit(1)).as("n_supp"),
+        centsAvg($"s_acctbal", count(lit(1))).as("avg_supp_bal"))
     c.join(s, $"c_nationkey" === $"s_nationkey", "full")
       .select(
         coalesce($"c_nationkey", $"s_nationkey").as("nationkey"),
@@ -275,9 +284,11 @@ object RelationalQueries4 {
   }
 
   private val q42Oracle =
-    """WITH c AS (SELECT c_nationkey, count(*) AS n_cust, floor(avg(c_acctbal) * 100 + 0.5) / 100.0 AS avg_cust_bal
+    """WITH c AS (SELECT c_nationkey, count(*) AS n_cust,
+      |             floor((CAST(sum(floor(c_acctbal * 100 + 0.5)) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE)) * 100 + 0.5) / 100.0 AS avg_cust_bal
       |           FROM customer GROUP BY c_nationkey),
-      |s AS (SELECT s_nationkey, count(*) AS n_supp, floor(avg(s_acctbal) * 100 + 0.5) / 100.0 AS avg_supp_bal
+      |s AS (SELECT s_nationkey, count(*) AS n_supp,
+      |        floor((CAST(sum(floor(s_acctbal * 100 + 0.5)) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE)) * 100 + 0.5) / 100.0 AS avg_supp_bal
       |      FROM supplier GROUP BY s_nationkey)
       |SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
       |       coalesce(n_cust, 0) AS n_cust,
@@ -302,7 +313,8 @@ object RelationalQueries4 {
       .groupBy($"bucket", $"event_type")
       .agg(
         count(lit(1)).as("n"),
-        round(sum($"value"), 2).as("volume"),
+        QueryUtil.halfUp(
+          sum(floor($"value" * 1e6 + lit(0.5))).cast("double") / 1e6, 2).as("volume"),
         max(when($"rn_first" === 1, $"value")).as("open"),
         max(when($"rn_last" === 1, $"value")).as("close"),
         min($"value").as("lo"),
@@ -319,7 +331,7 @@ object RelationalQueries4 {
       |      FROM b)
       |SELECT bucket, event_type,
       |       count(*) AS n,
-      |       round(sum(value), 2) AS volume,
+      |       floor((CAST(sum(floor(value * 1000000.0 + 0.5)) AS BIGINT) / 1000000.0) * 100 + 0.5) / 100.0 AS volume,
       |       max(CASE WHEN rn_first = 1 THEN value END) AS open,
       |       max(CASE WHEN rn_last = 1 THEN value END) AS close,
       |       min(value) AS lo,

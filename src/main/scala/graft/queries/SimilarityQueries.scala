@@ -297,14 +297,14 @@ object SimilarityQueries {
 
   /** One Lloyd iteration in SQL — the exact fixed-point arithmetic of
     * [[Similarity.refineCentroids]]: assign each vector to its nearest
-    * centroid (cosine rounded to 6, tiebreak cent_id), mean each cluster via
+    * centroid (cosine compared unrounded, tiebreak cent_id), mean each cluster via
     * half-up 1e-6 fixed-point BIGINT sums (order-independent, so Spark's
     * partitioned sum == DuckDB's sequential sum exactly), keep the previous
     * centroid for empty/zero-norm clusters. `prev` → centroid CTE `$next`. */
   private def trainIterSql(prev: String, next: String): String = {
     val fp = Similarity.CentroidFixedPoint // 1e6, shared constant — no drift
     s"""a_$next AS (SELECT e.vec_id, e.embedding, c.cent_id,
-       |         round(${dotSql("e.embedding", "c.cv")} / (e.nrm * c.cn), 6) AS ccos
+       |         ${dotSql("e.embedding", "c.cv")} / (e.nrm * c.cn) AS ccos
        |       FROM e CROSS JOIN $prev c),
        |asg_$next AS (SELECT vec_id, embedding, cent_id
        |       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM a_$next)
@@ -640,29 +640,35 @@ object SimilarityQueries {
 
   private val pqTopKOracle = pqPrefixSql + ",\n" + pqSearchTailSql("cb0")
 
-  /** One unrolled Lloyd iteration: rounded-d2 argmin assignment against
-    * cb0, fixed-point per-dim means, empty cells fall back to the seed. */
-  private val pqTrainSql =
-    s"""td AS (SELECT sub.vec_id, sub.s, cb0.c,
-       |         round(${pqDotS("sv", "sv")} - 2.0 * ${pqDotS("sv", "cv")} + ${pqDotS("cv", "cv")}, 6) AS d2
-       |       FROM sub JOIN cb0 ON sub.s = cb0.s),
-       |ta AS (SELECT vec_id, s, c
+  /** One unrolled Lloyd iteration `$prev` -> `$next`: UNROUNDED-d2 argmin
+    * assignment, fixed-point per-dim means, empty cells fall back to the
+    * PREVIOUS codebook — generated once per [[PqTrainIters]] so the oracle
+    * unroll can never drift from the Spark-side loop count. */
+  private def pqTrainIterSql(prev: String, next: String): String =
+    s"""td_$next AS (SELECT sub.vec_id, sub.s, $prev.c,
+       |         ${pqDotS("sv", "sv")} - 2.0 * ${pqDotS("sv", "cv")} + ${pqDotS("cv", "cv")} AS d2
+       |       FROM sub JOIN $prev ON sub.s = $prev.s),
+       |ta_$next AS (SELECT vec_id, s, c
        |       FROM (SELECT vec_id, s, c,
        |               row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
-       |             FROM td)
+       |             FROM td_$next)
        |       WHERE rn = 1),
-       |tm AS (SELECT ta.s, ta.c, j,
+       |tm_$next AS (SELECT ta_$next.s, ta_$next.c, j,
        |         CAST(CAST(sum(CAST(floor(CAST(sv[j] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
        |              / (CAST(count(*) AS DOUBLE) * 1000000.0) AS FLOAT) AS m
-       |       FROM ta
-       |       JOIN sub ON ta.vec_id = sub.vec_id AND ta.s = sub.s
+       |       FROM ta_$next
+       |       JOIN sub ON ta_$next.vec_id = sub.vec_id AND ta_$next.s = sub.s
        |       CROSS JOIN (SELECT unnest(range(1, ${PqSubD + 1})) AS j) jj
-       |       GROUP BY ta.s, ta.c, j),
-       |tmv AS (SELECT s, c, list(m ORDER BY j) AS mv FROM tm GROUP BY s, c),
-       |cb1 AS (SELECT cb0.s, cb0.c, coalesce(tmv.mv, cb0.cv) AS cv
-       |        FROM cb0 LEFT JOIN tmv ON cb0.s = tmv.s AND cb0.c = tmv.c)""".stripMargin
+       |       GROUP BY ta_$next.s, ta_$next.c, j),
+       |tmv_$next AS (SELECT s, c, list(m ORDER BY j) AS mv FROM tm_$next GROUP BY s, c),
+       |$next AS (SELECT $prev.s, $prev.c, coalesce(tmv_$next.mv, $prev.cv) AS cv
+       |        FROM $prev LEFT JOIN tmv_$next ON $prev.s = tmv_$next.s AND $prev.c = tmv_$next.c)""".stripMargin
 
-  private val pqTrainedOracle = pqPrefixSql + ",\n" + pqTrainSql + ",\n" + pqSearchTailSql("cb1")
+  private val pqTrainedOracle = {
+    val iters = (0 until PqTrainIters)
+      .map(k => pqTrainIterSql(s"cb$k", s"cb${k + 1}")).mkString(",\n")
+    pqPrefixSql + ",\n" + iters + ",\n" + pqSearchTailSql(s"cb$PqTrainIters")
+  }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x30_cosine_topk", "brute-force cosine top-5 per query vector (X3)", cosineTopK, Some(cosineTopKOracle)),
