@@ -233,7 +233,7 @@ object SimilarityQueries {
     val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
     val assigned = emb.crossJoin(broadcast(cents))
       .select($"vec_id", $"embedding", $"nrm", $"cent_id",
-        round(Similarity.dot($"embedding", $"cv") / ($"nrm" * $"cn"), 6).as("ccos"))
+        (Similarity.dot($"embedding", $"cv") / ($"nrm" * $"cn")).as("ccos"))
       .withColumn("arn", row_number().over(wAssign)).filter($"arn" === 1)
       .select($"vec_id", $"embedding", $"nrm", $"cent_id")
     val wProbe = Window.partitionBy($"q_id").orderBy($"ccos".desc, $"cent_id")
@@ -241,7 +241,7 @@ object SimilarityQueries {
       .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"nrm".as("qn"))
       .crossJoin(broadcast(cents))
       .select($"q_id", $"qv", $"qn", $"cent_id",
-        round(Similarity.dot($"qv", $"cv") / ($"qn" * $"cn"), 6).as("ccos"))
+        (Similarity.dot($"qv", $"cv") / ($"qn" * $"cn")).as("ccos"))
       .withColumn("prn", row_number().over(wProbe)).filter($"prn" <= 2)
       .select($"q_id", $"qv", $"qn", $"cent_id")
     val wTop = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
@@ -266,13 +266,13 @@ object SimilarityQueries {
   /** DuckDB rendering of `ivfSearch` against centroid CTE `$c`. */
   private def ivfSearchSql(c: String): String =
     s"""ac AS (SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
-       |         round(${dotSql("e.embedding", "c.cv")} / (e.nrm * c.cn), 6) AS ccos
+       |         ${dotSql("e.embedding", "c.cv")} / (e.nrm * c.cn) AS ccos
        |       FROM e CROSS JOIN $c c),
        |assigned AS (SELECT vec_id, embedding, nrm, cent_id
        |             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM ac)
        |             WHERE rn = 1),
        |qc AS (SELECT e.vec_id AS q_id, e.embedding AS qv, e.nrm AS qn, c.cent_id,
-       |         round(${dotSql("e.embedding", "c.cv")} / (e.nrm * c.cn), 6) AS ccos
+       |         ${dotSql("e.embedding", "c.cv")} / (e.nrm * c.cn) AS ccos
        |       FROM e CROSS JOIN $c c WHERE e.vec_id % 100 = 0),
        |probes AS (SELECT q_id, qv, qn, cent_id
        |           FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ccos DESC, cent_id) AS rn FROM qc)
