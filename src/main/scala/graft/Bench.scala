@@ -63,10 +63,24 @@ object Bench {
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Machine-load calibration: a fixed CPU-bound aggregation whose cost is
+    // independent of the query set. Round-over-round totals drift ±30% with
+    // box load (every query moves uniformly); dividing by calib_s separates
+    // "the machine was busy" from "a query regressed".
+    val calib = {
+      val reps = 3
+      val ts = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0L, 50000000L, 1, cpus.toInt)
+          .selectExpr("sum((id * 2654435761) % 1000000007) AS s").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      ts.sorted.apply((reps - 1) / 2)
+    }
     // "total_s" is deliberately the LAST key: the driver stores only the log
     // TAIL, so early keys (including per-query timings) can truncate away —
     // the headline number must survive at the end of the line.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","total_s":$total}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","calib_s":$calib,"total_s":$total}""")
     spark.stop()
   }
 }
