@@ -26,7 +26,8 @@ object Registry {
       queries.SimilarityQueries.defs ++
       queries.ConnectorQueries.defs ++
       queries.PipelineQueries.defs ++
-      queries.TrainingQueries.defs
+      queries.TrainingQueries.defs ++
+      queries.RetrievalQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,171 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval tier (north star X3/X4 continuation): the library's ANN family
+  * covers DENSE retrieval; these queries add SPARSE lexical retrieval
+  * (BM25 over an inverted-index join) and dense+sparse fusion (reciprocal
+  * rank fusion) — the full modern retrieval stack, all oracle-paired.
+  *
+  * Determinism recipe: per-term BM25 contributions are quantized HALF-UP
+  * to 1e-6 fixed point BEFORE the per-(query, doc) sum (order-free integer
+  * sums — the x56 trick); RRF sums exactly two doubles in a fixed operand
+  * order via a full-outer join of the two rank lists. */
+object RetrievalQueries {
+
+  /** BM25 constants (standard Robertson defaults). */
+  private val K1 = 1.2
+  private val B = 0.75
+  private val TopK = 5
+  private val RrfK = 60
+
+  /** x80: BM25 top-5 docs per query doc (doc_id % 100 = 0, self excluded).
+    * The scoring join is the inverted-index shape — query terms broadcast,
+    * one equi-join on the term against the (doc, term, tf) postings — which
+    * is exactly how a sparse index scales: postings are partitioned by
+    * term, a query touches only its terms' lists. df/dl/avgdl are corpus
+    * statistics (order-free counts/sums). */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tf = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("t"))
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("tot"))
+    val dft = tf.groupBy($"t").agg(count(lit(1)).as("df"))
+    val qterms = tf.filter($"doc_id" % 100 === 0)
+      .select($"doc_id".as("q_id"), $"t").distinct()
+    val idf = log(($"n_docs".cast("double") - $"df".cast("double") + lit(0.5))
+      / ($"df".cast("double") + lit(0.5)) + lit(1.0))
+    val tfNorm = $"tf".cast("double") * (K1 + 1) /
+      ($"tf".cast("double") + lit(K1) * (lit(1.0) - B + lit(B) * $"dl".cast("double")
+        * $"n_docs".cast("double") / $"tot".cast("double")))
+    val wTop = Window.partitionBy($"q_id").orderBy($"score_fp".desc, $"doc_id")
+    qterms.join(tf, "t").filter($"doc_id" =!= $"q_id")
+      .join(broadcast(dft), "t")
+      .join(broadcast(dl), "doc_id")
+      .crossJoin(broadcast(stats))
+      .select($"q_id", $"doc_id",
+        floor(idf * tfNorm * lit(1e6) + lit(0.5)).cast("long").as("c_fp"))
+      .groupBy($"q_id", $"doc_id").agg(sum($"c_fp").as("score_fp"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter($"rk" <= TopK)
+      .select($"q_id", $"rk", $"doc_id",
+        QueryUtil.halfUp4($"score_fp".cast("double") / 1e6).as("score"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** Postings + corpus-statistics CTEs shared by the x80 and x81 oracles. */
+  private def bm25Ctes: String =
+    s"""tf AS (SELECT doc_id, t, count(*) AS tf
+       |     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+       |     GROUP BY doc_id, t),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot FROM dl),
+       |dft AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+       |qterms AS (SELECT DISTINCT doc_id AS q_id, t FROM tf WHERE doc_id % 100 = 0),
+       |contrib AS (SELECT q.q_id, tf.doc_id,
+       |         CAST(floor(
+       |           ln((CAST(s.n_docs AS DOUBLE) - CAST(dft.df AS DOUBLE) + 0.5)
+       |              / (CAST(dft.df AS DOUBLE) + 0.5) + 1.0)
+       |           * (CAST(tf.tf AS DOUBLE) * ${K1 + 1})
+       |             / (CAST(tf.tf AS DOUBLE) + $K1 * (1.0 - $B + $B * CAST(dl.dl AS DOUBLE)
+       |                * CAST(s.n_docs AS DOUBLE) / CAST(s.tot AS DOUBLE)))
+       |           * 1000000.0 + 0.5) AS BIGINT) AS c_fp
+       |       FROM qterms q
+       |       JOIN tf ON tf.t = q.t AND tf.doc_id <> q.q_id
+       |       JOIN dft ON dft.t = q.t
+       |       JOIN dl ON dl.doc_id = tf.doc_id
+       |       CROSS JOIN stats s),
+       |bm AS (SELECT q_id, doc_id, CAST(sum(c_fp) AS BIGINT) AS score_fp
+       |       FROM contrib GROUP BY q_id, doc_id),
+       |bmr AS (SELECT q_id, doc_id, score_fp,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY score_fp DESC, doc_id) AS rk
+       |       FROM bm)""".stripMargin
+
+  private val bm25Oracle =
+    s"""WITH $bm25Ctes
+       |SELECT q_id, CAST(rk AS INTEGER) AS rk, doc_id,
+       |       floor((CAST(score_fp AS DOUBLE) / 1000000.0) * 10000 + 0.5) / 10000.0 AS score
+       |FROM bmr
+       |WHERE rk <= $TopK
+       |ORDER BY q_id, rk""".stripMargin
+
+  /** x81: reciprocal-rank fusion of dense (x30's brute cosine ranking over
+    * `embeddings`) and sparse (x80's BM25 over `documents`) — the standard
+    * hybrid-retrieval combiner. Ids are row-aligned across the two tables
+    * (vec_id i is doc i's embedding — the layout when embeddings are
+    * computed from the documents table). RRF score = Σ 1/(60 + rank); the
+    * sum has exactly two operands added in a fixed order (dense + sparse
+    * via a full-outer join), so both engines compute identical doubles.
+    * Scale: each arm keeps its own audited plan; fusion touches only
+    * 2·K·|queries| rows. */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dense = SimilarityQueries.cosineTopK(spark, dir)
+      .select($"q_id", $"vec_id".as("id"), $"rk".as("drk"))
+    val sparse = bm25TopK(spark, dir)
+      .select($"q_id", $"doc_id".as("id"), $"rk".as("srk"))
+    val wTop = Window.partitionBy($"q_id").orderBy($"rrf".desc, $"id")
+    dense.join(sparse, Seq("q_id", "id"), "full")
+      .select($"q_id", $"id",
+        (coalesce(lit(1.0) / (lit(RrfK) + $"drk"), lit(0.0))
+          + coalesce(lit(1.0) / (lit(RrfK) + $"srk"), lit(0.0))).as("rrf"),
+        coalesce($"drk", lit(0)).as("dense_rk"),
+        coalesce($"srk", lit(0)).as("sparse_rk"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter($"rk" <= 3)
+      .select($"q_id", $"rk", $"id",
+        QueryUtil.halfUp(lit(10000.0) * $"rrf", 4).as("rrf_x1e4"),
+        $"dense_rk", $"sparse_rk")
+      .orderBy("q_id", "rk")
+  }
+
+  private val rrfOracle = {
+    val denseCte =
+      s"""e AS (SELECT vec_id, embedding,
+         |       sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+         |            i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+         |     FROM embeddings),
+         |dq AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qn FROM e WHERE vec_id % 100 = 0),
+         |dp AS (SELECT q_id, e.vec_id AS id,
+         |        round(list_sum(list_transform(range(1, len(qv) + 1),
+         |              i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) / (qn * e.nrm), 4) AS cosine
+         |      FROM e JOIN dq ON e.vec_id <> dq.q_id),
+         |dr AS (SELECT q_id, id,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, id) AS drk
+         |      FROM dp)""".stripMargin
+    s"""WITH $bm25Ctes,
+       |$denseCte,
+       |dense AS (SELECT q_id, id, drk FROM dr WHERE drk <= $TopK),
+       |sparse AS (SELECT q_id, doc_id AS id, rk AS srk FROM bmr WHERE rk <= $TopK),
+       |fused AS (SELECT coalesce(dense.q_id, sparse.q_id) AS q_id,
+       |            coalesce(dense.id, sparse.id) AS id,
+       |            coalesce(1.0 / ($RrfK + drk), 0.0) + coalesce(1.0 / ($RrfK + srk), 0.0) AS rrf,
+       |            coalesce(drk, 0) AS dense_rk,
+       |            coalesce(srk, 0) AS sparse_rk
+       |          FROM dense FULL OUTER JOIN sparse
+       |            ON dense.q_id = sparse.q_id AND dense.id = sparse.id),
+       |fr AS (SELECT q_id, id, rrf, dense_rk, sparse_rk,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, id) AS rk
+       |      FROM fused)
+       |SELECT q_id, CAST(rk AS INTEGER) AS rk, id,
+       |       floor((10000.0 * rrf) * 10000 + 0.5) / 10000.0 AS rrf_x1e4,
+       |       CAST(dense_rk AS INTEGER) AS dense_rk,
+       |       CAST(sparse_rk AS INTEGER) AS sparse_rk
+       |FROM fr
+       |WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("x80_bm25_topk",
+      "BM25 sparse retrieval top-5 (inverted-index join, fixed-point term sums)",
+      bm25TopK, Some(bm25Oracle)),
+    QueryDef("x81_rrf_fusion",
+      "dense+sparse hybrid retrieval via reciprocal rank fusion",
+      rrfFusion, Some(rrfOracle)))
+}
