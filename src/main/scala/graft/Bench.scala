@@ -67,7 +67,9 @@ object Bench {
     // independent of the query set. Round-over-round totals drift ±30% with
     // box load (every query moves uniformly); dividing by calib_s separates
     // "the machine was busy" from "a query regressed".
-    val calib = {
+    // A calib failure must never eat the bench line (same rule as query
+    // failures): fall back to -1.0 and keep printing.
+    val calib = try {
       val reps = 3
       val ts = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
@@ -76,6 +78,8 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       ts.sorted.apply((reps - 1) / 2)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] calib FAILED: ${e.getMessage}"); -1.0
     }
     // "total_s" is deliberately the LAST key: the driver stores only the log
     // TAIL, so early keys (including per-query timings) can truncate away —

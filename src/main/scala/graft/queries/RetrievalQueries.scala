@@ -36,8 +36,9 @@ object RetrievalQueries {
     val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("tot"))
     val dft = tf.groupBy($"t").agg(count(lit(1)).as("df"))
+    // (doc_id, t) is unique by the tf groupBy — no distinct needed
     val qterms = tf.filter($"doc_id" % 100 === 0)
-      .select($"doc_id".as("q_id"), $"t").distinct()
+      .select($"doc_id".as("q_id"), $"t")
     val idf = log(($"n_docs".cast("double") - $"df".cast("double") + lit(0.5))
       / ($"df".cast("double") + lit(0.5)) + lit(1.0))
     val tfNorm = $"tf".cast("double") * (K1 + 1) /
@@ -66,14 +67,14 @@ object RetrievalQueries {
        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot FROM dl),
        |dft AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
-       |qterms AS (SELECT DISTINCT doc_id AS q_id, t FROM tf WHERE doc_id % 100 = 0),
+       |qterms AS (SELECT doc_id AS q_id, t FROM tf WHERE doc_id % 100 = 0),
        |contrib AS (SELECT q.q_id, tf.doc_id,
        |         CAST(floor(
        |           ln((CAST(s.n_docs AS DOUBLE) - CAST(dft.df AS DOUBLE) + 0.5)
        |              / (CAST(dft.df AS DOUBLE) + 0.5) + 1.0)
-       |           * (CAST(tf.tf AS DOUBLE) * ${K1 + 1})
-       |             / (CAST(tf.tf AS DOUBLE) + $K1 * (1.0 - $B + $B * CAST(dl.dl AS DOUBLE)
-       |                * CAST(s.n_docs AS DOUBLE) / CAST(s.tot AS DOUBLE)))
+       |           * ((CAST(tf.tf AS DOUBLE) * ${K1 + 1})
+       |              / (CAST(tf.tf AS DOUBLE) + $K1 * (1.0 - $B + $B * CAST(dl.dl AS DOUBLE)
+       |                 * CAST(s.n_docs AS DOUBLE) / CAST(s.tot AS DOUBLE))))
        |           * 1000000.0 + 0.5) AS BIGINT) AS c_fp
        |       FROM qterms q
        |       JOIN tf ON tf.t = q.t AND tf.doc_id <> q.q_id

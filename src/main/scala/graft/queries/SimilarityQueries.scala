@@ -211,8 +211,9 @@ object SimilarityQueries {
   /** X3 scale path #2 — IVF: a coarse quantizer (fixed centroid subset,
     * vec_id % 97) assigns every vector to its nearest centroid; each query
     * probes its nprobe=2 nearest clusters and searches only there. The
-    * assignment/probe ranks order by cosine ROUNDED to 6 so the argmin is
-    * engine-stable. 100 TB: centroids broadcast, assignment is one scan,
+    * assignment/probe ranks compare cosines UNROUNDED — both engines hold
+    * identical IEEE doubles, and r6 removed the round() that was itself
+    * the only divergence channel. 100 TB: centroids broadcast, assignment is one scan,
     * search joins only within probed clusters (candidate set ~nprobe/k of
     * the corpus). */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -571,7 +572,7 @@ object SimilarityQueries {
 
   /** x39: PQ with a TRAINED codebook — one squared-L2 Lloyd iteration per
     * subspace over the seed codebook ([[Similarity.refinePqCodebook]]:
-    * engine-stable rounded-d2 argmin assignment, half-up 1e-6 fixed-point
+    * unrounded-d2 argmin assignment (identical doubles, engine-stable), half-up 1e-6 fixed-point
     * integer means), then the same ADC search as x38. The training itself
     * is oracle-paired: the DuckDB oracle unrolls the assignment and
     * recompute CTEs and reproduces the trained codebook bit-for-bit, so
