@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   *
   * Determinism recipe: per-term BM25 contributions are quantized HALF-UP
   * to 1e-6 fixed point BEFORE the per-(query, doc) sum (order-free integer
-  * sums — the x56 trick); RRF sums exactly two doubles in a fixed operand
-  * order via a full-outer join of the two rank lists. */
+  * sums — the x56 trick; the idf ln() itself is still libm, so a sub-ulp
+  * engine difference at an exact floor boundary remains a latent,
+  * hash-gate-detected risk); RRF sums exactly two doubles in a fixed
+  * operand order via a full-outer join of the two rank lists. */
 object RetrievalQueries {
 
   /** BM25 constants (standard Robertson defaults). */
@@ -27,7 +29,11 @@ object RetrievalQueries {
     * one equi-join on the term against the (doc, term, tf) postings — which
     * is exactly how a sparse index scales: postings are partitioned by
     * term, a query touches only its terms' lists. df/dl/avgdl are corpus
-    * statistics (order-free counts/sums). */
+    * statistics (order-free counts/sums). Scale note: dft (vocab-sized,
+    * Heaps'-law sublinear) is broadcast; dl is PER-DOCUMENT and grows with
+    * the corpus, so it joins by shuffle on doc_id — the postings are
+    * already keyed by doc_id after the term join, and a broadcast there
+    * would OOM at corpus scale. */
   def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tf = Tables.documents(spark, dir)
@@ -47,7 +53,7 @@ object RetrievalQueries {
     val wTop = Window.partitionBy($"q_id").orderBy($"score_fp".desc, $"doc_id")
     qterms.join(tf, "t").filter($"doc_id" =!= $"q_id")
       .join(broadcast(dft), "t")
-      .join(broadcast(dl), "doc_id")
+      .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .select($"q_id", $"doc_id",
         floor(idf * tfNorm * lit(1e6) + lit(0.5)).cast("long").as("c_fp"))

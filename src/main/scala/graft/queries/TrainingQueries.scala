@@ -123,9 +123,12 @@ object TrainingQueries {
     * HALF-UP to 1e-6 fixed point BEFORE the per-doc sum, so the document
     * sum is an integer sum — accumulation-order-free, hence bit-identical
     * between Spark's partitioned aggregation and DuckDB's sequential scan
-    * (the same trick as the x35 trained centroids). 100 TB: the model is a
-    * vocab-sized table broadcast to a narrow join; two passes over the
-    * corpus, no wide shuffle. */
+    * (the same trick as the x35 trained centroids). The quantization still
+    * evaluates libm ln() per token first — a sub-ulp JVM-vs-DuckDB log
+    * difference landing exactly on a floor boundary would flip one sfp by
+    * 1 (latent, data-dependent; the hash gate is the detector). 100 TB:
+    * the model is a vocab-sized table broadcast to a narrow join; two
+    * passes over the corpus, no wide shuffle. */
   /** Exact per-doc surprisal sums (doc_id, n_tok, sum_fp) — shared by the
     * x56 report (which rounds for display) and the x92 capstone gate
     * (which filters on the EXACT rational so Spark and the oracle decide
@@ -268,8 +271,14 @@ object TrainingQueries {
     * proportionally likelier, no rand(), reproducible across engines,
     * reruns, and partitionings. Ranking uses the monotone-equivalent
     * ln(u)/w with ln(u) quantized HALF-UP to 1e-9 fixed point first, so
-    * the sort key is a ratio of exact integers — no cross-engine libm-ulp
-    * risk in the ordering. Top-K per language. 100 TB: narrow per-row
+    * the sort key is a ratio of exact integers. Residual risk, stated
+    * honestly: the quantization itself still evaluates libm ln() — a
+    * sub-ulp JVM-vs-DuckDB log difference landing exactly on a floor
+    * boundary would flip lnfp by 1; the hash gate is the detector, and
+    * the 1e-9 grid makes a boundary landing correspondingly unlikely.
+    * Empty docs (n_chars = 0) are excluded BEFORE the ratio — Spark's
+    * Divide yields NULL where DuckDB yields -infinity, so the guard is
+    * mirrored in the oracle. Top-K per language. 100 TB: narrow per-row
     * keys + a per-group top-K (WindowGroupLimit prunes per partition
     * before the shuffle). */
   def weightedSample(spark: SparkSession, dir: String): DataFrame = {
@@ -280,6 +289,7 @@ object TrainingQueries {
     val lnfp = floor(log(u) * lit(1e9) + lit(0.5)).cast("long")
     val w = Window.partitionBy($"lang").orderBy($"key".desc, $"doc_id")
     Tables.documents(spark, dir)
+      .filter($"n_chars" > 0)
       .select($"lang", $"doc_id", $"n_chars",
         (lnfp.cast("double") / $"n_chars".cast("double")).as("key"))
       .withColumn("rk", row_number().over(w))
@@ -296,7 +306,7 @@ object TrainingQueries {
     }
     s"""WITH k AS (SELECT lang, doc_id, n_chars,
        |        CAST(floor(ln((CAST($h AS DOUBLE) + 0.5) / 65536.0) * 1000000000.0 + 0.5) AS BIGINT) AS lnfp
-       |      FROM documents),
+       |      FROM documents WHERE n_chars > 0),
        |r AS (SELECT lang, doc_id, n_chars,
        |        row_number() OVER (PARTITION BY lang
        |          ORDER BY CAST(lnfp AS DOUBLE) / CAST(n_chars AS DOUBLE) DESC, doc_id) AS rk

@@ -97,9 +97,14 @@ object IncrementalStream {
     * produces. A replay of the canonical itself (the connector's
     * boundary-page overlap) re-flags as is_first — idempotent, no state
     * change. State: one Long per DISTINCT bucket (bounded by the bucket
-    * space, not the corpus). Callers compute `bucket` with
-    * `Dedup.simhashBits` (the same expression works in a streaming
-    * select), so batch and streaming gates share one bucketing. */
+    * space, not the corpus). Per-batch memory: one Long per row of the
+    * bucket's micro-batch slice (ids only, no row objects, no sort) —
+    * the state iterator is one-shot, so knowing the batch-min canonical
+    * before emitting any verdict requires retaining the ids; a hot bucket
+    * is bounded by its share of ONE micro-batch, not the corpus. Callers
+    * compute `bucket` with `Dedup.simhashBits` (the same expression works
+    * in a streaming select), so batch and streaming gates share one
+    * bucketing. */
   def nearDupGate(docs: org.apache.spark.sql.Dataset[(Long, Long)]):
       org.apache.spark.sql.Dataset[DedupVerdict] = {
     val spark = docs.sparkSession
@@ -109,13 +114,14 @@ object IncrementalStream {
         org.apache.spark.sql.streaming.OutputMode.Append(),
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
         case (bucket, rows, state) =>
-          var canon = state.getOption.getOrElse(-1L)
-          val out = rows.toSeq.sortBy(_._1).map { case (id, _) =>
-            if (canon < 0) { canon = id; DedupVerdict(id, bucket, is_first = true, id) }
-            else DedupVerdict(id, bucket, is_first = id == canon, canon)
-          }
-          state.update(canon)
-          out.iterator
+          // Phase 1: single min-tracking pass, buffering ids only.
+          val ids = rows.map(_._1).toArray
+          val canon = state.getOption.getOrElse(
+            if (ids.isEmpty) -1L else ids.min)
+          if (canon >= 0) state.update(canon)
+          // Phase 2: emit verdicts lazily from the id buffer.
+          ids.iterator.map(id =>
+            DedupVerdict(id, bucket, is_first = id == canon, canon))
       }
   }
 
