@@ -1,8 +1,9 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.{Dedup, Etl, TextAnalysis}
+import graft.operators.{Dedup, Etl, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.queries.QueryUtil.halfUp4
 
@@ -248,10 +249,77 @@ object DedupQueries {
        |ORDER BY a, b""".stripMargin
   }
 
+  /** SemDeDup cosine threshold: within a cluster, a vector with a lower-id
+    * neighbor at cosine >= this is dropped. Tuned to the synthetic fixture
+    * (near-isotropic unit vectors — real text embeddings concentrate much
+    * higher, where the standard ~0.95+ thresholds apply); drops 8/14/78
+    * docs at sf0.001/0.01/0.1, so the gate is exercised at every SF. */
+  private val SemTau = 0.42
+
+  /** x15 trains the clustering for this many Lloyd iterations. */
+  private val SemTrainIters = 1
+
+  /** X2 (semantic): SemDeDup-style embedding dedup — k-means-cluster the
+    * corpus embeddings (Lloyd-TRAINED centroids, the x35 fixed-point
+    * hash-stable trainer), then compare pairs only WITHIN a cluster and
+    * drop every vector that has a lower-id cluster-mate at cosine >=
+    * [[SemTau]] (min-id survivor, the house dedup rule). This is the
+    * semantic member of the near-dup family: x11/x13 catch lexical
+    * overlap, x12 catches token-frequency overlap, x32 catches raw
+    * embedding collisions — SemDeDup catches paraphrases that share no
+    * surface form, at quadratic cost bounded by the CLUSTER, not the
+    * corpus. 100 TB: choose k ∝ n so cluster size stays constant; the
+    * pairwise stage is one shuffle keyed on cent_id with per-cluster
+    * work O(size²) — no all-pairs join anywhere; cosines compared
+    * UNROUNDED (identical IEEE doubles both engines, x32 precedent).
+    * Ref semantics: SemDeDup (Abbas et al. 2023), re-expressed as
+    * declarative Spark. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", Similarity.norm($"embedding").as("nrm"))
+    val seed = emb.filter($"vec_id" % 97 === 0)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cv"), $"nrm".as("cn"))
+    val cents = Similarity.refineCentroids(emb, seed, iters = SemTrainIters)
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select($"vec_id", $"embedding", $"nrm", $"cent_id",
+        (Similarity.dot($"embedding", $"cv") / ($"nrm" * $"cn")).as("ccos"))
+      .withColumn("arn", row_number().over(wAssign)).filter($"arn" === 1)
+      .select($"vec_id", $"embedding", $"nrm", $"cent_id")
+    val mates = assigned.select($"cent_id", $"vec_id".as("b_id"),
+      $"embedding".as("bv"), $"nrm".as("bn"))
+    val dropped = assigned.join(mates, Seq("cent_id"))
+      .filter($"vec_id" > $"b_id" &&
+        Similarity.dot($"embedding", $"bv") / ($"nrm" * $"bn") >= SemTau)
+      .select($"vec_id").distinct().withColumn("dup", lit(true))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select($"vec_id", $"cent_id", $"dup".isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
+  private val semanticOracle = {
+    import SimilarityQueries.{assignSql, dotSql, ivfSeedSql, trainIterSql}
+    val iters = (0 until SemTrainIters)
+      .map(k => trainIterSql(s"c$k", s"c${k + 1}")).mkString(",\n")
+    s"""WITH $ivfSeedSql,
+       |c0 AS (SELECT * FROM c),
+       |$iters,
+       |${assignSql(s"c$SemTrainIters")},
+       |dup AS (SELECT DISTINCT a.vec_id
+       |        FROM assigned a JOIN assigned b
+       |          ON a.cent_id = b.cent_id AND a.vec_id > b.vec_id
+       |        WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $SemTau)
+       |SELECT s.vec_id, s.cent_id, (d.vec_id IS NULL) AS keep
+       |FROM assigned s LEFT JOIN dup d ON s.vec_id = d.vec_id
+       |ORDER BY s.vec_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x10_exact_dedup", "exact content-hash dedup, deterministic survivor (X1)", exactDedup, Some(exactOracle)),
     QueryDef("x11_minhash_lsh", "MinHash+LSH near-dup pairs, Jaccard-verified (X2)", minhashLsh, Some(minhashOracle)),
     QueryDef("x12_simhash", "32-bit SimHash bucket near-dups (X2)", simhash, Some(simhashOracle)),
     QueryDef("x13_ngram_jaccard", "char-trigram Jaccard near-dups, LSH-blocked (X2)", ngramJaccard, Some(ngramOracle)),
-    QueryDef("x14_dedup_clusters", "connected-component dedup groups over near-dup pairs (X2)", dedupClusters, Some(clustersOracle)))
+    QueryDef("x14_dedup_clusters", "connected-component dedup groups over near-dup pairs (X2)", dedupClusters, Some(clustersOracle)),
+    QueryDef("x15_semantic_dedup", "SemDeDup embedding dedup: trained k-means clusters, in-cluster cosine survivors (X2)", semanticDedup, Some(semanticOracle)))
 }

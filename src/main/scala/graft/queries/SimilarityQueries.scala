@@ -254,24 +254,32 @@ object SimilarityQueries {
       .orderBy("q_id", "rk")
   }
 
-  private def dotSql(a: String, b: String): String =
+  private[queries] def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
-  /** Shared CTE prefix: corpus with norms + the fixed seed quantizer. */
-  private val ivfSeedSql =
+  /** Shared CTE prefix: corpus with norms + the fixed seed quantizer.
+    * `private[queries]` so x15's SemDeDup oracle reuses the exact same
+    * fragments as x34/x35 — one definition, no drift. */
+  private[queries] val ivfSeedSql =
     s"""e AS (SELECT vec_id, embedding,
        |             sqrt(${dotSql("embedding", "embedding")}) AS nrm
        |           FROM embeddings),
        |c AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn FROM e WHERE vec_id % 97 = 0)""".stripMargin
 
-  /** DuckDB rendering of `ivfSearch` against centroid CTE `$c`. */
-  private def ivfSearchSql(c: String): String =
+  /** Nearest-centroid assignment of the whole corpus against centroid CTE
+    * `$c` — `ac` + `assigned`. Shared by the x34/x35 search oracles and the
+    * x15 SemDeDup oracle. */
+  private[queries] def assignSql(c: String): String =
     s"""ac AS (SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
        |         ${dotSql("e.embedding", "c.cv")} / (e.nrm * c.cn) AS ccos
        |       FROM e CROSS JOIN $c c),
        |assigned AS (SELECT vec_id, embedding, nrm, cent_id
        |             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM ac)
-       |             WHERE rn = 1),
+       |             WHERE rn = 1)""".stripMargin
+
+  /** DuckDB rendering of `ivfSearch` against centroid CTE `$c`. */
+  private def ivfSearchSql(c: String): String =
+    s"""${assignSql(c)},
        |qc AS (SELECT e.vec_id AS q_id, e.embedding AS qv, e.nrm AS qn, c.cent_id,
        |         ${dotSql("e.embedding", "c.cv")} / (e.nrm * c.cn) AS ccos
        |       FROM e CROSS JOIN $c c WHERE e.vec_id % 100 = 0),
@@ -302,7 +310,7 @@ object SimilarityQueries {
     * half-up 1e-6 fixed-point BIGINT sums (order-independent, so Spark's
     * partitioned sum == DuckDB's sequential sum exactly), keep the previous
     * centroid for empty/zero-norm clusters. `prev` → centroid CTE `$next`. */
-  private def trainIterSql(prev: String, next: String): String = {
+  private[queries] def trainIterSql(prev: String, next: String): String = {
     val fp = Similarity.CentroidFixedPoint // 1e6, shared constant — no drift
     s"""a_$next AS (SELECT e.vec_id, e.embedding, c.cent_id,
        |         ${dotSql("e.embedding", "c.cv")} / (e.nrm * c.cn) AS ccos
