@@ -418,7 +418,47 @@ object RelationalQueries4 {
       |GROUP BY c0, wk
       |ORDER BY c0, wk""".stripMargin
 
+  /** Rolling 7-day distinct actives (WAU) per day, alongside same-day
+    * distinct actives (DAU). Exact rolling distinct is NOT a window sum of
+    * daily counts (users overlap across days), so each distinct (user, day)
+    * activity is exploded to the <= 7 window-days it contributes to, then
+    * deduped and counted per window-day — a bounded 7x row expansion and
+    * two keyed shuffles, instead of the per-day set-union a window
+    * function would need (no per-group state, no O(days) frames). 100 TB:
+    * the expansion factor is the window length, constant; both shuffles
+    * key on high-cardinality (user, day) / day. */
+  def q46(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val act = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+    val span = act.agg(max($"d").as("dmax"))
+    val contrib = act.crossJoin(broadcast(span))
+      .select($"user_id",
+        explode(sequence($"d", least(date_add($"d", 6), $"dmax"))).as("day"))
+      .distinct()
+    val wau = contrib.groupBy($"day").agg(count(lit(1)).as("wau7"))
+    val dau = act.groupBy($"d".as("day")).agg(count(lit(1)).as("dau"))
+    wau.join(dau, Seq("day"), "left")
+      .select($"day", coalesce($"dau", lit(0L)).as("dau"), $"wau7")
+      .orderBy($"day")
+  }
+
+  private val q46Oracle =
+    """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |span AS (SELECT max(d) AS dmax FROM act),
+      |contrib AS (SELECT DISTINCT user_id,
+      |        CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+      |                                    CAST(least(d + 6, dmax) AS TIMESTAMP),
+      |                                    INTERVAL 1 DAY)) AS DATE) AS day
+      |      FROM act, span),
+      |wau AS (SELECT day, count(*) AS wau7 FROM contrib GROUP BY day),
+      |dau AS (SELECT d AS day, count(*) AS dau FROM act GROUP BY d)
+      |SELECT w.day, coalesce(dau.dau, 0) AS dau, w.wau7
+      |FROM wau w LEFT JOIN dau ON w.day = dau.day
+      |ORDER BY w.day""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q46_rolling_distinct", "exact 7-day rolling distinct actives via bounded window-day explode", q46, Some(q46Oracle)),
     QueryDef("q44_funnel", "ordered funnel stage counts, 24h conversion window", q44, Some(q44Oracle)),
     QueryDef("q45_cohort_retention", "first-active-day cohorts x week-offset retention", q45, Some(q45Oracle)),
     QueryDef("q43_time_bars", "hourly time-bucket resampling with OHLC-style bars", q43, Some(q43Oracle)),

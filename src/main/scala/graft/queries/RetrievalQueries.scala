@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.operators.Similarity
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -168,11 +169,127 @@ object RetrievalQueries {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  /** MMR trade-off weight: score = MmrLambda·rel − MmrPenalty·maxSimToSelected.
+    * Kept as TWO constants (not 1−λ computed ad hoc) so Spark and the oracle
+    * interpolate the identical double literals. */
+  private val MmrLambda = 0.7
+  private val MmrPenalty = 0.3
+
+  /** Candidate pool per query (dense top-N) and selections emitted. */
+  private val MmrCand = 8
+  private val MmrK = 3
+
+  /** x82: maximal-marginal-relevance reranking — the diversity pass a
+    * retrieval stack runs AFTER top-N search: greedily pick [[MmrK]] of the
+    * dense top-[[MmrCand]] candidates, each pick maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-picked (max over the
+    * empty set = 0, so pick 1 is pure relevance). The greedy loop is
+    * inherently sequential, but K is a small constant, so it UNROLLS into
+    * K declarative stages — same approach as the x35 trained-quantizer
+    * oracle — with every argmax on unrounded doubles (tiebreak vec_id;
+    * r6 lesson: never round a ranking key). Candidate relevance and the
+    * candidate-pair similarity matrix (≤ N² rows per query) are computed
+    * once and reused by all stages. 100 TB: candidate generation is x30's
+    * audited broadcast-scan plan; everything after runs on K·N rows per
+    * query — negligible, and every join keys on q_id. */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", Similarity.norm($"embedding").as("nrm"))
+    val q = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"nrm".as("qn"))
+    val wCand = Window.partitionBy($"q_id").orderBy($"rel".desc, $"vec_id")
+    val cand = emb.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", $"embedding", $"nrm",
+        (Similarity.dot($"qv", $"embedding") / ($"qn" * $"nrm")).as("rel"))
+      .withColumn("crk", row_number().over(wCand)).filter($"crk" <= MmrCand)
+      .select($"q_id", $"vec_id", $"embedding", $"nrm", $"rel")
+    val a = cand.select($"q_id", $"vec_id".as("a"), $"embedding".as("av"), $"nrm".as("an"))
+    val b = cand.select($"q_id", $"vec_id".as("b"), $"embedding".as("bv"), $"nrm".as("bn"))
+    val sim = a.join(b, Seq("q_id")).filter($"a" =!= $"b")
+      .select($"q_id", $"a", $"b", (Similarity.dot($"av", $"bv") / ($"an" * $"bn")).as("s"))
+    val pool = cand.select($"q_id", $"vec_id", $"rel")
+    def argmax(df: DataFrame, key: String): DataFrame = {
+      val w = Window.partitionBy($"q_id").orderBy(col(key).desc, $"vec_id")
+      df.withColumn("arn", row_number().over(w)).filter($"arn" === 1).drop("arn")
+    }
+    val s1 = argmax(pool, "rel")
+      .select($"q_id", $"vec_id", (lit(MmrLambda) * $"rel").as("score"))
+    val simTo1 = sim.select($"q_id", $"a".as("vec_id"), $"b".as("p1"), $"s")
+    val r2 = pool.join(s1.select($"q_id", $"vec_id".as("p1")), Seq("q_id"))
+      .filter($"vec_id" =!= $"p1")
+      .join(simTo1, Seq("q_id", "vec_id", "p1"))
+      .select($"q_id", $"vec_id", $"p1", $"rel",
+        (lit(MmrLambda) * $"rel" - lit(MmrPenalty) * $"s").as("score"))
+    val s2 = argmax(r2, "score").select($"q_id", $"vec_id", $"p1", $"score")
+    val simA = sim.select($"q_id", $"a".as("vec_id"), $"b".as("p1"), $"s".as("s1s"))
+    val simB = sim.select($"q_id", $"a".as("vec_id"), $"b".as("p2"), $"s".as("s2s"))
+    val r3 = pool
+      .join(s2.select($"q_id", $"p1", $"vec_id".as("p2")), Seq("q_id"))
+      .filter($"vec_id" =!= $"p1" && $"vec_id" =!= $"p2")
+      .join(simA, Seq("q_id", "vec_id", "p1"))
+      .join(simB, Seq("q_id", "vec_id", "p2"))
+      .select($"q_id", $"vec_id",
+        (lit(MmrLambda) * $"rel" - lit(MmrPenalty) * greatest($"s1s", $"s2s")).as("score"))
+    val s3 = argmax(r3, "score").select($"q_id", $"vec_id", $"score")
+    s1.select($"q_id", lit(1).as("rk"), $"vec_id", $"score")
+      .unionByName(s2.select($"q_id", lit(2).as("rk"), $"vec_id", $"score"))
+      .unionByName(s3.select($"q_id", lit(3).as("rk"), $"vec_id", $"score"))
+      .select($"q_id", $"rk", $"vec_id", QueryUtil.halfUp4($"score").as("score"))
+      .orderBy("q_id", "rk")
+  }
+
+  private val mmrOracle = {
+    import SimilarityQueries.dotSql
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |             sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |           FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qn FROM e WHERE vec_id % 100 = 0),
+       |rel0 AS (SELECT q_id, e.vec_id, e.embedding, e.nrm,
+       |        ${dotSql("qv", "e.embedding")} / (qn * e.nrm) AS rel
+       |      FROM e JOIN q ON e.vec_id <> q.q_id),
+       |cand AS (SELECT q_id, vec_id, embedding, nrm, rel
+       |         FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS crk FROM rel0)
+       |         WHERE crk <= $MmrCand),
+       |sim AS (SELECT a.q_id, a.vec_id AS a, b.vec_id AS b,
+       |         ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS s
+       |       FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+       |s1 AS (SELECT q_id, vec_id, $MmrLambda * rel AS score
+       |       FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS arn FROM cand)
+       |       WHERE arn = 1),
+       |r2 AS (SELECT c.q_id, c.vec_id, s1.vec_id AS p1, c.rel,
+       |         $MmrLambda * c.rel - $MmrPenalty * sim.s AS score
+       |       FROM cand c JOIN s1 ON c.q_id = s1.q_id AND c.vec_id <> s1.vec_id
+       |       JOIN sim ON sim.q_id = c.q_id AND sim.a = c.vec_id AND sim.b = s1.vec_id),
+       |s2 AS (SELECT q_id, vec_id, p1, score
+       |       FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS arn FROM r2)
+       |       WHERE arn = 1),
+       |r3 AS (SELECT c.q_id, c.vec_id,
+       |         $MmrLambda * c.rel - $MmrPenalty * greatest(m1.s, m2.s) AS score
+       |       FROM cand c
+       |       JOIN s2 ON c.q_id = s2.q_id AND c.vec_id <> s2.vec_id AND c.vec_id <> s2.p1
+       |       JOIN sim m1 ON m1.q_id = c.q_id AND m1.a = c.vec_id AND m1.b = s2.p1
+       |       JOIN sim m2 ON m2.q_id = c.q_id AND m2.a = c.vec_id AND m2.b = s2.vec_id),
+       |s3 AS (SELECT q_id, vec_id, score
+       |       FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS arn FROM r3)
+       |       WHERE arn = 1),
+       |allk AS (SELECT q_id, 1 AS rk, vec_id, score FROM s1
+       |         UNION ALL SELECT q_id, 2, vec_id, score FROM s2
+       |         UNION ALL SELECT q_id, 3, vec_id, score FROM s3)
+       |SELECT q_id, rk, vec_id,
+       |       floor(score * 10000 + 0.5) / 10000.0 AS score
+       |FROM allk
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x80_bm25_topk",
       "BM25 sparse retrieval top-5 (inverted-index join, fixed-point term sums)",
       bm25TopK, Some(bm25Oracle)),
     QueryDef("x81_rrf_fusion",
       "dense+sparse hybrid retrieval via reciprocal rank fusion",
-      rrfFusion, Some(rrfOracle)))
+      rrfFusion, Some(rrfOracle)),
+    QueryDef("x82_mmr_rerank",
+      "maximal-marginal-relevance diversity rerank of the dense top-N",
+      mmrRerank, Some(mmrOracle)))
 }
