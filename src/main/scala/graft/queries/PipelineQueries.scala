@@ -380,7 +380,115 @@ object PipelineQueries {
        |           AND s.doc_id IN (SELECT doc_id FROM rep_keep)
        |           AND s.doc_id IN (SELECT doc_id FROM sur_keep)""".stripMargin)
 
+  /** Bloom-filter sizing for x16: the bit array SELF-SIZES to the eval
+    * set — m = smallest power of two >= BloomBitsPerFp * n_eval_fps, k = 3
+    * probe positions per fingerprint (20-bit hex slices of one md5, mod
+    * m). 32 bits/entry at k = 3 gives ~9% load → ~8e-4 FP per probe-set:
+    * false positives exist (measurable in the result) but rarely flip a
+    * doc flag. A FIXED m is wrong at every other scale — the first cut of
+    * this query used m = 2^17 and at sf0.1 hit 60% load, flagging 2452
+    * clean docs — so the size derivation is part of the operator, done
+    * declaratively (min over a powers-of-two relation, pure integer
+    * comparison — no log2 libm risk) in both engines. */
+  private val BloomBitsPerFp = 32
+
+  /** A 5-hex-digit slice of `expr` (a 32-hex md5 string) parsed to BIGINT —
+    * DuckDB has no conv(x, 16, 10), so the value is built by digit
+    * multiply-add (same trick as the x59 oracle). */
+  private def hexValSql(expr: String, start: Int): String =
+    (start until start + 5)
+      .map(i => s"(strpos('0123456789abcdef', substr($expr, $i, 1)) - 1)")
+      .reduce((a, b) => s"($a * 16 + $b)")
+
+  /** x16: decontamination through a BLOOM FILTER — the memory shape this
+    * gate actually ships at 100 TB: the eval side collapses to a bit
+    * array (here: the set of set positions, identical membership
+    * decisions), so the train scan probes k = 3 hash positions per
+    * fingerprint instead of joining fingerprint STRINGS. Same winnowing
+    * fingerprints as x51; the bloom answers "fp ∈ eval UNION" (the
+    * eval-doc identity is gone — that is the price of the bit array), so
+    * the doc rule is total eval-corpus hits >= threshold rather than
+    * x51's per-eval-doc pairing. Emits exact hits next to bloom hits, so
+    * the false-positive surplus is measured IN the result (bloom_hits >=
+    * exact_hits always; a row with bloom_flag and not exact_flag is a
+    * bloom FP a production gate would over-drop). 100 TB: positions set
+    * is eval-sized (tiny, broadcast); train fingerprints never shuffle;
+    * a real deployment would pack the positions into
+    * spark.util.sketch.BloomFilter — the decisions here are the same,
+    * declaratively and oracle-checkably. */
+  def bloomDecontaminate(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val fps = Tables.documents(spark, dir)
+      .select($"doc_id",
+        explode(call_function("winnow_fps", $"text",
+          lit(ContamGram), lit(ContamWindow))).as("fp"))
+    val evalFpSet = fps.filter($"doc_id" % 40 === 0).select($"fp").distinct()
+    // Self-sizing m: smallest power of two holding BloomBitsPerFp bits per
+    // eval fingerprint. Declarative (no driver collect): powers-of-two
+    // relation x the eval count, integer min.
+    val m = spark.range(10, 31)
+      .select(expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))").as("m"))
+      .crossJoin(broadcast(evalFpSet.agg(count(lit(1)).as("n"))))
+      .filter($"m" >= $"n" * BloomBitsPerFp)
+      .agg(min($"m").as("m"))
+    def positions(c: org.apache.spark.sql.Column, m: org.apache.spark.sql.Column) =
+      array((0 until 3).map(i =>
+        conv(substring(md5(c), 1 + 5 * i, 5), 16, 10).cast("long") % m): _*)
+    val evalPos = fps.filter($"doc_id" % 40 === 0).crossJoin(broadcast(m))
+      .select(explode(positions($"fp", $"m")).as("pos")).distinct()
+      .withColumn("present", lit(true))
+    val trainFps = fps.filter($"doc_id" % 40 =!= 0)
+      .select($"doc_id".as("train_id"), $"fp")
+    val gramHits = trainFps.crossJoin(broadcast(m))
+      .select($"train_id", $"fp", explode(positions($"fp", $"m")).as("pos")).distinct()
+      .join(broadcast(evalPos), Seq("pos"), "left")
+      .groupBy($"train_id", $"fp")
+      .agg(count(lit(1)).as("np"), count($"present").as("ni"))
+      .filter($"np" === $"ni")
+    val bloomDoc = gramHits.groupBy($"train_id").agg(count(lit(1)).as("bloom_hits"))
+    val exactDoc = trainFps.join(broadcast(evalFpSet), "fp")
+      .groupBy($"train_id").agg(count(lit(1)).as("exact_hits"))
+    bloomDoc.join(exactDoc, Seq("train_id"), "left")
+      .select($"train_id",
+        coalesce($"exact_hits", lit(0L)).as("exact_hits"),
+        $"bloom_hits",
+        (coalesce($"exact_hits", lit(0L)) >= ContamMinShared).as("exact_flag"),
+        ($"bloom_hits" >= ContamMinShared).as("bloom_flag"))
+      .orderBy("train_id")
+  }
+
+  private val bloomOracle = {
+    val pos = (0 until 3)
+      .map(i => s"(${hexValSql("h", 1 + 5 * i)} % m)")
+      .mkString("[", ", ", "]")
+    s"""WITH $contamCtes,
+       |efp AS (SELECT DISTINCT fp FROM ev),
+       |nfp AS (SELECT count(*) AS n FROM efp),
+       |pw AS (SELECT (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) AS m FROM range(10, 31) t(k)),
+       |mm AS (SELECT min(m) AS m FROM pw, nfp WHERE m >= n * $BloomBitsPerFp),
+       |epos AS (SELECT DISTINCT unnest(p) AS pos
+       |         FROM (SELECT $pos AS p FROM (SELECT md5(fp) AS h FROM efp), mm)),
+       |tpos AS (SELECT DISTINCT train_id, fp, unnest(p) AS pos
+       |         FROM (SELECT train_id, fp, $pos AS p
+       |               FROM (SELECT train_id, fp, md5(fp) AS h FROM tr), mm)),
+       |gh AS (SELECT train_id, fp, count(*) AS np, count(e.pos) AS ni
+       |       FROM tpos t LEFT JOIN epos e ON t.pos = e.pos
+       |       GROUP BY train_id, fp),
+       |bh AS (SELECT train_id, count(*) AS bloom_hits FROM gh WHERE np = ni GROUP BY train_id),
+       |eh AS (SELECT train_id, count(*) AS exact_hits FROM tr JOIN efp USING (fp) GROUP BY train_id)
+       |SELECT b.train_id,
+       |       coalesce(e.exact_hits, 0) AS exact_hits,
+       |       b.bloom_hits,
+       |       (coalesce(e.exact_hits, 0) >= $ContamMinShared) AS exact_flag,
+       |       (b.bloom_hits >= $ContamMinShared) AS bloom_flag
+       |FROM bh b LEFT JOIN eh e ON b.train_id = e.train_id
+       |ORDER BY b.train_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x16_bloom_decontaminate",
+      "bloom-filter decontamination gate with in-result false-positive measurement",
+      bloomDecontaminate, Some(bloomOracle)),
     QueryDef("x92_training_corpus_v2",
       "full capstone v2: x91 + repetition gate + surprisal gate (all eight stages, one oracle)",
       trainingCorpusV2, Some(trainingCorpusV2Oracle)),
