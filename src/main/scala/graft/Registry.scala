@@ -21,6 +21,7 @@ object Registry {
       queries.RelationalQueries3.defs ++
       queries.RelationalQueries4.defs ++
       queries.JoinOpQueries.defs ++
+      queries.GraphQueries.defs ++
       queries.TextQueries.defs ++
       queries.DedupQueries.defs ++
       queries.SimilarityQueries.defs ++

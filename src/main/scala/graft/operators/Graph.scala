@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge-list DataFrames — the second
+  * fixpoint operator family after [[Components]] (reference has no graphs;
+  * north-star extension: rank/centrality over corpus- or trade-derived
+  * graphs, e.g. link-graph quality priors for web-scale training data).
+  *
+  * PageRank here is EXACT-INTEGER fixed point: ranks are maintained as
+  * 1e-9-scaled longs and every update uses only integer multiply and
+  * integer division (`div`), so the result is bit-identical across engines
+  * — a DuckDB oracle re-derives the same trajectory with `//` arithmetic
+  * and hash-matches. No libm, no float accumulation order, no rounding
+  * boundaries (the x35/x56 fixed-point trick, taken further: the whole
+  * iteration is integer-exact, not just quantized-at-the-end).
+  *
+  * Scale (100 TB): the expensive stage is building the aggregated edge
+  * list (caller-owned — typically a multi-way join + groupBy, fully
+  * distributed); each iteration is then one keyed shuffle: join ranks to
+  * edges on `src` (AQE broadcasts ranks when the aggregated graph is
+  * small), aggregate contributions on `dst`, left-join back to the node
+  * set. Iterations are a driver loop like [[Components]] — for deep
+  * products use `localCheckpoint` lineage truncation (cheap here: the
+  * per-iteration state is one (node, rank) row per node).
+  *
+  * Overflow rail: contributions compute `85 * rank_fp * w` in long
+  * arithmetic; with total mass 1e9 that bounds total edge weight at
+  * ~1e8 per source. Pre-normalize weights (e.g. divide the whole edge
+  * list by a constant) if a source's out-weight can exceed that.
+  */
+object Graph {
+
+  /** Total rank mass, 1e-9 fixed point. */
+  val MassFp = 1000000000L
+
+  /** Weighted PageRank with damping 0.85 over a directed edge list.
+    *
+    * @param nodes one column `node` (the rank domain; must cover every
+    *              edge endpoint)
+    * @param edges columns `src`, `dst`, `w` (positive long weights,
+    *              already aggregated per (src,dst))
+    * @param iters fixed iteration count (the oracle unrolls the same
+    *              number — PageRank converges geometrically, so small
+    *              fixed budgets are the standard deployment shape)
+    * @return (node, rank_fp) — rank_fp sums to ~MassFp (minus flooring
+    *         dust); rank_fp/1e9 is the usual probability. Dangling-node
+    *         mass (nodes with no out-edges) is redistributed uniformly,
+    *         the standard correction. */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty node set")
+    val initFp = MassFp / n
+    val baseFp = (MassFp * 15 / 100) / n // (1-d)/N, floored once, constant
+    val outw = edges.groupBy("src").agg(sum("w").as("outw")).localCheckpoint(true)
+    val e = edges.join(outw, "src").localCheckpoint(true)
+    val dangling = nodes.join(outw.select(col("src").as("node")), Seq("node"), "left_anti")
+      .localCheckpoint(true)
+    var ranks = nodes.select(col("node"), lit(initFp).as("rank_fp"))
+    for (_ <- 1 to iters) {
+      // one driver-side scalar per iteration (like Components' convergence
+      // count): total rank stranded on dangling nodes this step.
+      val dangFp: Long = dangling.join(ranks, "node")
+        .agg(coalesce(sum("rank_fp"), lit(0L))).head.getLong(0)
+      val shareFp = 85L * dangFp / (100L * n) // uniform dangling share, floored
+      val inc = e.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("(85 * rank_fp * w) div (100 * outw)").as("c"))
+        .groupBy("dst").agg(sum("c").as("inc"))
+      ranks = nodes.join(inc.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(baseFp + shareFp) + coalesce(col("inc"), lit(0L))).as("rank_fp"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+}

@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.Graph
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the trade network (north-star extension): weighted
+  * PageRank on the customer-nation → supplier-nation graph. The heavy,
+  * scale-relevant stage is the distributed edge aggregation (lineitem ⋈
+  * orders ⋈ customer ⋈ supplier — the full fact table read); the fixpoint
+  * iterations then run on the aggregated graph. Exact-integer fixed-point
+  * arithmetic end to end (see [[graft.operators.Graph]]) — the oracle
+  * unrolls the same three iterations in CTEs with `//` integer division
+  * and matches bit for bit. */
+object GraphQueries {
+
+  private val Iters = 3
+
+  /** x63: PageRank centrality of each nation in the (symmetrized) trade
+    * graph. Edge (a,b) weight = number of lineitems shipped between a
+    * customer in nation a and a supplier in nation b, either direction;
+    * self-trade excluded. Symmetrization guarantees every node in the edge
+    * set has out-edges (no dangling mass on this fixture — the operator
+    * still handles it). */
+  def tradePageRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val trade = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey")
+      .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey")),
+        $"l_suppkey" === $"s_suppkey")
+      .filter($"c_nationkey" =!= $"s_nationkey")
+      .select($"c_nationkey".as("cn"), $"s_nationkey".as("sn"))
+    val edges = trade.select($"cn".as("src"), $"sn".as("dst"))
+      .unionByName(trade.select($"sn".as("src"), $"cn".as("dst")))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val nodes = edges.select($"src".as("node")).distinct()
+    Graph.pageRank(nodes, edges, Iters)
+      .join(broadcast(Tables.nation(spark, dir)), $"node" === $"n_nationkey")
+      .select($"node".cast("long").as("nationkey"), $"n_name",
+        $"rank_fp", ($"rank_fp" / lit(1e9)).as("rank"))
+      .orderBy($"rank_fp".desc, $"nationkey")
+  }
+
+  /** Oracle: identical integer trajectory, iterations unrolled as CTEs.
+    * Sums are cast back to BIGINT (DuckDB widens BIGINT sums to HUGEINT).
+    * The fixture graph has no dangling nodes (symmetrized edges), so the
+    * uniform dangling share the operator adds is exactly 0 here and the
+    * oracle omits the term. MATERIALIZED hints matter: DuckDB inlines
+    * CTEs by default, and the unrolled iteration chain references the
+    * edge CTEs ~20× transitively — inlined, the 4-way trade join would
+    * re-execute each time (minutes + tens of GB at sf0.1; 7 s
+    * materialized). */
+  private val pageRankOracle: String = {
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS MATERIALIZED (SELECT n.node,
+         |  (SELECT base FROM params) + COALESCE(s.inc, 0) AS rank_fp
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst, CAST(sum((85 * r.rank_fp * e.w) // (100 * e.outw)) AS BIGINT) AS inc
+         |    FROM e JOIN $prev r ON e.src = r.node
+         |    GROUP BY e.dst) s ON n.node = s.dst)""".stripMargin
+    s"""WITH dir0 AS MATERIALIZED (
+       |  SELECT c.c_nationkey AS cn, s.s_nationkey AS sn
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  WHERE c.c_nationkey <> s.s_nationkey),
+       |sym AS (SELECT cn AS src, sn AS dst FROM dir0 UNION ALL SELECT sn, cn FROM dir0),
+       |e0 AS MATERIALIZED (SELECT src, dst, count(*) AS w FROM sym GROUP BY 1, 2),
+       |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e0 GROUP BY 1),
+       |e AS MATERIALIZED (SELECT e0.src, e0.dst, e0.w, ow.outw FROM e0 JOIN ow ON e0.src = ow.src),
+       |n AS MATERIALIZED (SELECT DISTINCT src AS node FROM e0),
+       |params AS MATERIALIZED (SELECT count(*) AS nn, 1000000000 // count(*) AS init,
+       |                  150000000 // count(*) AS base FROM n),
+       |r0 AS (SELECT node, (SELECT init FROM params) AS rank_fp FROM n),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT CAST(t.node AS BIGINT) AS nationkey, nat.n_name, t.rank_fp,
+       |       t.rank_fp / 1000000000.0 AS rank
+       |FROM r3 t JOIN nation nat ON t.node = nat.n_nationkey
+       |ORDER BY t.rank_fp DESC, nationkey""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("x63_pagerank",
+      "weighted PageRank over the nation trade graph — exact-integer fixed-point iterations, oracle unrolls the same trajectory",
+      tradePageRank, Some(pageRankOracle)))
+}

@@ -457,7 +457,45 @@ object RelationalQueries4 {
       |FROM wau w LEFT JOIN dau ON w.day = dau.day
       |ORDER BY w.day""".stripMargin
 
+  /** SCD Type-2 dimension build from an event stream: track each user's
+    * `event_type` as a slowly-changing attribute — collapse consecutive
+    * repeats, emit one row per version with [valid_from, valid_to) validity
+    * and an is_current flag. The reference's incremental loads (S1/SNK1)
+    * only ever append the latest state; SCD2 is the warehouse-standard
+    * history-preserving variant. One window per step, both keyed on
+    * user_id — at 100 TB a single hash shuffle, no self-joins, and the
+    * change-filter drops the (dominant) unchanged rows before the second
+    * window. Ties broken by event_id so versioning is engine-stable. */
+  def q47(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev", lag($"event_type", 1).over(w))
+      .filter($"prev".isNull || $"prev" =!= $"event_type")
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead($"ts", 1).over(w))
+      .select($"user_id", $"version", $"event_type", $"ts".as("valid_from"),
+        $"valid_to", $"valid_to".isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  private val q47Oracle =
+    """WITH s AS (SELECT user_id, ts, event_id, event_type,
+      |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |      FROM events),
+      |c AS (SELECT user_id, ts, event_id, event_type FROM s
+      |      WHERE prev IS NULL OR prev <> event_type),
+      |f AS (SELECT user_id, event_type, ts AS valid_from,
+      |        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+      |      FROM c)
+      |SELECT user_id, version, event_type, valid_from, valid_to,
+      |       (valid_to IS NULL) AS is_current
+      |FROM f ORDER BY user_id, version""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q47_scd2", "SCD Type-2 dimension build: per-user attribute versions with validity intervals", q47, Some(q47Oracle)),
     QueryDef("q46_rolling_distinct", "exact 7-day rolling distinct actives via bounded window-day explode", q46, Some(q46Oracle)),
     QueryDef("q44_funnel", "ordered funnel stage counts, 24h conversion window", q44, Some(q44Oracle)),
     QueryDef("q45_cohort_retention", "first-active-day cohorts x week-offset retention", q45, Some(q45Oracle)),
