@@ -60,17 +60,21 @@ object DedupQueries {
       .orderBy("a", "b")
   }
 
-  /** Shared oracle CTE chain (shingles → signature → bands → skew-pruned →
-    * candidates → verified jaccard), reused by the pair query and the
-    * clustering oracle. */
-  private[queries] def minhashCtes(withKeyword: String): String = {
+  /** Shared oracle prefix (shingles → signature → bands → skew-pruned):
+    * everything up to BUT NOT including candidate pairing, so both the
+    * self-join (x11/x14) and the cross-set join (x17) build on the same
+    * banding. `tInnerExtra`/`tOuterExtra` thread extra columns through the
+    * `t` CTE (e.g. the source-number split for x17). */
+  private def minhashBandCtes(withKeyword: String,
+                              tInnerExtra: String = "",
+                              tOuterExtra: String = ""): String = {
     val mh = (0 until 12).map(j =>
       s"list_aggregate(list_transform(shingles, s -> md5('$j:' || s)), 'min') AS mh$j").mkString(",\n       ")
     val bands = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, md5(concat_ws('|', mh${3 * b}, mh${3 * b + 1}, mh${3 * b + 2})) AS bh FROM sig")
       .mkString("\n       UNION ALL ")
-    s"""$withKeyword t AS (SELECT doc_id, $shinglesSql AS shingles
-       |           FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)),
+    s"""$withKeyword t AS (SELECT doc_id$tOuterExtra, $shinglesSql AS shingles
+       |           FROM (SELECT doc_id$tInnerExtra, text, string_split(text, ' ') AS toks FROM documents)),
        |sig AS (SELECT doc_id, shingles,
        |       $mh
        |       FROM t),
@@ -79,7 +83,15 @@ object DedupQueries {
        |bands_pruned AS (SELECT doc_id, band, bh
        |                 FROM (SELECT *, count(*) OVER (PARTITION BY band, bh) AS bn FROM bands)
        |                 WHERE bn <= ${Dedup.DefaultMaxBucket}),
-       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |""".stripMargin
+  }
+
+  /** Shared oracle CTE chain (shingles → signature → bands → skew-pruned →
+    * candidates → verified jaccard), reused by the pair query and the
+    * clustering oracle. */
+  private[queries] def minhashCtes(withKeyword: String): String =
+    minhashBandCtes(withKeyword) +
+      """cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |         FROM bands_pruned x JOIN bands_pruned y
        |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
        |pairs AS (SELECT a, b, ta.shingles AS sa, tb.shingles AS sb
@@ -89,7 +101,6 @@ object DedupQueries {
        |              / (len(sa) + len(sb) - len(list_filter(sa, s -> list_contains(sb, s))))) * 10000 + 0.5) / 10000.0 AS jaccard
        |      FROM pairs)
        |""".stripMargin
-  }
 
   private val minhashOracle =
     minhashCtes("WITH") +
@@ -315,7 +326,89 @@ object DedupQueries {
        |ORDER BY s.vec_id""".stripMargin
   }
 
+  /** x17: continual-ingestion admission gate — dedup a NEW batch (sources
+    * src10..src19) against the EXISTING corpus (src0..src9), the shape a
+    * production pipeline runs on every intake (the reference's
+    * incremental-vs-existing anti-join at `salesforce_extractor.py:213-217`,
+    * lifted from exact hash equality to near-dup semantics):
+    *
+    *   1. exact gate — new doc's md5(text) already present in the corpus,
+    *   2. near-dup gate — x11's MinHash banding, but joined NEW × EXISTING
+    *      instead of self-joined, Jaccard >= 0.5 verified,
+    *
+    * each rejected doc reporting its earliest corpus duplicate. New-vs-new
+    * duplicates are deliberately NOT flagged (in-batch dedup is x10/x11's
+    * job — this gate answers "is it already in the corpus"). Scale: the
+    * band bucket cap is shared with x11; the cross-set band join only
+    * pairs new against existing, so intake cost scales with the BATCH,
+    * not the corpus (bands of the corpus are precomputable/persistable —
+    * the PLANS.md shared-candidate note). */
+  def incrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"text", substring($"source", 4, 10).cast("int").as("snum"))
+    val exHash = docs.filter($"snum" < 10)
+      .groupBy(md5($"text").as("content_hash")).agg(min($"doc_id").as("exact_of"))
+    val exactFlag = docs.filter($"snum" >= 10)
+      .select($"doc_id", md5($"text").as("content_hash"))
+      .join(exHash, Seq("content_hash"), "left")
+    val base = docs.select($"doc_id", $"snum", tokenShingles($"text").as("shingles"))
+    val banded = base.select($"doc_id", $"snum",
+      posexplode(call_function("minhash_bands", $"shingles", lit(12), lit(3)))
+        .as(Seq("band", "bh")))
+    val pruned = Dedup.capBuckets(banded, Seq("band", "bh"), Dedup.DefaultMaxBucket)
+    val cand = pruned.filter($"snum" >= 10).select($"doc_id".as("a"), $"band", $"bh")
+      .join(pruned.filter($"snum" < 10).select($"doc_id".as("b"), $"band", $"bh"),
+        Seq("band", "bh"))
+      .select($"a", $"b").distinct()
+    val nearOf = cand
+      .join(base.select($"doc_id".as("a"), $"shingles".as("sa")), "a")
+      .join(base.select($"doc_id".as("b"), $"shingles".as("sb")), "b")
+      .select($"a", $"b",
+        QueryUtil.fence(halfUp4(Dedup.jaccardSorted($"sa", $"sb"))).as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+      .groupBy($"a").agg(min($"b").as("near_of"))
+    exactFlag.join(nearOf, $"doc_id" === $"a", "left")
+      .select($"doc_id",
+        when($"exact_of".isNotNull, "dup_exact")
+          .when($"near_of".isNotNull, "near_dup")
+          .otherwise("admit").as("verdict"),
+        coalesce($"exact_of", $"near_of").as("dup_of"))
+      .orderBy("doc_id")
+  }
+
+  private val incrementalOracle = {
+    val snumSql = "TRY_CAST(substr(source, 4, 10) AS INTEGER)"
+    minhashBandCtes("WITH", s", $snumSql AS snum", ", snum") +
+      s"""cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM bands_pruned x JOIN t tx ON tx.doc_id = x.doc_id AND tx.snum >= 10
+         |         JOIN bands_pruned y ON x.band = y.band AND x.bh = y.bh
+         |         JOIN t ty ON ty.doc_id = y.doc_id AND ty.snum < 10),
+         |pairs AS (SELECT a, b, ta.shingles AS sa, tb.shingles AS sb
+         |          FROM cand JOIN t ta ON ta.doc_id = a JOIN t tb ON tb.doc_id = b),
+         |j AS (SELECT a, b,
+         |        floor((CAST(len(list_filter(sa, s -> list_contains(sb, s))) AS DOUBLE)
+         |              / (len(sa) + len(sb) - len(list_filter(sa, s -> list_contains(sb, s))))) * 10000 + 0.5) / 10000.0 AS jaccard
+         |      FROM pairs),
+         |nearof AS (SELECT a, min(b) AS near_of FROM j WHERE jaccard >= 0.5 GROUP BY a),
+         |exact AS (SELECT n.doc_id, min(e.doc_id) AS exact_of
+         |          FROM (SELECT doc_id, md5(text) AS h FROM documents WHERE $snumSql >= 10) n
+         |          JOIN (SELECT doc_id, md5(text) AS h FROM documents WHERE $snumSql < 10) e
+         |            ON n.h = e.h
+         |          GROUP BY n.doc_id)
+         |SELECT nd.doc_id,
+         |       CASE WHEN ex.exact_of IS NOT NULL THEN 'dup_exact'
+         |            WHEN nr.near_of IS NOT NULL THEN 'near_dup'
+         |            ELSE 'admit' END AS verdict,
+         |       COALESCE(ex.exact_of, nr.near_of) AS dup_of
+         |FROM (SELECT doc_id FROM t WHERE snum >= 10) nd
+         |LEFT JOIN exact ex ON ex.doc_id = nd.doc_id
+         |LEFT JOIN nearof nr ON nr.a = nd.doc_id
+         |ORDER BY nd.doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x17_incremental_neardup", "corpus-vs-new-batch admission gate: exact + MinHash near-dup verdicts (X2)", incrementalNearDup, Some(incrementalOracle)),
     QueryDef("x10_exact_dedup", "exact content-hash dedup, deterministic survivor (X1)", exactDedup, Some(exactOracle)),
     QueryDef("x11_minhash_lsh", "MinHash+LSH near-dup pairs, Jaccard-verified (X2)", minhashLsh, Some(minhashOracle)),
     QueryDef("x12_simhash", "32-bit SimHash bucket near-dups (X2)", simhash, Some(simhashOracle)),

@@ -282,7 +282,65 @@ object RetrievalQueries {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  /** x83: retrieval-quality evaluation of the dense arm — for each query
+    * (vec_id % 100 = 0, self excluded), rank the full corpus by x30's
+    * cosine key and score against label ground truth (a corpus doc is
+    * relevant iff it carries the query's label): first relevant rank
+    * (→ MRR), hits in the top 5 (→ precision@5), and the relevant-doc
+    * count (→ the recall denominator). The reciprocal rank is an exact
+    * int/int rational — identical doubles in both engines, no rounding
+    * needed. 100 TB: same broadcast-queries/scan-corpus-once shape as
+    * x30; if the full per-query sort ever dominates, first_rel is also
+    * computable as 1 + count(better-than-best-relevant) with plain
+    * aggregates — the window form is kept because it shares x30's
+    * (plan-audited) shape. */
+  def mrrEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", $"embedding", Similarity.norm($"embedding").as("nrm"))
+    val q = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"label".as("qlab"), $"embedding".as("qv"), $"nrm".as("qn"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+    emb.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"qlab", $"vec_id", $"label",
+        round(Similarity.dot($"qv", $"embedding") / ($"qn" * $"nrm"), 4).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("rel", ($"label" === $"qlab").cast("int"))
+      .groupBy($"q_id", $"qlab")
+      .agg(
+        sum($"rel").as("n_rel"),
+        min(when($"rel" === 1, $"rk")).as("first_rel"),
+        sum(when($"rel" === 1 && $"rk" <= 5, 1).otherwise(0)).as("hits_at_5"))
+      .select($"q_id", $"qlab".as("label"), $"n_rel", $"first_rel", $"hits_at_5",
+        when($"first_rel".isNull, lit(0.0))
+          .otherwise(lit(1.0) / $"first_rel".cast("double")).as("rr"))
+      .orderBy("q_id")
+  }
+
+  private val mrrOracle =
+    s"""WITH q AS (SELECT vec_id AS q_id, label AS qlab, embedding AS qv
+       |           FROM embeddings WHERE vec_id % 100 = 0),
+       |p AS (SELECT q.q_id, q.qlab, e.vec_id, e.label,
+       |        round(${SimilarityQueries.cosineSql("e.embedding", "qv")}, 4) AS cosine
+       |      FROM embeddings e JOIN q ON e.vec_id <> q.q_id),
+       |r AS (SELECT q_id, qlab, label, rk,
+       |        CASE WHEN label = qlab THEN 1 ELSE 0 END AS rel
+       |      FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+       |            FROM p))
+       |SELECT q_id, qlab AS label,
+       |       CAST(sum(rel) AS BIGINT) AS n_rel,
+       |       min(CASE WHEN rel = 1 THEN rk END) AS first_rel,
+       |       CAST(sum(CASE WHEN rel = 1 AND rk <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_5,
+       |       CASE WHEN min(CASE WHEN rel = 1 THEN rk END) IS NULL THEN 0.0
+       |            ELSE 1.0 / min(CASE WHEN rel = 1 THEN rk END) END AS rr
+       |FROM r
+       |GROUP BY q_id, qlab
+       |ORDER BY q_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x83_mrr_eval",
+      "dense-retrieval evaluation vs label ground truth (MRR, P@5, recall base)",
+      mrrEval, Some(mrrOracle)),
     QueryDef("x80_bm25_topk",
       "BM25 sparse retrieval top-5 (inverted-index join, fixed-point term sums)",
       bm25TopK, Some(bm25Oracle)),

@@ -359,7 +359,63 @@ object TrainingQueries {
     s"""rep_keep AS (SELECT doc_id FROM rep_m
        |             WHERE top_share <= $TopShareMax AND dup_share <= $DupBigramMax)""".stripMargin
 
+  /** x85: temperature-scaled language rebalancing (α = 0.5) — the standard
+    * multilingual trick (XLM-R-style exponential smoothing): resample so
+    * language s's share goes from p_s to ∝ p_s^α, flattening the
+    * English-heavy head without discarding tail languages (α=1 keeps the
+    * natural mix, α=0 is uniform). With α = 1/2 the keep-rate is
+    * r_s = sqrt(n_min/n_s) (the rarest language keeps everything, one 4×
+    * bigger keeps half), and the keep decision for a doc with 16-bit
+    * salted hash h is
+    *
+    *   h/65536 < sqrt(n_min/n_s)  ⇔  h² · n_s < 65536² · n_min
+    *
+    * — an EXACT integer predicate: unlike thresholding a float rate, the
+    * α=1/2 square root cancels by squaring both sides, so selection has
+    * no rounding boundary at all (the x53 integer-threshold idiom,
+    * extended to data-dependent rates). Expected kept ∝ sqrt(n_s), i.e.
+    * exactly the temperature-α target. 100 TB: per-language counts are a
+    * tiny broadcast; the gate is then a narrow per-row predicate — no
+    * shuffle on the corpus itself, one small audit aggregate. */
+  def temperatureMixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n_in"))
+    val nmin = counts.agg(min($"n_in").as("n_min"))
+    val hv = conv(substring(md5(concat_ws("|", lit("tmix"), $"doc_id")), 1, 4), 16, 10)
+      .cast("long")
+    docs.select($"lang", hv.as("hv"))
+      .join(broadcast(counts), "lang")
+      .crossJoin(broadcast(nmin))
+      .withColumn("kept",
+        ($"hv" * $"hv" * $"n_in" < lit(4294967296L) * $"n_min").cast("int"))
+      .groupBy($"lang", $"n_in", $"n_min")
+      .agg(sum($"kept").as("n_kept"))
+      .select($"lang", $"n_in", $"n_kept",
+        halfUp4(sqrt($"n_min".cast("double") / $"n_in".cast("double"))).as("rate4"))
+      .orderBy("lang")
+  }
+
+  private val temperatureMixtureOracle = {
+    val h = "md5(concat_ws('|', 'tmix', CAST(doc_id AS VARCHAR)))"
+    val hv = (1 to 4).map(i => s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1)")
+      .reduce((a, b) => s"($a * 16 + $b)")
+    s"""WITH c AS (SELECT lang, count(*) AS n_in FROM documents GROUP BY lang),
+       |m AS (SELECT min(n_in) AS n_min FROM c),
+       |d AS (SELECT lang, $hv AS hv FROM documents),
+       |k AS (SELECT d.lang, c.n_in, m.n_min,
+       |        CASE WHEN d.hv * d.hv * c.n_in < 4294967296 * m.n_min THEN 1 ELSE 0 END AS kept
+       |      FROM d JOIN c ON d.lang = c.lang, m)
+       |SELECT lang, n_in, CAST(sum(kept) AS BIGINT) AS n_kept,
+       |       floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_in AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS rate4
+       |FROM k
+       |GROUP BY lang, n_in, n_min
+       |ORDER BY lang""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x85_temperature_mixture",
+      "temperature-α=0.5 language rebalancing via exact integer hash predicate", temperatureMixture, Some(temperatureMixtureOracle)),
     QueryDef("x54_chunk_windows",
       "sliding-window training-sample chunking (W=32, S=24)", chunkWindows, Some(chunkWindowsOracle)),
     QueryDef("x55_chunk_dedup",
