@@ -48,26 +48,47 @@ object Graph {
     *         dust); rank_fp/1e9 is the usual probability. Dangling-node
     *         mass (nodes with no out-edges) is redistributed uniformly,
     *         the standard correction. */
+  /** pageRank over the node set implied by the edges (every endpoint) —
+    * avoids a second materialization of the edge pipeline when the caller
+    * has no isolated nodes to add. */
+  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    val e0 = edges.localCheckpoint(true)
+    val nd = e0.select(col("src").as("node"))
+      .unionByName(e0.select(col("dst").as("node"))).distinct()
+    pageRank(nd, e0, iters)
+  }
+
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
-    val n = nodes.count()
+    // Materialize both inputs ONCE — they are typically the tail of an
+    // expensive aggregation pipeline, and the loop below references them
+    // iters+2 times (without this, each reference re-runs the upstream
+    // joins — measured 3× the whole query's cost on the x63 trade graph).
+    val nd = nodes.localCheckpoint(true)
+    val e0 = edges.localCheckpoint(true)
+    val n = nd.count()
     require(n > 0, "pageRank: empty node set")
     val initFp = MassFp / n
     val baseFp = (MassFp * 15 / 100) / n // (1-d)/N, floored once, constant
-    val outw = edges.groupBy("src").agg(sum("w").as("outw")).localCheckpoint(true)
-    val e = edges.join(outw, "src").localCheckpoint(true)
-    val dangling = nodes.join(outw.select(col("src").as("node")), Seq("node"), "left_anti")
+    val outw = e0.groupBy("src").agg(sum("w").as("outw"))
+    val e = e0.join(outw, "src").localCheckpoint(true)
+    val dangling = nd.join(outw.select(col("src").as("node")), Seq("node"), "left_anti")
       .localCheckpoint(true)
-    var ranks = nodes.select(col("node"), lit(initFp).as("rank_fp"))
+    // skip the per-iteration dangling-mass job entirely on graphs with
+    // none (one cheap probe on checkpointed data)
+    val hasDangling = !dangling.isEmpty
+    var ranks = nd.select(col("node"), lit(initFp).as("rank_fp"))
     for (_ <- 1 to iters) {
       // one driver-side scalar per iteration (like Components' convergence
       // count): total rank stranded on dangling nodes this step.
-      val dangFp: Long = dangling.join(ranks, "node")
-        .agg(coalesce(sum("rank_fp"), lit(0L))).head.getLong(0)
+      val dangFp: Long =
+        if (!hasDangling) 0L
+        else dangling.join(ranks, "node")
+          .agg(coalesce(sum("rank_fp"), lit(0L))).head.getLong(0)
       val shareFp = 85L * dangFp / (100L * n) // uniform dangling share, floored
       val inc = e.join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst"), expr("(85 * rank_fp * w) div (100 * outw)").as("c"))
         .groupBy("dst").agg(sum("c").as("inc"))
-      ranks = nodes.join(inc.withColumnRenamed("dst", "node"), Seq("node"), "left")
+      ranks = nd.join(inc.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"),
           (lit(baseFp + shareFp) + coalesce(col("inc"), lit(0L))).as("rank_fp"))
         .localCheckpoint(true)

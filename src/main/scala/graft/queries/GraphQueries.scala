@@ -37,8 +37,7 @@ object GraphQueries {
     val edges = trade.select($"cn".as("src"), $"sn".as("dst"))
       .unionByName(trade.select($"sn".as("src"), $"cn".as("dst")))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-    val nodes = edges.select($"src".as("node")).distinct()
-    Graph.pageRank(nodes, edges, Iters)
+    Graph.pageRank(edges, Iters)
       .join(broadcast(Tables.nation(spark, dir)), $"node" === $"n_nationkey")
       .select($"node".cast("long").as("nationkey"), $"n_name",
         $"rank_fp", ($"rank_fp" / lit(1e9)).as("rank"))
