@@ -17,6 +17,39 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Interval × interval overlap join — every (left, right) pair whose
+    * closed integer-second intervals intersect (`l.s <= r.e && r.s <= l.e`),
+    * emitted EXACTLY once. The naive form is an inequality join (nested
+    * loop in Catalyst; DuckDB plans it as an IEJoin — the oracle
+    * cross-check). Here each interval registers in every `bandSec`-wide
+    * band it touches, candidates meet in an equi-join on the band, and a
+    * pair is kept only in its RESPONSIBILITY band — the band containing
+    * `greatest(l.s, r.s)`, i.e. where the overlap starts — so no distinct
+    * pass is needed to dedup multi-band pairs.
+    *
+    * Scale: the explode factor is interval-length / bandSec + 1 (bounded
+    * for bounded intervals — pick bandSec near the typical length);
+    * everything else is one hash equi-join on the band. Degenerate bands
+    * (everyone online at the same hour) are ordinary join skew — AQE
+    * splits them. `extraCond` prunes inside the join (e.g. `$"ua" < $"ub"`
+    * for self-joins).
+    *
+    * Both inputs must already expose integer-second columns; all four
+    * column names must be distinct across the two sides. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      sL: String, eL: String, sR: String, eR: String,
+                      bandSec: Long, extraCond: Column): DataFrame = {
+    require(bandSec > 0, "bandSec must be positive")
+    def bandOf(c: Column) = c.divide(bandSec).cast("long")
+    val l = left.withColumn("__band", explode(sequence(bandOf(col(sL)), bandOf(col(eL)))))
+    val r = right.withColumn("__bandR", explode(sequence(bandOf(col(sR)), bandOf(col(eR)))))
+    l.join(r,
+        col("__band") === col("__bandR") && extraCond &&
+          col(sL) <= col(eR) && col(sR) <= col(eL) &&
+          bandOf(greatest(col(sL), col(sR))) === col("__band"))
+      .drop("__band", "__bandR")
+  }
+
   /** Pairs (a, b) with `a.idCol < b.idCol`, same `key`, and
     * `0 <= floorEpoch(b.ts) - floorEpoch(a.ts) <= widthSec`. Returns the
     * a/b id pair plus key and the second-difference. */

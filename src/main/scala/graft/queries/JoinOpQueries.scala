@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.operators.{AsOf, RangeJoin}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Temporal join operators Spark lacks natively: AS-OF (point-in-time
@@ -61,7 +62,60 @@ object JoinOpQueries {
       |GROUP BY a.user_id
       |ORDER BY a.user_id""".stripMargin
 
+  /** x62: interval OVERLAP join — which users' activity sessions were
+    * concurrent, and for how long. Sessions are q22's 30-minute-gap
+    * intervals [min ts, max ts] per (user, session); overlapping pairs
+    * across users (ua < ub) come from the banded
+    * [[RangeJoin.intervalOverlap]] (1-hour bands, responsibility-band
+    * dedup), aggregated to per-user-pair counts and total overlap
+    * seconds. The DuckDB oracle runs the same pairing as a native
+    * inequality join (IEJoin) — independent algorithms, same pairs. */
+  def sessionOverlap(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val sec = unix_timestamp($"ts".cast("timestamp"))
+    val flagged = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id",
+        when(unix_timestamp($"ts".cast("timestamp")) - unix_timestamp(lag($"ts", 1).over(w).cast("timestamp")) > 1800, 1)
+          .otherwise(0).as("brk"))
+      .withColumn("sess", sum($"brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val iv = flagged.groupBy($"user_id", $"sess")
+      .agg(min(sec).as("s"), max(sec).as("e"))
+    val a = iv.select($"user_id".as("ua"), $"s".as("as_s"), $"e".as("as_e"))
+    val b = iv.select($"user_id".as("ub"), $"s".as("bs_s"), $"e".as("bs_e"))
+    RangeJoin.intervalOverlap(a, b, "as_s", "as_e", "bs_s", "bs_e",
+        bandSec = 3600L, extraCond = col("ua") < col("ub"))
+      .select($"ua", $"ub",
+        (least($"as_e", $"bs_e") - greatest($"as_s", $"bs_s")).as("ov"))
+      .groupBy($"ua", $"ub")
+      .agg(count(lit(1)).as("n_overlaps"), sum($"ov").as("overlap_sec"))
+      .orderBy("ua", "ub")
+  }
+
+  private val overlapOracle =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+      |                   - CAST(floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      |  FROM flagged),
+      |iv AS (SELECT user_id, sess, min(sec) AS s, max(sec) AS e
+      |       FROM sess GROUP BY user_id, sess),
+      |p AS (SELECT a.user_id AS ua, b.user_id AS ub,
+      |        least(a.e, b.e) - greatest(a.s, b.s) AS ov
+      |      FROM iv a JOIN iv b
+      |        ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e)
+      |SELECT ua, ub, count(*) AS n_overlaps, CAST(sum(ov) AS BIGINT) AS overlap_sec
+      |FROM p GROUP BY ua, ub
+      |ORDER BY ua, ub""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x60_asof_join", "as-of join (point-in-time prior-order lookup) vs native DuckDB ASOF", asofPriorOrder, Some(asofOracle)),
-    QueryDef("x61_range_join", "banded interval self-join (pairs within 300s) vs inequality join", rangePairs, Some(rangeOracle)))
+    QueryDef("x61_range_join", "banded interval self-join (pairs within 300s) vs inequality join", rangePairs, Some(rangeOracle)),
+    QueryDef("x62_interval_overlap", "interval x interval overlap join (concurrent sessions) vs native IEJoin", sessionOverlap, Some(overlapOracle)))
 }

@@ -468,15 +468,8 @@ object RelationalQueries4 {
     * window. Ties broken by event_id so versioning is engine-stable. */
   def q47(spark: SparkSession, dir: String) = {
     import spark.implicits._
-    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    Tables.events(spark, dir)
-      .select($"user_id", $"ts", $"event_id", $"event_type")
-      .withColumn("prev", lag($"event_type", 1).over(w))
-      .filter($"prev".isNull || $"prev" =!= $"event_type")
-      .withColumn("version", row_number().over(w))
-      .withColumn("valid_to", lead($"ts", 1).over(w))
-      .select($"user_id", $"version", $"event_type", $"ts".as("valid_from"),
-        $"valid_to", $"valid_to".isNull.as("is_current"))
+    graft.operators.Scd.scd2Build(
+        Tables.events(spark, dir).select($"user_id", $"ts", $"event_id", $"event_type"))
       .orderBy("user_id", "version")
   }
 

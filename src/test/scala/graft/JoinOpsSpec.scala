@@ -48,4 +48,19 @@ class JoinOpsSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toSet
     assert(pairs == Set((10L, 11L, 7L), (10L, 12L, 9L), (11L, 12L, 2L), (20L, 21L, 0L)))
   }
+
+  test("interval overlap: exactly once per pair incl. multi-band spans, touching counts, disjoint excluded") {
+    import org.apache.spark.sql.functions.col
+    val left = Seq((1L, 0L, 25L), (2L, 5L, 8L), (3L, 40L, 41L))
+      .toDF("lid", "ls", "le") // band width 10: lid=1 spans bands 0..2
+    val right = Seq((10L, 7L, 33L), (11L, 25L, 30L), (12L, 35L, 39L))
+      .toDF("rid", "rs", "re")
+    val got = RangeJoin.intervalOverlap(left, right, "ls", "le", "rs", "re",
+        bandSec = 10L, extraCond = col("lid") >= 0)
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSeq
+    // (1,10) overlap 7..25 (shares 3 bands — must appear ONCE);
+    // (1,11) touching at 25 counts; (2,10) 7..8; (3,12) disjoint by 1s excluded
+    assert(got.sorted == Seq((1L, 10L), (1L, 11L), (2L, 10L)))
+    assert(got.size == got.toSet.size)
+  }
 }

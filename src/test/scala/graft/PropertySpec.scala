@@ -166,4 +166,37 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("property: SCD2 incremental apply == full rebuild for any time-boundary split") {
+    import graft.operators.Scd
+    import org.apache.spark.sql.functions.timestamp_seconds
+    // (user, sec, event_id, type): few users, few types -> lots of repeats
+    // (versions collapse) AND changes; event_ids unique and shuffled so
+    // same-second ties exercise the (ts, event_id) ordering.
+    val evGen: Gen[List[(Long, Long, String)]] =
+      Gen.listOfN(80, Gen.zip(Gen.choose(1L, 5L), Gen.choose(0L, 400L),
+        Gen.oneOf("a", "b", "c")))
+    (1L to 6L).foreach { seed =>
+      val rows = sample(evGen, seed).zipWithIndex
+        .map { case ((u, s, t), i) => (u, s, i.toLong, t) }
+      def df(xs: Seq[(Long, Long, Long, String)]) =
+        xs.toDF("user_id", "sec", "event_id", "event_type")
+          .select($"user_id", timestamp_seconds($"sec").cast("timestamp_ntz").as("ts"),
+            $"event_id", $"event_type")
+      // split at the median second: h2 strictly later than every h1 row,
+      // so the batch is append-only per user. Also exercises brand-new
+      // users (users whose events are all in h2).
+      val cut = rows.map(_._2).sorted.apply(rows.size / 2)
+      val h1 = rows.filter(_._2 <= cut)
+      val h2 = rows.filter(_._2 > cut)
+      val full = Scd.scd2Build(df(rows))
+      val merged = Scd.scd2Apply(Scd.scd2Build(df(h1)), df(h2))
+      assert(full.except(merged).count() == 0 && merged.except(full).count() == 0,
+        s"seed=$seed: apply(build(h1), h2) != build(all)")
+      // no-op batch: applying an empty batch returns the dim unchanged
+      val noop = Scd.scd2Apply(full, df(Nil))
+      assert(full.except(noop).count() == 0 && noop.except(full).count() == 0,
+        s"seed=$seed: empty-batch apply changed the dimension")
+    }
+  }
 }
