@@ -80,6 +80,48 @@ object IncrementalStream {
       }
   }
 
+  /** One SCD2 version OPENING: user's attribute changed to `event_type`
+    * at `valid_from_sec`, becoming version `version`. Closings are implied
+    * (version v closes when v+1 opens) — Append output mode cannot
+    * retro-emit a close, and the downstream dim derives valid_to with
+    * q47's lead window (or [[graft.operators.Scd.scd2Apply]]). */
+  final case class Scd2Open(user_id: Long, version: Int,
+                            event_type: String, valid_from_sec: Long)
+
+  /** Streaming SCD Type-2 maintenance — q47/Scd semantics kept
+    * incrementally: keyed state per user holds (current attribute,
+    * current version), each micro-batch's events are ordered by
+    * (sec, event_id) and every attribute CHANGE emits a version opening
+    * in the batch it arrives. Equals the batch [[graft.operators.Scd
+    * .scd2Build]] whenever the upstream delivers per-user time-ordered
+    * increments across batches (the offset-CDC / append-only source
+    * assumption packStream also makes; StreamingSpec proves the parity
+    * over checkpointed multi-drain runs). State: one (String, Int) per
+    * user — bounded by the user population, independent of stream
+    * length. Per-batch memory: the user's slice of one micro-batch (the
+    * in-batch sort needs it; same bound as nearDupGate). */
+  def scd2Stream(events: org.apache.spark.sql.Dataset[(Long, Long, Long, String)]):
+      org.apache.spark.sql.Dataset[Scd2Open] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[(String, Int), Scd2Open](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state) =>
+          var (lastType, lastVer) = state.getOption.getOrElse((null: String, 0))
+          val out = rows.toSeq.sortBy(r => (r._2, r._3)).flatMap {
+            case (_, sec, _, t) =>
+              if (t != lastType) {
+                lastVer += 1; lastType = t
+                Some(Scd2Open(user, lastVer, t, sec))
+              } else None
+          }
+          if (lastVer > 0) state.update((lastType, lastVer))
+          out.iterator
+      }
+  }
+
   /** One gate verdict: whether the doc is the bucket's canonical or a
     * near-duplicate of it. */
   final case class DedupVerdict(doc_id: Long, bucket: Long,

@@ -204,6 +204,55 @@ class StreamingSpec extends SparkTestBase {
       (9L, 7L, false, 1L)))
   }
 
+  test("streaming SCD2 == batch scd2Build over checkpointed multi-drain intake") {
+    val src = tmpDir("scd_src")
+    val cp = tmpDir("scd_cp")
+    val out = tmpDir("scd_out") + "/opens"
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(StructType(Seq(
+        StructField("user_id", LongType), StructField("sec", LongType),
+        StructField("event_id", LongType), StructField("event_type", StringType))))
+        .json(src)
+      val q = IncrementalStream.scd2Stream(stream.as[(Long, Long, Long, String)])
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[IncrementalStream.Scd2Open], _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    def writeEv(name: String, rows: Seq[(Long, Long, Long, String)]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(src, name),
+        rows.map { case (u, s, e, t) =>
+          s"""{"user_id":$u,"sec":$s,"event_id":$e,"event_type":"$t"}""" }
+          .mkString("\n").getBytes("UTF-8"))
+    // batch 1 arrives OUT of order within the batch (the in-batch sort must
+    // fix it); user 1 repeats 'a' (no version), user 2 opens once.
+    val b1 = Seq((1L, 20L, 3L, "b"), (1L, 10L, 1L, "a"), (1L, 15L, 2L, "a"),
+      (2L, 5L, 4L, "x"))
+    // batch 2, same checkpoint: user 1 repeats 'b' (state must remember it
+    // across drains -> NO new version), then changes back to 'a'; user 3 is new.
+    val b2 = Seq((1L, 30L, 5L, "b"), (1L, 40L, 6L, "a"), (3L, 35L, 7L, "z"))
+    writeEv("b1.json", b1); drain()
+    writeEv("b2.json", b2); drain()
+    val streamed = spark.read.parquet(out)
+      .as[(Long, Int, String, Long)].collect().toSeq.sorted
+    // batch truth: full rebuild's version openings over the union
+    val all = (b1 ++ b2).toDF("user_id", "sec", "event_id", "event_type")
+      .select(col("user_id"), org.apache.spark.sql.functions.timestamp_seconds(col("sec")).cast("timestamp_ntz").as("ts"),
+        col("event_id"), col("event_type"))
+    val rebuilt = graft.operators.Scd.scd2Build(all)
+      .select(col("user_id"), col("version"), col("event_type"),
+        org.apache.spark.sql.functions.unix_timestamp(col("valid_from").cast("timestamp")).as("sec"))
+      .as[(Long, Int, String, Long)].collect().toSeq.sorted
+    assert(streamed == rebuilt)
+    assert(streamed == Seq(
+      (1L, 1, "a", 10L), (1L, 2, "b", 20L), (1L, 3, "a", 40L),
+      (2L, 1, "x", 5L), (3L, 1, "z", 35L)))
+  }
+
   test("X2 streaming gate == batch survivor rule on id-ordered fixture intake") {
     import org.apache.spark.sql.functions._
     val src = tmpDir("ndg2_src")
