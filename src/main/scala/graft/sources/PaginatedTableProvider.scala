@@ -74,10 +74,18 @@ private[sources] class PagesTable extends Table with SupportsRead {
     new PagesScanBuilder(options)
 }
 
-/** Narrows [startPage, endPage] with every pushable `page` predicate and
-  * prunes the projected columns. */
+/** Narrows [startPage, endPage] with every pushable `page` predicate,
+  * prunes the projected columns, and answers ungrouped `count(*)` from
+  * page arithmetic alone — the reference reads the envelope `count` field
+  * instead of fetching pages (A2, `salesforce_extractor.py:263-269`); the
+  * DSv2 form makes that a planner decision: the aggregate is pushed into
+  * the scan (AFTER the page filters, so a pruned range counts correctly)
+  * and no page body is ever fetched. Partial-pushdown contract: each
+  * partition emits its page-run count and Spark's final aggregate merges
+  * them. */
 private[sources] class PagesScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private val clientName = {
     val n = options.get("client")
@@ -107,9 +115,44 @@ private[sources] class PagesScanBuilder(options: CaseInsensitiveStringMap)
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
+  private var countPushed = false
+
+  override def pushAggregation(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val ok = aggregation.groupByExpressions().isEmpty &&
+      aggregation.aggregateExpressions().length == 1 &&
+      aggregation.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    if (ok) countPushed = true
+    ok
+  }
+
   override def build(): Scan =
-    new PagesScan(PaginatedTableProvider.client(clientName), start, end, parallelism, required, pushed)
+    if (countPushed) new PagesCountScan(start, end)
+    else new PagesScan(PaginatedTableProvider.client(clientName), start, end, parallelism, required, pushed)
 }
+
+/** count(*) answered without a single page fetch: one partition, one row
+  * carrying the (filter-narrowed) page-run length; Spark's final aggregate
+  * merges (partial-pushdown contract). */
+private[sources] class PagesCountScan(start: Int, end: Int) extends Scan with Batch {
+  private val n: Long = math.max(0, end - start + 1).toLong
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("COUNT(*)", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String = s"graft-pages COUNT(*) pages=[$start..$end]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(PagesCountPartition(n))
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => new PartitionReader[InternalRow] {
+      private val total = partition.asInstanceOf[PagesCountPartition].n
+      private var emitted = false
+      override def next(): Boolean = { val go = !emitted; emitted = true; go }
+      override def get(): InternalRow = InternalRow(total)
+      override def close(): Unit = ()
+    }
+}
+
+private[sources] case class PagesCountPartition(n: Long) extends InputPartition
 
 private[sources] class PagesScan(client: PaginatedSource.PageClient,
                                  start: Int, end: Int, parallelism: Int,

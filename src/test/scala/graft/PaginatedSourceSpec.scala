@@ -106,6 +106,24 @@ class PaginatedSourceSpec extends SparkTestBase {
     assert(FetchRecorder.pages.isEmpty)
   }
 
+  test("SRC1/DSv2: ungrouped count(*) is answered from page math, zero fetches (A2)") {
+    FetchRecorder.pages.clear()
+    val client = new RecordingClient(new SyntheticPageClient(1000, pageSize = 100))
+    val df = v2Reader("dsv2_cnt", client, endPage = 10, parallelism = 4)
+    // the aggregate must actually be IN the scan (not just column-pruned):
+    // the pushed-count scan prints its page-math description
+    val plan = df.groupBy().count().queryExecution.executedPlan.toString
+    assert(plan.contains("graft-pages COUNT(*) pages=[1..10]"), plan)
+    assert(df.count() == 10L)
+    // pushed AFTER the page filters: a pruned range counts the pruned run
+    assert(df.filter($"page" >= 4 && $"page" <= 6).count() == 3L)
+    assert(FetchRecorder.pages.isEmpty, "count(*) must not fetch any page body")
+    // grouped/aggregate shapes the scan can't answer still work (not pushed)
+    FetchRecorder.pages.clear()
+    assert(v2Reader("dsv2_cnt2", client, endPage = 5, parallelism = 2)
+      .groupBy($"page" % 2).count().collect().map(_.getLong(1)).sum == 5L)
+  }
+
   test("SRC1/DSv2: flattened output equals the mapPartitions path") {
     val v2 = PS.bulkExtractV2(spark, "dsv2_eq",
       new SyntheticPageClient(250, pageSize = 100), parallelism = 4, pageSize = 100)
