@@ -128,7 +128,70 @@ object ConnectorQueries {
        |ORDER BY doc_id, win_idx""".stripMargin
   }
 
+  /** X7 + X2 crossover: perceptual-hash near-dup detection over media
+    * payloads — dHash signatures from the typed decode stage, candidates
+    * from a 4-band Hamming LSH over the 15-bit hash (a pair within
+    * Hamming distance 1 leaves ≥ 3 of 4 bands untouched → found), bucket
+    * cap shared with the text-LSH family, verified by exact popcount.
+    * With the stub md5 intensity only equal-chunking payloads cluster
+    * (documented on [[Multimodal.perceptualHash]]); the band-join shape
+    * is what a real pHash dedup ships at 100 TB — no pairwise scan, two
+    * keyed shuffles. */
+  def phashNearDup(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val ph = Multimodal.perceptualHash(
+      Multimodal.attachFakeMedia(Tables.documents(spark, dir))).toDF()
+    val bands = ph.select($"doc_id", $"phash",
+      explode(array((0 until 4).map(j => struct(lit(j).as("band"),
+        shiftright($"phash", 4 * j).bitwiseAND(lit(15)).as("bv"))): _*)).as("s"))
+      .select($"doc_id", $"phash", $"s.band".as("band"), $"s.bv".as("bv"))
+    val pruned = graft.operators.Dedup.capBuckets(bands, Seq("band", "bv"),
+      graft.operators.Dedup.DefaultMaxBucket)
+    val cand = pruned.select($"doc_id".as("a"), $"phash".as("pa"), $"band", $"bv")
+      .join(pruned.select($"doc_id".as("b"), $"phash".as("pb"), $"band", $"bv"),
+        Seq("band", "bv"))
+      .filter($"a" < $"b")
+      .select($"a", $"pa", $"b", $"pb").distinct()
+    cand
+      .select($"a", $"b",
+        QueryUtil.fence(bit_count($"pa".bitwiseXOR($"pb"))).as("hamming"))
+      .filter($"hamming" <= 1)
+      .orderBy("a", "b")
+  }
+
+  private val phashOracle = {
+    def hex2(expr: String) =
+      s"((strpos('0123456789abcdef', substr(md5($expr), 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5($expr), 2, 1)) - 1))"
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS clen FROM documents),
+       |s AS (SELECT doc_id, text, greatest(1, (clen + 15) // 16) AS stride FROM d),
+       |g0 AS (SELECT doc_id, text, stride, unnest(range(0, 16)) AS i FROM s),
+       |g AS (SELECT doc_id, i,
+       |        substr(text, CAST(i * stride + 1 AS INTEGER), CAST(stride AS INTEGER)) AS cell
+       |      FROM g0),
+       |iv AS (SELECT doc_id, i, ${hex2("cell")} AS iv FROM g),
+       |bt AS (SELECT doc_id, i, iv,
+       |         lead(iv) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+       |       FROM iv),
+       |ph AS (SELECT doc_id,
+       |         CAST(sum(CASE WHEN iv > nxt THEN 1 << CAST(i AS INTEGER) ELSE 0 END) AS BIGINT) AS phash
+       |       FROM bt WHERE i < 15 GROUP BY doc_id),
+       |bd0 AS (SELECT doc_id, phash, unnest(range(0, 4)) AS j FROM ph),
+       |bd AS (SELECT doc_id, phash, j, (phash >> CAST(4 * j AS INTEGER)) & 15 AS bv FROM bd0),
+       |pruned AS (SELECT doc_id, phash, j, bv
+       |           FROM (SELECT *, count(*) OVER (PARTITION BY j, bv) AS bn FROM bd)
+       |           WHERE bn <= ${graft.operators.Dedup.DefaultMaxBucket}),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, x.phash AS pa, y.doc_id AS b, y.phash AS pb
+       |         FROM pruned x JOIN pruned y ON x.j = y.j AND x.bv = y.bv AND x.doc_id < y.doc_id)
+       |SELECT a, b, CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(pa, pb)) <= 1
+       |ORDER BY a, b""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x74_phash_neardup",
+      "perceptual-hash (dHash) media near-dup via 4-band Hamming LSH (X7+X2)",
+      phashNearDup, Some(phashOracle)),
     QueryDef("x72_audio_windows",
       "overlapping audio sample windows with energy/peak stats (X7)",
       audioWindows, Some(audioWindowsOracle)),
