@@ -337,7 +337,80 @@ object RetrievalQueries {
        |GROUP BY q_id, qlab
        |ORDER BY q_id""".stripMargin
 
+  /** Subvector count/width for x86 (same 8×8 split as the PQ family). */
+  private val MaxSimM = 8
+  private val MaxSimD = 8
+
+  /** x86: late-interaction retrieval (ColBERT-style MaxSim) — the scoring
+    * family between single-vector cosine (x30) and full cross-attention:
+    * each side carries M "token" vectors and score(q, d) =
+    * Σ_j max_k ⟨q_j, d_k⟩ — every query token matches its best document
+    * token. Here the fixture's 64-dim embedding is SPLIT into 8 × 8-dim
+    * subvectors standing in for token vectors (the multi-vector plumbing
+    * is the deliverable; real ColBERT swaps in per-token encoder output).
+    * Determinism: per-(q,d,j) maxima are order-free; each max is
+    * quantized HALF-UP to 1e-6 fixed point and the per-(q,d) sum runs on
+    * integers (the x56 trick), so distributed Spark == sequential DuckDB.
+    * 100 TB: queries broadcast; the corpus explodes M× (not M² — the M²
+    * subvector pairing happens inside the join row), per-token maxima
+    * reduce before the per-doc sum, and WindowGroupLimit prunes top-k per
+    * partition before the q_id exchange. */
+  def maxsimTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val dsub = emb.select($"vec_id", $"embedding",
+        explode(sequence(lit(0), lit(MaxSimM - 1))).as("k"))
+      .select($"vec_id", $"k", slice($"embedding", $"k" * MaxSimD + 1, lit(MaxSimD)).as("dv"))
+    val qsub = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"embedding",
+        explode(sequence(lit(0), lit(MaxSimM - 1))).as("j"))
+      .select($"q_id", $"j", slice($"embedding", $"j" * MaxSimD + 1, lit(MaxSimD)).as("qv"))
+    val wTop = Window.partitionBy($"q_id").orderBy($"score_fp".desc, $"vec_id")
+    dsub.join(broadcast(qsub), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", $"j",
+        Similarity.dot($"qv", $"dv").as("dot"))
+      .groupBy($"q_id", $"vec_id", $"j")
+      .agg(max($"dot").as("mx"))
+      .select($"q_id", $"vec_id",
+        floor($"mx" * lit(1e6) + lit(0.5)).cast("long").as("mx_fp"))
+      .groupBy($"q_id", $"vec_id")
+      .agg(sum($"mx_fp").as("score_fp"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter($"rk" <= 3)
+      .select($"q_id", $"rk", $"vec_id",
+        QueryUtil.halfUp4($"score_fp".cast("double") / 1e6).as("score"))
+      .orderBy("q_id", "rk")
+  }
+
+  private val maxsimOracle = {
+    val dot = s"""list_sum(list_transform(range(1, ${MaxSimD + 1}),
+                 |            i -> CAST(qv[i] AS DOUBLE) * CAST(dv[i] AS DOUBLE)))""".stripMargin
+    s"""WITH q0 AS (SELECT vec_id AS q_id, embedding, unnest(range(0, $MaxSimM)) AS j
+       |            FROM embeddings WHERE vec_id % 100 = 0),
+       |q AS (SELECT q_id, j, list_slice(embedding, CAST(j * $MaxSimD + 1 AS INTEGER), CAST(j * $MaxSimD + $MaxSimD AS INTEGER)) AS qv FROM q0),
+       |d0 AS (SELECT vec_id, embedding, unnest(range(0, $MaxSimM)) AS k FROM embeddings),
+       |d AS (SELECT vec_id, k, list_slice(embedding, CAST(k * $MaxSimD + 1 AS INTEGER), CAST(k * $MaxSimD + $MaxSimD AS INTEGER)) AS dv FROM d0),
+       |p AS (SELECT q.q_id, d.vec_id, q.j, $dot AS dot
+       |      FROM d JOIN q ON d.vec_id <> q.q_id),
+       |mx AS (SELECT q_id, vec_id, j,
+       |         CAST(floor(max(dot) * 1000000.0 + 0.5) AS BIGINT) AS mx_fp
+       |       FROM p GROUP BY q_id, vec_id, j),
+       |sc AS (SELECT q_id, vec_id, CAST(sum(mx_fp) AS BIGINT) AS score_fp
+       |       FROM mx GROUP BY q_id, vec_id),
+       |r AS (SELECT q_id, vec_id, score_fp,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY score_fp DESC, vec_id) AS rk
+       |      FROM sc)
+       |SELECT q_id, rk, vec_id,
+       |       floor((CAST(score_fp AS DOUBLE) / 1000000.0) * 10000 + 0.5) / 10000.0 AS score
+       |FROM r
+       |WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x86_maxsim_topk",
+      "late-interaction MaxSim retrieval (multi-vector, fixed-point token maxima)",
+      maxsimTopK, Some(maxsimOracle)),
     QueryDef("x83_mrr_eval",
       "dense-retrieval evaluation vs label ground truth (MRR, P@5, recall base)",
       mrrEval, Some(mrrOracle)),
