@@ -85,8 +85,78 @@ object GraphQueries {
        |ORDER BY t.rank_fp DESC, nationkey""".stripMargin
   }
 
+  /** x64: triangle counting + local clustering coefficients over the
+    * (undirected, unweighted) trade graph. The distributed shape is the
+    * standard ordered two-path join: canonical edges (a < b), wedges
+    * a<b<c from edges⋈edges on the middle node, closed by a third
+    * equi-join on (a, c) — each triangle found exactly once, no node ever
+    * enumerates its full neighborhood in memory. Coefficient
+    * 2·T/(deg·(deg−1)) is an exact int/int rational — identical doubles
+    * in both engines, no rounding needed. Scale: two hash equi-joins on
+    * high-cardinality keys; skewed hubs are ordinary join skew (the a<b<c
+    * orientation already halves the heaviest wedge fan-out). */
+  def tradeTriangles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val trade = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey")
+      .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey")),
+        $"l_suppkey" === $"s_suppkey")
+      .filter($"c_nationkey" =!= $"s_nationkey")
+      .select(least($"c_nationkey", $"s_nationkey").as("a"),
+        greatest($"c_nationkey", $"s_nationkey").as("b"))
+      .distinct()
+      .localCheckpoint(true) // referenced 4x below (deg, both wedge sides, closure)
+    val deg = trade.select($"a".as("node")).unionByName(trade.select($"b".as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val wedges = trade.select($"a", $"b")
+      .join(trade.select($"a".as("bj"), $"b".as("c")), $"b" === $"bj")
+      .select($"a", $"b", $"c")
+    val tris = wedges.join(trade.select($"a".as("ta"), $"b".as("tc")),
+        $"a" === $"ta" && $"c" === $"tc")
+      .select($"a", $"b", $"c")
+    val perNode = tris.select(explode(array($"a", $"b", $"c")).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select($"node".cast("long").as("nationkey"), $"degree",
+        coalesce($"triangles", lit(0L)).as("triangles"),
+        (lit(2.0) * coalesce($"triangles", lit(0L)) /
+          ($"degree" * ($"degree" - 1)).cast("double")).as("coeff"))
+      .orderBy("nationkey")
+  }
+
+  private val trianglesOracle =
+    """WITH t0 AS MATERIALIZED (
+      |  SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS a,
+      |         greatest(c.c_nationkey, s.s_nationkey) AS b
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE c.c_nationkey <> s.s_nationkey),
+      |deg AS (SELECT node, count(*) AS degree
+      |        FROM (SELECT a AS node FROM t0 UNION ALL SELECT b FROM t0)
+      |        GROUP BY node),
+      |tri AS (SELECT e1.a, e1.b, e2.b AS c
+      |        FROM t0 e1 JOIN t0 e2 ON e1.b = e2.a
+      |        JOIN t0 e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |pn AS (SELECT node, count(*) AS triangles
+      |       FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+      |             UNION ALL SELECT c FROM tri)
+      |       GROUP BY node)
+      |SELECT CAST(deg.node AS BIGINT) AS nationkey, deg.degree,
+      |       coalesce(pn.triangles, 0) AS triangles,
+      |       2.0 * coalesce(pn.triangles, 0) / CAST(deg.degree * (deg.degree - 1) AS DOUBLE) AS coeff
+      |FROM deg LEFT JOIN pn ON deg.node = pn.node
+      |ORDER BY nationkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x63_pagerank",
       "weighted PageRank over the nation trade graph — exact-integer fixed-point iterations, oracle unrolls the same trajectory",
-      tradePageRank, Some(pageRankOracle)))
+      tradePageRank, Some(pageRankOracle)),
+    QueryDef("x64_triangles",
+      "distributed triangle count + clustering coefficients (ordered two-path join)",
+      tradeTriangles, Some(trianglesOracle)))
 }

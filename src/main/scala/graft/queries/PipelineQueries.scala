@@ -338,8 +338,11 @@ object PipelineQueries {
   }
 
   /** Shared capstone oracle: x91's eight CTE stages with optional extra
-    * CTE blocks and extra base-filter predicates. */
-  private def corpusOracleSql(extraCtes: String, extraPredSql: String): String =
+    * CTE blocks, extra base-filter predicates, and (for x93) extra
+    * post-mixture stages before packing. */
+  private def corpusOracleSql(extraCtes: String, extraPredSql: String,
+                              tailCtes: String = "", packSrc: String = "kept",
+                              packExtra: String = " source,"): String =
     DedupQueries.minhashCtes("WITH RECURSIVE") +
       s""", $gateCtes,
          |surv AS (SELECT q.doc_id, n_tok
@@ -357,8 +360,8 @@ object PipelineQueries {
          |         WHERE s.doc_id % 40 <> 0
          |           AND s.doc_id NOT IN (SELECT doc_id FROM contam)$extraPredSql),
          |kept AS (SELECT doc_id, source, n_tok, doc_id % $PackShards AS shard
-         |         FROM base WHERE hv < ($mixThrSql)),
-         |${packTailSql("kept", " source,")}""".stripMargin
+         |         FROM base WHERE hv < ($mixThrSql))$tailCtes,
+         |${packTailSql(packSrc, packExtra)}""".stripMargin
 
   def trainingCorpus(spark: SparkSession, dir: String) =
     corpusPacked(spark, dir, Nil)
@@ -379,6 +382,55 @@ object PipelineQueries {
     s"""
        |           AND s.doc_id IN (SELECT doc_id FROM rep_keep)
        |           AND s.doc_id IN (SELECT doc_id FROM sur_keep)""".stripMargin)
+
+  /** x93 — capstone v3: every v2 stage PLUS the round-7 temperature
+    * rebalancing (x85's exact integer predicate) applied to the POST-GATE
+    * language distribution — the order a real pipeline uses, since
+    * dedup/quality gates themselves shift the language mix. Nine stages,
+    * one dataflow, one oracle statement. */
+  def trainingCorpusV3(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val kept = corpusKept(spark, dir, Seq(
+      TrainingQueries.repetitionKeepIds(spark, dir),
+      TrainingQueries.surprisalKeepIds(spark, dir)))
+    val k2 = kept.join(Tables.documents(spark, dir).select($"doc_id", $"lang"), "doc_id")
+    val counts = k2.groupBy($"lang").agg(count(lit(1)).as("n_in"))
+    val nmin = counts.agg(min($"n_in").as("n_min"))
+    val thv = conv(substring(md5(concat_ws("|", lit("tmix"), $"doc_id")), 1, 4), 16, 10)
+      .cast("long")
+    val rebal = k2.withColumn("thv", thv)
+      .join(broadcast(counts), "lang")
+      .crossJoin(broadcast(nmin))
+      .filter($"thv" * $"thv" * $"n_in" < lit(4294967296L) * $"n_min")
+      .select($"doc_id", $"lang", $"source", $"n_tok", $"shard")
+    withPacking(rebal)
+      .select($"doc_id", $"lang", $"source", $"n_tok", $"shard",
+        $"cum_before", $"seq_id", $"seq_off")
+      .orderBy("doc_id")
+  }
+
+  private val trainingCorpusV3Oracle = corpusOracleSql(
+    s""",
+       |${TrainingQueries.repCtes},
+       |${TrainingQueries.repKeepCte},
+       |${TrainingQueries.surCtes},
+       |${TrainingQueries.surKeepCte}""".stripMargin,
+    s"""
+       |           AND s.doc_id IN (SELECT doc_id FROM rep_keep)
+       |           AND s.doc_id IN (SELECT doc_id FROM sur_keep)""".stripMargin,
+    tailCtes = s""",
+       |tc AS (SELECT d.lang, count(*) AS n_in
+       |       FROM kept k JOIN documents d ON d.doc_id = k.doc_id
+       |       GROUP BY d.lang),
+       |tm AS (SELECT min(n_in) AS n_min FROM tc),
+       |kept2 AS (SELECT k.doc_id, d.lang, k.source, k.n_tok, k.shard
+       |          FROM kept k
+       |          JOIN documents d ON d.doc_id = k.doc_id
+       |          JOIN tc ON tc.lang = d.lang, tm
+       |          WHERE ${hexValSql("md5('tmix' || '|' || CAST(k.doc_id AS VARCHAR))")}
+       |                * ${hexValSql("md5('tmix' || '|' || CAST(k.doc_id AS VARCHAR))")}
+       |                * tc.n_in < 4294967296 * tm.n_min)""".stripMargin,
+    packSrc = "kept2", packExtra = " lang, source,")
 
   /** Bloom-filter sizing for x16: the bit array SELF-SIZES to the eval
     * set — m = smallest power of two >= BloomBitsPerFp * n_eval_fps, k = 3
@@ -489,6 +541,9 @@ object PipelineQueries {
     QueryDef("x16_bloom_decontaminate",
       "bloom-filter decontamination gate with in-result false-positive measurement",
       bloomDecontaminate, Some(bloomOracle)),
+    QueryDef("x93_training_corpus_v3",
+      "capstone v3: v2's eight stages + post-gate temperature language rebalancing (nine stages, one oracle)",
+      trainingCorpusV3, Some(trainingCorpusV3Oracle)),
     QueryDef("x92_training_corpus_v2",
       "full capstone v2: x91 + repetition gate + surprisal gate (all eight stages, one oracle)",
       trainingCorpusV2, Some(trainingCorpusV2Oracle)),
