@@ -63,4 +63,29 @@ class JoinOpsSpec extends SparkTestBase {
     assert(got.sorted == Seq((1L, 10L), (1L, 11L), (2L, 10L)))
     assert(got.size == got.toSet.size)
   }
+
+  test("interval overlap: equals the quadratic reference on random intervals, several band widths") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(42)
+    val left = (0 until 40).map { i =>
+      val s = rnd.nextInt(500).toLong; (i.toLong, s, s + rnd.nextInt(80))
+    }
+    val right = (0 until 40).map { i =>
+      val s = rnd.nextInt(500).toLong; (100L + i, s, s + rnd.nextInt(80))
+    }
+    val want = (for {
+      (lid, ls, le) <- left
+      (rid, rs, re) <- right
+      if ls <= re && rs <= le
+    } yield (lid, rid)).toSet
+    val ldf = left.toDF("lid", "ls", "le")
+    val rdf = right.toDF("rid", "rs", "re")
+    Seq(7L, 64L, 1000L).foreach { band =>
+      val got = RangeJoin.intervalOverlap(ldf, rdf, "ls", "le", "rs", "re",
+          band, extraCond = col("lid") >= 0)
+        .select($"lid", $"rid").as[(Long, Long)].collect().toSeq
+      assert(got.size == got.toSet.size, s"band=$band emitted duplicates")
+      assert(got.toSet == want, s"band=$band mismatch")
+    }
+  }
 }
