@@ -407,7 +407,98 @@ object DedupQueries {
          |ORDER BY nd.doc_id""".stripMargin
   }
 
+  /** x18 Jaccard threshold τ = 1/2 (x11's near-dup regime) — kept as a
+    * ratio so the verify predicate is pure integer arithmetic. */
+  private[queries] val SetJoinTauNum = 1
+  private[queries] val SetJoinTauDen = 2
+
+  /** x18: EXACT set-similarity self-join via prefix filtering (the
+    * AllPairs/PPJoin family) — every pair of documents whose 3-token
+    * SHINGLE sets have Jaccard ≥ τ, with NO LSH approximation (x11 finds
+    * the same regime probabilistically; this is the exact counterpart,
+    * and their survivor sets can be diffed). Shingles are globally
+    * ordered rarest-first (ascending document frequency, then shingle);
+    * a set of n shingles indexes only its first n − ⌈τ·n⌉ + 1 (= ⌊n/2⌋+1
+    * at τ=1/2) elements — the PREFIX — and two sets with J ≥ τ must
+    * share a prefix element, so candidates come from an equi-join on
+    * rare-element postings only. Everything is integer-exact: the prefix
+    * length is integer arithmetic, and J = o/(na+nb−o) ≥ 1/2
+    * cross-multiplies to the verify predicate 3·o ≥ na+nb — no doubles
+    * anywhere but the reported ratio.
+    * Exactness is property-proven against a quadratic reference
+    * on random corpora (PropertySpec); the DuckDB oracle mirrors the
+    * same pruning for engine parity (a full quadratic oracle would be
+    * O(|corpus|²) list intersections in a single DuckDB thread at
+    * sf0.1). Scale: df is a vocab-sized broadcast; prefix postings are
+    * short BECAUSE they are the rarest elements (no bucket cap needed —
+    * capping would break exactness; a degenerate corpus where rare
+    * shingles still carry huge postings is near-duplicate-saturated and
+    * belongs in x55 chunk dedup first). */
+  def setJoinPrefix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id", tokenShingles($"text").as("sh"))
+    setJoinPrefixOn(base)
+  }
+
+  /** The x18 pipeline over any (doc_id, sh: sorted-distinct array)
+    * frame — split out so PropertySpec can drive random corpora through
+    * the EXACT same plan. */
+  private[graft] def setJoinPrefixOn(base: org.apache.spark.sql.DataFrame): DataFrame = {
+    import base.sparkSession.implicits._
+    val e = base.select($"doc_id", explode($"sh").as("g"))
+    val dfreq = e.groupBy($"g").agg(count(lit(1)).as("df"))
+    val ordered = e.join(broadcast(dfreq), "g")
+      .groupBy($"doc_id")
+      .agg(array_sort(collect_list(struct($"df", $"g"))).as("ord"))
+      .select($"doc_id", transform($"ord", x => x.getField("g")).as("og"),
+        size($"ord").as("n"))
+    // p = n − ⌈τ·n⌉ + 1 = ⌊n/2⌋ + 1 at τ = 1/2, in integer arithmetic
+    val pref = ordered
+      .select($"doc_id", explode(slice($"og", lit(1), expr("n div 2 + 1"))).as("g"))
+    val cand = pref.select($"doc_id".as("a"), $"g")
+      .join(pref.select($"doc_id".as("b"), $"g"), Seq("g"))
+      .filter($"a" < $"b").select($"a", $"b").distinct()
+    cand
+      .join(base.select($"doc_id".as("a"), $"sh".as("sa")), "a")
+      .join(base.select($"doc_id".as("b"), $"sh".as("sb")), "b")
+      .select($"a", $"b",
+        QueryUtil.fence(call_function("sorted_intersect_count", $"sa", $"sb")
+          .cast("long")).as("inter"),
+        size($"sa").cast("long").as("na"), size($"sb").cast("long").as("nb"))
+      .filter($"inter" * (SetJoinTauDen + SetJoinTauNum) >=
+        lit(SetJoinTauNum) * ($"na" + $"nb"))
+      .select($"a", $"b", $"inter", ($"na" + $"nb" - $"inter").as("un"),
+        halfUp4($"inter".cast("double") / ($"na" + $"nb" - $"inter").cast("double")).as("j4"))
+      .orderBy("a", "b")
+  }
+
+  /** Oracle: the same rarest-first prefix pruning in SQL (exactness
+    * itself is property-proven; this checks engine parity of ordering,
+    * prefix math, and the integer threshold). */
+  private val setJoinOracle =
+    s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh
+       |           FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)),
+       |e AS (SELECT doc_id, unnest(sh) AS g FROM t),
+       |dfq AS (SELECT g, count(*) AS df FROM e GROUP BY g),
+       |ord AS (SELECT e.doc_id, list(e.g ORDER BY dfq.df, e.g) AS og, count(*) AS n
+       |        FROM e JOIN dfq ON e.g = dfq.g
+       |        GROUP BY e.doc_id),
+       |pr AS (SELECT doc_id, unnest(list_slice(og, 1, CAST(n // 2 + 1 AS INTEGER))) AS g FROM ord),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |         FROM pr x JOIN pr y ON x.g = y.g AND x.doc_id < y.doc_id),
+       |v AS (SELECT a, b,
+       |        CAST(len(list_filter(ta.sh, s -> list_contains(tb.sh, s))) AS BIGINT) AS inter,
+       |        CAST(len(ta.sh) AS BIGINT) AS na, CAST(len(tb.sh) AS BIGINT) AS nb
+       |      FROM cand JOIN t ta ON ta.doc_id = a JOIN t tb ON tb.doc_id = b)
+       |SELECT a, b, inter, na + nb - inter AS un,
+       |       floor((CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS j4
+       |FROM v
+       |WHERE ${SetJoinTauDen + SetJoinTauNum} * inter >= $SetJoinTauNum * (na + nb)
+       |ORDER BY a, b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x18_setjoin_prefix", "EXACT shingle-set similarity join via rarest-first prefix filtering (X2)", setJoinPrefix, Some(setJoinOracle)),
     QueryDef("x17_incremental_neardup", "corpus-vs-new-batch admission gate: exact + MinHash near-dup verdicts (X2)", incrementalNearDup, Some(incrementalOracle)),
     QueryDef("x10_exact_dedup", "exact content-hash dedup, deterministic survivor (X1)", exactDedup, Some(exactOracle)),
     QueryDef("x11_minhash_lsh", "MinHash+LSH near-dup pairs, Jaccard-verified (X2)", minhashLsh, Some(minhashOracle)),

@@ -167,6 +167,30 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: prefix-filter set join == quadratic reference (exact, no lost pairs)") {
+    import org.apache.spark.sql.functions.{col, array_sort, array_distinct}
+    // random small-alphabet element sets: heavy overlap AND disjoint pairs
+    val setGen: Gen[List[List[String]]] =
+      Gen.listOfN(30, Gen.chooseNum(2, 12).flatMap(k =>
+        Gen.listOfN(k, Gen.oneOf((1 to 20).map(i => s"e$i")))))
+    (1L to 5L).foreach { seed =>
+      val sets = sample(setGen, seed).map(_.distinct.sorted)
+      val base = sets.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "sh")
+        .select(col("doc_id"), array_sort(array_distinct(col("sh"))).as("sh"))
+      val got = queries.DedupQueries.setJoinPrefixOn(base)
+        .select($"a", $"b").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (sa, i) <- sets.zipWithIndex
+        (sb, j) <- sets.zipWithIndex
+        if i < j
+        o = sa.toSet.intersect(sb.toSet).size
+        if 3 * o >= sa.size + sb.size
+      } yield (i.toLong, j.toLong)).toSet
+      assert(got == want, s"seed=$seed: prefix join lost or invented pairs")
+    }
+  }
+
   test("property: SCD2 incremental apply == full rebuild for any time-boundary split") {
     import graft.operators.Scd
     import org.apache.spark.sql.functions.timestamp_seconds
