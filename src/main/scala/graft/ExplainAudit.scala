@@ -22,7 +22,14 @@ object ExplainAudit {
       "x36_multiprobe_lsh", "x50_pack_sequences", "x51_decontaminate",
       // round-6 shapes: chunk-dedup shuffle, broadcast scale/LM models,
       // quantized-scan top-k pruning (WindowGroupLimit before exchange)
-      "x55_chunk_dedup", "x56_unigram_surprisal", "x37_int8_topk", "x38_pq_topk")
+      "x55_chunk_dedup", "x56_unigram_surprisal", "x37_int8_topk", "x38_pq_topk",
+      // round-7 shapes: banded interval overlap (no inequality join),
+      // cross-set admission banding, prefix-filter postings join,
+      // broadcast-stats gates, multi-vector MaxSim reduction order
+      // (NOT x63/x64: graph queries run eager localCheckpoint jobs at
+      // construction — auditing them executes the full trade join.)
+      "x62_interval_overlap", "x17_incremental_neardup", "x18_setjoin_prefix",
+      "x85_temperature_mixture", "x86_maxsim_topk", "q48_mad_outliers")
     names.foreach { n =>
       println(s"\n===== $n =====")
       Registry.byName(n).fn(spark, dir).explain("formatted")

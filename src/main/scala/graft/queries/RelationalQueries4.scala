@@ -487,7 +487,84 @@ object RelationalQueries4 {
       |       (valid_to IS NULL) AS is_current
       |FROM f ORDER BY user_id, version""".stripMargin
 
+  /** q48: robust outlier detection per group — median + MAD (median
+    * absolute deviation), flagging |x − med| > 3·1.4826·MAD (the normal-
+    * consistent robust z-score). Both medians use q25's spill-safe
+    * rank-join (row_number + positional pick + linear interpolation), NOT
+    * a buffer-everything percentile. Cross-engine exactness: the oracle
+    * replicates the SAME interpolation arithmetic (not quantile_cont), so
+    * med/MAD are bit-identical doubles and the outlier comparison cannot
+    * flip at a boundary; only the DISPLAYED med/mad are rounded. Scale:
+    * two ranked passes + one gate pass, all shuffled on the group key;
+    * WindowExec spills, no per-group buffering. */
+  def q48(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir).select($"o_orderpriority".as("pr"), $"o_totalprice".as("v"))
+    def medianOf(df: org.apache.spark.sql.DataFrame, valCol: String): org.apache.spark.sql.DataFrame = {
+      val counts = df.groupBy($"pr").agg(count(lit(1)).as("n"))
+      val pos = ($"n" - 1).cast("double") * 0.5
+      df.withColumn("rn", row_number().over(Window.partitionBy($"pr").orderBy(col(valCol))))
+        .join(broadcast(counts), "pr")
+        .groupBy($"pr")
+        .agg(
+          max(when($"rn" === floor(pos) + 1, col(valCol))).as("lo"),
+          max(when($"rn" === ceil(pos) + 1, col(valCol))).as("hi"),
+          max(pos).as("p"), max($"n").as("n"))
+        .select($"pr", $"n",
+          when(floor($"p") === ceil($"p"), $"lo")
+            .otherwise($"lo" * (ceil($"p") - $"p") + $"hi" * ($"p" - floor($"p")))
+            .as("m"))
+    }
+    val med = medianOf(o, "v").select($"pr", $"n", $"m".as("med"))
+    val ad = o.join(broadcast(med.select($"pr", $"med")), "pr")
+      .select($"pr", abs($"v" - $"med").as("ad"))
+    val mad = medianOf(ad, "ad").select($"pr", $"m".as("mad"))
+    val gates = o.join(broadcast(med.select($"pr", $"med")), "pr")
+      .join(broadcast(mad), "pr")
+      .groupBy($"pr")
+      .agg(sum(when(abs($"v" - $"med") > lit(3.0) * lit(1.4826) * $"mad", 1).otherwise(0))
+        .as("n_outliers"))
+    med.join(mad, "pr").join(gates, "pr")
+      .select($"pr".as("o_orderpriority"), $"n",
+        QueryUtil.halfUp($"med", 2).as("med2"),
+        QueryUtil.halfUp($"mad", 2).as("mad2"),
+        $"n_outliers")
+      .orderBy("o_orderpriority")
+  }
+
+  private val q48Oracle = {
+    def medSql(src: String, v: String, out: String): String =
+      s"""${out}_c AS (SELECT pr, count(*) AS n FROM $src GROUP BY pr),
+         |${out}_r AS (SELECT s.pr, s.$v AS v,
+         |         row_number() OVER (PARTITION BY s.pr ORDER BY s.$v) AS rn, c.n
+         |       FROM $src s JOIN ${out}_c c ON s.pr = c.pr),
+         |${out}_m AS (SELECT pr, max(n) AS n,
+         |         max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 THEN v END) AS lo,
+         |         max(CASE WHEN rn = CAST(ceil(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 THEN v END) AS hi,
+         |         max(CAST(n - 1 AS DOUBLE) * 0.5) AS p
+         |       FROM ${out}_r GROUP BY pr),
+         |$out AS (SELECT pr, n,
+         |         CASE WHEN floor(p) = ceil(p) THEN lo
+         |              ELSE lo * (ceil(p) - p) + hi * (p - floor(p)) END AS m
+         |       FROM ${out}_m)""".stripMargin
+    s"""WITH o AS (SELECT o_orderpriority AS pr, o_totalprice AS v FROM orders),
+       |${medSql("o", "v", "med")},
+       |adt AS (SELECT o.pr, abs(o.v - med.m) AS ad FROM o JOIN med ON o.pr = med.pr),
+       |${medSql("adt", "ad", "mad")},
+       |g AS (SELECT o.pr,
+       |        CAST(sum(CASE WHEN abs(o.v - med.m) > 3.0 * 1.4826 * mad.m THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       |      FROM o JOIN med ON o.pr = med.pr JOIN mad ON o.pr = mad.pr
+       |      GROUP BY o.pr)
+       |SELECT med.pr AS o_orderpriority, med.n,
+       |       floor(med.m * 100 + 0.5) / 100.0 AS med2,
+       |       floor(mad.m * 100 + 0.5) / 100.0 AS mad2,
+       |       g.n_outliers
+       |FROM med JOIN mad ON med.pr = mad.pr JOIN g ON med.pr = g.pr
+       |ORDER BY o_orderpriority""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q48_mad_outliers", "robust per-group outlier gate: rank-join median + MAD, bit-identical interpolation", q48, Some(q48Oracle)),
     QueryDef("q47_scd2", "SCD Type-2 dimension build: per-user attribute versions with validity intervals", q47, Some(q47Oracle)),
     QueryDef("q46_rolling_distinct", "exact 7-day rolling distinct actives via bounded window-day explode", q46, Some(q46Oracle)),
     QueryDef("q44_funnel", "ordered funnel stage counts, 24h conversion window", q44, Some(q44Oracle)),
