@@ -413,7 +413,80 @@ object TrainingQueries {
        |ORDER BY lang""".stripMargin
   }
 
+  /** Interpolation weight for the x88 bigram LM (λ and 1−λ are exact
+    * binary doubles, so the mixture arithmetic is engine-stable). */
+  private val BigramLambda = 0.75
+
+  /** x88: interpolated bigram-LM surprisal — the next step up from x56's
+    * unigram scorer and the shape of a real CCNet/KenLM-style perplexity
+    * filter: token i is scored by
+    * p = λ·P(cur|prev) + (1−λ)·P(cur), with the pure unigram P(cur) for
+    * the first token. Scoring the training corpus itself means every
+    * bigram is in the model (no zero-prob smoothing case). Per-token
+    * surprisal −ln p is quantized HALF-UP to 1e-6 fixed point BEFORE the
+    * per-doc sum (order-free integer sums — the x56 trick; ln() libm
+    * boundary risk stated there applies here too). 100 TB: both models
+    * are vocab-bounded (unigram |V|, bigram ≤ |V|², Heaps-sublinear in
+    * practice) and broadcast; the token stream shuffles once on doc_id
+    * for the prev-token window, then never again. */
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"doc_id").orderBy($"i")
+    val tok = Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("i", "cur")))
+      .withColumn("prev", lag($"cur", 1).over(w))
+    val c1 = tok.groupBy($"cur".as("w")).agg(count(lit(1)).as("c1"))
+    val tot = c1.agg(sum($"c1").as("t"))
+    val c2 = tok.filter($"prev".isNotNull)
+      .groupBy($"prev".as("pw"), $"cur".as("cw")).agg(count(lit(1)).as("c2"))
+    val p = when($"prev".isNull,
+        $"cc".cast("double") / $"t".cast("double"))
+      .otherwise(lit(BigramLambda) * ($"c2".cast("double") / $"pc".cast("double"))
+        + lit(1.0 - BigramLambda) * ($"cc".cast("double") / $"t".cast("double")))
+    tok
+      .join(broadcast(c1.select($"w".as("cur"), $"c1".as("cc"))), "cur")
+      .join(broadcast(c1.select($"w".as("prev"), $"c1".as("pc"))), Seq("prev"), "left")
+      .join(broadcast(c2.select($"pw".as("prev"), $"cw".as("cur"), $"c2")), Seq("prev", "cur"), "left")
+      .crossJoin(broadcast(tot))
+      .select($"doc_id", floor(-log(p) * lit(1e6) + lit(0.5)).cast("long").as("sfp"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("int").as("n_tok"), sum($"sfp").as("sum_fp"))
+      .select($"doc_id", $"n_tok",
+        halfUp4($"sum_fp".cast("double") / 1e6 / $"n_tok").as("avg_surprisal2"))
+      .orderBy("doc_id")
+  }
+
+  private val bigramSurprisalOracle =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |e0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t),
+       |e AS (SELECT doc_id, toks[CAST(i AS INTEGER)] AS cur,
+       |        CASE WHEN i > 1 THEN toks[CAST(i AS INTEGER) - 1] END AS prev
+       |      FROM e0),
+       |c1 AS (SELECT cur AS w, CAST(count(*) AS BIGINT) AS c1 FROM e GROUP BY cur),
+       |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t FROM c1),
+       |c2 AS (SELECT prev AS pw, cur AS cw, CAST(count(*) AS BIGINT) AS c2
+       |       FROM e WHERE prev IS NOT NULL GROUP BY prev, cur),
+       |sc AS (SELECT e.doc_id,
+       |        CAST(floor(-ln(
+       |          CASE WHEN e.prev IS NULL
+       |               THEN CAST(cu.c1 AS DOUBLE) / CAST(tot.t AS DOUBLE)
+       |               ELSE $BigramLambda * (CAST(b.c2 AS DOUBLE) / CAST(pv.c1 AS DOUBLE))
+       |                    + ${1.0 - BigramLambda} * (CAST(cu.c1 AS DOUBLE) / CAST(tot.t AS DOUBLE)) END)
+       |          * 1000000.0 + 0.5) AS BIGINT) AS sfp
+       |       FROM e
+       |       JOIN c1 cu ON cu.w = e.cur
+       |       LEFT JOIN c1 pv ON pv.w = e.prev
+       |       LEFT JOIN c2 b ON b.pw = e.prev AND b.cw = e.cur
+       |       CROSS JOIN tot)
+       |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tok,
+       |       floor((CAST(sum(sfp) AS DOUBLE) / 1000000.0 / count(*)) * 10000 + 0.5) / 10000.0 AS avg_surprisal2
+       |FROM sc GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x88_bigram_surprisal",
+      "interpolated bigram-LM surprisal scoring (fixed-point sums, broadcast models)",
+      bigramSurprisal, Some(bigramSurprisalOracle)),
     QueryDef("x85_temperature_mixture",
       "temperature-α=0.5 language rebalancing via exact integer hash predicate", temperatureMixture, Some(temperatureMixtureOracle)),
     QueryDef("x54_chunk_windows",
