@@ -333,6 +333,51 @@ class StreamingSpec extends SparkTestBase {
     assert(streamKept == batchKept && batchKept.nonEmpty)
   }
 
+  test("unified engine: corpus-admission + temperature gates run on a stream vs static state") {
+    import org.apache.spark.sql.functions._
+    val src = tmpDir("adm_src")
+    val out = tmpDir("adm_out") + "/admitted"
+    // Static side = the existing corpus (x17's src0..src9): its hash set
+    // and per-language counts are fixed at intake time; the stream is the
+    // arriving batch (src10..src19). Gate = x17's exact-dup rejection +
+    // x85's temperature keep, the same Column expressions batch and stream.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val snum = substring(col("source"), 4, 10).cast("int")
+    val existing = docs.filter(snum < 10)
+    val exHash = existing.groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("dup_of"))
+    val counts = existing.groupBy(col("lang")).agg(count(lit(1)).as("n_in"))
+    val nmin = counts.agg(min(col("n_in"))).head.getLong(0)
+    def gate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val hv = conv(substring(md5(concat_ws("|", lit("tmix"), col("doc_id"))), 1, 4), 16, 10)
+        .cast("long")
+      df.withColumn("h", md5(col("text")))
+        .join(broadcast(exHash), Seq("h"), "left")
+        .join(broadcast(counts), Seq("lang"))
+        .filter(col("dup_of").isNull &&
+          hv * hv * col("n_in") < lit(4294967296L) * nmin)
+        .select(col("doc_id"))
+    }
+    val newDocs = docs.filter(snum >= 10).select($"doc_id", $"lang", $"text")
+    val batchAdmitted = gate(newDocs).as[Long].collect().toSet
+    newDocs.coalesce(1).write.mode("overwrite").json(src)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("lang", StringType), StructField("text", StringType))))
+      .json(src)
+    val q = gate(stream)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmpDir("adm_cp"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.write.mode("append").parquet(out); ()
+      }
+      .start()
+    q.awaitTermination()
+    val streamAdmitted = spark.read.parquet(out).as[Long].collect().toSet
+    assert(streamAdmitted == batchAdmitted)
+    assert(batchAdmitted.nonEmpty && batchAdmitted.size < newDocs.count())
+  }
+
   test("S3 custom state: event-time timeout closes sessions after the gap") {
     val src = tmpDir("exp_src")
     val cp = tmpDir("exp_cp")
