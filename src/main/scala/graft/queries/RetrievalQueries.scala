@@ -66,6 +66,15 @@ object RetrievalQueries {
       .orderBy("q_id", "rk")
   }
 
+  /** The BM25 per-(term, doc) scalar (idf × normalized tf) in SQL — one
+    * rendering shared by the x80/x81 contrib CTE and x84's second round. */
+  private val bm25ScoreSql =
+    s"""ln((CAST(s.n_docs AS DOUBLE) - CAST(dft.df AS DOUBLE) + 0.5)
+       |              / (CAST(dft.df AS DOUBLE) + 0.5) + 1.0)
+       |           * ((CAST(tf.tf AS DOUBLE) * ${K1 + 1})
+       |              / (CAST(tf.tf AS DOUBLE) + $K1 * (1.0 - $B + $B * CAST(dl.dl AS DOUBLE)
+       |                 * CAST(s.n_docs AS DOUBLE) / CAST(s.tot AS DOUBLE))))""".stripMargin
+
   /** Postings + corpus-statistics CTEs shared by the x80 and x81 oracles. */
   private def bm25Ctes: String =
     s"""tf AS (SELECT doc_id, t, count(*) AS tf
@@ -77,11 +86,7 @@ object RetrievalQueries {
        |qterms AS (SELECT doc_id AS q_id, t FROM tf WHERE doc_id % 100 = 0),
        |contrib AS (SELECT q.q_id, tf.doc_id,
        |         CAST(floor(
-       |           ln((CAST(s.n_docs AS DOUBLE) - CAST(dft.df AS DOUBLE) + 0.5)
-       |              / (CAST(dft.df AS DOUBLE) + 0.5) + 1.0)
-       |           * ((CAST(tf.tf AS DOUBLE) * ${K1 + 1})
-       |              / (CAST(tf.tf AS DOUBLE) + $K1 * (1.0 - $B + $B * CAST(dl.dl AS DOUBLE)
-       |                 * CAST(s.n_docs AS DOUBLE) / CAST(s.tot AS DOUBLE))))
+       |           $bm25ScoreSql
        |           * 1000000.0 + 0.5) AS BIGINT) AS c_fp
        |       FROM qterms q
        |       JOIN tf ON tf.t = q.t AND tf.doc_id <> q.q_id
@@ -407,7 +412,99 @@ object RetrievalQueries {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  /** Feedback depth / expansion width / weight for x84. */
+  private val PrfFbDocs = 3
+  private val PrfExpTerms = 2
+  private val PrfExpWeight = 0.5
+
+  /** x84: pseudo-relevance-feedback query expansion (Rocchio/RM-lite) —
+    * the classic two-round retrieval loop: run x80's BM25, take each
+    * query's top-3 docs as implicit relevance feedback, add the 2
+    * heaviest non-query terms from those docs (by summed tf,
+    * deterministic term tie-break) at half weight, and re-score the
+    * corpus with the expanded term set. Weighted contributions quantize
+    * to 1e-6 fixed point before the per-(q,d) integer sum exactly like
+    * x80. Scale: round 1 is x80's audited inverted-index shape; the
+    * feedback/expansion frames are K·|Q| rows; round 2 is the same
+    * postings join with ≤ 2 extra terms per query. */
+  def prfExpansion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tf = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("t"))
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("tot"))
+    val dft = tf.groupBy($"t").agg(count(lit(1)).as("df"))
+    val qterms = tf.filter($"doc_id" % 100 === 0)
+      .select($"doc_id".as("q_id"), $"t")
+    val fb = bm25TopK(spark, dir).filter($"rk" <= PrfFbDocs)
+      .select($"q_id", $"doc_id")
+    val wExp = Window.partitionBy($"q_id").orderBy($"s".desc, $"t")
+    val expTerms = fb.join(tf, Seq("doc_id"))
+      .join(qterms, Seq("q_id", "t"), "left_anti")
+      .groupBy($"q_id", $"t").agg(sum($"tf").as("s"))
+      .withColumn("r", row_number().over(wExp))
+      .filter($"r" <= PrfExpTerms)
+      .select($"q_id", $"t", lit(PrfExpWeight).as("w"))
+    val terms = qterms.withColumn("w", lit(1.0)).unionByName(expTerms)
+    val idf = log(($"n_docs".cast("double") - $"df".cast("double") + lit(0.5))
+      / ($"df".cast("double") + lit(0.5)) + lit(1.0))
+    val tfNorm = $"tf".cast("double") * (K1 + 1) /
+      ($"tf".cast("double") + lit(K1) * (lit(1.0) - B + lit(B) * $"dl".cast("double")
+        * $"n_docs".cast("double") / $"tot".cast("double")))
+    val wTop = Window.partitionBy($"q_id").orderBy($"score_fp".desc, $"doc_id")
+    terms.join(tf, "t").filter($"doc_id" =!= $"q_id")
+      .join(broadcast(dft), "t")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select($"q_id", $"doc_id",
+        floor($"w" * idf * tfNorm * lit(1e6) + lit(0.5)).cast("long").as("c_fp"))
+      .groupBy($"q_id", $"doc_id").agg(sum($"c_fp").as("score_fp"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter($"rk" <= TopK)
+      .select($"q_id", $"rk", $"doc_id",
+        QueryUtil.halfUp4($"score_fp".cast("double") / 1e6).as("score"))
+      .orderBy("q_id", "rk")
+  }
+
+  private val prfOracle =
+    s"""WITH $bm25Ctes,
+       |fb AS (SELECT q_id, doc_id FROM bmr WHERE rk <= $PrfFbDocs),
+       |expc AS (SELECT f.q_id, tf.t, CAST(sum(tf.tf) AS BIGINT) AS s
+       |         FROM fb f JOIN tf ON tf.doc_id = f.doc_id
+       |         WHERE NOT EXISTS (SELECT 1 FROM qterms q2
+       |                           WHERE q2.q_id = f.q_id AND q2.t = tf.t)
+       |         GROUP BY f.q_id, tf.t),
+       |expt AS (SELECT q_id, t FROM (
+       |           SELECT q_id, t, row_number() OVER (PARTITION BY q_id ORDER BY s DESC, t) AS r
+       |           FROM expc)
+       |         WHERE r <= $PrfExpTerms),
+       |terms AS (SELECT q_id, t, 1.0 AS w FROM qterms
+       |          UNION ALL SELECT q_id, t, $PrfExpWeight AS w FROM expt),
+       |c2 AS (SELECT tm.q_id, tf.doc_id,
+       |         CAST(floor(
+       |           tm.w * $bm25ScoreSql
+       |           * 1000000.0 + 0.5) AS BIGINT) AS c_fp
+       |       FROM terms tm
+       |       JOIN tf ON tf.t = tm.t AND tf.doc_id <> tm.q_id
+       |       JOIN dft ON dft.t = tm.t
+       |       JOIN dl ON dl.doc_id = tf.doc_id
+       |       CROSS JOIN stats s),
+       |bm2 AS (SELECT q_id, doc_id, CAST(sum(c_fp) AS BIGINT) AS score_fp
+       |        FROM c2 GROUP BY q_id, doc_id),
+       |r2 AS (SELECT q_id, doc_id, score_fp,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY score_fp DESC, doc_id) AS rk
+       |       FROM bm2)
+       |SELECT q_id, CAST(rk AS INTEGER) AS rk, doc_id,
+       |       floor((CAST(score_fp AS DOUBLE) / 1000000.0) * 10000 + 0.5) / 10000.0 AS score
+       |FROM r2
+       |WHERE rk <= $TopK
+       |ORDER BY q_id, rk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x84_prf_expansion",
+      "pseudo-relevance-feedback BM25: top-doc term expansion at half weight, two-round scoring",
+      prfExpansion, Some(prfOracle)),
     QueryDef("x86_maxsim_topk",
       "late-interaction MaxSim retrieval (multi-vector, fixed-point token maxima)",
       maxsimTopK, Some(maxsimOracle)),
