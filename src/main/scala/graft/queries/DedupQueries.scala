@@ -497,7 +497,45 @@ object DedupQueries {
        |WHERE ${SetJoinTauDen + SetJoinTauNum} * inter >= $SetJoinTauNum * (na + nb)
        |ORDER BY a, b""".stripMargin
 
+  /** x19: contrastive TRIPLET mining — turn the near-dup graph into
+    * (anchor, positive, negative) training examples for embedding /
+    * retrieval models: every doc with a verified near-duplicate anchors a
+    * triplet, its min-id near-dup is the positive, and the negative is a
+    * deterministic pseudo-random non-member (min salted md5 over the rest
+    * of the corpus — reproducible across engines/reruns, unlike rand()
+    * negatives, and re-salting gives fresh negatives per epoch). Scale:
+    * positives ride the already-audited x11 LSH shape; negatives are a
+    * broadcast of the (tiny) anchor set against one corpus scan with a
+    * per-anchor WindowGroupLimit — random negative sampling without a
+    * shuffle of the corpus. */
+  def tripletMining(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pos = minhashLsh(spark, dir)
+      .groupBy($"a".as("anchor")).agg(min($"b").as("positive"))
+    val docs = Tables.documents(spark, dir).select($"doc_id")
+    val wNeg = Window.partitionBy($"anchor").orderBy($"nh", $"doc_id")
+    docs.join(broadcast(pos), $"doc_id" =!= $"anchor" && $"doc_id" =!= $"positive")
+      .withColumn("nh", md5(concat_ws("|", lit("neg"), $"anchor", $"doc_id")))
+      .withColumn("rn", row_number().over(wNeg)).filter($"rn" === 1)
+      .select($"anchor", $"positive", $"doc_id".as("negative"))
+      .orderBy("anchor")
+  }
+
+  private val tripletOracle =
+    minhashCtes("WITH") +
+      """, pos AS (SELECT a AS anchor, min(b) AS positive
+        |       FROM j WHERE jaccard >= 0.5 GROUP BY a),
+        |neg AS (SELECT anchor, positive, doc_id AS negative,
+        |          row_number() OVER (PARTITION BY anchor
+        |            ORDER BY md5(concat_ws('|', 'neg', CAST(anchor AS VARCHAR), CAST(doc_id AS VARCHAR))), doc_id) AS rn
+        |        FROM pos JOIN documents d
+        |          ON d.doc_id <> pos.anchor AND d.doc_id <> pos.positive)
+        |SELECT anchor, positive, negative
+        |FROM neg WHERE rn = 1
+        |ORDER BY anchor""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x19_triplet_mining", "contrastive (anchor, positive, negative) triplets from the near-dup graph (X2)", tripletMining, Some(tripletOracle)),
     QueryDef("x18_setjoin_prefix", "EXACT shingle-set similarity join via rarest-first prefix filtering (X2)", setJoinPrefix, Some(setJoinOracle)),
     QueryDef("x17_incremental_neardup", "corpus-vs-new-batch admission gate: exact + MinHash near-dup verdicts (X2)", incrementalNearDup, Some(incrementalOracle)),
     QueryDef("x10_exact_dedup", "exact content-hash dedup, deterministic survivor (X1)", exactDedup, Some(exactOracle)),

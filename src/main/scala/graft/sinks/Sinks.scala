@@ -53,6 +53,31 @@ object Sinks {
       .partitionBy(partCols: _*)
       .parquet(path)
 
+  /** SNK1 extension — full CDC merge with DELETES: apply a change batch
+    * (op column ∈ I/U/D, per-row sequence numbers) to a keyed table. The
+    * reference's incremental path only ever appends
+    * (`salesforce_extractor.py:373-394`); real upstreams also update and
+    * delete, and this is the Delta-style MERGE resolution done with plain
+    * relational ops: the batch collapses to its LATEST op per key
+    * (max seq, deterministic), keys touched by the batch are removed from
+    * the existing table (anti-join), and surviving I/U rows append.
+    * Replay-idempotent: applying the same batch twice equals once
+    * (SinksSpec). Scale: one window over the batch (small side) and one
+    * anti-join shuffled on the key — the existing table is never
+    * rewritten beyond the touched keys' partitions when the sink is
+    * key-bucketed. */
+  def applyCdc(existing: DataFrame, batch: DataFrame,
+               key: String, seqCol: String, opCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col(key)).orderBy(col(seqCol).desc)
+    val latest = batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val untouched = existing.join(latest.select(col(key)), Seq(key), "left_anti")
+    val upserts = latest.filter(col(opCol) =!= "D").drop(opCol, seqCol)
+    untouched.unionByName(upserts)
+  }
+
   /** SNK1: append only rows whose `hashCol` is not already in the sink;
     * within-batch dups collapse deterministically first. Returns the number
     * of rows actually inserted (the reference's `total_inserted` counter,

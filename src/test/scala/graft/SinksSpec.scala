@@ -93,6 +93,27 @@ class SinksSpec extends SparkTestBase {
     assert(Sinks.appendNew(spark, Seq(("b", 5), ("c", 3)).toDF("hash", "v"), path, "hash", Seq("v")) == 0)
   }
 
+  test("SNK1 CDC: insert/update/delete merge — latest op per key wins, replay-idempotent") {
+    val existing = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val batch = Seq(
+      (2L, "b2", 10L, "U"),  // update existing
+      (3L, "x", 11L, "U"),   // update then delete (seq order!) ...
+      (3L, "y", 12L, "D"),   // ... delete wins: latest op per key
+      (4L, "d", 13L, "I"),   // insert new
+      (5L, "z", 14L, "D"),   // delete of absent key: no-op
+      (4L, "d0", 5L, "I")    // stale earlier op for 4 is superseded
+    ).toDF("k", "v", "seq", "op")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k").as[(Long, String)].collect().toSeq
+    val once = Sinks.applyCdc(existing, batch, "k", "seq", "op")
+    assert(snap(once) == Seq((1L, "a"), (2L, "b2"), (4L, "d")))
+    // replay: applying the same batch to the merged result changes nothing
+    val twice = Sinks.applyCdc(once, batch, "k", "seq", "op")
+    assert(snap(twice) == snap(once))
+    // an empty batch is the identity
+    assert(snap(Sinks.applyCdc(once, batch.limit(0), "k", "seq", "op")) == snap(once))
+  }
+
   test("SNK1+S3: JDBC-shaped upsert — batch-bounded, counts inserts, replay-idempotent") {
     FakeJdbcTable.reset()
     val df = spark.range(0, 6000)
