@@ -563,7 +563,69 @@ object RelationalQueries4 {
        |ORDER BY o_orderpriority""".stripMargin
   }
 
+  /** q49: marketing attribution (the reference's domain): each purchase
+    * is attributed to the user's FIRST and LAST touch (click/view) in the
+    * trailing 24 h, 'direct' when none — revenue summed per (model,
+    * touch). One pass: touches are encoded as zero-padded
+    * 'sec|event_id|type' strings so lexicographic min/max over a RANGE
+    * frame IS chronological first/last (engine-stable, no struct-agg
+    * support needed); both models come from the same two window
+    * aggregates and explode into (model, touch) rows. Money sums follow
+    * the exact-integer-cents recipe (quantize per row, order-free integer
+    * sum). 100 TB: one user-keyed shuffle for the windows, then a tiny
+    * aggregate; no self-join of events against events. */
+  def q49(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val sec = unix_timestamp($"ts".cast("timestamp"))
+    val touch = $"event_type".isin("click", "view")
+    val enc = concat_ws("|", lpad(sec.cast("string"), 10, "0"),
+      lpad($"event_id".cast("string"), 10, "0"), $"event_type")
+    val w = Window.partitionBy($"user_id").orderBy(sec)
+      .rangeBetween(-86400L, 0L)
+    val scored = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type", $"value")
+      .withColumn("lastt", max(when(touch, enc)).over(w))
+      .withColumn("firstt", min(when(touch, enc)).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"value",
+        coalesce(element_at(split($"lastt", "\\|"), 3), lit("direct")).as("last"),
+        coalesce(element_at(split($"firstt", "\\|"), 3), lit("direct")).as("first"))
+    scored
+      .select(floor($"value" * 100 + lit(0.5)).cast("long").as("cents"),
+        explode(array(
+          struct(lit("last").as("model"), $"last".as("touch")),
+          struct(lit("first").as("model"), $"first".as("touch")))).as("m"))
+      .select($"m.model".as("model"), $"m.touch".as("touch"), $"cents")
+      .groupBy($"model", $"touch")
+      .agg(count(lit(1)).as("n_purchases"),
+        (sum($"cents").cast("double") / 100.0).as("revenue"))
+      .orderBy("model", "touch")
+  }
+
+  private val q49Oracle =
+    """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |             event_id, event_type, value FROM events),
+      |sc AS (SELECT user_id, sec, event_id, event_type, value,
+      |         max(CASE WHEN event_type IN ('click', 'view')
+      |             THEN lpad(CAST(sec AS VARCHAR), 10, '0') || '|' || lpad(CAST(event_id AS VARCHAR), 10, '0') || '|' || event_type END)
+      |           OVER (PARTITION BY user_id ORDER BY sec RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS lastt,
+      |         min(CASE WHEN event_type IN ('click', 'view')
+      |             THEN lpad(CAST(sec AS VARCHAR), 10, '0') || '|' || lpad(CAST(event_id AS VARCHAR), 10, '0') || '|' || event_type END)
+      |           OVER (PARTITION BY user_id ORDER BY sec RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS firstt
+      |       FROM e),
+      |p AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+      |        coalesce(string_split(lastt, '|')[3], 'direct') AS last,
+      |        coalesce(string_split(firstt, '|')[3], 'direct') AS first
+      |      FROM sc WHERE event_type = 'purchase'),
+      |x AS (SELECT 'last' AS model, last AS touch, cents FROM p
+      |      UNION ALL SELECT 'first', first, cents FROM p)
+      |SELECT model, touch, count(*) AS n_purchases,
+      |       CAST(sum(cents) AS DOUBLE) / 100.0 AS revenue
+      |FROM x GROUP BY model, touch
+      |ORDER BY model, touch""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q49_attribution", "first/last-touch revenue attribution, 24h lookback, one windowed pass", q49, Some(q49Oracle)),
     QueryDef("q48_mad_outliers", "robust per-group outlier gate: rank-join median + MAD, bit-identical interpolation", q48, Some(q48Oracle)),
     QueryDef("q47_scd2", "SCD Type-2 dimension build: per-user attribute versions with validity intervals", q47, Some(q47Oracle)),
     QueryDef("q46_rolling_distinct", "exact 7-day rolling distinct actives via bounded window-day explode", q46, Some(q46Oracle)),
