@@ -190,7 +190,75 @@ object ConnectorQueries {
        |ORDER BY a, b""".stripMargin
   }
 
+  /** Scene-cut L1 threshold for x75 (frame features are 1/15-grid
+    * rationals, so distances are exact doubles and the comparison cannot
+    * sit on a rounding boundary). */
+  private val SceneTau = 1.2
+
+  /** X7 stage 4: scene segmentation — the standard shot-boundary pass of
+    * a video pipeline: sample EVERY frame (x71's sampler at k=1),
+    * per-frame features, and a cut wherever the L1 feature distance to
+    * the previous frame exceeds τ; per-doc scene count plus an md5 of the
+    * ordered cut indices (so the oracle checks the exact cut SET, not
+    * just the count). Narrow shapes end to end: the only shuffle keys the
+    * per-doc lag window and final aggregate. */
+  def sceneSegments(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val media = Multimodal.attachFakeMedia(Tables.documents(spark, dir))
+    val frames = Multimodal.frameFeatures(Multimodal.sampleFrames(media, everyK = 1)).toDF()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"frame_idx")
+    val dist = abs($"f0" - lag($"f0", 1).over(w)) + abs($"f1" - lag($"f1", 1).over(w)) +
+      abs($"f2" - lag($"f2", 1).over(w)) + abs($"f3" - lag($"f3", 1).over(w))
+    frames
+      .withColumn("cut", (dist > SceneTau).cast("int"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("int").as("n_frames"),
+        (lit(1) + coalesce(sum($"cut"), lit(0L))).cast("int").as("n_scenes"),
+        md5(array_join(
+          transform(array_sort(collect_list(when($"cut" === 1, $"frame_idx"))),
+            _.cast("string")), ","))
+          .as("cuts_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val sceneOracle = {
+    def nibOf(expr: String, i: Int) =
+      s"(strpos('0123456789abcdef', substr(md5($expr), ${i + 1}, 1)) - 1)"
+    s"""WITH m AS (SELECT doc_id, text,
+       |             1 + ${nibOf("text", 0)} % 30 AS n_frames,
+       |             length(text) AS clen
+       |           FROM documents),
+       |s AS (SELECT doc_id, text, clen, n_frames,
+       |             greatest(1, clen // n_frames) AS stride
+       |      FROM m),
+       |f AS (SELECT doc_id, text, clen, stride, unnest(range(0, n_frames)) AS i FROM s),
+       |fs AS (SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+       |         substr(text, CAST(i * stride + 1 AS INTEGER), CAST(stride AS INTEGER)) AS ftext
+       |       FROM f WHERE i * stride < clen),
+       |fx AS (SELECT doc_id, frame_idx,
+       |         ${nibOf("ftext", 0)} / 15.0 AS f0, ${nibOf("ftext", 1)} / 15.0 AS f1,
+       |         ${nibOf("ftext", 2)} / 15.0 AS f2, ${nibOf("ftext", 3)} / 15.0 AS f3
+       |       FROM fs),
+       |d AS (SELECT doc_id, frame_idx,
+       |        abs(f0 - lag(f0) OVER w) + abs(f1 - lag(f1) OVER w)
+       |        + abs(f2 - lag(f2) OVER w) + abs(f3 - lag(f3) OVER w) AS dist
+       |      FROM fx
+       |      WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+       |c AS (SELECT doc_id, frame_idx,
+       |        CASE WHEN dist > $SceneTau THEN 1 ELSE 0 END AS cut
+       |      FROM d)
+       |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_frames,
+       |       CAST(1 + coalesce(sum(cut), 0) AS INTEGER) AS n_scenes,
+       |       md5(coalesce(string_agg(CASE WHEN cut = 1 THEN CAST(frame_idx AS VARCHAR) END, ',' ORDER BY frame_idx), '')) AS cuts_md5
+       |FROM c GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x75_scene_segments",
+      "scene-cut segmentation over per-frame features (L1 threshold, exact cut set) (X7)",
+      sceneSegments, Some(sceneOracle)),
     QueryDef("x74_phash_neardup",
       "perceptual-hash (dHash) media near-dup via 3-band Hamming LSH (X7+X2)",
       phashNearDup, Some(phashOracle)),
