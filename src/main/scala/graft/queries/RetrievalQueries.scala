@@ -501,7 +501,89 @@ object RetrievalQueries {
        |WHERE rk <= $TopK
        |ORDER BY q_id, rk""".stripMargin
 
+  /** Dirichlet prior for x89 (exact double). */
+  private val QlMu = 100.0
+
+  /** x89: query-likelihood retrieval with Dirichlet smoothing — the
+    * language-modeling counterpart to BM25 (the other classic sparse
+    * scorer): score(q,d) = Σ_t∈q ln((tf_td + μ·P(t|C)) / (dl_d + μ)),
+    * decomposed as Σ_matching ln(1 + tf/(μ·P(t|C))) + |q|·ln(μ/(dl+μ))
+    * so the sparse part touches only matching postings (the same
+    * inverted-index join as x80) and the length-normalization term is one
+    * scalar per (q,d). Docs with no matching term are not ranked (the
+    * standard practical cut, mirrored in the oracle). Per-term and
+    * normalization contributions quantize to 1e-6 fixed point before the
+    * order-free integer sum; the ln() libm caveat from x80 applies. */
+  def qlTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tf = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("t"))
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    val ctf = tf.groupBy($"t").agg(sum($"tf").as("ctf"))
+    val tot = dl.agg(sum($"dl").as("tot"))
+    val qterms = tf.filter($"doc_id" % 100 === 0)
+      .select($"doc_id".as("q_id"), $"t")
+    val qlen = qterms.groupBy($"q_id").agg(count(lit(1)).as("qlen"))
+    val sparse = log(lit(1.0) + $"tf".cast("double") /
+      (lit(QlMu) * ($"ctf".cast("double") / $"tot".cast("double"))))
+    val wTop = Window.partitionBy($"q_id").orderBy($"score_fp".desc, $"doc_id")
+    qterms.join(tf, "t").filter($"doc_id" =!= $"q_id")
+      .join(broadcast(ctf), "t")
+      .crossJoin(broadcast(tot))
+      .select($"q_id", $"doc_id",
+        floor(sparse * lit(1e6) + lit(0.5)).cast("long").as("c_fp"))
+      .groupBy($"q_id", $"doc_id").agg(sum($"c_fp").as("sp_fp"))
+      .join(dl, "doc_id")
+      .join(broadcast(qlen), "q_id")
+      .select($"q_id", $"doc_id",
+        ($"sp_fp" + floor($"qlen".cast("double")
+          * log(lit(QlMu) / ($"dl".cast("double") + lit(QlMu))) * lit(1e6) + lit(0.5))
+          .cast("long")).as("score_fp"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter($"rk" <= TopK)
+      .select($"q_id", $"rk", $"doc_id",
+        QueryUtil.halfUp4($"score_fp".cast("double") / 1e6).as("score"))
+      .orderBy("q_id", "rk")
+  }
+
+  private val qlOracle =
+    s"""WITH tf AS (SELECT doc_id, t, count(*) AS tf
+       |     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+       |     GROUP BY doc_id, t),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+       |ctf AS (SELECT t, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY t),
+       |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+       |qterms AS (SELECT doc_id AS q_id, t FROM tf WHERE doc_id % 100 = 0),
+       |qlen AS (SELECT q_id, CAST(count(*) AS BIGINT) AS qlen FROM qterms GROUP BY q_id),
+       |sp AS (SELECT q.q_id, tf.doc_id,
+       |         CAST(sum(CAST(floor(
+       |           ln(1.0 + CAST(tf.tf AS DOUBLE)
+       |              / ($QlMu * (CAST(c.ctf AS DOUBLE) / CAST(s.tot AS DOUBLE))))
+       |           * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sp_fp
+       |       FROM qterms q
+       |       JOIN tf ON tf.t = q.t AND tf.doc_id <> q.q_id
+       |       JOIN ctf c ON c.t = q.t
+       |       CROSS JOIN tot s
+       |       GROUP BY q.q_id, tf.doc_id),
+       |sc AS (SELECT sp.q_id, sp.doc_id,
+       |         sp.sp_fp + CAST(floor(CAST(ql.qlen AS DOUBLE)
+       |           * ln($QlMu / (CAST(dl.dl AS DOUBLE) + $QlMu)) * 1000000.0 + 0.5) AS BIGINT) AS score_fp
+       |       FROM sp JOIN dl ON dl.doc_id = sp.doc_id
+       |       JOIN qlen ql ON ql.q_id = sp.q_id),
+       |r AS (SELECT q_id, doc_id, score_fp,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY score_fp DESC, doc_id) AS rk
+       |      FROM sc)
+       |SELECT q_id, CAST(rk AS INTEGER) AS rk, doc_id,
+       |       floor((CAST(score_fp AS DOUBLE) / 1000000.0) * 10000 + 0.5) / 10000.0 AS score
+       |FROM r
+       |WHERE rk <= $TopK
+       |ORDER BY q_id, rk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x89_ql_topk",
+      "Dirichlet query-likelihood retrieval (LM scoring, inverted-index join)",
+      qlTopK, Some(qlOracle)),
     QueryDef("x84_prf_expansion",
       "pseudo-relevance-feedback BM25: top-doc term expansion at half weight, two-round scoring",
       prfExpansion, Some(prfOracle)),
