@@ -20,6 +20,33 @@ class ScaleSpec extends SparkTestBase {
     assert(plain.except(salted).count() == 0 && salted.except(plain).count() == 0)
   }
 
+  test("interval overlap: a degenerate hot band (everyone concurrent) stays correct") {
+    import graft.operators.RangeJoin
+    // 400 intervals all overlapping the same hour — every pair lands in
+    // ONE band bucket (the worst skew case; AQE's split applies at real
+    // scale). Correctness must not depend on band dispersion.
+    val iv = (0 until 400).map { i => (i.toLong, 1000L + i % 7, 4000L + i % 11) }
+    val left = iv.toDF("lid", "ls", "le")
+    val right = iv.map { case (i, s, e) => (1000L + i, s, e) }.toDF("rid", "rs", "re")
+    val n = RangeJoin.intervalOverlap(left, right, "ls", "le", "rs", "re",
+      bandSec = 3600L, extraCond = col("lid") >= 0).count()
+    assert(n == 400L * 400) // all concurrent -> complete bipartite, exactly once each
+  }
+
+  test("CDC merge: 100k-row table, small batch touches only its keys") {
+    import graft.sinks.Sinks
+    val existing = spark.range(100000).select($"id".as("k"), ($"id" * 2).as("v"))
+    val batch = Seq((5L, -1L, 1L, "U"), (99999L, 0L, 2L, "D"), (100001L, 7L, 3L, "I"))
+      .toDF("k", "v", "seq", "op")
+    val merged = Sinks.applyCdc(existing, batch, "k", "seq", "op")
+    assert(merged.count() == 100000L) // -1 delete +1 insert
+    assert(merged.filter($"k" === 5L).select($"v").as[Long].head() == -1L)
+    assert(merged.filter($"k" === 99999L).count() == 0)
+    assert(merged.filter($"k" === 100001L).select($"v").as[Long].head() == 7L)
+    // untouched keys unchanged
+    assert(merged.filter($"k" === 4L).select($"v").as[Long].head() == 8L)
+  }
+
   test("bucketed tables co-locate: join on bucket key plans without shuffle") {
     val li = Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_quantity")
     val ord = Tables.orders(spark, sfDir).select($"o_orderkey", $"o_totalprice")
