@@ -483,7 +483,45 @@ object TrainingQueries {
        |FROM sc GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** x22: CCNet-style perplexity bucketing — split the corpus into
+    * head/middle/tail thirds by mean unigram surprisal (CCNet trains
+    * downstream models per bucket and drops or down-weights the tail).
+    * Rank key = the EXACT rational sum_fp/n_tok (x56's order-free integer
+    * sum over the quantized per-token surprisals → identical doubles both
+    * engines), tie-broken by doc_id; ntile(3) has identical semantics in
+    * Spark and DuckDB (earlier buckets take the extras). 100 TB: one
+    * global ntile is a sort by the score — at real scale the same split
+    * comes from approx quantile cutpoints; the fixture-exact form keeps
+    * the oracle bit-exact. */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy(
+      ($"sum_fp".cast("double") / $"n_tok".cast("double")).asc, $"doc_id".asc)
+    surprisalScores(spark, dir)
+      .withColumn("bucket3", ntile(3).over(w))
+      .select($"doc_id",
+        when($"bucket3" === 1, "head").when($"bucket3" === 2, "middle")
+          .otherwise("tail").as("bucket"),
+        halfUp4($"sum_fp".cast("double") / 1e6 / $"n_tok").as("avg_surprisal"))
+      .orderBy("doc_id")
+  }
+
+  private val perplexityBucketsOracle =
+    s"""WITH $surCtes,
+       |b AS (SELECT doc_id, n_tok, sum_fp,
+       |        ntile(3) OVER (ORDER BY CAST(sum_fp AS DOUBLE) / CAST(n_tok AS DOUBLE) ASC, doc_id ASC) AS bucket3
+       |      FROM sur)
+       |SELECT doc_id,
+       |       CASE WHEN bucket3 = 1 THEN 'head' WHEN bucket3 = 2 THEN 'middle'
+       |            ELSE 'tail' END AS bucket,
+       |       floor((CAST(sum_fp AS DOUBLE) / 1000000.0 / n_tok) * 10000 + 0.5) / 10000.0 AS avg_surprisal
+       |FROM b
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x22_perplexity_buckets",
+      "CCNet head/middle/tail perplexity bucketing on exact rational scores",
+      perplexityBuckets, Some(perplexityBucketsOracle)),
     QueryDef("x88_bigram_surprisal",
       "interpolated bigram-LM surprisal scoring (fixed-point sums, broadcast models)",
       bigramSurprisal, Some(bigramSurprisalOracle)),
