@@ -518,7 +518,87 @@ object TrainingQueries {
        |FROM b
        |ORDER BY doc_id""".stripMargin
 
+  /** x23: corpus drift monitor — Jensen–Shannon divergence between the
+    * existing corpus's token distribution (sources src0..src9, x17's
+    * split) and the incoming batch's (src10..src19), plus the 5 most
+    * drifted tokens: the check a production intake runs before admitting
+    * a batch wholesale (JS is symmetric, bounded by ln 2, and defined
+    * even where one side has zero mass — 0·ln 0 = 0). Per-token JS
+    * contributions quantize HALF-UP to 1e-9 fixed point before the
+    * integer total (order-free; ln() libm caveat as in x56); the drift
+    * ranking key |p−q| is an exact-rational double, unrounded (ranking
+    * keys are never rounded), tie-broken by token. 100 TB: two
+    * vocab-bounded aggregations and a full-outer merge on the token —
+    * nothing corpus-sized shuffles twice. */
+  def distDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val snum = substring($"source", 4, 10).cast("int")
+    val tok = Tables.documents(spark, dir)
+      .select((snum < 10).as("ref"), explode(split($"text", " ")).as("tok"))
+    val p = tok.filter($"ref").groupBy($"tok").agg(count(lit(1)).as("cp"))
+    val q = tok.filter(!$"ref").groupBy($"tok").agg(count(lit(1)).as("cq"))
+    val np = p.agg(sum($"cp").as("np"))
+    val nq = q.agg(sum($"cq").as("nq"))
+    val merged = p.join(q, Seq("tok"), "full")
+      .select($"tok", coalesce($"cp", lit(0L)).as("cp"), coalesce($"cq", lit(0L)).as("cq"))
+      .crossJoin(broadcast(np)).crossJoin(broadcast(nq))
+      .select($"tok",
+        ($"cp".cast("double") / $"np".cast("double")).as("ps"),
+        ($"cq".cast("double") / $"nq".cast("double")).as("qs"))
+    val m = ($"ps" + $"qs") / 2.0
+    val term = when($"ps" > 0.0, $"ps" * log($"ps" / m) * 0.5).otherwise(0.0) +
+      when($"qs" > 0.0, $"qs" * log($"qs" / m) * 0.5).otherwise(0.0)
+    val scored = merged
+      .select($"tok", $"ps", $"qs",
+        floor(term * lit(1e9) + lit(0.5)).cast("long").as("js_fp"))
+    val total = scored.agg(sum($"js_fp").as("tot_fp"))
+    val wTop = Window.orderBy(abs($"ps" - $"qs").desc, $"tok")
+    scored
+      .withColumn("rk", row_number().over(wTop))
+      .filter($"rk" <= 5)
+      .crossJoin(broadcast(total))
+      .select($"rk", $"tok",
+        halfUp4($"ps").as("p4"), halfUp4($"qs").as("q4"),
+        halfUp4(abs($"ps" - $"qs")).as("drift4"),
+        ($"tot_fp".cast("double") / 1e9).as("js"))
+      .orderBy("rk")
+  }
+
+  private val distDriftOracle = {
+    val snum = "TRY_CAST(substr(source, 4, 10) AS INTEGER)"
+    s"""WITH tok AS (SELECT ($snum < 10) AS ref, unnest(string_split(text, ' ')) AS tok
+       |             FROM documents),
+       |p AS (SELECT tok, CAST(count(*) AS BIGINT) AS cp FROM tok WHERE ref GROUP BY tok),
+       |q AS (SELECT tok, CAST(count(*) AS BIGINT) AS cq FROM tok WHERE NOT ref GROUP BY tok),
+       |np AS (SELECT CAST(sum(cp) AS BIGINT) AS np FROM p),
+       |nq AS (SELECT CAST(sum(cq) AS BIGINT) AS nq FROM q),
+       |mg AS (SELECT coalesce(p.tok, q.tok) AS tok,
+       |         CAST(coalesce(p.cp, 0) AS DOUBLE) / np.np AS ps,
+       |         CAST(coalesce(q.cq, 0) AS DOUBLE) / nq.nq AS qs
+       |       FROM p FULL JOIN q ON p.tok = q.tok, np, nq),
+       |sc AS (SELECT tok, ps, qs,
+       |         CAST(floor((
+       |           CASE WHEN ps > 0.0 THEN ps * ln(ps / ((ps + qs) / 2.0)) * 0.5 ELSE 0.0 END
+       |           + CASE WHEN qs > 0.0 THEN qs * ln(qs / ((ps + qs) / 2.0)) * 0.5 ELSE 0.0 END)
+       |           * 1000000000.0 + 0.5) AS BIGINT) AS js_fp
+       |       FROM mg),
+       |tot AS (SELECT CAST(sum(js_fp) AS BIGINT) AS tot_fp FROM sc),
+       |r AS (SELECT tok, ps, qs, row_number() OVER (ORDER BY abs(ps - qs) DESC, tok) AS rk
+       |      FROM sc)
+       |SELECT CAST(rk AS INTEGER) AS rk, tok,
+       |       floor(ps * 10000 + 0.5) / 10000.0 AS p4,
+       |       floor(qs * 10000 + 0.5) / 10000.0 AS q4,
+       |       floor(abs(ps - qs) * 10000 + 0.5) / 10000.0 AS drift4,
+       |       CAST(tot.tot_fp AS DOUBLE) / 1000000000.0 AS js
+       |FROM r, tot
+       |WHERE rk <= 5
+       |ORDER BY rk""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x23_dist_drift",
+      "corpus drift monitor: Jensen-Shannon divergence + top drifted tokens (fixed-point)",
+      distDrift, Some(distDriftOracle)),
     QueryDef("x22_perplexity_buckets",
       "CCNet head/middle/tail perplexity bucketing on exact rational scores",
       perplexityBuckets, Some(perplexityBucketsOracle)),
