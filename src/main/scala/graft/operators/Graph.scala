@@ -48,6 +48,42 @@ object Graph {
     *         dust); rank_fp/1e9 is the usual probability. Dangling-node
     *         mass (nodes with no out-edges) is redistributed uniformly,
     *         the standard correction. */
+  /** k-CORE decomposition membership: the maximal subgraph in which every
+    * node has degree ≥ k, computed by the standard peeling fixpoint —
+    * drop nodes with degree < k, recompute degrees, repeat. Converges in
+    * ≤ |V| rounds (usually far fewer: each round peels a whole "shell").
+    * Used on near-dup graphs to find densely duplicated cores (template
+    * farms) that min-label components lump into one blob.
+    *
+    * @param edges undirected edge list, columns `a`, `b` (a ≠ b)
+    * @return (node, degree) for members of the k-core, degree within it.
+    *         Same driver-loop + localCheckpoint shape as [[pageRank]];
+    *         each round is one degree aggregation + two semi-joins. */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 100): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    var sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    var n = sym.count()
+    var iter = 0
+    var stable = false
+    while (!stable && iter < maxIter) {
+      val keep = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("node"))
+      val pruned = sym
+        .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .localCheckpoint(true)
+      val n2 = pruned.count()
+      stable = n2 == n
+      sym = pruned
+      n = n2
+      iter += 1
+    }
+    require(stable, s"kCore: no fixpoint within $maxIter rounds")
+    sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+  }
+
   /** pageRank over the node set implied by the edges (every endpoint) —
     * avoids a second materialization of the edge pipeline when the caller
     * has no isolated nodes to add. */

@@ -40,6 +40,24 @@ class GraphSpec extends SparkTestBase {
     assert(r(2L) > r(1L)) // 2 receives 1's full damped flow plus its share
   }
 
+  test("kCore peels shells to the dense core") {
+    // triangle {1,2,3} (2-core) with a tail 3-4-5 (1-core only)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val core2 = Graph.kCore(edges, 2).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    val core1 = Graph.kCore(edges, 1).collect().map(_.getLong(0)).toSet
+    assert(core1 == Set(1L, 2L, 3L, 4L, 5L))
+    // K4 is a 3-core; attaching a pendant to each corner doesn't save them at k=3
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("a", "b")
+    val core3 = Graph.kCore(k4, 3).collect().map(_.getLong(0)).toSet
+    assert(core3 == Set(1L, 2L, 3L, 4L))
+    // cascade: a chain 1-2-3-...-6 fully dissolves at k=2 (ends peel first,
+    // exposing new ends each round) -> empty result
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("a", "b")
+    assert(Graph.kCore(chain, 2).count() == 0)
+  }
+
   test("pageRank weights split proportionally to edge weight") {
     val nodes = Seq(1L, 2L, 3L).toDF("node")
     // 1 splits 3:1 to {2,3}; 2 and 3 return everything to 1
