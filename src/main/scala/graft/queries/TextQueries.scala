@@ -2,7 +2,8 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.operators.TextAnalysis
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.queries.QueryUtil.halfUp4
 
@@ -228,7 +229,69 @@ object TextQueries {
       |FROM f
       |ORDER BY doc_id""".stripMargin
 
+  /** Count-min dimensions for x24 (d hash rows × w columns). */
+  private val CmsD = 4
+  private val CmsW = 256
+
+  /** x24: count-min-sketch heavy hitters, the sketch BUILT IN-ENGINE with
+    * plain relational ops (q31 uses Spark's built-in HLL/KLL; this shows
+    * the engine can also construct a sketch declaratively): d=4 salted
+    * md5 hash rows × w=256 counters, cell = sum of true counts hashing
+    * there, estimate = min over rows — est ≥ exact ALWAYS (the CMS
+    * guarantee, asserted per row in the result), overcount = collision
+    * mass. Deterministic hashes → both engines build the identical
+    * sketch. 100 TB: the sketch is d·w counters (an aggregate of the
+    * token counts, broadcast-sized); heavy-hitter candidates come from
+    * the exact top-k here (fixture vocab is tiny) — at scale the same
+    * cells serve point queries without the exact table. */
+  def countMinTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = Tables.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c"))
+    val hashed = exact.select($"tok", $"c",
+      explode(array((0 until CmsD).map(j => struct(lit(j).as("j"),
+        (conv(substring(md5(concat_ws(":", lit(j), $"tok")), 1, 4), 16, 10)
+          .cast("long") % CmsW).as("h"))): _*)).as("s"))
+      .select($"tok", $"c", $"s.j".as("j"), $"s.h".as("h"))
+    val cells = hashed.groupBy($"j", $"h").agg(sum($"c").as("cell"))
+    val est = hashed.join(cells, Seq("j", "h"))
+      .groupBy($"tok", $"c").agg(min($"cell").as("est"))
+    val wTop = Window.orderBy($"c".desc, $"tok")
+    est.withColumn("rk", row_number().over(wTop))
+      .filter($"rk" <= 5)
+      .select($"rk", $"tok", $"c".as("exact_c"), $"est",
+        ($"est" - $"c").as("overcount"), ($"est" >= $"c").as("cms_bound_holds"))
+      .orderBy("rk")
+  }
+
+  private val countMinOracle = {
+    def hexVal(md: String) =
+      (1 to 4).map(i => s"(strpos('0123456789abcdef', substr($md, $i, 1)) - 1)")
+        .reduce((a, b) => s"($a * 16 + $b)")
+    val rows = (0 until CmsD).map(j =>
+      s"SELECT tok, c, $j AS j, ${hexVal(s"md5('$j' || ':' || tok)")} % $CmsW AS h FROM exact")
+      .mkString("\n       UNION ALL ")
+    s"""WITH exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+       |           FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |           GROUP BY tok),
+       |hashed AS (
+       |       $rows),
+       |cells AS (SELECT j, h, CAST(sum(c) AS BIGINT) AS cell FROM hashed GROUP BY j, h),
+       |est AS (SELECT hashed.tok, hashed.c, min(cells.cell) AS est
+       |        FROM hashed JOIN cells ON hashed.j = cells.j AND hashed.h = cells.h
+       |        GROUP BY hashed.tok, hashed.c),
+       |r AS (SELECT tok, c, est, row_number() OVER (ORDER BY c DESC, tok) AS rk FROM est)
+       |SELECT CAST(rk AS INTEGER) AS rk, tok, c AS exact_c, est,
+       |       est - c AS overcount, (est >= c) AS cms_bound_holds
+       |FROM r WHERE rk <= 5
+       |ORDER BY rk""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x24_countmin_topk",
+      "count-min sketch built in-engine: heavy hitters with per-row bound check (X4)",
+      countMinTopK, Some(countMinOracle)),
     QueryDef("x49_winnowing", "winnowing fingerprint sets (MOSS min-per-window) (X4)", winnow, Some(winnowOracle)),
     QueryDef("x40_token_stats", "per-doc token statistics (X4)", tokenStats, Some(tokenStatsOracle)),
     QueryDef("x41_lang_id", "marker-lexicon language-ID heuristic (X4)", langId, Some(langIdOracle)),
