@@ -11,6 +11,23 @@ class FormatsSpec extends SparkTestBase {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("parquet schema evolution: mergeSchema unifies appended columns, old rows null-filled") {
+    val path = tmpDir("evolve") + "/t"
+    // v1 writer: (id, a); later writer adds column b (the additive
+    // evolution the reference's fixed DDL can't do — SURVEY §1.2)
+    Seq((1L, "x"), (2L, "y")).toDF("id", "a").write.parquet(path)
+    Seq((3L, "z", 30L)).toDF("id", "a", "b").write.mode("append").parquet(path)
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(merged.schema.fieldNames.sorted.toSeq == Seq("a", "b", "id"))
+    val rows = merged.orderBy("id")
+      .select($"id", $"a", $"b").as[(Long, String, Option[Long])].collect().toSeq
+    assert(rows == Seq((1L, "x", None), (2L, "y", None), (3L, "z", Some(30L))))
+    // without mergeSchema the footer-sampled schema may miss b — reading
+    // with an EXPLICIT unified schema also works (the production pattern)
+    val explicit = spark.read.schema(merged.schema).parquet(path)
+    assert(explicit.count() == 3 && explicit.schema == merged.schema)
+  }
+
   test("ORC round-trip preserves lineitem exactly") {
     val path = tmpDir("orc") + "/li"
     val li = Tables.lineitem(spark, sfDir)
