@@ -70,7 +70,11 @@ object Sinks {
                key: String, seqCol: String, opCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-    val w = Window.partitionBy(col(key)).orderBy(col(seqCol).desc)
+    // seq is a log position and should be unique per key; the extra op
+    // ordering ('D' < 'I' < 'U' — deletes win) makes a malformed batch
+    // with duplicate (key, seq) resolve deterministically instead of
+    // depending on partition order.
+    val w = Window.partitionBy(col(key)).orderBy(col(seqCol).desc, col(opCol).asc)
     val latest = batch.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     val untouched = existing.join(latest.select(col(key)), Seq(key), "left_anti")
