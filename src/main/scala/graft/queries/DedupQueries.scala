@@ -534,7 +534,70 @@ object DedupQueries {
         |FROM neg WHERE rn = 1
         |ORDER BY anchor""".stripMargin
 
+  /** x26: recall/precision audit of the APPROXIMATE near-dup path against
+    * the EXACT one, in-engine and oracle-paired: x11's MinHash-LSH pairs
+    * (probabilistic candidates, halfUp4-rounded jaccard ≥ 0.5) diffed
+    * against x18's prefix-filter join (exact, unrounded 3·o ≥ na+nb).
+    * Emits the pair counts, overlap, and both ratios — the measurement a
+    * production dedup pipeline publishes next to its outputs. The two
+    * definitions differ exactly at the τ rounding boundary, so
+    * lsh_only/exact_only are NOT symmetric noise: boundary pairs
+    * (j ∈ [0.49995, 0.5)) appear only on the LSH side, genuinely missed
+    * pairs only on the exact side. Scale: runs both audited pipelines
+    * once each and joins K-sized pair sets. */
+  def lshRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lsh = minhashLsh(spark, dir).select($"a", $"b", lit(1).as("in_lsh"))
+    val exact = setJoinPrefix(spark, dir).select($"a", $"b", lit(1).as("in_exact"))
+    lsh.join(exact, Seq("a", "b"), "full")
+      .agg(
+        sum(coalesce($"in_exact", lit(0))).cast("long").as("n_exact"),
+        sum(coalesce($"in_lsh", lit(0))).cast("long").as("n_lsh"),
+        sum(when($"in_lsh".isNotNull && $"in_exact".isNotNull, 1).otherwise(0))
+          .cast("long").as("n_common"))
+      .select($"n_exact", $"n_lsh", $"n_common",
+        halfUp4($"n_common".cast("double") / $"n_exact".cast("double")).as("recall4"),
+        halfUp4($"n_common".cast("double") / $"n_lsh".cast("double")).as("precision4"))
+  }
+
+  /** x18's prefix chain re-rendered with `px`-prefixed CTE names so it can
+    * share one WITH clause with [[minhashCtes]] (both use t/cand/...). */
+  private def prefixChainCtes: String =
+    s"""pxe AS (SELECT doc_id, unnest(shingles) AS g FROM t),
+       |pxdf AS (SELECT g, count(*) AS df FROM pxe GROUP BY g),
+       |pxord AS (SELECT pxe.doc_id, list(pxe.g ORDER BY pxdf.df, pxe.g) AS og, count(*) AS n
+       |          FROM pxe JOIN pxdf ON pxe.g = pxdf.g
+       |          GROUP BY pxe.doc_id),
+       |pxpr AS (SELECT doc_id, unnest(list_slice(og, 1, CAST(n // 2 + 1 AS INTEGER))) AS g FROM pxord),
+       |pxcand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |           FROM pxpr x JOIN pxpr y ON x.g = y.g AND x.doc_id < y.doc_id),
+       |pxv AS (SELECT a, b,
+       |          CAST(len(list_filter(ta.shingles, s -> list_contains(tb.shingles, s))) AS BIGINT) AS inter,
+       |          CAST(len(ta.shingles) AS BIGINT) AS na, CAST(len(tb.shingles) AS BIGINT) AS nb
+       |        FROM pxcand JOIN t ta ON ta.doc_id = a JOIN t tb ON tb.doc_id = b),
+       |pxpairs AS (SELECT a, b FROM pxv
+       |            WHERE ${SetJoinTauDen + SetJoinTauNum} * inter >= $SetJoinTauNum * (na + nb))""".stripMargin
+
+  private val lshRecallOracle =
+    minhashCtes("WITH") +
+      s""", lshp AS (SELECT a, b FROM j WHERE jaccard >= 0.5),
+         |$prefixChainCtes,
+         |m AS (SELECT coalesce(l.a, p.a) AS a, coalesce(l.b, p.b) AS b,
+         |        (l.a IS NOT NULL) AS in_lsh, (p.a IS NOT NULL) AS in_exact
+         |      FROM lshp l FULL JOIN pxpairs p ON l.a = p.a AND l.b = p.b)
+         |SELECT CAST(sum(CASE WHEN in_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+         |       CAST(sum(CASE WHEN in_lsh THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh,
+         |       CAST(sum(CASE WHEN in_lsh AND in_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+         |       floor((CAST(sum(CASE WHEN in_lsh AND in_exact THEN 1 ELSE 0 END) AS DOUBLE)
+         |              / sum(CASE WHEN in_exact THEN 1 ELSE 0 END)) * 10000 + 0.5) / 10000.0 AS recall4,
+         |       floor((CAST(sum(CASE WHEN in_lsh AND in_exact THEN 1 ELSE 0 END) AS DOUBLE)
+         |              / sum(CASE WHEN in_lsh THEN 1 ELSE 0 END)) * 10000 + 0.5) / 10000.0 AS precision4
+         |FROM m""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x26_lsh_recall_audit",
+      "recall/precision of the MinHash-LSH path vs the exact prefix-filter join, in-engine (X2)",
+      lshRecallAudit, Some(lshRecallOracle)),
     QueryDef("x19_triplet_mining", "contrastive (anchor, positive, negative) triplets from the near-dup graph (X2)", tripletMining, Some(tripletOracle)),
     QueryDef("x18_setjoin_prefix", "EXACT shingle-set similarity join via rarest-first prefix filtering (X2)", setJoinPrefix, Some(setJoinOracle)),
     QueryDef("x17_incremental_neardup", "corpus-vs-new-batch admission gate: exact + MinHash near-dup verdicts (X2)", incrementalNearDup, Some(incrementalOracle)),
