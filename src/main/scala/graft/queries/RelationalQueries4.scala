@@ -624,7 +624,51 @@ object RelationalQueries4 {
       |FROM x GROUP BY model, touch
       |ORDER BY model, touch""".stripMargin
 
+  /** q50: full CDC merge through [[graft.sinks.Sinks.applyCdc]], oracle-
+    * paired: each user's FIRST event is the existing snapshot row, every
+    * later event becomes a change op (error → DELETE, signup → INSERT,
+    * anything else → UPDATE to that type) with event_id as the log
+    * sequence — the latest op per user decides the final table, deletes
+    * remove the row. This lifts the reference's append-only incremental
+    * path (S1/SNK1) to insert/update/delete capture and grades the
+    * operator against DuckDB instead of only its spec. */
+  def q50(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val ranked = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("rn", row_number().over(w))
+    val snapshot = ranked.filter($"rn" === 1)
+      .select($"user_id".as("k"), $"event_type".as("v"))
+    val batch = ranked.filter($"rn" > 1)
+      .select($"user_id".as("k"), $"event_type".as("v"), $"event_id".as("seq"),
+        when($"event_type" === "error", "D")
+          .when($"event_type" === "signup", "I")
+          .otherwise("U").as("op"))
+    graft.sinks.Sinks.applyCdc(snapshot, batch, "k", "seq", "op")
+      .orderBy("k")
+  }
+
+  private val q50Oracle =
+    """WITH ranked AS (SELECT user_id, ts, event_id, event_type,
+      |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |      FROM events),
+      |snap AS (SELECT user_id AS k, event_type AS v FROM ranked WHERE rn = 1),
+      |batch AS (SELECT user_id AS k, event_type AS v, event_id AS seq,
+      |        CASE WHEN event_type = 'error' THEN 'D'
+      |             WHEN event_type = 'signup' THEN 'I' ELSE 'U' END AS op
+      |      FROM ranked WHERE rn > 1),
+      |latest AS (SELECT k, v, op FROM (
+      |        SELECT k, v, op, row_number() OVER (PARTITION BY k ORDER BY seq DESC, op ASC) AS lrn
+      |        FROM batch)
+      |      WHERE lrn = 1)
+      |SELECT k, v FROM snap WHERE k NOT IN (SELECT k FROM latest)
+      |UNION ALL
+      |SELECT k, v FROM latest WHERE op <> 'D'
+      |ORDER BY k""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q50_cdc_merge", "insert/update/delete CDC merge (Sinks.applyCdc) vs latest-op oracle", q50, Some(q50Oracle)),
     QueryDef("q49_attribution", "first/last-touch revenue attribution, 24h lookback, one windowed pass", q49, Some(q49Oracle)),
     QueryDef("q48_mad_outliers", "robust per-group outlier gate: rank-join median + MAD, bit-identical interpolation", q48, Some(q48Oracle)),
     QueryDef("q47_scd2", "SCD Type-2 dimension build: per-user attribute versions with validity intervals", q47, Some(q47Oracle)),
