@@ -594,7 +594,60 @@ object DedupQueries {
          |              / sum(CASE WHEN in_lsh THEN 1 ELSE 0 END)) * 10000 + 0.5) / 10000.0 AS precision4
          |FROM m""".stripMargin
 
+  /** Containment threshold for x25 (kept rational: 4/5). */
+  private val ContainTauNum = 4
+  private val ContainTauDen = 5
+
+  /** x25: asymmetric CONTAINMENT near-dup detection — pairs where ≥ 80%
+    * of the smaller document's shingles appear in the larger one
+    * (|Sa∩Sb| / min(|Sa|,|Sb|) ≥ 4/5): catches excerpt/quote/
+    * superset relationships that symmetric Jaccard misses entirely (a
+    * 10-shingle quote inside a 100-shingle doc has J ≈ 0.1 but
+    * containment 1.0). Candidates reuse x11's MinHash banding (high
+    * containment of the small side still collides its minima often);
+    * the verify is the integer predicate 5·inter ≥ 4·min(na,nb) — no
+    * doubles except the reported ratio. Emits (contained, container) by
+    * size with deterministic orientation. Note the LSH candidate step
+    * makes this the APPROXIMATE containment path (very asymmetric sizes
+    * lower band-collision odds — the x18-style exact prefix join is the
+    * exact counterpart when needed). */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id", tokenShingles($"text").as("shingles"))
+    val cand = Dedup.lshCandidates(base, "doc_id", "shingles", numHashes = 12, rowsPerBand = 3)
+    cand
+      .join(base.select($"doc_id".as("a"), $"shingles".as("sa")), "a")
+      .join(base.select($"doc_id".as("b"), $"shingles".as("sb")), "b")
+      .select($"a", $"b",
+        QueryUtil.fence(call_function("sorted_intersect_count", $"sa", $"sb")
+          .cast("long")).as("inter"),
+        size($"sa").cast("long").as("na"), size($"sb").cast("long").as("nb"))
+      .filter($"inter" * ContainTauDen >= lit(ContainTauNum) * least($"na", $"nb"))
+      .select(
+        when($"na" <= $"nb", $"a").otherwise($"b").as("contained"),
+        when($"na" <= $"nb", $"b").otherwise($"a").as("container"),
+        least($"na", $"nb").as("n_small"),
+        halfUp4($"inter".cast("double") / least($"na", $"nb").cast("double")).as("cont4"))
+      .orderBy("contained", "container")
+  }
+
+  private val containmentOracle =
+    minhashCtes("WITH") +
+      s""", cont AS (SELECT a, b,
+         |        CAST(len(list_filter(sa, s -> list_contains(sb, s))) AS BIGINT) AS inter,
+         |        CAST(len(sa) AS BIGINT) AS na, CAST(len(sb) AS BIGINT) AS nb
+         |      FROM pairs)
+         |SELECT CASE WHEN na <= nb THEN a ELSE b END AS contained,
+         |       CASE WHEN na <= nb THEN b ELSE a END AS container,
+         |       least(na, nb) AS n_small,
+         |       floor((CAST(inter AS DOUBLE) / CAST(least(na, nb) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS cont4
+         |FROM cont
+         |WHERE inter * $ContainTauDen >= $ContainTauNum * least(na, nb)
+         |ORDER BY contained, container""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x25_containment", "asymmetric containment near-dups (excerpt detection), integer threshold (X2)", containment, Some(containmentOracle)),
     QueryDef("x26_lsh_recall_audit",
       "recall/precision of the MinHash-LSH path vs the exact prefix-filter join, in-engine (X2)",
       lshRecallAudit, Some(lshRecallOracle)),
