@@ -124,16 +124,24 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  private val clustersOracle =
+  /** Cluster-labeling CTE chain ending in `labeled(doc_id, cluster_id,
+    * is_canonical)` — shared by the x14 oracle and x27's weighting. */
+  private def clustersOracleCtes: String =
     minhashCtes("WITH RECURSIVE") +
       """, pairs2 AS (SELECT a, b FROM j WHERE jaccard >= 0.5),
         |edges AS (SELECT a AS src, b AS dst FROM pairs2 UNION ALL SELECT b AS src, a AS dst FROM pairs2),
         |reach AS (SELECT doc_id AS id, doc_id AS r FROM documents
         |          UNION
-        |          SELECT e.src AS id, reach.r AS r FROM edges e JOIN reach ON e.dst = reach.id)
-        |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id,
-        |       CAST(min(r) = id AS INTEGER) AS is_canonical
-        |FROM reach GROUP BY id
+        |          SELECT e.src AS id, reach.r AS r FROM edges e JOIN reach ON e.dst = reach.id),
+        |labeled AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id,
+        |              CAST(min(r) = id AS INTEGER) AS is_canonical
+        |            FROM reach GROUP BY id)""".stripMargin
+
+  private val clustersOracle =
+    clustersOracleCtes +
+      """
+        |SELECT doc_id, cluster_id, is_canonical
+        |FROM labeled
         |ORDER BY doc_id""".stripMargin
 
   /** X2 variant: 32-bit SimHash over distinct tokens; docs in the same
@@ -646,7 +654,37 @@ object DedupQueries {
          |WHERE inter * $ContainTauDen >= $ContainTauNum * least(na, nb)
          |ORDER BY contained, container""".stripMargin
 
+  /** x27: SOFT dedup — down-weight near-duplicates instead of dropping
+    * them (the SoftDeDup idea: duplicated content carries information
+    * about frequency; deleting it biases the distribution, so each
+    * member of a near-dup cluster trains at weight 1/cluster_size and
+    * every cluster contributes exactly one document's worth of mass).
+    * Clusters are x14's connected components; the weight is the exact
+    * rational 1/size (identical doubles both engines), rounded only for
+    * display. Scale: x14's audited shape + one count window on the
+    * (small) cluster id. */
+  def softDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"cluster_id")
+    dedupClusters(spark, dir)
+      .withColumn("csize", count(lit(1)).over(w).cast("int"))
+      .select($"doc_id", $"cluster_id", $"csize",
+        halfUp4(lit(1.0) / $"csize".cast("double")).as("weight4"))
+      .orderBy("doc_id")
+  }
+
+  private val softDedupOracle =
+    clustersOracleCtes +
+      """, sized AS (SELECT doc_id, cluster_id, is_canonical,
+        |        CAST(count(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS csize
+        |      FROM labeled)
+        |SELECT doc_id, cluster_id, csize,
+        |       floor((1.0 / CAST(csize AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS weight4
+        |FROM sized
+        |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x27_soft_dedup", "soft dedup: 1/cluster-size training weights over near-dup components (X2)", softDedup, Some(softDedupOracle)),
     QueryDef("x25_containment", "asymmetric containment near-dups (excerpt detection), integer threshold (X2)", containment, Some(containmentOracle)),
     QueryDef("x26_lsh_recall_audit",
       "recall/precision of the MinHash-LSH path vs the exact prefix-filter join, in-engine (X2)",
