@@ -230,6 +230,39 @@ object PipelineQueries {
        |FROM d
        |ORDER BY doc_id""".stripMargin
 
+  /** x28: shard MANIFESTS — the integrity record a training-shard writer
+    * publishes next to its files: per shard, the document count, total
+    * tokens, and an md5 over the doc ids in epoch-shuffle visit order
+    * (x52's order — the manifest pins both membership AND order, so a
+    * re-generated shard can be byte-verified without re-reading data).
+    * One shuffle keyed on the shard; the ordered digest is the x55-style
+    * sorted-collect rebuild. */
+  def shardManifest(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", ($"doc_id" % PackShards).as("shard"),
+        md5(concat_ws("|", lit(ShuffleEpoch), $"doc_id")).as("skey"),
+        size(split($"text", " ")).as("n_tok"))
+      .groupBy($"shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("tot_tok"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct($"skey", $"doc_id"))),
+            s => s.getField("doc_id").cast("string")), ",")).as("order_md5"))
+      .orderBy("shard")
+  }
+
+  private val shardManifestOracle =
+    s"""WITH d AS (SELECT doc_id, doc_id % $PackShards AS shard,
+       |             md5('$ShuffleEpoch' || '|' || CAST(doc_id AS VARCHAR)) AS skey,
+       |             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok
+       |           FROM documents)
+       |SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tot_tok,
+       |       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY skey, doc_id)) AS order_md5
+       |FROM d GROUP BY shard
+       |ORDER BY shard""".stripMargin
+
   /** x53 mixture rates by source group (source index mod 4) — 16-bit
     * integer thresholds on the doc hash, so selection is pure integer
     * comparison in both engines (no float rate arithmetic to diverge). */
@@ -562,6 +595,9 @@ object PipelineQueries {
     QueryDef("x52_epoch_shuffle",
       "deterministic per-shard epoch shuffle order (data-loader visit order)",
       epochShuffle, Some(epochShuffleOracle)),
+    QueryDef("x28_shard_manifest",
+      "per-shard integrity manifests: counts, token totals, ordered-id digest",
+      shardManifest, Some(shardManifestOracle)),
     QueryDef("x53_mixture_sample",
       "source-mixture sampling with integer hash thresholds (per-source audit)",
       mixtureSample, Some(mixtureOracle)))
