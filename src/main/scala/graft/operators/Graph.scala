@@ -131,4 +131,46 @@ object Graph {
     }
     ranks
   }
+
+  /** Multi-source BFS hop distance: the minimum number of edges from any
+    * source to each reachable node. Exact by construction (level-synchronous
+    * frontier expansion visits every node at its true minimum hop — pure
+    * integer labels, nothing to round), so a DuckDB recursive-CTE oracle
+    * taking `min(hop)` over the same bounded walk hash-matches.
+    *
+    * Scale (100 TB): each level is one equi-join frontier ⋈ edges on `src`
+    * plus an anti-join against the visited set — all keyed shuffles (AQE
+    * broadcasts the frontier while it is small). The driver loop runs
+    * O(diameter) rounds with `localCheckpoint` lineage truncation, the same
+    * shape as [[Components]]/[[kCore]]; per-round state is one (node, hop)
+    * row per visited node. Deep/elongated graphs pay diameter rounds —
+    * that is inherent to BFS, not to this formulation.
+    *
+    * @param sources one column `node` (hop-0 seeds; need not appear in edges)
+    * @param edges   columns `src`, `dst` (directed; symmetrize for undirected)
+    * @param maxHops safety rail — throws if the frontier is still growing
+    *                after this many levels (diameter exceeded the budget) */
+  def bfsHops(sources: DataFrame, edges: DataFrame, maxHops: Int = 30): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var visited = sources.select(col("node")).distinct()
+      .withColumn("hop", lit(0)).localCheckpoint(true)
+    var frontier = visited.select(col("node"))
+    var hop = 0
+    var exhausted = false
+    while (!exhausted && hop < maxHops) {
+      hop += 1
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      if (next.isEmpty) exhausted = true
+      else {
+        visited = visited.unionByName(next.withColumn("hop", lit(hop)))
+          .localCheckpoint(true)
+        frontier = next
+      }
+    }
+    require(exhausted, s"bfsHops: frontier still expanding after $maxHops hops")
+    visited
+  }
 }

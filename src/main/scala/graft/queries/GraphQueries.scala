@@ -152,7 +152,66 @@ object GraphQueries {
       |FROM deg LEFT JOIN pn ON deg.node = pn.node
       |ORDER BY nationkey""".stripMargin
 
+  /** x65: multi-source BFS hop distance over the HEAVY-ROUTE trade graph —
+    * edges kept only when their lineitem count is >= the global mean edge
+    * weight (exact integer predicate `w * n_edges >= total_w`, no float
+    * threshold), which leaves the strong trade routes and makes hop
+    * distance non-trivial at every SF (the full trade graph is near-
+    * complete). Sources = the nations of region 0; unreachable nations
+    * are absent from the output in both engines. The oracle re-walks the
+    * same bounded frontier with a recursive CTE and takes `min(hop)`. */
+  def tradeBfsHops(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val trade = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey")
+      .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey")),
+        $"l_suppkey" === $"s_suppkey")
+      .filter($"c_nationkey" =!= $"s_nationkey")
+      .select($"c_nationkey".as("cn"), $"s_nationkey".as("sn"))
+    val e0 = trade.select($"cn".as("src"), $"sn".as("dst"))
+      .unionByName(trade.select($"sn".as("src"), $"cn".as("dst")))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val tot = e0.agg(sum($"w").as("tw"), count(lit(1)).as("ne"))
+    val heavy = e0.crossJoin(broadcast(tot))
+      .filter($"w" * $"ne" >= $"tw").select($"src", $"dst")
+    val sources = Tables.nation(spark, dir)
+      .filter($"n_regionkey" === 0).select($"n_nationkey".as("node"))
+    Graph.bfsHops(sources, heavy, maxHops = 30)
+      .join(broadcast(Tables.nation(spark, dir)), $"node" === $"n_nationkey")
+      .select($"node".cast("long").as("nationkey"), $"n_name", $"hop")
+      .orderBy($"hop", $"nationkey")
+  }
+
+  private val bfsHopsOracle =
+    """WITH RECURSIVE dir0 AS MATERIALIZED (
+      |  SELECT c.c_nationkey AS cn, s.s_nationkey AS sn
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE c.c_nationkey <> s.s_nationkey),
+      |sym AS (SELECT cn AS src, sn AS dst FROM dir0 UNION ALL SELECT sn, cn FROM dir0),
+      |e0 AS MATERIALIZED (SELECT src, dst, count(*) AS w FROM sym GROUP BY 1, 2),
+      |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw, count(*) AS ne FROM e0),
+      |e AS MATERIALIZED (SELECT src, dst FROM e0, tot WHERE w * ne >= tw),
+      |walk(node, hop) AS (
+      |  SELECT n_nationkey AS node, 0 AS hop FROM nation WHERE n_regionkey = 0
+      |  UNION
+      |  SELECT e.dst, wk.hop + 1 FROM walk wk JOIN e ON e.src = wk.node
+      |  WHERE wk.hop < 30)
+      |SELECT CAST(wk.node AS BIGINT) AS nationkey, nat.n_name,
+      |       CAST(min(wk.hop) AS INT) AS hop
+      |FROM walk wk JOIN nation nat ON wk.node = nat.n_nationkey
+      |GROUP BY 1, 2
+      |ORDER BY hop, nationkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x65_bfs_hops",
+      "multi-source BFS hop distance over the heavy-route trade graph (above-mean edges) vs a recursive-CTE oracle",
+      tradeBfsHops, Some(bfsHopsOracle)),
     QueryDef("x63_pagerank",
       "weighted PageRank over the nation trade graph — exact-integer fixed-point iterations, oracle unrolls the same trajectory",
       tradePageRank, Some(pageRankOracle)),

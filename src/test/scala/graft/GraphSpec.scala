@@ -67,4 +67,21 @@ class GraphSpec extends SparkTestBase {
     assert(r(2L) > r(3L))
     assert(r(1L) > r(2L))
   }
+
+  test("bfsHops finds minimum hop counts, ignores longer alternates, stops at unreachable") {
+    // 1 -> 2 -> 3 -> 4 plus a shortcut 1 -> 3; node 9 is disconnected,
+    // node 5 only reaches INTO the component (no path from the source).
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (5L, 4L)).toDF("src", "dst")
+    val src = Seq(1L).toDF("node")
+    val h = Graph.bfsHops(src, edges).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(h == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2)) // 3 via shortcut, not 1-2-3
+    // multi-source: nearest source wins
+    val h2 = Graph.bfsHops(Seq(1L, 4L).toDF("node"), edges).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(h2(4L) == 0 && h2(3L) == 1 && h2(2L) == 1)
+    // a source with no edges at all is still reported at hop 0
+    val h3 = Graph.bfsHops(Seq(9L).toDF("node"), edges).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(h3 == Map(9L -> 0))
+  }
 }
