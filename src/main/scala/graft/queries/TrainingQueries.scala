@@ -595,7 +595,80 @@ object TrainingQueries {
        |ORDER BY rk""".stripMargin
   }
 
+  /** x20: skip-gram PMI/PPMI co-occurrence statistics — the classic
+    * distributional-semantics training signal (word2vec's implicit matrix,
+    * Levy & Goldberg 2014). Pairs are unordered within a ±2 token window,
+    * self-pairs excluded; PMI(a,b) = ln(c_ab·T / (c_a·c_b)) over the pair
+    * multiset, quantized half-up to 1e-6 fixed point (libm-ln caveat as in
+    * x56; the hash gate is the detector). Ranked by signed PMI — on this
+    * fixture's ~40-token near-uniform vocabulary the positive tail is
+    * nearly empty, so the ranking carries the signal; PPMI = max(PMI, 0)
+    * is emitted alongside. Scale (100 TB): pair generation is ARRAY-LOCAL
+    * (two shifted `slice`+`zip_with` passes per row — no token self-join,
+    * zero shuffle); the only shuffles are the two vocab²-bounded groupBys,
+    * and marginals/total are vocab-sized broadcasts. */
+  def pmiCooccur(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = split(col("text"), " ")
+    val n = size(t)
+    def pairsAt(d: Int) = zip_with(
+      slice(t, lit(1), greatest(n - d, lit(0))),
+      slice(t, lit(1 + d), greatest(n - d, lit(0))),
+      (x, y) => struct(least(x, y).as("a"), greatest(x, y).as("b")))
+    val cab = Tables.documents(spark, dir)
+      .select(explode(concat(pairsAt(1), pairsAt(2))).as("pr"))
+      .select($"pr.a".as("a"), $"pr.b".as("b"))
+      .filter($"a" =!= $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("cab"))
+      .localCheckpoint(true) // referenced 3x: total, marginals, scoring
+    val tot = cab.agg(sum($"cab").as("t"))
+    val marg = cab.select(explode(array($"a", $"b")).as("tok"), $"cab")
+      .groupBy($"tok").agg(sum($"cab").as("c"))
+    cab.filter($"cab" >= 2)
+      .join(broadcast(marg.select($"tok".as("a"), $"c".as("ca"))), "a")
+      .join(broadcast(marg.select($"tok".as("b"), $"c".as("cb"))), "b")
+      .crossJoin(broadcast(tot))
+      .select($"a", $"b", $"cab".as("pair_cnt"),
+        floor(log($"cab".cast("double") * $"t" / ($"ca" * $"cb")) * lit(1e6) + lit(0.5))
+          .cast("long").as("pmi_fp"))
+      .select($"a", $"b", $"pair_cnt", $"pmi_fp",
+        ($"pmi_fp" / lit(1e6)).as("pmi"),
+        (greatest($"pmi_fp", lit(0L)) / lit(1e6)).as("ppmi"))
+      .orderBy($"pmi_fp".desc, $"a", $"b")
+      .limit(50)
+  }
+
+  private val pmiCooccurOracle =
+    """WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |tokpos AS MATERIALIZED (
+      |  SELECT doc_id, pos, toks[pos] AS tok FROM (
+      |    SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS pos FROM base)),
+      |pr AS MATERIALIZED (
+      |  SELECT least(l.tok, r.tok) AS a, greatest(l.tok, r.tok) AS b
+      |  FROM tokpos l JOIN tokpos r
+      |    ON l.doc_id = r.doc_id AND r.pos > l.pos AND r.pos <= l.pos + 2
+      |  WHERE l.tok <> r.tok),
+      |cab AS MATERIALIZED (SELECT a, b, count(*) AS cab FROM pr GROUP BY 1, 2),
+      |tot AS (SELECT CAST(sum(cab) AS BIGINT) AS t FROM cab),
+      |marg AS MATERIALIZED (SELECT tok, CAST(sum(cab) AS BIGINT) AS c FROM (
+      |  SELECT a AS tok, cab FROM cab UNION ALL SELECT b, cab FROM cab) GROUP BY 1),
+      |scored AS (
+      |  SELECT cab.a, cab.b, cab.cab AS pair_cnt,
+      |         CAST(floor(ln(CAST(cab.cab AS DOUBLE) * t / (ma.c * mb.c)) * 1000000 + 0.5) AS BIGINT) AS pmi_fp
+      |  FROM cab, tot
+      |  JOIN marg ma ON cab.a = ma.tok
+      |  JOIN marg mb ON cab.b = mb.tok
+      |  WHERE cab.cab >= 2)
+      |SELECT a, b, pair_cnt, pmi_fp, pmi_fp / 1000000.0 AS pmi,
+      |       greatest(pmi_fp, 0) / 1000000.0 AS ppmi
+      |FROM scored
+      |ORDER BY pmi_fp DESC, a, b
+      |LIMIT 50""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x20_pmi_cooccur",
+      "skip-gram PMI/PPMI co-occurrence (±2 window, array-local pair generation, fixed-point ln)",
+      pmiCooccur, Some(pmiCooccurOracle)),
     QueryDef("x23_dist_drift",
       "corpus drift monitor: Jensen-Shannon divergence + top drifted tokens (fixed-point)",
       distDrift, Some(distDriftOracle)),
