@@ -683,7 +683,58 @@ object DedupQueries {
         |FROM sized
         |ORDER BY doc_id""".stripMargin
 
+  /** x29: sorted-neighborhood blocking (Hernández & Stolfo's merge/purge)
+    * — the third candidate-generation family after hash-bucket LSH
+    * (x11/x12) and prefix filtering (x18). Records sort by a blocking key
+    * (first 12 chars) within each lang block; candidates are pairs within
+    * rank distance ≤ 3 of the sorted order; the verify gate is exact
+    * distinct-token Jaccard ≥ 0.8 decided on the cross-multiplied integer
+    * predicate `it*5 >= un*4` (no float threshold). Scale (100 TB): the
+    * neighbor join is an exact EQUI-join on (lang, rank) — each left row
+    * explodes its 3 target ranks, so there is no per-block cross product;
+    * the per-block `row_number` sort is the classic SN cost, and a hot
+    * block sub-partitions by a longer key prefix (standard multi-pass SN).
+    * The oracle expresses the same neighborhood as a rank-range join. */
+  def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keyed = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        array_distinct(split($"text", " ")).as("toks"),
+        substring($"text", 1, 12).as("bkey"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"lang").orderBy($"bkey", $"doc_id")))
+    val l = keyed.select($"lang", $"rn", $"doc_id".as("doc_a"), $"toks".as("ta"))
+      .withColumn("rn_r", explode(array($"rn" + 1, $"rn" + 2, $"rn" + 3)))
+    val r = keyed.select($"lang", $"rn".as("rn_r"), $"doc_id".as("doc_b"), $"toks".as("tb"))
+    l.join(r, Seq("lang", "rn_r"))
+      .select($"doc_a", $"doc_b",
+        size(array_intersect($"ta", $"tb")).as("it"),
+        size(array_union($"ta", $"tb")).as("un"))
+      .filter($"it" * 5 >= $"un" * 4)
+      .select($"doc_a", $"doc_b", halfUp4($"it".cast("double") / $"un").as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private val sortedNeighborhoodOracle =
+    """WITH keyed AS MATERIALIZED (
+      |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks,
+      |         row_number() OVER (PARTITION BY lang
+      |                            ORDER BY substr(text, 1, 12), doc_id) AS rn
+      |  FROM documents),
+      |cand AS (
+      |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+      |         len(list_intersect(l.toks, r.toks)) AS it,
+      |         len(list_distinct(list_concat(l.toks, r.toks))) AS un
+      |  FROM keyed l JOIN keyed r
+      |    ON l.lang = r.lang AND r.rn > l.rn AND r.rn <= l.rn + 3)
+      |SELECT doc_a, doc_b, floor(CAST(it AS DOUBLE) / un * 10000 + 0.5) / 10000.0 AS jaccard
+      |FROM cand WHERE it * 5 >= un * 4
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x29_sorted_neighborhood",
+      "sorted-neighborhood blocking (merge/purge): per-lang sort-rank window W=3, exact-integer Jaccard>=0.8 gate",
+      sortedNeighborhood, Some(sortedNeighborhoodOracle)),
     QueryDef("x27_soft_dedup", "soft dedup: 1/cluster-size training weights over near-dup components (X2)", softDedup, Some(softDedupOracle)),
     QueryDef("x25_containment", "asymmetric containment near-dups (excerpt detection), integer threshold (X2)", containment, Some(containmentOracle)),
     QueryDef("x26_lsh_recall_audit",
