@@ -665,7 +665,54 @@ object TrainingQueries {
       |ORDER BY pmi_fp DESC, a, b
       |LIMIT 50""".stripMargin
 
+  /** x21: signed feature hashing (the hashing trick, Weinberger et al.
+    * 2009) — each token maps to one of 64 buckets by a salted md5, with a
+    * ±1 sign from a further hash bit so collisions cancel in expectation
+    * instead of biasing the count. Output is the sparse feature matrix in
+    * COO form (doc_id, bucket, feat) plus each doc's nnz — exactly what a
+    * distributed linear model / nearest-centroid classifier consumes.
+    * Scale (100 TB): stateless per-row hashing (no vocabulary broadcast —
+    * the whole point of the trick vs a dictionary featurizer) followed by
+    * a single (doc_id, bucket)-keyed aggregation; output is bounded at
+    * 64 features/doc regardless of vocab growth. */
+  def featureHashing(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val h = md5(concat_ws("|", lit("fh"), $"tok"))
+    val bucket = (conv(substring(h, 1, 4), 16, 10).cast("long") % 64).as("bucket")
+    val sgn = when(conv(substring(h, 5, 1), 16, 10).cast("long") % 2 === 0, 1L)
+      .otherwise(-1L)
+    val coo = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .select($"doc_id", bucket, sgn.as("s"))
+      .groupBy($"doc_id", $"bucket").agg(sum($"s").as("feat"))
+    val nnz = coo.filter($"feat" =!= 0).groupBy($"doc_id")
+      .agg(count(lit(1)).cast("int").as("nnz"))
+    coo.filter($"feat" =!= 0).join(nnz, "doc_id")
+      .select($"doc_id", $"bucket", $"feat", $"nnz")
+      .orderBy($"doc_id", $"bucket")
+  }
+
+  private val featureHashingOracle = {
+    val h = "md5(concat_ws('|', 'fh', tok))"
+    val h16 = (1 to 4).map(i => s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1)")
+      .reduce((a, b) => s"($a * 16 + $b)")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |coo AS MATERIALIZED (
+       |  SELECT doc_id, CAST($h16 % 64 AS BIGINT) AS bucket,
+       |         CAST(sum(CASE WHEN (strpos('0123456789abcdef', substr($h, 5, 1)) - 1) % 2 = 0
+       |                       THEN 1 ELSE -1 END) AS BIGINT) AS feat
+       |  FROM tok GROUP BY 1, 2),
+       |nz AS (SELECT * FROM coo WHERE feat <> 0),
+       |nnz AS (SELECT doc_id, CAST(count(*) AS INT) AS nnz FROM nz GROUP BY 1)
+       |SELECT nz.doc_id, nz.bucket, nz.feat, nnz.nnz
+       |FROM nz JOIN nnz ON nz.doc_id = nnz.doc_id
+       |ORDER BY nz.doc_id, nz.bucket""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x21_feature_hashing",
+      "signed feature hashing (hashing trick): 64-bucket COO feature matrix, no vocabulary broadcast",
+      featureHashing, Some(featureHashingOracle)),
     QueryDef("x20_pmi_cooccur",
       "skip-gram PMI/PPMI co-occurrence (±2 window, array-local pair generation, fixed-point ln)",
       pmiCooccur, Some(pmiCooccurOracle)),
