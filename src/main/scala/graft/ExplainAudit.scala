@@ -29,7 +29,11 @@ object ExplainAudit {
       // (NOT x63/x64: graph queries run eager localCheckpoint jobs at
       // construction — auditing them executes the full trade join.)
       "x62_interval_overlap", "x17_incremental_neardup", "x18_setjoin_prefix",
-      "x85_temperature_mixture", "x86_maxsim_topk", "q48_mad_outliers")
+      "x85_temperature_mixture", "x86_maxsim_topk", "q48_mad_outliers",
+      // late-round-7 shapes: rank-offset SN equi-join (no per-block cross
+      // product), single-pass COO featurizer (window nnz, one Generate)
+      // (NOT x20/x65: eager localCheckpoint at construction, like x63.)
+      "x29_sorted_neighborhood", "x21_feature_hashing")
     names.foreach { n =>
       println(s"\n===== $n =====")
       Registry.byName(n).fn(spark, dir).explain("formatted")

@@ -681,13 +681,16 @@ object TrainingQueries {
     val bucket = (conv(substring(h, 1, 4), 16, 10).cast("long") % 64).as("bucket")
     val sgn = when(conv(substring(h, 5, 1), 16, 10).cast("long") % 2 === 0, 1L)
       .otherwise(-1L)
-    val coo = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
       .select($"doc_id", bucket, sgn.as("s"))
       .groupBy($"doc_id", $"bucket").agg(sum($"s").as("feat"))
-    val nnz = coo.filter($"feat" =!= 0).groupBy($"doc_id")
-      .agg(count(lit(1)).cast("int").as("nnz"))
-    coo.filter($"feat" =!= 0).join(nnz, "doc_id")
+      .filter($"feat" =!= 0)
+      // nnz as a window count over the already-aggregated COO rows: one
+      // token pass total (a second groupBy+join re-ran the explode+hash
+      // pipeline for the build side — plan-audited)
+      .withColumn("nnz",
+        count(lit(1)).over(Window.partitionBy($"doc_id")).cast("int"))
       .select($"doc_id", $"bucket", $"feat", $"nnz")
       .orderBy($"doc_id", $"bucket")
   }
@@ -701,12 +704,11 @@ object TrainingQueries {
        |  SELECT doc_id, CAST($h16 % 64 AS BIGINT) AS bucket,
        |         CAST(sum(CASE WHEN (strpos('0123456789abcdef', substr($h, 5, 1)) - 1) % 2 = 0
        |                       THEN 1 ELSE -1 END) AS BIGINT) AS feat
-       |  FROM tok GROUP BY 1, 2),
-       |nz AS (SELECT * FROM coo WHERE feat <> 0),
-       |nnz AS (SELECT doc_id, CAST(count(*) AS INT) AS nnz FROM nz GROUP BY 1)
-       |SELECT nz.doc_id, nz.bucket, nz.feat, nnz.nnz
-       |FROM nz JOIN nnz ON nz.doc_id = nnz.doc_id
-       |ORDER BY nz.doc_id, nz.bucket""".stripMargin
+       |  FROM tok GROUP BY 1, 2)
+       |SELECT doc_id, bucket, feat,
+       |       CAST(count(*) OVER (PARTITION BY doc_id) AS INT) AS nnz
+       |FROM coo WHERE feat <> 0
+       |ORDER BY doc_id, bucket""".stripMargin
   }
 
   val defs: Seq[QueryDef] = Seq(
