@@ -85,7 +85,8 @@ private[sources] class PagesTable extends Table with SupportsRead {
   * them. */
 private[sources] class PagesScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private val clientName = {
     val n = options.get("client")
@@ -124,6 +125,17 @@ private[sources] class PagesScanBuilder(options: CaseInsensitiveStringMap)
         .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
     if (ok) countPushed = true
     ok
+  }
+
+  /** LIMIT pushdown: each page is exactly one source row, so a row limit
+    * IS a page limit — truncate the run and never issue an HTTP fetch past
+    * it (`df.limit(3)` over a million-page space fetches 3 pages). Runs
+    * after filter pushdown in Spark's V2ScanRelationPushDown, so the limit
+    * applies to the already-narrowed range. Returning true guarantees the
+    * scan emits at most `limit` rows, letting Spark drop its LocalLimit. */
+  override def pushLimit(limit: Int): Boolean = {
+    end = math.min(end, start + math.max(limit, 0) - 1)
+    true
   }
 
   override def build(): Scan =

@@ -106,6 +106,25 @@ class PaginatedSourceSpec extends SparkTestBase {
     assert(FetchRecorder.pages.isEmpty)
   }
 
+  test("SRC1/DSv2: LIMIT is pushed into the scan — fetches stop at the limit") {
+    FetchRecorder.pages.clear()
+    val client = new RecordingClient(new SyntheticPageClient(1000, pageSize = 100))
+    val rows = v2Reader("dsv2_limit", client, endPage = 100, parallelism = 4)
+      .select("value").limit(3).collect()
+    assert(rows.length == 3)
+    import scala.jdk.CollectionConverters._
+    // pages 4..100 were never fetched — the limit truncated the run itself
+    assert(FetchRecorder.pages.asScala.map(_.toInt).toSet == Set(1, 2, 3))
+    // limit composes with a pushed lower bound: first 2 pages OF the range
+    FetchRecorder.pages.clear()
+    assert(v2Reader("dsv2_limit2", client, endPage = 100, parallelism = 4)
+      .filter($"page" >= 50).select("value").limit(2).collect().length == 2)
+    assert(FetchRecorder.pages.asScala.map(_.toInt).toSet == Set(50, 51))
+    // limit larger than the run is a no-op
+    assert(v2Reader("dsv2_limit3", client, endPage = 3, parallelism = 2)
+      .limit(10).count() == 3L)
+  }
+
   test("SRC1/DSv2: ungrouped count(*) is answered from page math, zero fetches (A2)") {
     FetchRecorder.pages.clear()
     val client = new RecordingClient(new SyntheticPageClient(1000, pageSize = 100))
