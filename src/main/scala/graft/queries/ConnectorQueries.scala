@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import graft.multimodal.Multimodal
 import graft.sources.{PaginatedSource, SyntheticPageClient}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Connector + multimodal coverage. The paginated-source query runs the full
@@ -126,6 +127,51 @@ object ConnectorQueries {
        |       CAST(list_max($codes) AS INTEGER) AS peak
        |FROM e
        |ORDER BY doc_id, win_idx""".stripMargin
+  }
+
+  /** x76: VAD-style activity segmentation — the voice-activity-detection
+    * shape over x72's audio windows: a window is "active" when its mean
+    * sample energy clears the gate, decided on the exact integer predicate
+    * `energy >= 95 * n_samples` (no float threshold); consecutive active
+    * windows merge into segments via gaps-and-islands (win_idx − per-doc
+    * active rank is constant within an island — pure integer arithmetic,
+    * no iterative pass). Output: per-segment start/end window, length, and
+    * energy total. Scale (100 TB): the window stage is the typed
+    * partition-local decode (1→N flatMap, no shuffle); the island window
+    * and segment aggregate share ONE doc_id-keyed exchange. A real VAD
+    * swaps an acoustic score into the same gate. */
+  def vadSegments(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val media = Multimodal.attachFakeMedia(Tables.documents(spark, dir))
+    val active = Multimodal.audioWindows(media, frame = 64, hop = 32)
+      .toDF().filter($"energy" >= lit(95L) * $"n_samples")
+    val grp = $"win_idx" -
+      row_number().over(Window.partitionBy($"doc_id").orderBy($"win_idx"))
+    active.withColumn("grp", grp)
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"win_idx").as("seg_start"), max($"win_idx").as("seg_end"),
+        count(lit(1)).cast("int").as("n_windows"), sum($"energy").as("energy"))
+      .select($"doc_id", $"seg_start", $"seg_end", $"n_windows", $"energy")
+      .orderBy($"doc_id", $"seg_start")
+  }
+
+  private val vadSegmentsOracle = {
+    def codes = "list_transform(range(k * 32 + 1, least(k * 32 + 64, n) + 1), i -> ascii(substr(text, CAST(i AS INTEGER), 1)))"
+    s"""WITH c AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       |e AS (SELECT doc_id, text, n, unnest(range(0, ((n - 1) // 32) + 1)) AS k
+       |      FROM c WHERE n > 0),
+       |w AS MATERIALIZED (SELECT doc_id, CAST(k AS INTEGER) AS win_idx,
+       |       CAST(least(64, n - k * 32) AS INTEGER) AS n_samples,
+       |       CAST(list_sum($codes) AS BIGINT) AS energy
+       |     FROM e),
+       |act AS (SELECT doc_id, win_idx, energy,
+       |          win_idx - row_number() OVER (PARTITION BY doc_id ORDER BY win_idx) AS grp
+       |        FROM w WHERE energy >= 95 * n_samples)
+       |SELECT doc_id, min(win_idx) AS seg_start, max(win_idx) AS seg_end,
+       |       CAST(count(*) AS INT) AS n_windows, CAST(sum(energy) AS BIGINT) AS energy
+       |FROM act
+       |GROUP BY doc_id, grp
+       |ORDER BY doc_id, seg_start""".stripMargin
   }
 
   /** X7 + X2 crossover: perceptual-hash near-dup detection over media
@@ -262,6 +308,9 @@ object ConnectorQueries {
     QueryDef("x74_phash_neardup",
       "perceptual-hash (dHash) media near-dup via 3-band Hamming LSH (X7+X2)",
       phashNearDup, Some(phashOracle)),
+    QueryDef("x76_vad_segments",
+      "VAD-style activity segmentation: integer energy gate + gaps-and-islands segments (X7)",
+      vadSegments, Some(vadSegmentsOracle)),
     QueryDef("x72_audio_windows",
       "overlapping audio sample windows with energy/peak stats (X7)",
       audioWindows, Some(audioWindowsOracle)),
