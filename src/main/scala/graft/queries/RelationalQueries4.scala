@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -667,7 +667,59 @@ object RelationalQueries4 {
       |SELECT k, v FROM latest WHERE op <> 'D'
       |ORDER BY k""".stripMargin
 
+  /** q51: incremental view maintenance for partitioned aggregates — the
+    * pattern that makes 100 TB dashboards affordable: the historical state
+    * (events before the cutoff) is aggregated ONCE and kept; each new batch
+    * aggregates alone and MERGES into the state by a full-outer key join
+    * (counts/sums add, min/max fold, avg re-derives from the merged sum —
+    * never stored). The oracle aggregates the whole table in one pass, so
+    * a hash match proves the merge is lossless: maintain ≡ recompute.
+    * All merge arithmetic is integer (counts + half-up cents per row
+    * BEFORE summing, q42's trick), so the proof can't drift an ulp.
+    * least/greatest skip NULLs identically in both engines (keys absent
+    * from one side fold correctly). Scale: the state never rescans; each
+    * batch costs one batch-sized aggregation + a state-key join. */
+  def q51(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val cutoff = lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+    def agg(df: DataFrame) = df
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor($"value" * 100 + lit(0.5)).cast("long")).as("sum_cents"),
+        min($"ts").as("first_ts"), max($"ts").as("last_ts"))
+    val ev = Tables.events(spark, dir)
+    val state = agg(ev.filter($"ts" < cutoff))
+      .select($"event_type", $"day", $"cnt".as("b_cnt"), $"sum_cents".as("b_sum"),
+        $"first_ts".as("b_first"), $"last_ts".as("b_last"))
+    val batch = agg(ev.filter($"ts" >= cutoff))
+      .select($"event_type", $"day", $"cnt".as("d_cnt"), $"sum_cents".as("d_sum"),
+        $"first_ts".as("d_first"), $"last_ts".as("d_last"))
+    state.join(batch, Seq("event_type", "day"), "full")
+      .select($"event_type", $"day",
+        (coalesce($"b_cnt", lit(0L)) + coalesce($"d_cnt", lit(0L))).as("cnt"),
+        (coalesce($"b_sum", lit(0L)) + coalesce($"d_sum", lit(0L))).as("sum_cents"),
+        least($"b_first", $"d_first").as("first_ts"),
+        greatest($"b_last", $"d_last").as("last_ts"))
+      .withColumn("avg_value",
+        QueryUtil.halfUp($"sum_cents".cast("double") / 100.0 / $"cnt".cast("double"), 2))
+      .orderBy($"event_type", $"day")
+  }
+
+  private val q51Oracle =
+    """SELECT event_type, CAST(ts AS DATE) AS day,
+      |       count(*) AS cnt,
+      |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |       min(ts) AS first_ts, max(ts) AS last_ts,
+      |       floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+      |             / 100.0 / count(*) * 100 + 0.5) / 100.0 AS avg_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY event_type, day""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q51_ivm_agg",
+      "incremental aggregate maintenance: state+batch full-outer merge proven lossless vs one-pass recompute",
+      q51, Some(q51Oracle)),
     QueryDef("q50_cdc_merge", "insert/update/delete CDC merge (Sinks.applyCdc) vs latest-op oracle", q50, Some(q50Oracle)),
     QueryDef("q49_attribution", "first/last-touch revenue attribution, 24h lookback, one windowed pass", q49, Some(q49Oracle)),
     QueryDef("q48_mad_outliers", "robust per-group outlier gate: rank-join median + MAD, bit-identical interpolation", q48, Some(q48Oracle)),
