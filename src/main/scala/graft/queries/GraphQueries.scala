@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.operators.Graph
+import graft.queries.QueryUtil.halfUp4
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -208,7 +209,58 @@ object GraphQueries {
       |GROUP BY 1, 2
       |ORDER BY hop, nationkey""".stripMargin
 
+  /** x66: bipartite projection — the supplier co-supply graph: suppliers
+    * joined by the parts they both ship, edge weight = shared part count,
+    * plus co-supply Jaccard (shared / (|parts(a)| + |parts(b)| − shared),
+    * an exact rational). The classic scale hazard of projections is the
+    * hot-node blowup (a part with d suppliers emits d² pairs), so parts
+    * with degree > 20 are dropped BEFORE pairing — the same
+    * degenerate-bucket cap as the LSH families, mirrored in the oracle so
+    * the pruning itself is verified. Scale (100 TB): distinct + degree
+    * filter + one self-equi-join on the shared key, all hash shuffles;
+    * the cap bounds per-key fan-out, so no AQE skew handling is needed. */
+  def coSupplyProjection(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ps = Tables.lineitem(spark, dir)
+      .select($"l_partkey".as("pk"), $"l_suppkey".as("sk")).distinct()
+      .localCheckpoint(true) // referenced 3x: degree cap, both pair sides
+    val ok = ps.join(ps.groupBy($"pk").agg(count(lit(1)).as("d"))
+        .filter($"d" <= 20).select($"pk"), "pk")
+    val sdeg = ok.groupBy($"sk").agg(count(lit(1)).as("sd"))
+    val pairs = ok.select($"pk", $"sk".as("s1"))
+      .join(ok.select($"pk", $"sk".as("s2")), "pk")
+      .filter($"s1" < $"s2")
+      .groupBy($"s1", $"s2").agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(sdeg.select($"sk".as("s1"), $"sd".as("d1"))), "s1")
+      .join(broadcast(sdeg.select($"sk".as("s2"), $"sd".as("d2"))), "s2")
+      .select($"s1", $"s2", $"shared",
+        halfUp4($"shared".cast("double") / ($"d1" + $"d2" - $"shared")).as("jaccard"))
+      .orderBy($"shared".desc, $"s1", $"s2")
+      .limit(30)
+  }
+
+  private val coSupplyOracle =
+    """WITH ps AS MATERIALIZED (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+      |deg AS (SELECT pk, count(*) AS d FROM ps GROUP BY 1),
+      |ok AS MATERIALIZED (SELECT ps.pk, ps.sk FROM ps JOIN deg ON ps.pk = deg.pk WHERE deg.d <= 20),
+      |sdeg AS (SELECT sk, count(*) AS sd FROM ok GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.sk AS s1, b.sk AS s2, count(*) AS shared
+      |  FROM ok a JOIN ok b ON a.pk = b.pk AND a.sk < b.sk
+      |  GROUP BY 1, 2)
+      |SELECT p.s1, p.s2, p.shared,
+      |       floor(CAST(p.shared AS DOUBLE) / (da.sd + db.sd - p.shared) * 10000 + 0.5) / 10000.0 AS jaccard
+      |FROM pairs p
+      |JOIN sdeg da ON p.s1 = da.sk
+      |JOIN sdeg db ON p.s2 = db.sk
+      |ORDER BY p.shared DESC, p.s1, p.s2
+      |LIMIT 30""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x66_cosupply_projection",
+      "bipartite projection: supplier co-supply graph with degree-capped pairing + exact-rational Jaccard",
+      coSupplyProjection, Some(coSupplyOracle)),
     QueryDef("x65_bfs_hops",
       "multi-source BFS hop distance over the heavy-route trade graph (above-mean edges) vs a recursive-CTE oracle",
       tradeBfsHops, Some(bfsHopsOracle)),
