@@ -688,18 +688,9 @@ object RelationalQueries4 {
         sum(floor($"value" * 100 + lit(0.5)).cast("long")).as("sum_cents"),
         min($"ts").as("first_ts"), max($"ts").as("last_ts"))
     val ev = Tables.events(spark, dir)
-    val state = agg(ev.filter($"ts" < cutoff))
-      .select($"event_type", $"day", $"cnt".as("b_cnt"), $"sum_cents".as("b_sum"),
-        $"first_ts".as("b_first"), $"last_ts".as("b_last"))
-    val batch = agg(ev.filter($"ts" >= cutoff))
-      .select($"event_type", $"day", $"cnt".as("d_cnt"), $"sum_cents".as("d_sum"),
-        $"first_ts".as("d_first"), $"last_ts".as("d_last"))
-    state.join(batch, Seq("event_type", "day"), "full")
-      .select($"event_type", $"day",
-        (coalesce($"b_cnt", lit(0L)) + coalesce($"d_cnt", lit(0L))).as("cnt"),
-        (coalesce($"b_sum", lit(0L)) + coalesce($"d_sum", lit(0L))).as("sum_cents"),
-        least($"b_first", $"d_first").as("first_ts"),
-        greatest($"b_last", $"d_last").as("last_ts"))
+    graft.sinks.Sinks.mergeAggState(
+        agg(ev.filter($"ts" < cutoff)), agg(ev.filter($"ts" >= cutoff)),
+        Seq("event_type", "day"))
       .withColumn("avg_value",
         QueryUtil.halfUp($"sum_cents".cast("double") / 100.0 / $"cnt".cast("double"), 2))
       .orderBy($"event_type", $"day")

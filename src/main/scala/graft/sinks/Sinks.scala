@@ -82,6 +82,29 @@ object Sinks {
     untouched.unionByName(upserts)
   }
 
+  /** q51's incremental-view-maintenance fold as a sink-side operator: merge
+    * a pre-aggregated micro-batch into the running aggregate state. Both
+    * frames carry `keys` ++ (cnt, sum_cents, first_ts, last_ts); counts and
+    * integer cents ADD, min/max FOLD (least/greatest skip the NULLs a
+    * one-sided key produces), and any mean re-derives from the merged sums
+    * — never stored. The state is maintained per batch instead of
+    * recomputed from history; maintain ≡ recompute is oracle-proven batch-
+    * side by `q51_ivm_agg` and stream-proven over micro-batches in
+    * StreamingSpec. Scale: each fold costs one batch-sized aggregation +
+    * one state-key full-outer join. */
+  def mergeAggState(state: DataFrame, batchAgg: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def tagged(df: DataFrame, p: String) = df.select(
+      keys.map(col) ++ Seq(col("cnt").as(p + "cnt"), col("sum_cents").as(p + "sum"),
+        col("first_ts").as(p + "first"), col("last_ts").as(p + "last")): _*)
+    tagged(state, "b_").join(tagged(batchAgg, "d_"), keys, "full")
+      .select(keys.map(col) ++ Seq(
+        (coalesce(col("b_cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L))).as("cnt"),
+        (coalesce(col("b_sum"), lit(0L)) + coalesce(col("d_sum"), lit(0L))).as("sum_cents"),
+        least(col("b_first"), col("d_first")).as("first_ts"),
+        greatest(col("b_last"), col("d_last")).as("last_ts")): _*)
+  }
+
   /** SNK1: append only rows whose `hashCol` is not already in the sink;
     * within-batch dups collapse deterministically first. Returns the number
     * of rows actually inserted (the reference's `total_inserted` counter,

@@ -452,6 +452,54 @@ class StreamingSpec extends SparkTestBase {
     assert(out == Set((1L, 100L, 150L), (1L, 500L, 700L)))
   }
 
+  test("IVM: per-micro-batch mergeAggState maintenance equals one-pass recompute") {
+    import graft.sinks.Sinks
+    val src = tmpDir("ivm_src")
+    // 3 files -> 3 micro-batches (maxFilesPerTrigger=1 under AvailableNow);
+    // keys overlap across batches so the full-outer fold paths (both sides,
+    // state-only, batch-only) all fire
+    val data = Seq(
+      ("click", 1, 100L, 1.204), ("click", 1, 200L, 2.496), ("buy", 2, 300L, 9.995),
+      ("click", 1, 400L, 0.015), ("buy", 1, 500L, 3.335), ("buy", 2, 600L, 1.001),
+      ("view", 3, 700L, 0.0), ("click", 1, 800L, 7.77))
+    data.grouped(3).zipWithIndex.foreach { case (rows, i) =>
+      val lines = rows.map { case (t, d, sec, v) =>
+        s"""{"etype":"$t","day":$d,"sec":$sec,"value":$v}"""
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(src, s"b$i.json"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    def aggOf(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("etype"), col("day"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("sum_cents"),
+        min(timestamp_seconds(col("sec"))).as("first_ts"),
+        max(timestamp_seconds(col("sec"))).as("last_ts"))
+    val sch = StructType(Seq(StructField("etype", StringType),
+      StructField("day", IntegerType), StructField("sec", LongType),
+      StructField("value", DoubleType)))
+    var state = aggOf(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch))
+    var batches = 0
+    val q = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).json(src)
+      .writeStream
+      .option("checkpointLocation", tmpDir("ivm_cp"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // the fold: aggregate THIS batch alone, merge into the kept state
+        state = Sinks.mergeAggState(state, aggOf(b), Seq("etype", "day"))
+          .localCheckpoint(true)
+        batches += 1; ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(batches == 3, s"expected 3 micro-batches, saw $batches")
+    val direct = aggOf(spark.read.schema(sch).json(src))
+    assert(state.except(direct).isEmpty && direct.except(state).isEmpty)
+    assert(state.count() == 4) // (click,1) (buy,2) (buy,1) (view,3) spread over batches
+  }
+
   test("X6: session_window groups events by gap (batch-mode check)") {
     val events = Seq(
       (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"), // session 1
