@@ -707,7 +707,50 @@ object RelationalQueries4 {
       |GROUP BY 1, 2
       |ORDER BY event_type, day""".stripMargin
 
+  /** x67: exponentially time-decayed activity counts — the freshness
+    * weighting a training-data sampler or trending-topics ranker applies:
+    * score(type, D) = Σ_{d ∈ (D−30, D]} cnt_d · 2^(d−D), half-life one
+    * day. Weights are powers of two, so the fixed-point form
+    * Σ cnt_d · 2^(30−(D−d)) is an EXACT integer (order-free, no float
+    * accumulation) with `decayed = decayed_fp / 2^30`. Scale (100 TB):
+    * the only corpus-sized stage is the per-(type, day) count; the decay
+    * is a trailing-window join on the days×types panel, which is tiny at
+    * any scale (the join is banded by the 30-day bound, not all-pairs). */
+  def x67(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val dc = Tables.events(spark, dir)
+      .groupBy($"event_type", datediff(to_date($"ts"), lit("2024-01-01")).as("dayn"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // both sides of the trailing-window join
+    val cur = dc.select($"event_type", $"dayn")
+    val past = dc.select($"event_type".as("p_type"), $"dayn".as("p_dayn"), $"cnt")
+    cur.join(past, $"event_type" === $"p_type" &&
+        $"p_dayn" <= $"dayn" && $"p_dayn" > $"dayn" - 30)
+      .groupBy($"event_type", $"dayn")
+      .agg(sum(expr("cnt * shiftleft(CAST(1 AS BIGINT), CAST(30 - (dayn - p_dayn) AS INT))"))
+        .as("decayed_fp"))
+      .select($"event_type", $"dayn",
+        $"decayed_fp", ($"decayed_fp" / lit(1073741824.0)).as("decayed"))
+      .orderBy($"event_type", $"dayn")
+  }
+
+  private val x67Oracle =
+    """WITH dc AS MATERIALIZED (
+      |  SELECT event_type, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dayn,
+      |         count(*) AS cnt
+      |  FROM events GROUP BY 1, 2)
+      |SELECT c.event_type, c.dayn,
+      |       CAST(sum(p.cnt * (CAST(1 AS BIGINT) << (30 - (c.dayn - p.dayn)))) AS BIGINT) AS decayed_fp,
+      |       CAST(sum(p.cnt * (CAST(1 AS BIGINT) << (30 - (c.dayn - p.dayn)))) AS BIGINT) / 1073741824.0 AS decayed
+      |FROM dc c JOIN dc p
+      |  ON c.event_type = p.event_type AND p.dayn <= c.dayn AND p.dayn > c.dayn - 30
+      |GROUP BY 1, 2
+      |ORDER BY c.event_type, c.dayn""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x67_decayed_counts",
+      "exponentially time-decayed activity counts (half-life 1 day) in exact power-of-two fixed point",
+      x67, Some(x67Oracle)),
     QueryDef("q51_ivm_agg",
       "incremental aggregate maintenance: state+batch full-outer merge proven lossless vs one-pass recompute",
       q51, Some(q51Oracle)),
