@@ -32,8 +32,8 @@ object ExplainAudit {
       "x85_temperature_mixture", "x86_maxsim_topk", "q48_mad_outliers",
       // late-round-7 shapes: rank-offset SN equi-join (no per-block cross
       // product), single-pass COO featurizer (window nnz, one Generate)
-      // (NOT x20/x65: eager localCheckpoint at construction, like x63.)
-      "x29_sorted_neighborhood", "x21_feature_hashing")
+      // (NOT x20/x65/x66/x67: eager localCheckpoint at construction, like x63.)
+      "x29_sorted_neighborhood", "x21_feature_hashing", "q51_ivm_agg")
     names.foreach { n =>
       println(s"\n===== $n =====")
       Registry.byName(n).fn(spark, dir).explain("formatted")
