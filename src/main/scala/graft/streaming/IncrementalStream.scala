@@ -139,14 +139,16 @@ object IncrementalStream {
     * produces. A replay of the canonical itself (the connector's
     * boundary-page overlap) re-flags as is_first — idempotent, no state
     * change. State: one Long per DISTINCT bucket (bounded by the bucket
-    * space, not the corpus). Per-batch memory: one Long per row of the
-    * bucket's micro-batch slice (ids only, no row objects, no sort) —
-    * the state iterator is one-shot, so knowing the batch-min canonical
-    * before emitting any verdict requires retaining the ids; a hot bucket
-    * is bounded by its share of ONE micro-batch, not the corpus. Callers
-    * compute `bucket` with `Dedup.simhashBits` (the same expression works
-    * in a streaming select), so batch and streaming gates share one
-    * bucketing. */
+    * space, not the corpus). Per-batch memory: O(1) once a bucket has a
+    * canonical — the warm path is a pure streaming map over the one-shot
+    * iterator, no buffering at all, so a hot bucket costs nothing beyond
+    * the rows flowing through. Only a bucket's FIRST-EVER batch buffers
+    * (ids only, one Long per row): the batch-min canonical must be known
+    * before the first verdict is emitted, and the iterator can't be
+    * replayed. That cold-path bound is one bucket's slice of one
+    * micro-batch, paid once per bucket lifetime. Callers compute `bucket`
+    * with `Dedup.simhashBits` (the same expression works in a streaming
+    * select), so batch and streaming gates share one bucketing. */
   def nearDupGate(docs: org.apache.spark.sql.Dataset[(Long, Long)]):
       org.apache.spark.sql.Dataset[DedupVerdict] = {
     val spark = docs.sparkSession
@@ -156,14 +158,25 @@ object IncrementalStream {
         org.apache.spark.sql.streaming.OutputMode.Append(),
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
         case (bucket, rows, state) =>
-          // Phase 1: single min-tracking pass, buffering ids only.
-          val ids = rows.map(_._1).toArray
-          val canon = state.getOption.getOrElse(
-            if (ids.isEmpty) -1L else ids.min)
-          if (canon >= 0) state.update(canon)
-          // Phase 2: emit verdicts lazily from the id buffer.
-          ids.iterator.map(id =>
-            DedupVerdict(id, bucket, is_first = id == canon, canon))
+          state.getOption match {
+            case Some(canon) =>
+              // Warm path: canonical is known — single streaming pass,
+              // zero buffering, O(1) memory however hot the bucket is.
+              rows.map { case (id, _) =>
+                DedupVerdict(id, bucket, is_first = id == canon, canon)
+              }
+            case None =>
+              // Cold path (first batch for this bucket): min-tracking pass
+              // buffering ids only, then lazy emission from the buffer.
+              val ids = rows.map(_._1).toArray
+              if (ids.isEmpty) Iterator.empty
+              else {
+                val canon = ids.min
+                state.update(canon)
+                ids.iterator.map(id =>
+                  DedupVerdict(id, bucket, is_first = id == canon, canon))
+              }
+          }
       }
   }
 

@@ -204,6 +204,44 @@ class StreamingSpec extends SparkTestBase {
       (9L, 7L, false, 1L)))
   }
 
+  test("X2 streaming gate: hot bucket (10k rows in one bucket per batch) stays correct") {
+    val src = tmpDir("ndg_hot_src")
+    val cp = tmpDir("ndg_hot_cp")
+    val out = tmpDir("ndg_hot_out") + "/verdicts"
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("bucket", LongType))))
+        .json(src)
+      val q = IncrementalStream.nearDupGate(stream.as[(Long, Long)])
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[IncrementalStream.DedupVerdict], _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    def writeDocs(name: String, rows: Seq[(Long, Long)]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(src, name),
+        rows.map { case (d, b) => s"""{"doc_id":$d,"bucket":$b}""" }
+          .mkString("\n").getBytes("UTF-8"))
+    // Cold batch: the ENTIRE batch lands in bucket 42 (the skew shape the
+    // O(1)-warm-path contract is about). Canonical must be the batch min
+    // (doc 3), found in one pass over 10k rows.
+    writeDocs("b1.json", (3L to 10002L).map(id => (id, 42L)))
+    drain()
+    // Warm batch: another 10k rows in the same hot bucket, plus a smaller
+    // id than the canonical (id 1 < 3) — arrival order wins, 1 is a DUP.
+    // The warm path streams these without buffering anything.
+    writeDocs("b2.json", ((1L to 2L) ++ (10003L to 20000L)).map(id => (id, 42L)))
+    drain()
+    val v = spark.read.parquet(out).as[(Long, Long, Boolean, Long)].collect()
+    assert(v.length == 20000)
+    assert(v.forall(_._4 == 3L))                       // one canonical throughout
+    assert(v.filter(_._3).map(_._1).toSeq == Seq(3L))  // exactly one is_first
+  }
+
   test("streaming SCD2 == batch scd2Build over checkpointed multi-drain intake") {
     val src = tmpDir("scd_src")
     val cp = tmpDir("scd_cp")
