@@ -61,8 +61,12 @@ object Graph {
     *         each round is one degree aggregation + two semi-joins. */
   def kCore(edges: DataFrame, k: Int, maxIter: Int = 100): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    // distinct() after symmetrization: duplicate (a,b) rows — or input that
+    // already carries both orientations — would inflate degrees and wrongly
+    // keep nodes in the core. The contract is SIMPLE-graph degrees.
     var sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
       .localCheckpoint(true)
     var n = sym.count()
     var iter = 0

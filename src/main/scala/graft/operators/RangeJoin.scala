@@ -40,9 +40,25 @@ object RangeJoin {
                       sL: String, eL: String, sR: String, eR: String,
                       bandSec: Long, extraCond: Column): DataFrame = {
     require(bandSec > 0, "bandSec must be positive")
-    def bandOf(c: Column) = c.divide(bandSec).cast("long")
-    val l = left.withColumn("__band", explode(sequence(bandOf(col(sL)), bandOf(col(eL)))))
-    val r = right.withColumn("__bandR", explode(sequence(bandOf(col(sR)), bandOf(col(eR)))))
+    // Exact long floor-division — double `divide` + cast truncation is
+    // silently imprecise once magnitudes approach 2^53 (nanosecond
+    // timestamps). `x - pmod(x, b)` is the largest multiple of b <= x
+    // (pmod is non-negative), so the integral divide is exact and the
+    // truncate-vs-floor distinction vanishes.
+    def bandOf(c: Column) = {
+      val x = c.cast("long")
+      call_function("div", x - pmod(x, lit(bandSec)), lit(bandSec))
+    }
+    // An inverted interval (end < start) would make sequence() emit a
+    // DESCENDING band list — bands that exist nowhere else — and the pair
+    // would silently never match. Fail loudly instead.
+    def bandsOf(s: Column, e: Column) =
+      when(s <= e, sequence(bandOf(s), bandOf(e)))
+        .otherwise(raise_error(concat(
+          lit("intervalOverlap: invalid interval, end < start: "),
+          s.cast("string"), lit(" > "), e.cast("string"))))
+    val l = left.withColumn("__band", explode(bandsOf(col(sL), col(eL))))
+    val r = right.withColumn("__bandR", explode(bandsOf(col(sR), col(eR))))
     l.join(r,
         col("__band") === col("__bandR") && extraCond &&
           col(sL) <= col(eR) && col(sR) <= col(eL) &&
@@ -59,7 +75,7 @@ object RangeJoin {
     val base = df.select(
       col(key), col(idCol),
       unix_timestamp(col(tsCol).cast("timestamp")).as("__sec"))
-      .withColumn("__band", col("__sec").divide(widthSec).cast("long") * widthSec) // floor to band start
+      .withColumn("__band", col("__sec") - pmod(col("__sec"), lit(widthSec))) // exact long floor to band start
     val probe = base
       .withColumn("__probe", explode(array(col("__band"), col("__band") + widthSec)))
       .select(col(key), col(idCol).as("a"), col("__sec").as("__asec"), col("__probe"))

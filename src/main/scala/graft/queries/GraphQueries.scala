@@ -123,8 +123,9 @@ object GraphQueries {
     deg.join(perNode, Seq("node"), "left")
       .select($"node".cast("long").as("nationkey"), $"degree",
         coalesce($"triangles", lit(0L)).as("triangles"),
-        (lit(2.0) * coalesce($"triangles", lit(0L)) /
-          ($"degree" * ($"degree" - 1)).cast("double")).as("coeff"))
+        when($"degree" > 1, lit(2.0) * coalesce($"triangles", lit(0L)) /
+          ($"degree" * ($"degree" - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("coeff"))
       .orderBy("nationkey")
   }
 
@@ -149,7 +150,9 @@ object GraphQueries {
       |       GROUP BY node)
       |SELECT CAST(deg.node AS BIGINT) AS nationkey, deg.degree,
       |       coalesce(pn.triangles, 0) AS triangles,
-      |       2.0 * coalesce(pn.triangles, 0) / CAST(deg.degree * (deg.degree - 1) AS DOUBLE) AS coeff
+      |       CASE WHEN deg.degree > 1
+      |            THEN 2.0 * coalesce(pn.triangles, 0) / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
+      |            ELSE 0.0 END AS coeff
       |FROM deg LEFT JOIN pn ON deg.node = pn.node
       |ORDER BY nationkey""".stripMargin
 

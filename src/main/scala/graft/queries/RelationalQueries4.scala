@@ -578,8 +578,12 @@ object RelationalQueries4 {
     import spark.implicits._
     val sec = unix_timestamp($"ts".cast("timestamp"))
     val touch = $"event_type".isin("click", "view")
-    val enc = concat_ws("|", lpad(sec.cast("string"), 10, "0"),
-      lpad($"event_id".cast("string"), 10, "0"), $"event_type")
+    // 19-digit pads cover the full non-negative long domain — lpad
+    // TRUNCATES values wider than the pad, which would corrupt the
+    // lexicographic-chronological ordering identically in both engines
+    // (invisible to the oracle) for >10-digit ids or post-2286 seconds.
+    val enc = concat_ws("|", lpad(sec.cast("string"), 19, "0"),
+      lpad($"event_id".cast("string"), 19, "0"), $"event_type")
     val w = Window.partitionBy($"user_id").orderBy(sec)
       .rangeBetween(-86400L, 0L)
     val scored = Tables.events(spark, dir)
@@ -607,10 +611,10 @@ object RelationalQueries4 {
       |             event_id, event_type, value FROM events),
       |sc AS (SELECT user_id, sec, event_id, event_type, value,
       |         max(CASE WHEN event_type IN ('click', 'view')
-      |             THEN lpad(CAST(sec AS VARCHAR), 10, '0') || '|' || lpad(CAST(event_id AS VARCHAR), 10, '0') || '|' || event_type END)
+      |             THEN lpad(CAST(sec AS VARCHAR), 19, '0') || '|' || lpad(CAST(event_id AS VARCHAR), 19, '0') || '|' || event_type END)
       |           OVER (PARTITION BY user_id ORDER BY sec RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS lastt,
       |         min(CASE WHEN event_type IN ('click', 'view')
-      |             THEN lpad(CAST(sec AS VARCHAR), 10, '0') || '|' || lpad(CAST(event_id AS VARCHAR), 10, '0') || '|' || event_type END)
+      |             THEN lpad(CAST(sec AS VARCHAR), 19, '0') || '|' || lpad(CAST(event_id AS VARCHAR), 19, '0') || '|' || event_type END)
       |           OVER (PARTITION BY user_id ORDER BY sec RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS firstt
       |       FROM e),
       |p AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
