@@ -33,7 +33,11 @@ object ExplainAudit {
       // late-round-7 shapes: rank-offset SN equi-join (no per-block cross
       // product), single-pass COO featurizer (window nnz, one Generate)
       // (NOT x20/x65/x66/x67: eager localCheckpoint at construction, like x63.)
-      "x29_sorted_neighborhood", "x21_feature_hashing", "q51_ivm_agg")
+      "x29_sorted_neighborhood", "x21_feature_hashing", "q51_ivm_agg",
+      // round-8 shapes: two-round PRF over SHARED postings subplans. The
+      // static plan prints the duplicates — runtime reuse is AQE's stage
+      // cache, measured by ReuseAudit (ReusedQueryStage in the final plan).
+      "x84_prf_expansion")
     names.foreach { n =>
       println(s"\n===== $n =====")
       Registry.byName(n).fn(spark, dir).explain("formatted")

@@ -36,6 +36,23 @@ object RetrievalQueries {
     * already keyed by doc_id after the term join, and a broadcast there
     * would OOM at corpus scale. */
   def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val p = postings(spark, dir)
+    bm25Format(spark, bm25Ranked(spark, p))
+  }
+
+  /** The inverted-index building blocks, constructed ONCE per query plan:
+    * postings (tf), per-doc lengths (dl), corpus stats, document
+    * frequencies (dft), and the query term sets. Multi-round retrieval
+    * (x84) and fusion (x81) pass the SAME instances to every round, so the
+    * duplicate subtrees canonicalize identically BY CONSTRUCTION and AQE's
+    * stage cache replaces the repeats with ReusedQueryStage at runtime
+    * (verified by [[graft.ReuseAudit]] — reuse is a guarantee here, not an
+    * optimizer accident). */
+  private[queries] case class Postings(tf: DataFrame, dl: DataFrame,
+                                       stats: DataFrame, dft: DataFrame,
+                                       qterms: DataFrame)
+
+  private[queries] def postings(spark: SparkSession, dir: String): Postings = {
     import spark.implicits._
     val tf = Tables.documents(spark, dir)
       .select($"doc_id", explode(split($"text", " ")).as("t"))
@@ -46,21 +63,31 @@ object RetrievalQueries {
     // (doc_id, t) is unique by the tf groupBy — no distinct needed
     val qterms = tf.filter($"doc_id" % 100 === 0)
       .select($"doc_id".as("q_id"), $"t")
+    Postings(tf, dl, stats, dft, qterms)
+  }
+
+  /** BM25-ranked (q_id, doc_id, score_fp, rk) over shared postings. */
+  private def bm25Ranked(spark: SparkSession, p: Postings): DataFrame = {
+    import spark.implicits._
     val idf = log(($"n_docs".cast("double") - $"df".cast("double") + lit(0.5))
       / ($"df".cast("double") + lit(0.5)) + lit(1.0))
     val tfNorm = $"tf".cast("double") * (K1 + 1) /
       ($"tf".cast("double") + lit(K1) * (lit(1.0) - B + lit(B) * $"dl".cast("double")
         * $"n_docs".cast("double") / $"tot".cast("double")))
     val wTop = Window.partitionBy($"q_id").orderBy($"score_fp".desc, $"doc_id")
-    qterms.join(tf, "t").filter($"doc_id" =!= $"q_id")
-      .join(broadcast(dft), "t")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
+    p.qterms.join(p.tf, "t").filter($"doc_id" =!= $"q_id")
+      .join(broadcast(p.dft), "t")
+      .join(p.dl, "doc_id")
+      .crossJoin(broadcast(p.stats))
       .select($"q_id", $"doc_id",
         floor(idf * tfNorm * lit(1e6) + lit(0.5)).cast("long").as("c_fp"))
       .groupBy($"q_id", $"doc_id").agg(sum($"c_fp").as("score_fp"))
       .withColumn("rk", row_number().over(wTop))
-      .filter($"rk" <= TopK)
+  }
+
+  private def bm25Format(spark: SparkSession, ranked: DataFrame): DataFrame = {
+    import spark.implicits._
+    ranked.filter($"rk" <= TopK)
       .select($"q_id", $"rk", $"doc_id",
         QueryUtil.halfUp4($"score_fp".cast("double") / 1e6).as("score"))
       .orderBy("q_id", "rk")
@@ -429,15 +456,13 @@ object RetrievalQueries {
     * postings join with ≤ 2 extra terms per query. */
   def prfExpansion(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tf = Tables.documents(spark, dir)
-      .select($"doc_id", explode(split($"text", " ")).as("t"))
-      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("tot"))
-    val dft = tf.groupBy($"t").agg(count(lit(1)).as("df"))
-    val qterms = tf.filter($"doc_id" % 100 === 0)
-      .select($"doc_id".as("q_id"), $"t")
-    val fb = bm25TopK(spark, dir).filter($"rk" <= PrfFbDocs)
+    // ONE postings build feeds BOTH rounds: round 1 (the feedback ranking)
+    // and round 2 (expanded re-scoring) reference the same tf/dl/stats/
+    // dft/qterms instances, so every repeated exchange is a guaranteed
+    // ReusedQueryStage at runtime instead of a rebuilt subtree.
+    val p = postings(spark, dir)
+    val Postings(tf, dl, stats, dft, qterms) = p
+    val fb = bm25Ranked(spark, p).filter($"rk" <= PrfFbDocs)
       .select($"q_id", $"doc_id")
     val wExp = Window.partitionBy($"q_id").orderBy($"s".desc, $"t")
     val expTerms = fb.join(tf, Seq("doc_id"))
