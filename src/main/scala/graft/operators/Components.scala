@@ -40,7 +40,14 @@ object Components {
     *                components with diameter > maxIter).
     * @return (idCol, component) where component = min id reachable */
   def connectedComponents(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
-                          idCol: String, maxIter: Int = 50): DataFrame = {
+                          idCol: String, maxIter: Int = 50): DataFrame =
+    connectedComponentsWithRounds(spark, nodes, edges, idCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of iterations the fixpoint
+    * took — the observable ScaleSpec uses to compare convergence speed
+    * across algorithms. */
+  def connectedComponentsWithRounds(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
+                                    idCol: String, maxIter: Int = 50): (DataFrame, Int) = {
     // symmetric edge list: neighbor view in both directions. Materialized
     // once — the edge source may be an expensive pipeline (e.g. the LSH
     // candidate join) and every iteration references it again.
@@ -108,6 +115,107 @@ object Components {
             s"($wouldChange labels still changing) — raise maxIter " +
             s"(pointer jumping needs ~log2(diameter) iterations)")
     }
-    labels
+    (labels, iter)
   }
+
+  /** Connected components by LARGE-STAR / SMALL-STAR alternation (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    * the billion-edge-scale upgrade over [[connectedComponents]]'s
+    * min-label + pointer-jumping loop.
+    *
+    * The state is an EDGE set (always oriented larger → smaller), not a
+    * label table. Each round:
+    *   - large-star: every node u connects its strictly-LARGER neighbors
+    *     directly to `m = min(Γ(u) ∪ u)` — emit (v, m) for v ∈ Γ(u), v > u;
+    *   - small-star: every node u (now seeing only smaller neighbors)
+    *     rewires them all, and itself, to its minimum — emit (v, m) for
+    *     v ∈ Γ⁻(u) \ {m} plus (u, m).
+    * Both operations preserve connectivity (every emitted edge connects
+    * nodes of the same original component, and every node keeps a path to
+    * its component min), and the fixpoint is a STAR FOREST: each node
+    * points directly at its component's min id. Detected structurally —
+    * the edge set is a star forest iff no edge's head (`dst`) still has an
+    * outgoing edge — rather than by an edge-set diff.
+    *
+    * Why it beats pointer jumping at extreme scale: the state never
+    * exceeds the (deduplicated) edge count and provably SHRINKS
+    * monotonically (paper Lemma 4: total edges never grow; stars collapse
+    * whole neighborhoods per round), convergence is O(log² n) worst-case
+    * and ~log n observed, and both phases are plain keyed aggregations +
+    * equi-joins — no label-table join whose hot key is the converged
+    * component id. The min-label loop stays the default for shallow
+    * near-dup graphs (its per-round constant is smaller: one join vs two
+    * phases); ScaleSpec proves the stars variant labels a 200-hop chain
+    * in strictly fewer rounds.
+    *
+    * @return (labels, rounds) — labels as in [[connectedComponents]]:
+    *         (idCol, component = min id of the component). */
+  def connectedComponentsStarsWithRounds(spark: SparkSession, nodes: DataFrame,
+                                         edges: DataFrame, idCol: String,
+                                         maxIter: Int = 50): (DataFrame, Int) = {
+    // canonical larger→smaller orientation, self-loops and duplicates out
+    var e = edges
+      .select(greatest(col("a"), col("b")).as("src"), least(col("a"), col("b")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    var iter = 0
+    // Fresh ExprIds for one side of every self-join below: both sides
+    // sharing one LogicalRDD leaf with identical attribute ids trips an
+    // internal "key not found: src#N" in DeduplicateRelations-under-AQE on
+    // some graph shapes; an explicit re-alias sidesteps it determinately.
+    def realias(df: DataFrame): DataFrame =
+      df.select(df.columns.map(c => col(c).as(c)).toIndexedSeq: _*)
+    // star forest iff no dst is itself the src of a remaining edge
+    def notStar(cur: DataFrame): Long = cur
+      .join(realias(cur).select(col("src").as("dst")).distinct(), Seq("dst"), "left_semi")
+      .count()
+    var pending = notStar(e)
+    while (pending > 0 && iter < maxIter) {
+      // LARGE-STAR over symmetric neighborhoods: m reduces map-side (min
+      // agg), the emit join keys on the node — star centers are hot keys,
+      // which AQE skew-splits; the alternation is what bounds how long any
+      // center stays hot (its large neighbors leave for m every round).
+      val sym = e.unionByName(
+        realias(e).select(col("dst").as("src"), col("src").as("dst")))
+      val mn = realias(sym).groupBy("src").agg(min(col("dst")).as("nmin"))
+        .select(col("src").as("u"), least(col("nmin"), col("src")).as("m"))
+      val ls = sym.join(mn, col("src") === col("u"))
+        .filter(col("dst") > col("src"))
+        // v > u >= m, so the emitted (v, m) keeps the larger→smaller invariant
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint(true)
+      // SMALL-STAR: every neighbor is smaller now; rewire them (and u) to
+      // u's min. distinct() collapses the duplicate (v, m) emissions from
+      // v's many ex-neighbors in map-side partial aggregation.
+      val mn2 = realias(ls).groupBy("src").agg(min(col("dst")).as("m"))
+      val ss = ls.join(mn2, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .unionByName(mn2.select(col("src"), col("m").as("dst")))
+        .distinct()
+        .localCheckpoint(true)
+      e = ss
+      pending = notStar(e)
+      iter += 1
+    }
+    if (pending > 0)
+      throw new IllegalStateException(
+        s"connectedComponentsStars did not converge in $maxIter rounds " +
+          s"($pending edges not yet star-shaped) — raise maxIter")
+    // star forest → labels: edge (u, m) labels u with m; centers and
+    // isolated nodes label themselves.
+    val lab = e.select(col("src").as(idCol), col("dst").as("component"))
+    val labels = nodes.select(col(idCol))
+      .join(lab, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("component"))
+    (labels, iter)
+  }
+
+  /** See [[connectedComponentsStarsWithRounds]]. */
+  def connectedComponentsStars(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
+                               idCol: String, maxIter: Int = 50): DataFrame =
+    connectedComponentsStarsWithRounds(spark, nodes, edges, idCol, maxIter)._1
 }

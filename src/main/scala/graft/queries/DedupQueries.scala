@@ -110,15 +110,17 @@ object DedupQueries {
 
   /** X2 near-dup → dedup groups: connected components over the verified
     * near-dup pairs; every doc gets the min doc_id of its component as
-    * cluster id, the representative flagged canonical. Spark: iterative
-    * min-label propagation (Components.connectedComponents); oracle:
-    * recursive-CTE transitive closure — independent algorithms, same
-    * fixpoint. */
+    * cluster id, the representative flagged canonical. Spark: large-star/
+    * small-star alternation (Components.connectedComponentsStars — the
+    * billion-edge-scale algorithm, promoted to the production path in
+    * round 8; the min-label + pointer-jumping loop remains available);
+    * oracle: recursive-CTE transitive closure — independent algorithms,
+    * same fixpoint. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pairs = minhashLsh(spark, dir).select($"a", $"b")
     val nodes = Tables.documents(spark, dir).select($"doc_id")
-    graft.operators.Components.connectedComponents(spark, nodes, pairs, "doc_id")
+    graft.operators.Components.connectedComponentsStars(spark, nodes, pairs, "doc_id")
       .select($"doc_id", $"component".as("cluster_id"),
         ($"doc_id" === $"component").cast("int").as("is_canonical"))
       .orderBy("doc_id")

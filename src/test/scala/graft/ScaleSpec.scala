@@ -206,6 +206,35 @@ class ScaleSpec extends SparkTestBase {
       s"each chain must collapse to its min id: $comps")
   }
 
+  test("connected components: large-star/small-star beats pointer jumping on 200-hop chains") {
+    import graft.operators.Components
+    // Same two disjoint 200-node chains (diameter 199). The alternation
+    // must (a) produce the identical label table and (b) reach its star-
+    // forest fixpoint in strictly fewer rounds than the min-label +
+    // pointer-jumping loop — the billion-edge upgrade's deep-graph claim.
+    val n = 400L
+    val nodes = spark.range(0, n).select($"id".as("doc_id"))
+    val edges = spark.range(0, n - 1).filter($"id" =!= (n / 2 - 1))
+      .select($"id".as("a"), ($"id" + 1).as("b"))
+    val (lPj, rPj) = Components
+      .connectedComponentsWithRounds(spark, nodes, edges, "doc_id", maxIter = 20)
+    val (lStar, rStar) = Components
+      .connectedComponentsStarsWithRounds(spark, nodes, edges, "doc_id", maxIter = 20)
+    assert(lPj.except(lStar).count() == 0 && lStar.except(lPj).count() == 0,
+      "stars must produce the identical min-id label table")
+    assert(rStar < rPj,
+      s"stars must converge in strictly fewer rounds (stars=$rStar, pj=$rPj)")
+    // ring + chords (cyclic, duplicate-edge, non-chain shape): same labels
+    val m = 1000L
+    val nodes2 = spark.range(0, m).select($"id".as("doc_id"))
+    val e2 = spark.range(0, m).select($"id".as("a"), (($"id" + 1) % m).as("b"))
+      .unionByName(spark.range(0, m / 10)
+        .select(($"id" * 7 % m).as("a"), (($"id" * 131 + 5) % m).as("b")))
+    val single = Components.connectedComponentsStars(spark, nodes2, e2, "doc_id")
+    assert(single.filter($"component" =!= 0L).count() == 0,
+      "one ring component, min id 0")
+  }
+
   test("SNK3 partitioned refresh: dynamic overwrite replaces only incoming partitions") {
     val path = tmpDir("dynpart") + "/t"
     graft.sinks.Sinks.bulkReplacePartitions(
