@@ -72,12 +72,7 @@ object Graph {
     var iter = 0
     var stable = false
     while (!stable && iter < maxIter) {
-      val keep = sym.groupBy("src").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("src").as("node"))
-      val pruned = sym
-        .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
-        .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
-        .localCheckpoint(true)
+      val pruned = kCoreStep(sym, k).localCheckpoint(true)
       val n2 = pruned.count()
       stable = n2 == n
       sym = pruned
@@ -86,6 +81,17 @@ object Graph {
     }
     require(stable, s"kCore: no fixpoint within $maxIter rounds")
     sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+  }
+
+  /** One peeling round of [[kCore]] — the loop body, shared with
+    * [[graft.GraphPlanAudit]] so the audited per-iteration plan IS the
+    * executed one: degree aggregation → keep-set → two semi-joins. */
+  private[graft] def kCoreStep(sym: DataFrame, k: Int): DataFrame = {
+    val keep = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k).select(col("src").as("node"))
+    sym
+      .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+      .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
   }
 
   /** pageRank over the node set implied by the edges (every endpoint) —
@@ -125,15 +131,25 @@ object Graph {
         else dangling.join(ranks, "node")
           .agg(coalesce(sum("rank_fp"), lit(0L))).head.getLong(0)
       val shareFp = 85L * dangFp / (100L * n) // uniform dangling share, floored
-      val inc = e.join(ranks.withColumnRenamed("node", "src"), "src")
-        .select(col("dst"), expr("(85 * rank_fp * w) div (100 * outw)").as("c"))
-        .groupBy("dst").agg(sum("c").as("inc"))
-      ranks = nd.join(inc.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .select(col("node"),
-          (lit(baseFp + shareFp) + coalesce(col("inc"), lit(0L))).as("rank_fp"))
-        .localCheckpoint(true)
+      ranks = pageRankStep(nd, e, ranks, baseFp + shareFp).localCheckpoint(true)
     }
     ranks
+  }
+
+  /** One rank-update round of [[pageRank]] — the loop body, shared with
+    * [[graft.GraphPlanAudit]]: edge ⋈ ranks keyed on src, contribution
+    * aggregation keyed on dst, left join back onto the node set.
+    * @param e    edges with `outw` already joined (src, dst, w, outw)
+    * @param addFp the per-node constant for this round: base mass +
+    *              redistributed dangling share (fixed point) */
+  private[graft] def pageRankStep(nd: DataFrame, e: DataFrame, ranks: DataFrame,
+                                  addFp: Long): DataFrame = {
+    val inc = e.join(ranks.withColumnRenamed("node", "src"), "src")
+      .select(col("dst"), expr("(85 * rank_fp * w) div (100 * outw)").as("c"))
+      .groupBy("dst").agg(sum("c").as("inc"))
+    nd.join(inc.withColumnRenamed("dst", "node"), Seq("node"), "left")
+      .select(col("node"),
+        (lit(addFp) + coalesce(col("inc"), lit(0L))).as("rank_fp"))
   }
 
   /** Multi-source BFS hop distance: the minimum number of edges from any
@@ -163,10 +179,7 @@ object Graph {
     var exhausted = false
     while (!exhausted && hop < maxHops) {
       hop += 1
-      val next = frontier.join(e, frontier("node") === e("src"))
-        .select(e("dst").as("node")).distinct()
-        .join(visited.select("node"), Seq("node"), "left_anti")
-        .localCheckpoint(true)
+      val next = bfsStep(frontier, e, visited).localCheckpoint(true)
       if (next.isEmpty) exhausted = true
       else {
         visited = visited.unionByName(next.withColumn("hop", lit(hop)))
@@ -177,4 +190,13 @@ object Graph {
     require(exhausted, s"bfsHops: frontier still expanding after $maxHops hops")
     visited
   }
+
+  /** One frontier expansion of [[bfsHops]] — the loop body, shared with
+    * [[graft.GraphPlanAudit]]: frontier ⋈ edges on src, distinct new
+    * nodes, anti-join against the visited set. */
+  private[graft] def bfsStep(frontier: DataFrame, e: DataFrame,
+                             visited: DataFrame): DataFrame =
+    frontier.join(e, frontier("node") === e("src"))
+      .select(e("dst").as("node")).distinct()
+      .join(visited.select("node"), Seq("node"), "left_anti")
 }
