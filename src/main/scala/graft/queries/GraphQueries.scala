@@ -164,7 +164,10 @@ object GraphQueries {
     * complete). Sources = the nations of region 0; unreachable nations
     * are absent from the output in both engines. The oracle re-walks the
     * same bounded frontier with a recursive CTE and takes `min(hop)`. */
-  def tradeBfsHops(spark: SparkSession, dir: String): DataFrame = {
+  /** The heavy-route trade graph shared by x65 and x68: symmetric
+    * nation→nation edges kept when their lineitem count is >= the global
+    * mean edge weight (exact integer predicate, no float threshold). */
+  private def heavyTradeEdges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val trade = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey")
       .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
@@ -179,8 +182,13 @@ object GraphQueries {
       .unionByName(trade.select($"sn".as("src"), $"cn".as("dst")))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
     val tot = e0.agg(sum($"w").as("tw"), count(lit(1)).as("ne"))
-    val heavy = e0.crossJoin(broadcast(tot))
+    e0.crossJoin(broadcast(tot))
       .filter($"w" * $"ne" >= $"tw").select($"src", $"dst")
+  }
+
+  def tradeBfsHops(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val heavy = heavyTradeEdges(spark, dir)
     val sources = Tables.nation(spark, dir)
       .filter($"n_regionkey" === 0).select($"n_nationkey".as("node"))
     Graph.bfsHops(sources, heavy, maxHops = 30)
@@ -211,6 +219,76 @@ object GraphQueries {
       |FROM walk wk JOIN nation nat ON wk.node = nat.n_nationkey
       |GROUP BY 1, 2
       |ORDER BY hop, nationkey""".stripMargin
+
+  /** k and the oracle's unroll budget for x68. Peeling round counts are
+    * data-dependent, which is exactly why k-core stayed spec-only until
+    * round 8 — the unlock is that a peeling round is IDEMPOTENT once the
+    * fixpoint is reached (pruning a graph whose nodes all have degree >= k
+    * removes nothing), so the oracle can unroll MORE rounds than any SF
+    * needs: Spark peels to its verified fixpoint, DuckDB always runs
+    * [[KcoreRounds]] rounds, and they agree iff the true fixpoint arrives
+    * within the budget (a graph needing more rounds would hash-mismatch —
+    * the gate detects, never silently accepts). The peel stabilizes in 2
+    * rounds at every SF (measured sf0.001/0.01/0.1) — the 8-round unroll
+    * is a 4× margin. */
+  private val KcoreK = 3
+  private val KcoreRounds = 8
+
+  /** x68: k-core decomposition over the heavy-route trade graph (x65's
+    * edge set as an undirected simple graph) — the maximal subgraph where
+    * every nation keeps >= k heavy trade partners; output is core
+    * membership with the within-core degree. Scale: each peeling round is
+    * one degree aggregation + two semi-joins on the (already tiny after
+    * aggregation) edge list — the per-round plan audited by
+    * GraphPlanAudit. */
+  def tradeKCore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val und = heavyTradeEdges(spark, dir)
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .distinct()
+    Graph.kCore(und, KcoreK)
+      .select($"node".cast("long").as("node"), $"degree")
+      .orderBy("node")
+  }
+
+  /** x68's undirected simple heavy graph, exposed for round-count audits. */
+  private[graft] def heavyUndirectedForAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    heavyTradeEdges(spark, dir)
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .distinct()
+  }
+
+  private def kcoreRoundCtes: String = (1 to KcoreRounds).map { i =>
+    val prev = s"kc${i - 1}"
+    s"""kc$i AS MATERIALIZED (
+       |  SELECT e.src, e.dst FROM $prev e
+       |  JOIN (SELECT src FROM $prev GROUP BY src HAVING count(*) >= $KcoreK) ks ON e.src = ks.src
+       |  JOIN (SELECT src FROM $prev GROUP BY src HAVING count(*) >= $KcoreK) kd ON e.dst = kd.src)"""
+      .stripMargin
+  }.mkString(",\n")
+
+  private val kcoreOracle =
+    s"""WITH dir0 AS MATERIALIZED (
+       |  SELECT c.c_nationkey AS cn, s.s_nationkey AS sn
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  WHERE c.c_nationkey <> s.s_nationkey),
+       |sym AS (SELECT cn AS src, sn AS dst FROM dir0 UNION ALL SELECT sn, cn FROM dir0),
+       |e0 AS MATERIALIZED (SELECT src, dst, count(*) AS w FROM sym GROUP BY 1, 2),
+       |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw, count(*) AS ne FROM e0),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM e0, tot WHERE w * ne >= tw),
+       |kc0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
+       |                     UNION ALL SELECT b, a FROM und),
+       |$kcoreRoundCtes
+       |SELECT CAST(src AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS degree
+       |FROM kc$KcoreRounds
+       |GROUP BY src
+       |ORDER BY node""".stripMargin
 
   /** x66: bipartite projection — the supplier co-supply graph: suppliers
     * joined by the parts they both ship, edge weight = shared part count,
@@ -272,5 +350,8 @@ object GraphQueries {
       tradePageRank, Some(pageRankOracle)),
     QueryDef("x64_triangles",
       "distributed triangle count + clustering coefficients (ordered two-path join)",
-      tradeTriangles, Some(trianglesOracle)))
+      tradeTriangles, Some(trianglesOracle)),
+    QueryDef("x68_kcore",
+      "k-core decomposition of the heavy-route trade graph (peeling fixpoint vs idempotent unrolled oracle)",
+      tradeKCore, Some(kcoreOracle)))
 }
