@@ -275,7 +275,10 @@ object TrainingQueries {
     * honestly: the quantization itself still evaluates libm ln() — a
     * sub-ulp JVM-vs-DuckDB log difference landing exactly on a floor
     * boundary would flip lnfp by 1; the hash gate is the detector, and
-    * the 1e-9 grid makes a boundary landing correspondingly unlikely.
+    * LnBoundaryAudit measures the margin EXHAUSTIVELY over the full
+    * 16-bit hash lattice: the closest y ever gets to a floor boundary is
+    * 9 ulps (PLANS.md round 8) — a flip needs a 9-ulp cross-libm ln()
+    * divergence; real pairs differ by ≤1–2.
     * Empty docs (n_chars = 0) are excluded BEFORE the ratio — Spark's
     * Divide yields NULL where DuckDB yields -infinity, so the guard is
     * mirrored in the oracle. Top-K per language. 100 TB: narrow per-row
