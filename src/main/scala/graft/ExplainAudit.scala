@@ -34,10 +34,11 @@ object ExplainAudit {
       // product), single-pass COO featurizer (window nnz, one Generate)
       // (NOT x20/x65/x66/x67: eager localCheckpoint at construction, like x63.)
       "x29_sorted_neighborhood", "x21_feature_hashing", "q51_ivm_agg",
-      // round-8 shapes: two-round PRF over SHARED postings subplans. The
+      // round-8 shapes: two-round PRF over SHARED postings subplans (the
       // static plan prints the duplicates — runtime reuse is AQE's stage
-      // cache, measured by ReuseAudit (ReusedQueryStage in the final plan).
-      "x84_prf_expansion")
+      // cache, measured by ReuseAudit), delta-rule IVM join terms, and the
+      // distinct-gram novelty join (TF-IDF-family two-shuffle shape).
+      "x84_prf_expansion", "q52_ivm_join", "x97_ngram_novelty")
     names.foreach { n =>
       println(s"\n===== $n =====")
       Registry.byName(n).fn(spark, dir).explain("formatted")

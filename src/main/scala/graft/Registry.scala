@@ -28,7 +28,8 @@ object Registry {
       queries.ConnectorQueries.defs ++
       queries.PipelineQueries.defs ++
       queries.TrainingQueries.defs ++
-      queries.RetrievalQueries.defs
+      queries.RetrievalQueries.defs ++
+      queries.Round8Queries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

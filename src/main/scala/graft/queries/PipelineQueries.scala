@@ -142,7 +142,7 @@ object PipelineQueries {
     * SFs, so the result is calibration-robust. */
   private val ContamGram = 32
   private val ContamWindow = 4
-  private val ContamMinShared = 2
+  private[queries] val ContamMinShared = 2
 
   /** Decontamination — flag training documents that overlap an evaluation
     * set, the check every serious pretraining corpus runs before shipping.
@@ -175,7 +175,7 @@ object PipelineQueries {
   /** Contamination CTE chain (fingerprint → eval/train split), reused by
     * x51 and the x91 capstone. CTE names are disjoint from the minhash
     * chain in [[DedupQueries.minhashCtes]] so the two compose in one WITH. */
-  private val contamCtes =
+  private[queries] val contamCtes =
     s"""fph AS (SELECT doc_id,
        |             list_transform(range(1, greatest(length(text) - ${ContamGram - 1}, 1) + 1),
        |                            i -> md5(substr(text, CAST(i AS INTEGER), $ContamGram))) AS hs
