@@ -29,7 +29,8 @@ object Registry {
       queries.PipelineQueries.defs ++
       queries.TrainingQueries.defs ++
       queries.RetrievalQueries.defs ++
-      queries.Round8Queries.defs
+      queries.Round8Queries.defs ++
+      queries.AnalyticsQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,162 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.queries.QueryUtil.{halfUp, halfUp4}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence- and market-analytics tier — the classic mining operators a
+  * warehouse team runs beside the ETL: association rules over order
+  * baskets, Markov transition matrices over event streams, and market
+  * concentration (HHI) reports. All ratios follow the exact-integer-
+  * numerator recipe: counts and cents stay integral until one final
+  * double division that both engines perform on bit-identical inputs. */
+object AnalyticsQueries {
+
+  /** Pair support threshold: keep brand pairs co-occurring in >= 1% of
+    * baskets (`pc * 100 >= n` — integer predicate, no float epsilon). */
+  private val SupPct = 1
+
+  /** q56: association rules — market-basket mining on order baskets with
+    * items = part brands (25-value domain). For every ordered brand pair
+    * (a < b) above [[SupPct]]% support: support, confidence(a→b), and
+    * lift, all as exact integer ratios divided once at the end.
+    * Scale: the pair generator is a SELF-JOIN ON THE BASKET KEY — cost is
+    * sum over baskets of C(k,2) with k = distinct items per basket
+    * (bounded by the 25-brand domain), never |items|². The brand-count
+    * side is a 25-row broadcast. Lift numerator `pc * n` stays in int64
+    * through ~SF100 (pc, n < 3e9). */
+  def associationRules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val items = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey")
+      .join(broadcast(Tables.part(spark, dir).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("o"), $"p_brand".as("b")).distinct()
+    val nDf = items.agg(count_distinct($"o").as("n")) // scalar, broadcast below
+    val counts = items.groupBy($"b").agg(count(lit(1)).as("cb")) // 25 rows
+    val pairs = items.as("x").join(items.as("y"), $"x.o" === $"y.o")
+      .filter($"x.b" < $"y.b")
+      .groupBy($"x.b".as("brand_a"), $"y.b".as("brand_b"))
+      .agg(count(lit(1)).as("n_pair"))
+    pairs.crossJoin(broadcast(nDf))
+      .filter($"n_pair" * 100 >= $"n" * SupPct)
+      .join(broadcast(counts.withColumnRenamed("b", "brand_a")
+        .withColumnRenamed("cb", "ca")), Seq("brand_a"))
+      .join(broadcast(counts.withColumnRenamed("b", "brand_b")), Seq("brand_b"))
+      .select($"brand_a", $"brand_b", $"n_pair",
+        halfUp4($"n_pair".cast("double") / $"n".cast("double")).as("support"),
+        halfUp4($"n_pair".cast("double") / $"ca".cast("double")).as("confidence"),
+        halfUp4(($"n_pair" * $"n").cast("double") / ($"ca" * $"cb").cast("double"))
+          .as("lift"))
+      .orderBy("brand_a", "brand_b")
+  }
+
+  private val associationRulesOracle =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b
+       |               FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |n AS (SELECT count(DISTINCT o) AS n FROM items),
+       |cnt AS (SELECT b, count(*) AS cb FROM items GROUP BY b),
+       |pairs AS (SELECT x.b AS brand_a, y.b AS brand_b, count(*) AS n_pair
+       |          FROM items x JOIN items y ON x.o = y.o AND x.b < y.b
+       |          GROUP BY x.b, y.b)
+       |SELECT brand_a, brand_b, n_pair,
+       |       floor((CAST(n_pair AS DOUBLE) / CAST(n.n AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS support,
+       |       floor((CAST(n_pair AS DOUBLE) / CAST(ca.cb AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS confidence,
+       |       floor((CAST(n_pair * n.n AS DOUBLE) / CAST(ca.cb * cb.cb AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS lift
+       |FROM pairs, n
+       |JOIN cnt ca ON ca.b = brand_a
+       |JOIN cnt cb ON cb.b = brand_b
+       |WHERE n_pair * 100 >= n.n * $SupPct
+       |ORDER BY brand_a, brand_b""".stripMargin
+
+  /** q57: Markov transition matrix — per-user event streams ordered by
+    * (ts, event_id), lag(1) pairs (prev → next) counted globally, row-
+    * normalized into transition probabilities (5×5 event-type domain).
+    * The per-prev total is a window sum over the 25-row transition frame,
+    * not the event stream. Scale: one keyed window (the same
+    * user-partitioned sort q22/q44 already run) + one tiny aggregate;
+    * the normalization never touches the big table. */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val t = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type".as("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    t.withColumn("tot", sum($"n_trans").over(Window.partitionBy($"prev_type")))
+      .select($"prev_type", $"next_type", $"n_trans",
+        halfUp4($"n_trans".cast("double") / $"tot".cast("double")).as("p_trans"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  private val markovTransitionsOracle =
+    """WITH s AS (SELECT event_type,
+      |             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |           FROM events),
+      |t AS (SELECT prev_type, event_type AS next_type, count(*) AS n_trans
+      |      FROM s WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type)
+      |SELECT prev_type, next_type, n_trans,
+      |       floor((CAST(n_trans AS DOUBLE)
+      |              / CAST(sum(n_trans) OVER (PARTITION BY prev_type) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS p_trans
+      |FROM t
+      |ORDER BY prev_type, next_type""".stripMargin
+
+  /** q58: market concentration — per nation, the Herfindahl–Hirschman
+    * index of customer revenue shares plus the top-customer share. The
+    * HHI numerator Σc² is summed EXACTLY (decimal(38,0) in Spark, HUGEINT
+    * in the oracle — int64 would overflow past ~SF0.1) and converted to
+    * double once; shares divide bit-identical integers, so no
+    * order-dependent float summation anywhere. Scale: one groupBy per
+    * customer, one per nation; the nation frame is 25 rows. */
+  def concentrationHhi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("c"))
+    val perNation = cents
+      .join(Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_cust"),
+        sum($"c").as("t"),
+        sum($"c".cast("decimal(38,0)") * $"c".cast("decimal(38,0)")).as("ssq"),
+        max($"c").as("mx"))
+    perNation.select($"n_name", $"n_cust",
+      ($"t".cast("double") / 100.0).as("revenue"),
+      halfUp($"ssq".cast("double") / ($"t".cast("double") * $"t".cast("double")), 6)
+        .as("hhi"),
+      halfUp($"mx".cast("double") / $"t".cast("double"), 6).as("top_share"))
+      .orderBy("n_name")
+  }
+
+  private val concentrationHhiOracle =
+    """WITH cents AS (SELECT o_custkey, sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS c
+      |               FROM orders GROUP BY o_custkey),
+      |per AS (SELECT n_name, count(*) AS n_cust, sum(c) AS t,
+      |          sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS ssq, max(c) AS mx
+      |        FROM cents
+      |        JOIN customer ON o_custkey = c_custkey
+      |        JOIN nation ON c_nationkey = n_nationkey
+      |        GROUP BY n_name)
+      |SELECT n_name, n_cust,
+      |       CAST(t AS DOUBLE) / 100.0 AS revenue,
+      |       floor((CAST(ssq AS DOUBLE) / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE))) * 1000000 + 0.5) / 1000000.0 AS hhi,
+      |       floor((CAST(mx AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000 + 0.5) / 1000000.0 AS top_share
+      |FROM per
+      |ORDER BY n_name""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q56_association_rules",
+      "Market-basket association rules (support/confidence/lift) over order×brand baskets",
+      associationRules, Some(associationRulesOracle)),
+    QueryDef("q57_markov_transitions",
+      "Row-normalized Markov transition matrix over per-user event sequences",
+      markovTransitions, Some(markovTransitionsOracle)),
+    QueryDef("q58_concentration_hhi",
+      "Per-nation revenue concentration: exact-numerator HHI + top-customer share",
+      concentrationHhi, Some(concentrationHhiOracle)))
+}
