@@ -149,6 +149,102 @@ object AnalyticsQueries {
       |FROM per
       |ORDER BY n_name""".stripMargin
 
+  /** q59: seasonal anomaly detection — per hour-of-week bucket (168
+    * rows), a mean/std baseline of event values and the count of events
+    * beyond 2σ. Values are half-up-quantized to integer hundredths FIRST,
+    * so every moment (Σq, Σq²) is an exact integer sum (order-free across
+    * partitions; Σq² in decimal/HUGEINT) and mean/var/σ/z are derived by
+    * the IDENTICAL IEEE op sequence in both engines — the |z| > 2 cut is
+    * then engine-stable with no float-summation drift channel. Scale: one
+    * 168-group aggregate + one broadcast join of the baseline back onto
+    * the stream; nothing else touches the big table. */
+  def seasonalAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(((dayofweek($"ts") - 1) * 24 + hour($"ts")).cast("long").as("how"),
+        floor($"value" * 100 + 0.5).cast("long").as("q"))
+    val base = ev.groupBy($"how")
+      .agg(count(lit(1)).as("n"), sum($"q").as("s"),
+        sum($"q".cast("decimal(38,0)") * $"q".cast("decimal(38,0)")).as("ssq"))
+      .withColumn("mean", $"s".cast("double") / $"n".cast("double"))
+      .withColumn("variance",
+        greatest($"ssq".cast("double") / $"n".cast("double") - $"mean" * $"mean",
+          lit(0.0)))
+      .withColumn("std", sqrt($"variance"))
+    ev.join(broadcast(base), Seq("how"))
+      .groupBy($"how")
+      .agg(count(lit(1)).as("n_events"),
+        halfUp4(first($"mean") / 100.0).as("mean_v"),
+        sum(($"std" > 0 &&
+          abs(($"q".cast("double") - $"mean") / $"std") > 2.0).cast("long"))
+          .as("n_anom"))
+      .orderBy("how")
+  }
+
+  private val seasonalAnomalyOracle =
+    """WITH ev AS (SELECT CAST(dayofweek(ts) * 24 + hour(ts) AS BIGINT) AS how,
+      |              CAST(floor(value * 100 + 0.5) AS BIGINT) AS q
+      |            FROM events),
+      |base AS (SELECT how, count(*) AS n, sum(q) AS s,
+      |           sum(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS ssq
+      |         FROM ev GROUP BY how),
+      |stats AS (SELECT how, n, s, ssq,
+      |            CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |            greatest(CAST(ssq AS DOUBLE) / CAST(n AS DOUBLE)
+      |                     - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+      |                       * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0) AS variance
+      |          FROM base)
+      |SELECT ev.how, count(*) AS n_events,
+      |       floor((mean / 100.0) * 10000 + 0.5) / 10000.0 AS mean_v,
+      |       CAST(sum(CASE WHEN sqrt(variance) > 0
+      |                      AND abs((CAST(q AS DOUBLE) - mean) / sqrt(variance)) > 2.0
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anom
+      |FROM ev JOIN stats ON ev.how = stats.how
+      |GROUP BY ev.how, mean, variance
+      |ORDER BY ev.how""".stripMargin
+
+  /** q60: CUSUM changepoint detection — daily revenue cents c_i, with the
+    * cumulative deviation kept EXACT by working in N-scaled integer units:
+    * S_k = Σ_{i≤k} (c_i·N − T) (N = #days, T = total cents) is a
+    * decimal/HUGEINT cumulative window sum, so the argmax |S_k| — the
+    * classic CUSUM changepoint — involves no float at all; S_k is
+    * converted to currency units (÷ N·100) only for display. Scale: the
+    * daily aggregate shuffles once; the cumulative window and the global
+    * max run on the DAYS-sized frame (~2.4k rows), not the orders table. */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, dir)
+      .groupBy(date_format($"o_orderdate", "yyyy-MM-dd").as("day"))
+      .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("c"))
+    val tot = daily.agg(count(lit(1)).as("nd"), sum($"c").as("t"))
+    val wCum = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cu = daily.crossJoin(broadcast(tot))
+      .withColumn("sk",
+        sum($"c".cast("decimal(38,0)") * $"nd" - $"t").over(wCum))
+    cu.withColumn("mx", max(abs($"sk")).over(Window.partitionBy()))
+      .select($"day", ($"c".cast("double") / 100.0).as("revenue"),
+        halfUp4($"sk".cast("double") / ($"nd".cast("double") * 100.0)).as("cusum"),
+        (abs($"sk") === $"mx").as("is_peak"))
+      .orderBy("day")
+  }
+
+  private val cusumChangepointOracle =
+    """WITH daily AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+      |                 sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS c
+      |               FROM orders GROUP BY 1),
+      |tot AS (SELECT count(*) AS nd, sum(c) AS t FROM daily),
+      |cu AS (SELECT day, c, nd,
+      |         sum(CAST(c AS HUGEINT) * nd - t)
+      |           OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS sk
+      |       FROM daily, tot)
+      |SELECT day, CAST(c AS DOUBLE) / 100.0 AS revenue,
+      |       floor((CAST(sk AS DOUBLE) / (CAST(nd AS DOUBLE) * 100.0)) * 10000 + 0.5) / 10000.0 AS cusum,
+      |       abs(sk) = max(abs(sk)) OVER () AS is_peak
+      |FROM cu
+      |ORDER BY day""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q56_association_rules",
       "Market-basket association rules (support/confidence/lift) over order×brand baskets",
@@ -158,5 +254,11 @@ object AnalyticsQueries {
       markovTransitions, Some(markovTransitionsOracle)),
     QueryDef("q58_concentration_hhi",
       "Per-nation revenue concentration: exact-numerator HHI + top-customer share",
-      concentrationHhi, Some(concentrationHhiOracle)))
+      concentrationHhi, Some(concentrationHhiOracle)),
+    QueryDef("q59_seasonal_anomaly",
+      "Hour-of-week seasonal baseline with exact-moment z-score anomaly counts",
+      seasonalAnomaly, Some(seasonalAnomalyOracle)),
+    QueryDef("q60_cusum_changepoint",
+      "Exact-integer CUSUM cumulative deviation over daily revenue with argmax changepoint",
+      cusumChangepoint, Some(cusumChangepointOracle)))
 }
