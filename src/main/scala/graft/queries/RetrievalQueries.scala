@@ -605,7 +605,187 @@ object RetrievalQueries {
        |WHERE rk <= $TopK
        |ORDER BY q_id, rk""".stripMargin
 
+  /** nDCG cutoff and the rank-discount table 1/log2(r+1) for r = 1..5,
+    * embedded as LITERALS (Scala Double.toString round-trips, DuckDB parses
+    * the same decimal to the same double) — the discount never touches
+    * libm log2 in either engine, removing the x56-style ln() boundary risk
+    * entirely for this query. */
+  private val NdcgK = 5
+  private val Disc: Seq[Double] = Seq(
+    1.0, 0.6309297535714575, 0.5, 0.43067655807339306, 0.38685280723454163)
+
+  private def discCol(rk: org.apache.spark.sql.Column) =
+    Disc.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (d, i)) =>
+      when(rk === (i + 1), lit(d)).otherwise(acc)
+    }
+  private def discSql(rk: String) =
+    s"CASE $rk " + Disc.zipWithIndex
+      .map { case (d, i) => s"WHEN ${i + 1} THEN $d" }.mkString(" ") +
+      " ELSE 0.0 END"
+
+  /** Graded gain 2^rel − 1 for rel = 1..3 (shared-term count capped at 3). */
+  private def gainCol(rel: org.apache.spark.sql.Column) =
+    when(rel === 1, lit(1)).when(rel === 2, lit(3)).otherwise(lit(7))
+  private val gainSql = "CASE rel WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END"
+
+  /** x87: nDCG@5 of the BM25 ranking — the standard graded-relevance
+    * retrieval metric. Judgments are derived from the data itself: rel(q,d)
+    * = min(3, #shared distinct terms), so every BM25 candidate is judged
+    * (rel ≥ 1) and the ideal ranking (IDCG) is the same judged set sorted
+    * by rel. Per-rank DCG terms (gain × literal discount) are half-up
+    * fixed-point quantized BEFORE the per-query sum — order-free integer
+    * sums, zero libm. Scale: the judged frame is the SAME inverted-index
+    * join BM25 already runs (AQE stage-reuses it, see [[Postings]]); the
+    * DCG/IDCG aggregates run on K·|queries| rows. */
+  def ndcgEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = postings(spark, dir)
+    val rel = p.qterms.join(p.tf, "t").filter($"doc_id" =!= $"q_id")
+      .groupBy($"q_id", $"doc_id")
+      .agg(least(count(lit(1)), lit(3L)).cast("int").as("rel"))
+    def termFp(rk: org.apache.spark.sql.Column, rel: org.apache.spark.sql.Column) =
+      floor(gainCol(rel).cast("double") * discCol(rk) * lit(1e6) + lit(0.5))
+        .cast("long")
+    val dcg = bm25Ranked(spark, p).filter($"rk" <= NdcgK)
+      .join(rel, Seq("q_id", "doc_id"))
+      .groupBy($"q_id").agg(sum(termFp($"rk", $"rel")).as("dcg_fp"))
+    val wIdeal = Window.partitionBy($"q_id").orderBy($"rel".desc, $"doc_id")
+    val ideal = rel.withColumn("irk", row_number().over(wIdeal))
+    val idcg = ideal.filter($"irk" <= NdcgK)
+      .groupBy($"q_id").agg(sum(termFp($"irk", $"rel")).as("idcg_fp"))
+    val nj = rel.groupBy($"q_id").agg(count(lit(1)).as("n_judged"))
+    dcg.join(idcg, "q_id").join(nj, "q_id")
+      .select($"q_id", $"n_judged",
+        QueryUtil.halfUp4($"dcg_fp".cast("double") / 1e6).as("dcg"),
+        QueryUtil.halfUp4($"idcg_fp".cast("double") / 1e6).as("idcg"),
+        QueryUtil.halfUp4($"dcg_fp".cast("double") / $"idcg_fp".cast("double"))
+          .as("ndcg"))
+      .orderBy("q_id")
+  }
+
+  private val ndcgOracle =
+    s"""WITH $bm25Ctes,
+       |rel AS (SELECT q.q_id, tf.doc_id, CAST(least(count(*), 3) AS INTEGER) AS rel
+       |        FROM qterms q JOIN tf ON tf.t = q.t AND tf.doc_id <> q.q_id
+       |        GROUP BY q.q_id, tf.doc_id),
+       |dcg AS (SELECT b.q_id,
+       |          sum(CAST(floor(CAST($gainSql AS DOUBLE) * (${discSql("rk")})
+       |                         * 1000000.0 + 0.5) AS BIGINT)) AS dcg_fp
+       |        FROM bmr b JOIN rel ON b.q_id = rel.q_id AND b.doc_id = rel.doc_id
+       |        WHERE rk <= $NdcgK GROUP BY b.q_id),
+       |ideal AS (SELECT q_id, rel,
+       |            row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, doc_id) AS irk
+       |          FROM rel),
+       |idcg AS (SELECT q_id,
+       |           sum(CAST(floor(CAST($gainSql AS DOUBLE) * (${discSql("irk")})
+       |                          * 1000000.0 + 0.5) AS BIGINT)) AS idcg_fp
+       |         FROM ideal WHERE irk <= $NdcgK GROUP BY q_id),
+       |nj AS (SELECT q_id, count(*) AS n_judged FROM rel GROUP BY q_id)
+       |SELECT dcg.q_id, n_judged,
+       |       floor((CAST(dcg_fp AS DOUBLE) / 1000000.0) * 10000 + 0.5) / 10000.0 AS dcg,
+       |       floor((CAST(idcg_fp AS DOUBLE) / 1000000.0) * 10000 + 0.5) / 10000.0 AS idcg,
+       |       floor((CAST(dcg_fp AS DOUBLE) / CAST(idcg_fp AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS ndcg
+       |FROM dcg JOIN idcg ON dcg.q_id = idcg.q_id
+       |JOIN nj ON dcg.q_id = nj.q_id
+       |ORDER BY dcg.q_id""".stripMargin
+
+  /** Hybrid fusion weights — TWO literals (not 1−α ad hoc) so both engines
+    * interpolate identical doubles. */
+  private val HybridAlpha = 0.6
+  private val HybridBeta = 0.4
+
+  /** x78: weighted-score hybrid fusion — the OTHER standard dense+sparse
+    * combiner beside RRF (x81): each arm's top-5 scores are min-max
+    * normalized PER QUERY over its own list, then blended
+    * α·dense + β·sparse on a full-outer join (fixed two-operand order, so
+    * both engines add identical doubles). A constant-score list normalizes
+    * to 1.0 (the max>min guard). Scale: each arm keeps its audited plan;
+    * normalization windows run over K-row per-query frames. */
+  def hybridWeighted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wq = Window.partitionBy($"q_id")
+    def norm(s: org.apache.spark.sql.Column) = {
+      val mn = min(s).over(wq); val mx = max(s).over(wq)
+      when(mx > mn, (s - mn) / (mx - mn)).otherwise(lit(1.0))
+    }
+    val dense = SimilarityQueries.cosineTopK(spark, dir)
+      .select($"q_id", $"vec_id".as("id"), $"rk".as("drk"), $"cosine")
+      .withColumn("dn", norm($"cosine")).drop("cosine")
+    val sparse = bm25TopK(spark, dir)
+      .select($"q_id", $"doc_id".as("id"), $"rk".as("srk"), $"score")
+      .withColumn("sn", norm($"score")).drop("score")
+    val wTop = Window.partitionBy($"q_id").orderBy($"hybrid".desc, $"id")
+    dense.join(sparse, Seq("q_id", "id"), "full")
+      .select($"q_id", $"id",
+        (lit(HybridAlpha) * coalesce($"dn", lit(0.0))
+          + lit(HybridBeta) * coalesce($"sn", lit(0.0))).as("hybrid"),
+        coalesce($"drk", lit(0)).as("dense_rk"),
+        coalesce($"srk", lit(0)).as("sparse_rk"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter($"rk" <= 3)
+      .select($"q_id", $"rk", $"id", QueryUtil.halfUp4($"hybrid").as("hybrid"),
+        $"dense_rk", $"sparse_rk")
+      .orderBy("q_id", "rk")
+  }
+
+  private val hybridOracle = {
+    val denseCte =
+      s"""e AS (SELECT vec_id, embedding,
+         |       sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+         |            i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+         |     FROM embeddings),
+         |dq AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qn FROM e WHERE vec_id % 100 = 0),
+         |dp AS (SELECT q_id, e.vec_id AS id,
+         |        round(list_sum(list_transform(range(1, len(qv) + 1),
+         |              i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) / (qn * e.nrm), 4) AS cosine
+         |      FROM e JOIN dq ON e.vec_id <> dq.q_id),
+         |dr AS (SELECT q_id, id, cosine,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, id) AS drk
+         |      FROM dp)""".stripMargin
+    s"""WITH $bm25Ctes,
+       |$denseCte,
+       |dtop AS (SELECT q_id, id, drk, cosine FROM dr WHERE drk <= $TopK),
+       |dnorm AS (SELECT q_id, id, drk,
+       |           CASE WHEN max(cosine) OVER (PARTITION BY q_id) > min(cosine) OVER (PARTITION BY q_id)
+       |                THEN (cosine - min(cosine) OVER (PARTITION BY q_id))
+       |                     / (max(cosine) OVER (PARTITION BY q_id) - min(cosine) OVER (PARTITION BY q_id))
+       |                ELSE 1.0 END AS dn
+       |         FROM dtop),
+       |stop AS (SELECT q_id, doc_id AS id, rk AS srk,
+       |           floor((CAST(score_fp AS DOUBLE) / 1000000.0) * 10000 + 0.5) / 10000.0 AS score
+       |         FROM bmr WHERE rk <= $TopK),
+       |snorm AS (SELECT q_id, id, srk,
+       |           CASE WHEN max(score) OVER (PARTITION BY q_id) > min(score) OVER (PARTITION BY q_id)
+       |                THEN (score - min(score) OVER (PARTITION BY q_id))
+       |                     / (max(score) OVER (PARTITION BY q_id) - min(score) OVER (PARTITION BY q_id))
+       |                ELSE 1.0 END AS sn
+       |         FROM stop),
+       |fused AS (SELECT coalesce(dnorm.q_id, snorm.q_id) AS q_id,
+       |            coalesce(dnorm.id, snorm.id) AS id,
+       |            $HybridAlpha * coalesce(dn, 0.0) + $HybridBeta * coalesce(sn, 0.0) AS hybrid,
+       |            coalesce(drk, 0) AS dense_rk,
+       |            coalesce(srk, 0) AS sparse_rk
+       |          FROM dnorm FULL OUTER JOIN snorm
+       |            ON dnorm.q_id = snorm.q_id AND dnorm.id = snorm.id),
+       |fr AS (SELECT q_id, id, hybrid, dense_rk, sparse_rk,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY hybrid DESC, id) AS rk
+       |      FROM fused)
+       |SELECT q_id, CAST(rk AS INTEGER) AS rk, id,
+       |       floor(hybrid * 10000 + 0.5) / 10000.0 AS hybrid,
+       |       CAST(dense_rk AS INTEGER) AS dense_rk,
+       |       CAST(sparse_rk AS INTEGER) AS sparse_rk
+       |FROM fr
+       |WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x87_ndcg_eval",
+      "nDCG@5 of the BM25 ranking vs data-derived graded relevance (literal discounts, zero libm)",
+      ndcgEval, Some(ndcgOracle)),
+    QueryDef("x78_hybrid_weighted",
+      "weighted-score hybrid fusion: per-query min-max normalized dense+BM25 blend",
+      hybridWeighted, Some(hybridOracle)),
     QueryDef("x89_ql_topk",
       "Dirichlet query-likelihood retrieval (LM scoring, inverted-index join)",
       qlTopK, Some(qlOracle)),
