@@ -30,7 +30,8 @@ object Registry {
       queries.TrainingQueries.defs ++
       queries.RetrievalQueries.defs ++
       queries.Round8Queries.defs ++
-      queries.AnalyticsQueries.defs
+      queries.AnalyticsQueries.defs ++
+      queries.CurationQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

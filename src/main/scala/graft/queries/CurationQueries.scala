@@ -1,0 +1,149 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.queries.QueryUtil.halfUp4
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-curation tier — the model-based corpus selection operators that sit
+  * between dedup and training: DSIR-style importance weighting (Xie et al.
+  * 2023: hashed-n-gram log-likelihood ratio of a target vs background
+  * distribution) and a hashed-feature linear quality classifier (the
+  * fasttext-shaped gate most corpus pipelines run). Both are STATELESS per
+  * row plus a 64-row broadcast model — the property that makes them viable
+  * at 100 TB, unlike dictionary featurizers whose vocab grows with the
+  * corpus. The classifier is fully exact-integer (milli-weights, no
+  * floats); DSIR's per-bucket ln() follows the x56/x59 quantize-half-up-
+  * to-fixed-point-then-integer-sum recipe, with the same documented
+  * residual libm-boundary risk and the hash gate as detector. */
+object CurationQueries {
+
+  private val NBuckets = 64
+
+  /** md5-salted token hash to a [0, 65535] integer — the x21 recipe. */
+  private def h16(salt: String, c: Column): Column =
+    conv(substring(md5(concat_ws("|", lit(salt), c)), 1, 4), 16, 10).cast("long")
+
+  /** The same 4-nibble hex-to-int conversion in DuckDB SQL. */
+  private def h16Sql(salt: String, expr: String): String = {
+    val h = s"md5(concat_ws('|', '$salt', $expr))"
+    (1 to 4).map(i => s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1)")
+      .reduce((a, b) => s"($a * 16 + $b)")
+  }
+
+  /** x98: DSIR importance weights — target distribution = `lang = 'en'`
+    * documents, background = the rest. Hashed-unigram bucket counts are
+    * add-1 smoothed over a full 64-bucket spine (so zero-count buckets
+    * contribute, exactly as the estimator requires), the per-bucket LLR
+    * ln((ct·Tb)/(cb·Tt)) takes ONE ln() of a ratio of exact integer
+    * products and is quantized half-up to 1e-6 fixed point, and each doc's
+    * importance is the exact integer sum of its tokens' LLR_fp — the DSIR
+    * resampling key. keep = sum > 0 is an integer predicate. Scale: two
+    * passes of stateless hashing, one 64-row broadcast; integer products
+    * stay under int64 through ~SF100 (counts < 1e8). */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("tok"))
+      .withColumn("bucket", h16("dsir", $"tok") % NBuckets)
+    val spine = spark.range(NBuckets).select($"id".as("bucket"))
+    def smoothed(df: DataFrame) = spine
+      .join(df.groupBy($"bucket").agg(count(lit(1)).as("c")), Seq("bucket"), "left")
+      .select($"bucket", (coalesce($"c", lit(0L)) + 1L).as("c1"))
+    val ct = smoothed(tok.filter($"lang" === "en")).withColumnRenamed("c1", "ct")
+    val cb = smoothed(tok.filter($"lang" =!= "en")).withColumnRenamed("c1", "cb")
+    val totals = ct.join(cb, "bucket")
+      .agg(sum($"ct").as("tt"), sum($"cb").as("tb"))
+    val llr = ct.join(cb, "bucket").crossJoin(broadcast(totals))
+      .select($"bucket",
+        floor(log(($"ct" * $"tb").cast("double") / ($"cb" * $"tt").cast("double"))
+          * lit(1e6) + lit(0.5)).cast("long").as("llr_fp"))
+    tok.join(broadcast(llr), "bucket")
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_tok"), sum($"llr_fp").as("s_fp"))
+      .select($"doc_id", $"lang", $"n_tok",
+        halfUp4($"s_fp".cast("double") / ($"n_tok".cast("double") * lit(1e6)))
+          .as("avg_llr"),
+        ($"s_fp" > 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val dsirWeightsOracle =
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT doc_id, lang,
+       |         CAST(${h16Sql("dsir", "tok")} % $NBuckets AS BIGINT) AS bucket
+       |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents)),
+       |spine AS (SELECT CAST(range AS BIGINT) AS bucket FROM range($NBuckets)),
+       |ct AS (SELECT spine.bucket, coalesce(c, 0) + 1 AS ct FROM spine
+       |       LEFT JOIN (SELECT bucket, count(*) AS c FROM tok
+       |                  WHERE lang = 'en' GROUP BY bucket) t USING (bucket)),
+       |cb AS (SELECT spine.bucket, coalesce(c, 0) + 1 AS cb FROM spine
+       |       LEFT JOIN (SELECT bucket, count(*) AS c FROM tok
+       |                  WHERE lang <> 'en' GROUP BY bucket) t USING (bucket)),
+       |tot AS (SELECT sum(ct) AS tt, sum(cb) AS tb FROM ct JOIN cb USING (bucket)),
+       |llr AS (SELECT bucket,
+       |          CAST(floor(ln(CAST(ct * tb AS DOUBLE) / CAST(cb * tt AS DOUBLE))
+       |                     * 1000000.0 + 0.5) AS BIGINT) AS llr_fp
+       |        FROM ct JOIN cb USING (bucket), tot)
+       |SELECT doc_id, lang, count(*) AS n_tok,
+       |       floor((CAST(sum(llr_fp) AS DOUBLE)
+       |              / (CAST(count(*) AS DOUBLE) * 1000000.0)) * 10000 + 0.5) / 10000.0 AS avg_llr,
+       |       sum(llr_fp) > 0 AS keep
+       |FROM tok JOIN llr USING (bucket)
+       |GROUP BY doc_id, lang
+       |ORDER BY doc_id""".stripMargin
+
+  /** x99: hashed-feature linear quality classifier — the fasttext-shaped
+    * gate, fully EXACT: tokens hash to 64 buckets ("qc" salt), each bucket
+    * carries a deterministic integer milli-weight in [−1000, 1000] derived
+    * by hashing the bucket id ("qw" salt — a fixed frozen model, the
+    * deployment shape where weights ship as config), and a doc's score is
+    * the exact integer sum of its tokens' milli-weights. score =
+    * Σw/(1000·n_tok) divides two exact integers once; keep = Σw > 0 is an
+    * integer predicate. No ln, no float accumulation — this classifier has
+    * ZERO cross-engine risk. Scale: stateless hashing + a 64-row broadcast
+    * weight table; int64 holds through any SF (|Σw| ≤ 1000·n_tok). */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", explode(split($"text", " ")).as("tok"))
+      .withColumn("bucket", h16("qc", $"tok") % NBuckets)
+    val weights = spark.range(NBuckets).select($"id".as("bucket"))
+      .select($"bucket",
+        (h16("qw", $"bucket".cast("string")) % 2001 - 1000).as("w"))
+    tok.join(broadcast(weights), "bucket")
+      .groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("n_tok"), sum($"w").as("s"))
+      .select($"doc_id", $"source", $"n_tok",
+        halfUp4($"s".cast("double") / ($"n_tok".cast("double") * lit(1000.0)))
+          .as("score"),
+        ($"s" > 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val qualityClassifierOracle =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source,
+       |         CAST(${h16Sql("qc", "tok")} % $NBuckets AS BIGINT) AS bucket
+       |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents)),
+       |w AS (SELECT CAST(range AS BIGINT) AS bucket,
+       |        CAST(${h16Sql("qw", "CAST(range AS VARCHAR)")} % 2001 - 1000 AS BIGINT) AS w
+       |      FROM range($NBuckets))
+       |SELECT doc_id, source, count(*) AS n_tok,
+       |       floor((CAST(sum(w) AS DOUBLE)
+       |              / (CAST(count(*) AS DOUBLE) * 1000.0)) * 10000 + 0.5) / 10000.0 AS score,
+       |       sum(w) > 0 AS keep
+       |FROM tok JOIN w USING (bucket)
+       |GROUP BY doc_id, source
+       |ORDER BY doc_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("x98_dsir_weights",
+      "DSIR importance weights: hashed-unigram LLR of target-vs-background, fixed-point sums",
+      dsirWeights, Some(dsirWeightsOracle)),
+    QueryDef("x99_quality_classifier",
+      "Hashed-feature linear quality gate with frozen integer milli-weights (fully exact)",
+      qualityClassifier, Some(qualityClassifierOracle)))
+}
