@@ -49,6 +49,17 @@ object GraphPlanAudit {
     println("\n===== bfsHops: one frontier expansion (frontier ⋈ edges → distinct → anti-join) =====")
     Graph.bfsStep(frontier, edges.select(col("src"), col("dst")), visited)
       .explain("formatted")
+
+    val dist = nd.withColumn("d", lit(0L))
+    println("\n===== sssp: one Bellman-Ford relaxation (dist ⋈ edges → union → per-node min) =====")
+    Graph.ssspStep(dist, edges).explain("formatted")
+
+    val eDec = edges.select(col("src"), col("dst"),
+      col("w").cast("decimal(38,0)").as("w"))
+    val hubs = nd.select(col("node"), lit(1).cast("decimal(38,0)").as("hub"))
+    println("\n===== hits: one half-sweep (scores ⋈ edges on src → per-dst agg → node left join) =====")
+    Graph.hitsHalfStep(nd, eDec, hubs, fromCol = "src", toCol = "dst",
+      inName = "hub", outName = "auth").explain("formatted")
     spark.stop()
   }
 }

@@ -199,4 +199,101 @@ object Graph {
     frontier.join(e, frontier("node") === e("src"))
       .select(e("dst").as("node")).distinct()
       .join(visited.select("node"), Seq("node"), "left_anti")
+
+  /** Weighted single-source (or multi-source) shortest paths by
+    * Bellman-Ford relaxation to a FIXPOINT — exact by construction: path
+    * costs are integer sums of positive long weights, each round takes the
+    * elementwise min, and min/sum never round. A DuckDB oracle unrolls the
+    * same relaxation a fixed number of rounds; a round at the fixpoint is
+    * IDEMPOTENT (relaxing a settled table changes nothing), so the oracle
+    * may unroll MORE rounds than the data needs — the x68 k-core margin
+    * trick. Convergence is detected by the (count, Σd) signature: a
+    * relaxation either adds a reachable node (count grows) or lowers some
+    * distance (Σd strictly shrinks), so an unchanged signature IS the
+    * fixpoint.
+    *
+    * Scale (100 TB): each round is one dist ⋈ edges equi-join on `src` +
+    * one min-aggregation on `node` — the same keyed-shuffle budget as a
+    * [[pageRank]] round; driver loop with `localCheckpoint` truncation,
+    * O(shortest-path-diameter) rounds. Unreachable nodes are absent from
+    * the output (mirror of the recursive-walk semantics).
+    *
+    * @param sources one column `node` (distance-0 seeds)
+    * @param edges   columns `src`, `dst`, `w` (positive long weights;
+    *                symmetrize for undirected)
+    * @param maxIter safety rail — throws if still relaxing after this */
+  def sssp(sources: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w")).localCheckpoint(true)
+    var dist = sources.select(col("node")).distinct()
+      .withColumn("d", lit(0L)).localCheckpoint(true)
+    var sig = (0L, -1L) // impossible initial signature
+    var stable = false
+    var iter = 0
+    while (!stable && iter < maxIter) {
+      val nxt = ssspStep(dist, e).localCheckpoint(true)
+      val row = nxt.agg(count(lit(1)), coalesce(sum("d"), lit(0L))).head()
+      val nsig = (row.getLong(0), row.getLong(1))
+      stable = nsig == sig
+      dist = nxt
+      sig = nsig
+      iter += 1
+    }
+    require(stable, s"sssp: still relaxing after $maxIter rounds")
+    dist
+  }
+
+  /** One Bellman-Ford relaxation of [[sssp]] — the loop body, shared with
+    * [[graft.GraphPlanAudit]]: dist ⋈ edges on src producing (dst, d+w)
+    * candidates, unioned with the current table, min per node. */
+  private[graft] def ssspStep(dist: DataFrame, e: DataFrame): DataFrame =
+    dist.unionByName(
+      e.join(dist.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("d") + col("w")).as("d")))
+      .groupBy("node").agg(min("d").as("d"))
+
+  /** HITS hubs & authorities over a weighted DIRECTED edge list — kept
+    * EXACT by running the UNNORMALIZED power iteration in decimal(38,0)
+    * (the oracle's HUGEINT): h₀ = 1, aₖ(v) = Σ_{u→v} w·hₖ₋₁(u),
+    * hₖ(u) = Σ_{u→v} w·aₖ(v). Skipping the per-round normalization is the
+    * standard trick for a fixed small iteration budget — the ranking (and
+    * any ratio of scores) is invariant to the global scale factor, and
+    * integer growth stays under 38 digits for iters ≤ 2 up to ~SF100
+    * (scores grow as (Σw)^(2·iters)); callers normalize once at the end.
+    *
+    * @return (node, auth, hub) with decimal(38,0) scores; nodes with no
+    *         in-(resp. out-)edges score 0. */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e = edges
+      .select(col("src"), col("dst"), col("w").cast(dec).as("w"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    var h = nodes.select(col("node"), lit(1).cast(dec).as("hub"))
+    var a = nodes.select(col("node"), lit(0).cast(dec).as("auth"))
+    for (_ <- 1 to iters) {
+      a = hitsHalfStep(nodes, e, h, fromCol = "src", toCol = "dst",
+        inName = "hub", outName = "auth").localCheckpoint(true)
+      h = hitsHalfStep(nodes, e, a, fromCol = "dst", toCol = "src",
+        inName = "auth", outName = "hub").localCheckpoint(true)
+    }
+    a.join(h, "node")
+  }
+
+  /** One half-sweep of [[hits]] (authority update when from=src→to=dst,
+    * hub update when reversed): scores ⋈ edges on the `from` endpoint,
+    * w·score contributions aggregated on the `to` endpoint, left-joined
+    * onto the node set with 0 for no-edge nodes. */
+  private[graft] def hitsHalfStep(nodes: DataFrame, e: DataFrame,
+                                  scores: DataFrame, fromCol: String,
+                                  toCol: String, inName: String,
+                                  outName: String): DataFrame = {
+    val contrib = e.join(scores.withColumnRenamed("node", fromCol), fromCol)
+      .select(col(toCol).as("node"), (col("w") * col(inName)).as("c"))
+      .groupBy("node").agg(sum(col("c")).as(outName))
+    nodes.join(contrib, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col(outName), lit(0)).cast("decimal(38,0)").as(outName))
+  }
 }

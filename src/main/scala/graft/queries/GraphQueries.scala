@@ -338,7 +338,149 @@ object GraphQueries {
       |ORDER BY p.shared DESC, p.s1, p.s2
       |LIMIT 30""".stripMargin
 
+  /** Oracle unroll budget for x69 — the x68 idempotence-margin trick:
+    * Bellman-Ford relaxation at the fixpoint changes nothing, so the
+    * oracle always runs [[SsspRounds]] rounds while Spark relaxes to its
+    * detected fixpoint; they agree iff the true fixpoint arrives within
+    * the budget (otherwise the hash gate fails — detected, never silently
+    * accepted). The dense trade graph settles in ~3 rounds at every SF. */
+  private val SsspRounds = 8
+
+  /** x69: weighted single-source shortest paths (Bellman-Ford fixpoint)
+    * from nation 0 over the full symmetric trade graph, edge length =
+    * lineitem count on the route. Pure integer path costs — min/sum never
+    * round, so the unrolled oracle matches bit for bit. Scale: the edge
+    * aggregation is the same distributed 4-way join as x63; each
+    * relaxation round is one keyed equi-join + min-aggregation on the
+    * aggregated (tiny) graph. */
+  def tradeSssp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val trade = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey")
+      .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey")),
+        $"l_suppkey" === $"s_suppkey")
+      .filter($"c_nationkey" =!= $"s_nationkey")
+      .select($"c_nationkey".as("cn"), $"s_nationkey".as("sn"))
+    val edges = trade.select($"cn".as("src"), $"sn".as("dst"))
+      .unionByName(trade.select($"sn".as("src"), $"cn".as("dst")))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val sources = Tables.nation(spark, dir)
+      .filter($"n_nationkey" === 0).select($"n_nationkey".as("node"))
+    Graph.sssp(sources, edges, maxIter = SsspRounds)
+      .join(broadcast(Tables.nation(spark, dir)), $"node" === $"n_nationkey")
+      .select($"node".cast("long").as("nationkey"), $"n_name", $"d".as("dist"))
+      .orderBy("nationkey")
+  }
+
+  private val ssspOracle: String = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS MATERIALIZED (
+         |  SELECT node, min(d) AS d FROM (
+         |    SELECT node, d FROM $prev
+         |    UNION ALL
+         |    SELECT e.dst AS node, r.d + e.w AS d
+         |    FROM $prev r JOIN e0 e ON e.src = r.node)
+         |  GROUP BY node)""".stripMargin
+    val rounds = (1 to SsspRounds)
+      .map(i => round(s"d${i - 1}", s"d$i")).mkString(",\n")
+    s"""WITH dir0 AS MATERIALIZED (
+       |  SELECT c.c_nationkey AS cn, s.s_nationkey AS sn
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  WHERE c.c_nationkey <> s.s_nationkey),
+       |sym AS (SELECT cn AS src, sn AS dst FROM dir0 UNION ALL SELECT sn, cn FROM dir0),
+       |e0 AS MATERIALIZED (SELECT src, dst, count(*) AS w FROM sym GROUP BY 1, 2),
+       |d0 AS (SELECT n_nationkey AS node, CAST(0 AS BIGINT) AS d
+       |       FROM nation WHERE n_nationkey = 0),
+       |$rounds
+       |SELECT CAST(t.node AS BIGINT) AS nationkey, nat.n_name, t.d AS dist
+       |FROM d$SsspRounds t JOIN nation nat ON t.node = nat.n_nationkey
+       |ORDER BY nationkey""".stripMargin
+  }
+
+  /** HITS sweep budget (scores grow as (Σw)^(2·iters) — 2 sweeps stay
+    * under HUGEINT/decimal(38,0) through ~SF100). */
+  private val HitsIters = 2
+
+  /** x77: HITS hubs & authorities over the DIRECTED trade graph
+    * (customer-nation → supplier-nation, weight = lineitem count): hub
+    * nations concentrate buying power toward authoritative supplier
+    * nations. Unnormalized exact power iteration in decimal/HUGEINT (see
+    * [[Graph.hits]]); scores are normalized ONCE at the end by the global
+    * max — a single division of two bit-identical exact integers, so the
+    * relative scores carry no accumulated float error. */
+  def tradeHits(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey")
+      .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey")),
+        $"l_suppkey" === $"s_suppkey")
+      .filter($"c_nationkey" =!= $"s_nationkey")
+      .groupBy($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val scores = Graph.hits(edges, HitsIters)
+    val mx = scores.agg(max($"auth").as("ma"), max($"hub").as("mh"))
+    scores.crossJoin(broadcast(mx))
+      .join(broadcast(Tables.nation(spark, dir)), $"node" === $"n_nationkey")
+      .select($"node".cast("long").as("nationkey"), $"n_name",
+        QueryUtil.halfUp($"auth".cast("double") / $"ma".cast("double"), 6)
+          .as("auth_rel"),
+        QueryUtil.halfUp($"hub".cast("double") / $"mh".cast("double"), 6)
+          .as("hub_rel"))
+      .orderBy("nationkey")
+  }
+
+  private val hitsOracle: String = {
+    def half(scoreTbl: String, scoreCol: String, fromCol: String,
+             toCol: String, cur: String, outCol: String): String =
+      s"""$cur AS MATERIALIZED (
+         |  SELECT n.node, coalesce(s.v, CAST(0 AS HUGEINT)) AS $outCol
+         |  FROM n LEFT JOIN (
+         |    SELECT e.$toCol AS node, sum(e.w * r.$scoreCol) AS v
+         |    FROM e0 e JOIN $scoreTbl r ON e.$fromCol = r.node
+         |    GROUP BY e.$toCol) s ON n.node = s.node)""".stripMargin
+    val sweeps = (1 to HitsIters).map { i =>
+      val hPrev = if (i == 1) "h0" else s"h${i - 1}"
+      half(hPrev, "hub", "src", "dst", s"a$i", "auth") + ",\n" +
+        half(s"a$i", "auth", "dst", "src", s"h$i", "hub")
+    }.mkString(",\n")
+    s"""WITH dir0 AS MATERIALIZED (
+       |  SELECT c.c_nationkey AS cn, s.s_nationkey AS sn
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  WHERE c.c_nationkey <> s.s_nationkey),
+       |e0 AS MATERIALIZED (SELECT cn AS src, sn AS dst, count(*) AS w
+       |                    FROM dir0 GROUP BY 1, 2),
+       |n AS MATERIALIZED (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+       |h0 AS (SELECT node, CAST(1 AS HUGEINT) AS hub FROM n),
+       |$sweeps,
+       |mx AS (SELECT max(auth) AS ma FROM a$HitsIters),
+       |mh AS (SELECT max(hub) AS mh FROM h$HitsIters)
+       |SELECT CAST(a.node AS BIGINT) AS nationkey, nat.n_name,
+       |       floor((CAST(a.auth AS DOUBLE) / CAST(mx.ma AS DOUBLE)) * 1000000 + 0.5) / 1000000.0 AS auth_rel,
+       |       floor((CAST(h.hub AS DOUBLE) / CAST(mh.mh AS DOUBLE)) * 1000000 + 0.5) / 1000000.0 AS hub_rel
+       |FROM a$HitsIters a JOIN h$HitsIters h ON a.node = h.node
+       |JOIN nation nat ON a.node = nat.n_nationkey, mx, mh
+       |ORDER BY nationkey""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x69_sssp_weighted",
+      "Bellman-Ford weighted shortest paths from nation 0 (integer costs, idempotent unrolled oracle)",
+      tradeSssp, Some(ssspOracle)),
+    QueryDef("x77_hits",
+      "HITS hubs/authorities over the directed trade graph (exact decimal power iteration)",
+      tradeHits, Some(hitsOracle)),
     QueryDef("x66_cosupply_projection",
       "bipartite projection: supplier co-supply graph with degree-capped pairing + exact-rational Jaccard",
       coSupplyProjection, Some(coSupplyOracle)),
