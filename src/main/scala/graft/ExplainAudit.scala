@@ -38,7 +38,17 @@ object ExplainAudit {
       // static plan prints the duplicates — runtime reuse is AQE's stage
       // cache, measured by ReuseAudit), delta-rule IVM join terms, and the
       // distinct-gram novelty join (TF-IDF-family two-shuffle shape).
-      "x84_prf_expansion", "q52_ivm_join", "x97_ngram_novelty")
+      "x84_prf_expansion", "q52_ivm_join", "x97_ngram_novelty",
+      // late-round-8 shapes: basket self-join pair mining (broadcast
+      // scalar + 25-row count sides), keyed lag window + tiny normalizer,
+      // exact-moment baselines broadcast back onto the stream, stateless
+      // hash featurizers with 64-row broadcast models, fixed-point DCG
+      // over the shared postings frame, min-max window fusion arms
+      // (NOT x69/x77: eager localCheckpoint fixpoints, like x63 —
+      // per-round plans audited by GraphPlanAudit instead.)
+      "q56_association_rules", "q57_markov_transitions", "q59_seasonal_anomaly",
+      "q60_cusum_changepoint", "x98_dsir_weights", "x99_quality_classifier",
+      "x87_ndcg_eval", "x78_hybrid_weighted")
     names.foreach { n =>
       println(s"\n===== $n =====")
       Registry.byName(n).fn(spark, dir).explain("formatted")
