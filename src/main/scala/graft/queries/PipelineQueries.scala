@@ -426,6 +426,9 @@ object PipelineQueries {
     val kept = corpusKept(spark, dir, Seq(
       TrainingQueries.repetitionKeepIds(spark, dir),
       TrainingQueries.surprisalKeepIds(spark, dir)))
+    // NO reuse-point repartition on k2 (tried, reverted): unlike x16, the
+    // census/rebalance fan-out does not re-run the upstream pipeline —
+    // measured no change at sf0.1, so the extra exchange is pure cost.
     val k2 = kept.join(Tables.documents(spark, dir).select($"doc_id", $"lang"), "doc_id")
     val counts = k2.groupBy($"lang").agg(count(lit(1)).as("n_in"))
     val nmin = counts.agg(min($"n_in").as("n_min"))
