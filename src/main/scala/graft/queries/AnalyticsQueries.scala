@@ -245,7 +245,171 @@ object AnalyticsQueries {
       |FROM cu
       |ORDER BY day""".stripMargin
 
+  /** q61: data-quality report — the referential-integrity / key-duplication
+    * / null-rate sweep every ingestion runs before publishing a snapshot,
+    * as ONE unioned report: orphan FKs at each edge of the schema
+    * (anti-join counts), duplicate primary keys, and null counts on
+    * NOT-NULL-expected columns. All integer counts; the rate divides two
+    * exact integers once. Scale: each check is one anti-join or aggregate
+    * with the dimension side broadcast where it fits (nation); fact-to-fact
+    * checks shuffle on the FK — the join key they would shuffle on anyway. */
+  def dqReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    def row(name: String, bad: org.apache.spark.sql.DataFrame,
+            total: org.apache.spark.sql.DataFrame) =
+      bad.agg(count(lit(1)).as("n_bad")).crossJoin(
+        broadcast(total.agg(count(lit(1)).as("n_total"))))
+        .select(lit(name).as("check_name"), $"n_bad", $"n_total",
+          halfUp4($"n_bad".cast("double") / $"n_total".cast("double")).as("bad_rate"))
+    val orphanLi = li.join(o.select($"o_orderkey"),
+      $"l_orderkey" === $"o_orderkey", "left_anti")
+    val orphanO = o.join(c.select($"c_custkey"),
+      $"o_custkey" === $"c_custkey", "left_anti")
+    val orphanC = c.join(broadcast(Tables.nation(spark, dir).select($"n_nationkey")),
+      $"c_nationkey" === $"n_nationkey", "left_anti")
+    val dupO = o.groupBy($"o_orderkey").agg(count(lit(1)).as("n"))
+      .filter($"n" > 1)
+    val nullDate = o.filter($"o_orderdate".isNull)
+    row("fk_lineitem_orders", orphanLi, li)
+      .unionByName(row("fk_orders_customer", orphanO, o))
+      .unionByName(row("fk_customer_nation", orphanC, c))
+      .unionByName(row("pk_orders_dup", dupO, o))
+      .unionByName(row("null_orderdate", nullDate, o))
+      .orderBy("check_name")
+  }
+
+  private val dqReportOracle =
+    """SELECT check_name, CAST(n_bad AS BIGINT) AS n_bad,
+      |       CAST(n_total AS BIGINT) AS n_total,
+      |       floor((CAST(n_bad AS DOUBLE) / CAST(n_total AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS bad_rate
+      |FROM (
+      |  SELECT 'fk_lineitem_orders' AS check_name,
+      |         (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+      |            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_bad,
+      |         (SELECT count(*) FROM lineitem) AS n_total
+      |  UNION ALL
+      |  SELECT 'fk_orders_customer',
+      |         (SELECT count(*) FROM orders o WHERE NOT EXISTS
+      |            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+      |         (SELECT count(*) FROM orders)
+      |  UNION ALL
+      |  SELECT 'fk_customer_nation',
+      |         (SELECT count(*) FROM customer c WHERE NOT EXISTS
+      |            (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)),
+      |         (SELECT count(*) FROM customer)
+      |  UNION ALL
+      |  SELECT 'pk_orders_dup',
+      |         (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+      |                                GROUP BY o_orderkey HAVING count(*) > 1)),
+      |         (SELECT count(*) FROM orders)
+      |  UNION ALL
+      |  SELECT 'null_orderdate',
+      |         (SELECT count(*) FROM orders WHERE o_orderdate IS NULL),
+      |         (SELECT count(*) FROM orders))
+      |ORDER BY check_name""".stripMargin
+
+  /** q62: RFM segmentation — per customer recency (days since last order
+    * vs the corpus max date), frequency (order count), monetary (exact
+    * cents), each quartiled by ntile(4) with custkey tie-breaks (fully
+    * deterministic), rolled up to segment cells. Scale note (stated, not
+    * hidden): ntile over an unpartitioned window is a single-partition
+    * sort of the CUSTOMER aggregate (not the fact table) — the standard
+    * RFM definition; at 100 TB you'd swap quartiles for approx-percentile
+    * cutpoints broadcast back, same output contract. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val refDate = Tables.orders(spark, dir).agg(max($"o_orderdate").as("ref"))
+    val per = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(max($"o_orderdate").as("last_o"), count(lit(1)).as("f"),
+        sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("m"))
+      .crossJoin(broadcast(refDate))
+      .select($"o_custkey", datediff($"ref", $"last_o").cast("long").as("r_days"),
+        $"f", $"m")
+    val rb = ntile(4).over(Window.orderBy($"r_days".asc, $"o_custkey"))
+    val fb = ntile(4).over(Window.orderBy($"f".desc, $"o_custkey"))
+    val mb = ntile(4).over(Window.orderBy($"m".desc, $"o_custkey"))
+    per.select($"o_custkey", rb.as("r_bucket"), fb.as("f_bucket"), mb.as("m_bucket"), $"f", $"m")
+      .groupBy($"r_bucket", $"f_bucket", $"m_bucket")
+      .agg(count(lit(1)).as("n_cust"),
+        (sum($"m").cast("double") / 100.0).as("revenue"),
+        halfUp4(sum($"f").cast("double") / count(lit(1)).cast("double")).as("avg_orders"))
+      .orderBy("r_bucket", "f_bucket", "m_bucket")
+  }
+
+  private val rfmSegmentsOracle =
+    """WITH per AS (SELECT o_custkey,
+      |               date_diff('day', max(o_orderdate), (SELECT max(o_orderdate) FROM orders)) AS r_days,
+      |               count(*) AS f,
+      |               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS m
+      |             FROM orders GROUP BY o_custkey),
+      |b AS (SELECT o_custkey, f, m,
+      |        ntile(4) OVER (ORDER BY r_days ASC, o_custkey) AS r_bucket,
+      |        ntile(4) OVER (ORDER BY f DESC, o_custkey) AS f_bucket,
+      |        ntile(4) OVER (ORDER BY m DESC, o_custkey) AS m_bucket
+      |      FROM per)
+      |SELECT r_bucket, f_bucket, m_bucket, count(*) AS n_cust,
+      |       CAST(sum(m) AS DOUBLE) / 100.0 AS revenue,
+      |       floor((CAST(sum(f) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS avg_orders
+      |FROM b
+      |GROUP BY r_bucket, f_bucket, m_bucket
+      |ORDER BY r_bucket, f_bucket, m_bucket""".stripMargin
+
+  /** q63: Pareto / concentration deciles — customers ranked by exact-cents
+    * revenue into ntile(10) deciles; per decile the revenue share and the
+    * running cumulative share (the 80/20 curve). Shares divide exact
+    * integer cent sums; the cumulative sum runs over the TEN-row decile
+    * frame. Same unpartitioned-ntile scale note as q62. */
+  def paretoDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("m"))
+    val dec = per
+      .select($"o_custkey", $"m",
+        ntile(10).over(Window.orderBy($"m".desc, $"o_custkey")).as("decile"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_cust"), sum($"m").as("dm"))
+    val wCum = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec.crossJoin(broadcast(dec.agg(sum($"dm").as("tm"))))
+      .withColumn("cum_dm", sum($"dm").over(wCum))
+      .select($"decile", $"n_cust",
+        ($"dm".cast("double") / 100.0).as("revenue"),
+        halfUp4($"dm".cast("double") / $"tm".cast("double")).as("share"),
+        halfUp4($"cum_dm".cast("double") / $"tm".cast("double")).as("cum_share"))
+      .orderBy("decile")
+  }
+
+  private val paretoDecilesOracle =
+    """WITH per AS (SELECT o_custkey, sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS m
+      |             FROM orders GROUP BY o_custkey),
+      |dec AS (SELECT decile, count(*) AS n_cust, sum(m) AS dm FROM (
+      |          SELECT o_custkey, m, ntile(10) OVER (ORDER BY m DESC, o_custkey) AS decile
+      |          FROM per)
+      |        GROUP BY decile),
+      |tot AS (SELECT sum(dm) AS tm FROM dec)
+      |SELECT decile, n_cust,
+      |       CAST(dm AS DOUBLE) / 100.0 AS revenue,
+      |       floor((CAST(dm AS DOUBLE) / CAST(tm AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS share,
+      |       floor((CAST(sum(dm) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+      |              / CAST(tm AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS cum_share
+      |FROM dec, tot
+      |ORDER BY decile""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q61_dq_report",
+      "Referential-integrity / duplicate-key / null-rate data-quality sweep as one report",
+      dqReport, Some(dqReportOracle)),
+    QueryDef("q62_rfm_segments",
+      "RFM customer segmentation: deterministic ntile quartiles rolled up to cells",
+      rfmSegments, Some(rfmSegmentsOracle)),
+    QueryDef("q63_pareto_deciles",
+      "Pareto revenue deciles with exact-cents shares and cumulative 80/20 curve",
+      paretoDeciles, Some(paretoDecilesOracle)),
     QueryDef("q56_association_rules",
       "Market-basket association rules (support/confidence/lift) over order×brand baskets",
       associationRules, Some(associationRulesOracle)),
