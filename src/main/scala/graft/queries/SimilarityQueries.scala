@@ -679,7 +679,79 @@ object SimilarityQueries {
     pqPrefixSql + ",\n" + iters + ",\n" + pqSearchTailSql(s"cb$PqTrainIters")
   }
 
+  /** x79: nearest-centroid classification — the supervised counterpart of
+    * the x34/x35 quantizer family: per-LABEL mean centroids trained on a
+    * deterministic holdout split (vec_id % 5 ≠ 0) with the x35 fixed-point
+    * recipe (half-up 1e-6 BIGINT sums → order-free, hash-stable training),
+    * then every held-out vector is assigned to its max-cosine label
+    * centroid and the confusion matrix (with per-true-label shares) comes
+    * out — the standard embedding-probe evaluation a corpus pipeline runs
+    * to sanity-check embedding quality. Scale: training is one posexplode
+    * + keyed aggregation; assignment is a |labels|-row broadcast
+    * crossJoin; nothing driver-side. */
+  def centroidClassify(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fp = Similarity.CentroidFixedPoint
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", Similarity.norm($"embedding").as("nrm"),
+        $"label")
+    val train = emb.filter($"vec_id" % 5 =!= 0)
+    val eval = emb.filter($"vec_id" % 5 === 0)
+    val cents = train
+      .select($"label", posexplode($"embedding").as(Seq("dim", "x")))
+      .groupBy($"label", $"dim")
+      .agg(sum(floor($"x".cast("double") * fp + lit(0.5))).as("sx"),
+        count(lit(1)).as("nx"))
+      .select($"label", $"dim",
+        ($"sx".cast("double") / ($"nx".cast("double") * fp)).cast("float").as("m"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"dim", $"m"))),
+        e => e.getField("m")).as("cv"))
+      .select($"label".as("clabel"), $"cv", Similarity.norm($"cv").as("cn"))
+    val wA = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"clabel")
+    val assigned = eval.crossJoin(broadcast(cents))
+      .select($"vec_id", $"label", $"clabel",
+        (Similarity.dot($"embedding", $"cv") / ($"nrm" * $"cn")).as("ccos"))
+      .withColumn("rn", row_number().over(wA)).filter($"rn" === 1)
+    assigned.groupBy($"label", $"clabel".as("assigned"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_label", sum($"n").over(Window.partitionBy($"label")))
+      .select($"label", $"assigned", $"n",
+        QueryUtil.halfUp4($"n".cast("double") / $"n_label".cast("double")).as("share"))
+      .orderBy("label", "assigned")
+  }
+
+  private val centroidClassifyOracle = {
+    val fp = Similarity.CentroidFixedPoint
+    s"""WITH e2 AS (SELECT vec_id, embedding, label,
+       |              sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |            FROM embeddings),
+       |tr AS (SELECT * FROM e2 WHERE vec_id % 5 <> 0),
+       |ev AS (SELECT * FROM e2 WHERE vec_id % 5 = 0),
+       |d AS (SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM tr),
+       |m AS (SELECT label, i AS dim,
+       |        CAST(CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * $fp + 0.5) AS BIGINT)) AS DOUBLE)
+       |             / (CAST(count(*) AS DOUBLE) * $fp) AS FLOAT) AS m
+       |      FROM d GROUP BY label, i),
+       |mv AS (SELECT label AS clabel, list(m ORDER BY dim) AS cv FROM m GROUP BY label),
+       |c AS (SELECT clabel, cv, sqrt(${dotSql("cv", "cv")}) AS cn FROM mv),
+       |a AS (SELECT ev.vec_id, ev.label, c.clabel,
+       |        ${dotSql("ev.embedding", "c.cv")} / (ev.nrm * c.cn) AS ccos
+       |      FROM ev CROSS JOIN c),
+       |asg AS (SELECT vec_id, label, clabel
+       |        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, clabel) AS rn FROM a)
+       |        WHERE rn = 1),
+       |cm AS (SELECT label, clabel AS assigned, count(*) AS n FROM asg GROUP BY label, clabel)
+       |SELECT label, assigned, n,
+       |       floor((CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY label) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS share
+       |FROM cm
+       |ORDER BY label, assigned""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x79_centroid_classify",
+      "nearest-centroid label classifier: fixed-point supervised centroids + confusion matrix",
+      centroidClassify, Some(centroidClassifyOracle)),
     QueryDef("x30_cosine_topk", "brute-force cosine top-5 per query vector (X3)", cosineTopK, Some(cosineTopKOracle)),
     QueryDef("x31_sign_lsh_topk", "sign-LSH bucketed approximate top-3 (X3)", signLshTopK, Some(signLshOracle)),
     QueryDef("x32_embedding_neardup", "embedding cosine near-dup pairs (X2)", embeddingNearDup, Some(nearDupOracle)),
