@@ -84,4 +84,50 @@ class GraphSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(h3 == Map(9L -> 0))
   }
+
+  test("sssp relaxes to true weighted shortest paths, not fewest hops") {
+    // 1->2->3 costs 1+1=2, direct 1->3 costs 5: the 2-hop path must win.
+    // 4 is reachable only via 3 (+10); 9 is unreachable and must be absent.
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 5L), (3L, 4L, 10L),
+      (9L, 1L, 1L)).toDF("src", "dst", "w")
+    val d = Graph.sssp(Seq(1L).toDF("node"), edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 12L))
+    // multi-source: per-node min over sources; a better seed lowers 4
+    val d2 = Graph.sssp(Seq(1L, 3L).toDF("node"), edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d2(3L) == 0L && d2(4L) == 10L && d2(2L) == 1L)
+    // negative-free fixpoint must terminate on cycles
+    val cyc = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    val d3 = Graph.sssp(Seq(1L).toDF("node"), cyc).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d3 == Map(1L -> 0L, 2L -> 1L))
+  }
+
+  test("hits ranks hubs by outflow into strong authorities, exactly") {
+    // Bipartite: hubs {1,2} -> authorities {10, 20}.
+    // 1 points at both authorities, 2 only at 10; 10 has in-degree 2.
+    val edges = Seq((1L, 10L, 1L), (1L, 20L, 1L), (2L, 10L, 1L))
+      .toDF("src", "dst", "w")
+    val r = Graph.hits(edges, 2).collect()
+      .map(x => x.getLong(0) -> ((BigDecimal(x.getDecimal(1)), BigDecimal(x.getDecimal(2)))))
+      .toMap
+    // Hand-computed unnormalized trajectory (h0 = 1):
+    // a1: 10 -> 2, 20 -> 1;  h1: 1 -> 3, 2 -> 2
+    // a2: 10 -> 5, 20 -> 3;  h2: 1 -> 8, 2 -> 5
+    assert(r(10L) == ((BigDecimal(5), BigDecimal(0))))
+    assert(r(20L) == ((BigDecimal(3), BigDecimal(0))))
+    assert(r(1L) == ((BigDecimal(0), BigDecimal(8))))
+    assert(r(2L) == ((BigDecimal(0), BigDecimal(5))))
+    // weights scale contributions linearly: doubling 2->10 doubles 2's
+    // stake in authority 10
+    val w2 = Seq((1L, 10L, 1L), (1L, 20L, 1L), (2L, 10L, 2L))
+      .toDF("src", "dst", "w")
+    val rw = Graph.hits(w2, 1).collect()
+      .map(x => x.getLong(0) -> ((BigDecimal(x.getDecimal(1)), BigDecimal(x.getDecimal(2)))))
+      .toMap
+    // a1: 10 -> 1+2 = 3, 20 -> 1; h1: 1 -> 3+1 = 4, 2 -> 2*3 = 6
+    assert(rw(10L)._1 == BigDecimal(3) && rw(20L)._1 == BigDecimal(1))
+    assert(rw(1L)._2 == BigDecimal(4) && rw(2L)._2 == BigDecimal(6))
+  }
 }
