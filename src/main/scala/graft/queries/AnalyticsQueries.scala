@@ -400,7 +400,76 @@ object AnalyticsQueries {
       |FROM dec, tot
       |ORDER BY decile""".stripMargin
 
+  /** Benford expectations log10(1 + 1/d) for d = 1..9 as LITERALS (the x87
+    * discount-table trick: Scala Double.toString round-trips and DuckDB
+    * parses the same decimal to the same double — zero libm in either
+    * engine). */
+  private val Benford: Seq[Double] = Seq(
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+
+  /** q64: Benford first-digit audit — the classic numeric-forgery /
+    * data-corruption screen: the leading digit distribution of order
+    * amounts (exact cents) vs Benford's law, with per-digit chi-square
+    * contributions. Counts are exact integers; each χ² term
+    * (n_d − p_d·n)²/(p_d·n) is computed by the identical IEEE op sequence
+    * in both engines from (exact count, literal, exact total), quantized
+    * half-up to 1e-6, and the running total is an integer window sum over
+    * the NINE-row digit frame. Scale: one 9-group aggregate over the
+    * scan; everything after is constant-sized. */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val expCol = Benford.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (p, i)) =>
+      when($"digit" === (i + 1), lit(p)).otherwise(acc)
+    }
+    val byDigit = Tables.orders(spark, dir)
+      .select(substring(floor($"o_totalprice" * 100 + 0.5).cast("long")
+        .cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+    val tot = byDigit.agg(sum($"n_obs").as("n"))
+    val term = ($"n_obs".cast("double") - $"exp_rate" * $"n".cast("double")) *
+      ($"n_obs".cast("double") - $"exp_rate" * $"n".cast("double")) /
+      ($"exp_rate" * $"n".cast("double"))
+    val wCum = Window.orderBy($"digit")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDigit.crossJoin(broadcast(tot))
+      .withColumn("exp_rate", expCol)
+      .withColumn("chi_fp", floor(term * lit(1e6) + lit(0.5)).cast("long"))
+      .select($"digit", $"n_obs",
+        halfUp4($"n_obs".cast("double") / $"n".cast("double")).as("obs_rate"),
+        $"exp_rate",
+        halfUp4($"chi_fp".cast("double") / 1e6).as("chi_term"),
+        halfUp4(sum($"chi_fp").over(wCum).cast("double") / 1e6).as("chi_cum"))
+      .orderBy("digit")
+  }
+
+  private val benfordAuditOracle = {
+    val expCase = "CASE digit " + Benford.zipWithIndex
+      .map { case (p, i) => s"WHEN ${i + 1} THEN $p" }.mkString(" ") + " ELSE 0.0 END"
+    s"""WITH byd AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       |               count(*) AS n_obs
+       |             FROM orders GROUP BY 1),
+       |tot AS (SELECT sum(n_obs) AS n FROM byd),
+       |t AS (SELECT digit, n_obs, n, ($expCase) AS exp_rate FROM byd, tot),
+       |c AS (SELECT digit, n_obs, n, exp_rate,
+       |        CAST(floor(((CAST(n_obs AS DOUBLE) - exp_rate * CAST(n AS DOUBLE))
+       |                    * (CAST(n_obs AS DOUBLE) - exp_rate * CAST(n AS DOUBLE))
+       |                    / (exp_rate * CAST(n AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) AS chi_fp
+       |      FROM t)
+       |SELECT digit, n_obs,
+       |       floor((CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS obs_rate,
+       |       exp_rate,
+       |       floor((CAST(chi_fp AS DOUBLE) / 1000000.0) * 10000 + 0.5) / 10000.0 AS chi_term,
+       |       floor((CAST(sum(chi_fp) OVER (ORDER BY digit ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1000000.0) * 10000 + 0.5) / 10000.0 AS chi_cum
+       |FROM c
+       |ORDER BY digit""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q64_benford",
+      "Benford first-digit audit over exact cents with literal expectations and fixed-point chi-square",
+      benfordAudit, Some(benfordAuditOracle)),
     QueryDef("q61_dq_report",
       "Referential-integrity / duplicate-key / null-rate data-quality sweep as one report",
       dqReport, Some(dqReportOracle)),
