@@ -19,7 +19,12 @@ object ReuseAudit {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("x80_bm25_topk", "x84_prf_expansion", "x81_rrf_fusion",
-        "x93_training_corpus_v3")
+        "x93_training_corpus_v3",
+        // x16's repartition(doc_id) reuse point: the four winnow_fps
+        // consumers must resolve to ONE materialized stage (r8, 5.4→1.9 s)
+        "x16_bloom_decontaminate",
+        // x87's judged frame is the same qterms⋈tf join bm25Ranked runs
+        "x87_ndcg_eval")
     names.foreach { n =>
       val df = Registry.byName(n).fn(spark, dir)
       // collect() executes df's OWN QueryExecution (a write would plan a
