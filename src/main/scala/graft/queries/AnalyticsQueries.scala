@@ -466,7 +466,87 @@ object AnalyticsQueries {
        |ORDER BY digit""".stripMargin
   }
 
+  /** k-anonymity threshold for q65 (groups smaller than K are suppression
+    * candidates). */
+  private val AnonK = 5
+
+  /** q65: k-anonymity screening — the privacy-governance pass before a
+    * dataset release: group sizes over the quasi-identifier tuple
+    * (nation, market segment), every group flagged anonymous iff its
+    * population ≥ [[AnonK]] (integer predicate), plus each group's share
+    * of total suppression exposure. The release decision a real pipeline
+    * makes from this: suppress or generalize the flagged rows. Scale: one
+    * aggregate over the quasi-id key; the flag/share math runs on the
+    * |nations|×|segments| frame. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", $"c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+    g.crossJoin(broadcast(
+      g.agg(sum(when($"n" < AnonK, $"n").otherwise(0L)).as("n_supp"))))
+      .select($"n_name", $"c_mktsegment", $"n",
+        ($"n" >= AnonK).as("anonymous"),
+        when($"n_supp" > 0 && $"n" < AnonK,
+          halfUp4($"n".cast("double") / $"n_supp".cast("double")))
+          .otherwise(lit(0.0)).as("supp_share"))
+      .orderBy("n_name", "c_mktsegment")
+  }
+
+  private val kAnonymityOracle =
+    s"""WITH g AS (SELECT n_name, c_mktsegment, count(*) AS n
+       |           FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |           GROUP BY n_name, c_mktsegment),
+       |s AS (SELECT sum(CASE WHEN n < $AnonK THEN n ELSE 0 END) AS n_supp FROM g)
+       |SELECT n_name, c_mktsegment, n,
+       |       n >= $AnonK AS anonymous,
+       |       CASE WHEN n_supp > 0 AND n < $AnonK
+       |            THEN floor((CAST(n AS DOUBLE) / CAST(n_supp AS DOUBLE)) * 10000 + 0.5) / 10000.0
+       |            ELSE 0.0 END AS supp_share
+       |FROM g, s
+       |ORDER BY n_name, c_mktsegment""".stripMargin
+
+  /** q66: frequent event-sequence mining — the top-20 consecutive
+    * 3-event-type patterns across per-user journeys (ordered by ts,
+    * event_id — the q57 ordering, two lags deeper), the exploratory pass
+    * that surfaces funnel hypotheses before a q44-style directed funnel is
+    * written. Counts are exact; ranking ties break lexicographically.
+    * Scale: ONE user-keyed window sort (the lag pair shares a single sort
+    * spec), a 125-row-max pattern aggregate, and a global top-k on that
+    * tiny frame. */
+  def eventTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("e1", lag($"event_type", 2).over(w))
+      .withColumn("e2", lag($"event_type", 1).over(w))
+      .filter($"e1".isNotNull && $"e2".isNotNull)
+      .groupBy($"e1", $"e2", $"event_type".as("e3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"e1", $"e2", $"e3")
+      .limit(20)
+  }
+
+  private val eventTrigramsOracle =
+    """WITH s AS (SELECT event_type,
+      |             lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e1,
+      |             lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2
+      |           FROM events)
+      |SELECT e1, e2, event_type AS e3, count(*) AS n
+      |FROM s WHERE e1 IS NOT NULL AND e2 IS NOT NULL
+      |GROUP BY e1, e2, event_type
+      |ORDER BY n DESC, e1, e2, e3
+      |LIMIT 20""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q65_k_anonymity",
+      "k-anonymity screening over quasi-identifier groups with suppression shares",
+      kAnonymity, Some(kAnonymityOracle)),
+    QueryDef("q66_event_trigrams",
+      "Top-20 consecutive event-type trigram patterns across user journeys",
+      eventTrigrams, Some(eventTrigramsOracle)),
     QueryDef("q64_benford",
       "Benford first-digit audit over exact cents with literal expectations and fixed-point chi-square",
       benfordAudit, Some(benfordAuditOracle)),
