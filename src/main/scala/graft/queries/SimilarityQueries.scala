@@ -748,7 +748,65 @@ object SimilarityQueries {
        |ORDER BY label, assigned""".stripMargin
   }
 
+  /** x73: embedding drift monitor — the dense counterpart of x23's
+    * text-distribution drift: split the corpus into two deterministic
+    * halves (vec_id parity — stand-in for the before/after snapshots a
+    * production monitor compares), train per-(label, half) fixed-point
+    * centroids (the x79/x35 recipe), and report each label's cross-half
+    * centroid cosine plus its population shift. A drifting embedding
+    * space (re-trained encoder, corrupted batch) shows up as cosines
+    * dropping from ~1. Scale: one posexplode aggregate per half; the
+    * cosine runs on |labels| centroid pairs. */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fp = Similarity.CentroidFixedPoint
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", $"label", ($"vec_id" % 2).as("half"))
+    val cents = emb
+      .select($"label", $"half", posexplode($"embedding").as(Seq("dim", "x")))
+      .groupBy($"label", $"half", $"dim")
+      .agg(sum(floor($"x".cast("double") * fp + lit(0.5))).as("sx"),
+        count(lit(1)).as("nx"))
+      .select($"label", $"half", $"dim", $"nx",
+        ($"sx".cast("double") / ($"nx".cast("double") * fp)).cast("float").as("m"))
+      .groupBy($"label", $"half")
+      .agg(transform(array_sort(collect_list(struct($"dim", $"m"))),
+        e => e.getField("m")).as("cv"),
+        min($"nx").as("n")) // nx identical across dims; min mirrors the oracle
+    val c0 = cents.filter($"half" === 0)
+      .select($"label", $"cv".as("cv0"), $"n".as("n0"))
+    val c1 = cents.filter($"half" === 1)
+      .select($"label", $"cv".as("cv1"), $"n".as("n1"))
+    c0.join(c1, "label")
+      .select($"label", $"n0", $"n1",
+        QueryUtil.halfUp4(Similarity.dot($"cv0", $"cv1")
+          / (Similarity.norm($"cv0") * Similarity.norm($"cv1"))).as("drift_cos"))
+      .orderBy("label")
+  }
+
+  private val embeddingDriftOracle = {
+    val fp = Similarity.CentroidFixedPoint
+    s"""WITH d AS (SELECT label, vec_id % 2 AS half, embedding,
+       |             unnest(range(1, len(embedding) + 1)) AS i
+       |           FROM embeddings),
+       |m AS (SELECT label, half, i AS dim,
+       |        CAST(CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * $fp + 0.5) AS BIGINT)) AS DOUBLE)
+       |             / (CAST(count(*) AS DOUBLE) * $fp) AS FLOAT) AS m,
+       |        count(*) AS nx
+       |      FROM d GROUP BY label, half, i),
+       |mv AS (SELECT label, half, list(m ORDER BY dim) AS cv, min(nx) AS n
+       |       FROM m GROUP BY label, half)
+       |SELECT c0.label, c0.n AS n0, c1.n AS n1,
+       |       floor((${dotSql("c0.cv", "c1.cv")}
+       |              / (sqrt(${dotSql("c0.cv", "c0.cv")}) * sqrt(${dotSql("c1.cv", "c1.cv")}))) * 10000 + 0.5) / 10000.0 AS drift_cos
+       |FROM mv c0 JOIN mv c1 ON c0.label = c1.label AND c0.half = 0 AND c1.half = 1
+       |ORDER BY c0.label""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x73_embedding_drift",
+      "per-label cross-half centroid cosine: embedding-space drift monitor (fixed-point centroids)",
+      embeddingDrift, Some(embeddingDriftOracle)),
     QueryDef("x79_centroid_classify",
       "nearest-centroid label classifier: fixed-point supervised centroids + confusion matrix",
       centroidClassify, Some(centroidClassifyOracle)),
