@@ -104,9 +104,18 @@ object CurationQueries {
     * integer predicate. No ln, no float accumulation — this classifier has
     * ZERO cross-engine risk. Scale: stateless hashing + a 64-row broadcast
     * weight table; int64 holds through any SF (|Σw| ≤ 1000·n_tok). */
-  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    scoreDocs(Tables.documents(spark, dir))
+      .orderBy("doc_id")
+
+  /** The x99 scoring pipeline over ANY (doc_id, source, text) frame — the
+    * same Column expressions run on a batch frame or per micro-batch on a
+    * stream (StreamingSpec proves the parity); scoring is per-doc, so
+    * batch boundaries cannot change a verdict. */
+  private[graft] def scoreDocs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val tok = Tables.documents(spark, dir)
+    val tok = docs
       .select($"doc_id", $"source", explode(split($"text", " ")).as("tok"))
       .withColumn("bucket", h16("qc", $"tok") % NBuckets)
     val weights = spark.range(NBuckets).select($"id".as("bucket"))
@@ -119,7 +128,6 @@ object CurationQueries {
         halfUp4($"s".cast("double") / ($"n_tok".cast("double") * lit(1000.0)))
           .as("score"),
         ($"s" > 0).as("keep"))
-      .orderBy("doc_id")
   }
 
   private val qualityClassifierOracle =

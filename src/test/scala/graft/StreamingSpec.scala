@@ -371,6 +371,43 @@ class StreamingSpec extends SparkTestBase {
     assert(streamKept == batchKept && batchKept.nonEmpty)
   }
 
+  test("unified engine: x99 frozen-model quality scoring per micro-batch == batch scoring") {
+    import org.apache.spark.sql.functions._
+    val src = tmpDir("qc_src")
+    val out = tmpDir("qc_out") + "/scored"
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"source", $"text").filter($"doc_id" < 60)
+    val batch = graft.queries.CurationQueries.scoreDocs(docs)
+      .select($"doc_id", $"score", $"keep")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    // two files + maxFilesPerTrigger=1 → the scoring runs in (at least)
+    // two separate micro-batches; per-doc scoring means batch boundaries
+    // cannot change any verdict, which is exactly what makes a frozen
+    // model deployable on the intake stream without a rewrite
+    docs.filter($"doc_id" % 2 === 0).coalesce(1).write.mode("overwrite").json(src)
+    docs.filter($"doc_id" % 2 =!= 0).coalesce(1).write.mode("append").json(src)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("source", StringType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .json(src)
+    val q = stream.writeStream.outputMode("append")
+      .option("checkpointLocation", tmpDir("qc_cp"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.queries.CurationQueries.scoreDocs(b.toDF())
+          .select(col("doc_id"), col("score"), col("keep"))
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("unified engine: corpus-admission + temperature gates run on a stream vs static state") {
     import org.apache.spark.sql.functions._
     val src = tmpDir("adm_src")
