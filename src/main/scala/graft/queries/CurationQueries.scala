@@ -147,7 +147,50 @@ object CurationQueries {
        |GROUP BY doc_id, source
        |ORDER BY doc_id""".stripMargin
 
+  /** x100: tokenizer fertility by language — the LLM-ops metric
+    * that decides whether a tokenizer is fair to a language: BPE-ish
+    * subword count (q27's regex tokenizer) per whitespace word and per
+    * character, aggregated per lang. A language with systematically higher
+    * fertility pays more sequence length for the same content — the input
+    * to vocabulary rebalancing. Exact integer sums; two final divisions.
+    * Scale: stateless per-row regex + one 5-group aggregate. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"lang",
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("n_bpe"),
+        size(split($"text", " ")).cast("long").as("n_ws"),
+        length($"text").cast("long").as("n_ch"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_bpe").as("bpe_tokens"),
+        sum($"n_ws").as("ws_tokens"), sum($"n_ch").as("chars"))
+      .select($"lang", $"n_docs", $"bpe_tokens",
+        halfUp4($"bpe_tokens".cast("double") / $"ws_tokens".cast("double"))
+          .as("fertility"),
+        halfUp4($"bpe_tokens".cast("double") / $"chars".cast("double"))
+          .as("tokens_per_char"))
+      .orderBy("lang")
+  }
+
+  private val tokenizerFertilityOracle =
+    """WITH t AS (SELECT lang,
+      |             CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+      |             CAST(length(text) AS BIGINT) AS n_ch
+      |           FROM documents)
+      |SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+      |       floor((CAST(sum(n_bpe) AS DOUBLE) / CAST(sum(n_ws) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS fertility,
+      |       floor((CAST(sum(n_bpe) AS DOUBLE) / CAST(sum(n_ch) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS tokens_per_char
+      |FROM t
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x100_tokenizer_fertility",
+      "Tokenizer fertility by language: subwords per word / per char (vocab-fairness metric)",
+      tokenizerFertility, Some(tokenizerFertilityOracle)),
     QueryDef("x98_dsir_weights",
       "DSIR importance weights: hashed-unigram LLR of target-vs-background, fixed-point sums",
       dsirWeights, Some(dsirWeightsOracle)),

@@ -582,7 +582,45 @@ object PipelineQueries {
        |ORDER BY b.train_id""".stripMargin
   }
 
+  /** q67: shard-skew QA — the straggler report for the packing path: per
+    * shard, document/token loads, sequence counts, and the load ratio
+    * tokens·S/total (exact integers divided once; 1.0 = perfectly even,
+    * the max ratio bounds the packing stage's critical path at 100 TB —
+    * x50's per-shard windows parallelize exactly as well as this number
+    * says). Scale: one aggregate per shard over the token counts; the
+    * ratio math runs on the S-row frame. */
+  def shardSkew(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val per = Tables.documents(spark, dir)
+      .select(($"doc_id" % PackShards).as("shard"),
+        size(TextAnalysis.tokens($"text")).cast("long").as("n_tok"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("tokens"))
+    per.crossJoin(broadcast(per.agg(sum($"tokens").as("total"))))
+      .select($"shard", $"n_docs", $"tokens",
+        // ceil-div: sequences the shard fills at PackBudget tokens each
+        // (`div`, not `/` — Spark's `/` on longs is DOUBLE division)
+        expr(s"(tokens + ${PackBudget - 1}) div $PackBudget").as("n_seqs"),
+        QueryUtil.halfUp4(($"tokens" * PackShards).cast("double")
+          / $"total".cast("double")).as("load_ratio"))
+      .orderBy("shard")
+  }
+
+  private val shardSkewOracle =
+    s"""WITH per AS (SELECT doc_id % $PackShards AS shard, count(*) AS n_docs,
+       |               sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS tokens
+       |             FROM documents GROUP BY 1),
+       |tot AS (SELECT sum(tokens) AS total FROM per)
+       |SELECT shard, n_docs, tokens,
+       |       (tokens + ${PackBudget - 1}) // $PackBudget AS n_seqs,
+       |       floor((CAST(tokens * $PackShards AS DOUBLE) / CAST(total AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS load_ratio
+       |FROM per, tot
+       |ORDER BY shard""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q67_shard_skew",
+      "Per-shard packing load report: token totals, sequence counts, exact load ratios",
+      shardSkew, Some(shardSkewOracle)),
     QueryDef("x16_bloom_decontaminate",
       "bloom-filter decontamination gate with in-result false-positive measurement",
       bloomDecontaminate, Some(bloomOracle)),
