@@ -48,7 +48,11 @@ object ExplainAudit {
       // per-round plans audited by GraphPlanAudit instead.)
       "q56_association_rules", "q57_markov_transitions", "q59_seasonal_anomaly",
       "q60_cusum_changepoint", "x98_dsir_weights", "x99_quality_classifier",
-      "x87_ndcg_eval", "x78_hybrid_weighted")
+      "x87_ndcg_eval", "x78_hybrid_weighted",
+      // final round-8 shapes: one shared user-keyed sort for the double
+      // lag (q66), per-(label,half) posexplode aggregation with 5-row
+      // centroid join (x73), constant-frame digit/anon audits
+      "q66_event_trigrams", "x73_embedding_drift", "q64_benford")
     names.foreach { n =>
       println(s"\n===== $n =====")
       Registry.byName(n).fn(spark, dir).explain("formatted")
