@@ -223,4 +223,29 @@ class PropertySpec extends SparkTestBase {
         s"seed=$seed: empty-batch apply changed the dimension")
     }
   }
+
+  test("property: sssp == sequential Bellman-Ford reference on random graphs") {
+    import graft.operators.Graph
+    val edgeGen: Gen[List[(Long, Long, Long)]] =
+      Gen.listOfN(40, Gen.zip(Gen.choose(0L, 11L), Gen.choose(0L, 11L),
+        Gen.choose(1L, 9L))).map(_.filter(e => e._1 != e._2))
+    (1L to 6L).foreach { seed =>
+      val edges = sample(edgeGen, seed)
+      // sequential reference: textbook Bellman-Ford over the edge list
+      val ref = scala.collection.mutable.Map(0L -> 0L)
+      var changed = true
+      while (changed) {
+        changed = false
+        edges.foreach { case (u, v, w) =>
+          ref.get(u).foreach { du =>
+            if (ref.get(v).forall(_ > du + w)) { ref(v) = du + w; changed = true }
+          }
+        }
+      }
+      val got = Graph.sssp(Seq(0L).toDF("node"),
+        edges.toDF("src", "dst", "w")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == ref.toMap, s"seed=$seed")
+    }
+  }
 }
