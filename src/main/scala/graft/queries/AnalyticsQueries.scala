@@ -540,7 +540,101 @@ object AnalyticsQueries {
       |ORDER BY n DESC, e1, e2, e3
       |LIMIT 20""".stripMargin
 
+  /** q68: weighted median — the robust-statistics operator a plain
+    * percentile can't express: per return flag, the lineitem price at
+    * which HALF the total QUANTITY sits below. Lower weighted median:
+    * first row (price asc, tie orderkey/linenumber) whose inclusive
+    * cumulative quantity doubled reaches the total — `2·cum ≥ tot`, all
+    * exact integers (quantities are whole in the fixture; cents for the
+    * price). Scale: one window sort per group (the q08 frame) + a
+    * min-over-candidates aggregate; no global sort. */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_returnflag",
+        floor($"l_extendedprice" * 100 + 0.5).cast("long").as("cents"),
+        floor($"l_quantity" + 0.5).cast("long").as("qty"),
+        $"l_orderkey", $"l_linenumber")
+    val wCum = Window.partitionBy($"l_returnflag")
+      .orderBy($"cents", $"l_orderkey", $"l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy($"l_returnflag")
+    li.withColumn("cum", sum($"qty").over(wCum))
+      .withColumn("tot", sum($"qty").over(wTot))
+      .filter($"cum" * 2 >= $"tot")
+      .groupBy($"l_returnflag")
+      .agg(min($"cents").as("med_cents"), min($"tot").as("tot"))
+      .select($"l_returnflag", ($"med_cents".cast("double") / 100.0).as("w_median"),
+        $"tot".as("total_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  private val weightedMedianOracle =
+    """WITH li AS (SELECT l_returnflag,
+      |              CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+      |              CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+      |              l_orderkey, l_linenumber
+      |            FROM lineitem),
+      |c AS (SELECT l_returnflag, cents,
+      |        sum(qty) OVER (PARTITION BY l_returnflag
+      |                       ORDER BY cents, l_orderkey, l_linenumber
+      |                       ROWS UNBOUNDED PRECEDING) AS cum,
+      |        sum(qty) OVER (PARTITION BY l_returnflag) AS tot
+      |      FROM li)
+      |SELECT l_returnflag,
+      |       CAST(min(cents) AS DOUBLE) / 100.0 AS w_median,
+      |       CAST(min(tot) AS BIGINT) AS total_qty
+      |FROM c WHERE cum * 2 >= tot
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Histogram bin count for q69. */
+  private val HistBins = 10L
+
+  /** q69: equi-width histogram — the profiling companion to q53: order
+    * totals in exact cents binned into [[HistBins]] equal-width buckets
+    * over the observed [min, max], all in integer arithmetic
+    * (`(c−mn)·B div (mx−mn+1)` — `div`, never float), with each bin's
+    * exact share. The empty-bin case is preserved by joining a bin spine,
+    * so the histogram shape is complete. Scale: one aggregate for the
+    * bounds (broadcast scalar), one stateless binning pass, one B-group
+    * aggregate. */
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = Tables.orders(spark, dir)
+      .select(floor($"o_totalprice" * 100 + 0.5).cast("long").as("c"))
+    val bounds = cents.agg(min($"c").as("mn"), max($"c").as("mx"),
+      count(lit(1)).as("n"))
+    val binned = cents.crossJoin(broadcast(bounds))
+      .select(expr(s"((c - mn) * $HistBins) div (mx - mn + 1)").as("bin"))
+      .groupBy($"bin").agg(count(lit(1)).as("n_bin"))
+    spark.range(HistBins).select($"id".as("bin"))
+      .join(binned, Seq("bin"), "left")
+      .crossJoin(broadcast(bounds.select($"n".as("n_all"))))
+      .select($"bin", coalesce($"n_bin", lit(0L)).as("n_bin"),
+        halfUp4(coalesce($"n_bin", lit(0L)).cast("double") / $"n_all".cast("double"))
+          .as("share"))
+      .orderBy("bin")
+  }
+
+  private val histogramOracle =
+    s"""WITH cents AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c FROM orders),
+       |b AS (SELECT min(c) AS mn, max(c) AS mx, count(*) AS n FROM cents),
+       |binned AS (SELECT ((c - mn) * $HistBins) // (mx - mn + 1) AS bin, count(*) AS n_bin
+       |           FROM cents, b GROUP BY 1),
+       |spine AS (SELECT CAST(range AS BIGINT) AS bin FROM range($HistBins))
+       |SELECT spine.bin, coalesce(n_bin, 0) AS n_bin,
+       |       floor((CAST(coalesce(n_bin, 0) AS DOUBLE) / CAST(b.n AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS share
+       |FROM spine LEFT JOIN binned USING (bin), b
+       |ORDER BY spine.bin""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q68_weighted_median",
+      "Exact lower weighted median (price by quantity mass) per group, integer predicate",
+      weightedMedian, Some(weightedMedianOracle)),
+    QueryDef("q69_histogram",
+      "Equi-width exact-integer histogram with complete bin spine and shares",
+      histogram, Some(histogramOracle)),
     QueryDef("q65_k_anonymity",
       "k-anonymity screening over quasi-identifier groups with suppression shares",
       kAnonymity, Some(kAnonymityOracle)),
