@@ -126,6 +126,44 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** x101: duplication-inflation report — the per-source governance view of
+    * x14's clusters: how many documents each source contributed, how many
+    * DISTINCT content clusters they collapse to, the inflation factor
+    * docs/clusters (1.0 = no duplication; the multiplier a dedup pass
+    * recovers), and the largest cluster any of the source's docs belongs
+    * to (template-farm detector). Exact integer counts; one division.
+    * Scale: the cluster labeling is x14's audited components pipeline;
+    * the rollup is one join + a |sources|-group aggregate. */
+  def dupStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cl = dedupClusters(spark, dir).select($"doc_id", $"cluster_id")
+    val csize = cl.groupBy($"cluster_id").agg(count(lit(1)).as("csize"))
+    cl.join(Tables.documents(spark, dir).select($"doc_id", $"source"), "doc_id")
+      .join(csize, "cluster_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"cluster_id").as("n_clusters"),
+        max($"csize").as("max_cluster"))
+      .select($"source", $"n_docs", $"n_clusters",
+        halfUp4($"n_docs".cast("double") / $"n_clusters".cast("double"))
+          .as("inflation"),
+        $"max_cluster")
+      .orderBy("source")
+  }
+
+  private lazy val dupStatsOracle =
+    clustersOracleCtes +
+      """, cs AS (SELECT cluster_id, count(*) AS csize FROM labeled GROUP BY cluster_id)
+        |SELECT d.source, count(*) AS n_docs,
+        |       count(DISTINCT l.cluster_id) AS n_clusters,
+        |       floor((CAST(count(*) AS DOUBLE) / CAST(count(DISTINCT l.cluster_id) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS inflation,
+        |       CAST(max(cs.csize) AS BIGINT) AS max_cluster
+        |FROM labeled l
+        |JOIN documents d ON d.doc_id = l.doc_id
+        |JOIN cs ON cs.cluster_id = l.cluster_id
+        |GROUP BY d.source
+        |ORDER BY d.source""".stripMargin
+
   /** Cluster-labeling CTE chain ending in `labeled(doc_id, cluster_id,
     * is_canonical)` — shared by the x14 oracle and x27's weighting. */
   private def clustersOracleCtes: String =
@@ -755,5 +793,6 @@ object DedupQueries {
     QueryDef("x12_simhash", "32-bit SimHash bucket near-dups (X2)", simhash, Some(simhashOracle)),
     QueryDef("x13_ngram_jaccard", "char-trigram Jaccard near-dups, LSH-blocked (X2)", ngramJaccard, Some(ngramOracle)),
     QueryDef("x14_dedup_clusters", "connected-component dedup groups over near-dup pairs (X2)", dedupClusters, Some(clustersOracle)),
+    QueryDef("x101_dup_stats", "per-source duplication inflation report over the near-dup clusters (X2)", dupStats, Some(dupStatsOracle)),
     QueryDef("x15_semantic_dedup", "SemDeDup embedding dedup: trained k-means clusters, in-cluster cosine survivors (X2)", semanticDedup, Some(semanticOracle)))
 }
