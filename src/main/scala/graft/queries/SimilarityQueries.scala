@@ -803,7 +803,61 @@ object SimilarityQueries {
        |ORDER BY c0.label""".stripMargin
   }
 
+  /** x102: per-dimension embedding statistics — the dead/degenerate-
+    * dimension QA a vector store runs before trusting distances: per dim,
+    * exact-moment mean and variance (values half-up-quantized to 1e-6
+    * BIGINTs first — the q59 recipe, so Σq and Σq² are order-free integer
+    * sums and mean/var derive by identical IEEE ops in both engines), the
+    * exact min/max, and a zero-spread degeneracy flag (integer predicate
+    * on the quantized domain). Scale: one posexplode + 64-group aggregate;
+    * everything downstream is constant-sized. */
+  def dimStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = Tables.embeddings(spark, dir)
+      .select(posexplode($"embedding").as(Seq("dim", "x")))
+      .select($"dim", floor($"x".cast("double") * 1e6 + 0.5).cast("long").as("q"))
+    q.groupBy($"dim")
+      .agg(count(lit(1)).as("n"), sum($"q").as("s"),
+        sum($"q".cast("decimal(38,0)") * $"q".cast("decimal(38,0)")).as("ssq"),
+        min($"q").as("mnq"), max($"q").as("mxq"))
+      .select($"dim", $"n",
+        QueryUtil.halfUp($"s".cast("double") / ($"n".cast("double") * 1e6), 6)
+          .as("mean"),
+        QueryUtil.halfUp(
+          greatest($"ssq".cast("double") / $"n".cast("double")
+            - ($"s".cast("double") / $"n".cast("double"))
+            * ($"s".cast("double") / $"n".cast("double")), lit(0.0)) / 1e12, 6)
+          .as("variance"),
+        ($"mnq".cast("double") / 1e6).as("min_v"),
+        ($"mxq".cast("double") / 1e6).as("max_v"),
+        ($"mnq" === $"mxq").as("degenerate"))
+      .orderBy("dim")
+  }
+
+  private val dimStatsOracle =
+    """WITH q AS (SELECT i AS dim,
+      |             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q
+      |           FROM (SELECT embedding, unnest(range(1, len(embedding) + 1)) AS i
+      |                 FROM embeddings)),
+      |a AS (SELECT dim, count(*) AS n, sum(q) AS s,
+      |        sum(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS ssq,
+      |        min(q) AS mnq, max(q) AS mxq
+      |      FROM q GROUP BY dim)
+      |SELECT CAST(dim - 1 AS INTEGER) AS dim, n,
+      |       floor((CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)) * 1000000 + 0.5) / 1000000.0 AS mean,
+      |       floor((greatest(CAST(ssq AS DOUBLE) / CAST(n AS DOUBLE)
+      |                       - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+      |                         * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0) / 1000000000000.0) * 1000000 + 0.5) / 1000000.0 AS variance,
+      |       CAST(mnq AS DOUBLE) / 1000000.0 AS min_v,
+      |       CAST(mxq AS DOUBLE) / 1000000.0 AS max_v,
+      |       mnq = mxq AS degenerate
+      |FROM a
+      |ORDER BY dim""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x102_dim_stats",
+      "per-dimension embedding QA: exact-moment mean/variance, range, degeneracy flags",
+      dimStats, Some(dimStatsOracle)),
     QueryDef("x73_embedding_drift",
       "per-label cross-half centroid cosine: embedding-space drift monitor (fixed-point centroids)",
       embeddingDrift, Some(embeddingDriftOracle)),
