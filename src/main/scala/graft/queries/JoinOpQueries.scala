@@ -43,6 +43,50 @@ object JoinOpQueries {
       |  ON o.o_custkey = q.o_custkey AND o.o_orderdate > q.q_date
       |ORDER BY o.o_orderkey""".stripMargin
 
+  /** Staleness bound for x103 (days). */
+  private val AsofTolDays = 30
+
+  /** x103: TOLERANCE-BOUNDED as-of join — the variant every point-in-time
+    * feature store actually ships: a prior quote older than
+    * [[AsofTolDays]] days is too stale to use, so the match nulls out.
+    * Correctness rides on a monotonicity fact: the as-of match IS the
+    * nearest prior, so if it misses the window every prior does — one
+    * CASE after the x60 carry-forward implements "match within tolerance"
+    * exactly, with no second join. Same single-shuffle scale shape as
+    * x60; the tolerance is a post-window integer date predicate. */
+  def asofTolerance(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+    val quotes = ord.groupBy($"o_custkey", $"o_orderdate")
+      .agg(round(max($"o_totalprice"), 2).as("mp"))
+      .select($"o_custkey", $"o_orderdate".as("q_date"), $"mp")
+    val inTol = datediff($"o_orderdate", $"asof_ts") <= AsofTolDays
+    AsOf.joinPrior(
+      ord.select($"o_orderkey", $"o_custkey", $"o_orderdate"),
+      quotes, "o_custkey", "o_orderdate", "q_date", Seq("mp"))
+      .select(
+        $"o_orderkey", $"o_custkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("d0"),
+        when(inTol, date_format($"asof_ts", "yyyy-MM-dd")).as("prev_date"),
+        when(inTol, $"asof_mp").as("prev_price"),
+        coalesce(inTol, lit(false)).as("fresh"))
+      .orderBy("o_orderkey")
+  }
+
+  private val asofToleranceOracle =
+    s"""WITH quotes AS (SELECT o_custkey, o_orderdate AS q_date, round(max(o_totalprice), 2) AS mp
+       |                FROM orders GROUP BY 1, 2)
+       |SELECT o.o_orderkey, o.o_custkey,
+       |       strftime(o.o_orderdate, '%Y-%m-%d') AS d0,
+       |       CASE WHEN date_diff('day', q.q_date, o.o_orderdate) <= $AsofTolDays
+       |            THEN strftime(q.q_date, '%Y-%m-%d') END AS prev_date,
+       |       CASE WHEN date_diff('day', q.q_date, o.o_orderdate) <= $AsofTolDays
+       |            THEN q.mp END AS prev_price,
+       |       coalesce(date_diff('day', q.q_date, o.o_orderdate) <= $AsofTolDays, false) AS fresh
+       |FROM orders o ASOF LEFT JOIN quotes q
+       |  ON o.o_custkey = q.o_custkey AND o.o_orderdate > q.q_date
+       |ORDER BY o.o_orderkey""".stripMargin
+
   /** Range join: per user, pairs of events where the later-id event falls
     * 0–300 s after the earlier-id one — banded equi-join, not an O(n²)
     * inequality join. */
@@ -116,6 +160,7 @@ object JoinOpQueries {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x60_asof_join", "as-of join (point-in-time prior-order lookup) vs native DuckDB ASOF", asofPriorOrder, Some(asofOracle)),
+    QueryDef("x103_asof_tolerance", "tolerance-bounded as-of join: nearest prior only within a staleness window", asofTolerance, Some(asofToleranceOracle)),
     QueryDef("x61_range_join", "banded interval self-join (pairs within 300s) vs inequality join", rangePairs, Some(rangeOracle)),
     QueryDef("x62_interval_overlap", "interval x interval overlap join (concurrent sessions) vs native IEJoin", sessionOverlap, Some(overlapOracle)))
 }
