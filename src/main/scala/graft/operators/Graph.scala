@@ -200,6 +200,49 @@ object Graph {
       .select(e("dst").as("node")).distinct()
       .join(visited.select("node"), Seq("node"), "left_anti")
 
+  /** Personalized PageRank — the seed-restart variant of [[pageRank]], same
+    * exact-integer fixed point: ALL mass starts on the seed set and the
+    * (1−d) teleport returns to the seeds each round, so ranks measure
+    * proximity TO THE SEEDS rather than global centrality (the
+    * related-entity / local-recommendation operator). Dangling mass is
+    * dropped (the lazy variant — deterministic, identical in the unrolled
+    * oracle; the symmetric graphs this repo builds have no dangling nodes).
+    * Scale: identical per-round join budget to [[pageRank]] — one keyed
+    * join + one aggregation + a left join onto the node set. */
+  def personalizedPageRank(nodes: DataFrame, edges: DataFrame,
+                           seeds: DataFrame, iters: Int): DataFrame = {
+    val nd = nodes.localCheckpoint(true)
+    val e0 = edges.localCheckpoint(true)
+    val sd = seeds.select(col("node")).distinct().localCheckpoint(true)
+    val ns = sd.count()
+    require(ns > 0, "personalizedPageRank: empty seed set")
+    val initFp = MassFp / ns
+    val baseFp = (MassFp * 15 / 100) / ns
+    val outw = e0.groupBy("src").agg(sum("w").as("outw"))
+    val e = e0.join(outw, "src").localCheckpoint(true)
+    val seedFlag = nd
+      .join(sd.withColumn("s", lit(1L)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("s"), lit(0L)).as("is_seed"))
+      .localCheckpoint(true)
+    var ranks = seedFlag
+      .select(col("node"), (col("is_seed") * initFp).as("rank_fp"))
+    for (_ <- 1 to iters)
+      ranks = pprStep(seedFlag, e, ranks, baseFp).localCheckpoint(true)
+    ranks
+  }
+
+  /** One restart round of [[personalizedPageRank]] — the [[pageRankStep]]
+    * shape with the teleport term gated to seed rows. */
+  private[graft] def pprStep(seedFlag: DataFrame, e: DataFrame,
+                             ranks: DataFrame, baseFp: Long): DataFrame = {
+    val inc = e.join(ranks.withColumnRenamed("node", "src"), "src")
+      .select(col("dst"), expr("(85 * rank_fp * w) div (100 * outw)").as("c"))
+      .groupBy("dst").agg(sum("c").as("inc"))
+    seedFlag.join(inc.withColumnRenamed("dst", "node"), Seq("node"), "left")
+      .select(col("node"),
+        (col("is_seed") * baseFp + coalesce(col("inc"), lit(0L))).as("rank_fp"))
+  }
+
   /** Weighted single-source (or multi-source) shortest paths by
     * Bellman-Ford relaxation to a FIXPOINT — exact by construction: path
     * costs are integer sums of positive long weights, each round takes the

@@ -474,7 +474,74 @@ object GraphQueries {
        |ORDER BY nationkey""".stripMargin
   }
 
+  /** x104: personalized PageRank from the region-0 nations over the
+    * symmetric trade graph — proximity-to-seed-markets scoring, bit-exact
+    * ([[Graph.personalizedPageRank]]); the oracle unrolls the same seeded
+    * trajectory with the teleport CASE-gated to the seed rows. */
+  def tradePpr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val trade = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey")
+      .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey")),
+        $"l_suppkey" === $"s_suppkey")
+      .filter($"c_nationkey" =!= $"s_nationkey")
+      .select($"c_nationkey".as("cn"), $"s_nationkey".as("sn"))
+    val edges = trade.select($"cn".as("src"), $"sn".as("dst"))
+      .unionByName(trade.select($"sn".as("src"), $"cn".as("dst")))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val nodes = edges.select($"src".as("node"))
+      .unionByName(edges.select($"dst".as("node"))).distinct()
+    val seeds = Tables.nation(spark, dir)
+      .filter($"n_regionkey" === 0).select($"n_nationkey".as("node"))
+    Graph.personalizedPageRank(nodes, edges, seeds, Iters)
+      .join(broadcast(Tables.nation(spark, dir)), $"node" === $"n_nationkey")
+      .select($"node".cast("long").as("nationkey"), $"n_name",
+        $"rank_fp", ($"rank_fp" / lit(1e9)).as("rank"))
+      .orderBy($"rank_fp".desc, $"nationkey")
+  }
+
+  private val pprOracle: String = {
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS MATERIALIZED (SELECT n.node,
+         |  n.is_seed * (SELECT base FROM params) + COALESCE(s.inc, 0) AS rank_fp
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst, CAST(sum((85 * r.rank_fp * e.w) // (100 * e.outw)) AS BIGINT) AS inc
+         |    FROM e JOIN $prev r ON e.src = r.node
+         |    GROUP BY e.dst) s ON n.node = s.dst)""".stripMargin
+    s"""WITH dir0 AS MATERIALIZED (
+       |  SELECT c.c_nationkey AS cn, s.s_nationkey AS sn
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  WHERE c.c_nationkey <> s.s_nationkey),
+       |sym AS (SELECT cn AS src, sn AS dst FROM dir0 UNION ALL SELECT sn, cn FROM dir0),
+       |e0 AS MATERIALIZED (SELECT src, dst, count(*) AS w FROM sym GROUP BY 1, 2),
+       |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e0 GROUP BY 1),
+       |e AS MATERIALIZED (SELECT e0.src, e0.dst, e0.w, ow.outw FROM e0 JOIN ow ON e0.src = ow.src),
+       |sd AS (SELECT n_nationkey AS node FROM nation WHERE n_regionkey = 0),
+       |n AS MATERIALIZED (SELECT t.node, CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS is_seed
+       |                   FROM (SELECT DISTINCT src AS node FROM e0) t
+       |                   LEFT JOIN sd ON t.node = sd.node),
+       |params AS MATERIALIZED (SELECT count(*) AS ns, 1000000000 // count(*) AS init,
+       |                  150000000 // count(*) AS base FROM sd),
+       |r0 AS (SELECT node, is_seed * (SELECT init FROM params) AS rank_fp FROM n),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT CAST(t.node AS BIGINT) AS nationkey, nat.n_name, t.rank_fp,
+       |       t.rank_fp / 1000000000.0 AS rank
+       |FROM r3 t JOIN nation nat ON t.node = nat.n_nationkey
+       |ORDER BY t.rank_fp DESC, nationkey""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x104_ppr",
+      "personalized PageRank from seed markets (exact-integer seeded teleport trajectory)",
+      tradePpr, Some(pprOracle)),
     QueryDef("x69_sssp_weighted",
       "Bellman-Ford weighted shortest paths from nation 0 (integer costs, idempotent unrolled oracle)",
       tradeSssp, Some(ssspOracle)),
