@@ -854,7 +854,53 @@ object SimilarityQueries {
       |FROM a
       |ORDER BY dim""".stripMargin
 
+  /** x105: reciprocal (mutual) nearest neighbors — pairs where EACH vector
+    * ranks the other in its top-5 (over the x30 query cohort, so both
+    * directions exist): the high-precision pairing primitive under
+    * clustering and near-dup verification, because one-directional
+    * neighbors are asymmetric-hub noise. Derived by self-joining the
+    * already-verified x30 ranking; ranks and the shared rounded cosine
+    * come along. Scale: a K·|queries|-row frame joined to itself on the
+    * ordered pair — negligible above the arms' audited plans. */
+  def mutualKnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // Cohort = every 10th vector, ranked WITHIN the cohort (both directions
+    // must have a ranking for mutuality to be well-defined).
+    val co = Tables.embeddings(spark, dir).filter($"vec_id" % 10 === 0)
+      .select($"vec_id", $"embedding", Similarity.norm($"embedding").as("nrm"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+    val top = co.select($"vec_id".as("q_id"), $"embedding".as("qv"), $"nrm".as("qn"))
+      .join(co, $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        round(Similarity.dot($"qv", $"embedding") / ($"qn" * $"nrm"), 4).as("cosine"))
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+    top.as("f").join(top.as("r"),
+      $"f.q_id" === $"r.vec_id" && $"f.vec_id" === $"r.q_id" &&
+        $"f.q_id" < $"f.vec_id")
+      .select($"f.q_id".as("a"), $"f.vec_id".as("b"),
+        $"f.rk".as("rk_ab"), $"r.rk".as("rk_ba"), $"f.cosine")
+      .orderBy("a", "b")
+  }
+
+  private val mutualKnnOracle =
+    s"""WITH co AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+       |p AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+       |        round(${cosineSql("q.embedding", "e.embedding")}, 4) AS cosine
+       |      FROM co e JOIN co q ON e.vec_id <> q.vec_id),
+       |r AS (SELECT q_id, vec_id, cosine,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+       |      FROM p),
+       |top AS (SELECT q_id, vec_id, rk, cosine FROM r WHERE rk <= 5)
+       |SELECT f.q_id AS a, f.vec_id AS b,
+       |       f.rk AS rk_ab, rr.rk AS rk_ba, f.cosine
+       |FROM top f JOIN top rr
+       |  ON f.q_id = rr.vec_id AND f.vec_id = rr.q_id AND f.q_id < f.vec_id
+       |ORDER BY a, b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x105_mutual_knn",
+      "reciprocal nearest-neighbor pairs over the dense top-5 (mutual-kNN primitive)",
+      mutualKnn, Some(mutualKnnOracle)),
     QueryDef("x102_dim_stats",
       "per-dimension embedding QA: exact-moment mean/variance, range, degeneracy flags",
       dimStats, Some(dimStatsOracle)),
