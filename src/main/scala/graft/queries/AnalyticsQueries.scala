@@ -628,7 +628,63 @@ object AnalyticsQueries {
        |FROM spine LEFT JOIN binned USING (bin), b
        |ORDER BY spine.bin""".stripMargin
 
+  /** q70: grouped OLS trend lines — per order priority, the least-squares
+    * slope/intercept of order value (exact cents) against order date (days
+    * since 1995-01-01), from EXACT moments: Σx, Σy as int64, Σxy, Σx² as
+    * decimal/HUGEINT, so the slope's numerator n·Σxy − Σx·Σy and
+    * denominator n·Σx² − (Σx)² are exact integers converted to double once
+    * — the q58/q59 moment recipe extended to covariance. The slope is
+    * cents/day; intercept in cents at x = 0. Scale: one 5-group aggregate
+    * over the scan; regression math on the 5-row frame. */
+  def groupRegression(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.orders(spark, dir).select($"o_orderpriority",
+      datediff($"o_orderdate", lit("1995-01-01").cast("date"))
+        .cast("long").as("x"),
+      floor($"o_totalprice" * 100 + 0.5).cast("long").as("y"))
+    val dec = "decimal(38,0)"
+    val m = base.groupBy($"o_orderpriority")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x".cast(dec) * $"y".cast(dec)).as("sxy"),
+        sum($"x".cast(dec) * $"x".cast(dec)).as("sxx"))
+    m.select($"o_orderpriority", $"n",
+      halfUp(
+        ($"n".cast(dec) * $"sxy" - $"sx".cast(dec) * $"sy".cast(dec)).cast("double")
+          / ($"n".cast(dec) * $"sxx" - $"sx".cast(dec) * $"sx".cast(dec)).cast("double"),
+        6).as("slope_cents_day"),
+      halfUp(
+        ($"sy".cast("double")
+          - (($"n".cast(dec) * $"sxy" - $"sx".cast(dec) * $"sy".cast(dec)).cast("double")
+            / ($"n".cast(dec) * $"sxx" - $"sx".cast(dec) * $"sx".cast(dec)).cast("double"))
+          * $"sx".cast("double")) / $"n".cast("double"), 2).as("intercept_cents"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val groupRegressionOracle =
+    """WITH b AS (SELECT o_orderpriority,
+      |             CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS x,
+      |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+      |           FROM orders),
+      |m AS (SELECT o_orderpriority, count(*) AS n,
+      |        sum(x) AS sx, sum(y) AS sy,
+      |        sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+      |        sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+      |      FROM b GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, n,
+      |       floor((CAST(n * sxy - sx * sy AS DOUBLE)
+      |              / CAST(n * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE)) * 1000000 + 0.5) / 1000000.0 AS slope_cents_day,
+      |       floor(((CAST(sy AS DOUBLE)
+      |               - (CAST(n * sxy - sx * sy AS DOUBLE)
+      |                  / CAST(n * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE))
+      |                 * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) * 100 + 0.5) / 100.0 AS intercept_cents
+      |FROM m
+      |ORDER BY o_orderpriority""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q70_group_regression",
+      "Per-group OLS trend lines from exact integer moments (covariance recipe)",
+      groupRegression, Some(groupRegressionOracle)),
     QueryDef("q68_weighted_median",
       "Exact lower weighted median (price by quantity mass) per group, integer predicate",
       weightedMedian, Some(weightedMedianOracle)),
