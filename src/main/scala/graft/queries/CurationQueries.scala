@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.queries.QueryUtil.halfUp4
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-curation tier — the model-based corpus selection operators that sit
@@ -187,7 +188,62 @@ object CurationQueries {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** x106: vocabulary growth curve — Heaps'-law view of the corpus: for
+    * each doc_id-ordered corpus decile, the cumulative token occurrences
+    * and cumulative DISTINCT vocabulary, plus the type-token ratio. The
+    * single-pass trick: a token's first appearance decile is
+    * min(bucket(doc)) over its postings, so cumulative vocabulary is a
+    * running sum over the 10-row first-appearance histogram — no
+    * per-prefix re-scan, ONE aggregation over the token stream. Sub-linear
+    * vocab growth (falling TTR) is the healthy-corpus signature; a
+    * linearly growing vocabulary means unbounded junk (serial numbers,
+    * hashes). Scale: one explode + one token-keyed aggregate; the decile
+    * math runs on 10 rows. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mx = Tables.documents(spark, dir).agg(max($"doc_id").as("mxid"))
+    val tok = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .crossJoin(broadcast(mx))
+      .select(expr("least((doc_id * 10) div (mxid + 1), 9)").as("decile"), $"tok")
+    val occ = tok.groupBy($"decile").agg(count(lit(1)).as("n_occ"))
+    val firsts = tok.groupBy($"tok").agg(min($"decile").as("decile"))
+      .groupBy($"decile").agg(count(lit(1)).as("n_new"))
+    val wCum = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    occ.join(firsts, Seq("decile"), "left")
+      .select($"decile", $"n_occ", coalesce($"n_new", lit(0L)).as("n_new"))
+      .withColumn("occ_cum", sum($"n_occ").over(wCum))
+      .withColumn("vocab_cum", sum($"n_new").over(wCum))
+      .select($"decile", $"occ_cum", $"vocab_cum",
+        halfUp4($"vocab_cum".cast("double") / $"occ_cum".cast("double")).as("ttr"))
+      .orderBy("decile")
+  }
+
+  private val vocabGrowthOracle =
+    """WITH mx AS (SELECT max(doc_id) AS mxid FROM documents),
+      |tok AS (SELECT least((doc_id * 10) // (mxid + 1), 9) AS decile, tok
+      |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |              FROM documents), mx),
+      |occ AS (SELECT decile, count(*) AS n_occ FROM tok GROUP BY decile),
+      |firsts AS (SELECT decile, count(*) AS n_new FROM (
+      |             SELECT tok, min(decile) AS decile FROM tok GROUP BY tok)
+      |           GROUP BY decile),
+      |j AS (SELECT occ.decile, n_occ, coalesce(n_new, 0) AS n_new
+      |      FROM occ LEFT JOIN firsts ON occ.decile = firsts.decile),
+      |c AS (SELECT decile,
+      |        CAST(sum(n_occ) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS occ_cum,
+      |        CAST(sum(n_new) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum
+      |      FROM j)
+      |SELECT decile, occ_cum, vocab_cum,
+      |       floor((CAST(vocab_cum AS DOUBLE) / CAST(occ_cum AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS ttr
+      |FROM c
+      |ORDER BY decile""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x106_vocab_growth",
+      "Heaps'-law vocabulary growth curve by corpus decile (single-pass first-appearance histogram)",
+      vocabGrowth, Some(vocabGrowthOracle)),
     QueryDef("x100_tokenizer_fertility",
       "Tokenizer fertility by language: subwords per word / per char (vocab-fairness metric)",
       tokenizerFertility, Some(tokenizerFertilityOracle)),
