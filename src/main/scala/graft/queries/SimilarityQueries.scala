@@ -897,7 +897,69 @@ object SimilarityQueries {
        |  ON f.q_id = rr.vec_id AND f.vec_id = rr.q_id AND f.q_id < f.vec_id
        |ORDER BY a, b""".stripMargin
 
+  /** x107: IVF recall audit — recall@3 of the coarse-quantized search
+    * (x34) against the exact brute-force ranking (x30), per query and
+    * overall: the quality number a vector store publishes next to its
+    * latency. Both sides are the already-verified queries; the audit is
+    * an outer join of two K-row-per-query lists (x26's pattern on the
+    * dense family). Exact integer hit counts; one division. */
+  def ivfRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = cosineTopK(spark, dir).filter($"rk" <= 3)
+      .select($"q_id", $"vec_id", lit(1L).as("in_exact"))
+    val approx = ivfTopK(spark, dir)
+      .select($"q_id", $"vec_id", lit(1L).as("in_ivf"))
+    exact.join(approx, Seq("q_id", "vec_id"), "full")
+      .groupBy($"q_id")
+      .agg(sum(coalesce($"in_exact", lit(0L))).as("n_exact"),
+        sum(coalesce($"in_ivf", lit(0L))).as("n_ivf"),
+        sum(when($"in_exact".isNotNull && $"in_ivf".isNotNull, 1L)
+          .otherwise(0L)).as("n_hit"))
+      .select($"q_id", $"n_exact", $"n_ivf", $"n_hit",
+        QueryUtil.halfUp4($"n_hit".cast("double") / $"n_exact".cast("double"))
+          .as("recall_at_3"))
+      .orderBy("q_id")
+  }
+
+  private val ivfRecallAuditOracle =
+    s"""WITH $ivfSeedSql,
+       |${assignSql("c")},
+       |qc AS (SELECT e.vec_id AS q_id, e.embedding AS qv, e.nrm AS qn, c.cent_id,
+       |         ${dotSql("e.embedding", "c.cv")} / (e.nrm * c.cn) AS ccos
+       |       FROM e CROSS JOIN c c WHERE e.vec_id % 100 = 0),
+       |probes AS (SELECT q_id, qv, qn, cent_id
+       |           FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ccos DESC, cent_id) AS rn FROM qc)
+       |           WHERE rn <= 2),
+       |ip AS (SELECT probes.q_id, assigned.vec_id,
+       |        round(${dotSql("probes.qv", "assigned.embedding")} / (probes.qn * assigned.nrm), 4) AS cosine
+       |      FROM probes JOIN assigned USING (cent_id)
+       |      WHERE assigned.vec_id <> probes.q_id),
+       |ivf AS (SELECT q_id, vec_id FROM (
+       |          SELECT q_id, vec_id,
+       |            row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+       |          FROM ip) WHERE rk <= 3),
+       |bp AS (SELECT q.q_id, e2.vec_id,
+       |        round(${dotSql("q.qv", "e2.embedding")} / (q.qn * e2.nrm), 4) AS cosine
+       |      FROM e e2 JOIN (SELECT vec_id AS q_id, embedding AS qv, nrm AS qn FROM e
+       |                      WHERE vec_id % 100 = 0) q ON e2.vec_id <> q.q_id),
+       |ex AS (SELECT q_id, vec_id FROM (
+       |          SELECT q_id, vec_id,
+       |            row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+       |          FROM bp) WHERE rk <= 3)
+       |SELECT coalesce(ex.q_id, ivf.q_id) AS q_id,
+       |       CAST(sum(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       |       CAST(sum(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ivf,
+       |       CAST(sum(CASE WHEN ex.vec_id IS NOT NULL AND ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |       floor((CAST(sum(CASE WHEN ex.vec_id IS NOT NULL AND ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |              / CAST(sum(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS recall_at_3
+       |FROM ex FULL OUTER JOIN ivf ON ex.q_id = ivf.q_id AND ex.vec_id = ivf.vec_id
+       |GROUP BY coalesce(ex.q_id, ivf.q_id)
+       |ORDER BY q_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x107_ivf_recall_audit",
+      "recall@3 of IVF nprobe=2 vs the exact brute-force ranking, per query (X3 quality gate)",
+      ivfRecallAudit, Some(ivfRecallAuditOracle)),
     QueryDef("x105_mutual_knn",
       "reciprocal nearest-neighbor pairs over the dense top-5 (mutual-kNN primitive)",
       mutualKnn, Some(mutualKnnOracle)),
