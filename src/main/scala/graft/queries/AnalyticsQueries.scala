@@ -681,7 +681,65 @@ object AnalyticsQueries {
       |FROM m
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** q71: chi-square independence test — the contingency-table screen for
+    * "does order priority depend on customer segment": observed cell
+    * counts vs independence expectations, each cell's χ² contribution
+    * computed from EXACT integers — term = (obs·n − rt·ct)²/(n·rt·ct)
+    * with the numerator squared in decimal/HUGEINT (it exceeds int64) and
+    * both sides converted to double once, then the q64 fixed-point
+    * running total over the 25-cell frame. Scale: one aggregate over the
+    * joined fact; margins and the test statistic on constant frames. */
+  def chiSquare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val cells = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir).select($"c_custkey", $"c_mktsegment"),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"o_orderpriority")
+      .agg(count(lit(1)).as("obs"))
+    val rt = cells.groupBy($"c_mktsegment").agg(sum($"obs").as("rt"))
+    val ct = cells.groupBy($"o_orderpriority").agg(sum($"obs").as("ct"))
+    val n = cells.agg(sum($"obs").as("n"))
+    val num = $"obs".cast(dec) * $"n" - $"rt".cast(dec) * $"ct"
+    val den = $"n".cast(dec) * $"rt" * $"ct"
+    val wCum = Window.orderBy($"c_mktsegment", $"o_orderpriority")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.join(broadcast(rt), "c_mktsegment").join(broadcast(ct), "o_orderpriority")
+      .crossJoin(broadcast(n))
+      .withColumn("chi_fp",
+        floor((num * num).cast("double") / den.cast("double") * lit(1e6) + lit(0.5))
+          .cast("long"))
+      .select($"c_mktsegment", $"o_orderpriority", $"obs",
+        halfUp(($"rt".cast(dec) * $"ct").cast("double") / $"n".cast("double"), 2)
+          .as("expected"),
+        halfUp4($"chi_fp".cast("double") / 1e6).as("chi_term"),
+        halfUp4(sum($"chi_fp").over(wCum).cast("double") / 1e6).as("chi_cum"))
+      .orderBy("c_mktsegment", "o_orderpriority")
+  }
+
+  private val chiSquareOracle =
+    """WITH cells AS (SELECT c_mktsegment, o_orderpriority, count(*) AS obs
+      |               FROM orders JOIN customer ON o_custkey = c_custkey
+      |               GROUP BY c_mktsegment, o_orderpriority),
+      |rt AS (SELECT c_mktsegment, sum(obs) AS rt FROM cells GROUP BY c_mktsegment),
+      |ct AS (SELECT o_orderpriority, sum(obs) AS ct FROM cells GROUP BY o_orderpriority),
+      |n AS (SELECT sum(obs) AS n FROM cells),
+      |t AS (SELECT c_mktsegment, o_orderpriority, obs, rt, ct, n.n,
+      |        CAST(floor(CAST((CAST(obs AS HUGEINT) * n.n - CAST(rt AS HUGEINT) * ct)
+      |                        * (CAST(obs AS HUGEINT) * n.n - CAST(rt AS HUGEINT) * ct) AS DOUBLE)
+      |                   / CAST(CAST(n.n AS HUGEINT) * rt * ct AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS chi_fp
+      |      FROM cells JOIN rt USING (c_mktsegment) JOIN ct USING (o_orderpriority), n)
+      |SELECT c_mktsegment, o_orderpriority, obs,
+      |       floor((CAST(CAST(rt AS HUGEINT) * ct AS DOUBLE) / CAST(n AS DOUBLE)) * 100 + 0.5) / 100.0 AS expected,
+      |       floor((CAST(chi_fp AS DOUBLE) / 1000000.0) * 10000 + 0.5) / 10000.0 AS chi_term,
+      |       floor((CAST(sum(chi_fp) OVER (ORDER BY c_mktsegment, o_orderpriority ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1000000.0) * 10000 + 0.5) / 10000.0 AS chi_cum
+      |FROM t
+      |ORDER BY c_mktsegment, o_orderpriority""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q71_chi_square",
+      "Chi-square independence test on the segment x priority contingency table (exact cross terms)",
+      chiSquare, Some(chiSquareOracle)),
     QueryDef("q70_group_regression",
       "Per-group OLS trend lines from exact integer moments (covariance recipe)",
       groupRegression, Some(groupRegressionOracle)),
