@@ -736,7 +736,58 @@ object AnalyticsQueries {
       |FROM t
       |ORDER BY c_mktsegment, o_orderpriority""".stripMargin
 
+  /** q72: exact grouped percentiles — order-to-ship lead time (days) per
+    * priority at p50/p90/p99, by the q68 predicate technique: one window
+    * sort per group, then each percentile is the min value among rows
+    * whose inclusive cumulative count covers the target mass
+    * (`cum·100 ≥ p·tot` — lower discrete percentile, all integer
+    * arithmetic; three conditional mins share ONE window pass). The exact
+    * counterpart of q25's approx sketches — the latency-SLO report shape.
+    * Scale: one keyed window + one aggregate; no global sort. */
+  def leadTimePercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lt = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_orderdate", $"o_orderpriority"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"o_orderpriority",
+        datediff($"l_shipdate", $"o_orderdate").cast("long").as("days"),
+        $"l_orderkey", $"l_linenumber")
+    val wCum = Window.partitionBy($"o_orderpriority")
+      .orderBy($"days", $"l_orderkey", $"l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy($"o_orderpriority")
+    def pctl(p: Int) =
+      min(when($"cum" * 100 >= $"tot" * p, $"days")).as(s"p$p")
+    lt.withColumn("cum", count(lit(1)).over(wCum))
+      .withColumn("tot", count(lit(1)).over(wTot))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), pctl(50), pctl(90), pctl(99))
+      .orderBy("o_orderpriority")
+  }
+
+  private val leadTimePercentilesOracle =
+    """WITH lt AS (SELECT o_orderpriority,
+      |              CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS days,
+      |              l_orderkey, l_linenumber
+      |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |c AS (SELECT o_orderpriority, days,
+      |        count(*) OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY days, l_orderkey, l_linenumber
+      |                       ROWS UNBOUNDED PRECEDING) AS cum,
+      |        count(*) OVER (PARTITION BY o_orderpriority) AS tot
+      |      FROM lt)
+      |SELECT o_orderpriority, count(*) AS n,
+      |       min(CASE WHEN cum * 100 >= tot * 50 THEN days END) AS p50,
+      |       min(CASE WHEN cum * 100 >= tot * 90 THEN days END) AS p90,
+      |       min(CASE WHEN cum * 100 >= tot * 99 THEN days END) AS p99
+      |FROM c
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q72_lead_time_percentiles",
+      "Exact grouped p50/p90/p99 lead times via one shared window pass (SLO report shape)",
+      leadTimePercentiles, Some(leadTimePercentilesOracle)),
     QueryDef("q71_chi_square",
       "Chi-square independence test on the segment x priority contingency table (exact cross terms)",
       chiSquare, Some(chiSquareOracle)),
