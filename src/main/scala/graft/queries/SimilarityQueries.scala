@@ -956,7 +956,51 @@ object SimilarityQueries {
        |GROUP BY coalesce(ex.q_id, ivf.q_id)
        |ORDER BY q_id""".stripMargin
 
+  /** x108: embedding coverage QA — the referential check between the text
+    * corpus and its vector index (ids are row-aligned across the two
+    * tables, the x81 layout): per source, how many docs have an embedding,
+    * how many vectors are orphaned (no doc), and the coverage rate. The
+    * gate a RAG/setup pipeline runs before trusting retrieval. Exact
+    * integer counts, one division; orphans reported as their own row.
+    * Scale: one outer join on the id + a |sources|-group aggregate. */
+  def embeddingCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir).select($"doc_id", $"source")
+    val e = Tables.embeddings(spark, dir).select($"vec_id", lit(1L).as("has_vec"))
+    d.join(e, $"doc_id" === $"vec_id", "full")
+      .select(coalesce($"source", lit("_orphan_vectors")).as("source"),
+        ($"doc_id".isNotNull).cast("long").as("is_doc"),
+        coalesce($"has_vec", lit(0L)).as("has_vec"))
+      .groupBy($"source")
+      .agg(sum($"is_doc").as("n_docs"),
+        sum($"is_doc" * $"has_vec").as("n_covered"),
+        sum((lit(1L) - $"is_doc") * $"has_vec").as("n_orphan_vecs"))
+      .select($"source", $"n_docs", $"n_covered", $"n_orphan_vecs",
+        when($"n_docs" > 0,
+          QueryUtil.halfUp4($"n_covered".cast("double") / $"n_docs".cast("double")))
+          .otherwise(lit(0.0)).as("coverage"))
+      .orderBy("source")
+  }
+
+  private val embeddingCoverageOracle =
+    """WITH j AS (SELECT coalesce(d.source, '_orphan_vectors') AS source,
+      |             CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_doc,
+      |             CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END AS has_vec
+      |           FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id)
+      |SELECT source, CAST(sum(is_doc) AS BIGINT) AS n_docs,
+      |       CAST(sum(is_doc * has_vec) AS BIGINT) AS n_covered,
+      |       CAST(sum((1 - is_doc) * has_vec) AS BIGINT) AS n_orphan_vecs,
+      |       CASE WHEN sum(is_doc) > 0
+      |            THEN floor((CAST(sum(is_doc * has_vec) AS DOUBLE) / CAST(sum(is_doc) AS DOUBLE)) * 10000 + 0.5) / 10000.0
+      |            ELSE 0.0 END AS coverage
+      |FROM j
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x108_embedding_coverage",
+      "doc-vs-vector referential coverage report per source (RAG index QA)",
+      embeddingCoverage, Some(embeddingCoverageOracle)),
     QueryDef("x107_ivf_recall_audit",
       "recall@3 of IVF nprobe=2 vs the exact brute-force ranking, per query (X3 quality gate)",
       ivfRecallAudit, Some(ivfRecallAuditOracle)),
