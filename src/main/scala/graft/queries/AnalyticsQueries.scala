@@ -784,7 +784,105 @@ object AnalyticsQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** q73: top-k churn — which customers persist in the monthly revenue
+    * top-10: per month, rank customers by exact cents (tie custkey), keep
+    * the top-10, then report every customer who makes the cut at least
+    * twice with their appearance count, best rank, and first/last month.
+    * The leaderboard-stability view behind account management. Scale: the
+    * rank window is per month (bounded frames); the rollup aggregates
+    * 10·months rows. */
+  def topkChurn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(date_format($"o_orderdate", "yyyy-MM").as("month"), $"o_custkey")
+      .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("c"))
+    val w = Window.partitionBy($"month").orderBy($"c".desc, $"o_custkey")
+    monthly.withColumn("rk", row_number().over(w)).filter($"rk" <= 10)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_months"), min($"rk").as("best_rank"),
+        min($"month").as("first_month"), max($"month").as("last_month"))
+      .filter($"n_months" >= 2)
+      .orderBy($"n_months".desc, $"o_custkey")
+  }
+
+  private val topkChurnOracle =
+    """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month, o_custkey,
+      |             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS c
+      |           FROM orders GROUP BY 1, 2),
+      |r AS (SELECT month, o_custkey,
+      |        row_number() OVER (PARTITION BY month ORDER BY c DESC, o_custkey) AS rk
+      |      FROM m)
+      |SELECT o_custkey, count(*) AS n_months,
+      |       CAST(min(rk) AS INTEGER) AS best_rank,
+      |       min(month) AS first_month, max(month) AS last_month
+      |FROM r WHERE rk <= 10
+      |GROUP BY o_custkey
+      |HAVING count(*) >= 2
+      |ORDER BY n_months DESC, o_custkey""".stripMargin
+
+  /** Session gap for q74 (seconds) — q22's sessionization constant. */
+  private val BounceGapSec = 1800L
+
+  /** q74: bounce rate — per calendar day, the share of user sessions
+    * containing exactly one event (the engagement-quality headline):
+    * events sessionize by the q22 rule (new session when the gap from the
+    * user's previous event exceeds 30 min — one lag window), sessions
+    * collapse to (user, session, first-day, n_events), and days aggregate
+    * their sessions. Exact counts, one division. Scale: the same
+    * user-keyed window q22 runs + two bounded aggregates. */
+  def bounceRate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val sess = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id")
+      .withColumn("prev", lag($"ts", 1).over(w))
+      .withColumn("new_sess",
+        ($"prev".isNull ||
+          unix_timestamp($"ts".cast("timestamp"))
+            - unix_timestamp($"prev".cast("timestamp")) > BounceGapSec)
+          .cast("long"))
+      .withColumn("sess_id", sum($"new_sess").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sess_id")
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min($"ts"), "yyyy-MM-dd").as("day"))
+    sess.groupBy($"day")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(($"n_events" === 1).cast("long")).as("n_bounces"))
+      .select($"day", $"n_sessions", $"n_bounces",
+        halfUp4($"n_bounces".cast("double") / $"n_sessions".cast("double"))
+          .as("bounce_rate"))
+      .orderBy("day")
+  }
+
+  private val bounceRateOracle =
+    s"""WITH e AS (SELECT user_id, ts, event_id,
+       |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |           FROM events),
+       |s AS (SELECT user_id, ts,
+       |        sum(CASE WHEN prev IS NULL
+       |                  OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev)) AS BIGINT) > $BounceGapSec
+       |                 THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+       |      FROM e),
+       |sess AS (SELECT user_id, sess_id, count(*) AS n_events,
+       |           strftime(min(ts), '%Y-%m-%d') AS day
+       |         FROM s GROUP BY user_id, sess_id)
+       |SELECT day, count(*) AS n_sessions,
+       |       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       |       floor((CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |              / CAST(count(*) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS bounce_rate
+       |FROM sess
+       |GROUP BY day
+       |ORDER BY day""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q73_topk_churn",
+      "Monthly top-10 leaderboard persistence: repeat appearances, best rank, first/last month",
+      topkChurn, Some(topkChurnOracle)),
+    QueryDef("q74_bounce_rate",
+      "Per-day single-event-session bounce rate over gap-sessionized events",
+      bounceRate, Some(bounceRateOracle)),
     QueryDef("q72_lead_time_percentiles",
       "Exact grouped p50/p90/p99 lead times via one shared window pass (SLO report shape)",
       leadTimePercentiles, Some(leadTimePercentilesOracle)),
