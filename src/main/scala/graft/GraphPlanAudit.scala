@@ -36,7 +36,7 @@ object GraphPlanAudit {
     val ranks = nd.select(col("node"), lit(Graph.MassFp / 25).as("rank_fp"))
 
     println("\n===== pageRank: one iteration (edge ⋈ ranks → per-dst agg → node left join) =====")
-    Graph.pageRankStep(nd, e, ranks, 0L).explain("formatted")
+    Graph.pageRankStep(nd, e, ranks, lit(0L)).explain("formatted")
 
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))

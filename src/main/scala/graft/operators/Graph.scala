@@ -131,25 +131,28 @@ object Graph {
         else dangling.join(ranks, "node")
           .agg(coalesce(sum("rank_fp"), lit(0L))).head.getLong(0)
       val shareFp = 85L * dangFp / (100L * n) // uniform dangling share, floored
-      ranks = pageRankStep(nd, e, ranks, baseFp + shareFp).localCheckpoint(true)
+      ranks = pageRankStep(nd, e, ranks, lit(baseFp + shareFp))
+        .localCheckpoint(true)
     }
     ranks
   }
 
-  /** One rank-update round of [[pageRank]] — the loop body, shared with
-    * [[graft.GraphPlanAudit]]: edge ⋈ ranks keyed on src, contribution
-    * aggregation keyed on dst, left join back onto the node set.
-    * @param e    edges with `outw` already joined (src, dst, w, outw)
-    * @param addFp the per-node constant for this round: base mass +
-    *              redistributed dangling share (fixed point) */
+  /** One rank-update round of [[pageRank]]/[[personalizedPageRank]] — the
+    * loop body, shared with [[graft.GraphPlanAudit]]: edge ⋈ ranks keyed on
+    * src, contribution aggregation keyed on dst, left join back onto the
+    * node set.
+    * @param e      edges with `outw` already joined (src, dst, w, outw)
+    * @param addCol the per-node teleport term for this round, resolvable
+    *               against `nd`: a constant column (uniform base mass +
+    *               dangling share) or `is_seed · base` (personalized) */
   private[graft] def pageRankStep(nd: DataFrame, e: DataFrame, ranks: DataFrame,
-                                  addFp: Long): DataFrame = {
+                                  addCol: org.apache.spark.sql.Column): DataFrame = {
     val inc = e.join(ranks.withColumnRenamed("node", "src"), "src")
       .select(col("dst"), expr("(85 * rank_fp * w) div (100 * outw)").as("c"))
       .groupBy("dst").agg(sum("c").as("inc"))
     nd.join(inc.withColumnRenamed("dst", "node"), Seq("node"), "left")
       .select(col("node"),
-        (lit(addFp) + coalesce(col("inc"), lit(0L))).as("rank_fp"))
+        (addCol + coalesce(col("inc"), lit(0L))).as("rank_fp"))
   }
 
   /** Multi-source BFS hop distance: the minimum number of edges from any
@@ -226,21 +229,12 @@ object Graph {
       .localCheckpoint(true)
     var ranks = seedFlag
       .select(col("node"), (col("is_seed") * initFp).as("rank_fp"))
+    // the SAME step as pageRank, teleport gated to seed rows — one loop
+    // body to keep in sync, one audited plan shape
     for (_ <- 1 to iters)
-      ranks = pprStep(seedFlag, e, ranks, baseFp).localCheckpoint(true)
+      ranks = pageRankStep(seedFlag, e, ranks, col("is_seed") * baseFp)
+        .localCheckpoint(true)
     ranks
-  }
-
-  /** One restart round of [[personalizedPageRank]] — the [[pageRankStep]]
-    * shape with the teleport term gated to seed rows. */
-  private[graft] def pprStep(seedFlag: DataFrame, e: DataFrame,
-                             ranks: DataFrame, baseFp: Long): DataFrame = {
-    val inc = e.join(ranks.withColumnRenamed("node", "src"), "src")
-      .select(col("dst"), expr("(85 * rank_fp * w) div (100 * outw)").as("c"))
-      .groupBy("dst").agg(sum("c").as("inc"))
-    seedFlag.join(inc.withColumnRenamed("dst", "node"), Seq("node"), "left")
-      .select(col("node"),
-        (col("is_seed") * baseFp + coalesce(col("inc"), lit(0L))).as("rank_fp"))
   }
 
   /** Weighted single-source (or multi-source) shortest paths by

@@ -423,9 +423,15 @@ object AnalyticsQueries {
     val expCol = Benford.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (p, i)) =>
       when($"digit" === (i + 1), lit(p)).otherwise(acc)
     }
+    // Domain guard: Benford is defined for POSITIVE magnitudes only — a
+    // zero/negative total would put digit outside 1..9 (exp_rate 0 → a
+    // divide-by-zero the engines disagree on: Spark floors Infinity to
+    // Long.MaxValue, DuckDB errors). The fixture has none; the guard makes
+    // the operator total-function on any input.
     val byDigit = Tables.orders(spark, dir)
       .select(substring(floor($"o_totalprice" * 100 + 0.5).cast("long")
         .cast("string"), 1, 1).cast("long").as("digit"))
+      .filter($"digit".between(1, 9))
       .groupBy($"digit").agg(count(lit(1)).as("n_obs"))
     val tot = byDigit.agg(sum($"n_obs").as("n"))
     val term = ($"n_obs".cast("double") - $"exp_rate" * $"n".cast("double")) *
@@ -447,9 +453,10 @@ object AnalyticsQueries {
   private val benfordAuditOracle = {
     val expCase = "CASE digit " + Benford.zipWithIndex
       .map { case (p, i) => s"WHEN ${i + 1} THEN $p" }.mkString(" ") + " ELSE 0.0 END"
-    s"""WITH byd AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
-       |               count(*) AS n_obs
-       |             FROM orders GROUP BY 1),
+    s"""WITH byd AS (SELECT digit, count(*) AS n_obs FROM (
+       |               SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+       |               FROM orders WHERE floor(o_totalprice * 100 + 0.5) >= 1)
+       |             WHERE digit BETWEEN 1 AND 9 GROUP BY digit),
        |tot AS (SELECT sum(n_obs) AS n FROM byd),
        |t AS (SELECT digit, n_obs, n, ($expCase) AS exp_rate FROM byd, tot),
        |c AS (SELECT digit, n_obs, n, exp_rate,
@@ -648,16 +655,13 @@ object AnalyticsQueries {
         sum($"x").as("sx"), sum($"y").as("sy"),
         sum($"x".cast(dec) * $"y".cast(dec)).as("sxy"),
         sum($"x".cast(dec) * $"x".cast(dec)).as("sxx"))
-    m.select($"o_orderpriority", $"n",
-      halfUp(
-        ($"n".cast(dec) * $"sxy" - $"sx".cast(dec) * $"sy".cast(dec)).cast("double")
-          / ($"n".cast(dec) * $"sxx" - $"sx".cast(dec) * $"sx".cast(dec)).cast("double"),
-        6).as("slope_cents_day"),
-      halfUp(
-        ($"sy".cast("double")
-          - (($"n".cast(dec) * $"sxy" - $"sx".cast(dec) * $"sy".cast(dec)).cast("double")
-            / ($"n".cast(dec) * $"sxx" - $"sx".cast(dec) * $"sx".cast(dec)).cast("double"))
-          * $"sx".cast("double")) / $"n".cast("double"), 2).as("intercept_cents"))
+    m.withColumn("slope_raw",
+      ($"n".cast(dec) * $"sxy" - $"sx".cast(dec) * $"sy".cast(dec)).cast("double")
+        / ($"n".cast(dec) * $"sxx" - $"sx".cast(dec) * $"sx".cast(dec)).cast("double"))
+      .select($"o_orderpriority", $"n",
+        halfUp($"slope_raw", 6).as("slope_cents_day"),
+        halfUp(($"sy".cast("double") - $"slope_raw" * $"sx".cast("double"))
+          / $"n".cast("double"), 2).as("intercept_cents"))
       .orderBy("o_orderpriority")
   }
 

@@ -206,8 +206,13 @@ object CurationQueries {
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
       .crossJoin(broadcast(mx))
       .select(expr("least((doc_id * 10) div (mxid + 1), 9)").as("decile"), $"tok")
-    val occ = tok.groupBy($"decile").agg(count(lit(1)).as("n_occ"))
-    val firsts = tok.groupBy($"tok").agg(min($"decile").as("decile"))
+    // ONE explode: both rollups (occurrences per decile, first-appearance
+    // histogram) derive from the (tok, decile) count frame, whose groupBy
+    // exchange is the shared stage AQE serves to both consumers — without
+    // it the document scan + explode would run twice (the x16 lesson).
+    val tg = tok.groupBy($"tok", $"decile").agg(count(lit(1)).as("c"))
+    val occ = tg.groupBy($"decile").agg(sum($"c").as("n_occ"))
+    val firsts = tg.groupBy($"tok").agg(min($"decile").as("decile"))
       .groupBy($"decile").agg(count(lit(1)).as("n_new"))
     val wCum = Window.orderBy($"decile")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -225,9 +230,10 @@ object CurationQueries {
       |tok AS (SELECT least((doc_id * 10) // (mxid + 1), 9) AS decile, tok
       |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
       |              FROM documents), mx),
-      |occ AS (SELECT decile, count(*) AS n_occ FROM tok GROUP BY decile),
+      |tg AS MATERIALIZED (SELECT tok, decile, count(*) AS c FROM tok GROUP BY tok, decile),
+      |occ AS (SELECT decile, CAST(sum(c) AS BIGINT) AS n_occ FROM tg GROUP BY decile),
       |firsts AS (SELECT decile, count(*) AS n_new FROM (
-      |             SELECT tok, min(decile) AS decile FROM tok GROUP BY tok)
+      |             SELECT tok, min(decile) AS decile FROM tg GROUP BY tok)
       |           GROUP BY decile),
       |j AS (SELECT occ.decile, n_occ, coalesce(n_new, 0) AS n_new
       |      FROM occ LEFT JOIN firsts ON occ.decile = firsts.decile),

@@ -855,13 +855,14 @@ object SimilarityQueries {
       |ORDER BY dim""".stripMargin
 
   /** x105: reciprocal (mutual) nearest neighbors — pairs where EACH vector
-    * ranks the other in its top-5 (over the x30 query cohort, so both
-    * directions exist): the high-precision pairing primitive under
-    * clustering and near-dup verification, because one-directional
-    * neighbors are asymmetric-hub noise. Derived by self-joining the
-    * already-verified x30 ranking; ranks and the shared rounded cosine
-    * come along. Scale: a K·|queries|-row frame joined to itself on the
-    * ordered pair — negligible above the arms' audited plans. */
+    * ranks the other in its top-5 over a shared cohort (every 10th vector
+    * — denser than x30's every-100th query set, because BOTH directions
+    * need a ranking and mutual pairs must actually exist): the
+    * high-precision pairing primitive under clustering and near-dup
+    * verification, since one-directional neighbors are asymmetric-hub
+    * noise. Same ranking recipe as x30 (rounded cosine, vec_id
+    * tie-break), restricted to the cohort on both sides. Scale: a
+    * K·|cohort|-row frame joined to itself on the ordered pair. */
   def mutualKnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // Cohort = every 10th vector, ranked WITHIN the cohort (both directions
