@@ -31,7 +31,8 @@ object Registry {
       queries.RetrievalQueries.defs ++
       queries.Round8Queries.defs ++
       queries.AnalyticsQueries.defs ++
-      queries.CurationQueries.defs
+      queries.CurationQueries.defs ++
+      queries.StatsQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

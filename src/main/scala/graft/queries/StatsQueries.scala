@@ -1,0 +1,292 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.queries.QueryUtil.halfUp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical-testing tier — the hypothesis tests an analytics team runs
+  * on top of the warehouse: Welch's two-sample t-test, the Mann-Kendall
+  * trend test, Spearman rank correlation, and a Hampel rolling-MAD
+  * outlier filter. All follow the exact-moment recipe (q70): counts,
+  * cents, ranks, and cross moments stay integral (long / decimal(38,0)
+  * == DuckDB HUGEINT) until one final double conversion; the only
+  * floating ops are divisions and IEEE-exact sqrt on bit-identical
+  * inputs, so the distributed Spark result and the sequential DuckDB
+  * oracle agree to the bit before rounding.
+  *
+  * Scale: every test statistic is computed on a tiny aggregate frame
+  * (3 groups, 25 nations, 25x~80 months) — the full scan contributes
+  * exactly one partial-aggregated pass; the pairwise joins (Mann-Kendall)
+  * run on the aggregate, never the raw table. */
+object StatsQueries {
+
+  private val dec = "decimal(38,0)"
+
+  /** Hampel threshold |x-med| > 3*1.4826*MAD as the exact integer
+    * predicate |x-med|*10000 > 44478*MAD (3*1.4826 = 4.4478). */
+  private val HampelScaled = 44478L
+
+  /** q75: Welch's unequal-variance t-test — per return flag, does the
+    * mean extended price (exact cents) differ between open (O) and
+    * finished (F) line statuses? Moments Σy (long), Σy² (decimal) are
+    * exact; sample variance v = (n·Σy² − (Σy)²) / (n·(n−1)) is an exact
+    * integer ratio divided once; t and the Welch–Satterthwaite df are
+    * pure double arithmetic in the same association order as the oracle.
+    * Scale: one 6-row aggregate over the scan; the t math runs on a
+    * 3-row join of that aggregate. */
+  def welchTTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.lineitem(spark, dir).select(
+      $"l_returnflag".as("grp"), $"l_linestatus".as("s"),
+      floor($"l_extendedprice" * 100 + 0.5).cast("long").as("y"))
+    val m = base.groupBy($"grp", $"s")
+      .agg(count(lit(1)).as("n"), sum($"y").as("sy"),
+        sum($"y".cast(dec) * $"y".cast(dec)).as("qy"))
+    def vOf(n: org.apache.spark.sql.Column, sy: org.apache.spark.sql.Column,
+            qy: org.apache.spark.sql.Column) =
+      (n.cast(dec) * qy - sy.cast(dec) * sy.cast(dec)).cast("double") /
+        (n.cast(dec) * (n - 1).cast(dec)).cast("double")
+    val a = m.filter($"s" === "O").select($"grp", $"n".as("n1"),
+      ($"sy".cast("double") / $"n".cast("double")).as("m1"),
+      vOf($"n", $"sy", $"qy").as("v1"))
+    val b = m.filter($"s" === "F").select($"grp", $"n".as("n2"),
+      ($"sy".cast("double") / $"n".cast("double")).as("m2"),
+      vOf($"n", $"sy", $"qy").as("v2"))
+    val se2 = $"v1" / $"n1" + $"v2" / $"n2"
+    a.join(b, Seq("grp"))
+      .select($"grp".as("l_returnflag"), $"n1", $"n2",
+        halfUp(($"m1" - $"m2") * 100, 0).as("mean_diff_x100"),
+        halfUp(($"m1" - $"m2") / sqrt(se2), 4).as("t_stat"),
+        halfUp(se2 * se2 /
+          (($"v1" / $"n1") * ($"v1" / $"n1") / ($"n1" - 1) +
+           ($"v2" / $"n2") * ($"v2" / $"n2") / ($"n2" - 1)), 2).as("df"))
+      .orderBy("l_returnflag")
+  }
+
+  private val welchTTestOracle =
+    """WITH base AS (
+      |  SELECT l_returnflag AS grp, l_linestatus AS s,
+      |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT grp, s, count(*) AS n, CAST(sum(y) AS BIGINT) AS sy,
+      |         sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS qy
+      |  FROM base GROUP BY grp, s),
+      |w AS (
+      |  SELECT a.grp, a.n AS n1, b.n AS n2,
+      |         CAST(a.sy AS DOUBLE) / CAST(a.n AS DOUBLE) AS m1,
+      |         CAST(b.sy AS DOUBLE) / CAST(b.n AS DOUBLE) AS m2,
+      |         CAST(CAST(a.n AS HUGEINT) * a.qy - CAST(a.sy AS HUGEINT) * CAST(a.sy AS HUGEINT) AS DOUBLE)
+      |           / CAST(CAST(a.n AS HUGEINT) * CAST(a.n - 1 AS HUGEINT) AS DOUBLE) AS v1,
+      |         CAST(CAST(b.n AS HUGEINT) * b.qy - CAST(b.sy AS HUGEINT) * CAST(b.sy AS HUGEINT) AS DOUBLE)
+      |           / CAST(CAST(b.n AS HUGEINT) * CAST(b.n - 1 AS HUGEINT) AS DOUBLE) AS v2
+      |  FROM m a JOIN m b ON a.grp = b.grp AND a.s = 'O' AND b.s = 'F')
+      |SELECT grp AS l_returnflag, n1, n2,
+      |       floor((m1 - m2) * 100 + 0.5) AS mean_diff_x100,
+      |       floor(((m1 - m2) / sqrt(v1 / n1 + v2 / n2)) * 10000 + 0.5) / 10000.0 AS t_stat,
+      |       floor(((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+      |              / ((v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1))) * 100 + 0.5) / 100.0 AS df
+      |FROM w ORDER BY l_returnflag""".stripMargin
+
+  /** The (nation, month, count) order series shared by q76/q78's shape:
+    * one aggregated pass over orders⋈customer⋈nation (both dims are
+    * broadcast joins; the group-by is the only shuffle). */
+  private def monthlySeries(spark: SparkSession, dir: String,
+                            value: DataFrame => DataFrame): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_nationkey")), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select($"n_nationkey", $"n_name")), $"c_nationkey" === $"n_nationkey")
+    value(o)
+  }
+
+  /** q76: Mann-Kendall trend test — per nation, is the monthly order
+    * count trending? S = Σ_{i<j} sign(x_j − x_i) and the tie-corrected
+    * variance (×18 to stay integral) are exact integers; only the final
+    * z-score divides/sqrts. Scale: the O(m²) pair join runs on the
+    * 25×~80-row MONTHLY AGGREGATE (≤3.2k pairs/nation), never the raw
+    * orders table — the classic trick that makes pairwise statistics
+    * feasible at 100 TB. */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val series = monthlySeries(spark, dir, o => o
+      .groupBy($"n_name", trunc($"o_orderdate", "month").as("m"))
+      .agg(count(lit(1)).as("x")))
+    val s = series.as("a").join(series.as("b"),
+        $"a.n_name" === $"b.n_name" && $"a.m" < $"b.m")
+      .groupBy($"a.n_name".as("n_name"))
+      .agg(sum(signum($"b.x" - $"a.x").cast("long")).as("s_stat"))
+    val n = series.groupBy($"n_name").agg(count(lit(1)).as("n_months"))
+    val ties = series.groupBy($"n_name", $"x").agg(count(lit(1)).as("t"))
+      .groupBy($"n_name")
+      .agg(sum($"t" * ($"t" - 1) * (lit(2) * $"t" + 5)).as("tie_adj"))
+    val var18 = $"n_months" * ($"n_months" - 1) *
+      (lit(2) * $"n_months" + 5) - $"tie_adj"
+    n.join(s, Seq("n_name")).join(ties, Seq("n_name"))
+      .select($"n_name", $"n_months", $"s_stat", var18.as("var18"),
+        when($"s_stat" === 0, lit(0.0)).otherwise(
+          halfUp(($"s_stat" - when($"s_stat" > 0, 1).otherwise(-1)) /
+            sqrt(var18.cast("double") / 18.0), 4)).as("z"))
+      .orderBy("n_name")
+  }
+
+  private val mannKendallOracle =
+    """WITH series AS (
+      |  SELECT n_name, date_trunc('month', o_orderdate) AS m, count(*) AS x
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name, date_trunc('month', o_orderdate)),
+      |s AS (
+      |  SELECT a.n_name,
+      |         CAST(sum(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      |  FROM series a JOIN series b ON a.n_name = b.n_name AND a.m < b.m
+      |  GROUP BY a.n_name),
+      |n AS (SELECT n_name, count(*) AS n_months FROM series GROUP BY n_name),
+      |ties AS (
+      |  SELECT n_name, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_adj
+      |  FROM (SELECT n_name, x, count(*) AS t FROM series GROUP BY n_name, x)
+      |  GROUP BY n_name)
+      |SELECT n.n_name, n.n_months, s.s_stat,
+      |       n.n_months * (n.n_months - 1) * (2 * n.n_months + 5) - ties.tie_adj AS var18,
+      |       CASE WHEN s.s_stat = 0 THEN 0.0
+      |            ELSE floor(((s.s_stat - CASE WHEN s.s_stat > 0 THEN 1 ELSE -1 END)
+      |                 / sqrt(CAST(n.n_months * (n.n_months - 1) * (2 * n.n_months + 5) - ties.tie_adj AS DOUBLE) / 18.0)) * 10000 + 0.5) / 10000.0 END AS z
+      |FROM n JOIN s USING (n_name) JOIN ties USING (n_name)
+      |ORDER BY n_name""".stripMargin
+
+  /** q77: Spearman rank correlation — per nation, do customers with
+    * higher account balances place more orders? Average ranks with ties
+    * are kept integral as 2·rank: 2·rank() + count(ties) − 1 (min-rank
+    * window + tie-count window, both engines' rank() semantics agree);
+    * then Pearson on the doubled ranks from exact decimal moments —
+    * n·Σxy − Σx·Σy over sqrt of the exact product of the two variance
+    * numerators. Scale: two window passes over customers partitioned by
+    * nation + one aggregate; the rank windows are the same
+    * partition-sort shape q07/q23 already run. */
+  def spearman(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ocnt = Tables.orders(spark, dir)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("cnt"))
+    val cust = Tables.customer(spark, dir)
+      .join(ocnt, $"c_custkey" === $"o_custkey", "left")
+      .select($"c_nationkey",
+        floor($"c_acctbal" * 100 + 0.5).cast("long").as("bal"),
+        coalesce($"cnt", lit(0L)).as("ocnt"))
+    def rank2(v: String) =
+      lit(2) * rank().over(Window.partitionBy($"c_nationkey").orderBy(col(v))) +
+        count(lit(1)).over(Window.partitionBy($"c_nationkey", col(v))) - 1
+    val ranked = cust.select($"c_nationkey",
+      rank2("bal").as("rx"), rank2("ocnt").as("ry"))
+    val m = ranked.groupBy($"c_nationkey").agg(count(lit(1)).as("n"),
+      sum($"rx").cast(dec).as("sx"), sum($"ry").cast(dec).as("sy"),
+      sum($"rx".cast(dec) * $"ry".cast(dec)).as("sxy"),
+      sum($"rx".cast(dec) * $"rx".cast(dec)).as("sxx"),
+      sum($"ry".cast(dec) * $"ry".cast(dec)).as("syy"))
+    m.join(broadcast(Tables.nation(spark, dir)),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", $"n".as("n_cust"),
+        halfUp(($"n".cast(dec) * $"sxy" - $"sx" * $"sy").cast("double") /
+          sqrt((($"n".cast(dec) * $"sxx" - $"sx" * $"sx") *
+                ($"n".cast(dec) * $"syy" - $"sy" * $"sy")).cast("double")), 4)
+          .as("rho"))
+      .orderBy("n_name")
+  }
+
+  private val spearmanOracle =
+    """WITH cust AS (
+      |  SELECT c_custkey, c_nationkey,
+      |         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal,
+      |         COALESCE(o.cnt, 0) AS ocnt
+      |  FROM customer LEFT JOIN (SELECT o_custkey, count(*) AS cnt
+      |                           FROM orders GROUP BY o_custkey) o
+      |    ON c_custkey = o_custkey),
+      |ranked AS (
+      |  SELECT c_nationkey,
+      |         2 * rank() OVER (PARTITION BY c_nationkey ORDER BY bal)
+      |           + count(*) OVER (PARTITION BY c_nationkey, bal) - 1 AS rx,
+      |         2 * rank() OVER (PARTITION BY c_nationkey ORDER BY ocnt)
+      |           + count(*) OVER (PARTITION BY c_nationkey, ocnt) - 1 AS ry
+      |  FROM cust),
+      |m AS (
+      |  SELECT c_nationkey, count(*) AS n,
+      |         CAST(sum(rx) AS HUGEINT) AS sx, CAST(sum(ry) AS HUGEINT) AS sy,
+      |         sum(CAST(rx AS HUGEINT) * CAST(ry AS HUGEINT)) AS sxy,
+      |         sum(CAST(rx AS HUGEINT) * CAST(rx AS HUGEINT)) AS sxx,
+      |         sum(CAST(ry AS HUGEINT) * CAST(ry AS HUGEINT)) AS syy
+      |  FROM ranked GROUP BY c_nationkey)
+      |SELECT n_name, n AS n_cust,
+      |       floor((CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+      |              / sqrt(CAST((CAST(n AS HUGEINT) * sxx - sx * sx)
+      |                          * (CAST(n AS HUGEINT) * syy - sy * sy) AS DOUBLE))) * 10000 + 0.5) / 10000.0 AS rho
+      |FROM m JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY n_name""".stripMargin
+
+  /** q78: Hampel filter — per nation, monthly revenue (exact cents) with
+    * a centered rolling-7 median and MAD; a month is an outlier when
+    * |x − med| > 3·1.4826·MAD, evaluated as the EXACT integer predicate
+    * |x − med|·10000 > 44478·MAD (no float epsilon). Median and MAD of 7
+    * exact longs are order statistics (sorted-array element 4), identical
+    * in both engines; incomplete edge windows are excluded so the count
+    * is always odd. Scale: the rolling window runs over the ~80-row
+    * monthly aggregate per nation — a 7-element collect per row of a
+    * TINY frame, not the raw table. */
+  def hampel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val series = monthlySeries(spark, dir, o => o
+      .groupBy($"n_name", trunc($"o_orderdate", "month").as("m"))
+      .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("rev")))
+    val w7 = Window.partitionBy($"n_name").orderBy($"m").rowsBetween(-3, 3)
+    val win = series.select($"n_name", $"m", $"rev",
+      sort_array(collect_list($"rev").over(w7)).as("w"),
+      count(lit(1)).over(w7).as("wn"))
+    win.filter($"wn" === 7)
+      .withColumn("med", element_at($"w", 4))
+      .withColumn("mad",
+        element_at(sort_array(transform($"w", y => abs(y - $"med"))), 4))
+      .select($"n_name", date_format($"m", "yyyy-MM-dd").as("month"),
+        $"rev", $"med", $"mad",
+        (abs($"rev" - $"med") * 10000 > lit(HampelScaled) * $"mad")
+          .cast("int").as("is_outlier"))
+      .orderBy("n_name", "month")
+  }
+
+  private val hampelOracle =
+    s"""WITH series AS (
+       |  SELECT n_name, date_trunc('month', o_orderdate) AS m,
+       |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY n_name, date_trunc('month', o_orderdate)),
+       |win AS (
+       |  SELECT n_name, m, rev,
+       |         list_sort(list(rev) OVER (PARTITION BY n_name ORDER BY m
+       |           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS w,
+       |         count(*) OVER (PARTITION BY n_name ORDER BY m
+       |           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn
+       |  FROM series),
+       |scored AS (
+       |  SELECT n_name, m, rev, w[4] AS med,
+       |         list_sort(list_transform(w, y -> abs(y - w[4])))[4] AS mad
+       |  FROM win WHERE wn = 7)
+       |SELECT n_name, strftime(CAST(m AS DATE), '%Y-%m-%d') AS month, rev, med, mad,
+       |       CASE WHEN abs(rev - med) * 10000 > $HampelScaled * mad THEN 1 ELSE 0 END AS is_outlier
+       |FROM scored ORDER BY n_name, month""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q75_welch_ttest",
+      "Welch two-sample t-test per return flag (exact moments, IEEE-exact t/df)",
+      welchTTest, Some(welchTTestOracle)),
+    QueryDef("q76_mann_kendall",
+      "Mann-Kendall trend test on monthly order counts per nation (exact S and tie-corrected var)",
+      mannKendall, Some(mannKendallOracle)),
+    QueryDef("q77_spearman",
+      "Spearman rank correlation acctbal vs order count per nation (integer doubled average ranks)",
+      spearman, Some(spearmanOracle)),
+    QueryDef("q78_hampel",
+      "Hampel rolling-7 median/MAD outlier filter on monthly revenue (integer threshold predicate)",
+      hampel, Some(hampelOracle)))
+}
