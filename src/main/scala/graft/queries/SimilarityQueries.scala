@@ -679,6 +679,135 @@ object SimilarityQueries {
     pqPrefixSql + ",\n" + iters + ",\n" + pqSearchTailSql(s"cb$PqTrainIters")
   }
 
+  /** IVF-PQ probes this many coarse clusters per query (matches x34). */
+  private val IvfPqNprobe = 2
+
+  /** x109: IVF-PQ — the two scale paths composed, the FAISS-style IVFPQ
+    * index shape that actually ships at 100 TB: the coarse quantizer
+    * (x34's fixed centroid subset) prunes the corpus to nprobe=2 clusters
+    * per query, and WITHIN the surviving clusters vectors are scored by
+    * x38's compressed ADC codes (M=8 byte codes, fixed-point integer
+    * table sums), then the top-[[PqRerank]] approximate candidates are
+    * exactly re-scored and the top-3 emitted. Versus x38 alone the ADC
+    * join touches ~nprobe/k of the corpus; versus x34 alone the scored
+    * bytes shrink 32× — multiplicative wins, which is why the composition
+    * is the production layout. Cross-engine determinism is inherited
+    * per-part: coarse assignment/probing compare UNROUNDED cosines
+    * (identical IEEE doubles), ADC scores are order-free integer sums of
+    * half-up 1e-6 fixed-point table entries.
+    * Scale: centroids + codebook + query tables broadcast; the only
+    * shuffles are the per-(vector,subspace) encode argmin and the
+    * candidate ADC aggregation, both pruned before exchange. */
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (emb, subArr, sub, cb0) = pqParts(spark, dir)
+    val cents = emb.filter($"vec_id" % 97 === 0)
+      .select($"vec_id".as("cent_id"), $"embedding".as("ccv"), $"nrm".as("ccn"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select($"vec_id", $"cent_id",
+        (Similarity.dot($"embedding", $"ccv") / ($"nrm" * $"ccn")).as("ccos"))
+      .withColumn("arn", row_number().over(wAssign)).filter($"arn" === 1)
+      .select($"vec_id", $"cent_id")
+    val wProbe = Window.partitionBy($"q_id").orderBy($"ccos".desc, $"cent_id")
+    val probes = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"nrm".as("qn"))
+      .crossJoin(broadcast(cents))
+      .select($"q_id", $"cent_id",
+        (Similarity.dot($"qv", $"ccv") / ($"qn" * $"ccn")).as("ccos"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter($"prn" <= IvfPqNprobe)
+      .select($"q_id", $"cent_id")
+    val wCode = Window.partitionBy($"vec_id", $"s").orderBy($"d2", $"c")
+    val codes = sub
+      .join(broadcast(cb0), "s")
+      .select($"vec_id", $"s", $"c",
+        (Similarity.dot($"sv", $"sv") - lit(2.0) * Similarity.dot($"sv", $"cv")
+          + Similarity.dot($"cv", $"cv")).as("d2"))
+      .withColumn("rn", row_number().over(wCode))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"s", $"c")
+    val qdt = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), explode(subArr).as("sub"))
+      .join(broadcast(cb0), col("sub.s") === cb0("s"))
+      .select($"q_id", $"s", $"c",
+        floor(Similarity.dot(col("sub.v"), $"cv") * lit(1e6) + lit(0.5))
+          .cast("long").as("ipq_fp"))
+    val candPairs = probes.join(assigned, "cent_id")
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id")
+    val wApprox = Window.partitionBy($"q_id").orderBy($"aip_fp".desc, $"vec_id")
+    val wExact = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+    candPairs.join(codes, "vec_id")
+      .join(broadcast(qdt), Seq("q_id", "s", "c"))
+      .groupBy($"q_id", $"vec_id")
+      .agg(sum($"ipq_fp").as("aip_fp"))
+      .withColumn("ark", row_number().over(wApprox))
+      .filter($"ark" <= PqRerank)
+      .join(emb.select($"vec_id", $"embedding".as("dv"), $"nrm".as("dn")), "vec_id")
+      .join(broadcast(emb.filter($"vec_id" % 100 === 0)
+        .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"nrm".as("qn"))), "q_id")
+      .select($"q_id", $"vec_id", $"aip_fp",
+        round(Similarity.dot($"qv", $"dv") / ($"qn" * $"dn"), 4).as("cosine"))
+      .withColumn("rk", row_number().over(wExact))
+      .filter($"rk" <= 3)
+      .select($"q_id", $"rk", $"vec_id", $"cosine", $"aip_fp")
+      .orderBy("q_id", "rk")
+  }
+
+  private val ivfPqOracle =
+    s"""$pqPrefixSql,
+       |c AS (SELECT vec_id AS cent_id, embedding AS ccv, nrm AS ccn
+       |      FROM e WHERE vec_id % 97 = 0),
+       |ac AS (SELECT e.vec_id, c.cent_id,
+       |         ${dotSql("e.embedding", "c.ccv")} / (e.nrm * c.ccn) AS ccos
+       |       FROM e CROSS JOIN c),
+       |assigned AS (SELECT vec_id, cent_id
+       |             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM ac)
+       |             WHERE rn = 1),
+       |qc AS (SELECT e.vec_id AS q_id, c.cent_id,
+       |         ${dotSql("e.embedding", "c.ccv")} / (e.nrm * c.ccn) AS ccos
+       |       FROM e CROSS JOIN c WHERE e.vec_id % 100 = 0),
+       |probes AS (SELECT q_id, cent_id
+       |           FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ccos DESC, cent_id) AS rn FROM qc)
+       |           WHERE rn <= $IvfPqNprobe),
+       |dist AS (SELECT sub.vec_id, sub.s, cb0.c,
+       |           ${pqDotS("sv", "sv")} - 2.0 * ${pqDotS("sv", "cv")} + ${pqDotS("cv", "cv")} AS d2
+       |         FROM sub JOIN cb0 ON sub.s = cb0.s),
+       |codes AS (SELECT vec_id, s, c
+       |          FROM (SELECT vec_id, s, c,
+       |                  row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+       |                FROM dist)
+       |          WHERE rn = 1),
+       |qdt AS (SELECT q.vec_id AS q_id, cb0.s, cb0.c,
+       |          CAST(floor(${pqDotS(s"list_slice(q.embedding, cb0.s * $PqSubD + 1, cb0.s * $PqSubD + $PqSubD)", "cb0.cv")} * 1000000.0 + 0.5) AS BIGINT) AS ipq_fp
+       |        FROM embeddings q CROSS JOIN cb0
+       |        WHERE q.vec_id % 100 = 0),
+       |candpairs AS (SELECT probes.q_id, assigned.vec_id
+       |              FROM probes JOIN assigned USING (cent_id)
+       |              WHERE assigned.vec_id <> probes.q_id),
+       |approx AS (SELECT cp.q_id, cp.vec_id,
+       |             CAST(sum(qdt.ipq_fp) AS BIGINT) AS aip_fp
+       |           FROM candpairs cp
+       |           JOIN codes ON codes.vec_id = cp.vec_id
+       |           JOIN qdt ON qdt.q_id = cp.q_id AND qdt.s = codes.s AND qdt.c = codes.c
+       |           GROUP BY cp.q_id, cp.vec_id),
+       |cand AS (SELECT q_id, vec_id, aip_fp,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY aip_fp DESC, vec_id) AS ark
+       |         FROM approx),
+       |exact AS (SELECT cand.q_id, cand.vec_id, cand.aip_fp,
+       |            round(${dotSql("qe.embedding", "ce.embedding")} / (qe.nrm * ce.nrm), 4) AS cosine
+       |          FROM cand
+       |          JOIN e ce ON ce.vec_id = cand.vec_id
+       |          JOIN e qe ON qe.vec_id = cand.q_id
+       |          WHERE cand.ark <= $PqRerank),
+       |r AS (SELECT q_id, vec_id, aip_fp, cosine,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+       |      FROM exact)
+       |SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, cosine, aip_fp FROM r
+       |WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
+
   /** x79: nearest-centroid classification — the supervised counterpart of
     * the x34/x35 quantizer family: per-LABEL mean centroids trained on a
     * deterministic holdout split (vec_id % 5 ≠ 0) with the x35 fixed-point
@@ -1026,5 +1155,6 @@ object SimilarityQueries {
     QueryDef("x36_multiprobe_lsh", "multi-probe sign-LSH top-3: base + 8 Hamming-1 buckets (X3)", multiProbeLshTopK, Some(multiProbeOracle)),
     QueryDef("x37_int8_topk", "int8 scalar-quantized scan + exact rerank top-3 (X3)", int8TopK, Some(int8TopKOracle)),
     QueryDef("x38_pq_topk", "product-quantization ADC top-3 with exact rerank (X3)", pqTopK, Some(pqTopKOracle)),
-    QueryDef("x39_pq_trained_topk", "PQ ANN with L2-Lloyd-trained codebook, fixed-point hash-stable training (X3)", pqTrainedTopK, Some(pqTrainedOracle)))
+    QueryDef("x39_pq_trained_topk", "PQ ANN with L2-Lloyd-trained codebook, fixed-point hash-stable training (X3)", pqTrainedTopK, Some(pqTrainedOracle)),
+    QueryDef("x109_ivfpq_topk", "IVF-PQ composed index: coarse cluster pruning + compressed ADC scoring + exact rerank (X3)", ivfPqTopK, Some(ivfPqOracle)))
 }
