@@ -538,7 +538,101 @@ object GraphQueries {
        |ORDER BY t.rank_fp DESC, nationkey""".stripMargin
   }
 
+  /** x110 heavy-projection edge keep rule: shared ≥ the mean pair weight
+    * (exact integer predicate `shared · n_pairs ≥ total_shared`, the x65
+    * recipe applied to the projection); wedge centers with projection
+    * degree > [[LinkPredMaxDeg]] are dropped before pairing (hot-node cap,
+    * mirrored in the oracle). */
+  private val LinkPredMaxDeg = 50
+
+  /** Resource-allocation fixed point: 1/deg(z) as the exact integer
+    * `1e9 div deg(z)`, so the RA sum is accumulation-order-free. */
+  private val RaFp = 1000000000L
+
+  /** x110: link prediction over the co-supply projection — the classic
+    * missing-edge scorers (common neighbors, neighborhood Jaccard,
+    * resource-allocation index, preferential attachment) for supplier
+    * pairs NOT currently connected by a heavy co-supply edge. Pipeline:
+    * x66's degree-capped bipartite projection → heavy edges only (mean
+    * threshold, exact integer predicate) → wedge join e(z,a)⋈e(z,b)
+    * enumerates two-hop pairs through capped centers → anti-join removes
+    * existing edges → top-30 by (cn, ra_fp). RA uses 1e9 div deg — an
+    * integer sum, order-free — instead of the libm-unstable Σ1/log(deg)
+    * of Adamic-Adar. Scale: wedge enumeration is the standard 2-hop
+    * pattern with per-center fan-out bounded by the degree cap² — the
+    * same blowup control as the projection itself; everything else is
+    * hash joins + one aggregate on the (tiny) pair frame. */
+  def linkPredict(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ps = Tables.lineitem(spark, dir)
+      .select($"l_partkey".as("pk"), $"l_suppkey".as("sk")).distinct()
+      .localCheckpoint(true) // referenced by degree cap + both pair sides
+    val ok = ps.join(ps.groupBy($"pk").agg(count(lit(1)).as("d"))
+      .filter($"d" <= 20).select($"pk"), "pk")
+    val proj0 = ok.select($"pk", $"sk".as("s1"))
+      .join(ok.select($"pk", $"sk".as("s2")), "pk")
+      .filter($"s1" < $"s2")
+      .groupBy($"s1", $"s2").agg(count(lit(1)).as("shared"))
+    val tot = proj0.agg(sum($"shared").as("tw"), count(lit(1)).as("ne"))
+    val proj = proj0.crossJoin(broadcast(tot))
+      .filter($"shared" * $"ne" >= $"tw").select($"s1", $"s2")
+      .localCheckpoint(true) // referenced by edges + the anti-join
+    val edges = proj.select($"s1".as("u"), $"s2".as("v"))
+      .unionByName(proj.select($"s2".as("u"), $"s1".as("v")))
+    val ndeg = edges.groupBy($"u").agg(count(lit(1)).as("d"))
+    val centers = ndeg.filter($"d" <= LinkPredMaxDeg)
+    val wedge = edges.as("e1")
+      .join(edges.as("e2"), $"e1.u" === $"e2.u" && $"e1.v" < $"e2.v")
+      .join(centers.as("c"), $"c.u" === $"e1.u")
+      .select($"e1.v".as("a"), $"e2.v".as("b"), $"c.d".as("dz"))
+    val cand = wedge.groupBy($"a", $"b")
+      .agg(count(lit(1)).as("cn"),
+        sum(call_function("div", lit(RaFp), $"dz")).as("ra_fp"))
+    val newPairs = cand.join(proj,
+        cand("a") === proj("s1") && cand("b") === proj("s2"), "left_anti")
+    newPairs
+      .join(ndeg.select($"u".as("a"), $"d".as("da")), "a")
+      .join(ndeg.select($"u".as("b"), $"d".as("db")), "b")
+      .select($"a", $"b", $"cn", $"ra_fp",
+        halfUp4($"cn".cast("double") / ($"da" + $"db" - $"cn")).as("jaccard"),
+        ($"da" * $"db").as("pref"))
+      .orderBy($"cn".desc, $"ra_fp".desc, $"a", $"b")
+      .limit(30)
+  }
+
+  private val linkPredictOracle =
+    s"""WITH ps AS MATERIALIZED (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+       |deg AS (SELECT pk, count(*) AS d FROM ps GROUP BY 1),
+       |ok AS MATERIALIZED (SELECT ps.pk, ps.sk FROM ps JOIN deg ON ps.pk = deg.pk WHERE deg.d <= 20),
+       |proj0 AS MATERIALIZED (
+       |  SELECT a.sk AS s1, b.sk AS s2, count(*) AS shared
+       |  FROM ok a JOIN ok b ON a.pk = b.pk AND a.sk < b.sk
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT CAST(sum(shared) AS BIGINT) AS tw, count(*) AS ne FROM proj0),
+       |proj AS MATERIALIZED (SELECT s1, s2 FROM proj0, tot WHERE shared * ne >= tw),
+       |edges AS MATERIALIZED (SELECT s1 AS u, s2 AS v FROM proj UNION ALL SELECT s2, s1 FROM proj),
+       |ndeg AS MATERIALIZED (SELECT u, count(*) AS d FROM edges GROUP BY 1),
+       |wedge AS (
+       |  SELECT e1.v AS a, e2.v AS b, c.d AS dz
+       |  FROM edges e1 JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v
+       |  JOIN (SELECT u, d FROM ndeg WHERE d <= $LinkPredMaxDeg) c ON c.u = e1.u),
+       |cand AS (SELECT a, b, count(*) AS cn,
+       |           CAST(sum($RaFp // dz) AS BIGINT) AS ra_fp
+       |         FROM wedge GROUP BY a, b),
+       |newpairs AS (
+       |  SELECT cand.* FROM cand LEFT JOIN proj ON proj.s1 = cand.a AND proj.s2 = cand.b
+       |  WHERE proj.s1 IS NULL)
+       |SELECT a, b, cn, ra_fp,
+       |       floor((CAST(cn AS DOUBLE) / (da.d + db.d - cn)) * 10000 + 0.5) / 10000.0 AS jaccard,
+       |       da.d * db.d AS pref
+       |FROM newpairs JOIN ndeg da ON da.u = a JOIN ndeg db ON db.u = b
+       |ORDER BY cn DESC, ra_fp DESC, a, b
+       |LIMIT 30""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x110_link_predict",
+      "link prediction on the co-supply projection: common-neighbor/Jaccard/RA/pref-attachment scores for missing edges",
+      linkPredict, Some(linkPredictOracle)),
     QueryDef("x104_ppr",
       "personalized PageRank from seed markets (exact-integer seeded teleport trajectory)",
       tradePpr, Some(pprOracle)),
