@@ -276,7 +276,136 @@ object StatsQueries {
        |       CASE WHEN abs(rev - med) * 10000 > $HampelScaled * mad THEN 1 ELSE 0 END AS is_outlier
        |FROM scored ORDER BY n_name, month""".stripMargin
 
+  /** q79: Mann-Whitney U — the nonparametric counterpart of q75: per
+    * return flag, are open-vs-finished discount distributions shifted?
+    * Combined-sample average ranks stay integral as 2·rank (the q77
+    * trick); U×2 = R1×2 − 2·n1(n1+1)/2 is exact; the tie-corrected
+    * variance is an exact decimal ratio (Σt³−t correction) divided and
+    * sqrt'ed once. Scale: one rank window over the combined sample (the
+    * q07/q23 partition-sort shape), one tie aggregate — both on the scan,
+    * no pairwise work at all (the rank-sum identity is what makes U
+    * feasible where naive pair counting is O(n²)). */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.lineitem(spark, dir).select(
+      $"l_returnflag".as("grp"), $"l_linestatus".as("s"),
+      floor($"l_discount" * 100 + 0.5).cast("long").as("y"))
+    val ranked = base.select($"grp", $"s",
+      (lit(2) * rank().over(Window.partitionBy($"grp").orderBy($"y")) +
+        count(lit(1)).over(Window.partitionBy($"grp", $"y")) - 1).as("r2"))
+    val agg = ranked.groupBy($"grp").agg(
+      sum(when($"s" === "O", $"r2")).cast(dec).as("r1x2"),
+      sum(when($"s" === "O", 1).otherwise(0)).cast(dec).as("n1"),
+      sum(when($"s" === "F", 1).otherwise(0)).cast(dec).as("n2"))
+    val ties = base.groupBy($"grp", $"y").agg(count(lit(1)).as("t"))
+      .groupBy($"grp")
+      .agg(sum($"t".cast(dec) * $"t" * $"t" - $"t").as("tie3"))
+    val nTot = $"n1" + $"n2"
+    agg.join(ties, Seq("grp"))
+      .select($"grp".as("l_returnflag"),
+        $"n1".cast("long").as("n1"), $"n2".cast("long").as("n2"),
+        ($"r1x2" - $"n1" * ($"n1" + 1)).cast("long").as("u1_x2"),
+        halfUp((($"r1x2" - $"n1" * ($"n1" + 1)).cast("double") -
+            ($"n1" * $"n2").cast("double")) /
+          (lit(2.0) * sqrt(($"n1" * $"n2" *
+              ((nTot + 1) * nTot * (nTot - 1) - $"tie3")).cast("double") /
+            (lit(12.0) * (nTot * (nTot - 1)).cast("double")))), 4).as("z"))
+      .orderBy("l_returnflag")
+  }
+
+  private val mannWhitneyOracle =
+    """WITH base AS (
+      |  SELECT l_returnflag AS grp, l_linestatus AS s,
+      |         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS y
+      |  FROM lineitem),
+      |ranked AS (
+      |  SELECT grp, s,
+      |         2 * rank() OVER (PARTITION BY grp ORDER BY y)
+      |           + count(*) OVER (PARTITION BY grp, y) - 1 AS r2
+      |  FROM base),
+      |agg AS (
+      |  SELECT grp,
+      |         CAST(sum(CASE WHEN s = 'O' THEN r2 END) AS HUGEINT) AS r1x2,
+      |         CAST(sum(CASE WHEN s = 'O' THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+      |         CAST(sum(CASE WHEN s = 'F' THEN 1 ELSE 0 END) AS HUGEINT) AS n2
+      |  FROM ranked GROUP BY grp),
+      |ties AS (
+      |  SELECT grp, CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS tie3
+      |  FROM (SELECT grp, y, count(*) AS t FROM base GROUP BY grp, y) GROUP BY grp)
+      |SELECT grp AS l_returnflag,
+      |       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |       CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+      |       floor(((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 * n2 AS DOUBLE))
+      |         / (2.0 * sqrt(CAST(n1 * n2 * ((n1 + n2 + 1) * (n1 + n2) * (n1 + n2 - 1) - tie3) AS DOUBLE)
+      |                       / (12.0 * CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE))))) * 10000 + 0.5) / 10000.0 AS z
+      |FROM agg JOIN ties USING (grp) ORDER BY l_returnflag""".stripMargin
+
+  /** q80: Kolmogorov-Smirnov two-sample test — per return flag, the
+    * maximum ECDF gap between open and finished extended-price
+    * distributions, kept EXACT: D's numerator max|n2·F1 − n1·F2| is an
+    * integer maximum over the merged value spine (cumulative counts per
+    * sample via one window), divided by n1·n2 once at the end. Scale:
+    * grouping to the distinct-value spine first means the cumulative
+    * window runs over |distinct values| rows, not raw rows; one sort per
+    * group — the same shape as the exact-percentile rank-join family. */
+  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.lineitem(spark, dir).select(
+      $"l_returnflag".as("grp"), $"l_linestatus".as("s"),
+      floor($"l_extendedprice" * 100 + 0.5).cast("long").as("y"))
+    val n = base.groupBy($"grp").agg(
+      sum(when($"s" === "O", 1L).otherwise(0L)).as("n1"),
+      sum(when($"s" === "F", 1L).otherwise(0L)).as("n2"))
+    val pts = base.groupBy($"grp", $"y").agg(
+      sum(when($"s" === "O", 1L).otherwise(0L)).as("c1"),
+      sum(when($"s" === "F", 1L).otherwise(0L)).as("c2"))
+    val wCum = Window.partitionBy($"grp").orderBy($"y")
+    val cum = pts.select($"grp",
+      sum($"c1").over(wCum).as("f1"), sum($"c2").over(wCum).as("f2"))
+    cum.join(broadcast(n), Seq("grp"))
+      .groupBy($"grp")
+      .agg(max(abs($"n2" * $"f1" - $"n1" * $"f2")).as("d_num"),
+        first($"n1").as("n1"), first($"n2").as("n2"))
+      .select($"grp".as("l_returnflag"), $"n1", $"n2", $"d_num",
+        halfUp($"d_num".cast("double") / ($"n1" * $"n2").cast("double"), 6)
+          .as("d_stat"))
+      .orderBy("l_returnflag")
+  }
+
+  private val ksTestOracle =
+    """WITH base AS (
+      |  SELECT l_returnflag AS grp, l_linestatus AS s,
+      |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      |  FROM lineitem),
+      |n AS (SELECT grp,
+      |        CAST(sum(CASE WHEN s = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |        CAST(sum(CASE WHEN s = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |      FROM base GROUP BY grp),
+      |pts AS (
+      |  SELECT grp, y,
+      |        CAST(sum(CASE WHEN s = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |        CAST(sum(CASE WHEN s = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      |  FROM base GROUP BY grp, y),
+      |cum AS (
+      |  SELECT grp, y,
+      |         CAST(sum(c1) OVER (PARTITION BY grp ORDER BY y) AS BIGINT) AS f1,
+      |         CAST(sum(c2) OVER (PARTITION BY grp ORDER BY y) AS BIGINT) AS f2
+      |  FROM pts),
+      |d AS (
+      |  SELECT cum.grp, max(abs(n.n2 * cum.f1 - n.n1 * cum.f2)) AS d_num,
+      |         first(n.n1) AS n1, first(n.n2) AS n2
+      |  FROM cum JOIN n ON cum.grp = n.grp GROUP BY cum.grp)
+      |SELECT grp AS l_returnflag, n1, n2, CAST(d_num AS BIGINT) AS d_num,
+      |       floor((CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)) * 1000000 + 0.5) / 1000000.0 AS d_stat
+      |FROM d ORDER BY l_returnflag""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q79_mann_whitney",
+      "Mann-Whitney U rank-sum test per return flag (doubled average ranks, tie-corrected z)",
+      mannWhitney, Some(mannWhitneyOracle)),
+    QueryDef("q80_ks_test",
+      "Kolmogorov-Smirnov two-sample test per return flag (exact integer ECDF-gap maximum)",
+      ksTest, Some(ksTestOracle)),
     QueryDef("q75_welch_ttest",
       "Welch two-sample t-test per return flag (exact moments, IEEE-exact t/df)",
       welchTTest, Some(welchTTestOracle)),
