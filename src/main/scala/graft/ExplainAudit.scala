@@ -52,7 +52,14 @@ object ExplainAudit {
       // final round-8 shapes: one shared user-keyed sort for the double
       // lag (q66), per-(label,half) posexplode aggregation with 5-row
       // centroid join (x73), constant-frame digit/anon audits
-      "q66_event_trigrams", "x73_embedding_drift", "q64_benford")
+      "q66_event_trigrams", "x73_embedding_drift", "q64_benford",
+      // round-9 shapes: composed IVF-PQ (broadcast centroids+codebook+
+      // query tables, pruned candidate ADC aggregation), exact-moment
+      // stats tests (rank windows, distinct-value-spine cumulative
+      // windows, tiny aggregate frames for the pairwise Mann-Kendall)
+      // (NOT x110: localCheckpoint at construction, like x63.)
+      "x109_ivfpq_topk", "q75_welch_ttest", "q76_mann_kendall",
+      "q77_spearman", "q78_hampel", "q79_mann_whitney", "q80_ks_test")
     names.foreach { n =>
       println(s"\n===== $n =====")
       Registry.byName(n).fn(spark, dir).explain("formatted")

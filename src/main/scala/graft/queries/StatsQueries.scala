@@ -113,9 +113,15 @@ object StatsQueries {
     * feasible at 100 TB. */
   def mannKendall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Reuse point (r8 pattern): the tiny narrow series aggregate has FOUR
+    // consumers (both self-join sides, n, ties) — an explicit hash
+    // repartition on the key makes the four subtrees identical so one
+    // exchange feeds all of them (ReusedExchange / AQE stage cache)
+    // instead of four re-scans of orders⋈customer⋈nation.
     val series = monthlySeries(spark, dir, o => o
       .groupBy($"n_name", trunc($"o_orderdate", "month").as("m"))
       .agg(count(lit(1)).as("x")))
+      .repartition($"n_name")
     val s = series.as("a").join(series.as("b"),
         $"a.n_name" === $"b.n_name" && $"a.m" < $"b.m")
       .groupBy($"a.n_name".as("n_name"))
