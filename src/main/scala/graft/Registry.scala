@@ -32,7 +32,8 @@ object Registry {
       queries.Round8Queries.defs ++
       queries.AnalyticsQueries.defs ++
       queries.CurationQueries.defs ++
-      queries.StatsQueries.defs
+      queries.StatsQueries.defs ++
+      queries.EngineOpsQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

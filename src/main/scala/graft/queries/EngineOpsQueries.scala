@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-9 engine-ops tier: data-layout planning operators — the passes a
+  * lakehouse runs when deciding HOW to physically arrange 100 TB so scans
+  * can prune. Everything is exact integer arithmetic (bit interleaves,
+  * integer division, min/max spans) with one final double division. */
+object EngineOpsQueries {
+
+  /** Z-order resolution: both dimensions normalized to [0, 2^10). */
+  private val ZBits = 10
+
+  /** Bucket count for the layout comparison — both layouts are cut into
+    * the SAME number of buckets so span comparisons are granularity-fair
+    * (256 buckets ≈ parquet row-groups of a large file). */
+  private val ZBuckets = 256
+
+  private val ZMax = (1 << ZBits) - 1 // 1023
+  private val ZCells = 1 << (2 * ZBits) // 2^20 morton codes
+
+  /** Bit-interleave (Morton) of two [[ZBits]]-bit ints — generated from
+    * the same loop as [[mortonSql]] so the two engines can't drift. */
+  private def mortonCol(xi: Column, yi: Column): Column =
+    (0 until ZBits).map { i =>
+      shiftleft(shiftright(xi, i).bitwiseAND(1), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(yi, i).bitwiseAND(1), 2 * i))
+    }.reduce(_ bitwiseOR _)
+
+  private def mortonSql(xi: String, yi: String): String =
+    (0 until ZBits).map { i =>
+      s"((($xi >> $i) & 1) << ${2 * i + 1}) | ((($yi >> $i) & 1) << ${2 * i})"
+    }.mkString(" | ")
+
+  /** q81: Z-order layout planner — the min/max-pruning evaluation a
+    * lakehouse runs before choosing a sort key. Orders are mapped to a
+    * 2-D grid (customer key × order day, both min-max normalized to
+    * 10 bits with exact integer division), then cut into [[ZBuckets]]
+    * equal-width "files" under two layouts: Morton (Z-order) interleave
+    * vs single-key sort. Per layout: row-weighted average per-bucket
+    * span of EACH dimension — the expected fraction of files a
+    * single-dimension predicate can prune. Z-order balances both spans
+    * (~2^5 each) where the single-key sort leaves the second dimension
+    * unprunable (span ≈ full range) — the quantitative argument for
+    * Z-ordering multi-predicate fact tables. Scale: two scans + two
+    * tiny bucket aggregates; the bit interleave is 20 codegen'd integer
+    * ops per row, no shuffle beyond the 256-row bucket frames. */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pts = Tables.orders(spark, dir).select($"o_custkey".as("x"),
+      datediff($"o_orderdate", lit("1990-01-01").cast("date"))
+        .cast("long").as("y"))
+    val rng = pts.agg(min($"x").as("xmin"), max($"x").as("xmax"),
+      min($"y").as("ymin"), max($"y").as("ymax"))
+    def scale(c: Column, lo: Column, hi: Column) =
+      call_function("div", (c - lo) * ZMax, hi - lo)
+    val coded = pts.crossJoin(broadcast(rng))
+      .select(scale($"x", $"xmin", $"xmax").as("xi"),
+        scale($"y", $"ymin", $"ymax").as("yi"))
+      .select($"xi", $"yi", mortonCol($"xi", $"yi").as("morton"))
+    def layoutSummary(bucket: Column, name: String) =
+      coded.groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n"), (max($"xi") - min($"xi")).as("xspan"),
+          (max($"yi") - min($"yi")).as("yspan"))
+        .agg(count(lit(1)).as("n_buckets"), sum($"n").as("n_rows"),
+          QueryUtil.halfUp(sum($"xspan" * $"n").cast("double") / sum($"n"), 2)
+            .as("avg_x_span"),
+          QueryUtil.halfUp(sum($"yspan" * $"n").cast("double") / sum($"n"), 2)
+            .as("avg_y_span"))
+        .select(lit(name).as("layout"), $"n_buckets", $"n_rows",
+          $"avg_x_span", $"avg_y_span")
+    layoutSummary(call_function("div", $"morton", lit(ZCells / ZBuckets)), "zorder")
+      .unionByName(layoutSummary(
+        call_function("div", $"xi", lit((ZMax + 1) / ZBuckets)), "xsort"))
+      .orderBy(desc("layout"))
+  }
+
+  private val zorderLayoutOracle =
+    s"""WITH pts AS (
+       |  SELECT o_custkey AS x,
+       |         CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+       |  FROM orders),
+       |rng AS (SELECT min(x) AS xmin, max(x) AS xmax, min(y) AS ymin, max(y) AS ymax FROM pts),
+       |coded0 AS (
+       |  SELECT ((x - xmin) * $ZMax) // (xmax - xmin) AS xi,
+       |         ((y - ymin) * $ZMax) // (ymax - ymin) AS yi
+       |  FROM pts, rng),
+       |coded AS (
+       |  SELECT xi, yi, (${mortonSql("xi", "yi")}) AS morton FROM coded0),
+       |zb AS (
+       |  SELECT morton // ${ZCells / ZBuckets} AS bucket, count(*) AS n,
+       |         max(xi) - min(xi) AS xspan, max(yi) - min(yi) AS yspan
+       |  FROM coded GROUP BY 1),
+       |xb AS (
+       |  SELECT xi // ${(ZMax + 1) / ZBuckets} AS bucket, count(*) AS n,
+       |         max(xi) - min(xi) AS xspan, max(yi) - min(yi) AS yspan
+       |  FROM coded GROUP BY 1)
+       |SELECT 'zorder' AS layout, count(*) AS n_buckets,
+       |       CAST(sum(n) AS BIGINT) AS n_rows,
+       |       floor((CAST(sum(xspan * n) AS DOUBLE) / sum(n)) * 100 + 0.5) / 100.0 AS avg_x_span,
+       |       floor((CAST(sum(yspan * n) AS DOUBLE) / sum(n)) * 100 + 0.5) / 100.0 AS avg_y_span
+       |FROM zb
+       |UNION ALL
+       |SELECT 'xsort', count(*), CAST(sum(n) AS BIGINT),
+       |       floor((CAST(sum(xspan * n) AS DOUBLE) / sum(n)) * 100 + 0.5) / 100.0,
+       |       floor((CAST(sum(yspan * n) AS DOUBLE) / sum(n)) * 100 + 0.5) / 100.0
+       |FROM xb
+       |ORDER BY layout DESC""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q81_zorder_layout",
+      "Z-order vs single-key layout planner: per-bucket min/max span comparison (data-skipping eval)",
+      zorderLayout, Some(zorderLayoutOracle)))
+}
