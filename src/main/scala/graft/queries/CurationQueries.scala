@@ -246,7 +246,73 @@ object CurationQueries {
       |FROM c
       |ORDER BY decile""".stripMargin
 
+  /** x112: score-calibration report (reliability diagram) — the eval a
+    * team runs before trusting a quality gate's threshold: documents are
+    * cut into score deciles (ntile over the UNROUNDED score — identical
+    * doubles in both engines — tiebroken by doc_id) and each decile
+    * reports its POOLED score (Σs / 1000·Σtok, an exact integer ratio —
+    * never an average of per-doc doubles, which would be accumulation-
+    * order-dependent) against the empirical rate of the x98 target class
+    * (lang = 'en'). A well-calibrated gate shows the target rate rising
+    * with the decile. Scale: the scoring pass is x99's stateless hash +
+    * 64-row broadcast; the global ntile runs over the per-DOC frame
+    * (already aggregated), and a deployment would range-partition that
+    * window rather than single-partition it. */
+  def scoreCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("tok"))
+      .withColumn("bucket", h16("qc", $"tok") % NBuckets)
+    val weights = spark.range(NBuckets).select($"id".as("bucket"))
+      .select($"bucket",
+        (h16("qw", $"bucket".cast("string")) % 2001 - 1000).as("w"))
+    val scored = tok.join(broadcast(weights), "bucket")
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_tok"), sum($"w").as("s"))
+      .withColumn("score",
+        $"s".cast("double") / ($"n_tok".cast("double") * lit(1000.0)))
+    scored
+      .withColumn("decile", ntile(10).over(
+        org.apache.spark.sql.expressions.Window.orderBy($"score", $"doc_id")))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_docs"), sum($"s").as("ss"),
+        sum($"n_tok").as("st"),
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("n_en"))
+      .select($"decile", $"n_docs",
+        halfUp4($"ss".cast("double") / ($"st".cast("double") * lit(1000.0)))
+          .as("pooled_score"),
+        halfUp4($"n_en".cast("double") / $"n_docs".cast("double"))
+          .as("en_rate"))
+      .orderBy("decile")
+  }
+
+  private val scoreCalibrationOracle =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang,
+       |         CAST(${h16Sql("qc", "tok")} % $NBuckets AS BIGINT) AS bucket
+       |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents)),
+       |w AS (SELECT CAST(range AS BIGINT) AS bucket,
+       |        CAST(${h16Sql("qw", "CAST(range AS VARCHAR)")} % 2001 - 1000 AS BIGINT) AS w
+       |      FROM range($NBuckets)),
+       |scored AS (
+       |  SELECT doc_id, lang, count(*) AS n_tok, CAST(sum(w) AS BIGINT) AS s,
+       |         CAST(sum(w) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000.0) AS score
+       |  FROM tok JOIN w USING (bucket)
+       |  GROUP BY doc_id, lang),
+       |dec AS (
+       |  SELECT *, ntile(10) OVER (ORDER BY score, doc_id) AS decile FROM scored)
+       |SELECT decile, count(*) AS n_docs,
+       |       floor((CAST(sum(s) AS DOUBLE) / (CAST(sum(n_tok) AS DOUBLE) * 1000.0)) * 10000 + 0.5) / 10000.0 AS pooled_score,
+       |       floor((CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS en_rate
+       |FROM dec
+       |GROUP BY decile
+       |ORDER BY decile""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x112_score_calibration",
+      "reliability diagram for the x99 gate: score deciles vs target-class rate (pooled exact ratios)",
+      scoreCalibration, Some(scoreCalibrationOracle)),
     QueryDef("x106_vocab_growth",
       "Heaps'-law vocabulary growth curve by corpus decile (single-pass first-appearance histogram)",
       vocabGrowth, Some(vocabGrowthOracle)),

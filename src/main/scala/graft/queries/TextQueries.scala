@@ -288,7 +288,72 @@ object TextQueries {
        |ORDER BY rk""".stripMargin
   }
 
+  /** x111's query phrases: (label, first word, second word) spanning the
+    * fixture frequency range — a hot phrase, two mid ones, a singleton,
+    * and one with zero matches (the empty-result path both engines must
+    * agree on). Shared by the Spark frame and the generated VALUES. */
+  private val PhraseSet = Seq(
+    ("table hash", "table", "hash"), ("merge group", "merge", "group"),
+    ("customer join", "customer", "join"), ("line dup", "line", "dup"),
+    ("spark nowhere", "spark", "nowhere"))
+
+  /** x111: positional phrase search — exact "w1 w2" phrase lookup against
+    * a positional posting list (doc_id, pos, term), the inverted-index
+    * primitive BM25-style scoring can't express (bag-of-words loses
+    * adjacency). Each phrase joins the postings twice: p1 on the first
+    * word, p2 on (same doc, pos+1, second word); per phrase: occurrence
+    * count, matching-doc count, first matching doc. A zero-hit phrase
+    * stays in the output via the left join (count 0). Scale: the phrase
+    * list is a broadcast literal frame, so BOTH posting sides are pruned
+    * to the queried words before the (doc_id, pos) equi-join — postings
+    * for a 5-word vocabulary subset, not the corpus; in a deployment the
+    * postings table is bucketed by term so this is a broadcast-pruned
+    * scan per word. */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val posts = Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "term")))
+    val phrases = PhraseSet.toDF("phrase", "w1", "w2")
+    val m = broadcast(phrases)
+      .join(posts.as("p1"), $"p1.term" === $"w1")
+      .join(posts.as("p2"),
+        $"p2.doc_id" === $"p1.doc_id" && $"p2.pos" === $"p1.pos" + 1 &&
+          $"p2.term" === $"w2")
+      .groupBy($"phrase")
+      .agg(count(lit(1)).as("n_occ"),
+        count_distinct($"p1.doc_id").as("n_docs"),
+        min($"p1.doc_id").as("first_doc"))
+    phrases.select($"phrase").join(m, Seq("phrase"), "left")
+      .select($"phrase", coalesce($"n_occ", lit(0L)).as("n_occ"),
+        coalesce($"n_docs", lit(0L)).as("n_docs"), $"first_doc")
+      .orderBy("phrase")
+  }
+
+  private val phraseSearchOracle = {
+    val values = PhraseSet
+      .map { case (p, a, b) => s"('$p', '$a', '$b')" }.mkString(", ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |e AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i, toks FROM t),
+       |p AS (SELECT doc_id, i AS pos, toks[i] AS term FROM e),
+       |ph(phrase, w1, w2) AS (VALUES $values),
+       |m AS (SELECT ph.phrase, count(*) AS n_occ,
+       |        count(DISTINCT p1.doc_id) AS n_docs,
+       |        min(p1.doc_id) AS first_doc
+       |      FROM ph
+       |      JOIN p p1 ON p1.term = ph.w1
+       |      JOIN p p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+       |                AND p2.term = ph.w2
+       |      GROUP BY ph.phrase)
+       |SELECT ph.phrase, coalesce(m.n_occ, 0) AS n_occ,
+       |       coalesce(m.n_docs, 0) AS n_docs, m.first_doc
+       |FROM ph LEFT JOIN m USING (phrase)
+       |ORDER BY phrase""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x111_phrase_search",
+      "positional phrase search over (doc,pos,term) postings with zero-hit phrases preserved",
+      phraseSearch, Some(phraseSearchOracle)),
     QueryDef("x24_countmin_topk",
       "count-min sketch built in-engine: heavy hitters with per-row bound check (X4)",
       countMinTopK, Some(countMinOracle)),
