@@ -293,9 +293,19 @@ object StatsQueries {
     * feasible where naive pair counting is O(n²)). */
   def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = Tables.lineitem(spark, dir).select(
+    mannWhitneyStat(Tables.lineitem(spark, dir).select(
       $"l_returnflag".as("grp"), $"l_linestatus".as("s"),
-      floor($"l_discount" * 100 + 0.5).cast("long").as("y"))
+      floor($"l_discount" * 100 + 0.5).cast("long").as("y")))
+      .select($"grp".as("l_returnflag"), $"n1", $"n2", $"u1_x2", $"z")
+      .orderBy("l_returnflag")
+  }
+
+  /** The U core over ANY (grp: string, s: 'O'|'F', y: long) frame —
+    * factored out so PropertySpec can race it against brute-force pair
+    * counting (U1×2 = 2·wins + ties) on random fixtures. */
+  private[graft] def mannWhitneyStat(base: DataFrame): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
     val ranked = base.select($"grp", $"s",
       (lit(2) * rank().over(Window.partitionBy($"grp").orderBy($"y")) +
         count(lit(1)).over(Window.partitionBy($"grp", $"y")) - 1).as("r2"))
@@ -308,7 +318,7 @@ object StatsQueries {
       .agg(sum($"t".cast(dec) * $"t" * $"t" - $"t").as("tie3"))
     val nTot = $"n1" + $"n2"
     agg.join(ties, Seq("grp"))
-      .select($"grp".as("l_returnflag"),
+      .select($"grp",
         $"n1".cast("long").as("n1"), $"n2".cast("long").as("n2"),
         ($"r1x2" - $"n1" * ($"n1" + 1)).cast("long").as("u1_x2"),
         halfUp((($"r1x2" - $"n1" * ($"n1" + 1)).cast("double") -
@@ -316,7 +326,6 @@ object StatsQueries {
           (lit(2.0) * sqrt(($"n1" * $"n2" *
               ((nTot + 1) * nTot * (nTot - 1) - $"tie3")).cast("double") /
             (lit(12.0) * (nTot * (nTot - 1)).cast("double")))), 4).as("z"))
-      .orderBy("l_returnflag")
   }
 
   private val mannWhitneyOracle =
@@ -356,9 +365,19 @@ object StatsQueries {
     * group — the same shape as the exact-percentile rank-join family. */
   def ksTest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = Tables.lineitem(spark, dir).select(
+    ksStat(Tables.lineitem(spark, dir).select(
       $"l_returnflag".as("grp"), $"l_linestatus".as("s"),
-      floor($"l_extendedprice" * 100 + 0.5).cast("long").as("y"))
+      floor($"l_extendedprice" * 100 + 0.5).cast("long").as("y")))
+      .select($"grp".as("l_returnflag"), $"n1", $"n2", $"d_num", $"d_stat")
+      .orderBy("l_returnflag")
+  }
+
+  /** The KS core over ANY (grp: string, s: 'O'|'F', y: long) frame —
+    * factored out so PropertySpec can race the windowed ECDF-gap maximum
+    * against a brute-force per-value scan on random fixtures. */
+  private[graft] def ksStat(base: DataFrame): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
     val n = base.groupBy($"grp").agg(
       sum(when($"s" === "O", 1L).otherwise(0L)).as("n1"),
       sum(when($"s" === "F", 1L).otherwise(0L)).as("n2"))
@@ -372,10 +391,9 @@ object StatsQueries {
       .groupBy($"grp")
       .agg(max(abs($"n2" * $"f1" - $"n1" * $"f2")).as("d_num"),
         first($"n1").as("n1"), first($"n2").as("n2"))
-      .select($"grp".as("l_returnflag"), $"n1", $"n2", $"d_num",
+      .select($"grp", $"n1", $"n2", $"d_num",
         halfUp($"d_num".cast("double") / ($"n1" * $"n2").cast("double"), 6)
           .as("d_stat"))
-      .orderBy("l_returnflag")
   }
 
   private val ksTestOracle =

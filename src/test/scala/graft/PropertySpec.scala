@@ -224,6 +224,61 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: Mann-Whitney U (rank-sum identity) == brute-force pair counting") {
+    import graft.queries.StatsQueries
+    val gen: Gen[List[(String, String, Long)]] =
+      Gen.listOfN(50, Gen.zip(Gen.oneOf("A", "B"), Gen.oneOf("O", "F"),
+        Gen.choose(0L, 5L))) // tiny value domain => heavy ties
+    (1L to 6L).foreach { seed =>
+      val rows = sample(gen, seed)
+      // keep only groups where both samples are present (the query's
+      // fixture shape; U is undefined otherwise)
+      val ok = rows.groupBy(_._1).filter { case (_, rs) =>
+        rs.exists(_._2 == "O") && rs.exists(_._2 == "F")
+      }.keySet
+      val kept = rows.filter(r => ok(r._1))
+      if (kept.nonEmpty) {
+        val got = StatsQueries.mannWhitneyStat(kept.toDF("grp", "s", "y"))
+          .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+        val ref = ok.map { g =>
+          val o = kept.filter(r => r._1 == g && r._2 == "O").map(_._3)
+          val f = kept.filter(r => r._1 == g && r._2 == "F").map(_._3)
+          val w = o.map(a => f.count(_ < a)).sum
+          val t = o.map(a => f.count(_ == a)).sum
+          g -> (2L * w + t)
+        }.toMap
+        assert(got == ref, s"seed=$seed got=$got ref=$ref")
+      }
+    }
+  }
+
+  test("property: KS windowed ECDF-gap maximum == brute-force per-value scan") {
+    import graft.queries.StatsQueries
+    val gen: Gen[List[(String, String, Long)]] =
+      Gen.listOfN(50, Gen.zip(Gen.oneOf("A", "B"), Gen.oneOf("O", "F"),
+        Gen.choose(0L, 9L)))
+    (1L to 6L).foreach { seed =>
+      val rows = sample(gen, seed)
+      val ok = rows.groupBy(_._1).filter { case (_, rs) =>
+        rs.exists(_._2 == "O") && rs.exists(_._2 == "F")
+      }.keySet
+      val kept = rows.filter(r => ok(r._1))
+      if (kept.nonEmpty) {
+        val got = StatsQueries.ksStat(kept.toDF("grp", "s", "y"))
+          .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+        val ref = ok.map { g =>
+          val o = kept.filter(r => r._1 == g && r._2 == "O").map(_._3)
+          val f = kept.filter(r => r._1 == g && r._2 == "F").map(_._3)
+          val ys = (o ++ f).distinct
+          g -> ys.map(y =>
+            math.abs(f.size.toLong * o.count(_ <= y) -
+              o.size.toLong * f.count(_ <= y))).max
+        }.toMap
+        assert(got == ref, s"seed=$seed got=$got ref=$ref")
+      }
+    }
+  }
+
   test("property: sssp == sequential Bellman-Ford reference on random graphs") {
     import graft.operators.Graph
     val edgeGen: Gen[List[(Long, Long, Long)]] =
