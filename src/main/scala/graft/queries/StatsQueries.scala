@@ -423,6 +423,101 @@ object StatsQueries {
       |       floor((CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)) * 1000000 + 0.5) / 1000000.0 AS d_stat
       |FROM d ORDER BY l_returnflag""".stripMargin
 
+  /** q82: Theil–Sen robust trend estimator — per order priority, the
+    * median of all pairwise slopes (y_j − y_i)/(x_j − x_i) over the
+    * monthly revenue series, plus the median-residual intercept. The
+    * estimator has a 29.3% breakdown point, so unlike q70's OLS a few
+    * wild months cannot drag the fitted trend.
+    *
+    * Cross-engine exactness: x is an integer month index, y exact cents;
+    * each pairwise slope is ONE IEEE division of exact longs (correctly
+    * rounded — bit-identical in Spark and DuckDB), the median is an
+    * order-statistic pick (row_number over a total order with integer
+    * tie-breaks, never a sum), and the two-middle average is a single
+    * commutative double add. No libm, no accumulation-order dependence.
+    *
+    * Scale: the pairwise self-join runs on the (grp, month) AGGREGATE —
+    * ≤ ~80 rows per group, ~3.2k pairs — never on raw orders; the raw
+    * scan contributes exactly one partial-aggregated pass. At 1000× data
+    * the aggregate frame is unchanged (the calendar doesn't grow with
+    * SF beyond its 7-year span), so the quadratic stage is O(1). */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pts = Tables.orders(spark, dir)
+      .select($"o_orderpriority".as("grp"),
+        (year($"o_orderdate") * 12 + month($"o_orderdate")).cast("long").as("x"),
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("yc"))
+      .groupBy($"grp", $"x").agg(sum($"yc").as("y"))
+    val a = pts.select($"grp", $"x".as("x1"), $"y".as("y1"))
+    val b = pts.select($"grp", $"x".as("x2"), $"y".as("y2"))
+    val pairs = a.join(b, Seq("grp")).filter($"x1" < $"x2")
+      .select($"grp", ($"y2" - $"y1").as("dy"), ($"x2" - $"x1").as("dx"),
+        $"x1",
+        (($"y2" - $"y1").cast("double") / ($"x2" - $"x1").cast("double"))
+          .as("slope"))
+    val wS = Window.partitionBy($"grp").orderBy($"slope", $"dy", $"dx", $"x1")
+    val ranked = pairs.select($"grp", $"slope",
+      row_number().over(wS).as("rn"),
+      count(lit(1)).over(Window.partitionBy($"grp")).as("np"))
+    val med = ranked
+      .filter($"rn" === floor(($"np" + 1) / 2) || $"rn" === floor(($"np" + 2) / 2))
+      .groupBy($"grp").agg(avg($"slope").as("m"), first($"np").as("n_pairs"))
+    val wR = Window.partitionBy($"grp").orderBy($"r", $"x")
+    val resid = pts.join(med, Seq("grp"))
+      .select($"grp", $"x", $"m", $"n_pairs",
+        ($"y".cast("double") - $"m" * $"x".cast("double")).as("r"))
+    val interc = resid
+      .withColumn("rn", row_number().over(wR))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"grp")))
+      .filter($"rn" === floor(($"n" + 1) / 2) || $"rn" === floor(($"n" + 2) / 2))
+      .groupBy($"grp").agg(avg($"r").as("b0"), first($"n").as("n_points"),
+        first($"m").as("m"), first($"n_pairs").as("n_pairs"))
+    interc.select($"grp".as("o_orderpriority"),
+      $"n_points".cast("long").as("n_points"),
+      $"n_pairs".cast("long").as("n_pairs"),
+      halfUp($"m", 6).as("ts_slope_cents_month"),
+      halfUp($"b0", 2).as("ts_intercept_cents"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val theilSenOracle =
+    """WITH pts AS (
+      |  SELECT o_orderpriority AS grp,
+      |         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS x,
+      |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.grp, b.y - a.y AS dy, b.x - a.x AS dx, a.x AS x1,
+      |         CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+      |  FROM pts a JOIN pts b ON a.grp = b.grp AND a.x < b.x),
+      |ranked AS (
+      |  SELECT grp, slope,
+      |         row_number() OVER (PARTITION BY grp ORDER BY slope, dy, dx, x1) AS rn,
+      |         count(*) OVER (PARTITION BY grp) AS np
+      |  FROM pairs),
+      |med AS (
+      |  SELECT grp, avg(slope) AS m, first(np) AS n_pairs FROM ranked
+      |  WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2 GROUP BY grp),
+      |resid AS (
+      |  SELECT pts.grp, pts.x, med.m, med.n_pairs,
+      |         CAST(pts.y AS DOUBLE) - med.m * CAST(pts.x AS DOUBLE) AS r
+      |  FROM pts JOIN med ON pts.grp = med.grp),
+      |rr AS (
+      |  SELECT grp, m, n_pairs, r,
+      |         row_number() OVER (PARTITION BY grp ORDER BY r, x) AS rn,
+      |         count(*) OVER (PARTITION BY grp) AS n
+      |  FROM resid),
+      |ic AS (
+      |  SELECT grp, avg(r) AS b0, first(n) AS n_points, first(m) AS m,
+      |         first(n_pairs) AS n_pairs
+      |  FROM rr WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY grp)
+      |SELECT grp AS o_orderpriority,
+      |       CAST(n_points AS BIGINT) AS n_points,
+      |       CAST(n_pairs AS BIGINT) AS n_pairs,
+      |       floor(m * 1000000 + 0.5) / 1000000.0 AS ts_slope_cents_month,
+      |       floor(b0 * 100 + 0.5) / 100.0 AS ts_intercept_cents
+      |FROM ic ORDER BY o_orderpriority""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q79_mann_whitney",
       "Mann-Whitney U rank-sum test per return flag (doubled average ranks, tie-corrected z)",
@@ -441,5 +536,8 @@ object StatsQueries {
       spearman, Some(spearmanOracle)),
     QueryDef("q78_hampel",
       "Hampel rolling-7 median/MAD outlier filter on monthly revenue (integer threshold predicate)",
-      hampel, Some(hampelOracle)))
+      hampel, Some(hampelOracle)),
+    QueryDef("q82_theil_sen",
+      "Theil-Sen robust trend per priority: median pairwise slope + median-residual intercept",
+      theilSen, Some(theilSenOracle)))
 }
