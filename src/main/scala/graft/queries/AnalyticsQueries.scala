@@ -880,7 +880,50 @@ object AnalyticsQueries {
        |GROUP BY day
        |ORDER BY day""".stripMargin
 
+  /** q84: sequence-pattern mining (MATCH_RECOGNIZE shape) — each user's
+    * whole event journey is serialized to a symbol string (first letter
+    * of the event type, ordered by ts then event_id — the five fixture
+    * types have distinct initials) and mined with regexes instead of
+    * imperative row loops: conversions = non-overlapping `v[ce]*p`
+    * matches (view, any clicks/errors, purchase), error bursts =
+    * maximal `e+` runs. Both patterns terminate their star class on a
+    * symbol the class excludes, so leftmost-greedy (Java regex) and
+    * RE2 (DuckDB) agree exactly. Scale: one shuffle on user_id; the
+    * per-user string is session-bounded in practice (here journey-
+    * bounded, ≤ a few thousand chars); regex work is per-row codegen'd
+    * with no joins. */
+  def sequenceRegex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val j = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id",
+        substring($"event_type", 1, 1).as("ch"))
+      .groupBy($"user_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct($"ts", $"event_id", $"ch"))),
+          x => x.getField("ch")), "").as("journey"))
+    j.select($"user_id", length($"journey").as("n_events"),
+        regexp_count($"journey", lit("v[ce]*p")).as("n_conversions"),
+        regexp_count($"journey", lit("e+")).as("n_error_runs"),
+        ($"journey" like "s%").cast("int").as("signup_first"))
+      .orderBy("user_id")
+  }
+
+  private val sequenceRegexOracle =
+    """WITH j AS (
+      |  SELECT user_id,
+      |         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS journey
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, CAST(length(journey) AS INTEGER) AS n_events,
+      |       CAST(len(regexp_extract_all(journey, 'v[ce]*p')) AS INTEGER) AS n_conversions,
+      |       CAST(len(regexp_extract_all(journey, 'e+')) AS INTEGER) AS n_error_runs,
+      |       CASE WHEN journey LIKE 's%' THEN 1 ELSE 0 END AS signup_first
+      |FROM j
+      |ORDER BY user_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q84_sequence_regex",
+      "MATCH_RECOGNIZE-shaped sequence mining: regex motifs over serialized per-user journeys",
+      sequenceRegex, Some(sequenceRegexOracle)),
     QueryDef("q73_topk_churn",
       "Monthly top-10 leaderboard persistence: repeat appearances, best rank, first/last month",
       topkChurn, Some(topkChurnOracle)),

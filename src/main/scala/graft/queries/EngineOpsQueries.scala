@@ -109,8 +109,70 @@ object EngineOpsQueries {
        |FROM xb
        |ORDER BY layout DESC""".stripMargin
 
+  /** Simulated input-file granularity: orderkey range per "file". */
+  private val FileSpan = 200L
+
+  /** Target rows per compacted output file. */
+  private val CompactTarget = 2000L
+
+  /** q83: small-file compaction planner — the maintenance pass a lakehouse
+    * runs to rewrite many small files into few target-sized ones. Input
+    * "files" are simulated as orderkey-range chunks of lineitem within
+    * each l_returnflag partition (file size = row count). The plan is
+    * greedy next-fit bin packing expressed relationally: files ordered by
+    * file id, running row total BEFORE each file (window sum, 1
+    * PRECEDING), bin = that total integer-divided by the target — so a
+    * file starts a new bin exactly when the previous bins are full. Per
+    * (partition, bin): file count, rows, id span, and fill ratio vs
+    * target. All integer arithmetic; the only double is the final fill
+    * division. Scale: one groupBy to size files (shuffle on partition ×
+    * file id), a per-partition window over the FILE frame (thousands of
+    * rows at 100 TB, not billions — windows run on file metadata, the
+    * same cardinality the real table-format metadata layer holds), one
+    * tiny final aggregate. */
+  def compactionBins(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val files = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag".as("part"),
+        call_function("div", $"l_orderkey", lit(FileSpan)).as("file_id"))
+      .agg(count(lit(1)).as("f_rows"))
+    val w = Window.partitionBy($"part").orderBy($"file_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val planned = files
+      .withColumn("cum_before", coalesce(sum($"f_rows").over(w), lit(0L)))
+      .withColumn("bin", call_function("div", $"cum_before", lit(CompactTarget)))
+    planned.groupBy($"part", $"bin")
+      .agg(count(lit(1)).as("n_files"), sum($"f_rows").as("n_rows"),
+        min($"file_id").as("first_file"), max($"file_id").as("last_file"))
+      .withColumn("fill",
+        QueryUtil.halfUp($"n_rows".cast("double") / CompactTarget.toDouble, 4))
+      .orderBy("part", "bin")
+  }
+
+  private val compactionBinsOracle =
+    s"""WITH files AS (
+       |  SELECT l_returnflag AS part, l_orderkey // $FileSpan AS file_id,
+       |         count(*) AS f_rows
+       |  FROM lineitem GROUP BY 1, 2),
+       |planned AS (
+       |  SELECT part, file_id, f_rows,
+       |         coalesce(sum(f_rows) OVER (PARTITION BY part ORDER BY file_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM files),
+       |binned AS (SELECT part, cum_before // $CompactTarget AS bin, file_id, f_rows FROM planned)
+       |SELECT part, bin, count(*) AS n_files, sum(f_rows) AS n_rows,
+       |       min(file_id) AS first_file, max(file_id) AS last_file,
+       |       floor((CAST(sum(f_rows) AS DOUBLE) / $CompactTarget) * 10000 + 0.5) / 10000.0 AS fill
+       |FROM binned
+       |GROUP BY part, bin
+       |ORDER BY part, bin""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q81_zorder_layout",
       "Z-order vs single-key layout planner: per-bucket min/max span comparison (data-skipping eval)",
-      zorderLayout, Some(zorderLayoutOracle)))
+      zorderLayout, Some(zorderLayoutOracle)),
+    QueryDef("q83_compaction_bins",
+      "Small-file compaction planner: greedy next-fit bin packing of file metadata via window cumsum",
+      compactionBins, Some(compactionBinsOracle)))
 }
