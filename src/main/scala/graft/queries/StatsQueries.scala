@@ -518,7 +518,171 @@ object StatsQueries {
       |       floor(b0 * 100 + 0.5) / 100.0 AS ts_intercept_cents
       |FROM ic ORDER BY o_orderpriority""".stripMargin
 
+  /** ACF lag range (1..MaxLag). */
+  private val MaxLag = 7
+
+  /** q85: autocorrelation function — daily revenue (exact cents) ACF at
+    * lags 1..7, the seasonality screen a forecasting pipeline runs before
+    * model choice. The global mean never materializes as a float: with
+    * S = Σy and n days, n²·r_k's numerator is Σ(n·y_t − S)(n·y_{t+k} − S)
+    * and its denominator Σ(n·y_t − S)², both exact decimal(38,0)/HUGEINT
+    * sums converted to double once for the final division. Calendar gaps
+    * drop pairs (join on day index + k), identically in both engines.
+    * Scale: one partial-aggregated scan to daily cents; everything after
+    * runs on the ~2.4k-row series — the 7 lag joins are equi-joins on
+    * the tiny frame with the totals broadcast. */
+  def acf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, dir)
+      .groupBy(datediff($"o_orderdate", lit("1995-01-01").cast("date"))
+        .cast("long").as("di"))
+      .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("y"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum($"y").as("s"))
+    val c = daily.crossJoin(broadcast(tot))
+      .select($"di", ($"n".cast(dec) * $"y".cast(dec) - $"s".cast(dec)).as("cy"))
+    val den = c.agg(sum($"cy" * $"cy").as("dd"))
+    val lags = spark.range(1, MaxLag + 1).select($"id".cast("long").as("lag"))
+    val pairs = c.select($"di", $"cy").crossJoin(broadcast(lags))
+      .join(c.select($"di".as("dj"), $"cy".as("cz")),
+        $"dj" === $"di" + $"lag")
+    pairs.groupBy($"lag")
+      .agg(count(lit(1)).as("n_pairs"), sum($"cy" * $"cz").as("num"))
+      .crossJoin(broadcast(den))
+      .select($"lag", $"n_pairs",
+        halfUp($"num".cast("double") / $"dd".cast("double"), 6).as("acf"))
+      .orderBy("lag")
+  }
+
+  private val acfOracle =
+    s"""WITH daily AS (
+       |  SELECT CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS di,
+       |         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS y
+       |  FROM orders GROUP BY 1),
+       |tot AS (SELECT count(*) AS n, sum(y) AS s FROM daily),
+       |c AS (SELECT di, CAST(n AS HUGEINT) * y - s AS cy FROM daily, tot),
+       |den AS (SELECT sum(cy * cy) AS dd FROM c),
+       |lags AS (SELECT CAST(range + 1 AS BIGINT) AS lag FROM range($MaxLag))
+       |SELECT lag, count(*) AS n_pairs,
+       |       floor((CAST(sum(a.cy * b.cy) AS DOUBLE) / CAST(dd AS DOUBLE)) * 1000000 + 0.5) / 1000000.0 AS acf
+       |FROM c a JOIN lags ON true JOIN c b ON b.di = a.di + lag, den
+       |GROUP BY lag, dd
+       |ORDER BY lag""".stripMargin
+
+  /** Equi-depth bucket count. */
+  private val EqDepthBuckets = 8
+
+  /** q86: equi-depth histogram — the quantile-boundary statistics an
+    * optimizer keeps per column. Orders are ntile'd into 8 equal-count
+    * buckets under the TOTAL order (cents, orderkey) — the unique-key
+    * tie-break makes the assignment deterministic in both engines — and
+    * each bucket reports its count and exact cents boundaries (min/max
+    * are order statistics, not sums, so no float accumulation exists at
+    * all). Scale: a global sort of (cents, key) pairs — the same cost as
+    * any quantile computation; at 100 TB this is the one legitimately
+    * total-ordered pass, and it runs on the 2-column projection, not the
+    * full row. */
+  def equiDepth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = Tables.orders(spark, dir)
+      .select($"o_orderkey", floor($"o_totalprice" * 100 + 0.5).cast("long").as("c"))
+    val w = Window.orderBy($"c", $"o_orderkey")
+    cents.withColumn("bucket", ntile(EqDepthBuckets).over(w))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+        halfUp(min($"c").cast("double") / 100.0, 2).as("lo"),
+        halfUp(max($"c").cast("double") / 100.0, 2).as("hi"))
+      .orderBy("bucket")
+  }
+
+  private val equiDepthOracle =
+    s"""WITH cents AS (
+       |  SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c FROM orders),
+       |b AS (SELECT c, ntile($EqDepthBuckets) OVER (ORDER BY c, o_orderkey) AS bucket FROM cents)
+       |SELECT bucket, count(*) AS n,
+       |       floor((CAST(min(c) AS DOUBLE) / 100.0) * 100 + 0.5) / 100.0 AS lo,
+       |       floor((CAST(max(c) AS DOUBLE) / 100.0) * 100 + 0.5) / 100.0 AS hi
+       |FROM b GROUP BY bucket
+       |ORDER BY bucket""".stripMargin
+
+  /** q87: Wald–Wolfowitz runs test — is daily revenue's above/below-median
+    * sequence random, or does it cluster (regime persistence)? The median
+    * is the exact lower median of the daily-cents series (order statistic,
+    * no averaging); days equal to it are excluded per the classical test.
+    * Runs R = 1 + sign changes (integer window count); E[R] and Var[R]
+    * come from the exact integers n1, n2 (2·n1·n2 ≈ 3e6 and its products
+    * ≈ 8e12 fit long at sf0.1), each converted to double once; z uses
+    * IEEE-exact sqrt. Scale: the scan aggregates to the ~2.4k-day series;
+    * the median, lag pass, and scalar math all run on that tiny frame. */
+  def runsTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, dir)
+      .groupBy(datediff($"o_orderdate", lit("1995-01-01").cast("date"))
+        .cast("long").as("di"))
+      .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("y"))
+    val ranked = daily
+      .withColumn("rn", row_number().over(Window.orderBy($"y", $"di")))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(lit(1))))
+    val med = ranked.filter($"rn" === call_function("div", $"nd" + 1, lit(2)))
+      .select($"y".as("m"))
+    val signed = daily.crossJoin(broadcast(med))
+      .filter($"y" =!= $"m")
+      .select($"di", ($"y" > $"m").cast("long").as("sgn"))
+    val runs = signed
+      .withColumn("prev", lag($"sgn", 1).over(Window.orderBy($"di")))
+      .agg(sum(when($"prev".isNull || $"prev" =!= $"sgn", 1L).otherwise(0L))
+        .as("r"),
+        sum($"sgn").as("n1"),
+        sum(lit(1L) - $"sgn").as("n2"))
+    runs.select($"n1", $"n2", $"r".as("runs"),
+        halfUp(
+          ($"r".cast("double")
+            - (lit(1.0) + lit(2.0) * ($"n1" * $"n2").cast("double")
+                / ($"n1" + $"n2").cast("double")))
+            / sqrt((lit(2L) * $"n1" * $"n2"
+                * (lit(2L) * $"n1" * $"n2" - ($"n1" + $"n2"))).cast("double")
+              / (($"n1" + $"n2") * ($"n1" + $"n2")
+                * ($"n1" + $"n2" - 1L)).cast("double")), 4).as("z"))
+      .orderBy("n1")
+  }
+
+  private val runsTestOracle =
+    """WITH daily AS (
+      |  SELECT CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS di,
+      |         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS y
+      |  FROM orders GROUP BY 1),
+      |ranked AS (
+      |  SELECT y, row_number() OVER (ORDER BY y, di) AS rn, count(*) OVER () AS nd
+      |  FROM daily),
+      |med AS (SELECT y AS m FROM ranked WHERE rn = (nd + 1) // 2),
+      |signed AS (
+      |  SELECT di, CASE WHEN y > m THEN 1 ELSE 0 END AS sgn
+      |  FROM daily, med WHERE y <> m),
+      |lagged AS (
+      |  SELECT sgn, lag(sgn) OVER (ORDER BY di) AS prev FROM signed),
+      |agg AS (
+      |  SELECT sum(CASE WHEN prev IS NULL OR prev <> sgn THEN 1 ELSE 0 END) AS r,
+      |         sum(sgn) AS n1, sum(1 - sgn) AS n2
+      |  FROM lagged)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |       CAST(r AS BIGINT) AS runs,
+      |       floor(((CAST(r AS DOUBLE)
+      |               - (1.0 + 2.0 * CAST(n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)))
+      |              / sqrt(CAST(2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2)) AS DOUBLE)
+      |                     / CAST((n1 + n2) * (n1 + n2) * (n1 + n2 - 1) AS DOUBLE)))
+      |             * 10000 + 0.5) / 10000.0 AS z
+      |FROM agg
+      |ORDER BY n1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q85_acf",
+      "Autocorrelation of daily revenue at lags 1-7 via exact global-mean-free decimal moments",
+      acf, Some(acfOracle)),
+    QueryDef("q86_equidepth",
+      "Equi-depth (quantile) histogram: deterministic ntile buckets with exact cents boundaries",
+      equiDepth, Some(equiDepthOracle)),
+    QueryDef("q87_runs_test",
+      "Wald-Wolfowitz runs test on daily revenue vs lower median (exact counts, IEEE sqrt z)",
+      runsTest, Some(runsTestOracle)),
     QueryDef("q79_mann_whitney",
       "Mann-Whitney U rank-sum test per return flag (doubled average ranks, tie-corrected z)",
       mannWhitney, Some(mannWhitneyOracle)),
