@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.queries.QueryUtil.halfUp4
+import graft.queries.QueryUtil.{halfUp, halfUp4}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -309,7 +309,131 @@ object CurationQueries {
        |GROUP BY decile
        |ORDER BY decile""".stripMargin
 
+  /** x113: classifier AUC — the threshold-free companion to x112's
+    * reliability diagram: how well does a probe score (function-word
+    * rate per mille, an exact integer) rank the target class
+    * (lang = 'en')? AUC is computed by the tie-safe rank identity, all
+    * in integers: scores collapse to a distinct-value distribution with
+    * positive/negative counts, a cumulative window gives negatives
+    * strictly below each value, and the doubled pair statistic
+    * U2 = Σ pos·(2·neg_below + neg_at) counts wins twice and ties once.
+    * AUC = U2 / (2·n1·n0) is one double division of exact integers;
+    * Gini = 2·AUC − 1. On this synthetic corpus the score carries no
+    * real signal, so AUC ≈ 0.5 — the operator's value is the exact
+    * eval, not the probe. Scale: per-row scoring is stateless; the
+    * window and join run on the ≤1001-row score distribution, never the
+    * corpus. */
+  def aucRoc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = Tables.documents(spark, dir).select(
+      ($"lang" === "en").cast("long").as("pos"),
+      call_function("div",
+        lit(1000L) * size(filter(split($"text", " "),
+          t => t === "the" || t === "a")),
+        size(split($"text", " "))).as("s"))
+    val dist = scored.groupBy($"s")
+      .agg(sum($"pos").as("np"), (count(lit(1)) - sum($"pos")).as("nn"))
+    val w = Window.orderBy($"s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val u = dist
+      .withColumn("below", coalesce(sum($"nn").over(w), lit(0L)))
+      .agg(sum($"np").as("n_pos"), sum($"nn").as("n_neg"),
+        sum($"np" * (lit(2L) * $"below" + $"nn")).as("u2"))
+    u.select($"n_pos", $"n_neg", $"u2",
+        halfUp($"u2".cast("double")
+          / (lit(2.0) * ($"n_pos" * $"n_neg").cast("double")), 6).as("auc"),
+        halfUp($"u2".cast("double")
+          / (lit(2.0) * ($"n_pos" * $"n_neg").cast("double")) * 2.0 - 1.0, 6)
+          .as("gini"))
+      .orderBy("n_pos")
+  }
+
+  private val aucRocOracle =
+    """WITH scored AS (
+      |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+      |         (1000 * len(list_filter(string_split(text, ' '),
+      |                                 t -> t = 'the' OR t = 'a')))
+      |           // len(string_split(text, ' ')) AS s
+      |  FROM documents),
+      |dist AS (
+      |  SELECT s, sum(pos) AS np, count(*) - sum(pos) AS nn
+      |  FROM scored GROUP BY s),
+      |cum AS (
+      |  SELECT np, nn,
+      |         coalesce(sum(nn) OVER (ORDER BY s
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      |  FROM dist),
+      |u AS (
+      |  SELECT sum(np) AS n_pos, sum(nn) AS n_neg,
+      |         sum(np * (2 * below + nn)) AS u2
+      |  FROM cum)
+      |SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+      |       CAST(u2 AS BIGINT) AS u2,
+      |       floor((CAST(u2 AS DOUBLE) / (2.0 * CAST(n_pos * n_neg AS DOUBLE))) * 1000000 + 0.5) / 1000000.0 AS auc,
+      |       floor(((CAST(u2 AS DOUBLE) / (2.0 * CAST(n_pos * n_neg AS DOUBLE))) * 2.0 - 1.0) * 1000000 + 0.5) / 1000000.0 AS gini
+      |FROM u
+      |ORDER BY n_pos""".stripMargin
+
+  /** x114: Cohen's kappa — chance-corrected agreement between two
+    * annotators, the QA statistic a labeling pipeline reports before
+    * trusting labels. The annotators here are two deterministic
+    * heuristics (A: n_chars ≥ 300; B: ≥ 50 whitespace tokens) so the
+    * whole computation is an exact confusion-matrix aggregate. Kappa is
+    * algebraically cleared of fractions before any float appears:
+    * κ = (n·agree − E) / (n² − E) with E = ra·ca + rd·cd the integer
+    * chance-agreement numerator — one double division at the end, plus
+    * po/pe reported as their own exact ratios. Scale: a single stateless
+    * full scan into a 1-row frame; n² fits int64 through ~3e9 docs. */
+  def cohensKappa(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lab = Tables.documents(spark, dir).select(
+      ($"n_chars" >= 300).cast("long").as("a"),
+      (size(split($"text", " ")) >= 50).cast("long").as("b"))
+    val m = lab.agg(count(lit(1)).as("n"),
+      sum($"a" * $"b").as("n11"),
+      sum($"a" * (lit(1L) - $"b")).as("n10"),
+      sum((lit(1L) - $"a") * $"b").as("n01"),
+      sum((lit(1L) - $"a") * (lit(1L) - $"b")).as("n00"))
+    m.select($"n", ($"n11" + $"n10").as("a_yes"), ($"n11" + $"n01").as("b_yes"),
+        ($"n11" + $"n00").as("agree"),
+        (($"n11" + $"n10") * ($"n11" + $"n01")
+          + ($"n01" + $"n00") * ($"n10" + $"n00")).as("e"))
+      .select($"n", $"a_yes", $"b_yes", $"agree",
+        halfUp($"agree".cast("double") / $"n".cast("double"), 4).as("po"),
+        halfUp($"e".cast("double") / ($"n" * $"n").cast("double"), 4).as("pe"),
+        halfUp(($"n" * $"agree" - $"e").cast("double")
+          / ($"n" * $"n" - $"e").cast("double"), 6).as("kappa"))
+      .orderBy("n")
+  }
+
+  private val cohensKappaOracle =
+    """WITH lab AS (
+      |  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+      |         CASE WHEN len(string_split(text, ' ')) >= 50 THEN 1 ELSE 0 END AS b
+      |  FROM documents),
+      |m AS (
+      |  SELECT count(*) AS n, sum(a * b) AS n11, sum(a * (1 - b)) AS n10,
+      |         sum((1 - a) * b) AS n01, sum((1 - a) * (1 - b)) AS n00
+      |  FROM lab),
+      |k AS (
+      |  SELECT n, n11 + n10 AS a_yes, n11 + n01 AS b_yes, n11 + n00 AS agree,
+      |         (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS e
+      |  FROM m)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(a_yes AS BIGINT) AS a_yes,
+      |       CAST(b_yes AS BIGINT) AS b_yes, CAST(agree AS BIGINT) AS agree,
+      |       floor((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS po,
+      |       floor((CAST(e AS DOUBLE) / CAST(n * n AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS pe,
+      |       floor((CAST(n * agree - e AS DOUBLE) / CAST(n * n - e AS DOUBLE)) * 1000000 + 0.5) / 1000000.0 AS kappa
+      |FROM k
+      |ORDER BY n""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x113_auc_roc",
+      "tie-safe rank-identity AUC/Gini of a probe score vs the en label (exact integer pair counts)",
+      aucRoc, Some(aucRocOracle)),
+    QueryDef("x114_cohens_kappa",
+      "Cohen's kappa annotator-agreement QA from an exact integer confusion matrix",
+      cohensKappa, Some(cohensKappaOracle)),
     QueryDef("x112_score_calibration",
       "reliability diagram for the x99 gate: score deciles vs target-class rate (pooled exact ratios)",
       scoreCalibration, Some(scoreCalibrationOracle)),
