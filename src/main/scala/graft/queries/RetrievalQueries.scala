@@ -779,7 +779,68 @@ object RetrievalQueries {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  /** The x21/x99 md5-nibble hash in SQL, local copy for impact weights. */
+  private def sparseHashSql(salt: String, expr: String): String = {
+    val h = s"md5(concat_ws('|', '$salt', $expr))"
+    (1 to 4).map(i => s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1)")
+      .reduce((a, b) => s"($a * 16 + $b)")
+  }
+
+  /** A frozen per-term "learned" impact weight in [1, 1000] — the
+    * deployment shape of SPLADE-style models, where the expansion model
+    * ran offline and the index stores integer impacts. */
+  private def impact(salt: String, t: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat_ws("|", lit(salt), t)), 1, 4), 16, 10)
+      .cast("long") % 1000L + 1L
+
+  /** x115: learned-sparse retrieval — the impact-weighted inverted-index
+    * scoring that serves SPLADE/uniCOIL-class models: each posting
+    * carries a precomputed integer impact (here tf × a frozen hashed
+    * per-term weight, the shape a real system loads from its trained
+    * model), each query term its own integer weight, and the score is
+    * the exact integer dot product Σ qw(t)·tf·dw(t) — ZERO floats
+    * anywhere, so this family member has no cross-engine risk at all.
+    * Same join shape as x80: query terms broadcast against term-keyed
+    * postings, shuffle-free until the per-(query, doc) sum. Scale:
+    * per-term products ≤ 1000·tf·1000 ≈ 2e8 and per-pair sums ≤ ~1e10
+    * stay far inside int64; impacts are computed per posting, never
+    * materialized as a vocab table. */
+  def sparseTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = postings(spark, dir)
+    val wTop = Window.partitionBy($"q_id").orderBy($"score".desc, $"doc_id")
+    p.qterms.join(p.tf, "t").filter($"doc_id" =!= $"q_id")
+      .select($"q_id", $"doc_id",
+        (impact("sq", $"t") * $"tf" * impact("sw", $"t")).as("c"))
+      .groupBy($"q_id", $"doc_id").agg(sum($"c").as("score"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter($"rk" <= TopK)
+      .select($"q_id", $"rk", $"doc_id", $"score")
+      .orderBy("q_id", "rk")
+  }
+
+  private val sparseTopKOracle =
+    s"""WITH tf AS MATERIALIZED (
+       |  SELECT doc_id, t, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+       |  GROUP BY doc_id, t),
+       |q AS (SELECT doc_id AS q_id, t FROM tf WHERE doc_id % 100 = 0),
+       |sc AS (
+       |  SELECT q_id, tf.doc_id,
+       |         sum((${sparseHashSql("sq", "t")} % 1000 + 1) * tf.tf
+       |             * (${sparseHashSql("sw", "t")} % 1000 + 1)) AS score
+       |  FROM q JOIN tf USING (t) WHERE tf.doc_id <> q_id
+       |  GROUP BY q_id, tf.doc_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY score DESC, doc_id) AS rk FROM sc)
+       |SELECT q_id, rk, doc_id, CAST(score AS BIGINT) AS score
+       |FROM r WHERE rk <= $TopK
+       |ORDER BY q_id, rk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x115_sparse_topk",
+      "learned-sparse (SPLADE-shaped) impact-weighted retrieval: exact integer dot products",
+      sparseTopK, Some(sparseTopKOracle)),
     QueryDef("x87_ndcg_eval",
       "nDCG@5 of the BM25 ranking vs data-derived graded relevance (literal discounts, zero libm)",
       ndcgEval, Some(ndcgOracle)),
