@@ -331,14 +331,7 @@ object CurationQueries {
         lit(1000L) * size(filter(split($"text", " "),
           t => t === "the" || t === "a")),
         size(split($"text", " "))).as("s"))
-    val dist = scored.groupBy($"s")
-      .agg(sum($"pos").as("np"), (count(lit(1)) - sum($"pos")).as("nn"))
-    val w = Window.orderBy($"s")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val u = dist
-      .withColumn("below", coalesce(sum($"nn").over(w), lit(0L)))
-      .agg(sum($"np").as("n_pos"), sum($"nn").as("n_neg"),
-        sum($"np" * (lit(2L) * $"below" + $"nn")).as("u2"))
+    val u = aucCore(scored)
     u.select($"n_pos", $"n_neg", $"u2",
         halfUp($"u2".cast("double")
           / (lit(2.0) * ($"n_pos" * $"n_neg").cast("double")), 6).as("auc"),
@@ -346,6 +339,23 @@ object CurationQueries {
           / (lit(2.0) * ($"n_pos" * $"n_neg").cast("double")) * 2.0 - 1.0, 6)
           .as("gini"))
       .orderBy("n_pos")
+  }
+
+  /** The tie-safe doubled pair statistic over any (pos ∈ {0,1}, s: long)
+    * frame: one row (n_pos, n_neg, u2) with u2 = Σ over (pos, neg) pairs
+    * of 2·[s_p > s_n] + [s_p = s_n] — property-tested against the brute
+    * quadratic count (PropertySpec). */
+  private[graft] def aucCore(scored: DataFrame): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val dist = scored.groupBy($"s")
+      .agg(sum($"pos").as("np"), (count(lit(1)) - sum($"pos")).as("nn"))
+    val w = Window.orderBy($"s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    dist
+      .withColumn("below", coalesce(sum($"nn").over(w), lit(0L)))
+      .agg(sum($"np").as("n_pos"), sum($"nn").as("n_neg"),
+        sum($"np" * (lit(2L) * $"below" + $"nn")).as("u2"))
   }
 
   private val aucRocOracle =

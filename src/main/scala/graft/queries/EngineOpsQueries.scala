@@ -132,22 +132,32 @@ object EngineOpsQueries {
     * tiny final aggregate. */
   def compactionBins(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val files = Tables.lineitem(spark, dir)
       .groupBy($"l_returnflag".as("part"),
         call_function("div", $"l_orderkey", lit(FileSpan)).as("file_id"))
       .agg(count(lit(1)).as("f_rows"))
-    val w = Window.partitionBy($"part").orderBy($"file_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val planned = files
-      .withColumn("cum_before", coalesce(sum($"f_rows").over(w), lit(0L)))
-      .withColumn("bin", call_function("div", $"cum_before", lit(CompactTarget)))
-    planned.groupBy($"part", $"bin")
+    binPack(files, CompactTarget).groupBy($"part", $"bin")
       .agg(count(lit(1)).as("n_files"), sum($"f_rows").as("n_rows"),
         min($"file_id").as("first_file"), max($"file_id").as("last_file"))
       .withColumn("fill",
         QueryUtil.halfUp($"n_rows".cast("double") / CompactTarget.toDouble, 4))
       .orderBy("part", "bin")
+  }
+
+  /** The greedy packer over any (part, file_id, f_rows) frame: bin =
+    * rows-before-this-file integer-divided by the target, i.e. a bin
+    * closes once it holds ≥ target rows (an oversized file spans bins by
+    * advancing the count) — property-tested against a sequential
+    * fold (PropertySpec). */
+  private[graft] def binPack(files: DataFrame, target: Long): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"part").orderBy($"file_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("cum_before", coalesce(sum($"f_rows").over(w), lit(0L)))
+      .withColumn("bin", call_function("div", $"cum_before", lit(target)))
   }
 
   private val compactionBinsOracle =

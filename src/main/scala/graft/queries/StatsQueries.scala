@@ -619,20 +619,7 @@ object StatsQueries {
       .groupBy(datediff($"o_orderdate", lit("1995-01-01").cast("date"))
         .cast("long").as("di"))
       .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("y"))
-    val ranked = daily
-      .withColumn("rn", row_number().over(Window.orderBy($"y", $"di")))
-      .withColumn("nd", count(lit(1)).over(Window.partitionBy(lit(1))))
-    val med = ranked.filter($"rn" === call_function("div", $"nd" + 1, lit(2)))
-      .select($"y".as("m"))
-    val signed = daily.crossJoin(broadcast(med))
-      .filter($"y" =!= $"m")
-      .select($"di", ($"y" > $"m").cast("long").as("sgn"))
-    val runs = signed
-      .withColumn("prev", lag($"sgn", 1).over(Window.orderBy($"di")))
-      .agg(sum(when($"prev".isNull || $"prev" =!= $"sgn", 1L).otherwise(0L))
-        .as("r"),
-        sum($"sgn").as("n1"),
-        sum(lit(1L) - $"sgn").as("n2"))
+    val runs = runsCore(daily)
     runs.select($"n1", $"n2", $"r".as("runs"),
         halfUp(
           ($"r".cast("double")
@@ -643,6 +630,29 @@ object StatsQueries {
               / (($"n1" + $"n2") * ($"n1" + $"n2")
                 * ($"n1" + $"n2" - 1L)).cast("double")), 4).as("z"))
       .orderBy("n1")
+  }
+
+  /** The runs-statistic core over any (di: long, y: long) series: lower
+    * median by the (y, di) total order, days equal to it excluded, and
+    * one row (n1, n2, r) with r = 1 + sign changes in di order —
+    * property-tested against a sequential scan (PropertySpec). */
+  private[graft] def runsCore(daily: DataFrame): DataFrame = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    val ranked = daily
+      .withColumn("rn", row_number().over(Window.orderBy($"y", $"di")))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(lit(1))))
+    val med = ranked.filter($"rn" === call_function("div", $"nd" + 1, lit(2)))
+      .select($"y".as("m"))
+    val signed = daily.crossJoin(broadcast(med))
+      .filter($"y" =!= $"m")
+      .select($"di", ($"y" > $"m").cast("long").as("sgn"))
+    signed
+      .withColumn("prev", lag($"sgn", 1).over(Window.orderBy($"di")))
+      .agg(sum(when($"prev".isNull || $"prev" =!= $"sgn", 1L).otherwise(0L))
+        .as("r"),
+        sum($"sgn").as("n1"),
+        sum(lit(1L) - $"sgn").as("n2"))
   }
 
   private val runsTestOracle =

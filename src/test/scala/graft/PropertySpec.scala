@@ -303,4 +303,69 @@ class PropertySpec extends SparkTestBase {
       assert(got == ref.toMap, s"seed=$seed")
     }
   }
+
+  test("property: AUC doubled pair statistic == brute-force quadratic count") {
+    import graft.queries.CurationQueries
+    val gen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(60, Gen.zip(Gen.oneOf(0L, 1L), Gen.choose(0L, 7L)))
+    (1L to 6L).foreach { seed =>
+      val rows = sample(gen, seed)
+      if (rows.exists(_._1 == 1L) && rows.exists(_._1 == 0L)) {
+        val r = CurationQueries.aucCore(rows.toDF("pos", "s")).collect().head
+        val pos = rows.filter(_._1 == 1L).map(_._2)
+        val neg = rows.filter(_._1 == 0L).map(_._2)
+        val refU2 = pos.map(p =>
+          2L * neg.count(_ < p) + neg.count(_ == p)).sum
+        assert(r.getLong(0) == pos.size.toLong, s"seed=$seed n_pos")
+        assert(r.getLong(1) == neg.size.toLong, s"seed=$seed n_neg")
+        assert(r.getLong(2) == refU2, s"seed=$seed u2=${r.getLong(2)} ref=$refU2")
+      }
+    }
+  }
+
+  test("property: runs statistic == sequential median-exclude-and-scan reference") {
+    import graft.queries.StatsQueries
+    val gen: Gen[List[Long]] = Gen.listOfN(40, Gen.choose(0L, 6L))
+    (1L to 6L).foreach { seed =>
+      val ys = sample(gen, seed)
+      val daily = ys.zipWithIndex.map { case (y, i) => (i.toLong, y) }
+      // sequential reference: lower median by (y, di) order, exclude
+      // ties with it, count maximal sign runs in di order
+      val m = daily.sortBy(d => (d._2, d._1)).apply((daily.size + 1) / 2 - 1)._2
+      val signs = daily.filter(_._2 != m).map(d => d._2 > m)
+      val refRuns =
+        if (signs.isEmpty) 0L
+        else 1L + signs.sliding(2).count(p => p.size == 2 && p(0) != p(1))
+      val r = StatsQueries.runsCore(daily.toDF("di", "y")).collect().head
+      if (signs.isEmpty) assert(r.isNullAt(0) || r.getLong(0) == 0L)
+      else {
+        assert(r.getLong(0) == refRuns, s"seed=$seed runs")
+        assert(r.getLong(1) == signs.count(identity).toLong, s"seed=$seed n1")
+        assert(r.getLong(2) == signs.count(s => !s).toLong, s"seed=$seed n2")
+      }
+    }
+  }
+
+  test("property: bin packing == sequential greedy fold, partitions independent") {
+    import graft.queries.EngineOpsQueries
+    val gen: Gen[List[(String, Long, Long)]] =
+      Gen.listOfN(40, Gen.zip(Gen.oneOf("A", "B"), Gen.choose(0L, 30L),
+        Gen.choose(1L, 12L)))
+    val target = 10L
+    (1L to 6L).foreach { seed =>
+      // one row per (part, file_id): keep the first size generated
+      val files = sample(gen, seed)
+        .groupBy(f => (f._1, f._2)).map(_._2.head).toList
+      val got = EngineOpsQueries.binPack(files.toDF("part", "file_id", "f_rows"),
+          target).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(4)).toMap
+      val ref = files.groupBy(_._1).flatMap { case (part, fs) =>
+        var cum = 0L
+        fs.sortBy(_._2).map { case (_, fid, rows) =>
+          val bin = cum / target; cum += rows; (part, fid) -> bin
+        }
+      }.toMap
+      assert(got == ref, s"seed=$seed")
+    }
+  }
 }
