@@ -809,9 +809,17 @@ object RetrievalQueries {
     import spark.implicits._
     val p = postings(spark, dir)
     val wTop = Window.partitionBy($"q_id").orderBy($"score".desc, $"doc_id")
-    p.qterms.join(p.tf, "t").filter($"doc_id" =!= $"q_id")
-      .select($"q_id", $"doc_id",
-        (impact("sq", $"t") * $"tf" * impact("sw", $"t")).as("c"))
+    // Impacts are hashed on the PRE-JOIN frames (one md5 per posting /
+    // query term, exactly where a real impact index stores them) — on the
+    // joined pairs the same hashes would run |qterms ⋈ postings| times
+    // (measured 11.4 s → the x80 shape's ~3 s at sf0.1).
+    val indexed = p.tf.withColumn("dw", $"tf" * impact("sw", $"t"))
+    // broadcast() is load-bearing: the stats flip the build side here,
+    // and the POSTINGS side grows with the corpus — only the query side
+    // is broadcastable at scale.
+    val queries = broadcast(p.qterms.withColumn("qw", impact("sq", $"t")))
+    queries.join(indexed, "t").filter($"doc_id" =!= $"q_id")
+      .select($"q_id", $"doc_id", ($"qw" * $"dw").as("c"))
       .groupBy($"q_id", $"doc_id").agg(sum($"c").as("score"))
       .withColumn("rk", row_number().over(wTop))
       .filter($"rk" <= TopK)

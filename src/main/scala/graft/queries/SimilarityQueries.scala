@@ -1127,7 +1127,98 @@ object SimilarityQueries {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** Power-iteration round count (fixed — the oracle unrolls them). */
+  private val PcaRounds = 3
+
+  /** Embedding quantization for the covariance pass: 1e-4 fixed point
+    * (|x| ≤ ~0.6 here, so q ≤ ~6e3 and pair products ≤ ~4e7). */
+  private val PcaFp = 1e4
+
+  /** x116: top principal component by power iteration — the PCA/whitening
+    * prep an embedding pipeline runs before ANN indexing or drift
+    * analysis. The covariance matrix never touches floats: embeddings
+    * quantize to 1e-4 fixed point, the pair products come from a DOUBLE
+    * posexplode of each row's own quantized array (array-local — no
+    * self-join, the x20 zero-shuffle pair recipe), and the mean is
+    * cleared exactly via n²·Cov_jk = n·Σq_jq_k − S_j·S_k in
+    * decimal/HUGEINT. Three power-iteration rounds then run on the
+    * 4096-row matrix frame: integer mat-vec (order-free decimal sums),
+    * pivot = max-|component| (min-dim tie-break), components re-quantized
+    * half-up to 1e-6 after the one double division per round — the x35
+    * trained-aggregate recipe, so the "trained" eigenvector is
+    * hash-stable and oracle-paired. Output: each dimension's loading in
+    * pivot-normalized [-1, 1]. Scale: one 4096-way widened scan pass
+    * (partial aggs map-side), then constant 64/4096-row frames; rounds
+    * are driver-composed joins, no collect. */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val qv = Tables.embeddings(spark, dir).select($"vec_id",
+      transform($"embedding",
+        x => floor(x.cast("double") * PcaFp + 0.5).cast("long")).as("qa"))
+    val pairs = qv
+      .select($"qa", posexplode($"qa").as(Seq("j", "qj")))
+      .select($"j", $"qj", posexplode($"qa").as(Seq("k", "qk")))
+    val p = pairs.groupBy($"j", $"k")
+      .agg(sum($"qj".cast(dec) * $"qk".cast(dec)).as("pjk"))
+    val s = qv.select(posexplode($"qa").as(Seq("j", "qj")))
+      .groupBy($"j").agg(sum($"qj").as("sj"), count(lit(1)).as("nj"))
+    val n = qv.agg(count(lit(1)).as("n"))
+    val m = p
+      .join(broadcast(s.select($"j", $"sj")), "j")
+      .join(broadcast(s.select($"j".as("k"), $"sj".as("sk"))), "k")
+      .crossJoin(broadcast(n))
+      .select($"j", $"k",
+        ($"n".cast(dec) * $"pjk" - $"sj".cast(dec) * $"sk".cast(dec)).as("mv"))
+    val v0 = spark.range(64).select($"id".cast("int").as("k"),
+      lit(1000000L).as("v"))
+    val vFinal = (1 to PcaRounds).foldLeft(v0) { (v, _) =>
+      val t = m.join(v, "k").groupBy($"j").agg(sum($"mv" * $"v").as("t"))
+      val piv = t.orderBy(abs($"t").desc, $"j".asc).limit(1)
+        .select($"t".as("pv"))
+      t.crossJoin(broadcast(piv))
+        .select($"j".as("k"),
+          floor($"t".cast("double") / $"pv".cast("double") * 1e6 + 0.5)
+            .cast("long").as("v"))
+    }
+    vFinal.select($"k".as("dim"), ($"v".cast("double") / 1e6).as("loading"))
+      .orderBy("dim")
+  }
+
+  private val pcaPowerOracle = {
+    val rounds = (1 to PcaRounds).map { r =>
+      s"""t$r AS (SELECT m.j, sum(m.mv * v${r - 1}.v) AS t
+         |       FROM m JOIN v${r - 1} ON m.k = v${r - 1}.k GROUP BY m.j),
+         |piv$r AS (SELECT t AS pv FROM t$r ORDER BY abs(t) DESC, j ASC LIMIT 1),
+         |v$r AS (SELECT j AS k,
+         |          CAST(floor(CAST(t AS DOUBLE) / CAST(pv AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v
+         |        FROM t$r, piv$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS qa
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT j, k, sum(CAST(qa[j] AS HUGEINT) * qa[k]) AS pjk
+       |  FROM d, (SELECT unnest(range(1, 65)) AS j), (SELECT unnest(range(1, 65)) AS k)
+       |  GROUP BY j, k),
+       |s AS (SELECT j, sum(qa[j]) AS sj FROM d, (SELECT unnest(range(1, 65)) AS j) GROUP BY j),
+       |n AS (SELECT count(*) AS n FROM d),
+       |m AS MATERIALIZED (
+       |  SELECT p.j - 1 AS j, p.k - 1 AS k,
+       |         CAST(n.n AS HUGEINT) * p.pjk - sa.sj * sb.sj AS mv
+       |  FROM p JOIN s sa ON p.j = sa.j JOIN s sb ON p.k = sb.j, n),
+       |v0 AS (SELECT CAST(range AS INTEGER) AS k, CAST(1000000 AS HUGEINT) AS v FROM range(64)),
+       |$rounds
+       |SELECT CAST(k AS INTEGER) AS dim, CAST(v AS DOUBLE) / 1000000.0 AS loading
+       |FROM v$PcaRounds
+       |ORDER BY dim""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x116_pca_power",
+      "top principal component of the embedding table: exact-integer covariance + fixed-point power iteration",
+      pcaPower, Some(pcaPowerOracle)),
     QueryDef("x108_embedding_coverage",
       "doc-vs-vector referential coverage report per source (RAG index QA)",
       embeddingCoverage, Some(embeddingCoverageOracle)),
