@@ -683,7 +683,63 @@ object StatsQueries {
       |FROM agg
       |ORDER BY n1""".stripMargin
 
+  /** EWMA window depth (terms t-0 .. t-(EwmaTerms-1)). */
+  private val EwmaTerms = 8
+
+  /** q88: exponentially weighted moving average — the classic smoothing
+    * pass over the daily-revenue series, made bit-deterministic by
+    * construction: the decay is α = 1/2, so each term y_{t-k}·2^{-k} is
+    * an exact dyadic rational (cents ≤ 2^45 divided by ≤ 2^7 — exactly
+    * representable), and the 8-term numerator/denominator are summed in
+    * ONE fixed left-to-right association order spelled out identically
+    * in both engines. Ragged starts renormalize: the denominator only
+    * counts terms that exist. No quantization tricks needed — every
+    * intermediate is IEEE-exact. Scale: one keyed aggregate to the day
+    * series, then a single ordered window pass over the ~2.4k-row
+    * frame with 8 lags sharing one sort. */
+  def ewma(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, dir)
+      .groupBy(datediff($"o_orderdate", lit("1995-01-01").cast("date"))
+        .cast("long").as("di"))
+      .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("y"))
+    val w = Window.orderBy($"di")
+    val lags = (0 until EwmaTerms).map(k => lag($"y", k).over(w))
+    val num = lags.zipWithIndex
+      .map { case (l, k) => coalesce(l.cast("double"), lit(0.0)) / (1L << k) }
+      .reduceLeft(_ + _)
+    val den = lags.zipWithIndex
+      .map { case (l, k) => when(l.isNotNull, lit(1.0) / (1L << k)).otherwise(0.0) }
+      .reduceLeft(_ + _)
+    daily
+      .select($"di", $"y", (num / den).as("e"))
+      .select($"di", $"y", halfUp($"e" / 100.0, 2).as("ewma"))
+      .orderBy("di")
+  }
+
+  private val ewmaOracle = {
+    val numSql = (0 until EwmaTerms)
+      .map(k => s"coalesce(CAST(lag(y, $k) OVER w AS DOUBLE), 0.0) / ${1L << k}")
+      .mkString(" + ")
+    val denSql = (0 until EwmaTerms)
+      .map(k => s"CASE WHEN lag(y, $k) OVER w IS NOT NULL THEN 1.0 / ${1L << k} ELSE 0.0 END")
+      .mkString(" + ")
+    s"""WITH daily AS (
+       |  SELECT CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS di,
+       |         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS y
+       |  FROM orders GROUP BY 1),
+       |e AS (
+       |  SELECT di, y, ($numSql) / ($denSql) AS e
+       |  FROM daily WINDOW w AS (ORDER BY di))
+       |SELECT di, y, floor((e / 100.0) * 100 + 0.5) / 100.0 AS ewma
+       |FROM e
+       |ORDER BY di""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q88_ewma",
+      "dyadic-decay EWMA over daily revenue: IEEE-exact terms, fixed association order",
+      ewma, Some(ewmaOracle)),
     QueryDef("q85_acf",
       "Autocorrelation of daily revenue at lags 1-7 via exact global-mean-free decimal moments",
       acf, Some(acfOracle)),
