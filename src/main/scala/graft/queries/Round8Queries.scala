@@ -377,7 +377,51 @@ object Round8Queries {
        |FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
        |ORDER BY c.user_id, day""".stripMargin
 
+  /** q89: incremental TOP-K view maintenance — the third IVM family
+    * member beside q51 (aggregate) and q52 (join). The algebraic identity
+    * that makes top-k incrementally maintainable under INSERTS:
+    * topk(A ∪ Δ) = topk(topk(A) ∪ Δ) — dropped base rows can never
+    * re-enter a ranking that only grows. The maintained view keeps the
+    * per-group top-5 (exact cents, orderkey tie-break); the refresh
+    * re-ranks 5·|groups| + |Δ| rows instead of |A| + |Δ|. The oracle is
+    * the full recompute the identity must equal. (Deletes would need the
+    * classic k-buffer/recompute fallback — out of scope, stated here.)
+    * Scale: the base top-k is the stored view (tiny); each refresh
+    * shuffles only the delta plus 5 rows per group. */
+  def ivmTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cut = lit("2000-01-01").cast("date")
+    val o = Tables.orders(spark, dir)
+      .select($"o_orderpriority", $"o_orderkey",
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"),
+        $"o_orderdate".cast("date").as("d"))
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"cents".desc, $"o_orderkey")
+    def top5(df: DataFrame) =
+      df.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+    val storedView = top5(o.filter($"d" < cut)).drop("rk")
+    top5(storedView.unionByName(o.filter($"d" >= cut)))
+      .select($"o_orderpriority", $"rk", $"o_orderkey",
+        ($"cents".cast("double") / 100.0).as("price"))
+      .orderBy("o_orderpriority", "rk")
+  }
+
+  private val ivmTopKOracle =
+    """WITH r AS (
+      |  SELECT o_orderpriority, o_orderkey,
+      |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |         row_number() OVER (PARTITION BY o_orderpriority
+      |           ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DESC, o_orderkey) AS rk
+      |  FROM orders)
+      |SELECT o_orderpriority, rk, o_orderkey,
+      |       CAST(cents AS DOUBLE) / 100.0 AS price
+      |FROM r WHERE rk <= 5
+      |ORDER BY o_orderpriority, rk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q89_ivm_topk",
+      "incremental top-k view maintenance: topk(topk(A) + delta) == full recompute oracle",
+      ivmTopK, Some(ivmTopKOracle)),
     QueryDef("x94_regex_redact",
       "regex scan + redaction trace (hit counts, redacted length/md5) — PII-scrub plumbing",
       regexRedact, Some(regexRedactOracle)),
