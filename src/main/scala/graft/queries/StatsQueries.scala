@@ -736,7 +736,61 @@ object StatsQueries {
        |ORDER BY di""".stripMargin
   }
 
+  /** Hill estimator order-statistic count. */
+  private val HillK = 200
+
+  /** q90: Hill tail-index estimator — the heavy-tail diagnostic behind
+    * q63's Pareto deciles: over the top-[[HillK]] order values (exact
+    * cents, orderkey tie-break), mean log-excess over the (k+1)-th
+    * largest as threshold; α = 1/mean is the tail exponent (α ≤ ~2 ⇒
+    * infinite-variance tail). Each ln takes a ratio of two exact
+    * integers, is quantized half-up to 1e-6 fixed point, and the mean is
+    * an order-free integer sum (the x56 recipe, same documented libm
+    * boundary margin). Scale: the global sort runs on the 2-column
+    * (cents, key) projection and stops at k+1 rows (WindowGroupLimit
+    * prunes per partition before the exchange); the log math touches
+    * k rows. */
+  def hillTail(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ranked = Tables.orders(spark, dir)
+      .select($"o_orderkey", floor($"o_totalprice" * 100 + 0.5).cast("long").as("c"))
+      .withColumn("rk", row_number().over(Window.orderBy($"c".desc, $"o_orderkey")))
+      .filter($"rk" <= HillK + 1)
+    val thr = ranked.filter($"rk" === HillK + 1).select($"c".as("thr"))
+    ranked.filter($"rk" <= HillK).crossJoin(broadcast(thr))
+      .select($"thr",
+        floor(log($"c".cast("double") / $"thr".cast("double")) * 1e6 + 0.5)
+          .cast("long").as("l_fp"))
+      .groupBy($"thr").agg(count(lit(1)).as("k"), sum($"l_fp").as("s_fp"))
+      .select($"k", ($"thr".cast("double") / 100.0).as("thr_price"),
+        halfUp($"s_fp".cast("double") / ($"k".cast("double") * 1e6), 6)
+          .as("mean_log_excess"),
+        halfUp(($"k".cast("double") * 1e6) / $"s_fp".cast("double"), 4)
+          .as("alpha"))
+      .orderBy("k")
+  }
+
+  private val hillTailOracle =
+    s"""WITH ranked AS (
+       |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+       |         row_number() OVER (ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DESC, o_orderkey) AS rk
+       |  FROM orders),
+       |thr AS (SELECT c AS thr FROM ranked WHERE rk = ${HillK + 1}),
+       |l AS (
+       |  SELECT thr,
+       |         CAST(floor(ln(CAST(c AS DOUBLE) / CAST(thr AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS l_fp
+       |  FROM ranked, thr WHERE rk <= $HillK),
+       |a AS (SELECT thr, count(*) AS k, sum(l_fp) AS s_fp FROM l GROUP BY thr)
+       |SELECT k, CAST(thr AS DOUBLE) / 100.0 AS thr_price,
+       |       floor((CAST(s_fp AS DOUBLE) / (CAST(k AS DOUBLE) * 1000000.0)) * 1000000 + 0.5) / 1000000.0 AS mean_log_excess,
+       |       floor(((CAST(k AS DOUBLE) * 1000000.0) / CAST(s_fp AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS alpha
+       |FROM a
+       |ORDER BY k""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q90_hill_tail",
+      "Hill tail-index over top-k order values (fixed-point log-excess sum, Pareto alpha)",
+      hillTail, Some(hillTailOracle)),
     QueryDef("q88_ewma",
       "dyadic-decay EWMA over daily revenue: IEEE-exact terms, fixed association order",
       ewma, Some(ewmaOracle)),
