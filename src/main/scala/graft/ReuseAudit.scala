@@ -24,7 +24,13 @@ object ReuseAudit {
         // consumers must resolve to ONE materialized stage (r8, 5.4→1.9 s)
         "x16_bloom_decontaminate",
         // x87's judged frame is the same qterms⋈tf join bm25Ranked runs
-        "x87_ndcg_eval")
+        "x87_ndcg_eval",
+        // x115: reused=0 is CORRECT here — the q_id%100 filter pushes
+        // below the query side's tf aggregate into its scan, so that
+        // side re-explodes 1% of docs instead of sharing (and thereby
+        // paying for) the full unfiltered tf stage. Contrast x80, whose
+        // unfiltered dl side does share tf's exchange (reused=1).
+        "x115_sparse_topk")
     names.foreach { n =>
       val df = Registry.byName(n).fn(spark, dir)
       // collect() executes df's OWN QueryExecution (a write would plan a

@@ -107,6 +107,16 @@ object LnBoundaryAudit {
     report("x89_ql_norm_1e6", norm,
       $"qlen".cast("double") * log(lit(mu) / ($"dl".cast("double") + lit(mu))) * lit(1e6) + lit(0.5))
 
+    // q90: Hill log-excess ln(c/thr) * 1e6 over the top-k order values
+    val rankedC = Tables.orders(spark, dir)
+      .select($"o_orderkey", floor($"o_totalprice" * 100 + 0.5).cast("long").as("c"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"c".desc, $"o_orderkey")))
+      .filter($"rk" <= 201)
+    val thrC = rankedC.filter($"rk" === 201).select($"c".as("thr"))
+    report("q90_hill_1e6", rankedC.filter($"rk" <= 200).crossJoin(broadcast(thrC)),
+      log($"c".cast("double") / $"thr".cast("double")) * lit(1e6) + lit(0.5))
+
     spark.stop()
   }
 }
