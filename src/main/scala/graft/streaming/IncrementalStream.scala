@@ -180,6 +180,49 @@ object IncrementalStream {
       }
   }
 
+  /** One maintained top-k entry: the group's standings as of its `ver`-th
+    * batch (max ver per group = the current view). */
+  final case class TopkEntry(grp: String, ver: Int, rk: Int, id: Long, v: Long)
+
+  /** Streaming top-k view maintenance — the q89 identity under
+    * micro-batching: per group, state holds the current top-k
+    * (value desc, id asc tie-break) and each batch folds its rows into
+    * that bounded buffer one element at a time (insertion into a k-sized
+    * array — O(k) memory per group however hot the batch, the nearDupGate
+    * memory contract). Emits the group's full standings after every batch
+    * it appears in; the latest emission per group equals the batch top-k
+    * over everything seen — topk(topk(A) ∪ Δ) = topk(A ∪ Δ), the same
+    * identity q89's oracle proves, re-proven per micro-batch split by
+    * StreamingSpec. */
+  def topkStream(rows: org.apache.spark.sql.Dataset[(String, Long, Long)],
+                 k: Int = 5):
+      org.apache.spark.sql.Dataset[TopkEntry] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[(Int, Array[(Long, Long)]), TopkEntry](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        case (grp, batch, state) =>
+          // Order: value desc, id asc — a pair (v, id) wins if its v is
+          // larger, or equal v with smaller id.
+          def beats(a: (Long, Long), b: (Long, Long)): Boolean =
+            a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+          val (ver0, top0) = state.getOption.getOrElse((0, Array.empty[(Long, Long)]))
+          var top = top0
+          batch.foreach { case (_, id, v) =>
+            val e = (id, v)
+            if (top.length < k || beats(e, top.last))
+              top = (top :+ e).sortWith(beats).take(k)
+          }
+          val ver = ver0 + 1
+          state.update((ver, top))
+          top.iterator.zipWithIndex.map { case ((id, v), i) =>
+            TopkEntry(grp, ver, i + 1, id, v)
+          }
+      }
+  }
+
   /** One closed (gap-expired) session. */
   final case class SessionSummary(user_id: Long, n_events: Long,
                                   first_ms: Long, last_ms: Long)

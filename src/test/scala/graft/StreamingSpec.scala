@@ -575,6 +575,51 @@ class StreamingSpec extends SparkTestBase {
     assert(state.count() == 4) // (click,1) (buy,2) (buy,1) (view,3) spread over batches
   }
 
+  test("IVM: streaming top-k standings == batch top-k for any micro-batch split") {
+    val src = tmpDir("topk_src")
+    val cp = tmpDir("topk_cp")
+    val out = tmpDir("topk_out") + "/standings"
+    val sch = StructType(Seq(StructField("grp", StringType),
+      StructField("id", LongType), StructField("v", LongType)))
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(sch).json(src)
+      val q = IncrementalStream.topkStream(
+        stream.as[(String, Long, Long)], k = 3)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[IncrementalStream.TopkEntry], _: Long) =>
+          batch.write.mode("append").parquet(out); ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: group A fills past k with ties; B partially fills
+    java.nio.file.Files.write(java.nio.file.Paths.get(src, "b1.json"),
+      Seq("""{"grp":"A","id":1,"v":10}""", """{"grp":"A","id":2,"v":30}""",
+        """{"grp":"A","id":3,"v":20}""", """{"grp":"A","id":4,"v":30}""",
+        """{"grp":"B","id":5,"v":7}""").mkString("\n").getBytes)
+    drain()
+    // batch 2 (same checkpoint): displacements, a tie on the A boundary,
+    // and B's first update since batch 1
+    java.nio.file.Files.write(java.nio.file.Paths.get(src, "b2.json"),
+      Seq("""{"grp":"A","id":6,"v":25}""", """{"grp":"A","id":7,"v":20}""",
+        """{"grp":"B","id":8,"v":7}""", """{"grp":"B","id":9,"v":1}""").mkString("\n").getBytes)
+    drain()
+    val all = spark.read.parquet(out)
+    val lastVer = all.groupBy($"grp").agg(
+      org.apache.spark.sql.functions.max($"ver").as("ver"))
+    val got = all.join(lastVer, Seq("grp", "ver"))
+      .orderBy("grp", "rk")
+      .select($"grp", $"rk", $"id", $"v")
+      .as[(String, Int, Long, Long)].collect().toSeq
+    // batch reference: top-3 by (v desc, id asc) over ALL rows
+    assert(got == Seq(
+      ("A", 1, 2L, 30L), ("A", 2, 4L, 30L), ("A", 3, 6L, 25L),
+      ("B", 1, 5L, 7L), ("B", 2, 8L, 7L), ("B", 3, 9L, 1L)))
+  }
+
   test("X6: session_window groups events by gap (batch-mode check)") {
     val events = Seq(
       (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"), // session 1
