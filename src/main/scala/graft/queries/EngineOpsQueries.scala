@@ -184,5 +184,78 @@ object EngineOpsQueries {
       zorderLayout, Some(zorderLayoutOracle)),
     QueryDef("q83_compaction_bins",
       "Small-file compaction planner: greedy next-fit bin packing of file metadata via window cumsum",
-      compactionBins, Some(compactionBinsOracle)))
+      compactionBins, Some(compactionBinsOracle)),
+    QueryDef("q91_aqp_groupby",
+      "approximate GROUP BY from a 1% deterministic hash sample, with exact error audit and CLT CI",
+      aqpGroupBy, Some(aqpGroupByOracle)))
+
+  /** AQP sampling modulus (keep 1 in [[AqpMod]] orders). */
+  private val AqpMod = 100L
+
+  /** q91: approximate query processing — the sampled GROUP BY an engine
+    * answers dashboards with when the full fact is too big, HONESTLY
+    * audited: per priority, the revenue estimate from a deterministic 1%
+    * hash sample (md5 of the key — the x36/x57 sampling recipe, so the
+    * sample is reproducible and the oracle draws the identical rows),
+    * scaled by the sampling rate, with a CLT standard error from the
+    * sample's exact integer moments, next to the TRUE value and relative
+    * error. Exact-moment recipe throughout: sample sums/squares are
+    * int64/decimal, SE's sqrt is IEEE-exact, and the error ratio divides
+    * exact integers. Scale: the estimate path scans 1% of rows (at 100 TB
+    * the sample predicate pushes to the scan and with hash-bucketed
+    * layout prunes files); the audit path is the one full pass a real
+    * deployment runs offline to calibrate. */
+  def aqpGroupBy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val o = Tables.orders(spark, dir).select($"o_orderpriority",
+      conv(substring(md5(concat_ws("|", lit("aqp"), $"o_orderkey")), 1, 4), 16, 10)
+        .cast("long").as("h"),
+      floor($"o_totalprice" * 100 + 0.5).cast("long").as("c"))
+    val sample = o.filter($"h" % AqpMod === 0)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("m"), sum($"c").as("sc"),
+        sum($"c".cast(dec) * $"c".cast(dec)).as("scc"))
+    val exact = o.groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_true"), sum($"c").as("c_true"))
+    val svar = ($"scc".cast("double") / $"m".cast("double")
+      - ($"sc".cast("double") / $"m".cast("double"))
+      * ($"sc".cast("double") / $"m".cast("double")))
+    sample.join(exact, "o_orderpriority")
+      .select($"o_orderpriority", $"n_true", $"m",
+        ($"sc" * AqpMod).as("est_c"), $"c_true",
+        QueryUtil.halfUp(
+          abs(($"sc" * AqpMod - $"c_true").cast("double"))
+            / $"c_true".cast("double"), 4).as("rel_err"),
+        QueryUtil.halfUp(
+          lit(AqpMod.toDouble) * sqrt(greatest(svar, lit(0.0))
+            * $"m".cast("double")) / 100.0, 2).as("se_dollars"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val aqpGroupByOracle = {
+    val h = "md5(concat_ws('|', 'aqp', CAST(o_orderkey AS VARCHAR)))"
+    val hInt = (1 to 4).map(i => s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1)")
+      .reduce((a, b) => s"($a * 16 + $b)")
+    s"""WITH o AS (
+       |  SELECT o_orderpriority, $hInt AS h,
+       |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+       |  FROM orders),
+       |s AS (
+       |  SELECT o_orderpriority, count(*) AS m, sum(c) AS sc,
+       |         sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS scc
+       |  FROM o WHERE h % $AqpMod = 0 GROUP BY o_orderpriority),
+       |e AS (
+       |  SELECT o_orderpriority, count(*) AS n_true, sum(c) AS c_true
+       |  FROM o GROUP BY o_orderpriority)
+       |SELECT s.o_orderpriority, e.n_true, s.m,
+       |       CAST(s.sc * $AqpMod AS BIGINT) AS est_c, e.c_true,
+       |       floor((abs(CAST(s.sc * $AqpMod - e.c_true AS DOUBLE)) / CAST(e.c_true AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS rel_err,
+       |       floor(($AqpMod.0 * sqrt(greatest(CAST(s.scc AS DOUBLE) / CAST(s.m AS DOUBLE)
+       |                - (CAST(s.sc AS DOUBLE) / CAST(s.m AS DOUBLE))
+       |                  * (CAST(s.sc AS DOUBLE) / CAST(s.m AS DOUBLE)), 0.0)
+       |              * CAST(s.m AS DOUBLE)) / 100.0) * 100 + 0.5) / 100.0 AS se_dollars
+       |FROM s JOIN e ON s.o_orderpriority = e.o_orderpriority
+       |ORDER BY s.o_orderpriority""".stripMargin
+  }
 }
