@@ -22,17 +22,24 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects outright (PARQUET_TYPE_ILLEGAL). Read it as raw nano longs
-    * (legacy conf) and floor-divide to microseconds — integer `div`, not
-    * `/`: double division loses precision above 2^53 and epoch-nanos are
-    * ~1.7e18. The fixture is µs-aligned so this is lossless, and DuckDB
-    * coerces the same column to µs TIMESTAMP, keeping oracle parity exact.
-    * Cast to NTZ to match the other fixture timestamp columns. */
+  /** `events.ts` has shipped as either parquet TIMESTAMP(NANOS) or
+    * TIMESTAMP(MICROS) across fixture generations. Spark's parquet reader
+    * rejects NANOS outright (PARQUET_TYPE_ILLEGAL) unless read as raw nano
+    * longs (legacy conf) — in that case floor-divide to microseconds with
+    * integer `div`, not `/`: double division loses precision above 2^53 and
+    * epoch-nanos are ~1.7e18. The fixture is µs-aligned so this is lossless,
+    * and DuckDB coerces the same column to µs TIMESTAMP, keeping oracle
+    * parity exact. MICROS fixtures arrive as a timestamp already — just
+    * normalize to NTZ. Branch on the observed read type so both fixture
+    * generations load identically. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+    val raw = load(spark, dir, "events")
+    val tsExpr = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")
+      case _                                   => expr("ts")
+    }
+    raw.withColumn("ts", tsExpr.cast("timestamp_ntz"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
