@@ -7,6 +7,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same pin as Verify/Smoke: the events NTZ normalization (Tables.events)
+      // casts an instant timestamp through the session zone, so an unpinned
+      // bench on a non-UTC host would run different plans than Verify.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -24,16 +28,24 @@ object Bench {
     // the correctness dump was the only trace. Failures land in an
     // "errors" map (and stderr) alongside the timings.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // Median of N runs per query (default 3): single-run timings flap ±2×
-    // on this box (bench noise, GC, neighbor contention), which made a
-    // no-code-change query read as a regression in round 3. The median of 3
-    // is flap-proof for one outlier; failures stop retrying immediately.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // Adaptive repeats (r9): a fixed 3 runs × 200+ queries tripled bench
+    // wall time as the registry grew (the driver gate is wall time). Noise
+    // policy instead of blanket repeats:
+    //   - first run > SoloCutoff s → record it alone (expensive queries are
+    //     work-dominated, proportionally least noisy, and costliest to
+    //     repeat — exactly where blanket repeats burn the most wall time);
+    //   - else run twice; if the pair agrees within 10% record the MIN
+    //     (both runs bound the true cost from above; min sheds one-sided
+    //     noise) — only a disagreeing pair pays a tie-break 3rd run and
+    //     records the median.
+    // SPARK_GRAFT_BENCH_RUNS=N forces the old fixed-N lower-median policy
+    // for apples-to-apples re-measurement (QueryTimer uses that path).
+    val fixedRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt)
+    val SoloCutoff = 4.0
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var failed = false
-      var i = 0
-      while (i < runs && !failed) {
+      def run1(): Unit = if (!failed) {
         val t0 = System.nanoTime()
         try { materialize(fn(spark, sfDir)); times += (System.nanoTime() - t0) / 1e9 }
         catch {
@@ -42,13 +54,27 @@ object Bench {
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
             System.err.println(s"[bench] $name FAILED: ${errors(name)}")
         }
-        i += 1
       }
-      // lower median (deterministic for even counts). A FAILED query always
-      // reports 0.0 — even when earlier runs succeeded — so a nonzero timing
-      // is a reliable success signal; the failure record lives in `errors`.
-      name -> (if (failed || times.isEmpty) 0.0
-               else times.sorted.apply((times.size - 1) / 2))
+      val recorded: Double = fixedRuns match {
+        case Some(n) => // legacy fixed-N lower median
+          (1 to n).foreach(_ => run1())
+          if (failed || times.isEmpty) 0.0
+          else times.sorted.apply((times.size - 1) / 2)
+        case None =>
+          run1()
+          if (!failed && times.head <= SoloCutoff) {
+            run1()
+            if (!failed && times.size == 2 &&
+              (times.max - times.min) / times.min > 0.10) run1()
+          }
+          // A FAILED query always reports 0.0 — even when earlier runs
+          // succeeded — so a nonzero timing is a reliable success signal;
+          // the failure record lives in `errors`.
+          if (failed || times.isEmpty) 0.0
+          else if (times.size <= 2) times.min
+          else times.sorted.apply((times.size - 1) / 2)
+      }
+      name -> recorded
     }
     // escape quote/backslash and ALL control chars — a stray control byte
     // in an exception message must not break the one JSON line this prints

@@ -33,7 +33,8 @@ object Registry {
       queries.AnalyticsQueries.defs ++
       queries.CurationQueries.defs ++
       queries.StatsQueries.defs ++
-      queries.EngineOpsQueries.defs
+      queries.EngineOpsQueries.defs ++
+      queries.Round9Queries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

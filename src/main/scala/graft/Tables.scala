@@ -35,9 +35,17 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, dir, "events")
+    // Only the two known fixture shapes pass through; anything else (string,
+    // plain INT64 without the nanos conf, a future DATE column...) fails
+    // LOUDLY here instead of silently casting to NTZ and reading garbage —
+    // the repo's fail-loudly convention for fixture drift.
     val tsExpr = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")
-      case _                                   => expr("ts")
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => expr("ts")
+      case other => throw new IllegalStateException(
+        s"events.ts has unexpected parquet type $other — fixture drift; " +
+          "extend Tables.events deliberately rather than casting blind")
     }
     raw.withColumn("ts", tsExpr.cast("timestamp_ntz"))
   }

@@ -36,9 +36,22 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Null oracles are skipped loudly (not crashed on): one bad registry
+    // entry must never erase the oracle file for the other ~200 queries —
+    // round 8 lost its entire correctness artifact to exactly that (a
+    // val-init-order capture put Some(null) in the registry and the dump
+    // NPE'd after the parquets but before this file landed).
+    try {
+      val (bad, good) = SparkEntry.oracleSql.partition(_._2 == null)
+      bad.keys.foreach(k =>
+        System.err.println(s"[verify] $k has a NULL oracle — skipped"))
+      val json = good
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] oracle dump failed: ${e.getMessage}")
+      e.printStackTrace()
+    }
     spark.stop()
   }
 }

@@ -212,6 +212,21 @@ object Graph {
     * oracle; the symmetric graphs this repo builds have no dangling nodes).
     * Scale: identical per-round join budget to [[pageRank]] — one keyed
     * join + one aggregation + a left join onto the node set. */
+  /** personalizedPageRank over the node set implied by the edges — the
+    * [[pageRank]] single-materialization shape: the edge pipeline (usually
+    * an expensive multi-way join) is checkpointed ONCE and the node frame
+    * is derived from the checkpoint, instead of the caller deriving nodes
+    * from the un-checkpointed pipeline and paying the upstream joins twice
+    * (measured: x104_ppr at 16.4s vs x63_pagerank's 2.0s on the SAME
+    * graph and iteration count — the whole gap was the double build). */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iters: Int): DataFrame = {
+    val e0 = edges.localCheckpoint(true)
+    val nd = e0.select(col("src").as("node"))
+      .unionByName(e0.select(col("dst").as("node"))).distinct()
+    personalizedPageRank(nd, e0, seeds, iters)
+  }
+
   def personalizedPageRank(nodes: DataFrame, edges: DataFrame,
                            seeds: DataFrame, iters: Int): DataFrame = {
     val nd = nodes.localCheckpoint(true)

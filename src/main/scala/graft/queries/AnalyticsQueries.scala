@@ -920,7 +920,7 @@ object AnalyticsQueries {
       |FROM j
       |ORDER BY user_id""".stripMargin
 
-  val defs: Seq[QueryDef] = Seq(
+  lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q84_sequence_regex",
       "MATCH_RECOGNIZE-shaped sequence mining: regex motifs over serialized per-user journeys",
       sequenceRegex, Some(sequenceRegexOracle)),

@@ -301,7 +301,7 @@ object ConnectorQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
-  val defs: Seq[QueryDef] = Seq(
+  lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("x75_scene_segments",
       "scene-cut segmentation over per-frame features (L1 threshold, exact cut set) (X7)",
       sceneSegments, Some(sceneOracle)),

@@ -101,7 +101,7 @@ object CoreEtlQueries {
       |FROM raw
       |ORDER BY event_id""".stripMargin
 
-  val defs: Seq[QueryDef] = Seq(
+  lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q00_etl_lead_activity",
       "Reference core pipeline P1+F1+F2+F4+D1 as one declarative plan over events",
       etlLeadActivity, Some(etlOracle)),

@@ -437,7 +437,7 @@ object CurationQueries {
       |FROM k
       |ORDER BY n""".stripMargin
 
-  val defs: Seq[QueryDef] = Seq(
+  lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("x113_auc_roc",
       "tie-safe rank-identity AUC/Gini of a probe score vs the en label (exact integer pair counts)",
       aucRoc, Some(aucRocOracle)),

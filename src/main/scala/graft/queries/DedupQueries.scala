@@ -166,7 +166,7 @@ object DedupQueries {
 
   /** Cluster-labeling CTE chain ending in `labeled(doc_id, cluster_id,
     * is_canonical)` — shared by the x14 oracle and x27's weighting. */
-  private def clustersOracleCtes: String =
+  private[queries] def clustersOracleCtes: String =
     minhashCtes("WITH RECURSIVE") +
       """, pairs2 AS (SELECT a, b FROM j WHERE jaccard >= 0.5),
         |edges AS (SELECT a AS src, b AS dst FROM pairs2 UNION ALL SELECT b AS src, a AS dst FROM pairs2),
@@ -776,7 +776,7 @@ object DedupQueries {
       |FROM cand WHERE it * 5 >= un * 4
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  val defs: Seq[QueryDef] = Seq(
+  lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("x29_sorted_neighborhood",
       "sorted-neighborhood blocking (merge/purge): per-lang sort-rank window W=3, exact-integer Jaccard>=0.8 gate",
       sortedNeighborhood, Some(sortedNeighborhoodOracle)),

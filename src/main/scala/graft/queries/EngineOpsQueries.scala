@@ -178,7 +178,13 @@ object EngineOpsQueries {
        |GROUP BY part, bin
        |ORDER BY part, bin""".stripMargin
 
-  val defs: Seq[QueryDef] = Seq(
+  /** Lazy so it can safely reference vals declared later in this object:
+    * a strict val here captured `aqpGroupByOracle` as null (Scala object
+    * vals initialize in declaration order), which wrapped `Some(null)`
+    * into the registry and crashed Verify's oracle dump AFTER the query
+    * parquets but BEFORE oracle_sql.json — zeroing an entire round's
+    * correctness signal. RegistrySpec now guards every oracle non-null. */
+  lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q81_zorder_layout",
       "Z-order vs single-key layout planner: per-bucket min/max span comparison (data-skipping eval)",
       zorderLayout, Some(zorderLayoutOracle)),

@@ -492,11 +492,12 @@ object GraphQueries {
     val edges = trade.select($"cn".as("src"), $"sn".as("dst"))
       .unionByName(trade.select($"sn".as("src"), $"cn".as("dst")))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-    val nodes = edges.select($"src".as("node"))
-      .unionByName(edges.select($"dst".as("node"))).distinct()
     val seeds = Tables.nation(spark, dir)
       .filter($"n_regionkey" === 0).select($"n_nationkey".as("node"))
-    Graph.personalizedPageRank(nodes, edges, seeds, Iters)
+    // edges-only overload: the 4-way trade join materializes ONCE and the
+    // node set is derived from the checkpoint (was built twice before —
+    // the whole x104-vs-x63 cost gap)
+    Graph.personalizedPageRank(edges, seeds, Iters)
       .join(broadcast(Tables.nation(spark, dir)), $"node" === $"n_nationkey")
       .select($"node".cast("long").as("nationkey"), $"n_name",
         $"rank_fp", ($"rank_fp" / lit(1e9)).as("rank"))
@@ -629,7 +630,7 @@ object GraphQueries {
        |ORDER BY cn DESC, ra_fp DESC, a, b
        |LIMIT 30""".stripMargin
 
-  val defs: Seq[QueryDef] = Seq(
+  lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("x110_link_predict",
       "link prediction on the co-supply projection: common-neighbor/Jaccard/RA/pref-attachment scores for missing edges",
       linkPredict, Some(linkPredictOracle)),

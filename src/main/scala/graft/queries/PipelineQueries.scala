@@ -617,7 +617,7 @@ object PipelineQueries {
        |FROM per, tot
        |ORDER BY shard""".stripMargin
 
-  val defs: Seq[QueryDef] = Seq(
+  lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q67_shard_skew",
       "Per-shard packing load report: token totals, sequence counts, exact load ratios",
       shardSkew, Some(shardSkewOracle)),

@@ -284,7 +284,7 @@ object RelationalQueries2 {
       |      FROM nation)
       |ORDER BY n_nationkey""".stripMargin
 
-  val defs: Seq[QueryDef] = Seq(
+  lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q23_window_family", "rank/dense_rank/ntile/percent_rank/cume_dist/first/last", q23, Some(q23Oracle)),
     QueryDef("q24_stats_aggs", "stddev/variance/corr/covar aggregates", q24, Some(q24Oracle)),
     QueryDef("q25_percentiles", "exact interpolated percentiles per group", q25, Some(q25Oracle)),

@@ -751,7 +751,7 @@ object RelationalQueries4 {
       |GROUP BY 1, 2
       |ORDER BY c.event_type, c.dayn""".stripMargin
 
-  val defs: Seq[QueryDef] = Seq(
+  lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("x67_decayed_counts",
       "exponentially time-decayed activity counts (half-life 1 day) in exact power-of-two fixed point",
       x67, Some(x67Oracle)),

@@ -845,7 +845,7 @@ object RetrievalQueries {
        |FROM r WHERE rk <= $TopK
        |ORDER BY q_id, rk""".stripMargin
 
-  val defs: Seq[QueryDef] = Seq(
+  lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("x115_sparse_topk",
       "learned-sparse (SPLADE-shaped) impact-weighted retrieval: exact integer dot products",
       sparseTopK, Some(sparseTopKOracle)),

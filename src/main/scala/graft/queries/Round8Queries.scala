@@ -418,7 +418,7 @@ object Round8Queries {
       |FROM r WHERE rk <= 5
       |ORDER BY o_orderpriority, rk""".stripMargin
 
-  val defs: Seq[QueryDef] = Seq(
+  lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q89_ivm_topk",
       "incremental top-k view maintenance: topk(topk(A) + delta) == full recompute oracle",
       ivmTopK, Some(ivmTopKOracle)),

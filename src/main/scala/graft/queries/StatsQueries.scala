@@ -787,7 +787,7 @@ object StatsQueries {
        |FROM a
        |ORDER BY k""".stripMargin
 
-  val defs: Seq[QueryDef] = Seq(
+  lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q90_hill_tail",
       "Hill tail-index over top-k order values (fixed-point log-excess sum, Pareto alpha)",
       hillTail, Some(hillTailOracle)),

@@ -350,7 +350,7 @@ object TextQueries {
        |ORDER BY phrase""".stripMargin
   }
 
-  val defs: Seq[QueryDef] = Seq(
+  lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("x111_phrase_search",
       "positional phrase search over (doc,pos,term) postings with zero-hit phrases preserved",
       phraseSearch, Some(phraseSearchOracle)),

@@ -714,7 +714,7 @@ object TrainingQueries {
        |ORDER BY doc_id, bucket""".stripMargin
   }
 
-  val defs: Seq[QueryDef] = Seq(
+  lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("x21_feature_hashing",
       "signed feature hashing (hashing trick): 64-bucket COO feature matrix, no vocabulary broadcast",
       featureHashing, Some(featureHashingOracle)),

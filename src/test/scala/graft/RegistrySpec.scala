@@ -9,6 +9,8 @@ class RegistrySpec extends SparkTestBase {
 
   test("names are unique and well-formed") {
     val names = Registry.all.map(_.name)
+    // printed so README/SKILL query counts are mechanical to keep in sync
+    info(s"Registry.all.size = ${names.size}")
     assert(names.distinct.size == names.size)
     assert(names.forall(_.matches("[a-z0-9_]+")))
   }
@@ -28,6 +30,19 @@ class RegistrySpec extends SparkTestBase {
     val allowedRowsOnly = Set("q31_approx_sketches")
     val missing = Registry.all.filter(_.oracle.isEmpty).map(_.name).filterNot(allowedRowsOnly)
     assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
+  test("no oracle is Some(null) — guards val-init-order capture") {
+    // Round 8: a strict `val defs` referencing an oracle declared later in
+    // the same object captured null (Scala object init order), wrapped it
+    // in Some(...), and the Verify oracle dump NPE'd — zeroing the whole
+    // round's correctness artifact. All defs are lazy now; this makes any
+    // recurrence a test failure instead of a silent round kill.
+    val nullOracles = Registry.all.filter(_.oracle.exists(_ == null)).map(_.name)
+    assert(nullOracles.isEmpty, s"queries with Some(null) oracle: $nullOracles")
+    val blankOracles = Registry.all
+      .filter(_.oracle.exists(s => s != null && s.trim.isEmpty)).map(_.name)
+    assert(blankOracles.isEmpty, s"queries with blank oracle: $blankOracles")
   }
 
   test("driver contract: entry returns rows on sf0.001") {
