@@ -47,7 +47,9 @@ object EngineOpsQueries {
     * Z-ordering multi-predicate fact tables. Scale: two scans + two
     * tiny bucket aggregates; the bit interleave is 20 codegen'd integer
     * ops per row, no shuffle beyond the 256-row bucket frames. */
-  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+  /** The normalized-and-Morton-coded point frame (xi, yi, morton) —
+    * q81's first stage, shared with q92's skip-rate estimator. */
+  private def codedPoints(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pts = Tables.orders(spark, dir).select($"o_custkey".as("x"),
       datediff($"o_orderdate", lit("1990-01-01").cast("date"))
@@ -56,10 +58,30 @@ object EngineOpsQueries {
       min($"y").as("ymin"), max($"y").as("ymax"))
     def scale(c: Column, lo: Column, hi: Column) =
       call_function("div", (c - lo) * ZMax, hi - lo)
-    val coded = pts.crossJoin(broadcast(rng))
+    pts.crossJoin(broadcast(rng))
       .select(scale($"x", $"xmin", $"xmax").as("xi"),
         scale($"y", $"ymin", $"ymax").as("yi"))
       .select($"xi", $"yi", mortonCol($"xi", $"yi").as("morton"))
+  }
+
+  /** SQL twin of [[codedPoints]], shared by the q81 and q92 oracles. */
+  private val codedCtes =
+    s"""WITH pts AS (
+       |  SELECT o_custkey AS x,
+       |         CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+       |  FROM orders),
+       |rng AS (SELECT min(x) AS xmin, max(x) AS xmax, min(y) AS ymin, max(y) AS ymax FROM pts),
+       |coded0 AS (
+       |  SELECT ((x - xmin) * $ZMax) // (xmax - xmin) AS xi,
+       |         ((y - ymin) * $ZMax) // (ymax - ymin) AS yi
+       |  FROM pts, rng),
+       |coded AS (
+       |  SELECT xi, yi, (${mortonSql("xi", "yi")}) AS morton FROM coded0),
+       |""".stripMargin
+
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val coded = codedPoints(spark, dir)
     def layoutSummary(bucket: Column, name: String) =
       coded.groupBy(bucket.as("bucket"))
         .agg(count(lit(1)).as("n"), (max($"xi") - min($"xi")).as("xspan"),
@@ -78,18 +100,8 @@ object EngineOpsQueries {
   }
 
   private val zorderLayoutOracle =
-    s"""WITH pts AS (
-       |  SELECT o_custkey AS x,
-       |         CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS y
-       |  FROM orders),
-       |rng AS (SELECT min(x) AS xmin, max(x) AS xmax, min(y) AS ymin, max(y) AS ymax FROM pts),
-       |coded0 AS (
-       |  SELECT ((x - xmin) * $ZMax) // (xmax - xmin) AS xi,
-       |         ((y - ymin) * $ZMax) // (ymax - ymin) AS yi
-       |  FROM pts, rng),
-       |coded AS (
-       |  SELECT xi, yi, (${mortonSql("xi", "yi")}) AS morton FROM coded0),
-       |zb AS (
+    codedCtes +
+      s"""zb AS (
        |  SELECT morton // ${ZCells / ZBuckets} AS bucket, count(*) AS n,
        |         max(xi) - min(xi) AS xspan, max(yi) - min(yi) AS yspan
        |  FROM coded GROUP BY 1),
@@ -178,6 +190,96 @@ object EngineOpsQueries {
        |GROUP BY part, bin
        |ORDER BY part, bin""".stripMargin
 
+  /** Predicate workload width for q92: the [0, 2^[[ZBits]]) domain cut
+    * into [[SkipPreds]] equal ranges per dimension. */
+  private val SkipPreds = 16
+
+  /** q92: zone-map skip-rate estimator — the data-skipping evaluation that
+    * justifies (or rejects) a layout choice BEFORE rewriting 100 TB: for a
+    * grid of [[SkipPreds]] equal-width range predicates per dimension, how
+    * many "files" (the q81 buckets, each carrying its per-dimension
+    * min/max zone map) must be scanned because their [min,max] intersects
+    * the predicate range. Emits, per (layout, dimension): bucket count and
+    * the average / best / worst scan fraction across the workload — exact
+    * integer hit counts over the bucket frames, one final division each.
+    * The Z-order layout shows balanced ~moderate scan fractions on BOTH
+    * dimensions; the single-key sort shows ~1/256 on its sort key and ~1
+    * (no skipping) on the other — q81's span argument, restated as the
+    * fraction of a real scan a predicate actually pays. Scale: the
+    * min/max frames ARE the table-format metadata layer (256 rows per
+    * layout regardless of data size); the predicate grid is a broadcast
+    * literal; only the bucket aggregation touches the fact table. */
+  def zonemapSkip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val coded = codedPoints(spark, dir)
+    def buckets(bucket: Column, name: String) =
+      coded.groupBy(bucket.as("bucket"))
+        .agg(min($"xi").as("dxmin"), max($"xi").as("dxmax"),
+          min($"yi").as("dymin"), max($"yi").as("dymax"))
+        .withColumn("layout", lit(name))
+    val b = buckets(call_function("div", $"morton", lit(ZCells / ZBuckets)), "zorder")
+      .unionByName(buckets(
+        call_function("div", $"xi", lit((ZMax + 1) / ZBuckets)), "xsort"))
+    val predWidth = (ZMax + 1) / SkipPreds
+    val preds = spark.range(SkipPreds.toLong)
+      .select($"id".as("p"), ($"id" * predWidth).as("pmin"),
+        (($"id" + 1) * predWidth - 1).as("pmax"))
+      .crossJoin(Seq("x", "y").toDF("dim"))
+    val hits = b.crossJoin(broadcast(preds))
+      .select($"layout", $"dim", $"p", $"bucket",
+        when($"dim" === "x", $"pmin" <= $"dxmax" && $"pmax" >= $"dxmin")
+          .otherwise($"pmin" <= $"dymax" && $"pmax" >= $"dymin")
+          .cast("long").as("hit"))
+    hits.groupBy($"layout", $"dim", $"p")
+      .agg(count(lit(1)).as("nb"), sum($"hit").as("nh"))
+      .groupBy($"layout", $"dim")
+      .agg(max($"nb").as("n_buckets"), sum($"nh").as("total_hits"),
+        min($"nh").as("min_hits"), max($"nh").as("max_hits"))
+      .select($"layout", $"dim", $"n_buckets",
+        QueryUtil.halfUp($"total_hits".cast("double")
+          / (lit(SkipPreds.toDouble) * $"n_buckets".cast("double")), 4).as("avg_scan_frac"),
+        QueryUtil.halfUp($"min_hits".cast("double") / $"n_buckets".cast("double"), 4)
+          .as("best_scan_frac"),
+        QueryUtil.halfUp($"max_hits".cast("double") / $"n_buckets".cast("double"), 4)
+          .as("worst_scan_frac"))
+      .orderBy(desc("layout"), $"dim")
+  }
+
+  private val zonemapSkipOracle = {
+    val predWidth = (ZMax + 1) / SkipPreds
+    codedCtes +
+      s"""zb AS (
+         |  SELECT morton // ${ZCells / ZBuckets} AS bucket,
+         |         min(xi) AS dxmin, max(xi) AS dxmax, min(yi) AS dymin, max(yi) AS dymax
+         |  FROM coded GROUP BY 1),
+         |xb AS (
+         |  SELECT xi // ${(ZMax + 1) / ZBuckets} AS bucket,
+         |         min(xi) AS dxmin, max(xi) AS dxmax, min(yi) AS dymin, max(yi) AS dymax
+         |  FROM coded GROUP BY 1),
+         |b AS (SELECT 'zorder' AS layout, * FROM zb UNION ALL SELECT 'xsort', * FROM xb),
+         |preds AS (
+         |  SELECT p, dim, p * $predWidth AS pmin, (p + 1) * $predWidth - 1 AS pmax
+         |  FROM (SELECT unnest(range($SkipPreds)) AS p),
+         |       (SELECT unnest(['x', 'y']) AS dim)),
+         |hits AS (
+         |  SELECT b.layout, preds.dim, preds.p, b.bucket,
+         |         CASE WHEN preds.dim = 'x'
+         |              THEN CASE WHEN preds.pmin <= b.dxmax AND preds.pmax >= b.dxmin THEN 1 ELSE 0 END
+         |              ELSE CASE WHEN preds.pmin <= b.dymax AND preds.pmax >= b.dymin THEN 1 ELSE 0 END
+         |         END AS hit
+         |  FROM b, preds),
+         |perp AS (
+         |  SELECT layout, dim, p, count(*) AS nb, sum(hit) AS nh
+         |  FROM hits GROUP BY layout, dim, p)
+         |SELECT layout, dim, CAST(max(nb) AS BIGINT) AS n_buckets,
+         |       floor((CAST(sum(nh) AS DOUBLE) / ($SkipPreds.0 * max(nb))) * 10000 + 0.5) / 10000.0 AS avg_scan_frac,
+         |       floor((CAST(min(nh) AS DOUBLE) / max(nb)) * 10000 + 0.5) / 10000.0 AS best_scan_frac,
+         |       floor((CAST(max(nh) AS DOUBLE) / max(nb)) * 10000 + 0.5) / 10000.0 AS worst_scan_frac
+         |FROM perp
+         |GROUP BY layout, dim
+         |ORDER BY layout DESC, dim""".stripMargin
+  }
+
   /** Lazy so it can safely reference vals declared later in this object:
     * a strict val here captured `aqpGroupByOracle` as null (Scala object
     * vals initialize in declaration order), which wrapped `Some(null)`
@@ -193,7 +295,10 @@ object EngineOpsQueries {
       compactionBins, Some(compactionBinsOracle)),
     QueryDef("q91_aqp_groupby",
       "approximate GROUP BY from a 1% deterministic hash sample, with exact error audit and CLT CI",
-      aqpGroupBy, Some(aqpGroupByOracle)))
+      aqpGroupBy, Some(aqpGroupByOracle)),
+    QueryDef("q92_zonemap_skip",
+      "zone-map skip-rate estimator: per-layout per-dimension scan fractions for a range-predicate workload",
+      zonemapSkip, Some(zonemapSkipOracle)))
 
   /** AQP sampling modulus (keep 1 in [[AqpMod]] orders). */
   private val AqpMod = 100L

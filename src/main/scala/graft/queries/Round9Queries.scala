@@ -94,8 +94,286 @@ object Round9Queries {
        |FROM emi WHERE rk <= $StkK
        |ORDER BY grp, bi, rk""".stripMargin
 
+  /** Fold count for [[clusteredKfold]]. */
+  private val KFolds = 5
+
+  /** The x57 deterministic 16-bit hash, salted per use. */
+  private def h16(salt: String, c: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat_ws("|", lit(salt), c)), 1, 4), 16, 10).cast("long")
+
+  private def h16Sql(salt: String, c: String): String = {
+    val h = s"md5(concat_ws('|', '$salt', CAST($c AS VARCHAR)))"
+    (1 to 4).map(i => s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1)")
+      .reduce((a, b) => s"($a * 16 + $b)")
+  }
+
+  /** x118: near-dup-aware k-fold assignment — cross-validation folds hashed
+    * on the x14 dedup CLUSTER id, not the document id, so near-duplicate
+    * documents can never straddle folds (train/test leakage through
+    * paraphrases — the classic eval-inflation bug cluster-aware splitting
+    * exists to kill). Per fold: document and cluster counts, plus the
+    * measured leakage a NAIVE per-document hash split would have had on
+    * this corpus (clusters whose members land in ≥2 folds under per-doc
+    * hashing) — the quantified argument for the cluster-keyed variant.
+    * Both fold hashes are the x57 16-bit md5 recipe (rerun/partitioning/
+    * engine-stable). Scale: the cluster labeling is x14's audited
+    * components pipeline; everything after is one |folds|-group aggregate
+    * plus a cluster-count aggregate, with the 1-row leakage frame
+    * broadcast onto the fold rows. */
+  def clusteredKfold(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cl = DedupQueries.dedupClusters(spark, dir)
+      .select($"doc_id", $"cluster_id")
+    val folded = cl.select($"doc_id", $"cluster_id",
+      (h16("fold", $"cluster_id") % KFolds).as("fold"),
+      (h16("fold", $"doc_id") % KFolds).as("naive_fold"))
+    val naiveLeaky = folded.groupBy($"cluster_id")
+      .agg(countDistinct($"naive_fold").as("nf"))
+      .agg(sum(when($"nf" > 1, 1L).otherwise(0L)).as("naive_leaky_clusters"))
+    folded.groupBy($"fold")
+      .agg(count(lit(1)).as("n_docs"), countDistinct($"cluster_id").as("n_clusters"))
+      .crossJoin(broadcast(naiveLeaky))
+      .select($"fold", $"n_docs", $"n_clusters", $"naive_leaky_clusters")
+      .orderBy("fold")
+  }
+
+  private lazy val clusteredKfoldOracle =
+    DedupQueries.clustersOracleCtes +
+      s""", folded AS (SELECT doc_id, cluster_id,
+         |    ${h16Sql("fold", "cluster_id")} % $KFolds AS fold,
+         |    ${h16Sql("fold", "doc_id")} % $KFolds AS naive_fold
+         |  FROM labeled),
+         |leaky AS (SELECT CAST(sum(CASE WHEN nf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS naive_leaky_clusters
+         |          FROM (SELECT cluster_id, count(DISTINCT naive_fold) AS nf
+         |                FROM folded GROUP BY cluster_id))
+         |SELECT fold, count(*) AS n_docs,
+         |       count(DISTINCT cluster_id) AS n_clusters,
+         |       leaky.naive_leaky_clusters
+         |FROM folded, leaky
+         |GROUP BY fold, leaky.naive_leaky_clusters
+         |ORDER BY fold""".stripMargin
+
+  /** x120: BPE merge-round statistics — the tokenizer-induction aggregate:
+    * weighted adjacent-character-pair counts over the corpus vocabulary
+    * (pair count = Σ word_freq over each within-word adjacency position,
+    * the quantity byte-pair encoding maximizes per merge), top-10 merge
+    * candidates with the number of distinct word forms containing each.
+    * Rank 1 IS the next BPE merge. Pair enumeration is ARRAY-LOCAL
+    * (transform over sequence — the x20 recipe: zero shuffle to build
+    * adjacencies); the only corpus-scale shuffle is the word-frequency
+    * aggregate, and everything after is vocab-bounded. The final ranking
+    * window is global but runs over the distinct-pair frame (≤ |alphabet|²
+    * rows — the q62 documented-tiny single-partition sort). */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("wc"))
+      .filter(length($"word") > 1)
+    val pairs = words.select($"word", $"wc",
+      explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+    val pc = pairs.groupBy($"pair")
+      .agg(sum($"wc").as("n_occ"), countDistinct($"word").as("n_word_forms"))
+    pc.withColumn("rk",
+        row_number().over(Window.orderBy($"n_occ".desc, $"pair")))
+      .filter($"rk" <= 10)
+      .select($"rk", $"pair", $"n_occ", $"n_word_forms")
+      .orderBy("rk")
+  }
+
+  private val bpePairsOracle =
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      |w AS (SELECT word, count(*) AS wc FROM toks GROUP BY word),
+      |bg AS (SELECT word, wc,
+      |         unnest(list_transform(generate_series(1, length(word) - 1),
+      |                               i -> substr(word, i, 2))) AS pair
+      |       FROM w WHERE length(word) > 1),
+      |pc AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n_occ,
+      |              count(DISTINCT word) AS n_word_forms
+      |       FROM bg GROUP BY pair),
+      |r AS (SELECT pair, n_occ, n_word_forms,
+      |        row_number() OVER (ORDER BY n_occ DESC, pair) AS rk
+      |      FROM pc)
+      |SELECT rk, pair, n_occ, n_word_forms FROM r
+      |WHERE rk <= 10
+      |ORDER BY rk""".stripMargin
+
+  /** Rank depth for the Zipf fit (the whole vocabulary when smaller). */
+  private val ZipfTopN = 100
+
+  /** x121: Zipf-law fit — the corpus-statistics QA: OLS of ln(freq) on
+    * ln(rank) over the top-[[ZipfTopN]] tokens. Natural language sits near
+    * slope −1; a synthetic or templated corpus shows up as a flat or
+    * kinked rank-frequency line, which is exactly what this monitor
+    * exists to catch. Determinism: each ln is quantized HALF-UP to 1e-9
+    * fixed point BEFORE the moment sums (the x20/x59 ln recipe), so Σx,
+    * Σy are int64 and Σxy, Σx², Σy² are decimal/HUGEINT — the q70
+    * exact-moment OLS on exact integers, doubles entering only in the
+    * final slope/intercept/r² divisions. Scale: token-frequency aggregate
+    * is the one corpus-scale shuffle; ranking and regression run on the
+    * vocab-bounded then [[ZipfTopN]]-row frame. */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val tf = Tables.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("f"))
+    val ranked = tf
+      .withColumn("rk", row_number().over(Window.orderBy($"f".desc, $"tok")))
+      .filter($"rk" <= ZipfTopN)
+    val fp = ranked.select(
+      floor(log($"rk".cast("double")) * 1e9 + 0.5).cast("long").as("x"),
+      floor(log($"f".cast("double")) * 1e9 + 0.5).cast("long").as("y"))
+    val m = fp.agg(count(lit(1)).cast("long").as("n"),
+      sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x".cast(dec) * $"y".cast(dec)).as("sxy"),
+      sum($"x".cast(dec) * $"x".cast(dec)).as("sxx"),
+      sum($"y".cast(dec) * $"y".cast(dec)).as("syy"))
+    val cov = ($"n".cast(dec) * $"sxy" - $"sx".cast(dec) * $"sy".cast(dec)).cast("double")
+    val varx = ($"n".cast(dec) * $"sxx" - $"sx".cast(dec) * $"sx".cast(dec)).cast("double")
+    val vary = ($"n".cast(dec) * $"syy" - $"sy".cast(dec) * $"sy".cast(dec)).cast("double")
+    m.withColumn("slope_raw", cov / varx)
+      .select($"n".as("n_terms"),
+        QueryUtil.halfUp($"slope_raw", 6).as("slope"),
+        QueryUtil.halfUp((($"sy".cast("double") - $"slope_raw" * $"sx".cast("double"))
+          / $"n".cast("double")) / 1e9, 6).as("intercept_ln"),
+        QueryUtil.halfUp(cov * cov / (varx * vary), 6).as("r2"))
+  }
+
+  private val zipfFitOracle =
+    s"""WITH tf AS (SELECT tok, count(*) AS f
+       |           FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |           GROUP BY tok),
+       |ranked AS (SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS rk FROM tf),
+       |fp AS (SELECT CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT) AS x,
+       |              CAST(floor(ln(CAST(f AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT) AS y
+       |       FROM ranked WHERE rk <= $ZipfTopN),
+       |m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+       |        sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+       |        sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+       |        sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+       |      FROM fp)
+       |SELECT CAST(n AS BIGINT) AS n_terms,
+       |       floor((CAST(n * sxy - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)
+       |              / CAST(n * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE)) * 1000000 + 0.5) / 1000000.0 AS slope,
+       |       floor((((CAST(sy AS DOUBLE)
+       |                - (CAST(n * sxy - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)
+       |                   / CAST(n * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE))
+       |                  * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) / 1000000000.0) * 1000000 + 0.5) / 1000000.0 AS intercept_ln,
+       |       floor(((CAST(n * sxy - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)
+       |               * CAST(n * sxy - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE))
+       |              / (CAST(n * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE)
+       |                 * CAST(n * syy - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE))) * 1000000 + 0.5) / 1000000.0 AS r2
+       |FROM m""".stripMargin
+
+  /** CDC window width and boundary divisor: a position is a cut when the
+    * 16-bit hash of its [[CdcW]]-char window ≡ 0 mod [[CdcDiv]] (64 divides
+    * 2^16, so the boundary probability is exactly 1/64 — uniform, no
+    * modulo bias; expected chunk ≈ 64+[[CdcW]] chars). */
+  private val CdcW = 8
+  private val CdcDiv = 64L
+
+  /** x122: content-defined chunking — the storage-level dedup primitive
+    * (rsync/LBFS/backup-dedup family): chunk boundaries are decided by the
+    * CONTENT (rolling-window hash hits a divisor), not by fixed offsets,
+    * so an insertion early in a document shifts only the chunk it lands
+    * in — unlike x55's fixed non-overlapping token chunks, where one
+    * insertion re-aligns every later chunk. Per doc: chunk count, mean
+    * chunk length, the md5 digest of the ordered chunk-length sequence
+    * (the x75 exact-structure pin), and the cross-corpus dup-chunk stats
+    * (chunk instances whose content hash appears in ≥2 distinct docs) —
+    * the shared-segment mass a CDC store would deduplicate. Chunking is
+    * ARRAY-LOCAL per document (one transform builds the cut list, one
+    * builds the chunk structs — zero shuffle, the x20 recipe); the only
+    * shuffles are the chunk-hash aggregate and the doc_id rollup.
+    * Scale: per-doc work is O(len) md5 windows (the x49 cost shape);
+    * the chunk-hash join is banded by content hash — subquadratic, and
+    * exactly the access path a 100 TB dedup store maintains anyway. */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id", $"text", length($"text").as("len"))
+      .withColumn("starts", expr(
+        s"""concat(array(1),
+           |  filter(transform(sequence(1, greatest(len - ${CdcW - 1}, 1)),
+           |    i -> IF(CAST(conv(substring(md5(substring(text, i, $CdcW)), 1, 4), 16, 10) AS BIGINT) % $CdcDiv = 0
+           |            AND i + $CdcW <= len, i + $CdcW, CAST(NULL AS INT))),
+           |  x -> x IS NOT NULL))""".stripMargin))
+    val inst = base.select($"doc_id", $"len",
+        posexplode(expr(
+          s"""transform(sequence(1, size(starts)), k ->
+             |  substring(text, element_at(starts, k),
+             |    IF(k < size(starts), element_at(starts, k + 1), len + 1)
+             |      - element_at(starts, k)))""".stripMargin))
+          .as(Seq("pos0", "ch")))
+      .select($"doc_id", $"len", ($"pos0" + 1).as("pos"),
+        length($"ch").as("clen"), md5($"ch").as("chash"))
+    val nd = inst.groupBy($"chash").agg(countDistinct($"doc_id").as("ndocs"))
+    inst.join(nd, "chash")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        max($"len").as("dlen"),
+        sum(when($"ndocs" >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+        md5(array_join(expr(
+          "transform(array_sort(collect_list(struct(pos, clen))), s -> CAST(s.clen AS STRING))"),
+          ",")).as("len_digest"))
+      .select($"doc_id", $"n_chunks",
+        QueryUtil.halfUp($"dlen".cast("double") / $"n_chunks".cast("double"), 4)
+          .as("avg_chunk_len"),
+        $"n_dup_chunks",
+        QueryUtil.halfUp($"n_dup_chunks".cast("double") / $"n_chunks".cast("double"), 4)
+          .as("dup_ratio"),
+        $"len_digest")
+      .orderBy("doc_id")
+  }
+
+  private val cdcChunksOracle = {
+    val hx = s"md5(substr(text, CAST(i AS INTEGER), $CdcW))"
+    val h16win = (1 to 4).map(j => s"(strpos('0123456789abcdef', substr($hx, $j, 1)) - 1)")
+      .reduce((a, b) => s"($a * 16 + $b)")
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+       |s AS (SELECT doc_id, text, len,
+       |        list_concat([CAST(1 AS BIGINT)],
+       |          list_filter(list_transform(range(1, greatest(len - ${CdcW - 1}, 1) + 1),
+       |            i -> CASE WHEN ($h16win) % $CdcDiv = 0 AND i + $CdcW <= len
+       |                      THEN i + $CdcW ELSE NULL END),
+       |            x -> x IS NOT NULL)) AS starts
+       |      FROM d),
+       |c AS (SELECT doc_id, len,
+       |        unnest(list_transform(range(1, len(starts) + 1),
+       |          k -> struct_pack(pos := k,
+       |                 ch := substr(text, CAST(starts[CAST(k AS INTEGER)] AS INTEGER),
+       |                        CAST((CASE WHEN k < len(starts) THEN starts[CAST(k AS INTEGER) + 1]
+       |                              ELSE len + 1 END) - starts[CAST(k AS INTEGER)] AS INTEGER))))) AS u
+       |      FROM s),
+       |i AS (SELECT doc_id, len, u.pos AS pos, length(u.ch) AS clen, md5(u.ch) AS chash FROM c),
+       |nd AS (SELECT chash, count(DISTINCT doc_id) AS ndocs FROM i GROUP BY chash)
+       |SELECT i.doc_id, count(*) AS n_chunks,
+       |       floor((CAST(max(i.len) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS avg_chunk_len,
+       |       CAST(sum(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       |       floor((CAST(sum(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS dup_ratio,
+       |       md5(string_agg(CAST(i.clen AS VARCHAR), ',' ORDER BY i.pos)) AS len_digest
+       |FROM i JOIN nd ON i.chash = nd.chash
+       |GROUP BY i.doc_id
+       |ORDER BY i.doc_id""".stripMargin
+  }
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("x117_stream_topk_parity",
       "streaming top-k maintenance batch parity: unrolled keyed-state fold + emission gating == per-prefix full recompute oracle",
-      streamTopkParity, Some(streamTopkParityOracle)))
+      streamTopkParity, Some(streamTopkParityOracle)),
+    QueryDef("x118_clustered_kfold",
+      "near-dup-aware k-fold split: folds hashed on dedup cluster id, with the naive per-doc split's measured leakage",
+      clusteredKfold, Some(clusteredKfoldOracle)),
+    QueryDef("x120_bpe_pairs",
+      "BPE merge-round statistics: weighted adjacent-char-pair counts, top-10 merge candidates (tokenizer induction)",
+      bpePairs, Some(bpePairsOracle)),
+    QueryDef("x121_zipf_fit",
+      "Zipf-law fit: exact-moment OLS of ln(freq) on ln(rank) over top vocabulary (corpus-statistics QA)",
+      zipfFit, Some(zipfFitOracle)),
+    QueryDef("x122_cdc_chunks",
+      "content-defined chunking: hash-boundary cuts, per-doc chunk stats + cross-corpus dup-chunk mass (storage dedup primitive)",
+      cdcChunks, Some(cdcChunksOracle)))
 }

@@ -95,14 +95,7 @@ object SimilarityQueries {
         Similarity.norm($"embedding").as("nrm"))
     val q = emb.filter($"vec_id" % 25 === 0)
       .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"bkt", $"nrm".as("qn"))
-    val flips = (1 to ProbeBits).map { i =>
-      concat(
-        substring($"bkt", 1, i - 1),
-        when(substring($"bkt", i, 1) === "1", lit("0")).otherwise(lit("1")),
-        substring($"bkt", i + 1, ProbeBits - i))
-    }
-    val probes = q.select($"q_id", $"qv", $"qn",
-      explode(array(($"bkt" +: flips): _*)).as("pbkt"))
+    val probes = probeSet(q)
     val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
     emb.join(broadcast(probes), $"bkt" === $"pbkt").filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id",
@@ -111,6 +104,21 @@ object SimilarityQueries {
       .filter($"rk" <= 3)
       .select($"q_id", $"rk", $"vec_id", $"cosine")
       .orderBy("q_id", "rk")
+  }
+
+  /** The base bucket + its 8 Hamming-1 flips per query — x36's probe set,
+    * extracted so x119 mines hard negatives from the SAME audited pool.
+    * Probe buckets are pairwise distinct, so a corpus vector (living in
+    * exactly one bucket) can match a query at most once — no dedup. */
+  private def probeSet(q: DataFrame): DataFrame = {
+    val flips = (1 to ProbeBits).map { i =>
+      concat(
+        substring(col("bkt"), 1, i - 1),
+        when(substring(col("bkt"), i, 1) === "1", lit("0")).otherwise(lit("1")),
+        substring(col("bkt"), i + 1, ProbeBits - i))
+    }
+    q.select(col("q_id"), col("qv"), col("qn"),
+      explode(array((col("bkt") +: flips): _*)).as("pbkt"))
   }
 
   private val multiProbeOracle = {
@@ -163,7 +171,12 @@ object SimilarityQueries {
     * key) with the shared skew cap, NOT an O(n²) BroadcastNestedLoopJoin —
     * the join shape that survives 100 TB. The oracle reproduces the
     * identical banding, so both engines see the same candidate set. */
-  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDupPairs(spark, dir).orderBy("a", "b")
+
+  /** x32's verified pair set without the driver-facing ORDER BY — the
+    * reusable core (x119 anti-joins it as the false-positive guard). */
+  private def embeddingNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding", Similarity.norm($"embedding").as("nrm"),
@@ -182,7 +195,6 @@ object SimilarityQueries {
       .select($"a", $"b", QueryUtil.fence(
         round(Similarity.dot($"va", $"vb") / ($"na" * $"nb"), 4)).as("cosine"))
       .filter($"cosine" >= 0.45)
-      .orderBy("a", "b")
   }
 
   private val nearDupOracle = {
@@ -206,6 +218,87 @@ object SimilarityQueries {
        |SELECT a, b, cosine FROM p
        |WHERE cosine >= 0.45
        |ORDER BY a, b""".stripMargin
+  }
+
+  /** x119: hard-negative mining for contrastive training — for each anchor
+    * (vec_id % 25 = 0), the 2 highest-cosine corpus vectors from the x36
+    * multi-probe LSH pool that are NOT verified near-duplicates. The
+    * near-dup exclusion anti-joins x32's banded verified pair set (both
+    * orientations) — the standard "mine hard, then filter false negatives"
+    * recipe: a near-dup of the anchor is almost surely a POSITIVE, and
+    * training on it as a negative poisons the objective. Honest semantics
+    * note: the exclusion is x32's pipeline verbatim, so a high-cosine pair
+    * x32's banding MISSED stays in the pool — exactly the leakage a real
+    * pipeline built on that dedup pass would have ([[x26]]-style recall
+    * audits quantify it). Composition: x36 candidate generation + x32
+    * exclusion + per-anchor top-k. Scale: probe pool is ~9/256 of the
+    * corpus per anchor (anchors broadcast), the exclusion set is the
+    * banded near-dup join (subquadratic), anti-join keys on
+    * (anchor, candidate) — all keyed shuffles, no all-pairs stage. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding",
+        Similarity.signBucket($"embedding", ProbeBits).as("bkt"),
+        Similarity.norm($"embedding").as("nrm"))
+    val q = emb.filter($"vec_id" % 25 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"bkt", $"nrm".as("qn"))
+    val pool = emb.join(broadcast(probeSet(q)), $"bkt" === $"pbkt")
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        round(Similarity.dot($"qv", $"embedding") / ($"qn" * $"nrm"), 4).as("cosine"))
+    val nd = embeddingNearDupPairs(spark, dir).select($"a", $"b")
+    val ndBoth = nd.select($"a".as("q_id"), $"b".as("vec_id"))
+      .unionByName(nd.select($"b".as("q_id"), $"a".as("vec_id")))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+    pool.join(ndBoth, Seq("q_id", "vec_id"), "left_anti")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 2)
+      .select($"q_id", $"rk", $"vec_id", $"cosine")
+      .orderBy("q_id", "rk")
+  }
+
+  private val hardNegativesOracle = {
+    val flipSelects = (1 to ProbeBits).map(i =>
+      s"""SELECT q_id, qv, qn, substr(bkt, 1, ${i - 1}) || (CASE WHEN substr(bkt, $i, 1) = '1' THEN '0' ELSE '1' END) || substr(bkt, ${i + 1}, ${ProbeBits - i}) AS pbkt FROM q""")
+      .mkString("\n       UNION ALL ")
+    val ndBands = (0 until NearDupBands).map(t =>
+      s"SELECT vec_id, $t AS band, substr(sb, ${t * NearDupRowsPerBand + 1}, $NearDupRowsPerBand) AS bh FROM e")
+      .mkString("\n       UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |             ${bucketSql("embedding", ProbeBits)} AS bkt,
+       |             ${bucketSql("embedding", NearDupBands * NearDupRowsPerBand)} AS sb,
+       |             sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |           FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qn, bkt FROM e WHERE vec_id % 25 = 0),
+       |probes AS (
+       |       SELECT q_id, qv, qn, bkt AS pbkt FROM q
+       |       UNION ALL $flipSelects),
+       |pool AS (SELECT probes.q_id, e.vec_id,
+       |           round(${dotSql("probes.qv", "e.embedding")} / (probes.qn * e.nrm), 4) AS cosine
+       |         FROM e JOIN probes ON e.bkt = probes.pbkt AND e.vec_id <> probes.q_id),
+       |bands AS (
+       |       $ndBands),
+       |bands_pruned AS (SELECT vec_id, band, bh
+       |                 FROM (SELECT *, count(*) OVER (PARTITION BY band, bh) AS bn FROM bands)
+       |                 WHERE bn <= ${graft.operators.Dedup.DefaultMaxBucket}),
+       |ndcand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |           FROM bands_pruned x JOIN bands_pruned y
+       |             ON x.band = y.band AND x.bh = y.bh AND x.vec_id < y.vec_id),
+       |nd AS (SELECT a, b FROM (
+       |         SELECT a, b, round(${cosineSql("ea.embedding", "eb.embedding")}, 4) AS cosine
+       |         FROM ndcand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b)
+       |       WHERE cosine >= 0.45),
+       |ndb AS (SELECT a AS q_id, b AS vec_id FROM nd UNION ALL SELECT b AS q_id, a AS vec_id FROM nd),
+       |filt AS (SELECT p.q_id, p.vec_id, p.cosine FROM pool p
+       |         WHERE NOT EXISTS (SELECT 1 FROM ndb n
+       |                           WHERE n.q_id = p.q_id AND n.vec_id = p.vec_id)),
+       |r AS (SELECT q_id, vec_id, cosine,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+       |      FROM filt)
+       |SELECT q_id, rk, vec_id, cosine FROM r
+       |WHERE rk <= 2
+       |ORDER BY q_id, rk""".stripMargin
   }
 
   /** X3 scale path #2 — IVF: a coarse quantizer (fixed centroid subset,
@@ -1215,7 +1308,7 @@ object SimilarityQueries {
        |ORDER BY dim""".stripMargin
   }
 
-  val defs: Seq[QueryDef] = Seq(
+  lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("x116_pca_power",
       "top principal component of the embedding table: exact-integer covariance + fixed-point power iteration",
       pcaPower, Some(pcaPowerOracle)),
@@ -1247,5 +1340,8 @@ object SimilarityQueries {
     QueryDef("x37_int8_topk", "int8 scalar-quantized scan + exact rerank top-3 (X3)", int8TopK, Some(int8TopKOracle)),
     QueryDef("x38_pq_topk", "product-quantization ADC top-3 with exact rerank (X3)", pqTopK, Some(pqTopKOracle)),
     QueryDef("x39_pq_trained_topk", "PQ ANN with L2-Lloyd-trained codebook, fixed-point hash-stable training (X3)", pqTrainedTopK, Some(pqTrainedOracle)),
-    QueryDef("x109_ivfpq_topk", "IVF-PQ composed index: coarse cluster pruning + compressed ADC scoring + exact rerank (X3)", ivfPqTopK, Some(ivfPqOracle)))
+    QueryDef("x109_ivfpq_topk", "IVF-PQ composed index: coarse cluster pruning + compressed ADC scoring + exact rerank (X3)", ivfPqTopK, Some(ivfPqOracle)),
+    QueryDef("x119_hard_negatives",
+      "contrastive hard-negative mining: multi-probe LSH pool anti-joined against verified near-dups, top-2 per anchor",
+      hardNegatives, Some(hardNegativesOracle)))
 }
