@@ -295,12 +295,16 @@ object Round9Queries {
     import spark.implicits._
     val base = Tables.documents(spark, dir)
       .select($"doc_id", $"text", length($"text").as("len"))
-      .withColumn("starts", expr(
+      // fence: `starts` is referenced three times by the chunk transform
+      // (size + two element_at) — without the fence the optimizer inlines
+      // the O(len) md5 window scan into every reference (measured 6.8 s →
+      // see PLANS.md r9 audit)
+      .withColumn("starts", QueryUtil.fence(expr(
         s"""concat(array(1),
            |  filter(transform(sequence(1, greatest(len - ${CdcW - 1}, 1)),
            |    i -> IF(CAST(conv(substring(md5(substring(text, i, $CdcW)), 1, 4), 16, 10) AS BIGINT) % $CdcDiv = 0
            |            AND i + $CdcW <= len, i + $CdcW, CAST(NULL AS INT))),
-           |  x -> x IS NOT NULL))""".stripMargin))
+           |  x -> x IS NOT NULL))""".stripMargin)))
     val inst = base.select($"doc_id", $"len",
         posexplode(expr(
           s"""transform(sequence(1, size(starts)), k ->
@@ -310,6 +314,11 @@ object Round9Queries {
           .as(Seq("pos0", "ch")))
       .select($"doc_id", $"len", ($"pos0" + 1).as("pos"),
         length($"ch").as("clen"), md5($"ch").as("chash"))
+      // reuse point (the x16 recipe): `inst` feeds BOTH the chash aggregate
+      // and the join probe side — without an exchange here the O(len·md5)
+      // chunking pipeline executes twice; post-chunk rows are narrow
+      // (5 scalar cols, no text), so one shuffle is cheaper than a re-scan
+      .repartition($"doc_id")
     val nd = inst.groupBy($"chash").agg(countDistinct($"doc_id").as("ndocs"))
     inst.join(nd, "chash")
       .groupBy($"doc_id")

@@ -142,6 +142,25 @@ object PaginatedSource {
       .select("value").as[String]
   }
 
+  /** S1 as Structured Streaming: the paginated source as a DSv2
+    * `MicroBatchStream` — each trigger probes the API row count (A2
+    * pre-flight) and fetches only pages past the committed ROW watermark,
+    * re-fetching the partial boundary page whose overlap downstream hash
+    * dedup drops (the reference's incremental loop, checkpoint-resumable).
+    * Compose with [[flattenPages]] + an idempotent merge sink for
+    * exactly-once rows. */
+  def streamPages(spark: SparkSession, clientName: String, client: PageClient,
+                  startRows: Long = 0L, parallelism: Int = 8,
+                  pageSize: Int = PageSize): DataFrame = {
+    PaginatedTableProvider.registerClient(clientName, client)
+    spark.readStream.format("graft-pages")
+      .option("client", clientName)
+      .option("startrows", startRows)
+      .option("pagesize", pageSize)
+      .option("parallelism", parallelism)
+      .load()
+  }
+
   /** T6 bulk mode: full scan from page 1 (reference truncates the sink
     * first = SaveMode.Overwrite downstream). */
   def bulkExtract(spark: SparkSession, client: PageClient, parallelism: Int = 8,

@@ -69,7 +69,7 @@ private[sources] class PagesTable extends Table with SupportsRead {
   override def name(): String = "graft_pages"
   override def schema(): StructType = PaginatedTableProvider.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PagesScanBuilder(options)
 }
@@ -94,8 +94,12 @@ private[sources] class PagesScanBuilder(options: CaseInsensitiveStringMap)
     n
   }
   private var start: Int = options.getInt("startpage", 1)
-  private var end: Int = options.getInt("endpage", -1)
-  require(end >= 0, "option 'endpage' is required")
+  // Int.MaxValue = unbounded: fine for streaming (the offset loop bounds
+  // each batch) and for batch scans that get bounded by a pushed `page`
+  // predicate or LIMIT; a truly unbounded BATCH scan fails in toBatch.
+  private var end: Int = options.getInt("endpage", Int.MaxValue)
+  private val streamStartRows: Long = options.getLong("startrows", 0L)
+  private val pageSize: Int = options.getInt("pagesize", PaginatedSource.PageSize)
   private val parallelism: Int = options.getInt("parallelism", 8)
   private var required: StructType = PaginatedTableProvider.Schema
   private var pushed: Array[Filter] = Array.empty
@@ -134,13 +138,14 @@ private[sources] class PagesScanBuilder(options: CaseInsensitiveStringMap)
     * applies to the already-narrowed range. Returning true guarantees the
     * scan emits at most `limit` rows, letting Spark drop its LocalLimit. */
   override def pushLimit(limit: Int): Boolean = {
-    end = math.min(end, start + math.max(limit, 0) - 1)
+    end = math.min(end.toLong, start.toLong + math.max(limit, 0) - 1).toInt
     true
   }
 
   override def build(): Scan =
     if (countPushed) new PagesCountScan(start, end)
-    else new PagesScan(PaginatedTableProvider.client(clientName), start, end, parallelism, required, pushed)
+    else new PagesScan(PaginatedTableProvider.client(clientName), start, end,
+      parallelism, required, pushed, streamStartRows, pageSize)
 }
 
 /** count(*) answered without a single page fetch: one partition, one row
@@ -168,15 +173,34 @@ private[sources] case class PagesCountPartition(n: Long) extends InputPartition
 
 private[sources] class PagesScan(client: PaginatedSource.PageClient,
                                  start: Int, end: Int, parallelism: Int,
-                                 required: StructType, pushed: Array[Filter])
+                                 required: StructType, pushed: Array[Filter],
+                                 streamStartRows: Long = 0L,
+                                 pageSize: Int = PaginatedSource.PageSize)
     extends Scan with Batch {
   override def readSchema(): StructType = required
-  override def toBatch: Batch = this
+  override def toBatch: Batch = {
+    require(end != Int.MaxValue,
+      "unbounded batch page scan: provide 'endpage', a `page` predicate, or a LIMIT")
+    this
+  }
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new PagesMicroBatchStream(client, streamStartRows, parallelism, required, pageSize)
   override def description(): String =
     s"graft-pages pages=[$start..$end] PushedFilters: [${pushed.mkString(", ")}]"
 
   /** One partition per contiguous page run; run sizes differ by at most 1. */
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    PagesScan.planRuns(start, end, parallelism, client)
+
+  override def createReaderFactory(): PartitionReaderFactory = new PagesReaderFactory(required)
+}
+
+private[sources] object PagesScan {
+  /** [start..end] as ≤ `parallelism` contiguous page runs (sizes differ by
+    * at most 1) — shared by the batch scan and each micro-batch plan. */
+  def planRuns(start: Int, end: Int, parallelism: Int,
+               client: PaginatedSource.PageClient): Array[InputPartition] = {
     val n = end - start + 1
     if (n <= 0) Array.empty
     else {
@@ -188,8 +212,69 @@ private[sources] class PagesScan(client: PaginatedSource.PageClient,
       }.toArray
     }
   }
+}
 
-  override def createReaderFactory(): PartitionReaderFactory = new PagesReaderFactory(required)
+/** Streaming offset for the paginated source: the API ROW-COUNT high
+  * watermark (not a page number) — the reference's own CDC cursor
+  * (`salesforce_extractor.py:264` derives the start page from the sink
+  * row count). Storing rows rather than pages is what preserves the
+  * reference's boundary-overlap semantics across restarts: a partially
+  * filled tail page leaves the watermark mid-page, so the NEXT batch
+  * re-fetches that boundary page and the downstream hash dedup (D1)
+  * drops the overlap — at-least-once delivery + idempotent merge =
+  * exactly-once rows, the contract the reference's DB unique key
+  * provides. */
+private[sources] case class PageRowsOffset(rows: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = rows.toString
+}
+
+/** S1 as a DataSource V2 `MicroBatchStream`: each micro-batch covers pages
+  * `incrementalStartPage(prevRows)` .. `totalPages(latestRows)`, where
+  * `latestRows` is discovered by the reference's A2 pre-flight (fetch page
+  * 1, read the envelope `count`) at `latestOffset()` time on the driver.
+  * Page fetches distribute exactly like the batch scan (same partition
+  * planner, same reader). Restart-safe: the committed offset is the row
+  * watermark, so a checkpointed restart resumes at the boundary page. */
+private[sources] class PagesMicroBatchStream(client: PaginatedSource.PageClient,
+                                             startRows: Long, parallelism: Int,
+                                             required: StructType,
+                                             pageSize: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val CountRe = """"count"\s*:\s*(\d+)""".r
+
+  /** A2 pre-flight against the envelope of page 1 — driver-side, one fetch
+    * per trigger (the reference does the identical probe per run). */
+  private def apiRows(): Long = {
+    val body = client.fetchPage(1)
+    CountRe.findFirstMatchIn(body) match {
+      case Some(m) => m.group(1).toLong
+      case None => throw new IllegalStateException(
+        "page-1 envelope has no \"count\" field — cannot derive the stream watermark")
+    }
+  }
+
+  override def initialOffset(): Offset = PageRowsOffset(startRows)
+  override def latestOffset(): Offset = PageRowsOffset(apiRows())
+  override def deserializeOffset(json: String): Offset =
+    PageRowsOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[PageRowsOffset].rows
+    val e = end.asInstanceOf[PageRowsOffset].rows
+    if (e <= s) Array.empty
+    else PagesScan.planRuns(
+      PaginatedSource.incrementalStartPage(s, pageSize),
+      PaginatedSource.totalPages(e, pageSize), parallelism, client)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagesReaderFactory(required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] case class PagesInputPartition(startPage: Int, endPage: Int,

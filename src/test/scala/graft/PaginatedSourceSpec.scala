@@ -143,6 +143,56 @@ class PaginatedSourceSpec extends SparkTestBase {
       .groupBy($"page" % 2).count().collect().map(_.getLong(1)).sum == 5L)
   }
 
+  test("S1/DSv2 streaming: row-watermark micro-batches, boundary re-fetch, checkpoint resume") {
+    import org.apache.spark.sql.streaming.Trigger
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+    // memory sink can't recover a checkpoint; foreachBatch can
+    def drive(): Array[org.apache.spark.sql.Row] = {
+      StreamCollector.rows.clear()
+      val sdf = PS.streamPages(spark, "dsv2_stream",
+        new RecordingClient(new GrowableClient(pageSize = 100)),
+        startRows = 0, parallelism = 4, pageSize = 100)
+      val q = sdf.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(StreamCollector.rows.add)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      StreamCollector.rows.asScala.toArray
+    }
+    import scala.jdk.CollectionConverters._
+    // run 1: 250 rows → pages 1..3 (page 3 partial: 50 of 100 rows)
+    GrowableSource.total = 250
+    FetchRecorder.pages.clear()
+    val b1 = drive()
+    assert(b1.map(_.getInt(0)).toSet == Set(1, 2, 3))
+    // fetched: the A2 page-1 count probe + the three planned pages
+    assert(FetchRecorder.pages.asScala.map(_.toInt).toSet == Set(1, 2, 3))
+    // run 2 from the same checkpoint: source grew to 420 rows. The committed
+    // watermark is 250 → the partial boundary page 3 is RE-fetched (its
+    // first 50 rows duplicate run 1 — the reference's deliberate overlap),
+    // then pages 4..5; pages 1..2 are not re-read (offset pruning), page 1
+    // appears only as the count probe.
+    GrowableSource.total = 420
+    FetchRecorder.pages.clear()
+    val b2 = drive()
+    assert(b2.map(_.getInt(0)).toSet == Set(3, 4, 5))
+    assert(FetchRecorder.pages.asScala.map(_.toInt).toSet == Set(1, 3, 4, 5))
+    // exactly-once END TO END: flatten both runs' envelopes, dedup by hash
+    // (D1 — the reference's ON DUPLICATE KEY no-op) == one bulk extract
+    val all = (b1 ++ b2).map(_.getString(1)).toSeq.toDS()
+    val merged = PS.flattenPages(all).dropDuplicates("hash")
+    val bulk = PS.bulkExtract(spark, new SyntheticPageClient(420, 100), 4, 100)
+    assert(merged.count() == 420)
+    assert(merged.select("hash").except(bulk.select("hash")).count() == 0)
+    // no new data → an empty micro-batch plan, zero page fetches beyond the probe
+    FetchRecorder.pages.clear()
+    assert(drive().isEmpty)
+    assert(FetchRecorder.pages.asScala.map(_.toInt).toSet.subsetOf(Set(1)))
+  }
+
   test("SRC1/DSv2: flattened output equals the mapPartitions path") {
     val v2 = PS.bulkExtractV2(spark, "dsv2_eq",
       new SyntheticPageClient(250, pageSize = 100), parallelism = 4, pageSize = 100)
@@ -163,4 +213,25 @@ object FetchRecorder {
 
 class RecordingClient(inner: PS.PageClient) extends PS.PageClient {
   def fetchPage(page: Int): String = { FetchRecorder.pages.add(page); inner.fetchPage(page) }
+}
+
+/** Mutable row count for the streaming test's growing source — a singleton
+  * (per-classloader) for the same reason as [[FetchRecorder]]: the client
+  * instance serializes into tasks, so only object state is shared. */
+object GrowableSource {
+  @volatile var total: Int = 0
+}
+
+/** Shared collected-row buffer for the checkpointed foreachBatch drives. */
+object StreamCollector {
+  val rows: java.util.List[org.apache.spark.sql.Row] =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[org.apache.spark.sql.Row]())
+}
+
+/** A [[SyntheticPageClient]]-shaped source whose row count follows
+  * [[GrowableSource.total]] at fetch time — the append-only API the
+  * reference polls incrementally. */
+class GrowableClient(pageSize: Int) extends PS.PageClient {
+  def fetchPage(page: Int): String =
+    new SyntheticPageClient(GrowableSource.total, pageSize).fetchPage(page)
 }
