@@ -59,7 +59,14 @@ object ExplainAudit {
       // windows, tiny aggregate frames for the pairwise Mann-Kendall)
       // (NOT x110: localCheckpoint at construction, like x63.)
       "x109_ivfpq_topk", "q75_welch_ttest", "q76_mann_kendall",
-      "q77_spearman", "q78_hampel", "q79_mann_whitney", "q80_ks_test")
+      "q77_spearman", "q78_hampel", "q79_mann_whitney", "q80_ks_test",
+      // round-9 shapes: fenced+reuse-point CDC chunking (one Generate, one
+      // doc_id exchange serving both consumers), multiprobe pool with
+      // broadcast probes anti-joined against the banded near-dup set,
+      // vocab-bounded BPE/Zipf aggregates, zone-map metadata frames
+      // (NOT x118: rides the eager components fixpoint, like x14.)
+      "x122_cdc_chunks", "x119_hard_negatives", "x120_bpe_pairs",
+      "x121_zipf_fit", "q92_zonemap_skip", "x117_stream_topk_parity")
     names.foreach { n =>
       println(s"\n===== $n =====")
       Registry.byName(n).fn(spark, dir).explain("formatted")

@@ -369,6 +369,88 @@ object Round9Queries {
        |ORDER BY i.doc_id""".stripMargin
   }
 
+  /** Gopher-rule thresholds (Rae et al. 2021 table A1, adapted to the
+    * fixture's scale): word count in [GopherMinWords, GopherMaxWords],
+    * mean word length in [3, 10], ≥ 2 distinct stopwords present,
+    * top-token share < 30%, duplicate-bigram share ≤ 50%. */
+  private val GopherMinWords = 20
+  private val GopherMaxWords = 100000
+
+  /** x123: the Gopher quality-rule gate — the canonical heuristic document
+    * filter (the published rule family Gopher/MassiveText used), with
+    * EVERY threshold an exact integer predicate so both engines agree
+    * without a float boundary anywhere: mean-word-length bounds become
+    * `3·n ≤ Σlen ≤ 10·n`, top-token share < 30% becomes `10·max_tf <
+    * 3·n`, duplicate-bigram share ≤ 50% becomes `2·distinct ≥ total`.
+    * Complements x42 (a continuous score) and x58 (two repetition
+    * ratios): this is the full pass/fail rule panel a curation pipeline
+    * actually gates on, with per-rule booleans for auditability. Scale:
+    * ALL rules are array-local per row (token counts, the max term
+    * frequency via a distinct×scan loop over the ~40-token vocab of a
+    * doc, shifted-slice bigrams) — zero shuffle except the driver-facing
+    * ORDER BY; at 100 TB this is a pure map over the corpus. */
+  def gopherGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = graft.operators.TextAnalysis.tokens($"text")
+    val base = Tables.documents(spark, dir).select($"doc_id", toks.as("t"))
+      .select($"doc_id", size($"t").as("n"),
+        graft.operators.TextAnalysis.sumTokenLen($"t").as("sumlen"),
+        size(array_intersect(array_distinct($"t"),
+          array(graft.operators.TextAnalysis.StopwordsEn.map(lit): _*)))
+          .as("n_stop_forms"),
+        expr("array_max(transform(array_distinct(t), d -> size(filter(t, x -> x = d))))")
+          .as("max_tf"),
+        expr(s"""IF(size(t) > 1,
+                |   transform(sequence(1, size(t) - 1),
+                |             i -> concat(element_at(t, i), ' ', element_at(t, i + 1))),
+                |   array())""".stripMargin).as("bg"))
+      .select($"doc_id", $"n", $"sumlen", $"n_stop_forms", $"max_tf",
+        (size($"bg")).as("n_bg"), size(array_distinct($"bg")).as("n_bg_distinct"))
+    base.select($"doc_id", $"n".as("n_words"),
+        ($"n" >= GopherMinWords && $"n" <= GopherMaxWords).cast("int").as("r_wordcount"),
+        (lit(3) * $"n" <= $"sumlen" && $"sumlen" <= lit(10) * $"n").cast("int").as("r_wordlen"),
+        ($"n_stop_forms" >= 2).cast("int").as("r_stopwords"),
+        (lit(10) * $"max_tf" < lit(3) * $"n").cast("int").as("r_topshare"),
+        ($"n_bg" === 0 || lit(2) * $"n_bg_distinct" >= $"n_bg").cast("int").as("r_bigram"))
+      .withColumn("keep",
+        ($"r_wordcount" === 1 && $"r_wordlen" === 1 && $"r_stopwords" === 1 &&
+          $"r_topshare" === 1 && $"r_bigram" === 1).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  private val gopherGateOracle = {
+    val stops = graft.operators.TextAnalysis.StopwordsEnSql
+    s"""WITH b AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |m AS (
+       |  SELECT doc_id, len(t) AS n,
+       |         CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sumlen,
+       |         len(list_filter(list_distinct(t), x -> x IN ($stops))) AS n_stop_forms,
+       |         list_max(list_transform(list_distinct(t), d -> len(list_filter(t, x -> x = d)))) AS max_tf,
+       |         CASE WHEN len(t) > 1
+       |              THEN list_transform(generate_series(1, len(t) - 1),
+       |                     i -> t[CAST(i AS INTEGER)] || ' ' || t[CAST(i AS INTEGER) + 1])
+       |              ELSE [] END AS bg
+       |  FROM b),
+       |g AS (
+       |  SELECT doc_id, n, sumlen, n_stop_forms, max_tf,
+       |         len(bg) AS n_bg, len(list_distinct(bg)) AS n_bg_distinct
+       |  FROM m)
+       |SELECT doc_id, CAST(n AS INTEGER) AS n_words,
+       |       CAST(n >= $GopherMinWords AND n <= $GopherMaxWords AS INTEGER) AS r_wordcount,
+       |       CAST(3 * n <= sumlen AND sumlen <= 10 * n AS INTEGER) AS r_wordlen,
+       |       CAST(n_stop_forms >= 2 AS INTEGER) AS r_stopwords,
+       |       CAST(10 * max_tf < 3 * n AS INTEGER) AS r_topshare,
+       |       CAST(n_bg = 0 OR 2 * n_bg_distinct >= n_bg AS INTEGER) AS r_bigram,
+       |       CAST(n >= $GopherMinWords AND n <= $GopherMaxWords
+       |            AND 3 * n <= sumlen AND sumlen <= 10 * n
+       |            AND n_stop_forms >= 2
+       |            AND 10 * max_tf < 3 * n
+       |            AND (n_bg = 0 OR 2 * n_bg_distinct >= n_bg) AS INTEGER) AS keep
+       |FROM g
+       |ORDER BY doc_id""".stripMargin
+  }
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("x117_stream_topk_parity",
       "streaming top-k maintenance batch parity: unrolled keyed-state fold + emission gating == per-prefix full recompute oracle",
@@ -384,5 +466,8 @@ object Round9Queries {
       zipfFit, Some(zipfFitOracle)),
     QueryDef("x122_cdc_chunks",
       "content-defined chunking: hash-boundary cuts, per-doc chunk stats + cross-corpus dup-chunk mass (storage dedup primitive)",
-      cdcChunks, Some(cdcChunksOracle)))
+      cdcChunks, Some(cdcChunksOracle)),
+    QueryDef("x123_gopher_gate",
+      "Gopher quality-rule panel: five exact-integer pass/fail rules per document, all array-local (curation gate)",
+      gopherGate, Some(gopherGateOracle)))
 }

@@ -301,6 +301,105 @@ object SimilarityQueries {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  /** JL projection shape: [[JlIn]]-d embeddings → [[JlOut]]-d sketches via
+    * a fixed ±1 sign matrix (Achlioptas 2003's database-friendly variant);
+    * signs derived from md5 at BUILD time, so both engines receive the
+    * identical literal ± chain. */
+  private val JlOut = 16
+  private val JlIn = 64
+
+  private lazy val jlSigns: IndexedSeq[IndexedSeq[Boolean]] =
+    (0 until JlOut).map { j =>
+      (1 to JlIn).map { d =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val h = md.digest(s"jl|$j|$d".getBytes("UTF-8"))
+        ((h(0) >> 4) & 0xF) >= 8
+      }
+    }
+
+  /** One projected coordinate as a left-associated `0.0 + x1 - x2 ...`
+    * chain — identical parse, association, and IEEE sums in both engines;
+    * `el` renders the engine-specific 1-based element access. */
+  private def jlSumSql(j: Int, el: Int => String): String =
+    (1 to JlIn).map { d =>
+      val t = el(d)
+      if (jlSigns(j)(d - 1)) s"+ $t" else s"- $t"
+    }.mkString("(0.0 ", " ", ")")
+
+  private def jlProjSql(el: Int => String, mk: Seq[String] => String): String =
+    mk((0 until JlOut).map(j => s"CAST(${jlSumSql(j, el)} AS FLOAT)"))
+
+  /** x125: random-projection (JL) sketching with an HONEST distortion
+    * audit — the dimensionality-reduction step an embedding pipeline runs
+    * before indexing when 4× less vector bandwidth is worth a bounded
+    * cosine error: every vector is projected 64→16 dims through the fixed
+    * sign matrix (a per-row map, zero shuffle, 1k flops/row), then a
+    * deterministic anchor-pair sample (vec_id ≡ 0 mod 100 × vec_id ≡ 0
+    * mod 97, a<b) compares exact 64-d cosine against the sketch's 16-d
+    * cosine: pair count, mean/max absolute error, and both mean cosines
+    * (per-pair values quantized to exact fixed point before the
+    * order-free sums). The measured mean error IS the operator's quality
+    * contract — the same audit-the-approximation discipline as x26/x107.
+    * Scale: projection is map-only; the audit joins two broadcast-sized
+    * anchor sets (~n/100 × ~n/97 pairs), never corpus×corpus. */
+  def jlProjection(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sparkEl = (d: Int) => s"CAST(element_at(embedding, $d) AS DOUBLE)"
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding",
+      expr(jlProjSql(sparkEl, ts => s"array(${ts.mkString(", ")})")).as("proj"))
+      .select($"vec_id", $"embedding", $"proj",
+        Similarity.norm($"embedding").as("nrm"), Similarity.norm($"proj").as("pnrm"))
+    val a = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("a"), $"embedding".as("va"), $"proj".as("pa"),
+        $"nrm".as("na"), $"pnrm".as("pna"))
+    val b = emb.filter($"vec_id" % 97 === 0)
+      .select($"vec_id".as("b"), $"embedding".as("vb"), $"proj".as("pb"),
+        $"nrm".as("nb"), $"pnrm".as("pnb"))
+    val pairs = b.join(broadcast(a), $"a" < $"b")
+      .select(
+        round(Similarity.dot($"va", $"vb") / ($"na" * $"nb"), 4).as("c64"),
+        round(Similarity.dot($"pa", $"pb") / ($"pna" * $"pnb"), 4).as("c16"))
+      .select(
+        floor(abs($"c64" - $"c16") * 10000 + 0.5).cast("long").as("err_fp"),
+        floor($"c64" * 10000 + 0.5).cast("long").as("c64_fp"),
+        floor($"c16" * 10000 + 0.5).cast("long").as("c16_fp"))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+        sum($"err_fp").as("se"), max($"err_fp").as("me"),
+        sum($"c64_fp").as("s64"), sum($"c16_fp").as("s16"))
+      .select($"n_pairs",
+        QueryUtil.halfUp($"se".cast("double") / ($"n_pairs" * 10000).cast("double"), 6)
+          .as("mean_abs_err"),
+        ($"me".cast("double") / 10000.0).as("max_abs_err"),
+        QueryUtil.halfUp($"s64".cast("double") / ($"n_pairs" * 10000).cast("double"), 6)
+          .as("mean_cos_exact"),
+        QueryUtil.halfUp($"s16".cast("double") / ($"n_pairs" * 10000).cast("double"), 6)
+          .as("mean_cos_proj"))
+  }
+
+  private lazy val jlProjectionOracle = {
+    val duckEl = (d: Int) => s"CAST(embedding[$d] AS DOUBLE)"
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         ${jlProjSql(duckEl, ts => s"list_value(${ts.mkString(", ")})")} AS proj
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT a.vec_id AS a, b.vec_id AS b,
+       |         round(${cosineSql("a.embedding", "b.embedding")}, 4) AS c64,
+       |         round(${cosineSql("a.proj", "b.proj")}, 4) AS c16
+       |  FROM e a JOIN e b ON a.vec_id % 100 = 0 AND b.vec_id % 97 = 0 AND a.vec_id < b.vec_id),
+       |f AS (
+       |  SELECT CAST(floor(abs(c64 - c16) * 10000 + 0.5) AS BIGINT) AS err_fp,
+       |         CAST(floor(c64 * 10000 + 0.5) AS BIGINT) AS c64_fp,
+       |         CAST(floor(c16 * 10000 + 0.5) AS BIGINT) AS c16_fp
+       |  FROM p)
+       |SELECT count(*) AS n_pairs,
+       |       floor((CAST(sum(err_fp) AS DOUBLE) / CAST(count(*) * 10000 AS DOUBLE)) * 1000000 + 0.5) / 1000000.0 AS mean_abs_err,
+       |       CAST(max(err_fp) AS DOUBLE) / 10000.0 AS max_abs_err,
+       |       floor((CAST(sum(c64_fp) AS DOUBLE) / CAST(count(*) * 10000 AS DOUBLE)) * 1000000 + 0.5) / 1000000.0 AS mean_cos_exact,
+       |       floor((CAST(sum(c16_fp) AS DOUBLE) / CAST(count(*) * 10000 AS DOUBLE)) * 1000000 + 0.5) / 1000000.0 AS mean_cos_proj
+       |FROM f""".stripMargin
+  }
+
   /** X3 scale path #2 — IVF: a coarse quantizer (fixed centroid subset,
     * vec_id % 97) assigns every vector to its nearest centroid; each query
     * probes its nprobe=2 nearest clusters and searches only there. The
@@ -1343,5 +1442,8 @@ object SimilarityQueries {
     QueryDef("x109_ivfpq_topk", "IVF-PQ composed index: coarse cluster pruning + compressed ADC scoring + exact rerank (X3)", ivfPqTopK, Some(ivfPqOracle)),
     QueryDef("x119_hard_negatives",
       "contrastive hard-negative mining: multi-probe LSH pool anti-joined against verified near-dups, top-2 per anchor",
-      hardNegatives, Some(hardNegativesOracle)))
+      hardNegatives, Some(hardNegativesOracle)),
+    QueryDef("x125_jl_projection",
+      "random-projection (JL) 64-to-16-dim sketching with anchor-pair cosine distortion audit (X3 bandwidth path)",
+      jlProjection, Some(jlProjectionOracle)))
 }
