@@ -268,12 +268,11 @@ object Round9Queries {
        |                 * CAST(n * syy - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE))) * 1000000 + 0.5) / 1000000.0 AS r2
        |FROM m""".stripMargin
 
-  /** CDC window width and boundary divisor: a position is a cut when the
-    * 16-bit hash of its [[CdcW]]-char window ≡ 0 mod [[CdcDiv]] (64 divides
-    * 2^16, so the boundary probability is exactly 1/64 — uniform, no
-    * modulo bias; expected chunk ≈ 64+[[CdcW]] chars). */
-  private val CdcW = 8
-  private val CdcDiv = 64L
+  /** CDC window width and boundary divisor — single source of truth in
+    * [[graft.operators.Cdc]] (shared with the PropertySpec proofs); the
+    * oracle SQL is generated from the same constants. */
+  private val CdcW = graft.operators.Cdc.W
+  private val CdcDiv = graft.operators.Cdc.Div
 
   /** x122: content-defined chunking — the storage-level dedup primitive
     * (rsync/LBFS/backup-dedup family): chunk boundaries are decided by the
@@ -298,19 +297,12 @@ object Round9Queries {
       // fence: `starts` is referenced three times by the chunk transform
       // (size + two element_at) — without the fence the optimizer inlines
       // the O(len) md5 window scan into every reference (measured 6.8 s →
-      // see PLANS.md r9 audit)
-      .withColumn("starts", QueryUtil.fence(expr(
-        s"""concat(array(1),
-           |  filter(transform(sequence(1, greatest(len - ${CdcW - 1}, 1)),
-           |    i -> IF(CAST(conv(substring(md5(substring(text, i, $CdcW)), 1, 4), 16, 10) AS BIGINT) % $CdcDiv = 0
-           |            AND i + $CdcW <= len, i + $CdcW, CAST(NULL AS INT))),
-           |  x -> x IS NOT NULL))""".stripMargin)))
+      // see PLANS.md r9 audit). The chunking expressions live in
+      // operators/Cdc so the property-tested forms ARE these.
+      .withColumn("starts",
+        QueryUtil.fence(graft.operators.Cdc.chunkStarts("text", "len")))
     val inst = base.select($"doc_id", $"len",
-        posexplode(expr(
-          s"""transform(sequence(1, size(starts)), k ->
-             |  substring(text, element_at(starts, k),
-             |    IF(k < size(starts), element_at(starts, k + 1), len + 1)
-             |      - element_at(starts, k)))""".stripMargin))
+        posexplode(graft.operators.Cdc.chunkTexts("text", "starts", "len"))
           .as(Seq("pos0", "ch")))
       .select($"doc_id", $"len", ($"pos0" + 1).as("pos"),
         length($"ch").as("clen"), md5($"ch").as("chash"))

@@ -346,6 +346,58 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: CDC chunks reassemble to the text; boundaries are content-defined") {
+    import graft.operators.Cdc
+    import org.apache.spark.sql.functions._
+    val textGen = Gen.listOfN(300, Gen.alphaLowerChar).map(_.mkString)
+    (1L to 6L).foreach { seed =>
+      val t = sample(textGen, seed)
+      val df = Seq(t).toDF("text")
+        .withColumn("len", length($"text"))
+        .withColumn("starts", Cdc.chunkStarts("text", "len"))
+        .withColumn("chunks", Cdc.chunkTexts("text", "starts", "len"))
+      val row = df.select(concat_ws("", $"chunks"), $"starts").head()
+      // (a) reassembly identity: chunks partition the text exactly
+      assert(row.getString(0) == t, s"seed=$seed reassembly")
+      // (b) starts are 1-based, strictly ascending, within bounds
+      val starts = row.getSeq[Int](1)
+      assert(starts.head == 1 && starts == starts.sorted && starts.distinct == starts)
+      assert(starts.forall(s => s >= 1 && s <= t.length))
+    }
+  }
+
+  test("property: CDC chunking is shift-robust where fixed-width chunking is not") {
+    import graft.operators.Cdc
+    import org.apache.spark.sql.functions._
+    // a prefix insertion shifts every character; content-defined boundaries
+    // re-synchronize after the edit, fixed-width boundaries never do
+    val textGen = Gen.listOfN(800, Gen.alphaLowerChar).map(_.mkString)
+    var cdcShared = 0L; var cdcTotal = 0L; var fixShared = 0L; var fixTotal = 0L
+    (1L to 4L).foreach { seed =>
+      val t = sample(textGen, seed)
+      val shifted = "INSERTED-PREFIX-" + t
+      def chunksOf(s: String): (Seq[String], Seq[String]) = {
+        val r = Seq(s).toDF("text")
+          .withColumn("len", length($"text"))
+          .withColumn("starts", Cdc.chunkStarts("text", "len"))
+          .select(Cdc.chunkTexts("text", "starts", "len").as("cdc"),
+            Cdc.fixedChunkTexts("text", "len").as("fix"))
+          .head()
+        (r.getSeq[String](0), r.getSeq[String](1))
+      }
+      val (cdcA, fixA) = chunksOf(t)
+      val (cdcB, fixB) = chunksOf(shifted)
+      cdcShared += cdcA.toSet.intersect(cdcB.toSet).size; cdcTotal += cdcA.size
+      fixShared += fixA.toSet.intersect(fixB.toSet).size; fixTotal += fixA.size
+    }
+    // content-defined: most of the original's chunks survive the shift
+    assert(cdcShared * 2 > cdcTotal,
+      s"CDC shared only $cdcShared of $cdcTotal chunks after a prefix edit")
+    // fixed-width: essentially none survive (every boundary re-aligned)
+    assert(fixShared * 10 < fixTotal + 10,
+      s"fixed-width unexpectedly shared $fixShared of $fixTotal")
+  }
+
   test("property: bin packing == sequential greedy fold, partitions independent") {
     import graft.queries.EngineOpsQueries
     val gen: Gen[List[(String, Long, Long)]] =
