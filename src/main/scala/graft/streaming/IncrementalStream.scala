@@ -223,6 +223,59 @@ object IncrementalStream {
       }
   }
 
+  /** One decayed-score emission: the x67 score for (grp, dayn) as of the
+    * latest batch that touched that day. */
+  final case class DecayScore(grp: String, dayn: Int, decayed_fp: Long)
+
+  /** Streaming maintenance of x67's exponentially time-decayed counts —
+    * the trending/freshness score kept warm per key instead of recomputed
+    * over the 30-day window each run. State per group: the trailing
+    * 30-day (day → count) panel (≤ 30 entries of (Int, Long) — bounded
+    * however hot the key), merged with each batch's per-day counts; a
+    * batch emits, for every day it touches, the EXACT x67 fixed-point
+    * score Σ_{d ∈ (D−30, D]} cnt_d · 2^(30−(D−d)) recomputed from the
+    * panel — not the halve-and-add recurrence, whose per-step integer
+    * truncation drifts from the windowed sum (the reason the state is
+    * the panel, not one accumulator). Contract (the reference's
+    * append-only CDC assumption): batches never contain a day EARLIER
+    * than the state's max day — same-day continuation is fine and
+    * re-emits that day; the latest emission per (grp, day) then equals
+    * the batch x67 row, proven per micro-batch split by StreamingSpec. */
+  def decayStream(rows: org.apache.spark.sql.Dataset[(String, Int)],
+                  windowDays: Int = 30):
+      org.apache.spark.sql.Dataset[DecayScore] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[Map[Int, Long], DecayScore](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        case (grp, batch, state) =>
+          val prev = state.getOption.getOrElse(Map.empty[Int, Long])
+          val batchCounts = batch.foldLeft(Map.empty[Int, Long]) {
+            case (m, (_, d)) => m.updated(d, m.getOrElse(d, 0L) + 1L)
+          }
+          if (batchCounts.isEmpty) Iterator.empty
+          else {
+            require(prev.isEmpty || batchCounts.keys.min >= prev.keys.max,
+              s"decayStream($grp): day ${batchCounts.keys.min} arrived after " +
+                s"later day ${prev.keys.max} — append-only day order required")
+            val merged = batchCounts.foldLeft(prev) {
+              case (m, (d, c)) => m.updated(d, m.getOrElse(d, 0L) + c)
+            }
+            val maxDay = merged.keys.max
+            state.update(merged.filter { case (d, _) => d > maxDay - windowDays })
+            batchCounts.keys.toSeq.sorted.iterator.map { day =>
+              val fp = merged.iterator
+                .filter { case (d, _) => d <= day && d > day - windowDays }
+                .map { case (d, c) => c << (windowDays - (day - d)) }
+                .sum
+              DecayScore(grp, day, fp)
+            }
+          }
+      }
+  }
+
   /** One closed (gap-expired) session. */
   final case class SessionSummary(user_id: Long, n_events: Long,
                                   first_ms: Long, last_ms: Long)

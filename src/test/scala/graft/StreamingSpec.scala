@@ -575,6 +575,66 @@ class StreamingSpec extends SparkTestBase {
     assert(state.count() == 4) // (click,1) (buy,2) (buy,1) (view,3) spread over batches
   }
 
+  test("IVM: streaming decayed counts == batch x67 formula for day-ordered splits") {
+    import org.apache.spark.sql.types.IntegerType
+    val src = tmpDir("decay_src")
+    val cp = tmpDir("decay_cp")
+    val out = tmpDir("decay_out") + "/scores"
+    val sch = StructType(Seq(StructField("grp", StringType),
+      StructField("dayn", IntegerType)))
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(sch).json(src)
+      val q = IncrementalStream.decayStream(stream.as[(String, Int)], windowDays = 4)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[IncrementalStream.DecayScore], _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    def rows(lines: String*): String = lines.mkString("\n")
+    // window 4 days, so day 6 must NOT see day 1-2 counts. Splits exercise:
+    // same-day continuation across batches (A day 2), multi-day batches,
+    // a group absent from a batch (B in b2), and window expiry (A day 6).
+    java.nio.file.Files.write(java.nio.file.Paths.get(src, "b1.json"),
+      rows("""{"grp":"A","dayn":1}""", """{"grp":"A","dayn":1}""",
+        """{"grp":"A","dayn":2}""", """{"grp":"B","dayn":1}""").getBytes)
+    drain()
+    java.nio.file.Files.write(java.nio.file.Paths.get(src, "b2.json"),
+      rows("""{"grp":"A","dayn":2}""", """{"grp":"A","dayn":3}""").getBytes)
+    drain()
+    java.nio.file.Files.write(java.nio.file.Paths.get(src, "b3.json"),
+      rows("""{"grp":"A","dayn":6}""", """{"grp":"B","dayn":4}""",
+        """{"grp":"B","dayn":4}""").getBytes)
+    drain()
+    val all = spark.read.parquet(out)
+    // latest emission per (grp, dayn): counts only grow within a day and
+    // the score is monotone in counts, so max == the final emission
+    // (later days never re-emit earlier days under the append contract)
+    val got = all.groupBy($"grp", $"dayn")
+      .agg(org.apache.spark.sql.functions.max($"decayed_fp").as("got_fp"))
+    val union = spark.read.schema(sch).json(src)
+      .filter(org.apache.spark.sql.functions.input_file_name().contains("b4") === false)
+    val dc = union.groupBy($"grp", $"dayn").count()
+    val ref = dc.select($"grp".as("g"), $"dayn".as("d"), $"count".as("cnt"))
+      .join(dc.select($"grp", $"dayn"),
+        $"grp" === $"g" && $"d" <= $"dayn" && $"d" > $"dayn" - 4)
+      .groupBy($"grp", $"dayn")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.expr(
+          "cnt * shiftleft(CAST(1 AS BIGINT), CAST(4 - (dayn - d) AS INT))"))
+        .as("ref_fp"))
+    val diff = got.join(ref, Seq("grp", "dayn"), "full_outer")
+      .filter($"got_fp".isNull || $"ref_fp".isNull || $"got_fp" =!= $"ref_fp")
+    assert(diff.isEmpty, diff.collect().mkString(", "))
+    // append-only contract is enforced loudly, not silently mis-scored
+    java.nio.file.Files.write(java.nio.file.Paths.get(src, "b4.json"),
+      rows("""{"grp":"A","dayn":2}""").getBytes)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException](drain())
+  }
+
   test("IVM: streaming top-k standings == batch top-k for any micro-batch split") {
     val src = tmpDir("topk_src")
     val cp = tmpDir("topk_cp")
