@@ -443,6 +443,109 @@ object Round9Queries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Span-corruption geometry: one span per FULL [[SpanBlock]]-token
+    * block, start offset ∈ [0, 16) and length ∈ [2, 4] both hash-chosen —
+    * spans are block-local by construction (16 + 4 ≤ 20), so no
+    * overlap/ordering pass is needed and the whole example builds
+    * array-locally per document. ~15% of tokens masked (3/20). */
+  private val SpanBlock = 20
+
+  /** x126: T5-style span corruption — the pretraining-example builder for
+    * denoising objectives: deterministic spans are cut from each document,
+    * the input keeps one `<X_k>` sentinel per span, and the target is the
+    * sentinel-delimited sequence of removed spans. Everything is
+    * hash-derived from (doc_id, block) with the x57 16-bit recipe, so the
+    * corruption is reproducible across runs/engines (and re-saltable per
+    * epoch by changing the literal salt). Emits per doc: token/span
+    * counts, the masked fraction, and md5 digests of the exact input and
+    * target strings (content-pinning without shipping the strings).
+    * Scale: pure per-row map (the x123/x20 array-local discipline) —
+    * zero shuffle except the driver-facing ORDER BY. */
+  def spanCorruption(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def h(salt: String) =
+      s"CAST(conv(substring(md5(concat_ws('|', '$salt', doc_id, k)), 1, 4), 16, 10) AS BIGINT)"
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .select($"doc_id", $"t", size($"t").as("n"))
+      .withColumn("nb", expr(s"size(t) div $SpanBlock"))
+      // per-block span bounds (1-based token positions), block-local
+      .withColumn("spans", expr(
+        s"""transform(sequence(0, nb - 1), k -> named_struct(
+           |  'k', k,
+           |  's', k * $SpanBlock + 1 + CAST(${h("sp")} % 16 AS INT),
+           |  'l', 2 + CAST(${h("ln")} % 3 AS INT)))""".stripMargin))
+      .filter($"nb" >= 1)
+    val built = base.select($"doc_id", $"n", $"nb",
+      expr("aggregate(spans, 0, (acc, sp) -> acc + sp.l)").as("n_masked"),
+      // input: sentinel at each span start, span tokens dropped
+      expr(
+        s"""array_join(filter(transform(sequence(1, n), i ->
+           |  CASE
+           |    WHEN (i - 1) div $SpanBlock < nb
+           |         AND i >= element_at(spans, CAST((i - 1) div $SpanBlock AS INT) + 1).s
+           |         AND i <  element_at(spans, CAST((i - 1) div $SpanBlock AS INT) + 1).s
+           |                  + element_at(spans, CAST((i - 1) div $SpanBlock AS INT) + 1).l
+           |    THEN IF(i = element_at(spans, CAST((i - 1) div $SpanBlock AS INT) + 1).s,
+           |            concat('<X', CAST((i - 1) div $SpanBlock AS STRING), '>'), NULL)
+           |    ELSE element_at(t, i)
+           |  END), x -> x IS NOT NULL), ' ')""".stripMargin).as("input_str"),
+      // target: <X_k> followed by the k-th span's tokens, all spans joined
+      expr(
+        s"""array_join(transform(spans, sp ->
+           |  concat('<X', CAST(sp.k AS STRING), '> ',
+           |         array_join(slice(t, sp.s, sp.l), ' '))), ' ')""".stripMargin)
+        .as("target_str"))
+    built.select($"doc_id", $"n".as("n_tokens"), $"nb".as("n_spans"),
+        $"n_masked",
+        QueryUtil.halfUp($"n_masked".cast("double") / $"n".cast("double"), 4)
+          .as("masked_frac"),
+        md5($"input_str").as("input_md5"), md5($"target_str").as("target_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val spanCorruptionOracle = {
+    def h(salt: String) = {
+      val m = s"md5(concat_ws('|', '$salt', CAST(doc_id AS VARCHAR), CAST(k AS VARCHAR)))"
+      (1 to 4).map(i => s"(strpos('0123456789abcdef', substr($m, $i, 1)) - 1)")
+        .reduce((a, b) => s"($a * 16 + $b)")
+    }
+    s"""WITH b AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, t, n, n // $SpanBlock AS nb,
+       |         list_transform(range(0, n // $SpanBlock), k -> struct_pack(
+       |           k := k,
+       |           s := k * $SpanBlock + 1 + (${h("sp")}) % 16,
+       |           l := 2 + (${h("ln")}) % 3)) AS spans
+       |  FROM b WHERE n // $SpanBlock >= 1),
+       |built AS (
+       |  SELECT doc_id, n, nb,
+       |         CAST(list_sum(list_transform(spans, sp -> sp.l)) AS BIGINT) AS n_masked,
+       |         array_to_string(list_filter(list_transform(range(1, n + 1), i ->
+       |           CASE
+       |             WHEN (i - 1) // $SpanBlock < nb
+       |                  AND i >= spans[CAST((i - 1) // $SpanBlock AS INTEGER) + 1].s
+       |                  AND i <  spans[CAST((i - 1) // $SpanBlock AS INTEGER) + 1].s
+       |                           + spans[CAST((i - 1) // $SpanBlock AS INTEGER) + 1].l
+       |             THEN CASE WHEN i = spans[CAST((i - 1) // $SpanBlock AS INTEGER) + 1].s
+       |                       THEN '<X' || CAST((i - 1) // $SpanBlock AS VARCHAR) || '>'
+       |                       ELSE NULL END
+       |             ELSE t[CAST(i AS INTEGER)]
+       |           END), x -> x IS NOT NULL), ' ') AS input_str,
+       |         array_to_string(list_transform(spans, sp ->
+       |           '<X' || CAST(sp.k AS VARCHAR) || '> ' ||
+       |           array_to_string(list_slice(t, CAST(sp.s AS INTEGER), CAST(sp.s + sp.l - 1 AS INTEGER)), ' ')), ' ') AS target_str
+       |  FROM w)
+       |SELECT doc_id, CAST(n AS INTEGER) AS n_tokens, CAST(nb AS INTEGER) AS n_spans,
+       |       n_masked,
+       |       floor((CAST(n_masked AS DOUBLE) / CAST(n AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS masked_frac,
+       |       md5(input_str) AS input_md5, md5(target_str) AS target_md5
+       |FROM built
+       |ORDER BY doc_id""".stripMargin
+  }
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("x117_stream_topk_parity",
       "streaming top-k maintenance batch parity: unrolled keyed-state fold + emission gating == per-prefix full recompute oracle",
@@ -461,5 +564,8 @@ object Round9Queries {
       cdcChunks, Some(cdcChunksOracle)),
     QueryDef("x123_gopher_gate",
       "Gopher quality-rule panel: five exact-integer pass/fail rules per document, all array-local (curation gate)",
-      gopherGate, Some(gopherGateOracle)))
+      gopherGate, Some(gopherGateOracle)),
+    QueryDef("x126_span_corruption",
+      "T5-style span-corruption example builder: deterministic block-local spans, sentinel input/target digests",
+      spanCorruption, Some(spanCorruptionOracle)))
 }
