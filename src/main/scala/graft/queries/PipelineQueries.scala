@@ -421,11 +421,16 @@ object PipelineQueries {
     * language distribution — the order a real pipeline uses, since
     * dedup/quality gates themselves shift the language mix. Nine stages,
     * one dataflow, one oracle statement. */
-  def trainingCorpusV3(spark: SparkSession, dir: String) = {
-    import spark.implicits._
-    val kept = corpusKept(spark, dir, Seq(
+  def trainingCorpusV3(spark: SparkSession, dir: String) =
+    rebalancedPacked(spark, dir, corpusKept(spark, dir, Seq(
       TrainingQueries.repetitionKeepIds(spark, dir),
-      TrainingQueries.surprisalKeepIds(spark, dir)))
+      TrainingQueries.surprisalKeepIds(spark, dir))))
+
+  /** The shared v3/v4 tail: post-gate temperature rebalancing (x85's exact
+    * integer predicate on the SURVIVOR language census) + packing. */
+  private def rebalancedPacked(spark: SparkSession, dir: String,
+                               kept: org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
     // NO reuse-point repartition on k2 (tried, reverted): unlike x16, the
     // census/rebalance fan-out does not re-run the upstream pipeline —
     // measured no change at sf0.1, so the extra exchange is pure cost.
@@ -445,16 +450,36 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
-  private val trainingCorpusV3Oracle = corpusOracleSql(
+  /** x127 — capstone v4: v3's nine stages PLUS the round-9 Gopher rule
+    * panel (x123's five exact-integer predicates) as a pre-mixture gate —
+    * TEN composed stages (quality score, exact dedup, near-dup canonical,
+    * eval exclusion, decontamination, repetition gate, surprisal gate,
+    * Gopher panel, mixture sampling, temperature rebalancing) feeding
+    * sequence packing, one dataflow, one oracle statement. */
+  def trainingCorpusV4(spark: SparkSession, dir: String) =
+    rebalancedPacked(spark, dir, corpusKept(spark, dir, Seq(
+      TrainingQueries.repetitionKeepIds(spark, dir),
+      TrainingQueries.surprisalKeepIds(spark, dir),
+      Round9Queries.gopherKeepIds(spark, dir)))
+      // reuse point (x16 recipe): with THREE keep-gates the kept frame's
+      // census/rebalance fan-out re-runs the whole gate chain per consumer
+      // (v3's two-gate shape did not — its note below stands); kept rows
+      // are 4 narrow scalars, one exchange buys the chain running once
+      .repartition(col("doc_id")))
+
+  /** v3's extra gate CTEs / predicates / rebalance tail, shared with v4. */
+  private lazy val repSurExtraCtes =
     s""",
        |${TrainingQueries.repCtes},
        |${TrainingQueries.repKeepCte},
        |${TrainingQueries.surCtes},
-       |${TrainingQueries.surKeepCte}""".stripMargin,
+       |${TrainingQueries.surKeepCte}""".stripMargin
+  private val repSurPredSql =
     s"""
        |           AND s.doc_id IN (SELECT doc_id FROM rep_keep)
-       |           AND s.doc_id IN (SELECT doc_id FROM sur_keep)""".stripMargin,
-    tailCtes = s""",
+       |           AND s.doc_id IN (SELECT doc_id FROM sur_keep)""".stripMargin
+  private lazy val rebalanceTailCtes =
+    s""",
        |tc AS (SELECT d.lang, count(*) AS n_in
        |       FROM kept k JOIN documents d ON d.doc_id = k.doc_id
        |       GROUP BY d.lang),
@@ -465,7 +490,21 @@ object PipelineQueries {
        |          JOIN tc ON tc.lang = d.lang, tm
        |          WHERE ${hexValSql("md5('tmix' || '|' || CAST(k.doc_id AS VARCHAR))")}
        |                * ${hexValSql("md5('tmix' || '|' || CAST(k.doc_id AS VARCHAR))")}
-       |                * tc.n_in < 4294967296 * tm.n_min)""".stripMargin,
+       |                * tc.n_in < 4294967296 * tm.n_min)""".stripMargin
+
+  private lazy val trainingCorpusV3Oracle = corpusOracleSql(
+    repSurExtraCtes, repSurPredSql,
+    tailCtes = rebalanceTailCtes,
+    packSrc = "kept2", packExtra = " lang, source,")
+
+  private lazy val trainingCorpusV4Oracle = corpusOracleSql(
+    repSurExtraCtes +
+      s""",
+         |${Round9Queries.gopherKeepCtes}""".stripMargin,
+    repSurPredSql +
+      s"""
+         |           AND s.doc_id IN (SELECT doc_id FROM gopher_keep)""".stripMargin,
+    tailCtes = rebalanceTailCtes,
     packSrc = "kept2", packExtra = " lang, source,")
 
   /** Bloom-filter sizing for x16: the bit array SELF-SIZES to the eval
@@ -627,6 +666,9 @@ object PipelineQueries {
     QueryDef("x93_training_corpus_v3",
       "capstone v3: v2's eight stages + post-gate temperature language rebalancing (nine stages, one oracle)",
       trainingCorpusV3, Some(trainingCorpusV3Oracle)),
+    QueryDef("x127_training_corpus_v4",
+      "capstone v4: v3 + the Gopher rule panel as a pre-mixture gate (ten stages, one oracle)",
+      trainingCorpusV4, Some(trainingCorpusV4Oracle)),
     QueryDef("x92_training_corpus_v2",
       "full capstone v2: x91 + repetition gate + surprisal gate (all eight stages, one oracle)",
       trainingCorpusV2, Some(trainingCorpusV2Oracle)),

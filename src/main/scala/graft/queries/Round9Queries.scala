@@ -410,11 +410,28 @@ object Round9Queries {
       .orderBy("doc_id")
   }
 
-  private val gopherGateOracle = {
+  /** The five rules as SQL predicates over the gop-chain's `g` columns —
+    * one definition feeding both the x123 oracle and the capstone-v4
+    * keep CTE, so the thresholds cannot drift. */
+  private val gopherRuleSqls: Seq[(String, String)] = Seq(
+    "r_wordcount" -> s"n >= $GopherMinWords AND n <= $GopherMaxWords",
+    "r_wordlen" -> "3 * n <= sumlen AND sumlen <= 10 * n",
+    "r_stopwords" -> "n_stop_forms >= 2",
+    "r_topshare" -> "10 * max_tf < 3 * n",
+    "r_bigram" -> "(n_bg = 0 OR 2 * n_bg_distinct >= n_bg)")
+
+  private val gopherAllPredSql: String =
+    gopherRuleSqls.map(_._2).map(p => s"($p)").mkString(" AND ")
+
+  /** The tokenize → measure → aggregate chain ending in
+    * `${p}g(doc_id, n, sumlen, n_stop_forms, max_tf, n_bg, n_bg_distinct)`;
+    * `p` prefixes the CTE names so the chain can splice into statements
+    * that already use b/m/g. */
+  private def gopherChainSql(p: String): String = {
     val stops = graft.operators.TextAnalysis.StopwordsEnSql
-    s"""WITH b AS (
+    s"""${p}b AS (
        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       |m AS (
+       |${p}m AS (
        |  SELECT doc_id, len(t) AS n,
        |         CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sumlen,
        |         len(list_filter(list_distinct(t), x -> x IN ($stops))) AS n_stop_forms,
@@ -423,22 +440,34 @@ object Round9Queries {
        |              THEN list_transform(generate_series(1, len(t) - 1),
        |                     i -> t[CAST(i AS INTEGER)] || ' ' || t[CAST(i AS INTEGER) + 1])
        |              ELSE [] END AS bg
-       |  FROM b),
-       |g AS (
+       |  FROM ${p}b),
+       |${p}g AS (
        |  SELECT doc_id, n, sumlen, n_stop_forms, max_tf,
        |         len(bg) AS n_bg, len(list_distinct(bg)) AS n_bg_distinct
-       |  FROM m)
+       |  FROM ${p}m)""".stripMargin
+  }
+
+  /** Splice-ready CTE block (leading names prefixed `gop_`) ending in
+    * `gopher_keep(doc_id)` — the capstone-v4 gate. */
+  private[queries] lazy val gopherKeepCtes: String =
+    gopherChainSql("gop_") +
+      s""",
+         |gopher_keep AS (SELECT doc_id FROM gop_g WHERE $gopherAllPredSql)""".stripMargin
+
+  /** The x123 gate reduced to surviving doc ids — the capstone-v4 stage. */
+  private[queries] def gopherKeepIds(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    gopherGate(spark, dir).filter($"keep" === 1).select($"doc_id")
+  }
+
+  private val gopherGateOracle = {
+    val rules = gopherRuleSqls
+      .map { case (nm, p) => s"CAST($p AS INTEGER) AS $nm" }
+      .mkString(",\n       ")
+    s"""WITH ${gopherChainSql("")}
        |SELECT doc_id, CAST(n AS INTEGER) AS n_words,
-       |       CAST(n >= $GopherMinWords AND n <= $GopherMaxWords AS INTEGER) AS r_wordcount,
-       |       CAST(3 * n <= sumlen AND sumlen <= 10 * n AS INTEGER) AS r_wordlen,
-       |       CAST(n_stop_forms >= 2 AS INTEGER) AS r_stopwords,
-       |       CAST(10 * max_tf < 3 * n AS INTEGER) AS r_topshare,
-       |       CAST(n_bg = 0 OR 2 * n_bg_distinct >= n_bg AS INTEGER) AS r_bigram,
-       |       CAST(n >= $GopherMinWords AND n <= $GopherMaxWords
-       |            AND 3 * n <= sumlen AND sumlen <= 10 * n
-       |            AND n_stop_forms >= 2
-       |            AND 10 * max_tf < 3 * n
-       |            AND (n_bg = 0 OR 2 * n_bg_distinct >= n_bg) AS INTEGER) AS keep
+       |       $rules,
+       |       CAST($gopherAllPredSql AS INTEGER) AS keep
        |FROM g
        |ORDER BY doc_id""".stripMargin
   }
