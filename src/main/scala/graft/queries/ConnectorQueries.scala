@@ -248,7 +248,9 @@ object ConnectorQueries {
     * ordered cut indices (so the oracle checks the exact cut SET, not
     * just the count). Narrow shapes end to end: the only shuffle keys the
     * per-doc lag window and final aggregate. */
-  def sceneSegments(spark: SparkSession, dir: String) = {
+  /** Every frame with its shot-boundary flag — x75's cut pass, shared
+    * with x128's keyframe selection. */
+  private def framesWithCuts(spark: SparkSession, dir: String) = {
     import spark.implicits._
     val media = Multimodal.attachFakeMedia(Tables.documents(spark, dir))
     val frames = Multimodal.frameFeatures(Multimodal.sampleFrames(media, everyK = 1)).toDF()
@@ -256,8 +258,12 @@ object ConnectorQueries {
       .partitionBy($"doc_id").orderBy($"frame_idx")
     val dist = abs($"f0" - lag($"f0", 1).over(w)) + abs($"f1" - lag($"f1", 1).over(w)) +
       abs($"f2" - lag($"f2", 1).over(w)) + abs($"f3" - lag($"f3", 1).over(w))
-    frames
-      .withColumn("cut", (dist > SceneTau).cast("int"))
+    frames.withColumn("cut", (dist > SceneTau).cast("int"))
+  }
+
+  def sceneSegments(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    framesWithCuts(spark, dir)
       .groupBy($"doc_id")
       .agg(count(lit(1)).cast("int").as("n_frames"),
         (lit(1) + coalesce(sum($"cut"), lit(0L))).cast("int").as("n_scenes"),
@@ -268,7 +274,10 @@ object ConnectorQueries {
       .orderBy("doc_id")
   }
 
-  private val sceneOracle = {
+  /** The m→s→f→fs→fx→d→c chain ending in `c(doc_id, frame_idx, cut)` —
+    * one definition for the x75 and x128 oracles (fx also feeds x128's
+    * keyframe features). */
+  private val sceneCtes: String = {
     def nibOf(expr: String, i: Int) =
       s"(strpos('0123456789abcdef', substr(md5($expr), ${i + 1}, 1)) - 1)"
     s"""WITH m AS (SELECT doc_id, text,
@@ -293,15 +302,56 @@ object ConnectorQueries {
        |      WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
        |c AS (SELECT doc_id, frame_idx,
        |        CASE WHEN dist > $SceneTau THEN 1 ELSE 0 END AS cut
-       |      FROM d)
+       |      FROM d)""".stripMargin
+  }
+
+  private val sceneOracle =
+    sceneCtes + s"""
        |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_frames,
        |       CAST(1 + coalesce(sum(cut), 0) AS INTEGER) AS n_scenes,
        |       md5(coalesce(string_agg(CASE WHEN cut = 1 THEN CAST(frame_idx AS VARCHAR) END, ',' ORDER BY frame_idx), '')) AS cuts_md5
        |FROM c GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
+
+  /** x128: keyframe extraction — the representative-frame selection a
+    * vision-language training pipeline runs after shot detection: one
+    * keyframe per scene (the scene's FIRST frame: frame 0 plus every cut
+    * frame), with the keyframe's features carried alongside — the rows a
+    * captioning/embedding stage would consume instead of every frame
+    * (~n_scenes/n_frames of the decode budget). Pure composition of the
+    * audited x71 sampler + x75 cut pass; the per-doc scene numbering is
+    * one ranking window over the (tiny) keyframe set. */
+  def keyframes(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"frame_idx")
+    framesWithCuts(spark, dir)
+      .filter($"frame_idx" === 0 || $"cut" === 1)
+      .withColumn("scene_id", row_number().over(w))
+      .select($"doc_id", $"scene_id", $"frame_idx".as("start_frame"),
+        QueryUtil.halfUp($"f0", 4).as("kf0"), QueryUtil.halfUp($"f1", 4).as("kf1"),
+        QueryUtil.halfUp($"f2", 4).as("kf2"), QueryUtil.halfUp($"f3", 4).as("kf3"))
+      .orderBy("doc_id", "scene_id")
   }
 
+  private val keyframesOracle =
+    sceneCtes + s""",
+       |kf AS (SELECT c.doc_id, c.frame_idx,
+       |         row_number() OVER (PARTITION BY c.doc_id ORDER BY c.frame_idx) AS scene_id
+       |       FROM c WHERE c.frame_idx = 0 OR c.cut = 1)
+       |SELECT kf.doc_id, CAST(kf.scene_id AS INTEGER) AS scene_id,
+       |       kf.frame_idx AS start_frame,
+       |       floor(fx.f0 * 10000 + 0.5) / 10000.0 AS kf0,
+       |       floor(fx.f1 * 10000 + 0.5) / 10000.0 AS kf1,
+       |       floor(fx.f2 * 10000 + 0.5) / 10000.0 AS kf2,
+       |       floor(fx.f3 * 10000 + 0.5) / 10000.0 AS kf3
+       |FROM kf JOIN fx ON fx.doc_id = kf.doc_id AND fx.frame_idx = kf.frame_idx
+       |ORDER BY kf.doc_id, kf.scene_id""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
+    QueryDef("x128_keyframes",
+      "keyframe extraction: one representative frame per detected scene, features attached (X7)",
+      keyframes, Some(keyframesOracle)),
     QueryDef("x75_scene_segments",
       "scene-cut segmentation over per-frame features (L1 threshold, exact cut set) (X7)",
       sceneSegments, Some(sceneOracle)),
