@@ -280,6 +280,119 @@ object EngineOpsQueries {
          |ORDER BY layout DESC, dim""".stripMargin
   }
 
+  /** q93: ANALYZE-style table statistics — the per-column stats a
+    * cost-based optimizer collects before planning (exact NDV, null
+    * count, min/max rendered engine-stably: integers as-is, money as
+    * exact cents, dates as ISO strings): one pass over orders, one
+    * aggregate row unpivoted to a row per column. Exact countDistinct
+    * (no sketch) keeps the oracle comparable; at 100 TB a deployment
+    * would swap HLL for the NDVs — q31 covers that surface. Scale: one
+    * scan, one aggregate; the unpivot is 6 literal rows. */
+  def analyzeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey",
+      $"o_orderstatus",
+      floor($"o_totalprice" * 100 + 0.5).cast("long").as("price_cents"),
+      $"o_orderdate".cast("date").as("o_orderdate"), $"o_orderpriority")
+    def stats(c: String, render: Column => Column) = Seq(
+      countDistinct(col(c)).as(s"${c}_ndv"),
+      sum(col(c).isNull.cast("long")).as(s"${c}_nulls"),
+      render(min(col(c))).as(s"${c}_min"), render(max(col(c))).as(s"${c}_max"))
+    val asStr = (x: Column) => x.cast("string")
+    val agg1 = o.agg(count(lit(1)).as("n_rows"),
+      (stats("o_orderkey", asStr) ++ stats("o_custkey", asStr) ++
+        stats("o_orderstatus", asStr) ++ stats("price_cents", asStr) ++
+        stats("o_orderdate", asStr) ++ stats("o_orderpriority", asStr)): _*)
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "price_cents", "o_orderdate", "o_orderpriority")
+    val stackExpr = cols.map(c =>
+      s"'$c', ${c}_ndv, ${c}_nulls, ${c}_min, ${c}_max").mkString(", ")
+    agg1.select($"n_rows", expr(
+        s"stack(${cols.size}, $stackExpr) AS (col_name, ndv, n_nulls, min_s, max_s)"))
+      .select($"col_name", $"n_rows", $"ndv", $"n_nulls", $"min_s", $"max_s")
+      .orderBy("col_name")
+  }
+
+  private val analyzeStatsOracle = {
+    val specs = Seq(
+      ("o_orderkey", "CAST(o_orderkey AS VARCHAR)", "o_orderkey"),
+      ("o_custkey", "CAST(o_custkey AS VARCHAR)", "o_custkey"),
+      ("o_orderstatus", "o_orderstatus", "o_orderstatus"),
+      ("price_cents", "CAST(price_cents AS VARCHAR)", "price_cents"),
+      ("o_orderdate", "CAST(o_orderdate AS VARCHAR)", "o_orderdate"),
+      ("o_orderpriority", "o_orderpriority", "o_orderpriority"))
+    val rows = specs.map { case (nm, _, c) =>
+      s"""SELECT '$nm' AS col_name, (SELECT count(*) FROM o) AS n_rows,
+         |       count(DISTINCT $c) AS ndv,
+         |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |       CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s
+         |FROM o""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+       |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+       |             CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+       |           FROM orders)
+       |$rows
+       |ORDER BY col_name""".stripMargin
+  }
+
+  /** q94: join-cardinality estimation audit — the CBO textbook formula
+    * |A ⋈ B| ≈ |A|·|B| / max(ndv_A(k), ndv_B(k)) evaluated against the
+    * TRUE join count for the schema's three core equi-joins. Estimate
+    * numerators/denominators are exact integers (one double division,
+    * half-up); the per-join error ratio is the calibration signal a
+    * planner derives its confidence from (the FK joins here are the
+    * formula's best case — ratio ≈ 1 — which is itself the point: the
+    * audit proves the stats pipeline supports the estimate). Scale: the
+    * stats side is q93's one-pass aggregates; the truth side is the
+    * three audited join counts. */
+  def joinCardEst(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    def audit(name: String, a: DataFrame, ak: String, b: DataFrame, bk: String) = {
+      val sa = a.agg(count(lit(1)).as("n_left"), countDistinct(col(ak)).as("ndv_left"))
+      val sb = b.agg(count(lit(1)).as("n_right"), countDistinct(col(bk)).as("ndv_right"))
+      val actual = a.join(b, col(ak) === col(bk)).agg(count(lit(1)).as("actual_rows"))
+      sa.crossJoin(sb).crossJoin(actual)
+        .select(lit(name).as("join_name"), $"n_left", $"n_right",
+          $"ndv_left", $"ndv_right",
+          QueryUtil.halfUp($"n_left".cast("double") * $"n_right".cast("double")
+            / greatest($"ndv_left", $"ndv_right").cast("double"), 2).as("est_rows"),
+          $"actual_rows",
+          QueryUtil.halfUp($"actual_rows".cast("double")
+            / ($"n_left".cast("double") * $"n_right".cast("double")
+               / greatest($"ndv_left", $"ndv_right").cast("double")), 4).as("err_ratio"))
+    }
+    audit("orders_customer", o, "o_custkey", c, "c_custkey")
+      .unionByName(audit("lineitem_orders", l, "l_orderkey", o, "o_orderkey"))
+      .unionByName(audit("lineitem_part", l, "l_partkey", p, "p_partkey"))
+      .orderBy("join_name")
+  }
+
+  private val joinCardEstOracle = {
+    def audit(name: String, a: String, ak: String, b: String, bk: String) =
+      s"""SELECT '$name' AS join_name,
+         |       (SELECT count(*) FROM $a) AS n_left,
+         |       (SELECT count(*) FROM $b) AS n_right,
+         |       (SELECT count(DISTINCT $ak) FROM $a) AS ndv_left,
+         |       (SELECT count(DISTINCT $bk) FROM $b) AS ndv_right,
+         |       floor((CAST((SELECT count(*) FROM $a) AS DOUBLE) * CAST((SELECT count(*) FROM $b) AS DOUBLE)
+         |              / CAST(greatest((SELECT count(DISTINCT $ak) FROM $a), (SELECT count(DISTINCT $bk) FROM $b)) AS DOUBLE)) * 100 + 0.5) / 100.0 AS est_rows,
+         |       (SELECT count(*) FROM $a JOIN $b ON $a.$ak = $b.$bk) AS actual_rows,
+         |       floor((CAST((SELECT count(*) FROM $a JOIN $b ON $a.$ak = $b.$bk) AS DOUBLE)
+         |              / (CAST((SELECT count(*) FROM $a) AS DOUBLE) * CAST((SELECT count(*) FROM $b) AS DOUBLE)
+         |                 / CAST(greatest((SELECT count(DISTINCT $ak) FROM $a), (SELECT count(DISTINCT $bk) FROM $b)) AS DOUBLE))) * 10000 + 0.5) / 10000.0 AS err_ratio""".stripMargin
+    s"""${audit("orders_customer", "orders", "o_custkey", "customer", "c_custkey")}
+       |UNION ALL
+       |${audit("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey")}
+       |UNION ALL
+       |${audit("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey")}
+       |ORDER BY join_name""".stripMargin
+  }
+
   /** Lazy so it can safely reference vals declared later in this object:
     * a strict val here captured `aqpGroupByOracle` as null (Scala object
     * vals initialize in declaration order), which wrapped `Some(null)`
@@ -298,7 +411,13 @@ object EngineOpsQueries {
       aqpGroupBy, Some(aqpGroupByOracle)),
     QueryDef("q92_zonemap_skip",
       "zone-map skip-rate estimator: per-layout per-dimension scan fractions for a range-predicate workload",
-      zonemapSkip, Some(zonemapSkipOracle)))
+      zonemapSkip, Some(zonemapSkipOracle)),
+    QueryDef("q93_analyze_stats",
+      "ANALYZE-style per-column CBO statistics: exact NDV, nulls, engine-stable min/max, one pass unpivoted",
+      analyzeStats, Some(analyzeStatsOracle)),
+    QueryDef("q94_join_card_est",
+      "join-cardinality estimation audit: |A||B|/max(ndv) estimate vs true count for the three core equi-joins",
+      joinCardEst, Some(joinCardEstOracle)))
 
   /** AQP sampling modulus (keep 1 in [[AqpMod]] orders). */
   private val AqpMod = 100L
