@@ -400,6 +400,100 @@ object SimilarityQueries {
        |FROM f""".stripMargin
   }
 
+  /** Rocchio feedback weight (q' = q + α·centroid(top-k)). */
+  private val RocchioAlpha = 0.5
+  private val RocchioFb = 3
+
+  /** x129: dense pseudo-relevance feedback — the Rocchio update in
+    * embedding space (the dense twin of x84's lexical PRF): round 1 runs
+    * the exact dense top-[[RocchioFb]] per query, the query vector moves
+    * toward the centroid of its feedback docs (q' = q + α·c̄, with the
+    * centroid built from the x35 fixed-point recipe — per-dim 1e-6
+    * half-up integer sums divided by k with integer `div`, so BOTH
+    * engines derive the identical q'), and round 2 re-searches the
+    * corpus with q' (cast to float, the audited x30 scan shape). Emits
+    * the final top-3 with a flag for documents that were already in the
+    * feedback set — the rank movement IS the operator's effect. Scale:
+    * two broadcast-query corpus scans plus a 64-row-per-query centroid
+    * aggregate; nothing quadratic. */
+  def rocchioDense(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", Similarity.norm($"embedding").as("nrm"))
+    val q = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"nrm".as("qn"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+    val r1 = emb.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        round(Similarity.dot($"qv", $"embedding") / ($"qn" * $"nrm"), 4).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= RocchioFb)
+      .select($"q_id", $"vec_id")
+    // per-dim fixed-point centroid of the feedback docs (the x35 recipe:
+    // half-up 1e-6 integer sums — order-free — divided as DOUBLE, never
+    // integer division, whose trunc-vs-floor semantics differ between the
+    // engines on negative sums)
+    val cent = r1.join(emb.select($"vec_id", $"embedding"), "vec_id")
+      .select($"q_id", posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"q_id", $"pos")
+      .agg(sum(floor($"v".cast("double") * 1e6 + 0.5).cast("long")).as("sfp"))
+    // q' assembled in dim order, cast to float for the audited scan shape
+    val q2 = cent.join(q, "q_id")
+      .select($"q_id", $"pos",
+        (element_at($"qv", $"pos" + 1).cast("double")
+          + lit(RocchioAlpha) * ($"sfp".cast("double") / lit(RocchioFb * 1e6)))
+          .cast("float").as("qd"))
+      .groupBy($"q_id")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, qd))), s -> s.qd)").as("q2v"))
+      .select($"q_id", $"q2v", Similarity.norm($"q2v").as("q2n"))
+    val w2 = Window.partitionBy($"q_id").orderBy($"cosine2".desc, $"vec_id")
+    emb.join(broadcast(q2), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        round(Similarity.dot($"q2v", $"embedding") / ($"q2n" * $"nrm"), 4).as("cosine2"))
+      .withColumn("rk", row_number().over(w2))
+      .filter($"rk" <= 3)
+      .join(r1.withColumn("fb", lit(1)), Seq("q_id", "vec_id"), "left")
+      .select($"q_id", $"rk", $"vec_id", $"cosine2",
+        coalesce($"fb", lit(0)).as("was_feedback"))
+      .orderBy("q_id", "rk")
+  }
+
+  private val rocchioDenseOracle =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |             sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |           FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qn FROM e WHERE vec_id % 100 = 0),
+       |p1 AS (SELECT q.q_id, e.vec_id,
+       |         round(${dotSql("q.qv", "e.embedding")} / (q.qn * e.nrm), 4) AS cosine
+       |       FROM e JOIN q ON e.vec_id <> q.q_id),
+       |r1 AS (SELECT q_id, vec_id FROM (
+       |         SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+       |         FROM p1) WHERE rk <= $RocchioFb),
+       |cent AS (SELECT r1.q_id, dd.d,
+       |           CAST(sum(CAST(floor(CAST(e.embedding[CAST(dd.d AS INTEGER)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sfp
+       |         FROM r1 JOIN e ON e.vec_id = r1.vec_id,
+       |              (SELECT unnest(range(1, 65)) AS d) dd
+       |         GROUP BY r1.q_id, dd.d),
+       |q2 AS (SELECT cent.q_id,
+       |         list(CAST(CAST(q.qv[CAST(cent.d AS INTEGER)] AS DOUBLE)
+       |                   + $RocchioAlpha * (CAST(cent.sfp AS DOUBLE) / ${RocchioFb * 1e6}) AS FLOAT)
+       |              ORDER BY cent.d) AS q2v
+       |       FROM cent JOIN q ON q.q_id = cent.q_id
+       |       GROUP BY cent.q_id),
+       |q2n AS (SELECT q_id, q2v, sqrt(${dotSql("q2v", "q2v")}) AS q2n FROM q2),
+       |p2 AS (SELECT q2n.q_id, e.vec_id,
+       |         round(${dotSql("q2n.q2v", "e.embedding")} / (q2n.q2n * e.nrm), 4) AS cosine2
+       |       FROM e JOIN q2n ON e.vec_id <> q2n.q_id),
+       |r2 AS (SELECT q_id, vec_id, cosine2,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cosine2 DESC, vec_id) AS rk
+       |       FROM p2)
+       |SELECT r2.q_id, r2.rk, r2.vec_id, r2.cosine2,
+       |       CASE WHEN r1.vec_id IS NULL THEN 0 ELSE 1 END AS was_feedback
+       |FROM r2 LEFT JOIN r1 ON r1.q_id = r2.q_id AND r1.vec_id = r2.vec_id
+       |WHERE r2.rk <= 3
+       |ORDER BY r2.q_id, r2.rk""".stripMargin
+
   /** X3 scale path #2 — IVF: a coarse quantizer (fixed centroid subset,
     * vec_id % 97) assigns every vector to its nearest centroid; each query
     * probes its nprobe=2 nearest clusters and searches only there. The
@@ -1445,5 +1539,8 @@ object SimilarityQueries {
       hardNegatives, Some(hardNegativesOracle)),
     QueryDef("x125_jl_projection",
       "random-projection (JL) 64-to-16-dim sketching with anchor-pair cosine distortion audit (X3 bandwidth path)",
-      jlProjection, Some(jlProjectionOracle)))
+      jlProjection, Some(jlProjectionOracle)),
+    QueryDef("x129_rocchio_dense",
+      "dense pseudo-relevance feedback: Rocchio query update (fixed-point centroid) + second-round re-search (X3)",
+      rocchioDense, Some(rocchioDenseOracle)))
 }
