@@ -66,7 +66,15 @@ object ExplainAudit {
       // vocab-bounded BPE/Zipf aggregates, zone-map metadata frames
       // (NOT x118: rides the eager components fixpoint, like x14.)
       "x122_cdc_chunks", "x119_hard_negatives", "x120_bpe_pairs",
-      "x121_zipf_fit", "q92_zonemap_skip", "x117_stream_topk_parity")
+      "x121_zipf_fit", "q92_zonemap_skip", "x117_stream_topk_parity",
+      // late-round-9 shapes: array-local rule panel / span builder (zero
+      // exchange except sort), map-only JL projection with broadcast
+      // anchor audit, two-round Rocchio (broadcast q/q2 sides), one-pass
+      // ANALYZE + CBO audit aggregates, scene-cut keyframe filter
+      // (NOT x127: eager components gate at construction, like x14.)
+      "x123_gopher_gate", "x126_span_corruption", "x125_jl_projection",
+      "x129_rocchio_dense", "q93_analyze_stats", "q94_join_card_est",
+      "x128_keyframes")
     names.foreach { n =>
       println(s"\n===== $n =====")
       Registry.byName(n).fn(spark, dir).explain("formatted")
