@@ -575,6 +575,69 @@ object Round9Queries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** x130: corpus snapshot diff — the change-data-feed summary a versioned
+    * lakehouse emits between two table versions: rows classified
+    * added / removed / changed / unchanged by keyed full-outer join with
+    * content-hash comparison, rolled up per source. The "next" snapshot is
+    * derived deterministically from the base fixture (every 17th doc
+    * removed, every 13th edited, every 29th cloned under a new id), so
+    * both engines construct the identical version pair and the diff logic
+    * itself is what the oracle checks. Scale: one full-outer equi-join on
+    * the key + a small rollup — the exact shape of a snapshot diff at any
+    * size; content hashes make `changed` detection O(1) per row. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val a = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", md5($"text").as("h"))
+    val docs = Tables.documents(spark, dir)
+    val b = docs.filter($"doc_id" % 17 =!= 0)
+      .select($"doc_id", $"source",
+        md5(when($"doc_id" % 13 === 0, concat($"text", lit(" v2")))
+          .otherwise($"text")).as("h"))
+      .unionByName(docs.filter($"doc_id" % 29 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"source",
+          md5($"text").as("h")))
+    val d = a.select($"doc_id", $"source".as("src_a"), $"h".as("ha"))
+      .join(b.select($"doc_id", $"source".as("src_b"), $"h".as("hb")),
+        Seq("doc_id"), "full_outer")
+      .select(coalesce($"src_a", $"src_b").as("source"),
+        when($"ha".isNull, "added")
+          .when($"hb".isNull, "removed")
+          .when($"ha" =!= $"hb", "changed")
+          .otherwise("unchanged").as("status"))
+    d.groupBy($"source")
+      .agg(sum(($"status" === "added").cast("long")).as("n_added"),
+        sum(($"status" === "removed").cast("long")).as("n_removed"),
+        sum(($"status" === "changed").cast("long")).as("n_changed"),
+        sum(($"status" === "unchanged").cast("long")).as("n_unchanged"))
+      .orderBy("source")
+  }
+
+  private val snapshotDiffOracle =
+    """WITH a AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+      |b AS (
+      |  SELECT doc_id, source,
+      |         md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS h
+      |  FROM documents WHERE doc_id % 17 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, source, md5(text) AS h
+      |  FROM documents WHERE doc_id % 29 = 0),
+      |d AS (
+      |  SELECT coalesce(a.source, b.source) AS source,
+      |         CASE WHEN a.h IS NULL THEN 'added'
+      |              WHEN b.h IS NULL THEN 'removed'
+      |              WHEN a.h <> b.h THEN 'changed'
+      |              ELSE 'unchanged' END AS status
+      |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+      |SELECT source,
+      |       CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+      |       CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |       CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      |       CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+      |FROM d
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("x117_stream_topk_parity",
       "streaming top-k maintenance batch parity: unrolled keyed-state fold + emission gating == per-prefix full recompute oracle",
@@ -596,5 +659,8 @@ object Round9Queries {
       gopherGate, Some(gopherGateOracle)),
     QueryDef("x126_span_corruption",
       "T5-style span-corruption example builder: deterministic block-local spans, sentinel input/target digests",
-      spanCorruption, Some(spanCorruptionOracle)))
+      spanCorruption, Some(spanCorruptionOracle)),
+    QueryDef("x130_snapshot_diff",
+      "corpus snapshot diff: added/removed/changed/unchanged per source via keyed full-outer + content hashes (CDF summary)",
+      snapshotDiff, Some(snapshotDiffOracle)))
 }
