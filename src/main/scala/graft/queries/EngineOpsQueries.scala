@@ -393,6 +393,58 @@ object EngineOpsQueries {
        |ORDER BY join_name""".stripMargin
   }
 
+  /** q95: statistics MERGEABILITY — the property that decides whether a
+    * metadata layer can maintain table stats incrementally from
+    * per-partition stats or must rescan: count/min/max merged across the
+    * five priority partitions are proven EQUAL to the global one-pass
+    * stats (mergeable_match = 1), while summed per-partition NDVs
+    * overcount the global NDV by the measured inflation factor — the
+    * quantified reason real systems keep NDV as a mergeable sketch (HLL,
+    * q31's surface) instead of exact per-partition counts. Scale: stats
+    * frames are |partitions| rows; the only data-sized work is the two
+    * aggregation passes the comparison is ABOUT. */
+  def statsMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir).select($"o_orderpriority",
+      floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"), $"o_custkey")
+    val per = o.groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), min($"cents").as("mn"), max($"cents").as("mx"),
+        countDistinct($"o_custkey").as("ndv"))
+    val merged = per.agg(count(lit(1)).as("n_parts"), sum($"cnt").as("rows_merged"),
+      min($"mn").as("mn_m"), max($"mx").as("mx_m"), sum($"ndv").as("ndv_sum"))
+    val global = o.agg(count(lit(1)).as("rows_global"),
+      min($"cents").as("mn_g"), max($"cents").as("mx_g"),
+      countDistinct($"o_custkey").as("ndv_global"))
+    merged.crossJoin(broadcast(global))
+      .select($"n_parts", $"rows_merged", $"rows_global",
+        ($"rows_merged" === $"rows_global" && $"mn_m" === $"mn_g"
+          && $"mx_m" === $"mx_g").cast("int").as("mergeable_match"),
+        $"ndv_sum", $"ndv_global",
+        QueryUtil.halfUp($"ndv_sum".cast("double") / $"ndv_global".cast("double"), 4)
+          .as("ndv_inflation"))
+  }
+
+  private val statsMergeOracle =
+    """WITH o AS (SELECT o_orderpriority,
+      |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |             o_custkey
+      |           FROM orders),
+      |per AS (SELECT o_orderpriority, count(*) AS cnt, min(cents) AS mn,
+      |               max(cents) AS mx, count(DISTINCT o_custkey) AS ndv
+      |        FROM o GROUP BY o_orderpriority),
+      |m AS (SELECT count(*) AS n_parts, CAST(sum(cnt) AS BIGINT) AS rows_merged,
+      |             min(mn) AS mn_m, max(mx) AS mx_m, CAST(sum(ndv) AS BIGINT) AS ndv_sum
+      |      FROM per),
+      |g AS (SELECT count(*) AS rows_global, min(cents) AS mn_g, max(cents) AS mx_g,
+      |             count(DISTINCT o_custkey) AS ndv_global
+      |      FROM o)
+      |SELECT m.n_parts, m.rows_merged, g.rows_global,
+      |       CAST(m.rows_merged = g.rows_global AND m.mn_m = g.mn_g
+      |            AND m.mx_m = g.mx_g AS INTEGER) AS mergeable_match,
+      |       m.ndv_sum, g.ndv_global,
+      |       floor((CAST(m.ndv_sum AS DOUBLE) / CAST(g.ndv_global AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS ndv_inflation
+      |FROM m, g""".stripMargin
+
   /** Lazy so it can safely reference vals declared later in this object:
     * a strict val here captured `aqpGroupByOracle` as null (Scala object
     * vals initialize in declaration order), which wrapped `Some(null)`
@@ -417,7 +469,10 @@ object EngineOpsQueries {
       analyzeStats, Some(analyzeStatsOracle)),
     QueryDef("q94_join_card_est",
       "join-cardinality estimation audit: |A||B|/max(ndv) estimate vs true count for the three core equi-joins",
-      joinCardEst, Some(joinCardEstOracle)))
+      joinCardEst, Some(joinCardEstOracle)),
+    QueryDef("q95_stats_merge",
+      "statistics mergeability: partition count/min/max merge exactly; exact NDVs don't (measured inflation)",
+      statsMerge, Some(statsMergeOracle)))
 
   /** AQP sampling modulus (keep 1 in [[AqpMod]] orders). */
   private val AqpMod = 100L
