@@ -50,7 +50,9 @@ object TextQueries {
       .orderBy($"lang", $"pred")
   }
 
-  private val langIdOracle = {
+  /** The tokenize → score → argmax chain ending in `p(lang, pred)` — one
+    * definition for the x41 confusion oracle and x131's metrics oracle. */
+  private def langPredCtes: String = {
     val scoreExpr = TextAnalysis.LangMarkers.map { case (l, ws) =>
       s"len(list_filter(toks, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS s_$l"
     }.mkString(",\n       |       ")
@@ -66,12 +68,67 @@ object TextQueries {
        |p AS (SELECT lang,
        |       CASE $cases
        |            ELSE 'und' END AS pred
-       |      FROM s)
+       |      FROM s)""".stripMargin
+  }
+
+  private val langIdOracle =
+    langPredCtes + s"""
        |SELECT lang, pred, count(*) AS n
        |FROM p
        |GROUP BY lang, pred
        |ORDER BY lang, pred""".stripMargin
+
+  /** x131: per-class precision / recall / F1 for the x41 language-ID
+    * heuristic — the multiclass evaluation rollup of the confusion
+    * matrix (binary metrics live in x112–x114): per true language,
+    * tp / fp / fn as exact integers; precision and recall are half-up
+    * ratios and F1 uses the single-division form 2·tp / (2·tp + fp + fn)
+    * — algebraically equal to the harmonic mean but with ONE rounding
+    * site instead of composing two already-rounded ratios. 'und'
+    * predictions count as false negatives for their true class. Scale:
+    * one scored scan, two tiny per-language aggregates. */
+  def langPrf(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val toks = TextAnalysis.tokens($"text")
+    val scores = TextAnalysis.LangMarkers.map { case (l, ws) => l -> TextAnalysis.countIn(toks, ws) }
+    val pred = Tables.documents(spark, dir)
+      .select($"lang", TextAnalysis.predictedLang(scores).as("pred"))
+    val tpFn = pred.groupBy($"lang")
+      .agg(sum(($"pred" === $"lang").cast("long")).as("tp"),
+        sum(($"pred" =!= $"lang").cast("long")).as("fn"))
+    val fp = pred.filter($"pred" =!= $"lang")
+      .groupBy($"pred").agg(count(lit(1)).as("fp"))
+    def ratio(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      when(den === 0, lit(0.0))
+        .otherwise(QueryUtil.halfUp(num.cast("double") / den.cast("double"), 4))
+    tpFn.join(fp, $"lang" === $"pred", "left")
+      .select($"lang", $"tp", coalesce($"fp", lit(0L)).as("fp"), $"fn")
+      .select($"lang", $"tp", $"fp", $"fn",
+        ratio($"tp", $"tp" + $"fp").as("precision"),
+        ratio($"tp", $"tp" + $"fn").as("recall"),
+        ratio(lit(2) * $"tp", lit(2) * $"tp" + $"fp" + $"fn").as("f1"))
+      .orderBy("lang")
   }
+
+  private val langPrfOracle =
+    langPredCtes + s""",
+       |tf AS (SELECT lang,
+       |         CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |         CAST(sum(CASE WHEN pred <> lang THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |       FROM p GROUP BY lang),
+       |fpc AS (SELECT pred, CAST(count(*) AS BIGINT) AS fp
+       |        FROM p WHERE pred <> lang GROUP BY pred),
+       |m AS (SELECT tf.lang, tf.tp, coalesce(fpc.fp, 0) AS fp, tf.fn
+       |      FROM tf LEFT JOIN fpc ON fpc.pred = tf.lang)
+       |SELECT lang, tp, fp, fn,
+       |       CASE WHEN tp + fp = 0 THEN 0.0
+       |            ELSE floor((CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)) * 10000 + 0.5) / 10000.0 END AS precision,
+       |       CASE WHEN tp + fn = 0 THEN 0.0
+       |            ELSE floor((CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)) * 10000 + 0.5) / 10000.0 END AS recall,
+       |       CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+       |            ELSE floor((CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)) * 10000 + 0.5) / 10000.0 END AS f1
+       |FROM m
+       |ORDER BY lang""".stripMargin
 
   /** Quality score: bounded length, non-stopword share, mean token length —
     * combined with fixed weights, rounded once. */
@@ -364,5 +421,8 @@ object TextQueries {
     QueryDef("x43_fingerprint", "character k-gram min-hash fingerprint (X4)", fingerprint, Some(fingerprintOracle)),
     QueryDef("x44_term_freq", "corpus term frequency top-50 (X4)", termFreq, Some(termFreqOracle)),
     QueryDef("x46_tfidf", "TF-IDF top-3 terms per document (X4)", tfidf, Some(tfidfOracle)),
-    QueryDef("x47_bigrams", "corpus bigram frequency top-40 (X4)", bigrams, Some(bigramsOracle)))
+    QueryDef("x47_bigrams", "corpus bigram frequency top-40 (X4)", bigrams, Some(bigramsOracle)),
+    QueryDef("x131_lang_prf",
+      "per-class precision/recall/F1 for the lang-ID heuristic (single-division F1, exact tp/fp/fn) (X4 eval)",
+      langPrf, Some(langPrfOracle)))
 }
