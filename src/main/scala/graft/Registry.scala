@@ -11,7 +11,13 @@ final case class QueryDef(
     name: String,
     doc: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    /** Excluded from the timed bench sweep (still verified by Verify +
+      * selfcheck). For superseded capstone generations (x90–x93) whose
+      * stages are re-timed inside the newest capstone anyway — benching
+      * all five re-executed ~70s of overlapping stages per round for zero
+      * information. Verification coverage is unaffected. */
+    benchSkip: Boolean = false)
 
 object Registry {
   lazy val all: Seq[QueryDef] =
@@ -34,7 +40,8 @@ object Registry {
       queries.CurationQueries.defs ++
       queries.StatsQueries.defs ++
       queries.EngineOpsQueries.defs ++
-      queries.Round9Queries.defs
+      queries.Round9Queries.defs ++
+      queries.Round10Queries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -224,13 +224,20 @@ object Graph {
     val e0 = edges.localCheckpoint(true)
     val nd = e0.select(col("src").as("node"))
       .unionByName(e0.select(col("dst").as("node"))).distinct()
-    personalizedPageRank(nd, e0, seeds, iters)
+    pprImpl(nd.localCheckpoint(true), e0, seeds, iters)
   }
 
   def personalizedPageRank(nodes: DataFrame, edges: DataFrame,
-                           seeds: DataFrame, iters: Int): DataFrame = {
-    val nd = nodes.localCheckpoint(true)
-    val e0 = edges.localCheckpoint(true)
+                           seeds: DataFrame, iters: Int): DataFrame =
+    pprImpl(nodes.localCheckpoint(true), edges.localCheckpoint(true),
+      seeds, iters)
+
+  /** Shared PPR body. Both public overloads checkpoint `edges` exactly
+    * ONCE before calling this (ADVICE r9: the edges-only overload used to
+    * re-checkpoint its already-checkpointed frame here, materializing the
+    * edge set twice per call); `e0`/`nd` arrive checkpoint-backed. */
+  private def pprImpl(nd: DataFrame, e0: DataFrame,
+                      seeds: DataFrame, iters: Int): DataFrame = {
     val sd = seeds.select(col("node")).distinct().localCheckpoint(true)
     val ns = sd.count()
     require(ns > 0, "personalizedPageRank: empty seed set")

@@ -182,8 +182,8 @@ object EngineOpsQueries {
        |         coalesce(sum(f_rows) OVER (PARTITION BY part ORDER BY file_id
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
        |  FROM files),
-       |binned AS (SELECT part, cum_before // $CompactTarget AS bin, file_id, f_rows FROM planned)
-       |SELECT part, bin, count(*) AS n_files, sum(f_rows) AS n_rows,
+       |binned AS (SELECT part, CAST(cum_before // $CompactTarget AS BIGINT) AS bin, file_id, f_rows FROM planned)
+       |SELECT part, bin, count(*) AS n_files, CAST(sum(f_rows) AS BIGINT) AS n_rows,
        |       min(file_id) AS first_file, max(file_id) AS last_file,
        |       floor((CAST(sum(f_rows) AS DOUBLE) / $CompactTarget) * 10000 + 0.5) / 10000.0 AS fill
        |FROM binned
@@ -531,7 +531,7 @@ object EngineOpsQueries {
        |         sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS scc
        |  FROM o WHERE h % $AqpMod = 0 GROUP BY o_orderpriority),
        |e AS (
-       |  SELECT o_orderpriority, count(*) AS n_true, sum(c) AS c_true
+       |  SELECT o_orderpriority, count(*) AS n_true, CAST(sum(c) AS BIGINT) AS c_true
        |  FROM o GROUP BY o_orderpriority)
        |SELECT s.o_orderpriority, e.n_true, s.m,
        |       CAST(s.sc * $AqpMod AS BIGINT) AS est_c, e.c_true,

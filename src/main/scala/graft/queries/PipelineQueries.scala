@@ -647,7 +647,7 @@ object PipelineQueries {
 
   private val shardSkewOracle =
     s"""WITH per AS (SELECT doc_id % $PackShards AS shard, count(*) AS n_docs,
-       |               sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS tokens
+       |               CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS tokens
        |             FROM documents GROUP BY 1),
        |tot AS (SELECT sum(tokens) AS total FROM per)
        |SELECT shard, n_docs, tokens,
@@ -665,19 +665,19 @@ object PipelineQueries {
       bloomDecontaminate, Some(bloomOracle)),
     QueryDef("x93_training_corpus_v3",
       "capstone v3: v2's eight stages + post-gate temperature language rebalancing (nine stages, one oracle)",
-      trainingCorpusV3, Some(trainingCorpusV3Oracle)),
+      trainingCorpusV3, Some(trainingCorpusV3Oracle), benchSkip = true),
     QueryDef("x127_training_corpus_v4",
       "capstone v4: v3 + the Gopher rule panel as a pre-mixture gate (ten stages, one oracle)",
       trainingCorpusV4, Some(trainingCorpusV4Oracle)),
     QueryDef("x92_training_corpus_v2",
       "full capstone v2: x91 + repetition gate + surprisal gate (all eight stages, one oracle)",
-      trainingCorpusV2, Some(trainingCorpusV2Oracle)),
+      trainingCorpusV2, Some(trainingCorpusV2Oracle), benchSkip = true),
     QueryDef("x91_training_corpus",
       "full corpus->training-data capstone: quality+dedup gates -> decontaminate -> mixture -> pack (X1+X2+X4+r5)",
-      trainingCorpus, Some(trainingCorpusOracle)),
+      trainingCorpus, Some(trainingCorpusOracle), benchSkip = true),
     QueryDef("x90_prep_pipeline",
       "composite corpus-prep pipeline: quality gate + exact dedup + near-dup canonical (X1+X2+X4)",
-      prepPipeline, Some(prepOracle)),
+      prepPipeline, Some(prepOracle), benchSkip = true),
     QueryDef("x50_pack_sequences",
       "concat-then-chunk sequence packing: per-shard token prefix sums -> (seq_id, seq_off)",
       packSequences, Some(packOracle)),

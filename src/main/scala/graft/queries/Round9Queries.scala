@@ -595,7 +595,11 @@ object Round9Queries {
         md5(when($"doc_id" % 13 === 0, concat($"text", lit(" v2")))
           .otherwise($"text")).as("h"))
       .unionByName(docs.filter($"doc_id" % 29 === 0)
-        .select(($"doc_id" + 1000000L).as("doc_id"), $"source",
+        // clone ids live in the strictly-negative keyspace — out-of-band
+        // for ANY fixture size (real doc_ids are >= 0), so clones can
+        // never collide with real documents at larger SFs (ADVICE r9:
+        // doc_id + 1000000 collided once the fixture passed 1M docs)
+        .select((-($"doc_id" + 1L)).as("doc_id"), $"source",
           md5($"text").as("h")))
     val d = a.select($"doc_id", $"source".as("src_a"), $"h".as("ha"))
       .join(b.select($"doc_id", $"source".as("src_b"), $"h".as("hb")),
@@ -620,7 +624,7 @@ object Round9Queries {
       |         md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS h
       |  FROM documents WHERE doc_id % 17 <> 0
       |  UNION ALL
-      |  SELECT doc_id + 1000000 AS doc_id, source, md5(text) AS h
+      |  SELECT -(doc_id + 1) AS doc_id, source, md5(text) AS h
       |  FROM documents WHERE doc_id % 29 = 0),
       |d AS (
       |  SELECT coalesce(a.source, b.source) AS source,

@@ -556,7 +556,7 @@ object StatsQueries {
   private val acfOracle =
     s"""WITH daily AS (
        |  SELECT CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS di,
-       |         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS y
+       |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
        |  FROM orders GROUP BY 1),
        |tot AS (SELECT count(*) AS n, sum(y) AS s FROM daily),
        |c AS (SELECT di, CAST(n AS HUGEINT) * y - s AS cy FROM daily, tot),
@@ -658,7 +658,7 @@ object StatsQueries {
   private val runsTestOracle =
     """WITH daily AS (
       |  SELECT CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS di,
-      |         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS y
+      |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
       |  FROM orders GROUP BY 1),
       |ranked AS (
       |  SELECT y, row_number() OVER (ORDER BY y, di) AS rn, count(*) OVER () AS nd
@@ -726,7 +726,7 @@ object StatsQueries {
       .mkString(" + ")
     s"""WITH daily AS (
        |  SELECT CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS di,
-       |         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS y
+       |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
        |  FROM orders GROUP BY 1),
        |e AS (
        |  SELECT di, y, ($numSql) / ($denSql) AS e

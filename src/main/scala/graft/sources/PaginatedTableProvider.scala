@@ -155,7 +155,15 @@ private[sources] class PagesCountScan(start: Int, end: Int) extends Scan with Ba
   private val n: Long = math.max(0, end - start + 1).toLong
   override def readSchema(): StructType =
     StructType(Seq(StructField("COUNT(*)", LongType, nullable = false)))
-  override def toBatch: Batch = this
+  override def toBatch: Batch = {
+    // Same guard as PagesScan.toBatch: an unbounded page run has no
+    // meaningful count — without this, count(*) on a default (endpage
+    // unset = Int.MaxValue) batch read would silently answer ~2^31
+    // instead of failing loudly (ADVICE r9).
+    require(end != Int.MaxValue,
+      "unbounded batch page count: provide 'endpage' or a `page` predicate")
+    this
+  }
   override def description(): String = s"graft-pages COUNT(*) pages=[$start..$end]"
   override def planInputPartitions(): Array[InputPartition] =
     Array(PagesCountPartition(n))
@@ -243,17 +251,20 @@ private[sources] class PagesMicroBatchStream(client: PaginatedSource.PageClient,
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  private val CountRe = """"count"\s*:\s*(\d+)""".r
-
   /** A2 pre-flight against the envelope of page 1 — driver-side, one fetch
-    * per trigger (the reference does the identical probe per run). */
+    * per trigger (the reference does the identical probe per run). Parses
+    * the envelope's TOP-LEVEL `count` with a real JSON parser — a regex
+    * first-match would be corrupted by any record payload containing a
+    * `count` field before the envelope key (ADVICE r9); this is the same
+    * field PaginatedSource.fetchCount reads via from_json. */
   private def apiRows(): Long = {
     val body = client.fetchPage(1)
-    CountRe.findFirstMatchIn(body) match {
-      case Some(m) => m.group(1).toLong
-      case None => throw new IllegalStateException(
-        "page-1 envelope has no \"count\" field — cannot derive the stream watermark")
-    }
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    val c = node.get("count")
+    if (c == null || !c.canConvertToLong)
+      throw new IllegalStateException(
+        "page-1 envelope has no numeric top-level \"count\" field — cannot derive the stream watermark")
+    c.asLong()
   }
 
   override def initialOffset(): Offset = PageRowsOffset(startRows)

@@ -13,6 +13,21 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
+def kinds(df):
+    """Per-column coarse dtype class, captured BEFORE norm() erases the
+    int-vs-float distinction. The driver's hash is type-strict: Spark
+    BIGINT vs DuckDB HUGEINT(->float64) hashes differently even when
+    values match (r9's q67/q83/q88/q91), so we must flag it here too."""
+    out = {}
+    for c in df.columns:
+        dt = df[c].dtype
+        if np.issubdtype(dt, np.integer): out[c] = "int"
+        elif np.issubdtype(dt, np.floating): out[c] = "float"
+        elif np.issubdtype(dt, np.bool_): out[c] = "bool"
+        elif str(dt).startswith("datetime64"): out[c] = "ts"
+        else: out[c] = "obj"
+    return out
+
 def norm(df):
     df = df[sorted(df.columns)].reset_index(drop=True)
     for c in df.columns:
@@ -31,10 +46,20 @@ fails = []
 for name in sorted(oracle):
     if only and name not in only: continue
     try:
-        spark_df = norm(pd.read_parquet(f"{outdir}/{name}"))
-        duck_df = norm(con.execute(oracle[name]).fetchdf())
+        spark_raw = pd.read_parquet(f"{outdir}/{name}")
+        duck_raw = con.execute(oracle[name]).fetchdf()
+        sk, dk = kinds(spark_raw), kinds(duck_raw)
+        spark_df, duck_df = norm(spark_raw), norm(duck_raw)
         if list(spark_df.columns) != list(duck_df.columns):
             fails.append(name); print(f"FAIL {name}: columns {list(spark_df.columns)} vs {list(duck_df.columns)}"); continue
+        # Only the int-vs-float class is driver-visible (r9's verdict):
+        # date/ts columns legitimately differ in pandas representation
+        # (Spark parquet date32 -> object, DuckDB DATE -> datetime64) and
+        # the driver compares those fine.
+        tmis = [(c, sk[c], dk[c]) for c in spark_df.columns
+                if sk[c] != dk[c] and {sk[c], dk[c]} <= {"int", "float"}]
+        if tmis:
+            fails.append(name); print(f"FAIL {name}: dtype class mismatch {tmis} (spark vs duck — driver hash is type-strict)"); continue
         if len(spark_df) != len(duck_df):
             fails.append(name); print(f"FAIL {name}: rows {len(spark_df)} vs {len(duck_df)}"); continue
         neq = None
