@@ -41,7 +41,8 @@ object Registry {
       queries.StatsQueries.defs ++
       queries.EngineOpsQueries.defs ++
       queries.Round9Queries.defs ++
-      queries.Round10Queries.defs
+      queries.Round10Queries.defs ++
+      queries.Round10Queries2.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
