@@ -219,6 +219,135 @@ object Round10Queries2 {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** x135: duplicated-n-gram mass — the span-level dedup MEASUREMENT from
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (exact-substring dedup, approximated at fixed n=8-token
+    * granularity): an 8-gram instance is duplicated when its corpus-wide
+    * instance count is >= 2 (within-doc repetition counts — boilerplate
+    * repeats inside one page too). Per document: total 8-gram instances,
+    * duplicated instances, the duplicated fraction, and the keep gate at
+    * raw fraction <= 0.5 (the sf0.01 corpus is cleanly bimodal: 453 docs
+    * near 0, the 47 template near-dups at 0.8–1.0). Documents shorter
+    * than 8 tokens carry zero grams and pass trivially.
+    *
+    * Scale: two hash shuffles (gram totals, per-doc rollup) — at 100 TB
+    * the gram key would be xxhash64'd to 8 bytes before the exchange
+    * (collision odds ~(corpus grams)²/2⁶⁵ — acceptable for a filter
+    * stat); the explode is array-local and the gram totals aggregate is
+    * map-side partial. No all-pairs stage anywhere. */
+  def dupNgramMass(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val G = 8
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", graft.operators.TextAnalysis.tokens($"text").as("toks"))
+    val grams = docs
+      .select($"doc_id",
+        explode(when(size($"toks") >= G,
+          expr(s"transform(sequence(0, size(toks) - $G), i -> concat_ws(' ', slice(toks, i + 1, $G)))"))
+          .otherwise(array())).as("gram"))
+    val cd = grams.groupBy($"doc_id", $"gram").agg(count(lit(1)).as("c"))
+    val ct = cd.groupBy($"gram").agg(sum($"c").as("total"))
+    val perDoc = cd.join(ct, "gram")
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_grams"),
+        sum(when($"total" >= 2, $"c").otherwise(0L)).as("n_dup"))
+    docs.select($"doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_grams", lit(0L)).as("n_grams"),
+        coalesce($"n_dup", lit(0L)).as("n_dup"))
+      .withColumn("raw", when($"n_grams" > 0,
+        $"n_dup".cast("double") / $"n_grams").otherwise(lit(0.0)))
+      .select($"doc_id", $"n_grams", $"n_dup",
+        halfUp4($"raw").as("dup_frac"),
+        ($"raw" <= 0.5).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val dupNgramMassOracle =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (SELECT doc_id,
+      |        array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER) + 7], ' ') AS gram
+      |      FROM t, LATERAL unnest(range(1, greatest(len(toks) - 6, 1))) AS u(i)
+      |      WHERE len(toks) >= 8),
+      |cd AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+      |ct AS (SELECT gram, CAST(sum(c) AS BIGINT) AS total FROM cd GROUP BY 1),
+      |d AS (SELECT cd.doc_id,
+      |        CAST(sum(cd.c) AS BIGINT) AS n_grams,
+      |        CAST(sum(CASE WHEN ct.total >= 2 THEN cd.c ELSE 0 END) AS BIGINT) AS n_dup
+      |      FROM cd JOIN ct USING (gram) GROUP BY 1),
+      |f AS (SELECT t.doc_id,
+      |        coalesce(d.n_grams, 0) AS n_grams, coalesce(d.n_dup, 0) AS n_dup,
+      |        CASE WHEN coalesce(d.n_grams, 0) > 0
+      |             THEN CAST(d.n_dup AS DOUBLE) / d.n_grams ELSE 0.0 END AS raw
+      |      FROM t LEFT JOIN d ON d.doc_id = t.doc_id)
+      |SELECT doc_id, n_grams, n_dup,
+      |       floor(raw * 10000 + 0.5) / 10000.0 AS dup_frac,
+      |       CAST(raw <= 0.5 AS INTEGER) AS keep
+      |FROM f
+      |ORDER BY doc_id""".stripMargin
+
+  /** x136: quality-aware survivor selection — x14 labels near-dup
+    * clusters; the naive canonical is the min doc_id (x14's
+    * `is_canonical`). A training pipeline should instead KEEP THE BEST
+    * COPY: per multi-member cluster, the survivor is the member
+    * maximizing the x42 quality score (raw, unrounded — the ranking-key
+    * rule), doc_id ascending as the deterministic tie-break. Emits the
+    * chosen survivor, the naive min-id survivor's quality, and the
+    * quality gain — the measured value of quality-aware
+    * canonicalization over id-order canonicalization.
+    *
+    * Scale: rides x14's audited components pipeline (banded LSH
+    * candidates + pointer-jumping, both subquadratic); the quality score
+    * is array-local per doc and the argmax is one window over
+    * |cluster members| rows. */
+  def survivorQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val clusters = DedupQueries.dedupClusters(spark, dir)
+      .select($"doc_id", $"cluster_id")
+    val toks = graft.operators.TextAnalysis.tokens($"text")
+    val quality = Tables.documents(spark, dir)
+      .select($"doc_id", graft.operators.TextAnalysis.qualityScore(toks).as("q"))
+    val members = clusters.join(quality, "doc_id")
+    val multi = members
+      .withColumn("csize", count(lit(1)).over(Window.partitionBy($"cluster_id")))
+      .filter($"csize" >= 2)
+    val ranked = multi.withColumn("rk",
+      row_number().over(Window.partitionBy($"cluster_id").orderBy($"q".desc, $"doc_id")))
+    val naive = multi.filter($"doc_id" === $"cluster_id") // min-id member IS the label
+      .select($"cluster_id", $"q".as("naive_q"))
+    ranked.filter($"rk" === 1)
+      .join(naive, "cluster_id")
+      .select($"cluster_id", $"csize".as("n_members"),
+        $"doc_id".as("survivor_doc"),
+        halfUp4($"q").as("survivor_quality"),
+        halfUp4($"naive_q").as("naive_quality"),
+        halfUp4($"q" - $"naive_q").as("quality_gain"))
+      .orderBy("cluster_id")
+  }
+
+  private val survivorQualityOracle = {
+    import graft.operators.TextAnalysis
+    DedupQueries.clustersOracleCtes +
+      s""",
+         |qual AS (SELECT doc_id, ${TextAnalysis.qualityScoreSql("string_split(text, ' ')")} AS q
+         |         FROM documents),
+         |mem AS (SELECT l.doc_id, l.cluster_id, qual.q,
+         |          count(*) OVER (PARTITION BY l.cluster_id) AS csize
+         |        FROM labeled l JOIN qual ON qual.doc_id = l.doc_id),
+         |multi AS (SELECT * FROM mem WHERE csize >= 2),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rk
+         |       FROM multi),
+         |naive AS (SELECT cluster_id, q AS naive_q FROM multi WHERE doc_id = cluster_id)
+         |SELECT r.cluster_id, CAST(r.csize AS BIGINT) AS n_members,
+         |       r.doc_id AS survivor_doc,
+         |       floor(r.q * 10000 + 0.5) / 10000.0 AS survivor_quality,
+         |       floor(n.naive_q * 10000 + 0.5) / 10000.0 AS naive_quality,
+         |       floor((r.q - n.naive_q) * 10000 + 0.5) / 10000.0 AS quality_gain
+         |FROM rk r JOIN naive n ON n.cluster_id = r.cluster_id
+         |WHERE r.rk = 1
+         |ORDER BY r.cluster_id""".stripMargin
+  }
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q97_histogram_merge",
       "mergeable equi-width histograms: two partitionings merge bitwise-identically; histogram p50 within one bin of exact",
@@ -228,5 +357,11 @@ object Round10Queries2 {
       mcvJoinCard, Some(mcvJoinCardOracle)),
     QueryDef("q99_incremental_stats",
       "incremental ANALYZE: merge(stats(T), stats(delta)) == stats(T u delta) exactly for count/sum/min/max, HLL NDV within 5%",
-      incrementalStats, Some(incrementalStatsOracle)))
+      incrementalStats, Some(incrementalStatsOracle)),
+    QueryDef("x135_dup_ngram_mass",
+      "duplicated 8-gram mass per document (Lee et al. span-dedup measurement) with the raw-fraction keep gate",
+      dupNgramMass, Some(dupNgramMassOracle)),
+    QueryDef("x136_survivor_quality",
+      "quality-aware survivor selection per near-dup cluster: argmax-quality member vs the naive min-id canonical, with measured gain",
+      survivorQuality, Some(survivorQualityOracle)))
 }
