@@ -348,6 +348,74 @@ object Round10Queries2 {
          |ORDER BY r.cluster_id""".stripMargin
   }
 
+  /** x133 cohort bound — sessions of the first 40 users; the streaming
+    * state (complete-mode session store) stays a few hundred rows at
+    * every SF while still covering thousands of events. */
+  private val SessUsers = 40
+
+  /** x133: streaming session-window batch parity — the driver-visible
+    * oracle pair for `IncrementalStream.sessionCounts` (the X6 streaming
+    * variant, spec-only until now; the same closure x117 gave the top-k
+    * stream and x132 gave the paginated source). The events cohort is
+    * staged to parquet files and REALLY streamed (file source,
+    * maxFilesPerTrigger=1, AvailableNow), so the session store merges
+    * windows across micro-batches — including sessions whose events are
+    * split across files, the case that exercises cross-batch session
+    * MERGE state. The final complete-mode emission must equal classic
+    * batch lag-gap sessionization recomputed from scratch by the oracle.
+    * Timestamps are second-truncated on both sides (q22's convention —
+    * the fixture is TIMESTAMP(NANOS); Spark reads µs, DuckDB ns).
+    * Boundary semantics, verified empirically: events exactly gap apart
+    * MERGE (Spark merges when next.start <= prev.end), so the oracle
+    * breaks strictly at diff > 1800 s.
+    *
+    * Scale: session state is keyed by user — one shuffle, state size
+    * O(open sessions), late data bounded by the watermark in the
+    * append-mode deployment; complete mode here is the parity harness,
+    * not the production sink. */
+  def streamSessionParity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_x133_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_x133_ckpt").toString
+    val ev = Tables.events(spark, dir).filter($"user_id" < SessUsers)
+      .select($"user_id", date_trunc("second", $"ts").as("ts"))
+    ev.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val sessions = graft.streaming.IncrementalStream.sessionCounts(
+      stream, "30 minutes", watermark = None) // late-row filter would drop out-of-order batches
+    val last = new java.util.concurrent.atomic.AtomicReference[
+      (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)](null)
+    val q = sessions.writeStream
+      .outputMode("complete") // parity harness: final state == batch recompute
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) => last.set((b.collect(), b.schema)) }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val (rows, schema) = last.get()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      .orderBy($"user_id", $"session_start")
+  }
+
+  private val streamSessionParityOracle =
+    s"""WITH e AS (SELECT user_id, date_trunc('second', ts) AS ts
+       |           FROM events WHERE user_id < $SessUsers),
+       |f AS (SELECT user_id, ts,
+       |        CASE WHEN lag(ts) OVER w IS NULL THEN 1
+       |             WHEN CAST(epoch(ts) AS BIGINT) - CAST(epoch(lag(ts) OVER w) AS BIGINT) > 1800 THEN 1
+       |             ELSE 0 END AS brk
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       |s AS (SELECT user_id, ts,
+       |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |      FROM f)
+       |SELECT user_id, min(ts) AS session_start,
+       |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       |       CAST(count(*) AS BIGINT) AS n_events
+       |FROM s GROUP BY user_id, sid
+       |ORDER BY user_id, session_start""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q97_histogram_merge",
       "mergeable equi-width histograms: two partitionings merge bitwise-identically; histogram p50 within one bin of exact",
@@ -363,5 +431,8 @@ object Round10Queries2 {
       dupNgramMass, Some(dupNgramMassOracle)),
     QueryDef("x136_survivor_quality",
       "quality-aware survivor selection per near-dup cluster: argmax-quality member vs the naive min-id canonical, with measured gain",
-      survivorQuality, Some(survivorQualityOracle)))
+      survivorQuality, Some(survivorQualityOracle)),
+    QueryDef("x133_stream_session_parity",
+      "streaming session_window batch parity: real multi-batch file-stream run with cross-batch session merge == lag-gap recompute oracle",
+      streamSessionParity, Some(streamSessionParityOracle)))
 }

@@ -392,10 +392,14 @@ object IncrementalStream {
 
   /** Watermarked session-window aggregation (X6 streaming variant): events
     * per (user, session) with a gap-based session window — the Structured
-    * Streaming analog of RelationalQueries.q22's batch sessionization. */
-  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
-    events
-      .withWatermark("ts", "1 hour")
+    * Streaming analog of RelationalQueries.q22's batch sessionization.
+    * `watermark = None` skips the watermark for complete-mode parity
+    * harnesses (x133): the watermark's late-row filter applies even in
+    * complete mode, so out-of-time-order micro-batches would silently
+    * drop rows; production append-mode deployments keep the default. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: Option[String] = Some("1 hour")): DataFrame =
+    watermark.foldLeft(events)((df, w) => df.withWatermark("ts", w))
       .groupBy(col("user_id"), session_window(col("ts"), gap))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"),
