@@ -416,6 +416,57 @@ object Round10Queries2 {
        |FROM s GROUP BY user_id, sid
        |ORDER BY user_id, session_start""".stripMargin
 
+  /** x137: bucketed co-located join — the storage-layout answer to the
+    * fact-fact join shuffle (the single most expensive exchange pattern
+    * at 100 TB). Both sides are written ONCE as bucketed+sorted tables
+    * (8 buckets on the join key, the write's one-time shuffle), after
+    * which every future join on that key is exchange-free: the
+    * sort-merge join reads matching buckets directly (plan-asserted in
+    * OperatorsSpec — no Exchange on either join key; the only exchange
+    * left in the query is the final small aggregate's; a LOCAL per-bucket
+    * sort remains because Spark only trusts write-time sortedness behind
+    * the legacy one-file-per-bucket conf). The
+    * `merge` hint pins SMJ so the demo can't degrade to a broadcast at
+    * small SF. The oracle verifies the joined result itself.
+    *
+    * Scale: this is the bucketing contract Spark ships for exactly this
+    * case — co-partitioned storage amortizes the shuffle across every
+    * downstream join/aggregate on the bucket key; bucket count is chosen
+    * per-table at write time (here 8; a 100 TB fact table would use
+    * thousands, matched between co-joined tables). */
+  def bucketJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_x137_wh").toString
+    spark.sql("DROP TABLE IF EXISTS graft_x137_orders")
+    spark.sql("DROP TABLE IF EXISTS graft_x137_lineitem")
+    Tables.orders(spark, dir).select($"o_orderkey", $"o_orderpriority")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/orders").saveAsTable("graft_x137_orders")
+    Tables.lineitem(spark, dir).select($"l_orderkey", $"l_extendedprice")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/lineitem").saveAsTable("graft_x137_lineitem")
+    bucketJoinOn(spark)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(floor($"l_extendedprice" * 100 + 0.5).cast("long")).as("cents"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** The exchange-free join core, exposed for the plan-shape spec. */
+  private[graft] def bucketJoinOn(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.table("graft_x137_orders").hint("merge")
+      .join(spark.table("graft_x137_lineitem"), $"o_orderkey" === $"l_orderkey")
+  }
+
+  private val bucketJoinOracle =
+    """SELECT o_orderpriority,
+      |       CAST(count(*) AS BIGINT) AS n_items,
+      |       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q97_histogram_merge",
       "mergeable equi-width histograms: two partitionings merge bitwise-identically; histogram p50 within one bin of exact",
@@ -434,5 +485,8 @@ object Round10Queries2 {
       survivorQuality, Some(survivorQualityOracle)),
     QueryDef("x133_stream_session_parity",
       "streaming session_window batch parity: real multi-batch file-stream run with cross-batch session merge == lag-gap recompute oracle",
-      streamSessionParity, Some(streamSessionParityOracle)))
+      streamSessionParity, Some(streamSessionParityOracle)),
+    QueryDef("x137_bucket_join",
+      "bucketed co-located fact-fact join: one-time bucketed write, then exchange-free sort-merge join (plan-asserted)",
+      bucketJoin, Some(bucketJoinOracle)))
 }

