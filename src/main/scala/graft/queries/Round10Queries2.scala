@@ -467,6 +467,130 @@ object Round10Queries2 {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** x134 knobs — cohort every-5th vector (100 nodes at sf0.01, 1000 at
+    * sf0.1), seeds every-25th (1/5 of the cohort), k=5 neighbors, 3
+    * synchronous iterations. */
+  private val LsK = 5
+  private val LsIters = 3
+
+  /** x134: semi-supervised label spreading — pseudo-labeling over the
+    * kNN embedding graph, the standard trick for stretching a small
+    * labeled set across a large corpus before training a filter model.
+    * A 20% seed set keeps its ground-truth label (clamped); every other
+    * cohort node iteratively adopts the MAJORITY label among its already-
+    * labeled graph neighbors (ties -> smallest label), for 3 synchronous
+    * rounds. The graph is the symmetrized cosine top-5 (x105's ranking
+    * recipe: rounded cosine, vec_id tie-break). Emitted per true class:
+    * cohort size, seeds, how many unlabeled nodes the propagation
+    * reached, and how many it labeled CORRECTLY — the accuracy/coverage
+    * pair that decides whether the pseudo-labels are usable. The oracle
+    * re-derives all three rounds from scratch as unrolled CTEs.
+    *
+    * Fixture honesty: the synthetic embeddings' labels are independent of
+    * cosine geometry (measured 1-NN accuracy ≈ 10% ≈ chance, same as
+    * x79's centroid classifier), so the reported accuracy here is ~0.1 —
+    * which is exactly what the measurement SHOULD say for this corpus;
+    * the query verifies the propagation machinery and the honesty of the
+    * metric, and the gate a real pipeline applies ("only trust classes
+    * with acc >> chance") would correctly reject these pseudo-labels.
+    *
+    * Scale: each round is one (edges join labels) hash shuffle plus a
+    * per-node majority window — O(E) per round, E = k·|cohort|. The kNN
+    * build here is the documented brute-force pair join; at 100 TB the
+    * graph would come from the x36 multiprobe-LSH or x34 IVF candidate
+    * stage instead (same downstream propagation). */
+  def labelSpreading(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val co = Tables.embeddings(spark, dir).filter($"vec_id" % 5 === 0)
+      .select($"vec_id", $"embedding", $"label",
+        Similarity.norm($"embedding").as("nrm"))
+      .localCheckpoint(true) // referenced by both pair sides, seeds, eval
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+    val top = co.select($"vec_id".as("q_id"), $"embedding".as("qv"), $"nrm".as("qn"))
+      .join(co.select($"vec_id", $"embedding", $"nrm"), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        round(Similarity.dot($"qv", $"embedding") / ($"qn" * $"nrm"), 4).as("cosine"))
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= LsK)
+    val edges = top.select($"q_id".as("src"), $"vec_id".as("dst"))
+      .unionByName(top.select($"vec_id".as("src"), $"q_id".as("dst")))
+      .distinct()
+      .localCheckpoint(true) // re-joined every iteration
+    val seeds = co.filter($"vec_id" % 25 === 0)
+      .select($"vec_id".as("node"), $"label".as("lbl"))
+      .localCheckpoint(true)
+    var labels = seeds
+    for (_ <- 1 to LsIters) {
+      val votes = edges.join(labels, $"dst" === $"node")
+        .groupBy($"src", $"lbl").agg(count(lit(1)).as("c"))
+      val picked = votes
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"src").orderBy($"c".desc, $"lbl")))
+        .filter($"rn" === 1)
+        .select($"src".as("node"), $"lbl")
+      labels = seeds
+        .unionByName(picked.join(seeds.select($"node"), Seq("node"), "left_anti"))
+        .localCheckpoint(true)
+    }
+    val pred = labels.join(seeds.select($"node"), Seq("node"), "left_anti")
+    val truth = co.groupBy($"label").agg(
+      count(lit(1)).as("n_nodes"),
+      sum(when($"vec_id" % 25 === 0, 1L).otherwise(0L)).as("n_seeds"))
+    val scored = pred.join(co.select($"vec_id".as("node"), $"label"), "node")
+      .groupBy($"label").agg(
+        count(lit(1)).as("n_labeled"),
+        sum(when($"lbl" === $"label", 1L).otherwise(0L)).as("n_correct"))
+    truth.join(scored, Seq("label"), "left")
+      .select($"label", $"n_nodes", $"n_seeds",
+        coalesce($"n_labeled", lit(0L)).as("n_labeled"),
+        coalesce($"n_correct", lit(0L)).as("n_correct"))
+      .withColumn("acc", when($"n_labeled" > 0,
+        halfUp4($"n_correct".cast("double") / $"n_labeled")).otherwise(lit(0.0)))
+      .orderBy("label")
+  }
+
+  private val labelSpreadingOracle = {
+    val iterCtes = (1 to LsIters).map { i =>
+      val prev = s"l${i - 1}"
+      s"""v$i AS (SELECT e.src, l.lbl, count(*) AS c
+         |        FROM ed e JOIN $prev l ON e.dst = l.node GROUP BY 1, 2),
+         |p$i AS (SELECT src AS node, lbl FROM (
+         |          SELECT src, lbl, row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn
+         |          FROM v$i) WHERE rn = 1),
+         |l$i AS (SELECT node, lbl FROM seeds
+         |        UNION ALL
+         |        SELECT node, lbl FROM p$i WHERE node NOT IN (SELECT node FROM seeds))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH co AS MATERIALIZED (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 5 = 0),
+       |pr AS (SELECT q.vec_id AS q_id, e.vec_id AS vid,
+       |         round(${SimilarityQueries.cosineSql("q.embedding", "e.embedding")}, 4) AS cosine
+       |       FROM co e JOIN co q ON e.vec_id <> q.vec_id),
+       |rnk AS (SELECT q_id, vid, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vid) AS rk
+       |        FROM pr),
+       |top AS (SELECT q_id, vid FROM rnk WHERE rk <= $LsK),
+       |ed AS MATERIALIZED (SELECT q_id AS src, vid AS dst FROM top
+       |                    UNION
+       |                    SELECT vid AS src, q_id AS dst FROM top),
+       |seeds AS MATERIALIZED (SELECT vec_id AS node, label AS lbl FROM co WHERE vec_id % 25 = 0),
+       |l0 AS (SELECT node, lbl FROM seeds),
+       |$iterCtes,
+       |pred AS (SELECT node, lbl FROM l$LsIters WHERE node NOT IN (SELECT node FROM seeds)),
+       |truth AS (SELECT label, CAST(count(*) AS BIGINT) AS n_nodes,
+       |            CAST(sum(CASE WHEN vec_id % 25 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_seeds
+       |          FROM co GROUP BY 1),
+       |scored AS (SELECT co.label, CAST(count(*) AS BIGINT) AS n_labeled,
+       |             CAST(sum(CASE WHEN pred.lbl = co.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+       |           FROM pred JOIN co ON co.vec_id = pred.node GROUP BY 1)
+       |SELECT t.label, t.n_nodes, t.n_seeds,
+       |       coalesce(s.n_labeled, 0) AS n_labeled,
+       |       coalesce(s.n_correct, 0) AS n_correct,
+       |       CASE WHEN coalesce(s.n_labeled, 0) > 0
+       |            THEN floor(CAST(s.n_correct AS DOUBLE) / s.n_labeled * 10000 + 0.5) / 10000.0
+       |            ELSE 0.0 END AS acc
+       |FROM truth t LEFT JOIN scored s ON s.label = t.label
+       |ORDER BY t.label""".stripMargin
+  }
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q97_histogram_merge",
       "mergeable equi-width histograms: two partitionings merge bitwise-identically; histogram p50 within one bin of exact",
@@ -488,5 +612,8 @@ object Round10Queries2 {
       streamSessionParity, Some(streamSessionParityOracle)),
     QueryDef("x137_bucket_join",
       "bucketed co-located fact-fact join: one-time bucketed write, then exchange-free sort-merge join (plan-asserted)",
-      bucketJoin, Some(bucketJoinOracle)))
+      bucketJoin, Some(bucketJoinOracle)),
+    QueryDef("x134_label_spreading",
+      "semi-supervised pseudo-labeling: 3-round clamped majority propagation over the symmetrized cosine top-5 graph, scored per class",
+      labelSpreading, Some(labelSpreadingOracle)))
 }
