@@ -591,6 +591,101 @@ object Round10Queries2 {
        |ORDER BY t.label""".stripMargin
   }
 
+  /** x138 knobs: attribution window 6 h (wide enough that the uniform
+    * synthetic event stream yields matches at every SF), file slices cut
+    * at fixed dates (the fixture spans Jan 2024 at all SFs). */
+  private val AttrWindowSec = 21600L
+  private val SliceCuts = Seq("2024-01-11", "2024-01-21")
+
+  /** Stage a frame as 3 chronological single-file parquet slices with
+    * strictly increasing mtimes, so the file stream source (which orders
+    * by modification time) replays them in event-time order — the
+    * discipline a production file-drop pipeline provides naturally. */
+  private def stageSlices(df: DataFrame, tsCol: String, dir: String): Unit = {
+    val fs = java.nio.file.FileSystems.getDefault
+    SliceCuts.zipWithIndex.foldLeft(Option.empty[String]) { case (lo, (hi, i)) =>
+      val slice = lo.fold(df.filter(col(tsCol) < hi))(l =>
+        df.filter(col(tsCol) >= l && col(tsCol) < hi))
+      slice.coalesce(1).write.parquet(s"$dir/s$i")
+      Some(hi)
+    } match {
+      case Some(last) => df.filter(col(tsCol) >= last).coalesce(1).write.parquet(s"$dir/s${SliceCuts.size}")
+      case None => ()
+    }
+    (0 to SliceCuts.size).foreach { i =>
+      val part = new java.io.File(s"$dir/s$i").listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dst = fs.getPath(s"$dir/f$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+  }
+
+  /** x138: stream-stream join batch parity — the driver-visible oracle
+    * pair for `IncrementalStream.clickViewJoin` (watermarked interval
+    * join, spec-only until now). Views and clicks are staged as
+    * chronological file slices and REALLY streamed (two file sources,
+    * maxFilesPerTrigger=1, AvailableNow), so matches form across
+    * micro-batch boundaries out of the join's keyed state while the
+    * watermark evicts views older than the attribution window. The
+    * accumulated append-mode emissions must equal the batch interval
+    * join recomputed by the oracle: every click attributed to every view
+    * of the same user within the preceding 6 h. Timestamps second-
+    * truncated on both sides (q22's convention).
+    *
+    * Scale: stream-stream join state is keyed by user and bounded by
+    * watermark − window; arrival in event-time order (any sane file-drop
+    * or Kafka source) keeps evictions exact. The batch equivalent is
+    * x61's range join; this closes the STREAMING side of that pair. */
+  def streamJoinParity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_x138").toString
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        date_trunc("second", $"ts").as("ts"))
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id".as("view_user"), $"event_id".as("view_id"), $"ts".as("view_ts"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("click_user"), $"event_id".as("click_id"), $"ts".as("click_ts"))
+    stageSlices(views, "view_ts", s"$base/v")
+    stageSlices(clicks, "click_ts", s"$base/c")
+    val vStream = spark.readStream.schema(views.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/v")
+    val cStream = spark.readStream.schema(clicks.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/c")
+    val joined = graft.streaming.IncrementalStream
+      .clickViewJoin(vStream, cStream, windowSec = AttrWindowSec)
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long)]()
+    val q = joined.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select($"view_user", $"view_id", $"click_id",
+          (unix_timestamp($"click_ts".cast("timestamp"))
+            - unix_timestamp($"view_ts".cast("timestamp"))).as("delta_s"))
+          .as[(Long, Long, Long, Long)].collect().foreach(buf.add)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    buf.asScala.toSeq.toDF("user_id", "view_id", "click_id", "delta_s")
+      .orderBy("view_id", "click_id")
+  }
+
+  private val streamJoinParityOracle =
+    s"""WITH v AS (SELECT user_id, event_id AS view_id, date_trunc('second', ts) AS vts
+       |           FROM events WHERE event_type = 'view'),
+       |c AS (SELECT user_id, event_id AS click_id, date_trunc('second', ts) AS cts
+       |      FROM events WHERE event_type = 'click')
+       |SELECT v.user_id, v.view_id, c.click_id,
+       |       CAST(epoch(c.cts) AS BIGINT) - CAST(epoch(v.vts) AS BIGINT) AS delta_s
+       |FROM v JOIN c ON c.user_id = v.user_id
+       |              AND c.cts >= v.vts
+       |              AND c.cts <= v.vts + INTERVAL $AttrWindowSec SECONDS
+       |ORDER BY view_id, click_id""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q97_histogram_merge",
       "mergeable equi-width histograms: two partitionings merge bitwise-identically; histogram p50 within one bin of exact",
@@ -615,5 +710,8 @@ object Round10Queries2 {
       bucketJoin, Some(bucketJoinOracle)),
     QueryDef("x134_label_spreading",
       "semi-supervised pseudo-labeling: 3-round clamped majority propagation over the symmetrized cosine top-5 graph, scored per class",
-      labelSpreading, Some(labelSpreadingOracle)))
+      labelSpreading, Some(labelSpreadingOracle)),
+    QueryDef("x138_stream_join_parity",
+      "stream-stream interval join batch parity: chronological file replay through the watermarked click-attribution join == batch interval join",
+      streamJoinParity, Some(streamJoinParityOracle)))
 }
