@@ -79,6 +79,16 @@ object Bench {
             failed = true
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
             System.err.println(s"[bench] $name FAILED: ${errors(name)}")
+        } finally {
+          // Drop this run's localCheckpoint blocks (UNTIMED). Without
+          // this, ~80 checkpointing queries accumulate storage blocks
+          // across the sweep until the unified-memory storage pool
+          // saturates and every later heavy query pays eviction/spill:
+          // measured r10, x127 ran 33 s late in a full idle-box sweep
+          // vs 11 s in a fresh JVM — reproducibly, with BOTH spike-guard
+          // runs at 33 s. Each timed run now starts with a clean pool.
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
         }
       }
       val recorded: Double = fixedRuns match {

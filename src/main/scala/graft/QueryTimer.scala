@@ -25,7 +25,12 @@ object QueryTimer {
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         materialize(fn(spark, sfDir))
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        // untimed: drop this run's localCheckpoint blocks so every run
+        // starts with a clean storage pool (same policy as Bench)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        t
       }
       println(f"[qtimer] $name%-28s median=${ts.sorted.apply(1)}%7.3f s  runs=${ts.map(t => f"$t%.3f").mkString(",")}")
     }

@@ -22,6 +22,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // drop accumulated localCheckpoint blocks between queries — the
+        // storage pool otherwise saturates over a 200+-query sweep and
+        // late queries pay eviction/spill (see Bench for the measurement)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -686,6 +686,47 @@ object Round10Queries2 {
        |              AND c.cts <= v.vts + INTERVAL $AttrWindowSec SECONDS
        |ORDER BY view_id, click_id""".stripMargin
 
+  /** x139: partition-pruned scan — the layout twin of x137. Orders are
+    * written ONCE partitioned by order year (the standard date-partition
+    * layout of every 100 TB fact table); a year-filtered aggregate then
+    * reads exactly one directory: the filter binds to the partition
+    * column at PLANNING time, so pruning happens in the file index — no
+    * data file of any other year is even opened (plan-asserted in
+    * OperatorsSpec: `PartitionFilters` carries the year predicate and
+    * the scan selects 1 of 7 partitions). q92 ESTIMATES what layouts
+    * save; this demonstrates the physical mechanism on disk.
+    *
+    * Scale: partition pruning is O(|partitions|) metadata work
+    * regardless of data size — the difference between scanning 1/84th
+    * of 100 TB and all of it for a month-bounded query. */
+  def partitionPrune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_x139").toString
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice",
+        year($"o_orderdate".cast("date")).as("o_year"))
+      .write.partitionBy("o_year").parquet(s"$base/orders")
+    partitionPruneOn(spark, base)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("cents"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** The pruned-scan core, exposed for the plan-shape spec (returns the
+    * filtered read; the spec asserts PartitionFilters + partition count). */
+  private[graft] def partitionPruneOn(spark: SparkSession, base: String): DataFrame =
+    spark.read.parquet(s"$base/orders").filter(col("o_year") === 1995)
+
+  private val partitionPruneOracle =
+    """SELECT o_orderpriority,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |FROM orders
+      |WHERE year(CAST(o_orderdate AS DATE)) = 1995
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q97_histogram_merge",
       "mergeable equi-width histograms: two partitionings merge bitwise-identically; histogram p50 within one bin of exact",
@@ -713,5 +754,8 @@ object Round10Queries2 {
       labelSpreading, Some(labelSpreadingOracle)),
     QueryDef("x138_stream_join_parity",
       "stream-stream interval join batch parity: chronological file replay through the watermarked click-attribution join == batch interval join",
-      streamJoinParity, Some(streamJoinParityOracle)))
+      streamJoinParity, Some(streamJoinParityOracle)),
+    QueryDef("x139_partition_prune",
+      "date-partitioned write + partition-pruned scan: year filter binds at planning time, 1 of 7 directories read (plan-asserted)",
+      partitionPrune, Some(partitionPruneOracle)))
 }

@@ -248,4 +248,23 @@ class OperatorsSpec extends SparkTestBase {
     // free and local; the expensive part (the shuffle) is what bucketing
     // removes, and that's what this spec pins.
   }
+
+  test("x139 partitioned write: the year filter prunes to one directory") {
+    val base = java.nio.file.Files.createTempDirectory("graft_x139_spec").toString
+    Tables.orders(spark, "/root/testdata/sf0.001")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice",
+        year($"o_orderdate".cast("date")).as("o_year"))
+      .write.partitionBy("o_year").parquet(s"$base/orders")
+    val df = graft.queries.Round10Queries2.partitionPruneOn(spark, base)
+    val plan = df.queryExecution.executedPlan.toString
+    // the filter must bind to the PARTITION column, not a data filter
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("o_year"), plan)
+    // fixture spans 1992-1998: exactly one of 7 year directories survives
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.get
+    val selected = scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
+    assert(selected.size == 1, s"expected exactly 1 surviving partition, got ${selected.size}")
+    assert(df.count() > 0)
+  }
 }
