@@ -42,7 +42,9 @@ object Registry {
       queries.EngineOpsQueries.defs ++
       queries.Round9Queries.defs ++
       queries.Round10Queries.defs ++
-      queries.Round10Queries2.defs
+      queries.Round10Queries2.defs ++
+      queries.Round10Queries3.defs ++
+      queries.Round10Queries4.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,231 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import QueryUtil.halfUp4
+
+/** Round-10 fourth tier: streaming exactly-once dedup (the D1 dedup
+  * semantics under real cross-batch replay), the AQE skew-join split (the
+  * JOIN-side twin of x140's salted aggregation), and a Matryoshka
+  * truncation audit for the ANN family (how much top-k survives dropping
+  * half the embedding dims — the cheap first-stage retrieval question). */
+object Round10Queries4 {
+
+  // ---------------------------------------------------------------- x145
+
+  /** x145: streaming exactly-once dedup parity — the D1 hash-dedup
+    * semantics under REAL replay: the events table is staged to parquet
+    * TWICE (two file sets in one source dir), streamed file-by-file
+    * (maxFilesPerTrigger=1, AvailableNow), and `dropDuplicates(event_id)`
+    * must suppress every second-copy row across micro-batch boundaries —
+    * the append-mode union of all emitted batches equals the table read
+    * once. Duplicate copies are bit-identical rows, so the output is
+    * deterministic no matter which copy the state sees first. This is the
+    * at-least-once-source → exactly-once-sink upgrade the reference's
+    * boundary-overlap CDC (S1) needs, proven through Spark's keyed dedup
+    * state rather than a batch fold.
+    *
+    * Scale: dedup state is one key per event (bounded in production by
+    * `dropDuplicatesWithinWatermark`, unbounded here for the parity
+    * harness); each batch shuffles only its own rows to the state store
+    * partitioning — O(new rows) per trigger, the same contract as x132.
+    * Emitted cents are exact integers so the union is hash-stable. */
+  def streamDedupParity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_x145_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_x145_ckpt").toString
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type",
+        floor($"value" * 100 + 0.5).cast("long").as("cents"))
+    // two bit-identical copies, different file layouts -> duplicates are
+    // guaranteed to land in DIFFERENT micro-batches for most rows
+    ev.repartition(2).write.mode("append").parquet(srcDir)
+    ev.repartition(3).write.mode("append").parquet(srcDir)
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val q = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .dropDuplicates("event_id")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) => b.collect().foreach(buf.add) }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+        java.util.Arrays.asList(buf.asScala.toSeq: _*), ev.schema)
+      .orderBy("event_id")
+  }
+
+  private val streamDedupParityOracle =
+    """SELECT event_id, user_id, event_type,
+      |       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- x146
+
+  /** x146: AQE skew-join split parity — the JOIN-side twin of x140: the
+    * same 70%-hot-key distribution is sort-merge-joined (merge hint — the
+    * demo must not degrade to broadcast) against a per-key dim table, with
+    * the skew thresholds lowered so AQE's OptimizeSkewedJoin actually
+    * fires at fixture scale: the hot partition is split into
+    * advisory-sized chunks, each joined against a DUPLICATED copy of the
+    * matching dim partition (spec-asserted `skew=true` in the executed
+    * plan). The query is forced eagerly inside the conf window and the
+    * confs restored, so the lowered thresholds never leak to other
+    * queries; the oracle recomputes the join + rollup single-stage.
+    *
+    * Scale: this is the mechanism that saves the 100 TB fact-fact join
+    * when one key owns a double-digit share of the rows — no salting
+    * rewrite needed on the query side; AQE re-plans from runtime map
+    * statistics. x140 covers the aggregation case AQE does not. */
+  def skewJoinSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_x146_dim").toString
+    // the dim is STORED, not derived inline: OptimizeSkewedJoin only
+    // matches SMJ(Sort(stage), Sort(stage)) — a distinct() under the dim
+    // Sort would break the pattern and silently disable the optimization
+    skewEvents(spark, dir).select($"grp").distinct()
+      .select($"grp", (abs($"grp") % 3).as("cat"))
+      .write.parquet(s"$base/dim")
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set(keys(0), "1024")
+      conf.set(keys(1), "2")
+      conf.set(keys(2), "1024")
+      val out = skewJoinPlan(spark, dir, s"$base/dim")
+      val rows = out.collect() // forced HERE so the conf window applies
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+        .orderBy("cat")
+    } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
+  private[graft] def skewEvents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // the round-robin repartition gives the join's map side real task
+    // parallelism: the fixture is one small parquet file = ONE map task,
+    // and AQE splits a skewed reduce partition by grouping MAP outputs —
+    // with a single mapper there is nothing to group and the skew handling
+    // silently no-ops. A production fact table always has many input
+    // splits; this stands in for that.
+    Tables.events(spark, dir).select(
+      when($"user_id" % 10 < 7, lit(-1L)).otherwise($"user_id").as("grp"),
+      floor($"value" * 100 + 0.5).cast("long").as("cents"))
+      .repartition(8)
+  }
+
+  /** The join alone (no conf window / no forced execution) — split out so
+    * the spec can assert the skew-split plan shape after running it under
+    * the same lowered thresholds. */
+  private[graft] def skewJoinPlan(spark: SparkSession, dir: String, dimPath: String): DataFrame = {
+    import spark.implicits._
+    val ev = skewEvents(spark, dir)
+    val dim = spark.read.parquet(dimPath)
+    ev.hint("merge").join(dim.hint("merge"), "grp")
+      .groupBy($"cat")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
+  }
+
+  private val skewJoinSplitOracle =
+    """WITH ev AS (SELECT CASE WHEN user_id % 10 < 7 THEN -1 ELSE user_id END AS grp,
+      |                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |            FROM events),
+      |dim AS (SELECT grp, abs(grp) % 3 AS cat FROM (SELECT DISTINCT grp FROM ev))
+      |SELECT dim.cat AS cat,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(ev.cents) AS BIGINT) AS sum_cents
+      |FROM ev JOIN dim ON ev.grp = dim.grp
+      |GROUP BY dim.cat
+      |ORDER BY cat""".stripMargin
+
+  // ---------------------------------------------------------------- x147
+
+  /** Matryoshka prefix length — half the fixture's 64 dims. */
+  private val MrlDims = 32
+
+  /** x147: Matryoshka truncation audit — the retrieval-quality question
+    * behind every two-stage ANN deployment (and MRL-trained embedding
+    * stacks): how much of the exact top-5 survives if candidate scoring
+    * uses only the first 32 of 64 dims? Both rankings are computed with
+    * the x30 brute-force shape (broadcast query set, one corpus scan,
+    * ranked window) and joined per query; `n_common` / `overlap` is the
+    * audit number a platform tracks before committing to truncated
+    * first-stage scoring. Deterministic: cosines rounded to 4dp before
+    * ranking with vec_id tie-break, same as every ANN query here.
+    *
+    * Scale: two broadcast-scan passes (the truncated one reading half the
+    * vector bytes — exactly the I/O saving being priced), one tiny join
+    * on the 5×k pair set. At 100 TB the truncated pass would be the IVF/
+    * PQ-pruned candidate stage; the audit shape is unchanged. */
+  def matryoshkaAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def topk(dims: Option[Int]): DataFrame = {
+      val base = Tables.embeddings(spark, dir).select($"vec_id",
+        dims.fold(col("embedding"))(n => slice(col("embedding"), 1, n)).as("embedding"))
+      val e = base.select($"vec_id", $"embedding", Similarity.norm($"embedding").as("nrm"))
+      val q = e.filter($"vec_id" % 100 === 0)
+        .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"nrm".as("qn"))
+      val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+      e.join(broadcast(q), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          round(Similarity.dot($"qv", $"embedding") / ($"qn" * $"nrm"), 4).as("cosine"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 5)
+        .select($"q_id", $"vec_id")
+    }
+    val full = topk(None)
+    val trunc = topk(Some(MrlDims)).withColumn("m", lit(1))
+    full.join(trunc, Seq("q_id", "vec_id"), "left")
+      .groupBy($"q_id")
+      .agg(sum(coalesce($"m", lit(0))).as("n_common"))
+      .select($"q_id", $"n_common",
+        halfUp4($"n_common".cast("double") / 5.0).as("overlap"))
+      .orderBy("q_id")
+  }
+
+  private lazy val matryoshkaAuditOracle = {
+    s"""WITH t AS (SELECT vec_id, list_slice(embedding, 1, $MrlDims) AS emb32,
+       |                  embedding AS emb FROM embeddings),
+       |t2 AS (SELECT vec_id AS q_id, emb AS qv, emb32 AS qv32 FROM t WHERE vec_id % 100 = 0),
+       |full_r AS (SELECT q_id, vec_id FROM (
+       |  SELECT q.q_id, e.vec_id,
+       |         row_number() OVER (PARTITION BY q.q_id
+       |           ORDER BY round(${SimilarityQueries.cosineSql("q.qv", "e.emb")}, 4) DESC, e.vec_id) AS rk
+       |  FROM t e JOIN t2 q ON e.vec_id <> q.q_id) WHERE rk <= 5),
+       |tr_r AS (SELECT q_id, vec_id FROM (
+       |  SELECT q.q_id, e.vec_id,
+       |         row_number() OVER (PARTITION BY q.q_id
+       |           ORDER BY round(${SimilarityQueries.cosineSql("q.qv32", "e.emb32")}, 4) DESC, e.vec_id) AS rk
+       |  FROM t e JOIN t2 q ON e.vec_id <> q.q_id) WHERE rk <= 5)
+       |SELECT f.q_id,
+       |       CAST(sum(CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+       |       floor(CAST(sum(CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5.0
+       |             * 10000 + 0.5) / 10000.0 AS overlap
+       |FROM full_r f LEFT JOIN tr_r tr ON f.q_id = tr.q_id AND f.vec_id = tr.vec_id
+       |GROUP BY f.q_id
+       |ORDER BY f.q_id""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
+
+  lazy val defs: Seq[QueryDef] = Seq(
+    QueryDef("x145_stream_dedup_parity",
+      "streaming exactly-once dedup: double file replay through dropDuplicates state across micro-batches == single batch read",
+      streamDedupParity, Some(streamDedupParityOracle)),
+    QueryDef("x146_skew_join_split",
+      "AQE skew-join split parity: 70%-hot-key SMJ re-planned from runtime map stats (skew=true, spec-asserted) == single-stage oracle join",
+      skewJoinSplit, Some(skewJoinSplitOracle)),
+    QueryDef("x147_matryoshka_audit",
+      "Matryoshka truncation audit: exact top-5 overlap when scoring with the first 32 of 64 dims (two-stage retrieval pricing)",
+      matryoshkaAudit, Some(matryoshkaAuditOracle)))
+}

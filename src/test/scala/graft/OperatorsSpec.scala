@@ -260,11 +260,50 @@ class OperatorsSpec extends SparkTestBase {
     // the filter must bind to the PARTITION column, not a data filter
     assert(plan.contains("PartitionFilters"), plan)
     assert(plan.contains("o_year"), plan)
-    // fixture spans 1992-1998: exactly one of 7 year directories survives
+    // fixture spans 1995-2001: exactly one of 7 year directories survives
     val scan = df.queryExecution.executedPlan.collectLeaves()
       .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.get
     val selected = scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
     assert(selected.size == 1, s"expected exactly 1 surviving partition, got ${selected.size}")
     assert(df.count() > 0)
+  }
+
+  test("x143 dynamic partition pruning: the dim filter reaches the fact scan at runtime") {
+    val base = java.nio.file.Files.createTempDirectory("graft_x143_spec").toString
+    Tables.orders(spark, "/root/testdata/sf0.001")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice",
+        year($"o_orderdate".cast("date")).as("o_year"))
+      .write.partitionBy("o_year").parquet(s"$base/orders")
+    spark.range(1995, 2002)
+      .select($"id".cast("int").as("d_year"), ($"id" % 3 === 0).cast("int").as("in_season"))
+      .write.parquet(s"$base/dim")
+    val df = graft.queries.Round10Queries3.dynPartitionPruneOn(spark, base)
+    val plan = df.queryExecution.executedPlan.toString
+    // unlike x139's static prune, the year set is only known at RUNTIME:
+    // the fact scan's PartitionFilters must carry a dynamicpruning subquery
+    assert(plan.contains("dynamicpruning"), s"no DPP subquery in fact scan:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("x146 AQE skew join: the hot partition is split (skew=true in the executed plan)") {
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set(keys(0), "1024"); conf.set(keys(1), "2"); conf.set(keys(2), "1024")
+      val base = java.nio.file.Files.createTempDirectory("graft_x146_spec").toString
+      graft.queries.Round10Queries4.skewEvents(spark, "/root/testdata/sf0.001")
+        .select($"grp").distinct()
+        .select($"grp", (abs($"grp") % 3).as("cat"))
+        .write.parquet(s"$base/dim")
+      val df = graft.queries.Round10Queries4.skewJoinPlan(spark, "/root/testdata/sf0.001", s"$base/dim")
+      df.collect() // AQE finalizes the plan only on execution
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"demo degraded from SMJ:\n$plan")
+      assert(plan.contains("skew=true"), s"OptimizeSkewedJoin did not fire:\n$plan")
+    } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
   }
 }
