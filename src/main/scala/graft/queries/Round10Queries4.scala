@@ -99,10 +99,17 @@ object Round10Queries4 {
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes")
     val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    // scale thresholds with the fixture: a fixed 1 KB advisory splits the
+    // sf0.1 hot partition into ~300 near-empty tasks (measured 9.5 s —
+    // scheduling, not work). Thresholds only shape the PLAN, never the
+    // result, so sizing them off the input file is safe; a real cluster
+    // uses the defaults (256 MB / 64 MB) for the same reason.
+    val srcBytes = new java.io.File(s"$dir/events.parquet").length()
+    val advisory = math.max(1024L, srcBytes / 128).toString
     try {
-      conf.set(keys(0), "1024")
+      conf.set(keys(0), advisory)
       conf.set(keys(1), "2")
-      conf.set(keys(2), "1024")
+      conf.set(keys(2), advisory)
       val out = skewJoinPlan(spark, dir, s"$base/dim")
       val rows = out.collect() // forced HERE so the conf window applies
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)

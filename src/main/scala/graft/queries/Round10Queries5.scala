@@ -1,0 +1,382 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import QueryUtil.halfUp4
+
+/** Round-10 fifth tier: the streaming SCD2 parity oracle (closing the last
+  * big spec-only `flatMapGroupsWithState` operator the way x117/x133/x145
+  * closed theirs) and a Kneser-Ney-smoothed bigram language model — the
+  * LM-statistics capability the surprisal/BPE family (x56/x88/x120) builds
+  * toward. */
+object Round10Queries5 {
+
+  // ---------------------------------------------------------------- x148
+
+  /** x133's cohort bound — keeps the streamed state small while covering
+    * thousands of events. */
+  private val ScdUsers = 40
+
+  /** Chronological slice cuts as epoch seconds (2024-01-11 / 2024-01-21
+    * UTC — the fixture spans January 2024), so each staged file holds a
+    * disjoint time range and cross-batch arrival order is event-time
+    * order per user. Ties (equal sec) cannot straddle files. */
+  private val SecCuts = Seq(1704931200L, 1705795200L)
+
+  /** Stage `df` as 3 single-file parquet slices cut on ascending ranges
+    * of `colName`, with strictly increasing mtimes — the file source
+    * replays them in `colName` order, the discipline a production
+    * file-drop pipeline provides naturally (x138's staging, keyed on an
+    * arbitrary long column). */
+  private def stageSlicesBy(df: DataFrame, colName: String, cuts: Seq[Long],
+      dir: String): Unit = {
+    val bounds = (Long.MinValue +: cuts) zip (cuts :+ Long.MaxValue)
+    stageFrames(bounds.map { case (lo, hi) =>
+      df.filter(col(colName) >= lo && col(colName) < hi)
+    }, dir)
+  }
+
+  /** Stage each frame as one parquet file with strictly increasing mtimes
+    * so the file source replays them in sequence order. */
+  private def stageFrames(frames: Seq[DataFrame], dir: String): Unit = {
+    frames.zipWithIndex.foreach { case (f, i) =>
+      f.coalesce(1).write.parquet(s"$dir/s$i")
+      val part = new java.io.File(s"$dir/s$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.FileSystems.getDefault.getPath(s"$dir/f$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+  }
+
+  /** x148: streaming SCD2 batch parity — the driver-visible oracle pair
+    * for `IncrementalStream.scd2Stream` (the q47/SCD-Type-2 semantics as
+    * keyed `flatMapGroupsWithState`, spec-only until now). The events
+    * cohort is staged as 3 chronological files and REALLY streamed
+    * (maxFilesPerTrigger=1, AvailableNow), so version state must survive
+    * micro-batch boundaries: a user whose event_type is unchanged across
+    * a batch boundary must NOT open a new version (the cross-batch case
+    * the in-batch sort can't cover). The appended union of all emitted
+    * version-opens must equal the classic batch recompute: per user in
+    * (sec, event_id) order, a new version exactly at each type change.
+    *
+    * Scale: state per user is one (type, version) pair — O(users), not
+    * O(events); each batch shuffles only its own rows to the state
+    * partitioning. This is dimension-table history maintenance (SNK1's
+    * upsert lineage) running incrementally instead of q47's full rebuild. */
+  def streamScd2Parity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_x148").toString
+    val ev = Tables.events(spark, dir).filter($"user_id" < ScdUsers)
+      .select($"user_id",
+        expr("unix_timestamp(cast(date_trunc('second', ts) as timestamp))")
+          .cast("long").as("sec"),
+        $"event_id", $"event_type")
+    stageSlicesBy(ev, "sec", SecCuts, s"$base/src")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+    val opens = graft.streaming.IncrementalStream.scd2Stream(
+      stream.as[(Long, Long, Long, String)])
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val q = opens.toDF().writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (b: DataFrame, _: Long) => b.collect().foreach(buf.add) }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+        java.util.Arrays.asList(buf.asScala.toSeq: _*), opens.toDF().schema)
+      .orderBy("user_id", "version")
+  }
+
+  private val streamScd2ParityOracle =
+    s"""WITH e AS (SELECT user_id,
+       |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+       |             event_id, event_type
+       |           FROM events WHERE user_id < $ScdUsers),
+       |f AS (SELECT *,
+       |        CASE WHEN lag(event_type) OVER w IS NULL
+       |               OR event_type <> lag(event_type) OVER w THEN 1 ELSE 0 END AS brk
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+       |s AS (SELECT user_id, sec, event_type, brk,
+       |        sum(brk) OVER (PARTITION BY user_id ORDER BY sec, event_id
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ver
+       |      FROM f)
+       |SELECT user_id, CAST(ver AS INTEGER) AS version, event_type,
+       |       sec AS valid_from_sec
+       |FROM s WHERE brk = 1
+       |ORDER BY user_id, version""".stripMargin
+
+  // ---------------------------------------------------------------- x149
+
+  /** Absolute discount for interpolated Kneser-Ney. */
+  private val KnD = 0.75
+
+  private val KnTopN = 25
+
+  /** x149: Kneser-Ney-smoothed bigram LM — the corpus language-model
+    * statistic the surprisal family builds toward: for the top bigrams,
+    * the interpolated-KN probability
+    * P(w2|w1) = max(c−D,0)/c(w1·) + D·N1+(w1,·)/c(w1·) · N1+(·,w2)/B,
+    * where the continuation counts N1+ are DISTINCT-neighbor counts (the
+    * KN insight: "how many contexts does w2 complete" rather than raw
+    * frequency) and B is the bigram-type count. Everything is exact
+    * integer counts; the one double expression is written in the same
+    * operation order in both engines and rounded half-up once.
+    *
+    * Scale: all aggregates live on the bigram TYPE table (vocab-bounded,
+    * corpus-size-free): one explode+group per marginal, joined back on
+    * w1/w2 — the same shuffle shape as x46's TF-IDF. The occurrence
+    * stream itself is touched once. */
+  def kneserNey(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bg = Tables.documents(spark, dir)
+      .select(explode(call_function("token_ngrams", $"text", lit(2))).as("bigram"))
+      .select(split_part($"bigram", lit(" "), lit(1)).as("w1"),
+        split_part($"bigram", lit(" "), lit(2)).as("w2"))
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
+    val left = bg.groupBy($"w1")
+      .agg(sum($"c").as("cw1"), count(lit(1)).as("n1r"))
+    val right = bg.groupBy($"w2").agg(count(lit(1)).as("n1l"))
+    val types = bg.agg(count(lit(1)).as("bt"))
+    bg.join(left, "w1").join(right, "w2")
+      .crossJoin(broadcast(types))
+      .select(concat($"w1", lit(" "), $"w2").as("bigram"),
+        $"c", $"cw1", $"n1r", $"n1l", $"bt",
+        halfUp4(
+          greatest($"c".cast("double") - KnD, lit(0.0)) / $"cw1".cast("double")
+            + lit(KnD) * ($"n1r".cast("double") / $"cw1".cast("double"))
+              * ($"n1l".cast("double") / $"bt".cast("double"))).as("p_kn"))
+      .orderBy($"c".desc, $"bigram")
+      .limit(KnTopN)
+  }
+
+  private val kneserNeyOracle =
+    s"""WITH bg AS (
+       |  SELECT split_part(bigram, ' ', 1) AS w1, split_part(bigram, ' ', 2) AS w2,
+       |         CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(CASE WHEN len(toks) >= 2
+       |                 THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+       |                 ELSE [] END) AS bigram
+       |        FROM (SELECT string_split(text, ' ') AS toks FROM documents))
+       |  GROUP BY 1, 2),
+       |l AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cw1, CAST(count(*) AS BIGINT) AS n1r
+       |      FROM bg GROUP BY w1),
+       |r AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1l FROM bg GROUP BY w2),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM bg)
+       |SELECT bg.w1 || ' ' || bg.w2 AS bigram, c, cw1, n1r, n1l, bt,
+       |       floor((greatest(CAST(c AS DOUBLE) - $KnD, 0.0) / CAST(cw1 AS DOUBLE)
+       |              + $KnD * (CAST(n1r AS DOUBLE) / CAST(cw1 AS DOUBLE))
+       |                * (CAST(n1l AS DOUBLE) / CAST(bt AS DOUBLE))) * 10000 + 0.5) / 10000.0 AS p_kn
+       |FROM bg JOIN l ON bg.w1 = l.w1 JOIN r ON bg.w2 = r.w2 CROSS JOIN t
+       |ORDER BY c DESC, bigram
+       |LIMIT $KnTopN""".stripMargin
+
+  // ---------------------------------------------------------------- x150
+
+  /** x150: streaming decayed-counts batch parity — the oracle pair for
+    * `IncrementalStream.decayStream` (x67's exponentially time-decayed
+    * trending score as keyed panel state, spec-only until now). The
+    * per-event (type, dayn) stream is staged as 3 chronological files cut
+    * at UTC midnights (days never straddle batches — decayStream's
+    * append-only-day contract), REALLY streamed, and every emitted
+    * (grp, dayn) row must carry the EXACT x67 fixed-point score
+    * Σ_{d ∈ (D−30, D]} cnt_d · 2^(30−(D−d)) — the panel state must merge
+    * correctly across micro-batch boundaries for the later days, whose
+    * window spans all three batches.
+    *
+    * Scale: state per key is the ≤30-entry day panel no matter how hot
+    * the key; each trigger shuffles only its own rows. This keeps x67's
+    * trending score warm incrementally instead of recomputing the
+    * windowed join per run. */
+  def streamDecayParity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_x150").toString
+    val ev = Tables.events(spark, dir)
+      .select($"event_type",
+        datediff(to_date($"ts"), lit("2024-01-01")).as("dayn"),
+        expr("unix_timestamp(cast(date_trunc('second', ts) as timestamp))")
+          .cast("long").as("sec"))
+    stageSlicesBy(ev, "sec", SecCuts, s"$base/src")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      .select($"event_type", $"dayn")
+    val scores = graft.streaming.IncrementalStream.decayStream(
+      stream.as[(String, Int)])
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val q = scores.toDF().writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (b: DataFrame, _: Long) => b.collect().foreach(buf.add) }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+        java.util.Arrays.asList(buf.asScala.toSeq: _*), scores.toDF().schema)
+      .orderBy("grp", "dayn")
+  }
+
+  private val streamDecayParityOracle =
+    """WITH dc AS MATERIALIZED (
+      |  SELECT event_type AS grp,
+      |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER) AS dayn,
+      |         count(*) AS cnt
+      |  FROM events GROUP BY 1, 2)
+      |SELECT c.grp, c.dayn,
+      |       CAST(sum(p.cnt * (CAST(1 AS BIGINT) << (30 - (c.dayn - p.dayn)))) AS BIGINT) AS decayed_fp
+      |FROM dc c JOIN dc p ON c.grp = p.grp
+      |  AND p.dayn <= c.dayn AND p.dayn > c.dayn - 30
+      |GROUP BY c.grp, c.dayn
+      |ORDER BY c.grp, c.dayn""".stripMargin
+
+  // ---------------------------------------------------------------- x151
+
+  /** Token budget per packed sequence (x50's convention). */
+  private val PackBudget = 512L
+
+  /** x151: streaming sequence-packing parity — the oracle pair for
+    * `IncrementalStream.packStream` (x50's greedy doc→sequence packing as
+    * keyed cursor state, spec-only until now). Documents are staged as 3
+    * doc_id-ordered files and REALLY streamed; each shard's packing
+    * cursor (one long: tokens consumed so far) must survive micro-batch
+    * boundaries so a sequence that starts in batch 1 keeps filling from
+    * batch 2. The appended emissions must equal the batch recompute: a
+    * running per-shard token prefix sum in doc_id order, with
+    * seq_id/seq_off = cursor div/mod budget.
+    *
+    * Scale: state per shard is ONE long however many documents pass;
+    * this is the corpus-assembly stage (X-tier packing) running as an
+    * incremental intake instead of a batch rebuild — new crawl drops
+    * extend existing sequences without touching packed history. */
+  def streamPackParity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_x151").toString
+    val d = Tables.documents(spark, dir)
+      .select($"doc_id", ($"doc_id" % 8).as("shard"),
+        size(split($"text", " ")).cast("int").as("n_tok"))
+    // staging-only cuts at doc_id thirds — the packing output is
+    // cut-independent as long as slices ascend in doc_id
+    val maxId = d.agg(max($"doc_id")).head().getLong(0)
+    stageSlicesBy(d, "doc_id", Seq(maxId / 3, 2 * maxId / 3), s"$base/src")
+    val stream = spark.readStream.schema(d.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+    val packed = graft.streaming.IncrementalStream.packStream(
+      stream.as[(Long, Long, Int)], budget = PackBudget)
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val q = packed.toDF().writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (b: DataFrame, _: Long) => b.collect().foreach(buf.add) }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+        java.util.Arrays.asList(buf.asScala.toSeq: _*), packed.toDF().schema)
+      .orderBy("doc_id")
+  }
+
+  private val streamPackParityOracle =
+    s"""WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+       |                  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok
+       |           FROM documents),
+       |s AS (SELECT doc_id, shard, n_tok,
+       |        CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |      FROM d)
+       |SELECT doc_id, shard, n_tok, cum_before,
+       |       cum_before // $PackBudget AS seq_id,
+       |       cum_before % $PackBudget AS seq_off
+       |FROM s
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- x152
+
+  /** x152: watermark late-data semantics audit — the drop-side contract
+    * every other streaming parity query avoids by replaying in order:
+    * here a file of deliberately LATE rows (every 20th event from the
+    * first ten days) arrives after the stream has already advanced
+    * through day 30, so the 1-hour-watermark hourly aggregation must
+    * DROP all of them (their window ends are weeks behind the
+    * watermark), and a far-future heartbeat file then flushes every real
+    * window past the watermark so append mode emits them all exactly
+    * once. The emitted hourly counts must equal the on-time-only batch
+    * recompute — proving both the drop rule (no late row counted) and
+    * the flush rule (no on-time window lost).
+    *
+    * Scale: the watermark is THE mechanism that bounds streaming-agg
+    * state at 100 TB/day ingest — state per key is open-windows-only,
+    * and this audit is the parity shape that certifies a chosen delay
+    * against a known late-arrival profile. */
+  def watermarkDropAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_x152").toString
+    val ev = Tables.events(spark, dir)
+      .select(date_trunc("second", $"ts").as("ts"), $"event_id")
+    val cut1 = lit("2024-01-11").cast("timestamp_ntz")
+    val cut2 = lit("2024-01-21").cast("timestamp_ntz")
+    val isLate = $"event_id" % 20 === 0 && $"ts" < cut1
+    val sentinel = spark.range(1)
+      .select(expr("TIMESTAMP_NTZ'2024-03-01 00:00:30'").as("ts"),
+        lit(-1L).as("event_id"))
+    stageFrames(Seq(
+      ev.filter($"ts" < cut1 && !isLate),
+      ev.filter($"ts" >= cut1 && $"ts" < cut2),
+      ev.filter($"ts" >= cut2),
+      ev.filter(isLate), // weeks late by now -> must be dropped
+      sentinel),          // heartbeat: advances the watermark past Jan
+      s"$base/src")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+    val hourly = stream.withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("hour_start"), $"n")
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val q = hourly.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (b: DataFrame, _: Long) => b.collect().foreach(buf.add) }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+        java.util.Arrays.asList(buf.asScala.toSeq: _*),
+        hourly.schema)
+      .filter($"hour_start" < cut2.cast("timestamp_ntz") + expr("INTERVAL 20 DAYS"))
+      .orderBy("hour_start")
+  }
+
+  private val watermarkDropAuditOracle =
+    """SELECT date_trunc('hour', date_trunc('second', ts)) AS hour_start,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM events
+      |WHERE NOT (event_id % 20 = 0 AND date_trunc('second', ts) < TIMESTAMP '2024-01-11')
+      |GROUP BY 1
+      |ORDER BY hour_start""".stripMargin
+
+  // ----------------------------------------------------------------
+
+  lazy val defs: Seq[QueryDef] = Seq(
+    QueryDef("x148_stream_scd2_parity",
+      "streaming SCD2 batch parity: chronological file replay through keyed flatMapGroupsWithState version state == lag-based batch recompute",
+      streamScd2Parity, Some(streamScd2ParityOracle)),
+    QueryDef("x149_kneser_ney",
+      "interpolated Kneser-Ney bigram LM: discounted ML + continuation-count backoff over the vocab-bounded bigram type table",
+      kneserNey, Some(kneserNeyOracle)),
+    QueryDef("x150_stream_decay_parity",
+      "streaming decayed-counts batch parity: midnight-cut file replay through the day-panel state == x67's windowed fixed-point recompute",
+      streamDecayParity, Some(streamDecayParityOracle)),
+    QueryDef("x151_stream_pack_parity",
+      "streaming sequence-packing parity: doc_id-ordered file replay through the per-shard cursor state == running prefix-sum recompute",
+      streamPackParity, Some(streamPackParityOracle)),
+    QueryDef("x152_watermark_drop_audit",
+      "watermark late-data semantics: a deliberately late file is dropped by the 1h-watermark hourly aggregation; emitted windows == on-time-only recompute",
+      watermarkDropAudit, Some(watermarkDropAuditOracle)))
+}
