@@ -306,4 +306,22 @@ class OperatorsSpec extends SparkTestBase {
       assert(plan.contains("skew=true"), s"OptimizeSkewedJoin did not fire:\n$plan")
     } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
   }
+
+  test("x153 runtime filter: the dim side plants a bloom filter on the fact scan") {
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set(keys(0), "true"); conf.set(keys(1), "1024"); conf.set(keys(2), "-1")
+      val df = graft.queries.Round10Queries6.runtimeFilterPlan(spark, "/root/testdata/sf0.001")
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"demo degraded from SMJ:\n$plan")
+      assert(plan.contains("might_contain"),
+        s"InjectRuntimeFilter did not plant the bloom probe:\n$plan")
+    } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
 }
