@@ -420,4 +420,70 @@ class PropertySpec extends SparkTestBase {
       assert(got == ref, s"seed=$seed")
     }
   }
+
+  test("property: KMV sketch of a union == truncated union of the sketches") {
+    // the mergeability x141 relies on: kmv_k(A ∪ B) is exactly the k
+    // smallest of kmv_k(A) ∪ kmv_k(B) — so per-partition sketches merge
+    // with zero estimate drift (unlike HLL's estimator, q96)
+    val k = 16
+    def md48(v: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 12)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def kmv(vs: Set[Long]): Seq[Long] = vs.toSeq.map(md48).distinct.sorted.take(k)
+    (1L to 8L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val a = Set.fill(60)(rnd.nextLong(500))
+      val b = Set.fill(60)(rnd.nextLong(500))
+      val direct = kmv(a ++ b)
+      val merged = (kmv(a) ++ kmv(b)).distinct.sorted.take(k)
+      assert(direct == merged, s"seed=$seed")
+    }
+  }
+
+  test("property: x149 Kneser-Ney bigram probabilities sum to 1 per context") {
+    // interpolated KN with D over seen successors: sum_w2 P(w2|w1) =
+    // 1 - D·N1+(w1,·)/c(w1·) · (1 - sum_seen Pcont) ... for contexts whose
+    // successors cover the continuation mass this is exactly <= 1; verify
+    // numerically on a toy corpus that every context's seen-successor
+    // mass + reserved backoff mass for UNSEEN continuations equals 1.
+    val corpus = Seq("a b a b a c", "b a b c a a")
+    val bigrams = corpus.flatMap(_.split(" ").sliding(2).map(w => (w(0), w(1))))
+    val c = bigrams.groupBy(identity).map { case (kk, v) => kk -> v.size.toLong }
+    val cw1 = c.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val n1r = c.groupBy(_._1._1).map { case (w1, m) => w1 -> m.size.toLong }
+    val n1l = c.groupBy(_._1._2).map { case (w2, m) => w2 -> m.size.toLong }
+    val bt = c.size.toLong
+    val d = 0.75
+    val vocab = n1l.keySet ++ cw1.keySet
+    cw1.keys.foreach { w1 =>
+      // full interpolated-KN mass over the WHOLE vocab (seen + unseen w2)
+      val total = vocab.toSeq.map { w2 =>
+        val cnt = c.getOrElse((w1, w2), 0L).toDouble
+        math.max(cnt - d, 0.0) / cw1(w1) +
+          d * (n1r(w1).toDouble / cw1(w1)) * (n1l.getOrElse(w2, 0L).toDouble / bt)
+      }.sum
+      // sums to 1 iff Pcont is a proper distribution over the vocab;
+      // with Pcont = N1+(·,w2)/B it is (sum of n1l == bt), so total == 1
+      assert(math.abs(total - 1.0) < 1e-12, s"w1=$w1 total=$total")
+    }
+  }
+
+  test("property: x155 largest-remainder allocation sums exactly to the budget") {
+    (1L to 8L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val masses = (0 until 7).map(i => s"s$i" -> (1L + rnd.nextLong(10000)))
+      val tt = masses.map(_._2).sum
+      val budget = 1234L
+      val q = masses.map { case (s, t) =>
+        (s, budget * t / tt, budget * t % tt)
+      }
+      val short = budget - q.map(_._2).sum
+      val extras = q.sortBy { case (s, _, rem) => (-rem, s) }.take(short.toInt).map(_._1).toSet
+      val alloc = q.map { case (s, fl, _) => fl + (if (extras(s)) 1L else 0L) }.sum
+      assert(alloc == budget, s"seed=$seed alloc=$alloc")
+    }
+  }
 }
