@@ -105,6 +105,33 @@ object Sinks {
         greatest(col("b_last"), col("d_last")).as("last_ts")): _*)
   }
 
+  /** Incremental view maintenance for an equi-JOIN view — the delta rule
+    * that q51's [[mergeAggState]] is to aggregates: with the stored view
+    * J0 = A0 ⋈ B0 and per-batch deltas ΔA, ΔB (all inserts), the
+    * maintained view is
+    *
+    *   J  =  J0  ∪  (ΔA ⋈ B0)  ∪  (A0 ⋈ ΔB)  ∪  (ΔA ⋈ ΔB)
+    *
+    * which equals (A0 ∪ ΔA) ⋈ (B0 ∪ ΔB) exactly when the four terms
+    * partition the output — i.e. insert-only deltas disjoint from their
+    * base relations. The stored view is NEVER rescanned against a base
+    * relation; every new term has a delta on one side, so each refresh
+    * costs O(|Δ| · matching-keys), not O(|A|·|B|).
+    *
+    * Column contract: `state` has exactly the using-join layout
+    * (key ++ a-cols ++ b-cols); a0/deltaA and b0/deltaB carry disjoint
+    * column sets apart from `key`. Scale: store A0, B0 and J0 partitioned
+    * by `key` and the three delta joins are partition-local on the
+    * non-delta side; the deltas broadcast when small. Proven maintain ≡
+    * recompute by `q100_join_ivm`'s oracle hash and property-tested over
+    * arbitrary splits in PropertySpec. */
+  def mergeJoinState(state: DataFrame, a0: DataFrame, b0: DataFrame,
+                     deltaA: DataFrame, deltaB: DataFrame, key: String): DataFrame =
+    state
+      .unionByName(deltaA.join(b0, key))
+      .unionByName(a0.join(deltaB, key))
+      .unionByName(deltaA.join(deltaB, key))
+
   /** SNK1: append only rows whose `hashCol` is not already in the sink;
     * within-batch dups collapse deterministically first. Returns the number
     * of rows actually inserted (the reference's `total_inserted` counter,
