@@ -74,7 +74,19 @@ object ExplainAudit {
       // (NOT x127: eager components gate at construction, like x14.)
       "x123_gopher_gate", "x126_span_corruption", "x125_jl_projection",
       "x129_rocchio_dense", "q93_analyze_stats", "q94_join_card_est",
-      "x128_keyframes")
+      "x128_keyframes",
+      // round-10 shapes: WindowGroupLimit-before-exchange lateral top-k,
+      // single-stack DQ profile (ONE scan + ONE anti-join — the union
+      // form re-ran the aggregate five times), decimal A/B predicate over
+      // two tiny aggregate frames, span-keyed boilerplate join, map-only
+      // PII scrubber, histogram×ranges stats-only estimation, banded
+      // frame/window alignment join (no inequality nested loop), one
+      // user-keyed sort shared by turn window + conversation fold
+      // (NOT q100/q101/x161/x162: eager localCheckpoint at construction,
+      // like x63 — q100's delta terms are audited via the q52 IVM shape.)
+      "q102_lateral_topk", "q103_dq_suite", "q104_ab_significance",
+      "x158_boilerplate_dedup", "x159_pii_redact",
+      "x163_histogram_selectivity", "x164_av_align", "x165_chat_assembly")
     names.foreach { n =>
       println(s"\n===== $n =====")
       Registry.byName(n).fn(spark, dir).explain("formatted")

@@ -144,15 +144,19 @@ object Round10Queries10 {
         broadcast(Tables.customer(spark, dir).select($"c_custkey")),
         $"o_custkey" === $"c_custkey", "left_anti")
       .agg(count(lit(1)).as("orphans"))
-    val m = base.crossJoin(fk)
-    def row(name: String, c: String) =
-      m.select(lit(name).as("constraint"), col(c).as("metric"),
-        (col(c) === 0).cast("int").as("passed"))
-    row("fk_custkey_in_customer", "orphans")
-      .unionByName(row("orderdate_complete", "null_dates"))
-      .unionByName(row("orderkey_unique", "dup_keys"))
-      .unionByName(row("status_in_domain", "bad_status"))
-      .unionByName(row("totalprice_positive", "bad_price"))
+    // ONE stack over the single metrics row — a union of five selects
+    // from the same frame would re-run the aggregation (and the scan)
+    // five times (plan-audited; the whole point is profile-once).
+    base.crossJoin(fk)
+      .selectExpr(
+        """stack(5,
+          |  'fk_custkey_in_customer', orphans,
+          |  'orderdate_complete', null_dates,
+          |  'orderkey_unique', dup_keys,
+          |  'status_in_domain', bad_status,
+          |  'totalprice_positive', bad_price) as (constraint, metric)""".stripMargin)
+      .select(col("constraint"), col("metric"),
+        (col("metric") === 0).cast("int").as("passed"))
       .orderBy("constraint")
   }
 
