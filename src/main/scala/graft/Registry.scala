@@ -52,7 +52,8 @@ object Registry {
       queries.Round10Queries9.defs ++
       queries.Round10Queries10.defs ++
       queries.Round10Queries11.defs ++
-      queries.Round10Queries12.defs
+      queries.Round10Queries12.defs ++
+      queries.Round10Queries13.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
