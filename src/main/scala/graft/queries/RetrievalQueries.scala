@@ -22,8 +22,8 @@ object RetrievalQueries {
   /** BM25 constants (standard Robertson defaults). */
   private val K1 = 1.2
   private val B = 0.75
-  private val TopK = 5
-  private val RrfK = 60
+  private[queries] val TopK = 5
+  private[queries] val RrfK = 60
 
   /** x80: BM25 top-5 docs per query doc (doc_id % 100 = 0, self excluded).
     * The scoring join is the inverted-index shape — query terms broadcast,
@@ -103,7 +103,7 @@ object RetrievalQueries {
        |                 * CAST(s.n_docs AS DOUBLE) / CAST(s.tot AS DOUBLE))))""".stripMargin
 
   /** Postings + corpus-statistics CTEs shared by the x80 and x81 oracles. */
-  private def bm25Ctes: String =
+  private[queries] def bm25Ctes: String =
     s"""tf AS (SELECT doc_id, t, count(*) AS tf
        |     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
        |     GROUP BY doc_id, t),
