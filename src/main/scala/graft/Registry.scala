@@ -56,7 +56,8 @@ object Registry {
       queries.Round10Queries13.defs ++
       queries.Round10Queries14.defs ++
       queries.Round10Queries15.defs ++
-      queries.Round10Queries16.defs
+      queries.Round10Queries16.defs ++
+      queries.Round10Queries17.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
