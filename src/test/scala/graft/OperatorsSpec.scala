@@ -324,4 +324,27 @@ class OperatorsSpec extends SparkTestBase {
         s"InjectRuntimeFilter did not plant the bloom probe:\n$plan")
     } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
   }
+
+  test("x165 chat assembly digest is partitioning-independent") {
+    // The collect_list fold is only deterministic because of the
+    // array_sort(struct(turn, line)) — prove the md5 survives an
+    // adversarial repartition (the property a distributed template
+    // renderer must have; a bare collect_list would flake here).
+    val a = graft.queries.Round10Queries12.chatAssembly(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq)
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001").repartition(7)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chat").toString
+    // the query touches only events, so a directory with events alone works
+    ev.write.parquet(s"$tmp/events.parquet")
+    val b = graft.queries.Round10Queries12.chatAssembly(spark, tmp)
+      .collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("q102 lateral top-k plan: WindowGroupLimit below the exchange") {
+    val df = graft.queries.Round10Queries9.lateralTopk(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no group-limit pushdown:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop crept in:\n$plan")
+  }
 }
