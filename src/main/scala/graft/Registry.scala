@@ -59,7 +59,8 @@ object Registry {
       queries.Round10Queries16.defs ++
       queries.Round10Queries17.defs ++
       queries.Round10Queries18.defs ++
-      queries.Round10Queries19.defs
+      queries.Round10Queries19.defs ++
+      queries.Round10Queries20.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
