@@ -497,6 +497,33 @@ object PipelineQueries {
     tailCtes = rebalanceTailCtes,
     packSrc = "kept2", packExtra = " lang, source,")
 
+  /** x178 — capstone v5: v4's ten stages PLUS the round-10 boilerplate
+    * gate (x158's cross-document shared-span mass, keep iff
+    * 5·removed < spans) as one more pre-mixture keep-gate — ELEVEN
+    * composed stages, one dataflow, one oracle statement. v4 keeps its
+    * oracle and moves to benchSkip (the r9-advice pattern: every
+    * generation stays VERIFIED, only the newest is timed). */
+  def trainingCorpusV5(spark: SparkSession, dir: String) =
+    rebalancedPacked(spark, dir, corpusKept(spark, dir, Seq(
+      TrainingQueries.repetitionKeepIds(spark, dir),
+      TrainingQueries.surprisalKeepIds(spark, dir),
+      Round9Queries.gopherKeepIds(spark, dir),
+      Round10Queries10.boilerplateKeepIds(spark, dir)))
+      // reuse point — same rationale as v4 (four gates fan out)
+      .repartition(col("doc_id")))
+
+  private lazy val trainingCorpusV5Oracle = corpusOracleSql(
+    repSurExtraCtes +
+      s""",
+         |${Round9Queries.gopherKeepCtes},
+         |${Round10Queries10.boilerKeepCtes}""".stripMargin,
+    repSurPredSql +
+      s"""
+         |           AND s.doc_id IN (SELECT doc_id FROM gopher_keep)
+         |           AND s.doc_id IN (SELECT doc_id FROM boiler_keep)""".stripMargin,
+    tailCtes = rebalanceTailCtes,
+    packSrc = "kept2", packExtra = " lang, source,")
+
   private lazy val trainingCorpusV4Oracle = corpusOracleSql(
     repSurExtraCtes +
       s""",
@@ -668,7 +695,10 @@ object PipelineQueries {
       trainingCorpusV3, Some(trainingCorpusV3Oracle), benchSkip = true),
     QueryDef("x127_training_corpus_v4",
       "capstone v4: v3 + the Gopher rule panel as a pre-mixture gate (ten stages, one oracle)",
-      trainingCorpusV4, Some(trainingCorpusV4Oracle)),
+      trainingCorpusV4, Some(trainingCorpusV4Oracle), benchSkip = true),
+    QueryDef("x178_training_corpus_v5",
+      "capstone v5: v4 + the x158 boilerplate-mass gate (eleven stages, one oracle)",
+      trainingCorpusV5, Some(trainingCorpusV5Oracle)),
     QueryDef("x92_training_corpus_v2",
       "full capstone v2: x91 + repetition gate + surprisal gate (all eight stages, one oracle)",
       trainingCorpusV2, Some(trainingCorpusV2Oracle), benchSkip = true),

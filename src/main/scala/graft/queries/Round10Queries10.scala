@@ -68,6 +68,43 @@ object Round10Queries10 {
        |GROUP BY c.doc_id
        |ORDER BY c.doc_id""".stripMargin
 
+  /** The x158 gate reduced to surviving doc ids — keep a document iff
+    * less than 20% of its spans are cross-document boilerplate (strict
+    * integer predicate 5·removed < spans). The capstone-v5 stage. */
+  private[queries] def boilerplateKeepIds(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spans = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", $"toks",
+        explode(sequence(lit(0), floor((size($"toks") - 1) / lit(SpanW)).cast("int"))).as("k"))
+      .select($"doc_id",
+        array_join(slice($"toks", $"k" * SpanW + 1, lit(SpanW)), " ").as("span"))
+    val docsPerSpan = spans.groupBy($"span")
+      .agg(countDistinct($"doc_id").as("nd"))
+    spans.join(docsPerSpan, "span")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when($"nd" >= 2, 1L).otherwise(0L)).as("n_removed"))
+      .filter($"n_removed" * 5 < $"n_spans")
+      .select($"doc_id")
+  }
+
+  /** Splice-ready CTE block (names prefixed `bp_`) ending in
+    * `boiler_keep(doc_id)` — the capstone-v5 gate. */
+  private[queries] lazy val boilerKeepCtes: String =
+    s"""bp_t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |bp_e AS (SELECT doc_id, toks, unnest(range(0, ((len(toks) - 1) // $SpanW) + 1)) AS k
+       |         FROM bp_t),
+       |bp_c AS (SELECT doc_id,
+       |           array_to_string(list_slice(toks, k * $SpanW + 1, k * $SpanW + $SpanW), ' ') AS span
+       |         FROM bp_e),
+       |bp_d AS (SELECT span, count(DISTINCT doc_id) AS nd FROM bp_c GROUP BY span),
+       |boiler_keep AS (
+       |  SELECT c.doc_id
+       |  FROM bp_c c JOIN bp_d d USING (span)
+       |  GROUP BY c.doc_id
+       |  HAVING 5 * sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) < count(*))""".stripMargin
+
   /** PII patterns shared verbatim by the Spark expressions and the DuckDB
     * oracle (plain char classes + bounded quantifiers — identical
     * semantics under Java regex and RE2). */
