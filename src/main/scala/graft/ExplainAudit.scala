@@ -86,7 +86,22 @@ object ExplainAudit {
       // like x63 — q100's delta terms are audited via the q52 IVM shape.)
       "q102_lateral_topk", "q103_dq_suite", "q104_ab_significance",
       "x158_boilerplate_dedup", "x159_pii_redact",
-      "x163_histogram_selectivity", "x164_av_align", "x165_chat_assembly")
+      "x163_histogram_selectivity", "x164_av_align", "x165_chat_assembly",
+      // final-session shapes: broadcast-model calibration rollup, one-row
+      // stats costing frames, cogroup (one exchange per side), FS field
+      // rollup over the SN candidate join, vocab-bounded isqrt allocation,
+      // doc-keyed TextTiling joins, map-only ICT slices, NAAJ semantics,
+      // banded forecast lags, kNN vote tail, arm-eval tails over the
+      // audited retrieval plans
+      // (NOT q105/x161/x162/x177/q100/q101: eager localCheckpoint at
+      // construction; NOT x167/x168/x172: real streaming runs / temp-file
+      // writes at construction.)
+      "x166_calibration_ece", "q106_quantile_sketch_bound",
+      "q107_join_order_cost", "q108_decimal_parity", "q109_dataset_card",
+      "q110_forecast_backtest", "q111_null_aware_antijoin",
+      "x169_knn_eval", "x170_fusion_eval", "x171_cogroup_reconcile",
+      "x173_linkage_weights", "x174_negative_sampling",
+      "x175_topic_segments", "x176_ict_pairs")
     names.foreach { n =>
       println(s"\n===== $n =====")
       Registry.byName(n).fn(spark, dir).explain("formatted")
