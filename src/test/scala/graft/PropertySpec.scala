@@ -496,6 +496,66 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: x174 isqrt correction yields exact floor-sqrt near boundaries") {
+    // The ±1-corrected IEEE sqrt must equal BigInt floor-sqrt for values
+    // AROUND perfect squares and fourth powers (where double rounding
+    // can misplace floor(sqrt)) and for random draws up to 2^52.
+    val rnd = new scala.util.Random(7)
+    val nearSquares = (1L to 200L).flatMap { i =>
+      val s = i * i * 1000000L + rnd.nextLong(2000000L)
+      Seq(s - 1, s, s + 1)
+    }
+    val fourth = (1L to 50L).flatMap { i => val f = i * i * i * i; Seq(f - 1, f, f + 1) }
+    val randoms = Seq.fill(200)(math.abs(rnd.nextLong()) % (1L << 52))
+    val xs = (nearSquares ++ fourth ++ randoms).filter(_ >= 0).distinct
+    val df = xs.toDF("x").selectExpr("x",
+      // the exact Column expression x174 uses, inlined via SQL
+      """CASE WHEN (CASE WHEN CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT)
+        |               * CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT) > x
+        |          THEN CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT) - 1
+        |          ELSE CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT) END + 1)
+        |        * (CASE WHEN CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT)
+        |               * CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT) > x
+        |          THEN CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT) - 1
+        |          ELSE CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT) END + 1) <= x
+        |     THEN (CASE WHEN CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT)
+        |               * CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT) > x
+        |          THEN CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT) - 1
+        |          ELSE CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT) END) + 1
+        |     ELSE (CASE WHEN CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT)
+        |               * CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT) > x
+        |          THEN CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT) - 1
+        |          ELSE CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT) END) END AS s""".stripMargin)
+    df.collect().foreach { r =>
+      val x = r.getLong(0); val s = r.getLong(1)
+      val expect = BigInt(x).bigInteger.sqrt().longValueExact()
+      assert(s == expect, s"x=$x got=$s want=$expect")
+    }
+  }
+
+  test("property: x176 ICT context + held-out chunk reassemble the document") {
+    // query chunk re-inserted at its index must reproduce the original
+    // chunk sequence exactly — the slice arithmetic has off-by-one traps.
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val w = 24
+    val chunks = docs.filter(size(split($"text", " ")) >= w * 2)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id",
+        transform(sequence(lit(0), floor((size($"toks") - 1) / lit(w)).cast("int")),
+          i => array_join(slice($"toks", i * w + 1, lit(w)), " ")).as("ch"))
+      .select($"doc_id", $"ch",
+        (conv(substring(md5(concat(lit("ict|"), $"doc_id")), 1, 4), 16, 10)
+          .cast("long") % size($"ch")).cast("int").as("qi"))
+    val bad = chunks.select($"doc_id",
+        (concat(
+          slice($"ch", lit(1), $"qi"),
+          array(element_at($"ch", $"qi" + 1)),
+          slice($"ch", $"qi" + 2, size($"ch") - $"qi" - 1)) === $"ch").as("ok"))
+      .filter(!$"ok").count()
+    assert(bad == 0L)
+  }
+
   test("property: x155 largest-remainder allocation sums exactly to the budget") {
     (1L to 8L).foreach { seed =>
       val rnd = new scala.util.Random(seed)
