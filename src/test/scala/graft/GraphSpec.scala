@@ -5,6 +5,27 @@ import org.apache.spark.sql.functions._
 
 /** Unit semantics of the exact-integer PageRank operator. */
 class GraphSpec extends SparkTestBase {
+
+  test("mergeDeltaEdges: seeded merge matches recompute and converges faster on a long chain") {
+    import spark.implicits._
+    // two 100-node chains; the delta edge joins them into one 200-node chain
+    val chainA = (0 until 99).map(i => (i.toLong, (i + 1).toLong))
+    val chainB = (100 until 199).map(i => (i.toLong, (i + 1).toLong))
+    val base = (chainA ++ chainB).toDF("a", "b")
+    val delta = Seq((99L, 100L)).toDF("a", "b")
+    val nodes = (0L to 199L).toDF("node")
+    val (full, fullRounds) = graft.operators.Components
+      .connectedComponentsStarsWithRounds(spark, nodes, base.unionByName(delta), "node")
+    val stored = graft.operators.Components
+      .connectedComponentsStars(spark, nodes, base, "node")
+    val (merged, mergeRounds) = graft.operators.Components
+      .mergeDeltaEdges(spark, stored, delta, "node")
+    assert(merged.except(full).isEmpty && full.except(merged).isEmpty)
+    assert(merged.select("component").distinct().count() == 1L)
+    // the whole point: seeding from labels beats recomputing the chain
+    assert(mergeRounds < fullRounds,
+      s"merge took $mergeRounds rounds vs full $fullRounds")
+  }
   import spark.implicits._
 
   test("pageRank conserves mass up to flooring dust on a strongly connected graph") {
