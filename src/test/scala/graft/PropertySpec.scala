@@ -556,6 +556,40 @@ class PropertySpec extends SparkTestBase {
     assert(bad == 0L)
   }
 
+  test("property: x179 delta-fold components == recompute for arbitrary edge splits") {
+    // fold random edge sets in 3 arbitrary batches through mergeDeltaEdges;
+    // the final labeling must equal the one-shot recompute — the graph
+    // analogue of the q100 join-IVM property. Random graphs also regress
+    // the unique-parent convergence fix (the latent multi-parent state
+    // appeared only on particular edge subsets).
+    import org.apache.spark.sql.functions.col
+    (1L to 4L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 30
+      val edges = Seq.fill(40)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val cut1 = rnd.nextInt(edges.size + 1)
+      val cut2 = cut1 + rnd.nextInt(edges.size - cut1 + 1)
+      val (b0, rest) = edges.splitAt(cut1)
+      val (d1, d2) = rest.splitAt(cut2 - cut1)
+      val nodes = (0L until n).toDF("node")
+      def df(es: Seq[(Long, Long)]) =
+        if (es.isEmpty) Seq.empty[(Long, Long)].toDF("a", "b") else es.toDF("a", "b")
+      val full = graft.operators.Components
+        .connectedComponentsStars(spark, nodes, df(edges), "node")
+      var labels = graft.operators.Components
+        .connectedComponentsStars(spark, nodes, df(b0), "node")
+      Seq(d1, d2).foreach { d =>
+        labels = graft.operators.Components
+          .mergeDeltaEdges(spark, labels, df(d), "node")._1
+      }
+      assert(labels.except(full).isEmpty && full.except(labels).isEmpty,
+        s"seed=$seed cuts=($cut1,$cut2)")
+      assert(labels.count() == n && labels.select("node").distinct().count() == n,
+        s"seed=$seed duplicate or missing labels")
+    }
+  }
+
   test("property: x155 largest-remainder allocation sums exactly to the budget") {
     (1L to 8L).foreach { seed =>
       val rnd = new scala.util.Random(seed)
