@@ -1,0 +1,60 @@
+package graft
+
+import graft.queries.Round10Queries25
+import org.apache.spark.sql.functions._
+
+/** Semantics of the x181–x183 tier: the invariants the oracle pairing
+  * relies on (learnability of the perceptron label, bootstrap weight
+  * distribution shape, AMS estimator unbiasedness envelope). */
+class Round10BatchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("x181: perceptron training reaches zero training error") {
+    val out = Round10Queries25.perceptronTrain(spark, sfDir).cache()
+    val rows = out.orderBy($"it").collect()
+    assert(rows.length == 6)
+    val mis = rows.map(_.getAs[Long]("n_mis"))
+    // Iteration 1 starts from w=0 where EVERY row is misclassified
+    // (margin 0); the label (n_chars >= 300) is linearly separable in the
+    // n_chars div 100 feature, so the decayed schedule must drive the
+    // error to exactly zero (measured fixed point at all three SFs).
+    assert(mis(0) == Tables.documents(spark, sfDir).count())
+    assert(mis.last == 0, s"did not separate: ${mis.toSeq}")
+    // The separator needs a positive char weight and a negative bias
+    // (threshold boundary between buckets 2 and 3).
+    assert(rows.last.getAs[Long]("w_chars") > 0)
+    assert(rows.last.getAs[Long]("w_bias") < 0)
+  }
+
+  test("x182: bootstrap interval brackets the point estimate and is ordered") {
+    val r = Round10Queries25.bootstrapCi(spark, sfDir).head()
+    assert(r.getAs[Long]("n_reps") == 32L)
+    assert(r.getAs[Long]("boot_lo_fp") <= r.getAs[Long]("boot_hi_fp"))
+    // With 1500 orders the replicate-mean spread is ~2.6% (sd/sqrt(n));
+    // the 2nd/31st order statistics must bracket the full-sample mean.
+    assert(r.getAs[Int]("covered") == 1)
+    // The quantized-Poisson weights must average ~1 (mass conservation in
+    // expectation): total resampled mass within 10% of the corpus size.
+    val v = Tables.orders(spark, sfDir).count() * 32L
+    val mass = Tables.orders(spark, sfDir)
+      .select($"o_orderkey".cast("long").as("k"))
+      .crossJoin(broadcast(spark.range(32).select($"id".as("b"))))
+      .select(pmod(pmod($"k" * 1000003L + $"b", lit(1048573L)) * 2654435761L,
+        lit(1000000L)).as("u"))
+      .select(when($"u" < 367879L, 0L).when($"u" < 735759L, 1L)
+        .when($"u" < 919699L, 2L).when($"u" < 981012L, 3L)
+        .when($"u" < 996340L, 4L).when($"u" < 999406L, 5L).otherwise(6L).as("w"))
+      .agg(sum($"w")).as[Long].head()
+    assert(math.abs(mass - v) <= v / 10, s"mass=$mass expected~$v")
+  }
+
+  test("x183: AMS estimate lands within the audited 3x envelope") {
+    val r = Round10Queries25.amsF2(spark, sfDir).head()
+    assert(r.getAs[Int]("within_3x") == 1)
+    // Exact F2 >= n (every key contributes at least count^2 >= count).
+    val n = Tables.lineitem(spark, sfDir).count()
+    assert(r.getAs[Long]("f2_exact") >= n)
+  }
+}
