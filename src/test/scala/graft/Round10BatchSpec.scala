@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.Round10Queries25
+import graft.queries.{Round10Queries25, Round10Queries26}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the x181–x183 tier: the invariants the oracle pairing
@@ -48,6 +48,38 @@ class Round10BatchSpec extends SparkTestBase {
         .when($"u" < 996340L, 4L).when($"u" < 999406L, 5L).otherwise(6L).as("w"))
       .agg(sum($"w")).as[Long].head()
     assert(math.abs(mass - v) <= v / 10, s"mass=$mass expected~$v")
+  }
+
+  test("x184: stump argmin beats the majority baseline and is exhaustively optimal") {
+    val r = Round10Queries26.stumpTrain(spark, sfDir).head()
+    val (bestT, polGe, errBest) =
+      (r.getAs[Long]("best_t"), r.getAs[Int]("pol_ge"), r.getAs[Long]("err_best"))
+    assert(errBest < r.getAs[Long]("base_err"))
+    // Brute-force check: recompute the chosen stump's error directly on
+    // the rows — the window-prefix-sum path must equal the naive count.
+    val feats = Tables.documents(spark, sfDir).select(
+      (length($"text") - length(regexp_replace($"text", " ", ""))).cast("long").as("s"),
+      when($"n_chars" >= 300, 1L).otherwise(-1L).as("y"))
+    val pred = if (polGe == 1) when($"s" >= bestT, 1L).otherwise(-1L)
+               else when($"s" < bestT, 1L).otherwise(-1L)
+    val naive = feats.filter(pred =!= $"y").count()
+    assert(naive == errBest, s"prefix-sum err $errBest != naive $naive")
+  }
+
+  test("x186: DP release clamps at zero and noise stays in the documented tail") {
+    val out = Round10Queries26.dpHistogram(spark, sfDir).cache()
+    assert(out.filter($"released" < 0).count() == 0)
+    assert(out.filter($"within_clamp" =!= 1).count() == 0)
+    assert(out.filter($"released" =!= greatest($"true_n" + $"noise", lit(0L))).count() == 0)
+  }
+
+  test("x187: conformal interval covers ~90% out of sample") {
+    val r = Round10Queries26.conformalCoverage(spark, sfDir).head()
+    assert(r.getAs[Int]("covers_nominal") == 1)
+    assert(r.getAs[Long]("q") > 0)
+    // Halves partition the orders table.
+    val n = Tables.orders(spark, sfDir).count()
+    assert(r.getAs[Long]("n_cal") + r.getAs[Long]("n_test") == n)
   }
 
   test("x183: AMS estimate lands within the audited 3x envelope") {
