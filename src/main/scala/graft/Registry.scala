@@ -66,7 +66,8 @@ object Registry {
       queries.Round10Queries23.defs ++
       queries.Round10Queries24.defs ++
       queries.Round10Queries25.defs ++
-      queries.Round10Queries26.defs
+      queries.Round10Queries26.defs ++
+      queries.Round10Queries27.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

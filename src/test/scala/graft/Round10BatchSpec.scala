@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Round10Queries25, Round10Queries26}
+import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the x181–x183 tier: the invariants the oracle pairing
@@ -80,6 +80,31 @@ class Round10BatchSpec extends SparkTestBase {
     // Halves partition the orders table.
     val n = Tables.orders(spark, sfDir).count()
     assert(r.getAs[Long]("n_cal") + r.getAs[Long]("n_test") == n)
+  }
+
+  test("x185: B-cubed recall is exactly 1 (exact dups always co-cluster) and precision <= 1") {
+    val r = Round10Queries27.bcubedEval(spark, sfDir).head()
+    // Identical texts have identical shingle sets -> identical signatures
+    // -> LSH pairs them at jaccard 1 -> same component. So the clustering
+    // can only MERGE truth classes, never split them: recall == 1.
+    assert(r.getAs[Long]("b3_rec_fp") == 1000000L)
+    assert(r.getAs[Long]("b3_prec_fp") <= 1000000L && r.getAs[Long]("b3_prec_fp") > 0)
+    // Coarsening direction: fewer (or equal) predicted clusters than
+    // truth classes.
+    assert(r.getAs[Long]("n_pred_clusters") <= r.getAs[Long]("n_truth_classes"))
+  }
+
+  test("x188: resampling conserves mass per bucket and moves shares toward target") {
+    val out = Round10Queries27.targetResample(spark, sfDir).cache()
+    assert(out.count() == 4)
+    // A sampler cannot create documents, and uncapped buckets pass whole.
+    assert(out.filter($"n_after" > $"n_before").count() == 0)
+    assert(out.filter($"ratio_fp" === 1000000L && $"n_after" =!= $"n_before").count() == 0)
+    // Every thinned bucket's achieved share must be no further from the
+    // 25% target than its starting share (one-sided: thinning only).
+    val off = out.filter($"ratio_fp" < 1000000L)
+      .filter(abs($"share_after_fp" - 250000L) > abs($"share_before_fp" - 250000L))
+    assert(off.count() == 0)
   }
 
   test("x183: AMS estimate lands within the audited 3x envelope") {
