@@ -21,6 +21,24 @@ object QueryUtil {
     floor(c * p + lit(0.5)) / p
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` lowered to `n` and
+    * restore the previous value after. For the streaming parity queries:
+    * a Structured Streaming query snapshots the conf at START, and the
+    * state store allocates one store (plus its task + checkpoint files)
+    * PER shuffle partition PER stateful operator PER micro-batch — at
+    * the parity fixtures' key cardinality, 32 partitions is pure
+    * overhead (~6 batches x 32 near-empty stores). At 100 TB the same
+    * knob goes UP with key cardinality; the point is that state
+    * partitioning is sized explicitly, not inherited from the batch
+    * default. Batch staging writes stay outside the window. */
+  def withStreamShuffle[T](spark: org.apache.spark.sql.SparkSession, n: Int = 8)(
+      body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, old)
+  }
+
   /** Optimizer fence (graft.functions.OptimizerFence): identity wrapper
     * that stops a subsequent filter-on-alias from re-inlining the wrapped
     * expression into the pushed-down predicate — use around an EXPENSIVE

@@ -119,7 +119,7 @@ object Round10Queries {
     import org.apache.spark.sql.streaming.Trigger
     val ckpt = java.nio.file.Files.createTempDirectory("graft_x132_ckpt").toString
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    def drive(totalItems: Int): Unit = {
+    def drive(totalItems: Int): Unit = QueryUtil.withStreamShuffle(spark) {
       val sdf = PaginatedSource.streamPages(spark, "x132_stream",
         new SyntheticPageClient(totalItems, StreamPageSize),
         startRows = 0L, parallelism = 4, pageSize = StreamPageSize)

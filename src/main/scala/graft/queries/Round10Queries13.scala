@@ -214,12 +214,14 @@ object Round10Queries13 {
       .join(broadcast(dim), $"nk" === $"n_nationkey")
       .select($"n_name", $"event_type", $"event_id")
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
-    val q = stream.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", s"$base/ckpt")
-      .foreachBatch { (b: DataFrame, _: Long) => b.collect().foreach(buf.add) }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    QueryUtil.withStreamShuffle(spark) {
+      val q = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) => b.collect().foreach(buf.add) }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(
         java.util.Arrays.asList(buf.asScala.toSeq: _*), stream.schema)

@@ -128,17 +128,19 @@ object Round10Queries17 {
     val stream = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
-    val q = stream.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", s"$base/ckpt")
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        // per-batch partial day-sketches — the state a sketch store keeps
-        b.groupBy(col("dayn"))
-          .agg(hll_sketch_agg(col("user_id"), lit(SkLgK)).as("sk"))
-          .collect().foreach(buf.add)
-      }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    QueryUtil.withStreamShuffle(spark) {
+      val q = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          // per-batch partial day-sketches — the state a sketch store keeps
+          b.groupBy(col("dayn"))
+            .agg(hll_sketch_agg(col("user_id"), lit(SkLgK)).as("sk"))
+            .collect().foreach(buf.add)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     import scala.jdk.CollectionConverters._
     val partials = spark.createDataFrame(
       java.util.Arrays.asList(buf.asScala.toSeq: _*),

@@ -387,12 +387,14 @@ object Round10Queries2 {
       stream, "30 minutes", watermark = None) // late-row filter would drop out-of-order batches
     val last = new java.util.concurrent.atomic.AtomicReference[
       (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)](null)
-    val q = sessions.writeStream
-      .outputMode("complete") // parity harness: final state == batch recompute
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (b: DataFrame, _: Long) => last.set((b.collect(), b.schema)) }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    QueryUtil.withStreamShuffle(spark) {
+      val q = sessions.writeStream
+        .outputMode("complete") // parity harness: final state == batch recompute
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) => last.set((b.collect(), b.schema)) }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     val (rows, schema) = last.get()
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       .orderBy($"user_id", $"session_start")
@@ -658,17 +660,19 @@ object Round10Queries2 {
     val joined = graft.streaming.IncrementalStream
       .clickViewJoin(vStream, cStream, windowSec = AttrWindowSec)
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long)]()
-    val q = joined.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", s"$base/ckpt")
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.select($"view_user", $"view_id", $"click_id",
-          (unix_timestamp($"click_ts".cast("timestamp"))
-            - unix_timestamp($"view_ts".cast("timestamp"))).as("delta_s"))
-          .as[(Long, Long, Long, Long)].collect().foreach(buf.add)
-      }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    QueryUtil.withStreamShuffle(spark) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.select($"view_user", $"view_id", $"click_id",
+            (unix_timestamp($"click_ts".cast("timestamp"))
+              - unix_timestamp($"view_ts".cast("timestamp"))).as("delta_s"))
+            .as[(Long, Long, Long, Long)].collect().foreach(buf.add)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     import scala.jdk.CollectionConverters._
     buf.asScala.toSeq.toDF("user_id", "view_id", "click_id", "delta_s")
       .orderBy("view_id", "click_id")

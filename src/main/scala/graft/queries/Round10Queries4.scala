@@ -46,15 +46,17 @@ object Round10Queries4 {
     ev.repartition(2).write.mode("append").parquet(srcDir)
     ev.repartition(3).write.mode("append").parquet(srcDir)
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
-    val q = spark.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir)
-      .dropDuplicates("event_id")
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (b: DataFrame, _: Long) => b.collect().foreach(buf.add) }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    QueryUtil.withStreamShuffle(spark) {
+      val q = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .dropDuplicates("event_id")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) => b.collect().foreach(buf.add) }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(
         java.util.Arrays.asList(buf.asScala.toSeq: _*), ev.schema)

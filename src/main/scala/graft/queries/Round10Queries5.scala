@@ -81,12 +81,14 @@ object Round10Queries5 {
     val opens = graft.streaming.IncrementalStream.scd2Stream(
       stream.as[(Long, Long, Long, String)])
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
-    val q = opens.toDF().writeStream
-      .outputMode("append")
-      .option("checkpointLocation", s"$base/ckpt")
-      .foreachBatch { (b: DataFrame, _: Long) => b.collect().foreach(buf.add) }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    QueryUtil.withStreamShuffle(spark) {
+      val q = opens.toDF().writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) => b.collect().foreach(buf.add) }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(
         java.util.Arrays.asList(buf.asScala.toSeq: _*), opens.toDF().schema)
@@ -209,12 +211,14 @@ object Round10Queries5 {
     val scores = graft.streaming.IncrementalStream.decayStream(
       stream.as[(String, Int)])
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
-    val q = scores.toDF().writeStream
-      .outputMode("append")
-      .option("checkpointLocation", s"$base/ckpt")
-      .foreachBatch { (b: DataFrame, _: Long) => b.collect().foreach(buf.add) }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    QueryUtil.withStreamShuffle(spark) {
+      val q = scores.toDF().writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) => b.collect().foreach(buf.add) }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(
         java.util.Arrays.asList(buf.asScala.toSeq: _*), scores.toDF().schema)
@@ -269,12 +273,14 @@ object Round10Queries5 {
     val packed = graft.streaming.IncrementalStream.packStream(
       stream.as[(Long, Long, Int)], budget = PackBudget)
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
-    val q = packed.toDF().writeStream
-      .outputMode("append")
-      .option("checkpointLocation", s"$base/ckpt")
-      .foreachBatch { (b: DataFrame, _: Long) => b.collect().foreach(buf.add) }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    QueryUtil.withStreamShuffle(spark) {
+      val q = packed.toDF().writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) => b.collect().foreach(buf.add) }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(
         java.util.Arrays.asList(buf.asScala.toSeq: _*), packed.toDF().schema)
@@ -339,12 +345,14 @@ object Round10Queries5 {
       .agg(count(lit(1)).as("n"))
       .select($"window.start".as("hour_start"), $"n")
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
-    val q = hourly.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", s"$base/ckpt")
-      .foreachBatch { (b: DataFrame, _: Long) => b.collect().foreach(buf.add) }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    QueryUtil.withStreamShuffle(spark) {
+      val q = hourly.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) => b.collect().foreach(buf.add) }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(
         java.util.Arrays.asList(buf.asScala.toSeq: _*),
