@@ -62,8 +62,11 @@ object Round10Queries26 {
         least($"tp", $"tn").as("base_err"), ($"tp" + $"tn").as("n"))
   }
 
-  private val stumpOracle =
-    """WITH feats AS (
+  /** Shared stump-training CTE chain (feats → hist → candidate errors),
+    * ending in a 1-row `best` CTE — reused by the x189 fairness audit,
+    * which scores the trained stump across subgroups. */
+  private[queries] val stumpCtes =
+    """feats AS (
       |  SELECT CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS s,
       |         CASE WHEN n_chars >= 300 THEN 1 ELSE -1 END AS y
       |  FROM documents),
@@ -79,10 +82,13 @@ object Round10Queries26 {
       |cand AS (
       |  SELECT t, tp, tn, 1 AS pol_ge, plt + (tn - nlt) AS err FROM pre, tot
       |  UNION ALL
-      |  SELECT t, tp, tn, 0 AS pol_ge, tp + tn - (plt + (tn - nlt)) AS err FROM pre, tot)
-      |SELECT t AS best_t, pol_ge, err AS err_best,
-      |       least(tp, tn) AS base_err, tp + tn AS n
-      |FROM cand ORDER BY err, t, pol_ge DESC LIMIT 1""".stripMargin
+      |  SELECT t, tp, tn, 0 AS pol_ge, tp + tn - (plt + (tn - nlt)) AS err FROM pre, tot),
+      |best AS (SELECT t AS best_t, pol_ge, err AS err_best,
+      |                least(tp, tn) AS base_err, tp + tn AS n
+      |         FROM cand ORDER BY err, t, pol_ge DESC LIMIT 1)""".stripMargin
+
+  private val stumpOracle =
+    "WITH " + stumpCtes + "\nSELECT best_t, pol_ge, err_best, base_err, n FROM best"
 
   // ---------------------------------------------------------------- x186
 

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27}
+import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the x181–x183 tier: the invariants the oracle pairing
@@ -105,6 +105,34 @@ class Round10BatchSpec extends SparkTestBase {
     val off = out.filter($"ratio_fp" < 1000000L)
       .filter(abs($"share_after_fp" - 250000L) > abs($"share_before_fp" - 250000L))
     assert(off.count() == 0)
+  }
+
+  test("x189: fairness rates are consistent with their confusion counts") {
+    val out = Round10Queries28.fairnessAudit(spark, sfDir).cache()
+    assert(out.count() == 5) // one row per lang
+    // Rates live in [0, 1e6] (or -1 when undefined); the gap equals the
+    // spread of the published rates.
+    assert(out.filter($"pos_rate_fp" < 0 || $"pos_rate_fp" > 1000000L).count() == 0)
+    assert(out.filter($"tpr_fp" > 1000000L || $"fpr_fp" > 1000000L).count() == 0)
+    val r = out.agg((max($"pos_rate_fp") - min($"pos_rate_fp")).as("g"),
+      first($"dp_gap_fp").as("pub")).head()
+    assert(r.getAs[Long]("g") == r.getAs[Long]("pub"))
+    // The stump predicts long docs positive; TPR must dominate FPR in
+    // every slice (the classifier is genuinely informative per group).
+    assert(out.filter($"tpr_fp" >= 0 && $"fpr_fp" >= 0 && $"tpr_fp" <= $"fpr_fp")
+      .count() == 0)
+  }
+
+  test("x190: entropy gate keeps the bulk and the repeated-token floor is low") {
+    val out = Round10Queries28.entropyGate(spark, sfDir).cache()
+    val agg = out.agg(sum($"n_docs").as("n"), sum($"n_kept").as("k")).head()
+    val (n, k) = (agg.getAs[Long]("n"), agg.getAs[Long]("k"))
+    assert(n == Tables.documents(spark, sfDir).count())
+    // The 2.4-nat gate is calibrated to drop roughly the bottom 5%.
+    assert(k <= n && k >= n * 80 / 100, s"kept $k of $n")
+    // Entropy is bounded by ln(vocab) of the doc; fixture docs max out
+    // well under e^4 distinct tokens.
+    assert(out.filter($"mean_h_fp" > 4000000000L).count() == 0)
   }
 
   test("x183: AMS estimate lands within the audited 3x envelope") {
