@@ -16,10 +16,10 @@ object DedupQueries {
   /** 3-token sequence shingles (order-sensitive — permuted docs don't
     * collide), sorted-distinct, whole-text fallback for docs shorter than k
     * tokens. Native one-pass expression (graft.functions.TokenShingles). */
-  private def tokenShingles(text: org.apache.spark.sql.Column) =
+  private[queries] def tokenShingles(text: org.apache.spark.sql.Column) =
     call_function("token_shingles", text, lit(3))
 
-  private val shinglesSql =
+  private[queries] val shinglesSql =
     """list_distinct(CASE WHEN len(toks) >= 3
       |    THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
       |    ELSE [text] END)""".stripMargin

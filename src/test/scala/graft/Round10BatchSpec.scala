@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28}
+import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the x181–x183 tier: the invariants the oracle pairing
@@ -133,6 +133,26 @@ class Round10BatchSpec extends SparkTestBase {
     // Entropy is bounded by ln(vocab) of the doc; fixture docs max out
     // well under e^4 distinct tokens.
     assert(out.filter($"mean_h_fp" > 4000000000L).count() == 0)
+  }
+
+  test("x191: measured S-curve is monotone along the theory and hits both tails") {
+    val out = Round10Queries29.lshScurve(spark, sfDir).orderBy($"bin").collect()
+    assert(out.length == 10) // every decile populated by constructed probes
+    // Tails: near-zero candidacy at bin 0, near-certain at bin 9 (these
+    // are 1e-6 fixed-point rates).
+    assert(out.head.getAs[Long]("cand_rate_fp") < 100000L)
+    assert(out.last.getAs[Long]("cand_rate_fp") > 900000L)
+    // The measured curve must rise across the steep region like the
+    // theory does: compare the low third vs the high third.
+    val lo = out.slice(1, 4).map(_.getAs[Long]("cand_rate_fp")).max
+    val hi = out.slice(6, 9).map(_.getAs[Long]("cand_rate_fp")).min
+    assert(hi > lo, s"no S-shape: low-third max $lo vs high-third min $hi")
+    // Constructed probes put their mean Jaccard inside the bin.
+    out.foreach { r =>
+      val (bin, mj) = (r.getAs[Long]("bin"), r.getAs[Long]("mean_j_fp"))
+      assert(mj >= bin * 100000L && mj < (bin + 1) * 100000L || bin == 9L,
+        s"bin $bin mean_j $mj")
+    }
   }
 
   test("x183: AMS estimate lands within the audited 3x envelope") {
