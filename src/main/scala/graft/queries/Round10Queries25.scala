@@ -46,6 +46,20 @@ object Round10Queries25 {
     * vector moves through the driver (broadcast back as literals). At
     * 100 TB: iterations cost linear scans; no shuffle wider than the
     * partial-sum tree. */
+  /** One distributed subgradient step: misclassified count and summed
+    * (y, y·c) over rows with margin y·(wb + wc·c) ≤ 0. The unit the
+    * PropertySpec pins against a sequential fold on arbitrary data. */
+  private[graft] def perceptronStep(feats: DataFrame, wb: Long, wc: Long):
+      (Long, Long, Long) = {
+    import feats.sparkSession.implicits._
+    val g = feats.filter($"y" * (lit(wb) + lit(wc) * $"c") <= 0)
+      .agg(count(lit(1)).as("mis"), sum($"y").as("gb"), sum($"y" * $"c").as("gc"))
+      .select(coalesce($"mis", lit(0L)), coalesce($"gb", lit(0L)),
+        coalesce($"gc", lit(0L)))
+      .head()
+    (g.getLong(0), g.getLong(1), g.getLong(2))
+  }
+
   def perceptronTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val feats = Tables.documents(spark, dir).select(
@@ -54,17 +68,11 @@ object Round10Queries25 {
       .localCheckpoint(true)
     var wb = 0L; var wc = 0L
     val rows = (1 to PIters).map { it =>
-      val margin = $"y" * (lit(wb) + lit(wc) * $"c")
-      val g = feats.filter(margin <= 0)
-        .agg(count(lit(1)).as("mis"), sum($"y").as("gb"), sum($"y" * $"c").as("gc"))
-        .select(coalesce($"mis", lit(0L)), coalesce($"gb", lit(0L)),
-          coalesce($"gc", lit(0L)))
-        .head()
-      val mis = g.getLong(0)
+      val (mis, gb, gc) = perceptronStep(feats, wb, wc)
       if (mis > 0) {
         val d = mis * (1L << it)
-        wb += 256L * g.getLong(1) / d // Scala / truncates toward zero
-        wc += 256L * g.getLong(2) / d
+        wb += 256L * gb / d // Scala / truncates toward zero
+        wc += 256L * gc / d
       }
       (it, mis, wb, wc)
     }

@@ -51,6 +51,15 @@ object Round10Queries27 {
       .select($"doc_id", $"component".as("c"))
     val truth = docs.select($"doc_id",
       min($"doc_id").over(Window.partitionBy($"h")).as("t"))
+    bcubedFromLabels(pred, truth)
+  }
+
+  /** B³ from label frames (doc_id, c) and (doc_id, t) via the
+    * contingency identity — Σ n_ct²/|c| and Σ n_ct²/|t| with per-term
+    * 1e-6 floors. Exposed for the PropertySpec, which pins it against a
+    * per-document brute force on arbitrary labelings. */
+  private[graft] def bcubedFromLabels(pred: DataFrame, truth: DataFrame): DataFrame = {
+    import pred.sparkSession.implicits._
     val cont = pred.join(truth, "doc_id")
       .groupBy($"c", $"t").agg(count(lit(1)).as("n"))
       .localCheckpoint(true)

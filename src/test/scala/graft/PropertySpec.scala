@@ -590,6 +590,47 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: x181 distributed perceptron step == sequential fold on arbitrary data") {
+    import org.apache.spark.sql.functions._
+    val rowGen = Gen.listOfN(80, Gen.zip(Gen.choose(-20L, 20L),
+      Gen.oneOf(1L, -1L)))
+    (1L to 8L).foreach { seed =>
+      val rows = sample(rowGen, seed)
+      val (wb, wc) = (sample(Gen.choose(-300L, 300L), seed * 31),
+        sample(Gen.choose(-300L, 300L), seed * 37))
+      val feats = rows.toDF("c", "y").repartition(7) // force partial aggs
+      val (mis, gb, gc) =
+        graft.queries.Round10Queries25.perceptronStep(feats, wb, wc)
+      // sequential reference fold
+      val misq = rows.filter { case (c, y) => y * (wb + wc * c) <= 0 }
+      assert(mis == misq.size && gb == misq.map(_._2).sum
+        && gc == misq.map { case (c, y) => y * c }.sum, s"seed=$seed")
+    }
+  }
+
+  test("property: x185 contingency B-cubed == per-document brute force on arbitrary labelings") {
+    val labGen = Gen.listOfN(40, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 5L)))
+    (1L to 6L).foreach { seed =>
+      val labs = sample(labGen, seed).zipWithIndex
+        .map { case ((c, t), i) => (i.toLong, c, t) }
+      val pred = labs.map { case (d, c, _) => (d, c) }.toDF("doc_id", "c")
+      val truth = labs.map { case (d, _, t) => (d, t) }.toDF("doc_id", "t")
+      val r = graft.queries.Round10Queries27.bcubedFromLabels(pred, truth).head()
+      // exact rational per-document brute force
+      val byC = labs.groupBy(_._2).view.mapValues(_.size).toMap
+      val byT = labs.groupBy(_._3).view.mapValues(_.size).toMap
+      val byCT = labs.groupBy(l => (l._2, l._3)).view.mapValues(_.size).toMap
+      val n = labs.size.toDouble
+      val prec = labs.map { case (_, c, t) => byCT((c, t)).toDouble / byC(c) }.sum / n
+      val rec = labs.map { case (_, c, t) => byCT((c, t)).toDouble / byT(t) }.sum / n
+      // per-term 1e-6 floors bound the quantization by #cells/n per metric
+      val tol = 2e-3
+      assert(math.abs(r.getAs[Long]("b3_prec_fp") / 1e6 - prec) < tol, s"seed=$seed prec")
+      assert(math.abs(r.getAs[Long]("b3_rec_fp") / 1e6 - rec) < tol, s"seed=$seed rec")
+      assert(r.getAs[Long]("n_docs") == labs.size)
+    }
+  }
+
   test("property: x155 largest-remainder allocation sums exactly to the budget") {
     (1L to 8L).foreach { seed =>
       val rnd = new scala.util.Random(seed)
