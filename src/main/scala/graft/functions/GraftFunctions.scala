@@ -747,6 +747,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("fence", es => OptimizerFence(es.head), "built-in")
     reg.createOrReplaceTempFunction("stop_strip", es => StopStrip(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("winnow_fps", es => WinnowFps(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("topk_pairs",
+      es => ExactTopK(es(0), es(1), es(2)).toAggregateExpression(), "built-in")
     // selective pushdown through fenced projections (see FencePushdown);
     // extraOptimizations is the runtime analogue of injectOptimizerRule
     val cur = spark.experimental.extraOptimizations

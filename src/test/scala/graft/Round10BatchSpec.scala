@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29}
+import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the x181–x183 tier: the invariants the oracle pairing
@@ -153,6 +153,29 @@ class Round10BatchSpec extends SparkTestBase {
       assert(mj >= bin * 100000L && mj < (bin + 1) * 100000L || bin == 9L,
         s"bin $bin mean_j $mj")
     }
+  }
+
+  test("x192: topk_pairs aggregates (no Window) and matches row_number across forced merges") {
+    val out = Round10Queries30.topkAgg(spark, sfDir)
+    val plan = out.queryExecution.executedPlan.toString
+    // A TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial pass — the map-side-k contract; the window shape must be gone.
+    assert(plan.contains("ObjectHashAggregate"), plan.take(400))
+    assert(!plan.contains("Window"), "top-k fell back to a window plan")
+    // Randomized merge-path check: many partitions force serialize/
+    // deserialize/merge; results must equal the window formulation.
+    val rnd = new scala.util.Random(7)
+    val data = (1 to 500).map(i => (rnd.nextInt(5), rnd.nextInt(50).toLong, i.toLong))
+    val df = data.toDF("g", "v", "id").repartition(13)
+    val viaAgg = df.groupBy($"g").agg(expr("topk_pairs(v, id, 4)").as("top"))
+      .select($"g", posexplode($"top"))
+      .select($"g", ($"pos" + 1).as("rk"), $"col.v".as("v"), $"col.id".as("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"v".desc, $"id")
+    val viaWin = df.select($"g", $"v", $"id",
+      row_number().over(w).as("rk")).filter($"rk" <= 4)
+      .select($"g", $"rk", $"v", $"id")
+    assert(viaAgg.except(viaWin).isEmpty && viaWin.except(viaAgg).isEmpty)
   }
 
   test("x183: AMS estimate lands within the audited 3x envelope") {
