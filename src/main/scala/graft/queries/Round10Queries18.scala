@@ -117,12 +117,12 @@ object Round10Queries18 {
   /** Exact integer floor-sqrt: IEEE sqrt then a ±1 boundary correction,
     * so the result is floor(√x) for every BIGINT x ≤ 2^52 regardless of
     * double rounding at perfect-square boundaries. */
-  private def isqrt(x: Column): Column = {
+  private[queries] def isqrt(x: Column): Column = {
     val s0 = floor(sqrt(x.cast("double"))).cast("long")
     val s1 = when(s0 * s0 > x, s0 - 1).otherwise(s0)
     when((s1 + 1) * (s1 + 1) <= x, s1 + 1).otherwise(s1)
   }
-  private def isqrtSql(x: String): String = {
+  private[queries] def isqrtSql(x: String): String = {
     val s0 = s"CAST(floor(sqrt(CAST(($x) AS DOUBLE))) AS BIGINT)"
     val s1 = s"(CASE WHEN $s0 * $s0 > ($x) THEN $s0 - 1 ELSE $s0 END)"
     s"(CASE WHEN ($s1 + 1) * ($s1 + 1) <= ($x) THEN $s1 + 1 ELSE $s1 END)"

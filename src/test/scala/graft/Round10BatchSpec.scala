@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30}
+import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the x181–x183 tier: the invariants the oracle pairing
@@ -176,6 +176,24 @@ class Round10BatchSpec extends SparkTestBase {
       row_number().over(w).as("rk")).filter($"rk" <= 4)
       .select($"g", $"rk", $"v", $"id")
     assert(viaAgg.except(viaWin).isEmpty && viaWin.except(viaAgg).isEmpty)
+  }
+
+  test("x193: dup-matrix mass equals the pair count and pairs are normalized") {
+    val out = Round10Queries31.crossSourceDupMatrix(spark, sfDir).cache()
+    val total = out.agg(sum($"n_pairs")).as[Long].head()
+    val pairs = graft.queries.DedupQueries.minhashLsh(spark, sfDir).count()
+    assert(total == pairs, s"matrix mass $total != pair count $pairs")
+    assert(out.filter($"src_lo" > $"src_hi").count() == 0)
+    assert(out.filter(($"src_lo" === $"src_hi") === ($"is_cross" === 1)).count() == 0)
+  }
+
+  test("x194: allocation sums exactly to the budget and the draw hits it") {
+    val out = Round10Queries31.neymanSample(spark, sfDir).cache()
+    assert(out.agg(sum($"alloc")).as[Long].head() == 100L)
+    // The rank draw is exact: sampled counts equal allocations (each
+    // stratum has far more docs than its allocation at every SF).
+    assert(out.filter($"n_sampled" =!= $"alloc").count() == 0)
+    assert(out.filter($"mass" <= 0).count() == 0)
   }
 
   test("x183: AMS estimate lands within the audited 3x envelope") {
