@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31}
+import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the x181–x183 tier: the invariants the oracle pairing
@@ -194,6 +194,38 @@ class Round10BatchSpec extends SparkTestBase {
     // stratum has far more docs than its allocation at every SF).
     assert(out.filter($"n_sampled" =!= $"alloc").count() == 0)
     assert(out.filter($"mass" <= 0).count() == 0)
+  }
+
+  test("x195: normalized deciles are near-uniform within each language") {
+    val out = Round10Queries32.quantileNormalize(spark, sfDir).cache()
+    // Mass conservation.
+    assert(out.agg(sum($"n_docs")).as[Long].head()
+      == Tables.documents(spark, sfDir).count())
+    // Defining property of rank normalization: per lang, no decile holds
+    // more than ~3x its uniform share (ties and small strata allow slack).
+    val bad = out
+      .join(out.groupBy($"lang").agg(sum($"n_docs").as("tot")), "lang")
+      .filter($"n_docs" * 10 > $"tot" * 3)
+    assert(bad.count() == 0, bad.collect().mkString(","))
+  }
+
+  test("x196: IPW beats naive extrapolation on thinned buckets") {
+    val out = Round10Queries32.ipwRecovery(spark, sfDir).cache()
+    val thinned = out.filter($"ratio_fp" < 1000000L)
+    assert(thinned.count() > 0)
+    val r = thinned.agg(sum($"err_naive").as("en"), sum($"err_ipw").as("ei")).head()
+    assert(r.getAs[Long]("ei") < r.getAs[Long]("en"),
+      s"ipw ${r.getAs[Long]("ei")} !< naive ${r.getAs[Long]("en")}")
+  }
+
+  test("q112: cascade counts are consistent across the key chain") {
+    val out = Round10Queries32.deleteCascade(spark, sfDir).collect()
+      .map(r => r.getAs[String]("table_name") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_affected"))).toMap
+    // Every affected lineitem references an affected order; cohorts are
+    // non-empty and strictly smaller than their tables.
+    out.foreach { case (_, (n, a)) => assert(a > 0 && a < n) }
+    assert(out("orders")._2 >= out("customer")._2) // >=1 order per customer here
   }
 
   test("x183: AMS estimate lands within the audited 3x envelope") {
