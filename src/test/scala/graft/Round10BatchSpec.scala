@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32}
+import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the x181–x183 tier: the invariants the oracle pairing
@@ -226,6 +226,46 @@ class Round10BatchSpec extends SparkTestBase {
     // non-empty and strictly smaller than their tables.
     out.foreach { case (_, (n, a)) => assert(a > 0 && a < n) }
     assert(out("orders")._2 >= out("customer")._2) // >=1 order per customer here
+  }
+
+  test("x197: KM curve is a valid survival function") {
+    val rows = Round10Queries33.kaplanMeier(spark, sfDir)
+      .orderBy($"t").collect()
+    assert(rows.nonEmpty)
+    val nUsers = Tables.events(spark, sfDir)
+      .select($"user_id").distinct().count()
+    // The risk set at the smallest duration is the whole population, and
+    // shrinks by exactly the removals (events + censorings) at each step.
+    assert(rows.head.getAs[Long]("n_risk") == nUsers)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_risk") ==
+        a.getAs[Long]("n_risk") - a.getAs[Long]("d_events") - a.getAs[Long]("c_censored"))
+    }
+    // Survival is monotone non-increasing from 1.0 and drops ONLY at
+    // event times (censoring-only steps leave S unchanged).
+    var s = 1000000L
+    rows.foreach { r =>
+      val s2 = r.getAs[Long]("surv_fp")
+      assert(s2 <= s)
+      if (r.getAs[Long]("d_events") == 0L) assert(s2 == s)
+      s = s2
+    }
+  }
+
+  test("x198: log-rank expectations and variance are internally consistent") {
+    val r = Round10Queries33.logRank(spark, sfDir).head()
+    val converters = Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id").distinct().count()
+    // Total expected events across both arms equals total observed (the
+    // log-rank identity Σ E_1t + Σ E_0t = Σ d_t), so arm-1 expectation is
+    // bounded by the total; chi2 is finite and non-negative.
+    assert(r.getAs[Long]("o1") <= converters)
+    assert(r.getAs[Long]("e1_fp") <= converters * 1000000L)
+    assert(r.getAs[Long]("v_fp") > 0L)
+    assert(r.getAs[Double]("chi2") >= 0.0)
+    assert(r.getAs[Long]("n_treat") + r.getAs[Long]("n_ctrl") ==
+      Tables.events(spark, sfDir).select($"user_id").distinct().count())
   }
 
   test("x183: AMS estimate lands within the audited 3x envelope") {
