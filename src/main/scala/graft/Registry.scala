@@ -73,7 +73,8 @@ object Registry {
       queries.Round10Queries30.defs ++
       queries.Round10Queries31.defs ++
       queries.Round10Queries32.defs ++
-      queries.Round10Queries33.defs
+      queries.Round10Queries33.defs ++
+      queries.Round10Queries34.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33}
+import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the x181–x183 tier: the invariants the oracle pairing
@@ -266,6 +266,38 @@ class Round10BatchSpec extends SparkTestBase {
     assert(r.getAs[Double]("chi2") >= 0.0)
     assert(r.getAs[Long]("n_treat") + r.getAs[Long]("n_ctrl") ==
       Tables.events(spark, sfDir).select($"user_id").distinct().count())
+  }
+
+  test("x199: WoE bins partition the customers and IV is the published sum") {
+    val out = Round10Queries34.woeIv(spark, sfDir).cache()
+    val rows = out.orderBy($"bin").collect()
+    assert(rows.length == 10)
+    val total = rows.map(r => r.getAs[Long]("n_good") + r.getAs[Long]("n_bad")).sum
+    assert(total == Tables.customer(spark, sfDir).count())
+    // IV is replicated on every row (single published headline number).
+    assert(rows.map(_.getAs[Long]("iv_fp")).distinct.length == 1)
+  }
+
+  test("q113: Gini matches the O(n^2) mean-absolute-difference definition") {
+    val r = Round10Queries34.giniRevenue(spark, sfDir).head()
+    val g = r.getAs[Long]("gini_fp")
+    assert(g >= 0L && g <= 1000000L)
+    // Recompute from first principles at this SF: G = Σ|x_i−x_j| / (2n²μ̄)
+    // over the same per-customer cents (zero-revenue customers included).
+    val rev = Tables.orders(spark, sfDir).groupBy($"o_custkey")
+      .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("cents"))
+    val xs = Tables.customer(spark, sfDir)
+      .join(rev, $"c_custkey" === $"o_custkey", "left")
+      .select(coalesce($"cents", lit(0L))).as[Long].collect()
+    val n = xs.length.toLong
+    val tot = xs.sum
+    val mad = (for (a <- xs; b <- xs) yield math.abs(a - b)).map(BigInt(_)).sum
+    val expected = (BigDecimal(mad) * 1000000 /
+      (BigDecimal(2) * BigDecimal(n) * BigDecimal(n) *
+        (BigDecimal(tot) / n))).toLong
+    // Rank-identity vs MAD definition differ only in the final 1e-6
+    // quantization step.
+    assert(math.abs(g - expected) <= 1L, s"gini $g vs mad-form $expected")
   }
 
   test("x183: AMS estimate lands within the audited 3x envelope") {
