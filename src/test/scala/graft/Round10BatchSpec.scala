@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34}
+import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the x181–x183 tier: the invariants the oracle pairing
@@ -298,6 +298,47 @@ class Round10BatchSpec extends SparkTestBase {
     // Rank-identity vs MAD definition differ only in the final 1e-6
     // quantization step.
     assert(math.abs(g - expected) <= 1L, s"gini $g vs mad-form $expected")
+  }
+
+  test("x200: CUPED reduces variance and covers all purchasing users") {
+    val r = Round10Queries35.cuped(spark, sfDir).head()
+    val purchasers = Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id").distinct().count()
+    assert(r.getAs[Long]("n0") + r.getAs[Long]("n1") == purchasers)
+    // First-half and second-half spend are positively correlated (same
+    // users keep buying), so θ > 0 and the reduction ratio = corr² lives
+    // strictly inside (0, 1e6).
+    assert(r.getAs[Long]("theta_fp") > 0L)
+    val vr = r.getAs[Long]("varred_fp")
+    assert(vr > 0L && vr < 1000000L, s"varred $vr")
+  }
+
+  test("x201: ANOVA decomposition is exhaustive and F is consistent") {
+    val rows = Round10Queries35.anova(spark, sfDir).collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[Long]("ng")).sum ==
+      Tables.orders(spark, sfDir).count())
+    val r = rows.head
+    val (ssb, ssw) = (r.getAs[Long]("ssb"), r.getAs[Long]("ssw"))
+    assert(ssb >= 0L && ssw > 0L)
+    // SSB + SSW must equal SST (computed independently from the global
+    // moments) up to the per-group quantization slack (≤ 1 per term).
+    val m = Tables.orders(spark, sfDir)
+      .select(floor($"o_totalprice" + 0.5).cast("long").as("x"))
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum($"x" * $"x").as("sxx")).head()
+    val sst = m.getAs[Long]("sxx").toDouble -
+      m.getAs[Long]("sx").toDouble * m.getAs[Long]("sx").toDouble /
+        m.getAs[Long]("n").toDouble
+    assert(math.abs(ssb + ssw - sst) <= 8.0, s"ssb+ssw ${ssb + ssw} vs sst $sst")
+    // F recomputes from the published pieces.
+    val f = r.getAs[Double]("f")
+    val fRe = (ssb.toDouble / r.getAs[Long]("df1")) /
+      (ssw.toDouble / r.getAs[Long]("df2"))
+    assert(math.abs(f - fRe) < 0.001, s"f $f vs $fRe")
+    val e2 = r.getAs[Long]("eta2_fp")
+    assert(e2 >= 0L && e2 <= 1000000L)
   }
 
   test("x183: AMS estimate lands within the audited 3x envelope") {
