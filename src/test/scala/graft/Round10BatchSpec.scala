@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35}
+import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35, Round10Queries36}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the x181–x183 tier: the invariants the oracle pairing
@@ -339,6 +339,32 @@ class Round10BatchSpec extends SparkTestBase {
     assert(math.abs(f - fRe) < 0.001, s"f $f vs $fRe")
     val e2 = r.getAs[Long]("eta2_fp")
     assert(e2 >= 0L && e2 <= 1000000L)
+  }
+
+  test("x202: RBO is a bounded overlap measure over the joined top-k") {
+    val r = Round10Queries36.rbo(spark, sfDir).head()
+    assert(r.getAs[Long]("k") == 50L)
+    val (nc, rbo) = (r.getAs[Long]("n_common"), r.getAs[Long]("rbo_fp"))
+    assert(nc >= 0L && nc <= 50L)
+    assert(rbo >= 0L && rbo <= 1000000L)
+    // Zero overlap must publish exactly zero; any overlap must be > 0.
+    if (nc == 0L) assert(rbo == 0L) else assert(rbo > 0L)
+  }
+
+  test("x203: removal effects are non-negative and shares apportion the total") {
+    val rows = Round10Queries36.markovAttribution(spark, sfDir).collect()
+    assert(rows.length == 4)
+    val vb = rows.map(_.getAs[Long]("v_base_fp")).distinct
+    assert(vb.length == 1 && vb.head > 0L)
+    rows.foreach { r =>
+      // Removing a channel reroutes mass to the drop state: the removed
+      // chain's conversion value is pointwise dominated at every
+      // iteration, so it can never exceed the base chain's.
+      assert(r.getAs[Long]("v_rem_fp") <= r.getAs[Long]("v_base_fp"),
+        s"${r.getAs[String]("channel")} removal raised conversion")
+    }
+    val shares = rows.map(_.getAs[Long]("share_fp"))
+    assert(math.abs(shares.sum - 1000000L) <= 4L, s"shares ${shares.toSeq}")
   }
 
   test("x183: AMS estimate lands within the audited 3x envelope") {
