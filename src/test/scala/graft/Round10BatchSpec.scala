@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35, Round10Queries36}
+import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35, Round10Queries36, Round10Queries37}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the x181–x183 tier: the invariants the oracle pairing
@@ -365,6 +365,43 @@ class Round10BatchSpec extends SparkTestBase {
     }
     val shares = rows.map(_.getAs[Long]("share_fp"))
     assert(math.abs(shares.sum - 1000000L) <= 4L, s"shares ${shares.toSeq}")
+  }
+
+  test("x204: isotonic fit is monotone and stays inside the raw-rate hull") {
+    val out = Round10Queries37.isotonic(spark, sfDir).orderBy($"bin").collect()
+    assert(out.length == 12)
+    // Monotone non-decreasing — THE isotonic property.
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("iso_rate_fp") <= b.getAs[Long]("iso_rate_fp"))
+    }
+    // The fit is a projection: it cannot leave the raw rates' range.
+    val raws = out.map(_.getAs[Long]("raw_rate_fp"))
+    out.map(_.getAs[Long]("iso_rate_fp")).foreach { v =>
+      assert(v >= raws.min - 1 && v <= raws.max + 1)
+    }
+  }
+
+  test("x205: W1 is non-negative and bounded by the grid span") {
+    val r = Round10Queries37.wasserstein(spark, sfDir).head()
+    val w1 = r.getAs[Long]("w1_fp")
+    assert(w1 >= 0L)
+    assert(r.getAs[Long]("w1_cents") >= 0L)
+    // Each year's shares sum to ~1e9, so |cum diff| per bin ≤ 1e9 and
+    // the sum over the ~60-bin grid is bounded by 60e9.
+    assert(w1 <= 60L * 1000000000L)
+  }
+
+  test("x206: Holt backtest covers every 1998 day with consistent errors") {
+    val out = Round10Queries37.holtBacktest(spark, sfDir).cache()
+    val days = Tables.orders(spark, sfDir)
+      .filter(year($"o_orderdate") === 1998)
+      .select(to_date($"o_orderdate")).distinct().count()
+    assert(out.count() == days)
+    // The naive forecast is one constant (last train-day revenue); each
+    // error column recomputes from its forecast.
+    assert(out.select($"f_naive").distinct().count() == 1)
+    assert(out.filter($"err_holt" =!= abs($"y" - $"f_holt")).count() == 0)
+    assert(out.filter($"err_naive" =!= abs($"y" - $"f_naive")).count() == 0)
   }
 
   test("x183: AMS estimate lands within the audited 3x envelope") {
