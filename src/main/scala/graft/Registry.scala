@@ -77,7 +77,8 @@ object Registry {
       queries.Round10Queries34.defs ++
       queries.Round10Queries35.defs ++
       queries.Round10Queries36.defs ++
-      queries.Round10Queries37.defs
+      queries.Round10Queries37.defs ++
+      queries.Round10Queries38.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

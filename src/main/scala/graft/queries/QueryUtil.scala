@@ -39,6 +39,20 @@ object QueryUtil {
     try body finally spark.conf.set(key, old)
   }
 
+  /** Scope arbitrary session confs to `body`, restoring (or unsetting)
+    * each afterwards — the generalization of [[withStreamShuffle]] for
+    * operators that need a specific provider/feature flag (e.g.
+    * `transformWithState` only runs on the RocksDB state store). */
+  def withConfs[T](spark: org.apache.spark.sql.SparkSession,
+                   confs: (String, String)*)(body: => T): T = {
+    val olds = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Optimizer fence (graft.functions.OptimizerFence): identity wrapper
     * that stops a subsequent filter-on-alias from re-inlining the wrapped
     * expression into the pushed-down predicate — use around an EXPENSIVE

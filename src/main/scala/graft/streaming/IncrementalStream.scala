@@ -406,4 +406,59 @@ object IncrementalStream {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"))
+
+  /** Running purchase totals emitted by [[TwsTotalsProcessor]]. */
+  final case class TwsTotals(user_id: Long, n_purch: Long, cents: Long,
+                             max_cents: Long)
+
+  /** Spark-4 `transformWithState` StatefulProcessor: per-user running
+    * (count, sum, max) over purchase cents held in an explicit typed
+    * `ValueState`. This is the NEW arbitrary-state API (state variables +
+    * TTL + timers on a RocksDB store) — the successor surface to the
+    * `mapGroupsWithState` operators above; the semantics here are kept
+    * deliberately re-derivable (a plain keyed aggregate) so a batch
+    * oracle can gate the plumbing. */
+  final class TwsTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), TwsTotals] {
+    @transient private var totals:
+        org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long, Long)]("totals",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TwsTotals] = {
+      val (n0, s0, m0) =
+        if (totals.exists()) totals.get() else (0L, 0L, 0L)
+      var (n, s, m) = (n0, s0, m0)
+      rows.foreach { case (_, c) =>
+        n += 1; s += c; if (c > m) m = c
+      }
+      totals.update((n, s, m))
+      Iterator.single(TwsTotals(key, n, s, m))
+    }
+  }
+
+  /** `transformWithState` wrapper: input (user_id, cents) purchases →
+    * per-key updated running totals each micro-batch. Requires the
+    * RocksDB state-store provider (the only provider the new operator
+    * supports); callers scope that conf with `QueryUtil.withConfs`. */
+  def twsUserTotals(purchases: org.apache.spark.sql.Dataset[(Long, Long)]):
+      org.apache.spark.sql.Dataset[TwsTotals] = {
+    val spark = purchases.sparkSession
+    import spark.implicits._
+    purchases.groupByKey(_._1)
+      .transformWithState(new TwsTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
 }

@@ -692,4 +692,34 @@ class StreamingSpec extends SparkTestBase {
       .select($"user_id", $"n_events").as[(Long, Long)].collect().toSeq
     assert(sess == Seq((1L, 2L), (1L, 1L), (2L, 1L)))
   }
+
+  test("transformWithState running totals match the batch aggregate across real micro-batches") {
+    val sfDir = "/root/testdata/sf0.001"
+    // Precondition that makes the parity meaningful: at least one user
+    // purchases on both sides of a slice cut, so their ValueState must
+    // survive a micro-batch boundary to produce the right final row.
+    val cut = 1704800000L
+    val sides = Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id",
+        expr("unix_timestamp(cast(ts as timestamp))").cast("long").as("sec"))
+      .groupBy($"user_id")
+      .agg(max(when($"sec" < cut, 1).otherwise(0)).as("lo"),
+        max(when($"sec" >= cut, 1).otherwise(0)).as("hi"))
+      .filter($"lo" === 1 && $"hi" === 1).count()
+    assert(sides > 0, "fixture has no cross-slice purchaser; cuts need moving")
+    val out = queries.Round10Queries38.twsParity(spark, sfDir)
+    val expected = Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_purch"),
+        sum(floor($"value" * 100 + 0.5).cast("long")).as("cents"),
+        max(floor($"value" * 100 + 0.5).cast("long")).as("max_cents"))
+    assert(out.join(expected,
+      out("user_id") === expected("user_id")
+        && out("n_purch") === expected("n_purch")
+        && out("cents") === expected("cents")
+        && out("max_cents") === expected("max_cents")).count()
+      == expected.count())
+  }
 }
