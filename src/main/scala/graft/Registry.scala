@@ -78,7 +78,8 @@ object Registry {
       queries.Round10Queries35.defs ++
       queries.Round10Queries36.defs ++
       queries.Round10Queries37.defs ++
-      queries.Round10Queries38.defs
+      queries.Round10Queries38.defs ++
+      queries.Round10Queries39.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35, Round10Queries36, Round10Queries37}
+import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35, Round10Queries36, Round10Queries37, Round10Queries39}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the x181–x183 tier: the invariants the oracle pairing
@@ -402,6 +402,56 @@ class Round10BatchSpec extends SparkTestBase {
     assert(out.select($"f_naive").distinct().count() == 1)
     assert(out.filter($"err_holt" =!= abs($"y" - $"f_holt")).count() == 0)
     assert(out.filter($"err_naive" =!= abs($"y" - $"f_naive")).count() == 0)
+  }
+
+  test("x208: DTW equals the naive DP and never exceeds the lock-step L1") {
+    val r = Round10Queries39.dtw(spark, sfDir).head()
+    val (dtw, l1) = (r.getAs[Long]("dtw_cents"), r.getAs[Long]("l1_cents"))
+    assert(dtw >= 0L && dtw <= l1, s"dtw $dtw l1 $l1")
+    // First-principles recompute of the same 12x12 DP in Scala.
+    def monthly(yr: Int): Array[Long] = {
+      val m = Tables.orders(spark, sfDir)
+        .filter(year($"o_orderdate") === yr)
+        .groupBy(month($"o_orderdate").cast("long").as("m"))
+        .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("y"))
+        .collect().map(r2 => r2.getAs[Long]("m") -> r2.getAs[Long]("y")).toMap
+      (1 to 12).map(i => m.getOrElse(i.toLong, 0L)).toArray
+    }
+    val (a, b) = (monthly(1995), monthly(1996))
+    val d = Array.ofDim[Long](12, 12)
+    for (i <- 0 until 12; j <- 0 until 12) {
+      val c = math.abs(a(i) - b(j))
+      d(i)(j) = c + ((i, j) match {
+        case (0, 0) => 0L
+        case (0, _) => d(0)(j - 1)
+        case (_, 0) => d(i - 1)(0)
+        case _ => math.min(d(i - 1)(j - 1), math.min(d(i - 1)(j), d(i)(j - 1)))
+      })
+    }
+    assert(dtw == d(11)(11), s"fold $dtw vs naive ${d(11)(11)}")
+  }
+
+  test("x209: Shapley values satisfy the efficiency axiom exactly") {
+    val rows = Round10Queries39.shapley(spark, sfDir).collect()
+    assert(rows.length == 4)
+    // Σ_c φ12_c = 12·(v(full) − v(∅)) — the telescoping identity holds
+    // EXACTLY on the quantized v's because every coalition's v appears
+    // with balancing +/- weights.
+    val users = Tables.events(spark, sfDir).groupBy($"user_id").agg(
+      (coalesce(max(when($"event_type" === "click", 1L)), lit(0L)) +
+        coalesce(max(when($"event_type" === "view", 1L)), lit(0L)) +
+        coalesce(max(when($"event_type" === "signup", 1L)), lit(0L)) +
+        coalesce(max(when($"event_type" === "error", 1L)), lit(0L))).as("touched"),
+      coalesce(max(when($"event_type" === "purchase", 1L)), lit(0L)).as("conv"))
+    def vFp(cond: org.apache.spark.sql.Column): Long = {
+      val r = users.filter(cond)
+        .agg(count(lit(1)).as("nu"), sum($"conv").as("nc")).head()
+      val (nu, nc) = (r.getAs[Long]("nu"), Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L))
+      if (nu == 0) 0L else math.floor(nc.toDouble / nu.toDouble * 1000000 + 0.5).toLong
+    }
+    val vFull = vFp(lit(true))
+    val vEmpty = vFp($"touched" === 0L)
+    assert(rows.map(_.getAs[Long]("phi12_fp")).sum == 12L * (vFull - vEmpty))
   }
 
   test("x183: AMS estimate lands within the audited 3x envelope") {
