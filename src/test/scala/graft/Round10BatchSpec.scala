@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35, Round10Queries36, Round10Queries37, Round10Queries39}
+import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35, Round10Queries36, Round10Queries37, Round10Queries39, Round10Queries40}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the x181–x183 tier: the invariants the oracle pairing
@@ -452,6 +452,39 @@ class Round10BatchSpec extends SparkTestBase {
     val vFull = vFp(lit(true))
     val vEmpty = vFp($"touched" === 0L)
     assert(rows.map(_.getAs[Long]("phi12_fp")).sum == 12L * (vFull - vEmpty))
+  }
+
+  test("x210: modularity decomposition respects the degree identity") {
+    val out = Round10Queries40.modularity(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      // e_c = 2·intra ≤ d_c = 2·intra + inter, and each term is a valid
+      // modularity contribution.
+      assert(r.getAs[Long]("e_c") <= r.getAs[Long]("d_c"))
+      assert(math.abs(r.getAs[Long]("q_c_fp")) <= 1000000L)
+    }
+    val q = out.head.getAs[Long]("q_fp")
+    assert(q == out.map(_.getAs[Long]("q_c_fp")).sum)
+    assert(q >= -1000000L && q <= 1000000L)
+  }
+
+  test("x211: assortativity is a correlation in [-1, 1]") {
+    val r = Round10Queries40.assortativity(spark, sfDir).head()
+    assert(r.getAs[Long]("m") > 0L)
+    val rho = r.getAs[Long]("r_fp")
+    assert(rho >= -1000000L && rho <= 1000000L, s"r $rho")
+  }
+
+  test("x212: burstiness stays in the Goh-Barabasi range per type") {
+    val out = Round10Queries40.burstiness(spark, sfDir).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      val (lo, mid, hi) = (r.getAs[Long]("min_b_fp"),
+        r.getAs[Long]("mean_b_fp"), r.getAs[Long]("max_b_fp"))
+      assert(lo >= -1000000L && hi < 1000000L)
+      assert(lo <= mid && mid <= hi)
+      assert(r.getAs[Long]("n_users") > 0L)
+    }
   }
 
   test("x183: AMS estimate lands within the audited 3x envelope") {
