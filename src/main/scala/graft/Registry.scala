@@ -80,7 +80,8 @@ object Registry {
       queries.Round10Queries37.defs ++
       queries.Round10Queries38.defs ++
       queries.Round10Queries39.defs ++
-      queries.Round10Queries40.defs
+      queries.Round10Queries40.defs ++
+      queries.Round10Queries41.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35, Round10Queries36, Round10Queries37, Round10Queries39, Round10Queries40}
+import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35, Round10Queries36, Round10Queries37, Round10Queries39, Round10Queries40, Round10Queries41}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the x181–x183 tier: the invariants the oracle pairing
@@ -485,6 +485,19 @@ class Round10BatchSpec extends SparkTestBase {
       assert(lo <= mid && mid <= hi)
       assert(r.getAs[Long]("n_users") > 0L)
     }
+  }
+
+  test("x213: published LOF outliers are ranked, positive, and genuinely sparse") {
+    val out = Round10Queries41.lof(spark, sfDir).orderBy($"rk").collect()
+    assert(out.length == 20)
+    // Scores ordered with the ranking, all positive; the top outlier's
+    // density must be visibly below its neighborhood (LOF > 1).
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("lof_fp") >= b.getAs[Long]("lof_fp"))
+    }
+    assert(out.last.getAs[Long]("lof_fp") > 0L)
+    assert(out.head.getAs[Long]("lof_fp") > 1000000L,
+      s"top LOF ${out.head.getAs[Long]("lof_fp")} not an outlier")
   }
 
   test("x183: AMS estimate lands within the audited 3x envelope") {
