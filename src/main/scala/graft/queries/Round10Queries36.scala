@@ -148,7 +148,6 @@ object Round10Queries36 {
     val counts = trans.select($"src", $"dst")
       .union(tedges)
       .groupBy($"src", $"dst").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
     // Scenario expansion: -1 = base chain; c = channel c removed.
     val scen = (Seq(-1) ++ ChannelNames.map(_._1)).toDF("scenario")
     val edges = scen.crossJoin(counts)
@@ -157,30 +156,29 @@ object Round10Queries36 {
         when($"dst" === $"scenario", lit(DropState)).otherwise($"dst").as("dst"),
         $"cnt")
       .groupBy($"scenario", $"src", $"dst").agg(sum($"cnt").as("cnt"))
-      .localCheckpoint(true)
-    val rowsums = edges.groupBy($"scenario", $"src".as("state"))
-      .agg(sum($"cnt").as("rowsum")).localCheckpoint(true)
-    val states = scen.crossJoin(
-      (0 to DropState).map(_.toLong).toDF("state")).localCheckpoint(true)
-    val init = states.select($"scenario", $"state",
-      when($"state" === ConvState, lit(1000000000L)).otherwise(lit(0L)).as("v"))
-    val vFinal = (1 to MarkovIters).foldLeft(init) { (v, _) =>
-      val nv = edges
-        .join(v.withColumnRenamed("state", "dst").withColumnRenamed("v", "pv"),
-          Seq("scenario", "dst"))
-        .groupBy($"scenario", $"src".as("state"))
-        .agg(sum($"cnt" * $"pv").as("sp"))
-        .join(rowsums, Seq("scenario", "state"))
-        .select($"scenario", $"state", expr("sp div rowsum").as("nv"))
-      states.join(nv, Seq("scenario", "state"), "left")
-        .select($"scenario", $"state",
-          when($"state" === ConvState, lit(1000000000L))
-            .when($"state" === DropState, lit(0L))
-            .otherwise(coalesce($"nv", lit(0L))).as("v"))
-        .localCheckpoint(true)
-    }
-    val atStart = vFinal.filter($"state" === 0)
-      .select($"scenario", $"v")
+    // The 12 value-iteration steps run as ONE nested-HOF fold per
+    // scenario row (≤49 edges × 7 states × 12 steps of plain integer
+    // arithmetic) — a single Spark job, versus the 12 tiny
+    // checkpointed join rounds the first cut used (measured 3.4–4.5 s
+    // of pure job overhead on a ≤35-row frame).
+    val initV = s"transform(sequence(0, $DropState), s -> CASE WHEN" +
+      s" s = $ConvState THEN CAST(1000000000 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    val rowsumOf = s"aggregate(filter(es, e -> e.src = s)," +
+      s" CAST(0 AS BIGINT), (a, e) -> a + e.cnt)"
+    val spOf = s"aggregate(filter(es, e -> e.src = s), CAST(0 AS BIGINT)," +
+      s" (a, e) -> a + e.cnt * element_at(v, CAST(e.dst AS INT) + 1))"
+    val atStart = edges
+      .groupBy($"scenario")
+      .agg(collect_list(struct($"src", $"dst", $"cnt")).as("es"))
+      .select($"scenario", expr(
+        s"""element_at(aggregate(sequence(1, $MarkovIters), $initV,
+           |  (v, it) -> transform(sequence(0, $DropState), s ->
+           |    CASE WHEN s = $ConvState THEN CAST(1000000000 AS BIGINT)
+           |         WHEN s = $DropState THEN CAST(0 AS BIGINT)
+           |         ELSE CASE WHEN $rowsumOf > 0
+           |                   THEN $spOf div $rowsumOf
+           |                   ELSE CAST(0 AS BIGINT) END END)), 1)
+           |""".stripMargin).as("v"))
     val base = atStart.filter($"scenario" === -1)
       .select($"v".as("v_base_fp"))
     val removed = atStart.filter($"scenario" =!= -1)

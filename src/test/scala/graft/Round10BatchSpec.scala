@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35, Round10Queries36, Round10Queries37, Round10Queries39, Round10Queries40, Round10Queries41}
+import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35, Round10Queries36, Round10Queries37, Round10Queries39, Round10Queries40, Round10Queries41, Round10Queries42}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the x181–x183 tier: the invariants the oracle pairing
@@ -498,6 +498,21 @@ class Round10BatchSpec extends SparkTestBase {
     assert(out.last.getAs[Long]("lof_fp") > 0L)
     assert(out.head.getAs[Long]("lof_fp") > 1000000L,
       s"top LOF ${out.head.getAs[Long]("lof_fp")} not an outlier")
+  }
+
+  test("x215: RAKE phrases are capped, stopword-free, and rank-ordered") {
+    val out = Round10Queries42.rake(spark, sfDir).orderBy($"rk").collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val words = r.getAs[String]("phrase").split(" ")
+      assert(words.length >= 1 && words.length <= 3)
+      assert(!words.exists(Set("the", "a")), r.getAs[String]("phrase"))
+      assert(r.getAs[Long]("support") >= 1L)
+      assert(r.getAs[Long]("score_fp") > 0L)
+    }
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("score_fp") >= b.getAs[Long]("score_fp"))
+    }
   }
 
   test("x183: AMS estimate lands within the audited 3x envelope") {
