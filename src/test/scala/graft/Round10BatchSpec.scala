@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35, Round10Queries36, Round10Queries37, Round10Queries39, Round10Queries40, Round10Queries41, Round10Queries42}
+import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35, Round10Queries36, Round10Queries37, Round10Queries39, Round10Queries40, Round10Queries41, Round10Queries42, Round10Queries43}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the x181–x183 tier: the invariants the oracle pairing
@@ -512,6 +512,26 @@ class Round10BatchSpec extends SparkTestBase {
     }
     out.sliding(2).foreach { case Array(a, b) =>
       assert(a.getAs[Long]("score_fp") >= b.getAs[Long]("score_fp"))
+    }
+  }
+
+  test("x216/x217: CSLS demotes hubs that the k-occurrence audit identifies") {
+    val hubs = Round10Queries43.hubnessAudit(spark, sfDir).orderBy($"rk").collect()
+    assert(hubs.length == 10)
+    // k-occurrence ordering and panel consistency.
+    hubs.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("k_occ") >= b.getAs[Long]("k_occ"))
+    }
+    assert(hubs.head.getAs[Long]("k_occ") == hubs.head.getAs[Long]("max_k_occ"))
+    // Mean N_k is exactly K: Σ N_k = n·K (every list has K members), so a
+    // max above K certifies genuine hubness in the fixture.
+    assert(hubs.head.getAs[Long]("max_k_occ") > 10L)
+    val csls = Round10Queries43.cslsTopk(spark, sfDir).collect()
+    assert(csls.length % 5 == 0 && csls.nonEmpty)
+    // CSLS = 2cos − r(a) − r(b) can never exceed plain 2·cos; spot-check
+    // the published rows' internal consistency.
+    csls.foreach { r =>
+      assert(r.getAs[Long]("csls_fp") <= 2L * r.getAs[Long]("cos_fp") + 2000000L)
     }
   }
 
