@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35, Round10Queries36, Round10Queries37, Round10Queries39, Round10Queries40, Round10Queries41, Round10Queries42, Round10Queries43, Round10Queries44}
+import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35, Round10Queries36, Round10Queries37, Round10Queries39, Round10Queries40, Round10Queries41, Round10Queries42, Round10Queries43, Round10Queries44, Round10Queries45}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the x181–x183 tier: the invariants the oracle pairing
@@ -562,6 +562,43 @@ class Round10BatchSpec extends SparkTestBase {
     // centred on zero wherever overlap exists.
     val lags = out.map(_.getAs[Long]("lag")).sorted
     assert(lags.contains(0L))
+  }
+
+  test("x220: changepoints respect segment bounds and children split the root") {
+    val out = Round10Queries45.binsegChangepoints(spark, sfDir).collect()
+      .map(r => r.getAs[String]("phase") ->
+        (r.getAs[Long]("tau_di"), r.getAs[Long]("gain_d100"))).toMap
+    assert(out.keySet == Set("root", "left", "right"))
+    val (rootDi, _) = out("root")
+    // Left child splits strictly before the root, right strictly after.
+    assert(out("left")._1 < rootDi)
+    assert(out("right")._1 > rootDi)
+    // The root split is the global argmax: its gain dominates both
+    // children's (a subsegment's best reduction can't beat the full
+    // series' best reduction... it CAN in general, but each child gain
+    // is still a valid non-negative SSE reduction).
+    out.values.foreach { case (_, g) => assert(g >= 0L, out.toString) }
+  }
+
+  test("x221: ABC/XYZ cells partition the parts and shares sum to one") {
+    val out = Round10Queries45.abcXyz(spark, sfDir).collect()
+    val nParts = Tables.lineitem(spark, sfDir)
+      .select($"l_partkey").distinct().count()
+    assert(out.map(_.getAs[Long]("n_parts")).sum == nParts)
+    val share = out.map(_.getAs[Long]("rev_share_fp")).sum
+    assert(math.abs(share - 1000000L) <= out.length, s"share $share")
+    // A-class cells carry the bulk of revenue per part by construction:
+    // mean revenue share per part must decrease A -> C.
+    def perPart(c: String) = {
+      val cells = out.filter(_.getAs[String]("abc") == c)
+      if (cells.isEmpty) None
+      else Some(cells.map(_.getAs[Long]("rev_share_fp")).sum.toDouble /
+        cells.map(_.getAs[Long]("n_parts")).sum)
+    }
+    (perPart("A"), perPart("C")) match {
+      case (Some(a), Some(c)) => assert(a > c)
+      case _ => ()
+    }
   }
 
   test("x183: AMS estimate lands within the audited 3x envelope") {
