@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35, Round10Queries36, Round10Queries37, Round10Queries39, Round10Queries40, Round10Queries41, Round10Queries42, Round10Queries43, Round10Queries44, Round10Queries45}
+import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35, Round10Queries36, Round10Queries37, Round10Queries39, Round10Queries40, Round10Queries41, Round10Queries42, Round10Queries43, Round10Queries44, Round10Queries45, Round10Queries46}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the x181–x183 tier: the invariants the oracle pairing
@@ -599,6 +599,30 @@ class Round10BatchSpec extends SparkTestBase {
       case (Some(a), Some(c)) => assert(a > c)
       case _ => ()
     }
+  }
+
+  test("x222: PACF lag 1 equals ACF lag 1 and all values are correlations") {
+    val out = Round10Queries46.pacf(spark, sfDir).orderBy($"lag").collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      val v = r.getAs[Long]("pacf_fp")
+      assert(v >= -1000000L && v <= 1000000L, s"lag ${r.getAs[Long]("lag")}: $v")
+    }
+    // Definitional identity: φ_11 = ρ_1 — recompute ρ_1 with the q85
+    // exact-moment recipe and compare at the published quantization.
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(datediff($"o_orderdate", lit("1995-01-01").cast("date"))
+        .cast("long").as("di"))
+      .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("y"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum($"y").as("s"))
+    val c = daily.crossJoin(broadcast(tot))
+      .select($"di", ($"n".cast(dec) * $"y".cast(dec) - $"s".cast(dec)).as("cy"))
+    val dd = c.agg(sum($"cy" * $"cy")).head().getDecimal(0)
+    val num = c.join(c.toDF("dj", "cz"), $"dj" === $"di" + 1L)
+      .agg(sum($"cy" * $"cz")).head().getDecimal(0)
+    val rho1 = math.floor(num.doubleValue() / dd.doubleValue() * 1000000 + 0.5).toLong
+    assert(out.head.getAs[Long]("pacf_fp") == rho1)
   }
 
   test("x183: AMS estimate lands within the audited 3x envelope") {
