@@ -86,7 +86,8 @@ object Registry {
       queries.Round10Queries43.defs ++
       queries.Round10Queries44.defs ++
       queries.Round10Queries45.defs ++
-      queries.Round10Queries46.defs
+      queries.Round10Queries46.defs ++
+      queries.Round10Queries47.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

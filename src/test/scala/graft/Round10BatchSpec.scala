@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35, Round10Queries36, Round10Queries37, Round10Queries39, Round10Queries40, Round10Queries41, Round10Queries42, Round10Queries43, Round10Queries44, Round10Queries45, Round10Queries46}
+import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35, Round10Queries36, Round10Queries37, Round10Queries39, Round10Queries40, Round10Queries41, Round10Queries42, Round10Queries43, Round10Queries44, Round10Queries45, Round10Queries46, Round10Queries47}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the x181–x183 tier: the invariants the oracle pairing
@@ -623,6 +623,30 @@ class Round10BatchSpec extends SparkTestBase {
       .agg(sum($"cy" * $"cz")).head().getDecimal(0)
     val rho1 = math.floor(num.doubleValue() / dd.doubleValue() * 1000000 + 0.5).toLong
     assert(out.head.getAs[Long]("pacf_fp") == rho1)
+  }
+
+  test("x223: harmonic closeness covers the trade graph and ranks correctly") {
+    val out = Round10Queries47.harmonicCloseness(spark, sfDir).collect()
+    assert(out.length == 25)
+    out.foreach { r =>
+      assert(r.getAs[Long]("hc_fp") > 0L)
+      assert(r.getAs[Long]("n_reach") <= 24L)
+    }
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("hc_fp") >= b.getAs[Long]("hc_fp"))
+    }
+    // The dense trade fixture reaches every other nation from everywhere
+    // within the unrolled rounds.
+    assert(out.forall(_.getAs[Long]("n_reach") == 24L))
+  }
+
+  test("x224: Moran's I is a bounded autocorrelation with positive weight mass") {
+    val r = Round10Queries47.moransI(spark, sfDir).head()
+    assert(r.getAs[Long]("wsum") > 0L)
+    val i = r.getAs[Long]("moran_fp")
+    // Moran's I lives in approximately [-1, 1] (exact bounds depend on
+    // the weight matrix's extreme eigenvalues; 1.5 is a safe envelope).
+    assert(math.abs(i) <= 1500000L, s"moran $i")
   }
 
   test("x183: AMS estimate lands within the audited 3x envelope") {
