@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35, Round10Queries36, Round10Queries37, Round10Queries39, Round10Queries40, Round10Queries41, Round10Queries42, Round10Queries43, Round10Queries44, Round10Queries45, Round10Queries46, Round10Queries47}
+import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35, Round10Queries36, Round10Queries37, Round10Queries39, Round10Queries40, Round10Queries41, Round10Queries42, Round10Queries43, Round10Queries44, Round10Queries45, Round10Queries46, Round10Queries47, Round10Queries48}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the x181–x183 tier: the invariants the oracle pairing
@@ -647,6 +647,18 @@ class Round10BatchSpec extends SparkTestBase {
     // Moran's I lives in approximately [-1, 1] (exact bounds depend on
     // the weight matrix's extreme eigenvalues; 1.5 is a safe envelope).
     assert(math.abs(i) <= 1500000L, s"moran $i")
+  }
+
+  test("x225: Delta is symmetric-complete over source pairs and non-negative") {
+    val out = Round10Queries48.burrowsDelta(spark, sfDir).collect()
+    val ns = Tables.documents(spark, sfDir)
+      .select($"source").distinct().count()
+    assert(out.length == ns * (ns - 1) / 2)
+    out.foreach(r => assert(r.getAs[Long]("delta_fp") >= 0L))
+    // Ranked ascending: most stylistically similar pair first.
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("delta_fp") <= b.getAs[Long]("delta_fp"))
+    }
   }
 
   test("x183: AMS estimate lands within the audited 3x envelope") {
