@@ -88,7 +88,8 @@ object Registry {
       queries.Round10Queries45.defs ++
       queries.Round10Queries46.defs ++
       queries.Round10Queries47.defs ++
-      queries.Round10Queries48.defs
+      queries.Round10Queries48.defs ++
+      queries.Round10Queries49.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

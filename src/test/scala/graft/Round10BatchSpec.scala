@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35, Round10Queries36, Round10Queries37, Round10Queries39, Round10Queries40, Round10Queries41, Round10Queries42, Round10Queries43, Round10Queries44, Round10Queries45, Round10Queries46, Round10Queries47, Round10Queries48}
+import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35, Round10Queries36, Round10Queries37, Round10Queries39, Round10Queries40, Round10Queries41, Round10Queries42, Round10Queries43, Round10Queries44, Round10Queries45, Round10Queries46, Round10Queries47, Round10Queries48, Round10Queries49}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the x181–x183 tier: the invariants the oracle pairing
@@ -659,6 +659,22 @@ class Round10BatchSpec extends SparkTestBase {
     out.sliding(2).foreach { case Array(a, b) =>
       assert(a.getAs[Long]("delta_fp") <= b.getAs[Long]("delta_fp"))
     }
+  }
+
+  test("q114/q115: storage round-trips preserve cohort identities") {
+    val se = Round10Queries49.schemaEvolution(spark, sfDir).collect()
+    val totalRows = se.map(_.getAs[Long]("n_rows")).sum
+    assert(totalRows == Tables.orders(spark, sfDir).count())
+    // v1 rows (null evolved column) are exactly the pre-1996 cohort.
+    val v1 = Tables.orders(spark, sfDir)
+      .filter(year($"o_orderdate") <= 1995).count()
+    assert(se.map(_.getAs[Long]("n_v1_rows")).sum == v1)
+    val pd = Round10Queries49.partitionDiscovery(spark, sfDir).collect()
+    assert(pd.length == 5)
+    assert(pd.map(_.getAs[Long]("n_rows")).sum ==
+      Tables.orders(spark, sfDir).count())
+    // The partition column recovered from directory names, not data.
+    assert(pd.forall(_.getAs[String]("o_orderpriority").nonEmpty))
   }
 
   test("x183: AMS estimate lands within the audited 3x envelope") {
