@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35, Round10Queries36, Round10Queries37, Round10Queries39, Round10Queries40, Round10Queries41, Round10Queries42, Round10Queries43, Round10Queries44, Round10Queries45, Round10Queries46, Round10Queries47, Round10Queries48, Round10Queries49}
+import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35, Round10Queries36, Round10Queries37, Round10Queries39, Round10Queries40, Round10Queries41, Round10Queries42, Round10Queries43, Round10Queries44, Round10Queries45, Round10Queries46, Round10Queries47, Round10Queries48, Round10Queries49, Round10Queries50}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the x181–x183 tier: the invariants the oracle pairing
@@ -675,6 +675,31 @@ class Round10BatchSpec extends SparkTestBase {
       Tables.orders(spark, sfDir).count())
     // The partition column recovered from directory names, not data.
     assert(pd.forall(_.getAs[String]("o_orderpriority").nonEmpty))
+  }
+
+  test("x226: TWAP lies within the user's value range and bias ranks descend") {
+    val out = Round10Queries50.twap(spark, sfDir).orderBy($"rk").collect()
+    assert(out.nonEmpty && out.length <= 20)
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("bias_c") >= b.getAs[Long]("bias_c"))
+    }
+    // TWAP is a convex combination of observed values: recheck the top
+    // user's published TWAP against their min/max event value.
+    val uid = out.head.getAs[Long]("user_id")
+    val mm = Tables.events(spark, sfDir).filter($"user_id" === uid)
+      .agg(min(floor($"value" * 100 + 0.5).cast("long")).as("lo"),
+        max(floor($"value" * 100 + 0.5).cast("long")).as("hi")).head()
+    val t = out.head.getAs[Long]("twap_c")
+    assert(t >= mm.getAs[Long]("lo") - 1 && t <= mm.getAs[Long]("hi") + 1)
+  }
+
+  test("x227: the tail cut is exact and CVaR is at most VaR") {
+    val r = Round10Queries50.cvar(spark, sfDir).head()
+    val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
+    assert(k == math.max(1L, n * 50 / 1000))
+    // CVaR (mean of the worst k) can never exceed VaR (the best of the
+    // worst k), up to the 1e-2 quantization.
+    assert(r.getAs[Long]("cvar_d100") <= r.getAs[Long]("var_d") * 100 + 1)
   }
 
   test("x183: AMS estimate lands within the audited 3x envelope") {
