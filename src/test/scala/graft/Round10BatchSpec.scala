@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35, Round10Queries36, Round10Queries37, Round10Queries39, Round10Queries40, Round10Queries41, Round10Queries42, Round10Queries43, Round10Queries44, Round10Queries45, Round10Queries46, Round10Queries47, Round10Queries48, Round10Queries49, Round10Queries50}
+import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35, Round10Queries36, Round10Queries37, Round10Queries39, Round10Queries40, Round10Queries41, Round10Queries42, Round10Queries43, Round10Queries44, Round10Queries45, Round10Queries46, Round10Queries47, Round10Queries48, Round10Queries49, Round10Queries50, Round10Queries51}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the x181–x183 tier: the invariants the oracle pairing
@@ -700,6 +700,18 @@ class Round10BatchSpec extends SparkTestBase {
     // CVaR (mean of the worst k) can never exceed VaR (the best of the
     // worst k), up to the 1e-2 quantization.
     assert(r.getAs[Long]("cvar_d100") <= r.getAs[Long]("var_d") * 100 + 1)
+  }
+
+  test("x228: variant extraction agrees with the string-path JSON functions") {
+    val out = Round10Queries51.variantExtract(spark, sfDir).cache()
+    assert(out.count() == 5)
+    // Missing path is null for EVERY row (try_variant_get, no errors).
+    assert(out.filter($"n_missing" =!= $"n").count() == 0)
+    // Cross-check one aggregate against the legacy get_json_object path.
+    val legacy = Tables.events(spark, sfDir)
+      .select(get_json_object($"props", "$.k").cast("long").as("k"))
+      .agg(sum($"k")).as[Long].head()
+    assert(out.agg(sum($"sum_k")).as[Long].head() == legacy)
   }
 
   test("x183: AMS estimate lands within the audited 3x envelope") {
