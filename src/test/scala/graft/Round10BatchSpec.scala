@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35, Round10Queries36, Round10Queries37, Round10Queries39, Round10Queries40, Round10Queries41, Round10Queries42, Round10Queries43, Round10Queries44, Round10Queries45, Round10Queries46, Round10Queries47, Round10Queries48, Round10Queries49, Round10Queries50, Round10Queries51}
+import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35, Round10Queries36, Round10Queries37, Round10Queries39, Round10Queries40, Round10Queries41, Round10Queries42, Round10Queries43, Round10Queries44, Round10Queries45, Round10Queries46, Round10Queries47, Round10Queries48, Round10Queries49, Round10Queries50, Round10Queries51, Round10Queries52}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the x181–x183 tier: the invariants the oracle pairing
@@ -712,6 +712,22 @@ class Round10BatchSpec extends SparkTestBase {
       .select(get_json_object($"props", "$.k").cast("long").as("k"))
       .agg(sum($"k")).as[Long].head()
     assert(out.agg(sum($"sum_k")).as[Long].head() == legacy)
+  }
+
+  test("x229: the recursive roll-up partitions customers and conserves revenue") {
+    val out = Round10Queries52.recursiveRollup(spark, sfDir).collect()
+    assert(out.map(_.getAs[Long]("n_cust")).sum ==
+      Tables.customer(spark, sfDir).count())
+    // Revenue mass conservation: every order's customer reaches exactly
+    // one division root.
+    val totalCents = Tables.orders(spark, sfDir)
+      .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long"))).as[Long].head()
+    assert(out.map(_.getAs[Long]("cents")).sum == totalCents)
+    // Depth = digits(custkey) − 1 for the deepest member.
+    val maxKey = Tables.customer(spark, sfDir)
+      .agg(max($"c_custkey")).as[Long].head()
+    assert(out.map(_.getAs[Long]("max_depth")).max ==
+      maxKey.toString.length - 1)
   }
 
   test("x183: AMS estimate lands within the audited 3x envelope") {
