@@ -33,7 +33,7 @@ object Round10Queries52 {
       |  FROM anc WHERE node >= 10),
       |tops AS (
       |  SELECT leaf, node AS division, depth
-      |  FROM anc WHERE node BETWEEN 1 AND 9)
+      |  FROM anc WHERE node BETWEEN 0 AND 9)
       |SELECT division,
       |       CAST(count(*) AS BIGINT) AS n_cust,
       |       CAST(max(depth) AS BIGINT) AS max_depth,
