@@ -92,7 +92,8 @@ object Registry {
       queries.Round10Queries49.defs ++
       queries.Round10Queries50.defs ++
       queries.Round10Queries51.defs ++
-      queries.Round10Queries52.defs
+      queries.Round10Queries52.defs ++
+      queries.Round10Queries53.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

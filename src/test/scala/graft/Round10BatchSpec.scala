@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35, Round10Queries36, Round10Queries37, Round10Queries39, Round10Queries40, Round10Queries41, Round10Queries42, Round10Queries43, Round10Queries44, Round10Queries45, Round10Queries46, Round10Queries47, Round10Queries48, Round10Queries49, Round10Queries50, Round10Queries51, Round10Queries52}
+import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35, Round10Queries36, Round10Queries37, Round10Queries39, Round10Queries40, Round10Queries41, Round10Queries42, Round10Queries43, Round10Queries44, Round10Queries45, Round10Queries46, Round10Queries47, Round10Queries48, Round10Queries49, Round10Queries50, Round10Queries51, Round10Queries52, Round10Queries53}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the x181–x183 tier: the invariants the oracle pairing
@@ -728,6 +728,22 @@ class Round10BatchSpec extends SparkTestBase {
       .agg(max($"c_custkey")).as[Long].head()
     assert(out.map(_.getAs[Long]("max_depth")).max ==
       maxKey.toString.length - 1)
+  }
+
+  test("x230: straddle counts are bounded by the sequence count per shard") {
+    val out = Round10Queries53.packStraddle(spark, sfDir).collect()
+    assert(out.length == 8)
+    assert(out.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sfDir).count())
+    out.foreach { r =>
+      // At most one straddler per boundary: n_straddle < n_seqs.
+      assert(r.getAs[Long]("n_straddle") < r.getAs[Long]("n_seqs"),
+        r.toString)
+      // Truncated mass only exists when something straddles, and each
+      // straddler loses at least one token.
+      val (ns, tt) = (r.getAs[Long]("n_straddle"), r.getAs[Long]("truncated_tok"))
+      assert((ns == 0L && tt == 0L) || (ns > 0L && tt >= ns))
+    }
   }
 
   test("x183: AMS estimate lands within the audited 3x envelope") {
