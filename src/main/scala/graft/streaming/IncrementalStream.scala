@@ -461,4 +461,89 @@ object IncrementalStream {
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
+
+  /** Session summary emitted by [[TwsTimerSessionProcessor]] when its
+    * event-time timer expires. */
+  final case class TwsSession(user_id: Long, start_sec: Long, end_sec: Long,
+                              n_events: Long)
+
+  /** The TIMER surface of `transformWithState`: a per-user session
+    * (gap-bounded) held in ValueState; every input batch extends the
+    * session and re-registers an EVENT-TIME timer at end + gap; the
+    * session is emitted ONLY from `handleExpiredTimer` once the
+    * watermark passes the expiry — the state machine the
+    * mapGroupsWithState timeout shape (sessionExpiry above) expresses
+    * with the new API's explicit timer registration. In-batch gap
+    * splits emit the closed session immediately (its timer would fire
+    * anyway; emitting early keeps state at one open session/key). */
+  final class TwsTimerSessionProcessor(gapSec: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, java.sql.Timestamp), TwsSession] {
+    @transient private var sess:
+        org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long, Long)]("sess",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TwsSession] = {
+      val secs = rows.map(_._2).toArray.sorted
+      var out = List.empty[TwsSession]
+      var (s0, e0, n0) =
+        if (sess.exists()) sess.get() else (-1L, -1L, 0L)
+      secs.foreach { t =>
+        if (s0 < 0) { s0 = t; e0 = t; n0 = 1L }
+        else if (t - e0 <= gapSec) { e0 = math.max(e0, t); n0 += 1 }
+        else {
+          out ::= TwsSession(key, s0, e0, n0)
+          s0 = t; e0 = t; n0 = 1L
+        }
+      }
+      if (s0 >= 0) {
+        sess.update((s0, e0, n0))
+        getHandle.registerTimer((e0 + gapSec) * 1000L)
+      }
+      out.reverseIterator
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[TwsSession] = {
+      if (sess.exists()) {
+        val (s0, e0, n0) = sess.get()
+        // Only flush if this timer corresponds to the CURRENT session (a
+        // later event may have extended it); a stale timer re-arms the
+        // session's true expiry so an input-quiet key still flushes once
+        // the watermark gets there.
+        if (expiredTimerInfo.getExpiryTimeInMs >= (e0 + gapSec) * 1000L) {
+          sess.clear()
+          return Iterator.single(TwsSession(key, s0, e0, n0))
+        } else getHandle.registerTimer((e0 + gapSec) * 1000L)
+      }
+      Iterator.empty
+    }
+  }
+
+  /** Timer-driven sessionization over (user_id, sec) events: event-time
+    * mode keyed on a `ts` column the caller derives from sec. */
+  def twsTimerSessions(
+      events: org.apache.spark.sql.Dataset[(Long, Long, java.sql.Timestamp)],
+      gapSec: Long): org.apache.spark.sql.Dataset[TwsSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new TwsTimerSessionProcessor(gapSec),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
 }

@@ -693,6 +693,62 @@ class StreamingSpec extends SparkTestBase {
     assert(sess == Seq((1L, 2L), (1L, 1L), (2L, 1L)))
   }
 
+  test("transformWithState event-time timers flush sessions exactly when the watermark passes") {
+    val base = java.nio.file.Files.createTempDirectory("graft_tws_timer").toString
+    def stage(i: Int, rows: Seq[(Long, Long)]): Unit = {
+      rows.toDF("user_id", "sec")
+        .withColumn("ts", $"sec".cast("timestamp"))
+        .coalesce(1).write.parquet(s"$base/src/s$i")
+      val part = new java.io.File(s"$base/src/s$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.FileSystems.getDefault.getPath(s"$base/src/f$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    // Batch 0: u1 one open session (100..120); u2 splits in-batch
+    // (100 closes immediately, 300 stays open).
+    stage(0, Seq((1L, 100L), (1L, 120L), (2L, 100L), (2L, 300L)))
+    // Batch 1: u1's 1000 splits in-batch (100..120 closes); watermark
+    // advances to 300−10, firing u2's stale 160s timer, which re-arms 360.
+    stage(1, Seq((1L, 1000L)))
+    // Batch 2: dummy u3 advances the watermark to 1000−10=990 > 360 ⇒
+    // u2's open session flushes FROM THE TIMER; then AvailableNow runs a
+    // final watermark-only batch (wm 2000−10=1990) that fires u1's
+    // re-armed 1060s timer too. Only u3 (expiry 2060 > 1990) stays.
+    stage(2, Seq((3L, 2000L)))
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("sec", LongType), StructField("ts", TimestampType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      .withWatermark("ts", "10 seconds")
+      .as[(Long, Long, java.sql.Timestamp)]
+    val out = IncrementalStream.twsTimerSessions(stream, gapSec = 60L)
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    queries.QueryUtil.withConfs(spark,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.shuffle.partitions" -> "4") {
+      val q = out.toDF().writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(buf.add)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    import scala.jdk.CollectionConverters._
+    val got = buf.asScala.toSeq.map(r => (r.getAs[Long]("user_id"),
+      r.getAs[Long]("start_sec"), r.getAs[Long]("end_sec"),
+      r.getAs[Long]("n_events"))).toSet
+    // In-batch splits: u2 (100), u1 (100..120). Timer flushes: u2 (300)
+    // when the watermark passes 360, u1 (1000) in the final
+    // watermark-only batch. Still open (never emitted): u3 (2000).
+    assert(got == Set((2L, 100L, 100L, 1L), (1L, 100L, 120L, 2L),
+      (2L, 300L, 300L, 1L), (1L, 1000L, 1000L, 1L)), got.toString)
+  }
+
   test("transformWithState running totals match the batch aggregate across real micro-batches") {
     val sfDir = "/root/testdata/sf0.001"
     // Precondition that makes the parity meaningful: at least one user
