@@ -1,0 +1,117 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Round-10 fifty-fourth tier: timer-driven sessionization parity
+  * (x231) — the event-time TIMER surface of `transformWithState`
+  * (x207 covered ValueState; this is `handleExpiredTimer`), graded
+  * against a batch oracle. */
+object Round10Queries54 {
+
+  /** Session gap (seconds) and watermark delay (seconds). */
+  private val GapSec = 1800L
+  private val DelaySec = 7L
+
+  /** Micro-batch slice cuts (seconds) — the x207 chronology. */
+  private val SliceCuts = Seq(1704800000L, 1705800000L)
+
+  /** x231: timer parity — user sessions (30-min gap) maintained by
+    * [[graft.streaming.IncrementalStream.TwsTimerSessionProcessor]]:
+    * in-batch gap splits emit immediately; the OPEN session per user
+    * flushes from `handleExpiredTimer` once the event-time watermark
+    * passes end+gap (AvailableNow runs a final watermark-only batch,
+    * so every timer with expiry under max(ts)−delay fires before the
+    * query drains). The emitted set therefore equals ALL batch
+    * sessions EXCEPT each user's last one when its expiry outruns the
+    * final watermark — exactly what the oracle computes with one
+    * ranked sessionization. Earlier sessions always flush: a split
+    * implies the next event starts > gap after the previous end, so
+    * the previous expiry trails the final watermark by construction.
+    *
+    * Scale: state is one open session per user plus its timer;
+    * timers live in the same RocksDB store, partitioned with the
+    * keys. */
+  def twsTimerParity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_x231").toString
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_id",
+        expr("unix_timestamp(cast(date_trunc('second', ts) as timestamp))")
+          .cast("long").as("sec"))
+      .select($"user_id", $"sec",
+        $"sec".cast("timestamp").as("ts"))
+    val bounds = (Long.MinValue +: SliceCuts) zip (SliceCuts :+ Long.MaxValue)
+    bounds.zipWithIndex.foreach { case ((lo, hi), i) =>
+      ev.filter($"sec" >= lo && $"sec" < hi)
+        .coalesce(1).write.parquet(s"$base/src/s$i")
+      val part = new java.io.File(s"$base/src/s$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.FileSystems.getDefault
+        .getPath(s"$base/src/f$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("sec", LongType), StructField("ts", TimestampType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      .withWatermark("ts", s"$DelaySec seconds")
+      .as[(Long, Long, java.sql.Timestamp)]
+    val sessions = graft.streaming.IncrementalStream
+      .twsTimerSessions(stream, GapSec)
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    QueryUtil.withConfs(spark,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.shuffle.partitions" -> "8") {
+      val q = sessions.toDF().writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) => b.collect().foreach(buf.add) }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+        java.util.Arrays.asList(buf.asScala.toSeq: _*), sessions.toDF().schema)
+      .orderBy($"user_id", $"start_sec")
+  }
+
+  private val twsTimerParityOracle =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+       |  FROM events),
+       |wm AS (SELECT max(sec) - $DelaySec AS wmf FROM e),
+       |marked AS (
+       |  SELECT user_id, sec,
+       |         CASE WHEN lag(sec) OVER w IS NULL
+       |                OR sec - lag(sec) OVER w > $GapSec THEN 1 ELSE 0 END AS brk
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
+       |grp AS (
+       |  SELECT user_id, sec,
+       |         sum(brk) OVER (PARTITION BY user_id ORDER BY sec
+       |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS sid
+       |  FROM marked),
+       |sess AS (
+       |  SELECT user_id, CAST(min(sec) AS BIGINT) AS start_sec,
+       |         CAST(max(sec) AS BIGINT) AS end_sec,
+       |         CAST(count(*) AS BIGINT) AS n_events,
+       |         row_number() OVER (PARTITION BY user_id
+       |                            ORDER BY min(sec) DESC) AS rk_desc
+       |  FROM grp GROUP BY user_id, sid)
+       |SELECT user_id, start_sec, end_sec, n_events
+       |FROM sess, wm
+       |WHERE rk_desc > 1 OR end_sec + $GapSec < wmf
+       |ORDER BY user_id, start_sec""".stripMargin
+
+  lazy val defs: Seq[QueryDef] = Seq(
+    QueryDef("x231_tws_timer_parity",
+      "handleExpiredTimer parity: timer-flushed sessions over 3 real micro-batches equal batch sessions minus unflushed last-opens",
+      twsTimerParity, Some(twsTimerParityOracle)))
+}
