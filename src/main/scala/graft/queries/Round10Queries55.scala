@@ -35,21 +35,32 @@ object Round10Queries55 {
     * the same blocked-join discipline as the LSH families. */
   def audioFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val media = Multimodal.attachFakeMedia(Tables.documents(spark, dir))
+    val docs = Tables.documents(spark, dir)
+    // Constructed probes (the x191/x130 convention): every 25th doc is
+    // cloned into the negative keyspace with its first 64 bytes (two
+    // hops) removed — the "same recording, later start" case landmark
+    // fingerprints exist to catch. The dt-pairs are shift-invariant and
+    // the 64-byte cut keeps the window grid aligned, so each clone MUST
+    // share most prints with its original — the match list is provably
+    // non-empty at every SF instead of hoping for natural collisions.
+    val clones = docs.filter($"doc_id" % 25 === 0 && $"doc_id" > 0)
+      .select((-$"doc_id").as("doc_id"), expr("substr(text, 65)").as("text"))
+    val media = Multimodal.attachFakeMedia(
+      docs.select($"doc_id", $"text").unionByName(clones))
     val win = Multimodal.audioWindows(media, frame = 64, hop = 32).toDF()
     val w = Window.partitionBy($"doc_id").orderBy($"win_idx")
     val landmarks = win
-      .select($"doc_id", $"win_idx".cast("long").as("t"), $"peak",
-        lag($"peak", 1).over(w).as("pl"), lead($"peak", 1).over(w).as("pr"))
-      .filter($"pl".isNotNull && $"pr".isNotNull &&
-        $"peak" > $"pl" && $"peak" > $"pr")
+      .select($"doc_id", $"win_idx".cast("long").as("t"), $"energy",
+        lag($"energy", 1).over(w).as("el"), lead($"energy", 1).over(w).as("er"))
+      .filter($"el".isNotNull && $"er".isNotNull &&
+        $"energy" > $"el" && $"energy" > $"er")
     val wl = Window.partitionBy($"doc_id").orderBy($"t")
     val prints = landmarks
-      .select($"doc_id", $"t", $"peak".cast("long").as("p1"),
-        lead($"peak", 1).over(wl).cast("long").as("p2"),
+      .select($"doc_id", $"t", ($"energy" % 4096L).as("p1"),
+        (lead($"energy", 1).over(wl) % 4096L).as("p2"),
         (lead($"t", 1).over(wl) - $"t").as("dt"))
       .filter($"p2".isNotNull && $"dt" <= FpMaxDelta)
-      .select($"doc_id", (($"p1" * 256L + $"p2") * 16L + $"dt").as("fp"))
+      .select($"doc_id", (($"p1" * 4096L + $"p2") * 16L + $"dt").as("fp"))
       .distinct()
       .localCheckpoint(true)
     val matches = prints.toDF("a", "fp")
@@ -66,24 +77,27 @@ object Round10Queries55 {
   private val audioFingerprintOracle = {
     val codes = "list_transform(range(k * 32 + 1, least(k * 32 + 64, n) + 1)," +
       " i -> ascii(substr(text, CAST(i AS INTEGER), 1)))"
-    s"""WITH c AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    s"""WITH c AS (SELECT doc_id, text, length(text) AS n FROM documents
+       |           UNION ALL
+       |           SELECT -doc_id, substr(text, 65), length(substr(text, 65))
+       |           FROM documents WHERE doc_id % 25 = 0 AND doc_id > 0),
        |e AS (SELECT doc_id, text, n, unnest(range(0, ((n - 1) // 32) + 1)) AS k
        |      FROM c WHERE n > 0),
        |win AS MATERIALIZED (
        |  SELECT doc_id, CAST(k AS BIGINT) AS t,
-       |         CAST(list_max($codes) AS BIGINT) AS peak
+       |         CAST(list_sum($codes) AS BIGINT) AS energy
        |  FROM e),
        |landmarks AS MATERIALIZED (
-       |  SELECT doc_id, t, peak FROM (
-       |    SELECT doc_id, t, peak,
-       |           lag(peak) OVER w AS pl, lead(peak) OVER w AS pr
+       |  SELECT doc_id, t, energy FROM (
+       |    SELECT doc_id, t, energy,
+       |           lag(energy) OVER w AS el, lead(energy) OVER w AS er
        |    FROM win WINDOW w AS (PARTITION BY doc_id ORDER BY t)) x
-       |  WHERE pl IS NOT NULL AND pr IS NOT NULL
-       |    AND peak > pl AND peak > pr),
+       |  WHERE el IS NOT NULL AND er IS NOT NULL
+       |    AND energy > el AND energy > er),
        |prints AS MATERIALIZED (
-       |  SELECT DISTINCT doc_id, (p1 * 256 + p2) * 16 + dt AS fp FROM (
-       |    SELECT doc_id, peak AS p1,
-       |           lead(peak) OVER w2 AS p2,
+       |  SELECT DISTINCT doc_id, (p1 * 4096 + p2) * 16 + dt AS fp FROM (
+       |    SELECT doc_id, energy % 4096 AS p1,
+       |           lead(energy) OVER w2 % 4096 AS p2,
        |           lead(t) OVER w2 - t AS dt
        |    FROM landmarks WINDOW w2 AS (PARTITION BY doc_id ORDER BY t)) y
        |  WHERE p2 IS NOT NULL AND dt <= $FpMaxDelta),
