@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35, Round10Queries36, Round10Queries37, Round10Queries39, Round10Queries40, Round10Queries41, Round10Queries42, Round10Queries43, Round10Queries44, Round10Queries45, Round10Queries46, Round10Queries47, Round10Queries48, Round10Queries49, Round10Queries50, Round10Queries51, Round10Queries52, Round10Queries53, Round10Queries55}
+import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35, Round10Queries36, Round10Queries37, Round10Queries39, Round10Queries40, Round10Queries41, Round10Queries42, Round10Queries43, Round10Queries44, Round10Queries45, Round10Queries46, Round10Queries47, Round10Queries48, Round10Queries49, Round10Queries50, Round10Queries51, Round10Queries52, Round10Queries53, Round10Queries55, Round10Queries56}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the x181–x183 tier: the invariants the oracle pairing
@@ -760,6 +760,22 @@ class Round10BatchSpec extends SparkTestBase {
     val clonePairs = out.filter(r => r.getAs[Long]("a") < 0L)
     assert(clonePairs.nonEmpty, out.map(_.toString).mkString(","))
     assert(clonePairs.exists(r => r.getAs[Long]("b") == -r.getAs[Long]("a")))
+  }
+
+  test("q116: PSI terms are non-negative and deciles partition the expected side") {
+    val out = Round10Queries56.psi(spark, sfDir).orderBy($"bin").collect()
+    assert(out.length == 10)
+    // Each (p−q)ln(p/q) term is ≥ 0 (same sign factors), so the total is
+    // the sum of non-negative contributions.
+    out.foreach(r => assert(r.getAs[Long]("psi_term_fp") >= 0L, r.toString))
+    assert(out.head.getAs[Long]("psi_fp") ==
+      out.map(_.getAs[Long]("psi_term_fp")).sum)
+    // Expected-side decile binning: bin counts are near-equal (rank-edge
+    // construction guarantees |bin| within ±1 of n/10 plus tie spill).
+    val ne = out.map(_.getAs[Long]("n_exp"))
+    assert(ne.sum == Tables.orders(spark, sfDir)
+      .filter(year($"o_orderdate") === 1995).count())
+    assert(ne.max - ne.min <= math.max(2L, ne.sum / 10 / 5), ne.toSeq.toString)
   }
 
   test("x183: AMS estimate lands within the audited 3x envelope") {
