@@ -96,7 +96,8 @@ object Registry {
       queries.Round10Queries53.defs ++
       queries.Round10Queries54.defs ++
       queries.Round10Queries55.defs ++
-      queries.Round10Queries56.defs
+      queries.Round10Queries56.defs ++
+      queries.Round10Queries57.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

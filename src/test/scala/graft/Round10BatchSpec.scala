@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35, Round10Queries36, Round10Queries37, Round10Queries39, Round10Queries40, Round10Queries41, Round10Queries42, Round10Queries43, Round10Queries44, Round10Queries45, Round10Queries46, Round10Queries47, Round10Queries48, Round10Queries49, Round10Queries50, Round10Queries51, Round10Queries52, Round10Queries53, Round10Queries55, Round10Queries56}
+import graft.queries.{Round10Queries25, Round10Queries26, Round10Queries27, Round10Queries28, Round10Queries29, Round10Queries30, Round10Queries31, Round10Queries32, Round10Queries33, Round10Queries34, Round10Queries35, Round10Queries36, Round10Queries37, Round10Queries39, Round10Queries40, Round10Queries41, Round10Queries42, Round10Queries43, Round10Queries44, Round10Queries45, Round10Queries46, Round10Queries47, Round10Queries48, Round10Queries49, Round10Queries50, Round10Queries51, Round10Queries52, Round10Queries53, Round10Queries55, Round10Queries56, Round10Queries57}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the x181–x183 tier: the invariants the oracle pairing
@@ -776,6 +776,28 @@ class Round10BatchSpec extends SparkTestBase {
     assert(ne.sum == Tables.orders(spark, sfDir)
       .filter(year($"o_orderdate") === 1995).count())
     assert(ne.max - ne.min <= math.max(2L, ne.sum / 10 / 5), ne.toSeq.toString)
+  }
+
+  test("x233: pinball losses are non-negative and coverage tracks tau") {
+    val out = Round10Queries57.pinball(spark, sfDir).orderBy($"tau_pm").collect()
+    assert(out.length == 3)
+    out.foreach(r => assert(r.getAs[Long]("loss_pm") >= 0L))
+    // Higher quantiles must cover at least as often as lower ones, and
+    // the predicted quantile values must be monotone in tau.
+    out.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Long]("coverage_fp") <= hi.getAs[Long]("coverage_fp"))
+      assert(lo.getAs[Long]("q_dollars") <= hi.getAs[Long]("q_dollars"))
+    }
+  }
+
+  test("x234: Kendall pair counts partition the top-100 pairs and tau is bounded") {
+    val r = Round10Queries57.kendallTau(spark, sfDir).head()
+    val (nc, nd) = (r.getAs[Long]("nc"), r.getAs[Long]("nd"))
+    // Unique ranks (key tie-breaks): every pair is concordant or
+    // discordant, so C + D = C(100, 2).
+    assert(nc + nd == 100L * 99L / 2L, s"nc=$nc nd=$nd")
+    val tau = r.getAs[Long]("tau_fp")
+    assert(tau >= -1000000L && tau <= 1000000L)
   }
 
   test("x183: AMS estimate lands within the audited 3x envelope") {
