@@ -97,7 +97,8 @@ object Registry {
       queries.Round10Queries54.defs ++
       queries.Round10Queries55.defs ++
       queries.Round10Queries56.defs ++
-      queries.Round10Queries57.defs
+      queries.Round10Queries57.defs ++
+      queries.Round10Queries58.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
