@@ -117,25 +117,23 @@ object Round10Queries {
   def streamPagesParity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_x132_ckpt").toString
-    val buf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    def drive(totalItems: Int): Unit = QueryUtil.withStreamShuffle(spark) {
+    // Both phases share ONE temp tree: the same checkpoint (that is the
+    // point — phase B must reopen phase A's offset log) and the same
+    // executor-side parquet staging dir, so the second stageStream read
+    // returns the union of both runs' emissions with no driver buffer
+    // (r10 verdict #2). The tree is deleted once the union is
+    // checkpointed.
+    val base = java.nio.file.Files.createTempDirectory("graft_x132").toString
+    def drive(totalItems: Int): DataFrame = QueryUtil.withStreamShuffle(spark) {
       val sdf = PaginatedSource.streamPages(spark, "x132_stream",
         new SyntheticPageClient(totalItems, StreamPageSize),
         startRows = 0L, parallelism = 4, pageSize = StreamPageSize)
-      val q = sdf.writeStream
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          b.select("value").collect().foreach(r => buf.add(r.getString(0)))
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      QueryUtil.stageStream(spark, sdf.select("value"), base, "append")
     }
     drive(StreamN1)
-    drive(StreamN2)
-    import scala.jdk.CollectionConverters._
-    val envelopes = buf.asScala.toSeq.toDS()
-    PaginatedSource.flattenPages(envelopes)
+    val emitted = drive(StreamN2)
+    QueryUtil.deleteRecursively(base)
+    PaginatedSource.flattenPages(emitted.as[String])
       .dropDuplicates("hash")
       .orderBy("hash")
   }

@@ -213,18 +213,12 @@ object Round10Queries13 {
       .withColumn("nk", pmod($"user_id", lit(25)).cast("int"))
       .join(broadcast(dim), $"nk" === $"n_nationkey")
       .select($"n_name", $"event_type", $"event_id")
-    val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
-    QueryUtil.withStreamShuffle(spark) {
-      val q = stream.writeStream
-        .outputMode("append")
-        .option("checkpointLocation", s"$base/ckpt")
-        .foreachBatch { (b: DataFrame, _: Long) => b.collect().foreach(buf.add) }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+    // Executor-side parquet staging + temp-tree cleanup (r10 verdict #2).
+    val emitted = QueryUtil.withStreamShuffle(spark) {
+      QueryUtil.stageStream(spark, stream, base, "append")
     }
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(
-        java.util.Arrays.asList(buf.asScala.toSeq: _*), stream.schema)
+    QueryUtil.deleteRecursively(base)
+    emitted
       .groupBy($"n_name", $"event_type")
       .agg(count(lit(1)).as("n"), countDistinct($"event_id").as("n_distinct"))
       .orderBy("n_name", "event_type")

@@ -162,7 +162,9 @@ object Round10Queries14 {
     ev.write.option("header", "true").csv(s"$base/csv")
     val schema = "event_id LONG, user_id LONG, ts_us LONG, event_type STRING, value DOUBLE"
     val back = spark.read.schema(schema).option("header", "true").csv(s"$base/csv")
-    back.groupBy($"event_type")
+    // eager localCheckpoint so the CSV staging dir can be deleted before
+    // returning (no disk accumulation across runs)
+    val out = back.groupBy($"event_type")
       .agg(count(lit(1)).as("n"),
         countDistinct($"event_id").as("n_ids"),
         sum(floor($"value" * 100 + lit(0.5)).cast("long")).as("cents"),
@@ -170,7 +172,9 @@ object Round10Queries14 {
         md5(array_join(transform(
           array_sort(collect_list(struct($"ts_us", $"event_id"))),
           s => s.getField("event_id").cast("string")), ",")).as("order_md5"))
-      .orderBy("event_type")
+      .localCheckpoint()
+    QueryUtil.deleteRecursively(base)
+    out.orderBy("event_type")
   }
 
   private val csvRoundtripOracle =

@@ -127,28 +127,14 @@ object Round10Queries17 {
     }
     val stream = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
-    val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
-    QueryUtil.withStreamShuffle(spark) {
-      val q = stream.writeStream
-        .outputMode("append")
-        .option("checkpointLocation", s"$base/ckpt")
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          // per-batch partial day-sketches — the state a sketch store keeps
-          b.groupBy(col("dayn"))
-            .agg(hll_sketch_agg(col("user_id"), lit(SkLgK)).as("sk"))
-            .collect().foreach(buf.add)
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+    // Per-batch partial day-sketches — the state a sketch store keeps —
+    // parquet-staged by the executors, never collected (r10 verdict #2).
+    val partials = QueryUtil.withStreamShuffle(spark) {
+      QueryUtil.stageStream(spark, stream, base, "append",
+        b => b.groupBy(col("dayn"))
+          .agg(hll_sketch_agg(col("user_id"), lit(SkLgK)).as("sk")))
     }
-    import scala.jdk.CollectionConverters._
-    val partials = spark.createDataFrame(
-      java.util.Arrays.asList(buf.asScala.toSeq: _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("dayn",
-          org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("sk",
-          org.apache.spark.sql.types.BinaryType))))
+    QueryUtil.deleteRecursively(base)
     val streamed = partials.groupBy($"dayn")
       .agg(hll_sketch_estimate(hll_union_agg($"sk", lit(false))).as("est_stream"))
     val batch = ev.groupBy($"dayn")

@@ -376,28 +376,22 @@ object Round10Queries2 {
   def streamSessionParity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_x133_src").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_x133_ckpt").toString
+    val base = java.nio.file.Files.createTempDirectory("graft_x133").toString
     val ev = Tables.events(spark, dir).filter($"user_id" < SessUsers)
       .select($"user_id", date_trunc("second", $"ts").as("ts"))
-    ev.repartition(3).write.mode("overwrite").parquet(srcDir)
+    ev.repartition(3).write.mode("overwrite").parquet(s"$base/src")
     val stream = spark.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
     val sessions = graft.streaming.IncrementalStream.sessionCounts(
       stream, "30 minutes", watermark = None) // late-row filter would drop out-of-order batches
-    val last = new java.util.concurrent.atomic.AtomicReference[
-      (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)](null)
-    QueryUtil.withStreamShuffle(spark) {
-      val q = sessions.writeStream
-        .outputMode("complete") // parity harness: final state == batch recompute
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (b: DataFrame, _: Long) => last.set((b.collect(), b.schema)) }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+    // complete-mode staging keeps only the final snapshot on disk
+    // (executor-written parquet, no driver buffer — r10 verdict #2);
+    // the tree is deleted once the snapshot is checkpointed.
+    val emitted = QueryUtil.withStreamShuffle(spark) {
+      QueryUtil.stageStream(spark, sessions, base, "complete")
     }
-    val (rows, schema) = last.get()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-      .orderBy($"user_id", $"session_start")
+    QueryUtil.deleteRecursively(base)
+    emitted.orderBy($"user_id", $"session_start")
   }
 
   private val streamSessionParityOracle =
@@ -447,11 +441,19 @@ object Round10Queries2 {
     Tables.lineitem(spark, dir).select($"l_orderkey", $"l_extendedprice")
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .option("path", s"$wh/lineitem").saveAsTable("graft_x137_lineitem")
-    bucketJoinOn(spark)
+    // eager localCheckpoint so the bucketed tables + warehouse dir can be
+    // dropped before returning — repeated runs must not accumulate
+    // bucketed copies on disk (the plan-shape assertion lives in
+    // OperatorsSpec against bucketJoinOn, not this fn's return)
+    val out = bucketJoinOn(spark)
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n_items"),
         sum(floor($"l_extendedprice" * 100 + 0.5).cast("long")).as("cents"))
-      .orderBy("o_orderpriority")
+      .localCheckpoint()
+    spark.sql("DROP TABLE IF EXISTS graft_x137_orders")
+    spark.sql("DROP TABLE IF EXISTS graft_x137_lineitem")
+    QueryUtil.deleteRecursively(wh)
+    out.orderBy("o_orderpriority")
   }
 
   /** The exchange-free join core, exposed for the plan-shape spec. */
@@ -659,23 +661,18 @@ object Round10Queries2 {
       .option("maxFilesPerTrigger", "1").parquet(s"$base/c")
     val joined = graft.streaming.IncrementalStream
       .clickViewJoin(vStream, cStream, windowSec = AttrWindowSec)
-    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long)]()
-    QueryUtil.withStreamShuffle(spark) {
-      val q = joined.writeStream
-        .outputMode("append")
-        .option("checkpointLocation", s"$base/ckpt")
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          b.select($"view_user", $"view_id", $"click_id",
-            (unix_timestamp($"click_ts".cast("timestamp"))
-              - unix_timestamp($"view_ts".cast("timestamp"))).as("delta_s"))
-            .as[(Long, Long, Long, Long)].collect().foreach(buf.add)
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+    // The projection runs ON the stream (still executor-side); emissions
+    // are parquet-staged, never collected (r10 verdict #2), and the temp
+    // tree is deleted once the result is checkpointed.
+    val projected = joined.select($"view_user".as("user_id"), $"view_id",
+      $"click_id",
+      (unix_timestamp($"click_ts".cast("timestamp"))
+        - unix_timestamp($"view_ts".cast("timestamp"))).as("delta_s"))
+    val emitted = QueryUtil.withStreamShuffle(spark) {
+      QueryUtil.stageStream(spark, projected, base, "append")
     }
-    import scala.jdk.CollectionConverters._
-    buf.asScala.toSeq.toDF("user_id", "view_id", "click_id", "delta_s")
-      .orderBy("view_id", "click_id")
+    QueryUtil.deleteRecursively(base)
+    emitted.orderBy("view_id", "click_id")
   }
 
   private val streamJoinParityOracle =
@@ -710,11 +707,15 @@ object Round10Queries2 {
       .select($"o_orderkey", $"o_orderpriority", $"o_totalprice",
         year($"o_orderdate".cast("date")).as("o_year"))
       .write.partitionBy("o_year").parquet(s"$base/orders")
-    partitionPruneOn(spark, base)
+    // eager localCheckpoint so the partitioned copy can be deleted before
+    // returning (plan assertion lives in OperatorsSpec via partitionPruneOn)
+    val out = partitionPruneOn(spark, base)
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),
         sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("cents"))
-      .orderBy("o_orderpriority")
+      .localCheckpoint()
+    QueryUtil.deleteRecursively(base)
+    out.orderBy("o_orderpriority")
   }
 
   /** The pruned-scan core, exposed for the plan-shape spec (returns the

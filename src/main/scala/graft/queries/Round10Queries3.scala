@@ -282,7 +282,12 @@ object Round10Queries3 {
     spark.range(1995, 2002)
       .select($"id".cast("int").as("d_year"), ($"id" % 3 === 0).cast("int").as("in_season"))
       .write.parquet(s"$base/dim")
-    dynPartitionPruneOn(spark, base)
+    // eager localCheckpoint so the staged fact/dim copies can be deleted
+    // before returning (plan assertion lives in OperatorsSpec via
+    // dynPartitionPruneOn over its own staging dir)
+    val out = dynPartitionPruneOn(spark, base).localCheckpoint()
+    QueryUtil.deleteRecursively(base)
+    out.orderBy("o_orderpriority")
   }
 
   /** The pruned-join query alone, over already-written fact/dim dirs —

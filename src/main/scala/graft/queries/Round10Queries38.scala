@@ -56,22 +56,15 @@ object Round10Queries38 {
       .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
     val totals = graft.streaming.IncrementalStream.twsUserTotals(
       stream.select($"user_id", $"cents").as[(Long, Long)])
-    val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
-    QueryUtil.withConfs(spark,
+    // Executor-side parquet staging (no driver buffer) + full temp-tree
+    // cleanup once the emissions are checkpointed (r10 verdict/advice).
+    val emitted = QueryUtil.withConfs(spark,
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
       "spark.sql.shuffle.partitions" -> "8") {
-      val q = totals.toDF().writeStream
-        .outputMode("update")
-        .option("checkpointLocation", s"$base/ckpt")
-        .foreachBatch { (b: DataFrame, _: Long) => b.collect().foreach(buf.add) }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      QueryUtil.stageStream(spark, totals.toDF(), base)
     }
-    import scala.jdk.CollectionConverters._
-    val emitted = spark.createDataFrame(
-      java.util.Arrays.asList(buf.asScala.toSeq: _*),
-      totals.toDF().schema)
+    QueryUtil.deleteRecursively(base)
     // Last emission per user = the row with the maximal running count
     // (counts only grow; ties impossible within a key).
     emitted.groupBy($"user_id")

@@ -36,31 +36,23 @@ object Round10Queries4 {
   def streamDedupParity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_x145_src").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_x145_ckpt").toString
+    val base = java.nio.file.Files.createTempDirectory("graft_x145").toString
     val ev = Tables.events(spark, dir)
       .select($"event_id", $"user_id", $"event_type",
         floor($"value" * 100 + 0.5).cast("long").as("cents"))
     // two bit-identical copies, different file layouts -> duplicates are
     // guaranteed to land in DIFFERENT micro-batches for most rows
-    ev.repartition(2).write.mode("append").parquet(srcDir)
-    ev.repartition(3).write.mode("append").parquet(srcDir)
-    val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
-    QueryUtil.withStreamShuffle(spark) {
-      val q = spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1").parquet(srcDir)
-        .dropDuplicates("event_id")
-        .writeStream
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (b: DataFrame, _: Long) => b.collect().foreach(buf.add) }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+    ev.repartition(2).write.mode("append").parquet(s"$base/src")
+    ev.repartition(3).write.mode("append").parquet(s"$base/src")
+    // Executor-side parquet staging + temp-tree cleanup (r10 verdict #2).
+    val deduped = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      .dropDuplicates("event_id")
+    val emitted = QueryUtil.withStreamShuffle(spark) {
+      QueryUtil.stageStream(spark, deduped, base, "append")
     }
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(
-        java.util.Arrays.asList(buf.asScala.toSeq: _*), ev.schema)
-      .orderBy("event_id")
+    QueryUtil.deleteRecursively(base)
+    emitted.orderBy("event_id")
   }
 
   private val streamDedupParityOracle =
@@ -112,11 +104,15 @@ object Round10Queries4 {
       conf.set(keys(0), advisory)
       conf.set(keys(1), "2")
       conf.set(keys(2), advisory)
-      val out = skewJoinPlan(spark, dir, s"$base/dim")
-      val rows = out.collect() // forced HERE so the conf window applies
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      // eager localCheckpoint forces execution HERE so the conf window
+      // applies — result stays in executor block storage, not the driver
+      skewJoinPlan(spark, dir, s"$base/dim").localCheckpoint()
         .orderBy("cat")
-    } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+    } finally {
+      saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+      // the checkpoint no longer references the staged dim — clean up
+      QueryUtil.deleteRecursively(base)
+    }
   }
 
   private[graft] def skewEvents(spark: SparkSession, dir: String): DataFrame = {

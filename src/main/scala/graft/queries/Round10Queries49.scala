@@ -39,12 +39,16 @@ object Round10Queries49 {
       .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
         floor($"o_totalprice" * 100 + 0.5).cast("long").as("price_c"))
       .write.mode("append").parquet(s"$base/t")
-    spark.read.option("mergeSchema", "true").parquet(s"$base/t")
+    // eager localCheckpoint so the two-version staging dir can be
+    // deleted before returning (no disk accumulation across runs)
+    val out = spark.read.option("mergeSchema", "true").parquet(s"$base/t")
       .groupBy($"o_orderstatus")
       .agg(count(lit(1)).as("n_rows"),
         sum(when($"price_c".isNull, 1L).otherwise(0L)).as("n_v1_rows"),
         coalesce(sum($"price_c"), lit(0L)).as("v2_cents"))
-      .orderBy($"o_orderstatus")
+      .localCheckpoint()
+    QueryUtil.deleteRecursively(base)
+    out.orderBy($"o_orderstatus")
   }
 
   private val schemaEvolutionOracle =
@@ -82,10 +86,14 @@ object Round10Queries49 {
         $"o_orderpriority")
       .write.partitionBy("o_orderpriority").mode("overwrite")
       .parquet(s"$base/t")
-    spark.read.parquet(s"$base/t")
+    // eager localCheckpoint so the partitioned copy can be deleted
+    // before returning (no disk accumulation across runs)
+    val out = spark.read.parquet(s"$base/t")
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n_rows"), sum($"cents").as("cents"))
-      .orderBy($"o_orderpriority")
+      .localCheckpoint()
+    QueryUtil.deleteRecursively(base)
+    out.orderBy($"o_orderpriority")
   }
 
   private val partitionDiscoveryOracle =

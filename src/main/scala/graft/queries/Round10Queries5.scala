@@ -80,19 +80,12 @@ object Round10Queries5 {
       .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
     val opens = graft.streaming.IncrementalStream.scd2Stream(
       stream.as[(Long, Long, Long, String)])
-    val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
-    QueryUtil.withStreamShuffle(spark) {
-      val q = opens.toDF().writeStream
-        .outputMode("append")
-        .option("checkpointLocation", s"$base/ckpt")
-        .foreachBatch { (b: DataFrame, _: Long) => b.collect().foreach(buf.add) }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+    // Executor-side parquet staging + temp-tree cleanup (r10 verdict #2).
+    val emitted = QueryUtil.withStreamShuffle(spark) {
+      QueryUtil.stageStream(spark, opens.toDF(), base, "append")
     }
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(
-        java.util.Arrays.asList(buf.asScala.toSeq: _*), opens.toDF().schema)
-      .orderBy("user_id", "version")
+    QueryUtil.deleteRecursively(base)
+    emitted.orderBy("user_id", "version")
   }
 
   private val streamScd2ParityOracle =
@@ -210,19 +203,12 @@ object Round10Queries5 {
       .select($"event_type", $"dayn")
     val scores = graft.streaming.IncrementalStream.decayStream(
       stream.as[(String, Int)])
-    val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
-    QueryUtil.withStreamShuffle(spark) {
-      val q = scores.toDF().writeStream
-        .outputMode("append")
-        .option("checkpointLocation", s"$base/ckpt")
-        .foreachBatch { (b: DataFrame, _: Long) => b.collect().foreach(buf.add) }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+    // Executor-side parquet staging + temp-tree cleanup (r10 verdict #2).
+    val emitted = QueryUtil.withStreamShuffle(spark) {
+      QueryUtil.stageStream(spark, scores.toDF(), base, "append")
     }
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(
-        java.util.Arrays.asList(buf.asScala.toSeq: _*), scores.toDF().schema)
-      .orderBy("grp", "dayn")
+    QueryUtil.deleteRecursively(base)
+    emitted.orderBy("grp", "dayn")
   }
 
   private val streamDecayParityOracle =
@@ -272,19 +258,12 @@ object Round10Queries5 {
       .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
     val packed = graft.streaming.IncrementalStream.packStream(
       stream.as[(Long, Long, Int)], budget = PackBudget)
-    val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
-    QueryUtil.withStreamShuffle(spark) {
-      val q = packed.toDF().writeStream
-        .outputMode("append")
-        .option("checkpointLocation", s"$base/ckpt")
-        .foreachBatch { (b: DataFrame, _: Long) => b.collect().foreach(buf.add) }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+    // Executor-side parquet staging + temp-tree cleanup (r10 verdict #2).
+    val emitted = QueryUtil.withStreamShuffle(spark) {
+      QueryUtil.stageStream(spark, packed.toDF(), base, "append")
     }
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(
-        java.util.Arrays.asList(buf.asScala.toSeq: _*), packed.toDF().schema)
-      .orderBy("doc_id")
+    QueryUtil.deleteRecursively(base)
+    emitted.orderBy("doc_id")
   }
 
   private val streamPackParityOracle =
@@ -344,19 +323,12 @@ object Round10Queries5 {
       .groupBy(window($"ts", "1 hour"))
       .agg(count(lit(1)).as("n"))
       .select($"window.start".as("hour_start"), $"n")
-    val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
-    QueryUtil.withStreamShuffle(spark) {
-      val q = hourly.writeStream
-        .outputMode("append")
-        .option("checkpointLocation", s"$base/ckpt")
-        .foreachBatch { (b: DataFrame, _: Long) => b.collect().foreach(buf.add) }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+    // Executor-side parquet staging + temp-tree cleanup (r10 verdict #2).
+    val emitted = QueryUtil.withStreamShuffle(spark) {
+      QueryUtil.stageStream(spark, hourly, base, "append")
     }
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(
-        java.util.Arrays.asList(buf.asScala.toSeq: _*),
-        hourly.schema)
+    QueryUtil.deleteRecursively(base)
+    emitted
       .filter($"hour_start" < cut2.cast("timestamp_ntz") + expr("INTERVAL 20 DAYS"))
       .orderBy("hour_start")
   }

@@ -64,22 +64,15 @@ object Round10Queries54 {
       .as[(Long, Long, java.sql.Timestamp)]
     val sessions = graft.streaming.IncrementalStream
       .twsTimerSessions(stream, GapSec)
-    val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
-    QueryUtil.withConfs(spark,
+    // Executor-side parquet staging + temp-tree cleanup (r10 verdict #2).
+    val emitted = QueryUtil.withConfs(spark,
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
       "spark.sql.shuffle.partitions" -> "8") {
-      val q = sessions.toDF().writeStream
-        .outputMode("append")
-        .option("checkpointLocation", s"$base/ckpt")
-        .foreachBatch { (b: DataFrame, _: Long) => b.collect().foreach(buf.add) }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      QueryUtil.stageStream(spark, sessions.toDF(), base, "append")
     }
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(
-        java.util.Arrays.asList(buf.asScala.toSeq: _*), sessions.toDF().schema)
-      .orderBy($"user_id", $"start_sec")
+    QueryUtil.deleteRecursively(base)
+    emitted.orderBy($"user_id", $"start_sec")
   }
 
   private val twsTimerParityOracle =

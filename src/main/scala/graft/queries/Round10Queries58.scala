@@ -93,7 +93,7 @@ object Round10Queries58 {
        |              AS BIGINT) AS di,
        |         CAST(sum(CAST(floor(o_totalprice + 0.5) AS BIGINT)) AS BIGINT) AS y
        |  FROM orders WHERE year(o_orderdate) <= 1997 GROUP BY 1),
-       |f AS (SELECT di, y, CASE WHEN di % 7 >= 5 THEN 1 ELSE 0 END AS w
+       |f AS (SELECT di, y, CASE WHEN ((di % 7) + 7) % 7 >= 5 THEN 1 ELSE 0 END AS w
        |      FROM daily),
        |m AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(di) AS BIGINT) AS sd,

@@ -43,9 +43,9 @@ object Round10Queries6 {
       // broadcasts, so the window forces the shuffle-join planning a
       // 100 TB fact-fact join would have naturally
       conf.set(keys(2), "-1")
-      val out = runtimeFilterPlan(spark, dir)
-      val rows = out.collect() // forced HERE so the conf window applies
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      // eager localCheckpoint forces execution HERE so the conf window
+      // applies — result stays in executor block storage, not the driver
+      runtimeFilterPlan(spark, dir).localCheckpoint()
         .orderBy("p_brand")
     } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
   }

@@ -187,6 +187,67 @@ object Sinks {
     inserted.value
   }
 
+  /** The real-JDBC batch function for [[upsertBatched]]: a serializable
+    * per-batch closure that opens a connection on the EXECUTOR, prepares
+    * `INSERT INTO table (cols...) VALUES (?...)`, and inserts each row,
+    * swallowing duplicate-key violations — the portable spelling of the
+    * reference's `INSERT ... ON DUPLICATE KEY UPDATE hash=hash` no-op
+    * (salesforce_extractor.py:213-217) for databases without a native
+    * upsert. Returns the count actually inserted, which [[upsertBatched]]
+    * accumulates into the A3 `total_inserted` counter.
+    *
+    * Column names are uppercased and quoted in the SQL (ANSI fold — lets
+    * reserved-word columns like ORDER/DATE work against Derby/Postgres);
+    * row fields are read by the Spark-side (original) name. One
+    * transaction per batch: the commit IS the reference's per-batch flush
+    * (S3), and a duplicate-key failure only voids that row's statement,
+    * not the transaction. Exercised end-to-end against embedded Derby in
+    * JdbcSinkSpec. Scale: connections are per-batch on the executor —
+    * no driver round-trip, no state; parallelism = input partitions. */
+  def jdbcInsertIgnore(url: String, table: String, schema: StructType)
+      : Seq[org.apache.spark.sql.Row] => Int = {
+    val fields = schema.fields.map(_.name).toSeq
+    val sqlTypes = schema.fields.map { f =>
+      f.dataType match {
+        case org.apache.spark.sql.types.StringType => java.sql.Types.VARCHAR
+        case org.apache.spark.sql.types.LongType => java.sql.Types.BIGINT
+        case org.apache.spark.sql.types.IntegerType => java.sql.Types.INTEGER
+        case org.apache.spark.sql.types.DoubleType => java.sql.Types.DOUBLE
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => java.sql.Types.TIMESTAMP
+        case other => throw new IllegalArgumentException(
+          s"jdbcInsertIgnore: unmapped Spark type $other for column ${f.name}")
+      }
+    }.toSeq
+    val sql = s"INSERT INTO $table (" +
+      fields.map(c => "\"" + c.toUpperCase + "\"").mkString(", ") +
+      s") VALUES (${fields.map(_ => "?").mkString(", ")})"
+    rows => {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        conn.setAutoCommit(false)
+        val ps = conn.prepareStatement(sql)
+        var n = 0
+        rows.foreach { r =>
+          fields.indices.foreach { i =>
+            r.get(r.fieldIndex(fields(i))) match {
+              case null => ps.setNull(i + 1, sqlTypes(i))
+              case t: java.time.LocalDateTime =>
+                ps.setTimestamp(i + 1, java.sql.Timestamp.valueOf(t))
+              case t: java.time.Instant =>
+                ps.setTimestamp(i + 1, java.sql.Timestamp.from(t))
+              case v => ps.setObject(i + 1, v)
+            }
+          }
+          try { ps.executeUpdate(); n += 1 }
+          catch { case _: java.sql.SQLIntegrityConstraintViolationException => () }
+        }
+        conn.commit()
+        n
+      } finally conn.close()
+    }
+  }
+
   /** Training-shard writer: materialize a corpus as one directory per
     * shard with rows stored in the given visit order — the layout a
     * sequential dataloader consumes (x52's epoch shuffle computes the

@@ -501,8 +501,19 @@ object IncrementalStream {
         if (sess.exists()) sess.get() else (-1L, -1L, 0L)
       secs.foreach { t =>
         if (s0 < 0) { s0 = t; e0 = t; n0 = 1L }
-        else if (t - e0 <= gapSec) { e0 = math.max(e0, t); n0 += 1 }
-        else {
+        else if (t >= s0 - gapSec && t - e0 <= gapSec) {
+          // Within a gap of the open session on EITHER side. The t < s0
+          // case is a within-watermark out-of-order arrival from a later
+          // micro-batch (rows are sorted only within a batch): it must
+          // pull start back, not silently inflate n while start stays
+          // wrong (ADVICE r10).
+          s0 = math.min(s0, t); e0 = math.max(e0, t); n0 += 1
+        } else if (t < s0 - gapSec) {
+          // More than a gap BEFORE the open session: its own earlier
+          // session, emitted immediately (Append permits out-of-order
+          // emission; by the watermark nothing older can extend it).
+          out ::= TwsSession(key, t, t, 1L)
+        } else {
           out ::= TwsSession(key, s0, e0, n0)
           s0 = t; e0 = t; n0 = 1L
         }

@@ -1,0 +1,107 @@
+package graft
+
+import graft.sinks.Sinks
+import graft.sources.{PaginatedSource, SyntheticPageClient}
+
+/** The ONE reference surface never driven against an actual database until
+  * round 11 (r10 verdict "Next round #3"): `Sinks.upsertBatched` +
+  * `Sinks.jdbcInsertIgnore` against embedded Derby (ships in
+  * /opt/spark/jars), replaying the reference's full lifecycle
+  * (salesforce_extractor.py): create-table DDL (:60-84), bulk extract →
+  * batched idempotent upsert (:197-230, :295-330), whole-job replay (the
+  * ON-DUPLICATE-KEY no-op), then offset-CDC incremental with the
+  * boundary-page overlap (:250-280) — proving inserted-count and
+  * idempotency semantics through a real JDBC driver, unique index, and
+  * transaction commit rather than the in-memory UpsertSink double. */
+class JdbcSinkSpec extends SparkTestBase {
+
+  private val url = "jdbc:derby:memory:graftjdbc;create=true"
+  private val PageSz = 100
+
+  private def withConn[T](f: java.sql.Connection => T): T = {
+    val c = java.sql.DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
+
+  private def tableCount(): Long = withConn { c =>
+    val rs = c.createStatement().executeQuery("SELECT COUNT(*) FROM lead_activity")
+    rs.next(); rs.getLong(1)
+  }
+
+  test("SNK1/S1/T6 end-to-end: bulk + replay + boundary-overlap CDC against embedded Derby") {
+    // --- DDL: the reference's table (salesforce_extractor.py:60-76) ---
+    // autoincrement surrogate pk + UNIQUE hash; ORDER and DATE are SQL
+    // reserved words, quoted exactly as the reference quotes them.
+    withConn { c =>
+      val st = c.createStatement()
+      try st.execute("DROP TABLE lead_activity")
+      catch { case _: java.sql.SQLException => () } // absent on first run
+      st.execute(
+        """CREATE TABLE lead_activity (
+          |  id INTEGER NOT NULL GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+          |  "HASH" VARCHAR(16) NOT NULL UNIQUE,
+          |  "LEAD_ID" VARCHAR(255), "URL" VARCHAR(1024),
+          |  "SESSION_ID" VARCHAR(255), "ORDER" VARCHAR(50),
+          |  "DATE" TIMESTAMP, "TYPE_ID" VARCHAR(255),
+          |  "EVENT_CATEGORY" VARCHAR(255), "EVENT_NAME" VARCHAR(256))"""
+          .stripMargin.replace("\n", " "))
+    }
+
+    // --- Phase A: bulk extract (T6 bulk mode) → batched upsert (SNK1+S3) ---
+    val nA = 730
+    val dfA = PaginatedSource.bulkExtract(
+      spark, new SyntheticPageClient(nA, PageSz), parallelism = 4, pageSize = PageSz)
+    val upsert = Sinks.jdbcInsertIgnore(url, "lead_activity", dfA.schema)
+    val insertedA = Sinks.upsertBatched(dfA, batchSize = 200)(upsert)
+    assert(insertedA == nA, s"bulk inserted $insertedA, expected $nA")
+    assert(tableCount() == nA)
+
+    // --- Whole-job replay: every hash already present → 0 inserted ---
+    val insertedReplay = Sinks.upsertBatched(dfA, batchSize = 200)(upsert)
+    assert(insertedReplay == 0L, s"replay inserted $insertedReplay, expected 0")
+    assert(tableCount() == nA)
+
+    // --- Phase B: API grew to 1234; incremental from the DB's own count
+    // (the reference's offset CDC :250-280). incrementalStartPage floors
+    // to the boundary page, so rows 700..729 are RE-FETCHED and must be
+    // no-ops against the unique index while 730..1233 insert. ---
+    val nB = 1234
+    val clientB = new SyntheticPageClient(nB, PageSz)
+    val dbCount = tableCount()
+    val start = PaginatedSource.incrementalStartPage(dbCount, PageSz)
+    assert(start == 8, s"boundary page for dbCount=$dbCount should be 8, got $start")
+    val end = PaginatedSource.totalPages(
+      PaginatedSource.totalCount(spark, clientB), PageSz)
+    val incoming = PaginatedSource.flattenPages(
+      PaginatedSource.rawPages(spark, clientB, start, end, parallelism = 4))
+    assert(incoming.count() == nB - (start - 1) * PageSz) // overlap included
+    val insertedB = Sinks.upsertBatched(incoming, batchSize = 200)(upsert)
+    assert(insertedB == nB - nA, s"incremental inserted $insertedB, expected ${nB - nA}")
+    assert(tableCount() == nB)
+
+    // --- Read-back parity: the JDBC table's contents equal a fresh full
+    // bulk extract of the phase-B corpus, row for row. ---
+    import org.apache.spark.sql.functions._
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "lead_activity").load()
+      .select(col("HASH").as("hash"), col("LEAD_ID").as("lead_id"),
+        col("URL").as("url"), col("SESSION_ID").as("session_id"),
+        col("ORDER").as("order"), col("DATE").cast("timestamp_ntz").as("date"),
+        col("TYPE_ID").as("type_id"), col("EVENT_CATEGORY").as("event_category"),
+        col("EVENT_NAME").as("event_name"))
+    val expect = PaginatedSource.bulkExtract(
+      spark, new SyntheticPageClient(nB, PageSz), parallelism = 4, pageSize = PageSz)
+      .select(back.columns.map(col): _*)
+    assert(back.count() == nB)
+    assert(back.exceptAll(expect).isEmpty && expect.exceptAll(back).isEmpty,
+      "JDBC read-back differs from the bulk extract")
+  }
+
+  test("jdbcInsertIgnore fails loudly on unmapped column types") {
+    import org.apache.spark.sql.types._
+    val bad = StructType(Seq(StructField("a", ArrayType(LongType))))
+    intercept[IllegalArgumentException] {
+      Sinks.jdbcInsertIgnore(url, "lead_activity", bad)
+    }
+  }
+}

@@ -300,10 +300,7 @@ class OperatorsSpec extends SparkTestBase {
         .select($"grp", (abs($"grp") % 3).as("cat"))
         .write.parquet(s"$base/dim")
       val df = graft.queries.Round10Queries4.skewJoinPlan(spark, "/root/testdata/sf0.001", s"$base/dim")
-      df.collect() // AQE finalizes the plan only on execution
-      val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("SortMergeJoin"), s"demo degraded from SMJ:\n$plan")
-      assert(plan.contains("skew=true"), s"OptimizeSkewedJoin did not fire:\n$plan")
+      PlanAudit.assertSkewHandled(df) // loud on either silent-no-op precondition
     } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
   }
 

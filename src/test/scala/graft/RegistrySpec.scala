@@ -15,6 +15,25 @@ class RegistrySpec extends SparkTestBase {
     assert(names.forall(_.matches("[a-z0-9_]+")))
   }
 
+  test("README query counts match Registry.all.size (doc-drift gate)") {
+    // r10 verdict #6: the README drifted (340 vs 343) because nothing
+    // failed on mismatch. Parse every "N oracle-checked queries" and
+    // "N/N" selfcheck mention out of the prose and assert them.
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/README.md")), "UTF-8")
+    val n = Registry.all.size
+    val counted = """(\d+) oracle-checked queries""".r
+      .findAllMatchIn(readme).map(_.group(1).toInt).toList
+    assert(counted.nonEmpty, "README no longer documents the query count")
+    assert(counted.forall(_ == n),
+      s"README says $counted oracle-checked queries; registry has $n")
+    val selfchecks = """(\d+)/(\d+)""".r.findAllMatchIn(readme)
+      .filter(m => m.group(1) == m.group(2)).map(_.group(1).toInt)
+      .filter(_ > 100).toList // the selfcheck "N/N" mention, not dates
+    assert(selfchecks.forall(_ == n),
+      s"README selfcheck mentions $selfchecks; registry has $n")
+  }
+
   test("every query analyzes against sf0.001 schemas") {
     Registry.all.foreach { q =>
       val schema = q.fn(spark, sfDir).schema // analysis only, no execution

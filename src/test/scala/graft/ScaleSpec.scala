@@ -286,13 +286,9 @@ class ScaleSpec extends SparkTestBase {
           concat(lit("pad-pad-pad-pad-pad-"), $"id").as("payload"))
       val right = spark.range(0, 1000).select($"id".as("k"), lit("dim").as("d"))
       val joined = left.join(right, "k")
-      // drive THIS plan instance (count()/rdd each wrap a NEW QueryExecution
-      // and would leave this AdaptiveSparkPlan un-finalized)
-      val plan = joined.queryExecution.executedPlan
-      assert(plan.executeCollect().nonEmpty)
-      val finalPlan = plan.toString
-      assert(finalPlan.contains("skew=true"),
-        s"expected AQE to mark the skewed join:\n$finalPlan")
+      // PlanAudit drives THIS plan instance (count()/rdd each wrap a NEW
+      // QueryExecution and would leave the AdaptiveSparkPlan un-finalized)
+      PlanAudit.assertSkewHandled(joined)
     } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)
