@@ -20,19 +20,27 @@ object QueryTimer {
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     try materialize(SparkEntry.entry(spark)) catch { case _: Throwable => () }
+    // SPARK_GRAFT_QT_RUNS trims repeats for long sweeps (the sf1 scale
+    // sweep times ~60 queries at two SFs); a failing query prints FAILED
+    // and the sweep continues instead of dying mid-list.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_QT_RUNS", "3").toInt
     args.tail.foreach { name =>
       val fn = Registry.byName(name).fn
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        materialize(fn(spark, sfDir))
-        val t = (System.nanoTime() - t0) / 1e9
-        // untimed: drop this run's localCheckpoint blocks so every run
-        // starts with a clean storage pool (same policy as Bench)
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        t
+      try {
+        val ts = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          materialize(fn(spark, sfDir))
+          val t = (System.nanoTime() - t0) / 1e9
+          // untimed: drop this run's localCheckpoint blocks so every run
+          // starts with a clean storage pool (same policy as Bench)
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          t
+        }
+        println(f"[qtimer] $name%-28s median=${ts.sorted.apply((ts.size - 1) / 2)}%7.3f s  runs=${ts.map(t => f"$t%.3f").mkString(",")}")
+      } catch { case e: Throwable =>
+        println(s"[qtimer] $name FAILED: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(200)}")
       }
-      println(f"[qtimer] $name%-28s median=${ts.sorted.apply(1)}%7.3f s  runs=${ts.map(t => f"$t%.3f").mkString(",")}")
     }
     spark.stop()
   }

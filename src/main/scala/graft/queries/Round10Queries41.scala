@@ -39,23 +39,39 @@ object Round10Queries41 {
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding",
         Similarity.dot($"embedding", $"embedding").as("n2"))
+      // stream-side parallelism for the n x n pair stage: the embedding
+      // table is tiny ON DISK (KB-scale parquet -> ONE scan partition) but
+      // the nested-loop join fans each stream row out n ways — without
+      // this the whole quadratic stage runs on <= a few cores (measured
+      // on the r11 sf1 sweep)
+      .repartition(spark.sparkContext.defaultParallelism)
       .localCheckpoint(true)
+    // d² quantized to 1e-6 fixed point AT THE PAIR so the kNN ranking key
+    // is an exact integer — which lets the r11 scale fix below use the
+    // x192 bounded top-k aggregate instead of ranking n² rows through a
+    // window (the sf1 sweep measured that shuffle as the scale killer:
+    // 69 s at 20k vectors). topk_pairs(-d2_fp, b, k) ships ≤k pairs per
+    // point per map task; the exchange is O(n·k), never O(n²). The n²·d
+    // dot-product COMPUTE stays (exact kNN is quadratic by definition —
+    // the subquadratic exponent lives in the x34/x31 candidate paths).
     val pairs = emb.toDF("a", "av", "na2")
       .join(broadcast(emb.toDF("b", "bv", "nb2")), $"a" =!= $"b")
       .select($"a", $"b",
-        ($"na2" + $"nb2" - Similarity.dot($"av", $"bv") * 2).as("d2"))
-    val w = Window.partitionBy($"a").orderBy($"d2", $"b")
-    val knn = pairs.withColumn("rk", row_number().over(w))
-      .filter($"rk" <= LofK)
-      .select($"a", $"b", $"d2", $"rk")
+        floor(($"na2" + $"nb2" - Similarity.dot($"av", $"bv") * 2) * 1e6 + 0.5)
+          .cast("long").as("d2fp"))
+    val knn = pairs.groupBy($"a")
+      .agg(expr(s"topk_pairs(-d2fp, b, $LofK)").as("top"))
+      .select($"a", posexplode($"top"))
+      .select($"a", ($"pos" + 1).as("rk"), $"col.id".as("b"),
+        (-$"col.v").as("d2fp"))
       .localCheckpoint(true)
     // kdist keyed by the POINT whose neighborhood it is: rk==K row of a.
-    val kdistOf = knn.filter($"rk" === LofK).select($"a".as("o"), $"d2".as("kd2"))
+    val kdistOf = knn.filter($"rk" === LofK).select($"a".as("o"), $"d2fp".as("kd2"))
     val reach = knn
       .join(kdistOf.toDF("b", "kd2_b"), "b")
       .select($"a", $"b",
-        expr("greatest(CAST(floor(sqrt(greatest(kd2_b, d2)) * 1000000 + 0.5)" +
-          " AS BIGINT), CAST(1 AS BIGINT))").as("rd_fp"))
+        expr("greatest(CAST(floor(sqrt(greatest(kd2_b, d2fp) / 1000000.0)" +
+          " * 1000000 + 0.5) AS BIGINT), CAST(1 AS BIGINT))").as("rd_fp"))
     val lrd = reach.groupBy($"a")
       .agg(sum($"rd_fp").as("srd"))
       .select($"a", expr(s"CAST($LofK AS BIGINT) * 1000000000000 div srd")
@@ -86,20 +102,21 @@ object Round10Queries41 {
        |  FROM embeddings),
        |pairs AS MATERIALIZED (
        |  SELECT e1.vec_id AS a, e2.vec_id AS b,
-       |         e1.n2 + e2.n2 - $dot * 2 AS d2
+       |         CAST(floor((e1.n2 + e2.n2 - $dot * 2) * 1000000 + 0.5)
+       |              AS BIGINT) AS d2fp
        |  FROM norms e1 JOIN norms e2 ON e1.vec_id <> e2.vec_id),
        |knn AS MATERIALIZED (
-       |  SELECT a, b, d2, rk FROM (
-       |    SELECT a, b, d2,
-       |           row_number() OVER (PARTITION BY a ORDER BY d2, b) AS rk
+       |  SELECT a, b, d2fp, rk FROM (
+       |    SELECT a, b, d2fp,
+       |           row_number() OVER (PARTITION BY a ORDER BY d2fp, b) AS rk
        |    FROM pairs) t
        |  WHERE rk <= $LofK),
        |kdist_of AS MATERIALIZED (
-       |  SELECT a AS o, d2 AS kd2 FROM knn WHERE rk = $LofK),
+       |  SELECT a AS o, d2fp AS kd2 FROM knn WHERE rk = $LofK),
        |reach AS (
        |  SELECT k.a, k.b,
-       |         greatest(CAST(floor(sqrt(greatest(kd.kd2, k.d2)) * 1000000 + 0.5)
-       |              AS BIGINT), 1) AS rd_fp
+       |         greatest(CAST(floor(sqrt(greatest(kd.kd2, k.d2fp) / 1000000.0)
+       |              * 1000000 + 0.5) AS BIGINT), 1) AS rd_fp
        |  FROM knn k JOIN kdist_of kd ON kd.o = k.b),
        |lrd AS MATERIALIZED (
        |  SELECT a, CAST($LofK * 1000000000000 // sum(rd_fp) AS BIGINT) AS lrd_fp

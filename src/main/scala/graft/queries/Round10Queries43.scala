@@ -39,14 +39,25 @@ object Round10Queries43 {
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding",
         Similarity.dot($"embedding", $"embedding").as("n2"))
+      // stream-side parallelism for the n x n pair stage: the embedding
+      // table is tiny ON DISK (KB-scale parquet -> ONE scan partition) but
+      // the nested-loop join fans each stream row out n ways — without
+      // this the whole quadratic stage runs on <= a few cores (measured
+      // on the r11 sf1 sweep)
+      .repartition(spark.sparkContext.defaultParallelism)
       .localCheckpoint(true)
+    // r11 scale fix (sf1 sweep): the integer cos_fp ranking key lets BOTH
+    // rank stages run as the x192 bounded top-k AGGREGATE — map tasks
+    // ship ≤k pairs per point, so no n²-row window shuffle anywhere; the
+    // result order (cos_fp DESC, b ASC) is exactly the old window's.
     val pairs = emb.toDF("a", "av", "n2a")
       .join(broadcast(emb.toDF("b", "bv", "n2b")), $"a" =!= $"b")
       .select($"a", $"b",
         expr(cosFpSql("vec_dot(av, bv)")).as("cos_fp"))
-    val wk = Window.partitionBy($"a").orderBy($"cos_fp".desc, $"b")
-    val knn = pairs.withColumn("rk", row_number().over(wk))
-      .filter($"rk" <= CslsK)
+    val knn = pairs.groupBy($"a")
+      .agg(expr(s"topk_pairs(cos_fp, b, $CslsK)").as("top"))
+      .select($"a", explode($"top").as("p"))
+      .select($"a", $"p.id".as("b"), $"p.v".as("cos_fp"))
     val r = knn.groupBy($"a")
       .agg(expr("sum(cos_fp) div count(1)").as("r_fp"))
       .localCheckpoint(true)
@@ -58,11 +69,18 @@ object Round10Queries43 {
       .join(broadcast(r.toDF("qid", "r_q")), "qid")
       .join(r.toDF("b", "r_b"), "b")
       .select($"qid", $"b",
-        ($"cos_fp" * 2 - $"r_q" - $"r_b").as("csls_fp"), $"cos_fp")
-    scored.withColumn("rk", row_number().over(
-      Window.partitionBy($"qid").orderBy($"csls_fp".desc, $"b")).cast("long"))
-      .filter($"rk" <= CslsTop)
-      .select($"qid", $"rk", $"b".as("vec_id"), $"csls_fp", $"cos_fp")
+        ($"cos_fp" * 2 - $"r_q" - $"r_b").as("csls_fp"))
+    // cos_fp re-derives exactly from the integer identity
+    // csls = 2·cos − r_q − r_b (the sum is even by construction).
+    scored.groupBy($"qid")
+      .agg(expr(s"topk_pairs(csls_fp, b, $CslsTop)").as("top"))
+      .select($"qid", posexplode($"top"))
+      .select($"qid", ($"pos" + 1).cast("long").as("rk"),
+        $"col.id".as("vec_id"), $"col.v".as("csls_fp"))
+      .join(broadcast(r.toDF("qid", "r_q")), "qid")
+      .join(r.toDF("vec_id", "r_b"), "vec_id")
+      .select($"qid", $"rk", $"vec_id", $"csls_fp",
+        expr("(csls_fp + r_q + r_b) div 2").as("cos_fp"))
       .orderBy($"qid", $"rk")
   }
 
@@ -122,14 +140,23 @@ object Round10Queries43 {
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding",
         Similarity.dot($"embedding", $"embedding").as("n2"))
+      // stream-side parallelism for the n x n pair stage: the embedding
+      // table is tiny ON DISK (KB-scale parquet -> ONE scan partition) but
+      // the nested-loop join fans each stream row out n ways — without
+      // this the whole quadratic stage runs on <= a few cores (measured
+      // on the r11 sf1 sweep)
+      .repartition(spark.sparkContext.defaultParallelism)
       .localCheckpoint(true)
+    // r11 scale fix: bounded top-k aggregate instead of the n²-row window
+    // (see cslsTopk above — same shape, same result order).
     val pairs = emb.toDF("a", "av", "n2a")
       .join(broadcast(emb.toDF("b", "bv", "n2b")), $"a" =!= $"b")
       .select($"a", $"b",
         expr(cosFpSql("vec_dot(av, bv)")).as("cos_fp"))
-    val knn = pairs.withColumn("rk", row_number().over(
-      Window.partitionBy($"a").orderBy($"cos_fp".desc, $"b")))
-      .filter($"rk" <= CslsK)
+    val knn = pairs.groupBy($"a")
+      .agg(expr(s"topk_pairs(cos_fp, b, $CslsK)").as("top"))
+      .select($"a", explode($"top").as("p"))
+      .select($"a", $"p.id".as("b"))
     val nk = emb.select($"vec_id")
       .join(knn.groupBy($"b").agg(count(lit(1)).as("k_occ")),
         $"vec_id" === $"b", "left")

@@ -1,0 +1,437 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-11 first tier: APPLYING the learned BPE merges (r10 verdict "Next
+  * round #4") — x120 ranks merge candidates; this actually runs tokenizer
+  * induction end-to-end and tokenizes the corpus with the result, then
+  * feeds the BPE token counts through x50/x151's sequence packer. */
+object Round11Queries {
+
+  /** Learned merge rounds — each unrolled as one vocab-local pass (the
+    * x63/x35 unrolled-iterations recipe, shared with the oracle CTEs). */
+  private[queries] val BpeMerges = 6
+
+  /** Token budget per packed sequence (x50/x151's convention). */
+  private val PackBudget = 512L
+
+  /** x236: BPE merge application — full tokenizer induction + corpus
+    * tokenization as ONE oracle-paired pipeline. Both engines run the
+    * IDENTICAL algorithm on the identical representation: each word's
+    * segmentation is the string `|s1||s2||...|`, so "merge the best pair
+    * (a,b)" is literally `replace(seq, '|a||b|', '|ab|')` — `replace` is
+    * left-to-right non-overlapping in both engines, which IS greedy BPE
+    * merge order, and the `|...|` wrapping anchors symbol boundaries so a
+    * pair can never match across symbols. Per round: adjacent-pair counts
+    * weighted by word frequency (x120's quantity) → deterministic argmax
+    * (count DESC, pair ASC) → one vocab-local replace. After
+    * [[BpeMerges]] rounds the corpus is re-tokenized by joining the doc
+    * word stream against the learned vocab segmentation, emitting per doc
+    * the BPE token count, an md5 pin of the full in-order token sequence
+    * (hash-match = the token STREAMS agree, not just counts), and x151's
+    * packing columns (shard cursor prefix-sum, seq_id/seq_off) over the
+    * BPE counts — the packer finally running on learned-tokenizer counts
+    * instead of whitespace counts.
+    *
+    * Scale: merge learning is vocab-bounded (Heaps' law — pair counting
+    * explodes symbols per VOCAB TYPE, weighted by frequency, never per
+    * corpus token) with one tiny argmax per round; each round's replace
+    * is one map over the vocab; the final tokenize is one corpus
+    * explode + a vocab dimension join (broadcast-able at any realistic
+    * vocab) + one per-doc aggregate. Each round localCheckpoints the
+    * vocab so the unrolled lineage never re-executes prior rounds. */
+  def bpeApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val words0 = docs
+      .select(explode(split($"text", " ")).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy($"word").agg(count(lit(1)).as("wc"))
+      .withColumn("seq", expr(
+        "concat('|', array_join(transform(sequence(1, length(word)), " +
+          "i -> substring(word, i, 1)), '||'), '|')"))
+    val vocab = (1 to BpeMerges).foldLeft(words0) { (w0, _) =>
+      val w = w0.localCheckpoint() // cut the unrolled lineage per round
+      val withSyms = w.withColumn("sy",
+        expr("split(substring(seq, 2, length(seq) - 2), '\\\\|\\\\|')"))
+      // guard size>1: sequence(1, n) DESCENDS for n < 1 (r7 gotcha)
+      val pairCounts = withSyms.filter(size($"sy") > 1)
+        .select($"wc", explode(expr(
+          "transform(sequence(1, size(sy) - 1), " +
+            "i -> struct(element_at(sy, i) AS a, element_at(sy, i + 1) AS b))"))
+          .as("pr"))
+        .groupBy($"pr.a".as("a"), $"pr.b".as("b"))
+        .agg(sum($"wc").as("n"))
+      // sentinel always-losing row: when the corpus runs out of pairs
+      // (every word fully merged) the round must NO-OP, not cross-join
+      // against an empty argmax and erase the vocab. '' symbols build the
+      // pattern '|||||', which no real seq contains.
+      val top = pairCounts
+        .unionByName(Seq(("", "", -1L)).toDF("a", "b", "n"))
+        .orderBy($"n".desc, $"a", $"b").limit(1)
+      w.crossJoin(broadcast(top.select($"a", $"b")))
+        .withColumn("seq", expr(
+          "replace(seq, concat('|', a, '||', b, '|'), concat('|', a, b, '|'))"))
+        .select($"word", $"wc", $"seq")
+    }
+    val segs = vocab.select($"word",
+      expr("replace(substring(seq, 2, length(seq) - 2), '||', ' ')").as("seg"),
+      expr("size(split(substring(seq, 2, length(seq) - 2), '\\\\|\\\\|'))")
+        .cast("long").as("n_sym"))
+    val docToks = docs
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "word")))
+      .filter(length($"word") > 0)
+      .join(segs, "word") // vocab dim join; broadcasts via AQE at any sane vocab
+      .groupBy($"doc_id")
+      .agg(sum($"n_sym").as("n_tok"),
+        md5(array_join(transform(array_sort(collect_list(struct($"pos", $"seg"))),
+          x => x.getField("seg")), " ")).as("toks_md5"))
+    val cw = Window.partitionBy($"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docToks
+      .withColumn("shard", $"doc_id" % 8)
+      .withColumn("cum_before", coalesce(sum($"n_tok").over(cw), lit(0L)))
+      .select($"doc_id", $"shard", $"n_tok", $"toks_md5", $"cum_before",
+        expr(s"cum_before div $PackBudget").as("seq_id"),
+        ($"cum_before" % PackBudget).as("seq_off"))
+      .orderBy($"doc_id")
+  }
+
+  /** One unrolled merge round of the oracle (v$i from v${i-1}). */
+  private def bpeRoundSql(i: Int): String = {
+    val prev = s"v${i - 1}"
+    s"""p$i AS (
+       |  SELECT pr.a AS a, pr.b AS b, CAST(sum(wc) AS BIGINT) AS n
+       |  FROM (SELECT wc,
+       |          unnest(list_transform(generate_series(1, len(sy) - 1),
+       |            i -> struct_pack(a := sy[i], b := sy[i + 1]))) AS pr
+       |        FROM (SELECT wc,
+       |                string_split(substr(seq, 2, length(seq) - 2), '||') AS sy
+       |              FROM $prev) s
+       |        WHERE len(sy) > 1) q
+       |  GROUP BY 1, 2),
+       |t$i AS (SELECT a, b FROM (SELECT a, b, n FROM p$i
+       |                          UNION ALL SELECT '', '', CAST(-1 AS BIGINT))
+       |        ORDER BY n DESC, a, b LIMIT 1),
+       |v$i AS MATERIALIZED (
+       |  SELECT word, wc,
+       |         replace(seq, '|' || a || '||' || b || '|',
+       |                 '|' || a || b || '|') AS seq
+       |  FROM $prev CROSS JOIN t$i)""".stripMargin
+  }
+
+  private val bpeApplyOracle = {
+    val rounds = (1 to BpeMerges).map(bpeRoundSql).mkString(",\n")
+    s"""WITH w AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS wc
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |v0 AS MATERIALIZED (
+       |  SELECT word, wc,
+       |         '|' || array_to_string(list_transform(
+       |             generate_series(1, length(word)), i -> substr(word, i, 1)),
+       |           '||') || '|' AS seq
+       |  FROM w),
+       |$rounds,
+       |segs AS (
+       |  SELECT word,
+       |         replace(substr(seq, 2, length(seq) - 2), '||', ' ') AS seg,
+       |         CAST(len(string_split(substr(seq, 2, length(seq) - 2), '||'))
+       |              AS BIGINT) AS n_sym
+       |  FROM v$BpeMerges),
+       |dt AS (
+       |  SELECT doc_id, u.pos AS pos, u.word AS word
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) d,
+       |       unnest(list_transform(generate_series(1, len(tk)),
+       |         i -> struct_pack(pos := i, word := tk[i]))) AS t(u)
+       |  WHERE u.word <> ''),
+       |doc AS (
+       |  SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_tok,
+       |         md5(string_agg(seg, ' ' ORDER BY pos)) AS toks_md5
+       |  FROM dt JOIN segs USING (word)
+       |  GROUP BY doc_id)
+       |SELECT doc_id, doc_id % 8 AS shard, n_tok, toks_md5,
+       |       CAST(coalesce(sum(n_tok) OVER (PARTITION BY doc_id % 8
+       |              ORDER BY doc_id
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |            AS BIGINT) AS cum_before,
+       |       CAST(coalesce(sum(n_tok) OVER (PARTITION BY doc_id % 8
+       |              ORDER BY doc_id
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |            // $PackBudget AS BIGINT) AS seq_id,
+       |       CAST(coalesce(sum(n_tok) OVER (PARTITION BY doc_id % 8
+       |              ORDER BY doc_id
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |            % $PackBudget AS BIGINT) AS seq_off
+       |FROM doc
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Span gram width (x135's measurement granularity — a removed run is
+    * ≥ G tokens by construction). */
+  private val SpanG = 8
+
+  /** x237: exact substring-span REMOVAL — the missing half of the span
+    * family (r10 verdict "Next round #7"): x135 MEASURES duplicated
+    * 8-gram mass and x158 removes known cross-doc boilerplate lines; this
+    * is Lee et al.'s exact-substring dedup made operational at fixed
+    * G=8-token granularity: every duplicated 8-gram instance (corpus-wide
+    * instance count ≥ 2, within-doc repeats included) marks its covered
+    * token span; per document, overlapping/adjacent spans merge into
+    * MINIMAL maximal runs (gaps-and-islands over the duplicated gram
+    * start positions — x76's island recipe), and the retained text is
+    * the tokens outside every run. Emits per doc the before/after token
+    * mass (n_toks / n_removed / n_kept), run count, and an md5 pin of
+    * the retained token stream — so the oracle proves the exact TEXT
+    * each engine would keep, not just the counts.
+    *
+    * Island rule: duplicated start positions p (covering [p, p+G-1])
+    * sorted ascending start a new run when p > prevEnd + 1 — spans that
+    * overlap OR touch merge, so removed runs are minimal in number and
+    * maximal in extent.
+    *
+    * Scale: exactly x135's audited shape (array-local gram explode, one
+    * gram-count shuffle with map-side partials, one per-doc rollup) plus
+    * a per-doc array fold for the islands — the fold is array-local
+    * (collect_list of THIS doc's duplicated starts, bounded by doc
+    * length, never corpus-sized). The retained-token rebuild tests each
+    * position against the doc's merged runs (O(len · runs) worst case —
+    * runs are few by construction since each needs ≥ G duplicated
+    * tokens). At 100 TB the gram key would be xxhash64'd to 8 bytes
+    * before the exchange, as x135 documents. */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+    val grams = docs.select($"doc_id",
+      posexplode(when(size($"toks") >= SpanG,
+        expr(s"transform(sequence(0, size(toks) - $SpanG), " +
+          "i -> concat_ws(' ', slice(toks, i + 1, " + SpanG + ")))"))
+        .otherwise(array())).as(Seq("p0", "gram")))
+      .select($"doc_id", ($"p0" + 1).as("p"), $"gram") // 1-based start pos
+    val ct = grams.groupBy($"gram").agg(count(lit(1)).as("total"))
+    val dupStarts = grams.join(ct.filter($"total" >= 2), "gram")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list($"p")).as("ps"))
+    // gaps-and-islands as an array-local fold: merge covered intervals
+    // [p, p+G-1]; new island when p > last.e + 1 (overlap-or-touch merges)
+    val spansExpr = expr(
+      s"""aggregate(ps,
+         |  cast(array() as array<struct<s:int,e:int>>),
+         |  (acc, p) -> CASE
+         |    WHEN size(acc) = 0 OR p > element_at(acc, -1).e + 1
+         |      THEN concat(acc, array(named_struct('s', p, 'e', p + ${SpanG - 1})))
+         |    ELSE concat(slice(acc, 1, size(acc) - 1),
+         |           array(named_struct('s', element_at(acc, -1).s,
+         |                              'e', p + ${SpanG - 1})))
+         |  END)""".stripMargin)
+    val spans = dupStarts.select($"doc_id", spansExpr.as("runs"))
+    docs.join(spans, Seq("doc_id"), "left")
+      .select($"doc_id", $"toks",
+        coalesce($"runs", expr("cast(array() as array<struct<s:int,e:int>>)"))
+          .as("runs"))
+      .select($"doc_id",
+        size($"toks").cast("long").as("n_toks"),
+        size($"runs").cast("long").as("n_runs"),
+        expr("aggregate(runs, 0L, (a, r) -> a + r.e - r.s + 1)").as("n_removed"),
+        md5(concat_ws(" ", expr(
+          """filter(transform(sequence(1, size(toks)),
+            |  i -> CASE WHEN exists(runs, r -> i >= r.s AND i <= r.e)
+            |            THEN NULL ELSE element_at(toks, i) END),
+            |  x -> x IS NOT NULL)""".stripMargin))).as("kept_md5"))
+      .withColumn("n_kept", $"n_toks" - $"n_removed")
+      .select($"doc_id", $"n_toks", $"n_runs", $"n_removed", $"n_kept", $"kept_md5")
+      .orderBy("doc_id")
+  }
+
+  private val spanDedupOracle = {
+    val G = SpanG
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (SELECT doc_id, CAST(u.i AS INTEGER) AS p,
+       |        array_to_string(toks[CAST(u.i AS INTEGER):CAST(u.i AS INTEGER) + ${G - 1}], ' ') AS gram
+       |      FROM t, LATERAL unnest(range(1, greatest(len(toks) - ${G - 2}, 1))) AS u(i)
+       |      WHERE len(toks) >= $G),
+       |ct AS (SELECT gram, count(*) AS total FROM g GROUP BY gram),
+       |dp AS (SELECT doc_id, p FROM g JOIN ct USING (gram) WHERE total >= 2),
+       |brk AS (SELECT doc_id, p,
+       |          CASE WHEN lag(p) OVER w IS NULL
+       |                 OR p > lag(p) OVER w + $G THEN 1 ELSE 0 END AS b
+       |        FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+       |isl AS (SELECT doc_id, p,
+       |          sum(b) OVER (PARTITION BY doc_id ORDER BY p
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+       |        FROM brk),
+       |runs AS (SELECT doc_id, CAST(min(p) AS INTEGER) AS s,
+       |                CAST(max(p) + ${G - 1} AS INTEGER) AS e
+       |         FROM isl GROUP BY doc_id, run_id),
+       |rl AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS runs
+       |       FROM runs GROUP BY doc_id),
+       |f AS (SELECT t.doc_id, t.toks,
+       |        coalesce(rl.runs, CAST([] AS STRUCT(s INTEGER, e INTEGER)[])) AS runs
+       |      FROM t LEFT JOIN rl ON rl.doc_id = t.doc_id)
+       |SELECT doc_id,
+       |       CAST(len(toks) AS BIGINT) AS n_toks,
+       |       CAST(len(runs) AS BIGINT) AS n_runs,
+       |       CAST(coalesce(list_sum(list_transform(runs, r -> r.e - r.s + 1)), 0)
+       |            AS BIGINT) AS n_removed,
+       |       CAST(len(toks) - coalesce(list_sum(list_transform(runs, r -> r.e - r.s + 1)), 0)
+       |            AS BIGINT) AS n_kept,
+       |       md5(coalesce(array_to_string(list_filter(
+       |           list_transform(generate_series(1, len(toks)),
+       |             i -> CASE WHEN len(list_filter(runs,
+       |                          r -> i >= r.s AND i <= r.e)) > 0
+       |                       THEN NULL ELSE toks[CAST(i AS INTEGER)] END),
+       |           x -> x IS NOT NULL), ' '), '')) AS kept_md5
+       |FROM f
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Neighborhood size / published depth (x213's constants). */
+  private val IvfLofK = 5
+  private val IvfLofTop = 20
+
+  /** x238: IVF-LOF — the subquadratic outlier path x213's scaladoc
+    * promises ("at 100 TB the kNN stage swaps for the x34 IVF candidate
+    * generation while the LOF algebra downstream is unchanged"), landed
+    * as its own oracle-paired operator after the r11 sf1 sweep measured
+    * exact LOF's Θ(n²) compute. The x34 seed rule (`vec_id % 97 == 0`)
+    * scales the centroid count WITH the corpus, so each point's
+    * candidate set is its 2 probed lists ≈ 2·97 vectors regardless of n
+    * — candidate volume O(n·194), LINEAR in corpus size. One
+    * crossJoin+window yields BOTH the assignment (rn=1) and the probes
+    * (rn≤2); kNN over candidates uses the x192 bounded top-k aggregate
+    * on the 1e-6-quantized d²; reachability/lrd/LOF are exactly x213's
+    * integer algebra. Points with fewer than k candidates (or neighbors
+    * lacking a kdist) drop out via the inner joins — mirrored joins in
+    * the oracle, so both engines agree on the defined set.
+    *
+    * Scale: centroids broadcast; the candidate join is an equi-join on
+    * cent_id (never all-pairs); every downstream frame is O(n·k). */
+  def ivfLof(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding",
+        graft.operators.Similarity.norm($"embedding").as("nrm"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint(true)
+    val cents = emb.filter($"vec_id" % 97 === 0)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cv"), $"nrm".as("cn"))
+    val wA = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
+    val ranked = emb.crossJoin(broadcast(cents))
+      .select($"vec_id", $"embedding", $"nrm", $"cent_id",
+        (graft.operators.Similarity.dot($"embedding", $"cv") / ($"nrm" * $"cn"))
+          .as("ccos"))
+      .withColumn("rn", row_number().over(wA))
+      .localCheckpoint(true)
+    val assigned = ranked.filter($"rn" === 1)
+      .select($"vec_id".as("b"), $"embedding".as("bv"), $"nrm".as("bn"),
+        $"cent_id")
+    val probes = ranked.filter($"rn" <= 2)
+      .select($"vec_id".as("a"), $"embedding".as("av"), $"nrm".as("an"),
+        $"cent_id")
+    val cand = probes.join(assigned, "cent_id")
+      .filter($"b" =!= $"a")
+      .select($"a", $"b",
+        floor(($"an" * $"an" + $"bn" * $"bn"
+          - graft.operators.Similarity.dot($"av", $"bv") * 2) * 1e6 + 0.5)
+          .cast("long").as("d2fp"))
+    val knn = cand.groupBy($"a")
+      .agg(expr(s"topk_pairs(-d2fp, b, $IvfLofK)").as("top"))
+      .select($"a", posexplode($"top"))
+      .select($"a", ($"pos" + 1).as("rk"), $"col.id".as("b"),
+        (-$"col.v").as("d2fp"))
+      .localCheckpoint(true)
+    val kdistOf = knn.filter($"rk" === IvfLofK).select($"a".as("o"), $"d2fp".as("kd2"))
+    val reach = knn
+      .join(kdistOf.toDF("b", "kd2_b"), "b")
+      .select($"a", $"b",
+        expr("greatest(CAST(floor(sqrt(greatest(kd2_b, d2fp) / 1000000.0)" +
+          " * 1000000 + 0.5) AS BIGINT), CAST(1 AS BIGINT))").as("rd_fp"))
+    val lrd = reach.groupBy($"a")
+      .agg(count(lit(1)).as("nk"), sum($"rd_fp").as("srd"))
+      .select($"a", expr("nk * 1000000000000 div srd").as("lrd_fp"))
+      .localCheckpoint(true)
+    val lofScores = knn
+      .join(lrd.toDF("b", "lrd_o"), "b")
+      .groupBy($"a").agg(count(lit(1)).as("nn"), sum($"lrd_o").as("slrd"))
+      .join(lrd.toDF("a", "lrd_p"), "a")
+      .select($"a".as("vec_id"),
+        expr("(slrd * 1000000) div (nn * lrd_p)").as("lof_fp"))
+    lofScores
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"lof_fp".desc, $"vec_id")).cast("long"))
+      .filter($"rk" <= IvfLofTop)
+      .select($"rk", $"vec_id", $"lof_fp")
+      .orderBy($"rk")
+  }
+
+  private val ivfLofOracle = {
+    val dot = SimilarityQueries.dotSql _
+    s"""WITH ${SimilarityQueries.ivfSeedSql},
+       |acr AS (
+       |  SELECT vec_id, embedding, nrm, cent_id, ccos,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY ccos DESC, cent_id) AS rn
+       |  FROM (SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
+       |          ${dot("e.embedding", "c.cv")} / (e.nrm * c.cn) AS ccos
+       |        FROM e CROSS JOIN c) t),
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id AS b, embedding AS bv, nrm AS bn, cent_id
+       |  FROM acr WHERE rn = 1),
+       |probes AS MATERIALIZED (
+       |  SELECT vec_id AS a, embedding AS av, nrm AS an, cent_id
+       |  FROM acr WHERE rn <= 2),
+       |cand AS (
+       |  SELECT p.a, s.b,
+       |         CAST(floor((p.an * p.an + s.bn * s.bn
+       |                - ${dot("p.av", "s.bv")} * 2) * 1000000 + 0.5)
+       |              AS BIGINT) AS d2fp
+       |  FROM probes p JOIN assigned s USING (cent_id)
+       |  WHERE s.b <> p.a),
+       |knn AS MATERIALIZED (
+       |  SELECT a, b, d2fp, rk FROM (
+       |    SELECT a, b, d2fp,
+       |           row_number() OVER (PARTITION BY a ORDER BY d2fp, b) AS rk
+       |    FROM cand) t
+       |  WHERE rk <= $IvfLofK),
+       |kdist_of AS MATERIALIZED (
+       |  SELECT a AS o, d2fp AS kd2 FROM knn WHERE rk = $IvfLofK),
+       |reach AS (
+       |  SELECT k.a, k.b,
+       |         greatest(CAST(floor(sqrt(greatest(kd.kd2, k.d2fp) / 1000000.0)
+       |              * 1000000 + 0.5) AS BIGINT), 1) AS rd_fp
+       |  FROM knn k JOIN kdist_of kd ON kd.o = k.b),
+       |lrd AS MATERIALIZED (
+       |  SELECT a, CAST(count(*) * 1000000000000 // sum(rd_fp) AS BIGINT)
+       |           AS lrd_fp
+       |  FROM reach GROUP BY a),
+       |scores AS (
+       |  SELECT k.a AS vec_id,
+       |         CAST(sum(lo.lrd_fp) * 1000000 // (count(*) * max(lp.lrd_fp))
+       |              AS BIGINT) AS lof_fp
+       |  FROM knn k
+       |  JOIN lrd lo ON lo.a = k.b
+       |  JOIN lrd lp ON lp.a = k.a
+       |  GROUP BY k.a)
+       |SELECT rk, vec_id, lof_fp FROM (
+       |  SELECT CAST(row_number() OVER (ORDER BY lof_fp DESC, vec_id)
+       |              AS BIGINT) AS rk, vec_id, lof_fp
+       |  FROM scores) t
+       |WHERE rk <= $IvfLofTop
+       |ORDER BY rk""".stripMargin
+  }
+
+  lazy val defs: Seq[QueryDef] = Seq(
+    QueryDef("x236_bpe_apply",
+      "BPE tokenizer induction APPLIED: 6 unrolled learn-merge rounds over the weighted vocab, corpus re-tokenized, token-stream md5 pins + x151 packing on BPE counts",
+      bpeApply, Some(bpeApplyOracle)),
+    QueryDef("x237_span_dedup",
+      "exact substring-span removal (Lee et al. at G=8): duplicated-gram islands merged to minimal runs, per-doc token-mass audit + retained-text md5",
+      spanDedup, Some(spanDedupOracle)),
+    QueryDef("x238_ivf_lof",
+      "IVF-LOF: subquadratic outlier scoring — x34 seed quantizer candidates (O(n·194), linear in corpus) through x213's integer LOF algebra",
+      ivfLof, Some(ivfLofOracle)))
+}

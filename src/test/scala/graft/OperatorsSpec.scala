@@ -228,10 +228,22 @@ class OperatorsSpec extends SparkTestBase {
   }
 
   test("x137 bucketed join: no exchange and no sort on either join key") {
-    // run the registered query once to create the bucketed tables (and
-    // sanity-check its result shape), then assert the join core's plan
+    // the registered query is self-cleaning since r11 (drops its tables +
+    // warehouse dir after checkpointing), so sanity-check its result and
+    // then create fresh bucketed tables HERE for the plan assertion
     val out = graft.queries.Round10Queries2.bucketJoin(spark, "/root/testdata/sf0.001")
     assert(out.count() == 5)
+    val wh = tmpDir("graft_x137_spec")
+    spark.sql("DROP TABLE IF EXISTS graft_x137_orders")
+    spark.sql("DROP TABLE IF EXISTS graft_x137_lineitem")
+    Tables.orders(spark, "/root/testdata/sf0.001")
+      .select($"o_orderkey", $"o_orderpriority")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/orders").saveAsTable("graft_x137_orders")
+    Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select($"l_orderkey", $"l_extendedprice")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/lineitem").saveAsTable("graft_x137_lineitem")
     val plan = graft.queries.Round10Queries2.bucketJoinOn(spark)
       .queryExecution.executedPlan.toString
     assert(plan.contains("SortMergeJoin"), s"bucketed join must be SMJ:\n$plan")
