@@ -53,6 +53,23 @@ object QueryUtil {
     }
   }
 
+  /** Stage each frame as ONE parquet file with strictly increasing
+    * mtimes so a maxFilesPerTrigger=1 file source replays them in
+    * sequence order — the discipline a production file-drop pipeline
+    * provides naturally. Shared by the streaming parity harnesses
+    * (promoted from Round10Queries5 in r11). */
+  def stageFrames(frames: Seq[org.apache.spark.sql.DataFrame], dir: String): Unit = {
+    frames.zipWithIndex.foreach { case (f, i) =>
+      f.coalesce(1).write.parquet(s"$dir/s$i")
+      val part = new java.io.File(s"$dir/s$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.FileSystems.getDefault.getPath(s"$dir/f$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+  }
+
   /** Recursive delete (best-effort) for the parity harnesses' temp
     * trees — source slices, checkpoints (RocksDB included), staged
     * emissions. Repeated bench/verify runs must not accumulate

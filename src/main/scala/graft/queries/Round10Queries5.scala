@@ -38,18 +38,10 @@ object Round10Queries5 {
   }
 
   /** Stage each frame as one parquet file with strictly increasing mtimes
-    * so the file source replays them in sequence order. */
-  private def stageFrames(frames: Seq[DataFrame], dir: String): Unit = {
-    frames.zipWithIndex.foreach { case (f, i) =>
-      f.coalesce(1).write.parquet(s"$dir/s$i")
-      val part = new java.io.File(s"$dir/s$i").listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dst = java.nio.file.FileSystems.getDefault.getPath(s"$dir/f$i.parquet")
-      java.nio.file.Files.move(part.toPath, dst)
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
-    }
-  }
+    * so the file source replays them in sequence order (shared impl in
+    * [[QueryUtil.stageFrames]] since r11). */
+  private def stageFrames(frames: Seq[DataFrame], dir: String): Unit =
+    QueryUtil.stageFrames(frames, dir)
 
   /** x148: streaming SCD2 batch parity — the driver-visible oracle pair
     * for `IncrementalStream.scd2Stream` (the q47/SCD-Type-2 semantics as

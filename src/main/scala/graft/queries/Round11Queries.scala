@@ -43,39 +43,56 @@ object Round11Queries {
     * explode + a vocab dimension join (broadcast-able at any realistic
     * vocab) + one per-doc aggregate. Each round localCheckpoints the
     * vocab so the unrolled lineage never re-executes prior rounds. */
-  def bpeApply(spark: SparkSession, dir: String): DataFrame = {
+  /** (word, wc) vocab of a docs frame with the initial char-level
+    * `|s1||s2|...` segmentation. */
+  private def bpeVocab(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-    val words0 = docs
+    docs
       .select(explode(split($"text", " ")).as("word"))
       .filter(length($"word") > 0)
       .groupBy($"word").agg(count(lit(1)).as("wc"))
       .withColumn("seq", expr(
         "concat('|', array_join(transform(sequence(1, length(word)), " +
           "i -> substring(word, i, 1)), '||'), '|')"))
-    val vocab = (1 to BpeMerges).foldLeft(words0) { (w0, _) =>
+  }
+
+  /** The weighted argmax pair of a vocab frame (count DESC, pair ASC),
+    * with the sentinel always-losing row: when the corpus runs out of
+    * pairs (every word fully merged) the round must NO-OP, not
+    * cross-join against an empty argmax and erase the vocab. '' symbols
+    * build the pattern '|||||', which no real seq contains. */
+  private def bpeTopPair(spark: SparkSession, vocab: DataFrame): DataFrame = {
+    import spark.implicits._
+    val withSyms = vocab.withColumn("sy",
+      expr("split(substring(seq, 2, length(seq) - 2), '\\\\|\\\\|')"))
+    // guard size>1: sequence(1, n) DESCENDS for n < 1 (r7 gotcha)
+    withSyms.filter(size($"sy") > 1)
+      .select($"wc", explode(expr(
+        "transform(sequence(1, size(sy) - 1), " +
+          "i -> struct(element_at(sy, i) AS a, element_at(sy, i + 1) AS b))"))
+        .as("pr"))
+      .groupBy($"pr.a".as("a"), $"pr.b".as("b"))
+      .agg(sum($"wc").as("n"))
+      .unionByName(Seq(("", "", -1L)).toDF("a", "b", "n"))
+      .orderBy($"n".desc, $"a", $"b").limit(1)
+      .select($"a", $"b")
+  }
+
+  /** Apply one learned merge (a, b) to every word of a vocab frame. */
+  private def bpeMerge(vocab: DataFrame, top: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    vocab.crossJoin(broadcast(top))
+      .withColumn("seq", expr(
+        "replace(seq, concat('|', a, '||', b, '|'), concat('|', a, b, '|'))"))
+      .select(col("word"), col("wc"), col("seq"))
+  }
+
+  def bpeApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val vocab = (1 to BpeMerges).foldLeft(bpeVocab(spark, docs)) { (w0, _) =>
       val w = w0.localCheckpoint() // cut the unrolled lineage per round
-      val withSyms = w.withColumn("sy",
-        expr("split(substring(seq, 2, length(seq) - 2), '\\\\|\\\\|')"))
-      // guard size>1: sequence(1, n) DESCENDS for n < 1 (r7 gotcha)
-      val pairCounts = withSyms.filter(size($"sy") > 1)
-        .select($"wc", explode(expr(
-          "transform(sequence(1, size(sy) - 1), " +
-            "i -> struct(element_at(sy, i) AS a, element_at(sy, i + 1) AS b))"))
-          .as("pr"))
-        .groupBy($"pr.a".as("a"), $"pr.b".as("b"))
-        .agg(sum($"wc").as("n"))
-      // sentinel always-losing row: when the corpus runs out of pairs
-      // (every word fully merged) the round must NO-OP, not cross-join
-      // against an empty argmax and erase the vocab. '' symbols build the
-      // pattern '|||||', which no real seq contains.
-      val top = pairCounts
-        .unionByName(Seq(("", "", -1L)).toDF("a", "b", "n"))
-        .orderBy($"n".desc, $"a", $"b").limit(1)
-      w.crossJoin(broadcast(top.select($"a", $"b")))
-        .withColumn("seq", expr(
-          "replace(seq, concat('|', a, '||', b, '|'), concat('|', a, b, '|'))"))
-        .select($"word", $"wc", $"seq")
+      bpeMerge(w, bpeTopPair(spark, w))
     }
     val segs = vocab.select($"word",
       expr("replace(substring(seq, 2, length(seq) - 2), '||', ' ')").as("seg"),
@@ -424,6 +441,183 @@ object Round11Queries {
        |ORDER BY rk""".stripMargin
   }
 
+  /** Chronological slice cuts over the fixture's January event window
+    * (x207's convention) and the duplicate-tail width: the last day of
+    * each slice re-arrives in the NEXT file. */
+  private val DedupCuts = Seq(1704800000L, 1705800000L)
+  private val DupTailSec = 86400L
+
+  /** x239: `dropDuplicatesWithinWatermark` parity — the BOUNDED-state
+    * production counterpart of x145 (whose dedup state never evicts, fine
+    * for a parity proof, fatal at 100 TB/day). Three chronological file
+    * slices are replayed with REAL duplicate arrivals: each slice
+    * contains a bit-identical copy of its own last day (same-micro-batch
+    * dups) and of the PREVIOUS slice's last day (cross-batch dups). The
+    * 2-day watermark is wider than any dup's lag behind stream progress,
+    * so every id needed for the drop is still in state when its
+    * duplicate arrives, while ids older than watermark−delay are
+    * evictable — state is bounded by the event-time window, not corpus
+    * history. The appended emissions must equal the duplicate-free
+    * batch aggregate; n == n_ids per type proves no dup survived.
+    *
+    * Scale: this is THE streaming dedup deployment shape — state
+    * O(ids per watermark window), each trigger shuffles only its own
+    * rows to the state partitioning. */
+  def boundedDedupParity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_x239").toString
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type",
+        date_trunc("second", $"ts").as("ts"),
+        expr("unix_timestamp(cast(date_trunc('second', ts) as timestamp))")
+          .cast("long").as("sec"),
+        floor($"value" * 100 + 0.5).cast("long").as("cents"))
+    val bounds = (Long.MinValue +: DedupCuts) zip (DedupCuts :+ Long.MaxValue)
+    val frames = bounds.zipWithIndex.map { case ((lo, hi), i) =>
+      val slice = ev.filter($"sec" >= lo && $"sec" < hi)
+      val sameBatchDup =
+        if (hi == Long.MaxValue) slice.limit(0)
+        else slice.filter($"sec" >= hi - DupTailSec)
+      val crossBatchDup =
+        if (i == 0) slice.limit(0)
+        else ev.filter($"sec" >= lo - DupTailSec && $"sec" < lo)
+      slice.unionByName(sameBatchDup).unionByName(crossBatchDup).drop("sec")
+    }
+    QueryUtil.stageFrames(frames, s"$base/src")
+    val deduped = spark.readStream.schema(frames.head.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      .withWatermark("ts", "2 days")
+      .dropDuplicatesWithinWatermark("event_id")
+    val emitted = QueryUtil.withStreamShuffle(spark) {
+      QueryUtil.stageStream(spark, deduped, base, "append")
+    }
+    QueryUtil.deleteRecursively(base)
+    emitted.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"event_id").as("n_ids"),
+        sum($"cents").as("cents"))
+      .orderBy("event_type")
+  }
+
+  private val boundedDedupParityOracle =
+    """SELECT event_type,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+      |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** The held-out source for x240 (trained on every OTHER source). */
+  private val HoldoutSource = "src0"
+
+  /** x240: held-out tokenizer fertility — the missing EVAL half of
+    * tokenizer induction: merges learned on the TRAINING split only
+    * (every source except [[HoldoutSource]]) are applied — apply-only,
+    * no pair counting — to the held-out split, and the published panel
+    * compares fertility (BPE tokens per word) and compression (chars
+    * per token) across splits. A tokenizer that only memorized its
+    * training corpus shows a held-out fertility gap; this is the
+    * standard generalization check before freezing a vocab. The learn
+    * fold reuses x236's helpers; each round's argmax comes from the
+    * train vocab and the SAME merge is applied to both vocabs, exactly
+    * like production tokenizer deployment.
+    *
+    * Scale: identical to x236 (vocab-bounded learning, one corpus-scale
+    * word count per split); the held-out application adds one
+    * vocab-local replace per round. */
+  def bpeHoldout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val train0 = bpeVocab(spark, docs.filter($"source" =!= HoldoutSource))
+    val held0 = bpeVocab(spark, docs.filter($"source" === HoldoutSource))
+    val (trainN, heldN) = (1 to BpeMerges).foldLeft((train0, held0)) {
+      case ((tr0, he0), _) =>
+        val tr = tr0.localCheckpoint()
+        val he = he0.localCheckpoint()
+        val top = bpeTopPair(spark, tr).localCheckpoint() // learned on TRAIN only
+        (bpeMerge(tr, top), bpeMerge(he, top))
+    }
+    def panel(vocab: DataFrame, split: String): DataFrame =
+      vocab.select($"wc", length($"word").cast("long").as("n_chars"),
+        expr("size(split(substring(seq, 2, length(seq) - 2), '\\\\|\\\\|'))")
+          .cast("long").as("n_sym"))
+        .agg(sum($"wc").as("n_words"),
+          sum($"wc" * $"n_sym").as("n_tokens"),
+          sum($"wc" * $"n_chars").as("n_chars"))
+        .select(lit(split).as("split"), $"n_words", $"n_tokens", $"n_chars",
+          QueryUtil.halfUp4($"n_tokens".cast("double") / $"n_words".cast("double"))
+            .as("fertility"),
+          QueryUtil.halfUp4($"n_chars".cast("double") / $"n_tokens".cast("double"))
+            .as("chars_per_token"))
+    panel(trainN, "train").unionByName(panel(heldN, "heldout"))
+      .orderBy("split")
+  }
+
+  /** Apply-only oracle round: train learns (p/t CTEs from the TRAIN
+    * vocab), and the SAME t$i merges both vocabs. */
+  private def bpeHoldoutRoundSql(i: Int): String = {
+    val prevT = s"vt${i - 1}"
+    val prevH = s"vh${i - 1}"
+    s"""p$i AS (
+       |  SELECT pr.a AS a, pr.b AS b, CAST(sum(wc) AS BIGINT) AS n
+       |  FROM (SELECT wc,
+       |          unnest(list_transform(generate_series(1, len(sy) - 1),
+       |            i -> struct_pack(a := sy[i], b := sy[i + 1]))) AS pr
+       |        FROM (SELECT wc,
+       |                string_split(substr(seq, 2, length(seq) - 2), '||') AS sy
+       |              FROM $prevT) s
+       |        WHERE len(sy) > 1) q
+       |  GROUP BY 1, 2),
+       |t$i AS (SELECT a, b FROM (SELECT a, b, n FROM p$i
+       |                          UNION ALL SELECT '', '', CAST(-1 AS BIGINT))
+       |        ORDER BY n DESC, a, b LIMIT 1),
+       |vt$i AS MATERIALIZED (
+       |  SELECT word, wc, replace(seq, '|' || a || '||' || b || '|',
+       |                           '|' || a || b || '|') AS seq
+       |  FROM $prevT CROSS JOIN t$i),
+       |vh$i AS MATERIALIZED (
+       |  SELECT word, wc, replace(seq, '|' || a || '||' || b || '|',
+       |                           '|' || a || b || '|') AS seq
+       |  FROM $prevH CROSS JOIN t$i)""".stripMargin
+  }
+
+  private val bpeHoldoutOracle = {
+    val rounds = (1 to BpeMerges).map(bpeHoldoutRoundSql).mkString(",\n")
+    def vocabSql(name: String, filt: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT word, wc,
+         |         '|' || array_to_string(list_transform(
+         |             generate_series(1, length(word)), i -> substr(word, i, 1)),
+         |           '||') || '|' AS seq
+         |  FROM (SELECT word, CAST(count(*) AS BIGINT) AS wc
+         |        FROM (SELECT unnest(string_split(text, ' ')) AS word
+         |              FROM documents WHERE $filt)
+         |        WHERE word <> '' GROUP BY word))""".stripMargin
+    def panelSql(vocab: String, split: String) =
+      s"""SELECT '$split' AS split,
+         |       CAST(sum(wc) AS BIGINT) AS n_words,
+         |       CAST(sum(wc * n_sym) AS BIGINT) AS n_tokens,
+         |       CAST(sum(wc * n_chars) AS BIGINT) AS n_chars,
+         |       floor((CAST(sum(wc * n_sym) AS DOUBLE) / CAST(sum(wc) AS DOUBLE))
+         |             * 10000 + 0.5) / 10000.0 AS fertility,
+         |       floor((CAST(sum(wc * n_chars) AS DOUBLE)
+         |              / CAST(sum(wc * n_sym) AS DOUBLE)) * 10000 + 0.5) / 10000.0
+         |         AS chars_per_token
+         |FROM (SELECT wc, CAST(length(word) AS BIGINT) AS n_chars,
+         |        CAST(len(string_split(substr(seq, 2, length(seq) - 2), '||'))
+         |             AS BIGINT) AS n_sym
+         |      FROM $vocab) v""".stripMargin
+    s"""WITH ${vocabSql("vt0", s"source <> '$HoldoutSource'")},
+       |${vocabSql("vh0", s"source = '$HoldoutSource'")},
+       |$rounds
+       |SELECT * FROM (
+       |${panelSql(s"vt$BpeMerges", "train")}
+       |UNION ALL
+       |${panelSql(s"vh$BpeMerges", "heldout")}) u
+       |ORDER BY split""".stripMargin
+  }
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("x236_bpe_apply",
       "BPE tokenizer induction APPLIED: 6 unrolled learn-merge rounds over the weighted vocab, corpus re-tokenized, token-stream md5 pins + x151 packing on BPE counts",
@@ -433,5 +627,11 @@ object Round11Queries {
       spanDedup, Some(spanDedupOracle)),
     QueryDef("x238_ivf_lof",
       "IVF-LOF: subquadratic outlier scoring — x34 seed quantizer candidates (O(n·194), linear in corpus) through x213's integer LOF algebra",
-      ivfLof, Some(ivfLofOracle)))
+      ivfLof, Some(ivfLofOracle)),
+    QueryDef("x239_bounded_dedup_parity",
+      "dropDuplicatesWithinWatermark parity: real same-batch + cross-batch duplicate arrivals through bounded watermark state == duplicate-free batch aggregate",
+      boundedDedupParity, Some(boundedDedupParityOracle)),
+    QueryDef("x240_bpe_holdout",
+      "held-out tokenizer fertility: merges learned on train sources only, apply-only on the held-out source; fertility + chars/token panel per split",
+      bpeHoldout, Some(bpeHoldoutOracle)))
 }
