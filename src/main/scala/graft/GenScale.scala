@@ -35,7 +35,6 @@ object GenScale {
 
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, mStr) = args.take(3)
-    val m = mStr.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -44,6 +43,13 @@ object GenScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, srcDir, outDir, mStr.toInt)
+    spark.stop()
+  }
+
+  /** The generator body, session-agnostic so GenScaleSpec can drive it
+    * on the shared test session (main owns session lifecycle). */
+  def run(spark: SparkSession, srcDir: String, outDir: String, m: Int): Unit = {
     import spark.implicits._
 
     def src(name: String): DataFrame = Tables.load(spark, srcDir, name)
@@ -116,7 +122,5 @@ object GenScale {
       d.withColumn("vec_id", $"vec_id" + lit(c * vecBase))
         .withColumn("embedding", emb)
     }, "embeddings")
-
-    spark.stop()
   }
 }

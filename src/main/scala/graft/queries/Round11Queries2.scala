@@ -244,7 +244,80 @@ object Round11Queries2 {
        |              AND c.cts <= v.vts + INTERVAL $OuterWindowSec SECONDS
        |ORDER BY view_id, click_id""".stripMargin
 
+  /** x243 cohort bound + slice cuts (x239's convention). */
+  private val ChainUsers = 40
+  private val ChainCuts = Seq(1704800000L, 1705800000L)
+  private val ChainDupTailSec = 86400L
+
+  /** x243: CHAINED stateful operators in one streaming job —
+    * `dropDuplicatesWithinWatermark` feeding a watermarked tumbling
+    * hourly aggregation, the Spark-4 multi-stateful pipeline a real
+    * ingest runs as ONE job instead of dedup-job → agg-job (x239 proves
+    * the dedup stage alone; x152 the window flush alone; this proves
+    * their composition, including watermark propagation THROUGH the
+    * dedup operator into the aggregation). Replay includes same-batch
+    * and cross-batch duplicate arrivals plus a far-future heartbeat that
+    * flushes every real window; emissions must equal the hourly counts
+    * over the duplicate-free batch recompute. Sentinel rows are dropped
+    * AFTER the staged read-back — never inside the streaming plan (the
+    * x242 filter-pushdown-kills-watermark gotcha).
+    *
+    * Scale: both states are watermark-bounded (ids within the window;
+    * open hours per user); one job means one ingest scan and one
+    * checkpoint lineage for the whole dedup→aggregate path. */
+  def chainedStatefulParity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_x243").toString
+    val ev = Tables.events(spark, dir).filter($"user_id" < ChainUsers)
+      .select($"event_id", $"user_id",
+        date_trunc("second", $"ts").as("ts"),
+        expr("unix_timestamp(cast(date_trunc('second', ts) as timestamp))")
+          .cast("long").as("sec"))
+    val bounds = (Long.MinValue +: ChainCuts) zip (ChainCuts :+ Long.MaxValue)
+    val slices = bounds.zipWithIndex.map { case ((lo, hi), i) =>
+      val slice = ev.filter($"sec" >= lo && $"sec" < hi)
+      val sameBatchDup =
+        if (hi == Long.MaxValue) slice.limit(0)
+        else slice.filter($"sec" >= hi - ChainDupTailSec)
+      val crossBatchDup =
+        if (i == 0) slice.limit(0)
+        else ev.filter($"sec" >= lo - ChainDupTailSec && $"sec" < lo)
+      slice.unionByName(sameBatchDup).unionByName(crossBatchDup)
+    }
+    val heartbeat = spark.range(1).select(lit(-1L).as("event_id"),
+      lit(-1L).as("user_id"),
+      expr("TIMESTAMP_NTZ'2024-03-01 00:00:30'").as("ts"),
+      lit(Long.MaxValue).as("sec"))
+    QueryUtil.stageFrames((slices :+ heartbeat).map(_.drop("sec")), s"$base/src")
+    val agg = spark.readStream.schema(ev.drop("sec").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      .withWatermark("ts", "2 days")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy($"user_id", window($"ts", "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", $"window.start".as("hour_start"), $"n")
+    val emitted = QueryUtil.withStreamShuffle(spark) {
+      QueryUtil.stageStream(spark, agg, base, "append")
+    }
+    QueryUtil.deleteRecursively(base)
+    emitted.filter($"user_id" >= 0) // the heartbeat's own (unflushed-anyway) key
+      .orderBy("user_id", "hour_start")
+  }
+
+  private val chainedStatefulParityOracle =
+    s"""WITH d AS (
+       |  SELECT DISTINCT event_id, user_id, date_trunc('second', ts) AS ts
+       |  FROM events WHERE user_id < $ChainUsers)
+       |SELECT user_id, date_trunc('hour', ts) AS hour_start,
+       |       CAST(count(*) AS BIGINT) AS n
+       |FROM d
+       |GROUP BY 1, 2
+       |ORDER BY user_id, hour_start""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
+    QueryDef("x243_chained_stateful_parity",
+      "chained stateful streaming: dropDuplicatesWithinWatermark -> watermarked hourly aggregation in ONE job, real duplicate arrivals + heartbeat flush == dup-free batch recompute",
+      chainedStatefulParity, Some(chainedStatefulParityOracle)),
     QueryDef("x241_bradley_terry",
       "Bradley-Terry preference strengths from per-user pairwise comparisons: 8 unrolled MM rounds, per-term fixed-point quantization, rank/strength/wins panel",
       bradleyTerry, Some(bradleyTerryOracle)),
