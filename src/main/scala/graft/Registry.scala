@@ -100,7 +100,9 @@ object Registry {
       queries.Round10Queries57.defs ++
       queries.Round10Queries58.defs ++
       queries.Round11Queries.defs ++
-      queries.Round11Queries2.defs
+      queries.Round11Queries2.defs ++
+      queries.Round11Queries3.defs ++
+      queries.Round11Queries4.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
