@@ -106,7 +106,8 @@ object Registry {
       queries.Round11Queries5.defs ++
       queries.Round11Queries6.defs ++
       queries.Round11Queries7.defs ++
-      queries.Round11Queries8.defs
+      queries.Round11Queries8.defs ++
+      queries.Round11Queries9.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -19,8 +19,10 @@ object Round11Queries4 {
     * dense trade graph is ≤ 3; extra rounds settle nothing). */
   private val BcRounds = 6
 
-  /** Shared nation-graph SQL (the x223 CTEs verbatim — same graph). */
-  private val tradeCtes =
+  /** Shared nation-graph SQL (the x223 CTEs verbatim — same graph).
+    * `private[queries]` so later tiers (x262 Luby MIS) reuse the exact
+    * same graph instead of re-deriving a drift-prone copy. */
+  private[queries] val tradeCtes =
     """trade AS MATERIALIZED (
       |  SELECT c.c_nationkey AS cn, s.s_nationkey AS sn
       |  FROM lineitem l
@@ -34,7 +36,7 @@ object Round11Queries4 {
       |    UNION ALL SELECT sn AS src, cn AS dst FROM trade) u
       |  GROUP BY src, dst)""".stripMargin
 
-  private def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val trade = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey")
       .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
