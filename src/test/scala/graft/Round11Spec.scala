@@ -71,4 +71,85 @@ class Round11Spec extends SparkTestBase {
     assert(row(4).getAs[Long]("n_runs") == 0 && row(4).getAs[Long]("n_kept") == 3)
     assert(row(4).getAs[String]("kept_md5") == md5hex("a b c"))
   }
+
+  test("x262 Luby MIS: independent, maximal, and equal to greedy-by-priority") {
+    val dir = "/root/testdata/sf0.001"
+    // Independent re-derivation of the sparsified graph in plain Scala:
+    // trade pairs via one SQL join chain, top-3 by (w desc, dst), closure.
+    Seq("lineitem", "orders", "customer", "supplier").foreach { t =>
+      spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(s"r11_$t")
+    }
+    val trade = spark.sql(
+      """SELECT CAST(c.c_nationkey AS BIGINT) AS cn,
+        |       CAST(s.s_nationkey AS BIGINT) AS sn
+        |FROM r11_lineitem l
+        |JOIN r11_orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN r11_customer c ON o.o_custkey = c.c_custkey
+        |JOIN r11_supplier s ON l.l_suppkey = s.s_suppkey
+        |WHERE c.c_nationkey <> s.s_nationkey""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val w = scala.collection.mutable.Map[(Long, Long), Long]().withDefaultValue(0L)
+    trade.foreach { case (a, b) => w((a, b)) += 1; w((b, a)) += 1 }
+    // .toSeq before flatMap: flatMapping a Map with pair results rebuilds
+    // a Map and silently dedups the 3 edges per src down to 1
+    val top3 = w.keys.groupBy(_._1).toSeq.flatMap { case (src, es) =>
+      es.toSeq.sortBy { case (_, dst) => (-w((src, dst)), dst) }.take(3)
+    }.toSet
+    val adj = (top3 ++ top3.map { case (a, b) => (b, a) })
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    val pri = (v: Long) => (v * 2654435761L) % 1000000007L
+
+    val out = graft.queries.Round11Queries9.lubyMis(spark, dir).collect()
+    val mis = out.map(_.getAs[Long]("nationkey")).toSet
+    assert(out.forall(_.getAs[Long]("live_final") == 0L), "peel must converge")
+    assert(out.head.getAs[Long]("n_nodes") == adj.size.toLong)
+    // independence: no sparsified edge inside the MIS
+    assert(!top3.exists { case (a, b) => mis(a) && mis(b) })
+    // maximality: every non-MIS node has a MIS neighbor
+    adj.keys.filterNot(mis).foreach { v =>
+      assert(adj(v).exists(mis), s"node $v has no MIS neighbor")
+    }
+    // the parallel peel equals sequential greedy in priority order
+    val greedy = scala.collection.mutable.Set[Long]()
+    adj.keys.toSeq.sortBy(v => -pri(v)).foreach { v =>
+      if (!adj(v).exists(greedy)) greedy += v
+    }
+    assert(mis == greedy.toSet, s"parallel $mis != greedy $greedy")
+  }
+
+  test("x263 Theil-Sen: one wild outlier month leaves the median slope exact") {
+    val dir = tmpDir("graft_r11_ts")
+    // months 0..8 on the exact line y = 50000 + 30000*m cents; month 9 wild
+    val rows = (0 to 9).map { m =>
+      val price = if (m == 9) 1000000.0 else 500.0 + 300.0 * m
+      (m.toLong, 7L, java.sql.Timestamp.valueOf(f"1995-${m + 1}%02d-15 00:00:00"), price)
+    }
+    rows.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((7L, 0L)).toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((0L, "TESTLAND")).toDF("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    val out = graft.queries.Round11Queries9.theilSen(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_months") == 10 && r.getAs[Long]("n_pairs") == 45)
+    // 36 clean pairs all at exactly 30000 cents/month dominate the median
+    assert(r.getAs[Long]("med_num") == 30000L * r.getAs[Long]("med_den"))
+    assert(r.getAs[Double]("slope_cents") == 30000.0)
+  }
+
+  test("x264 AMS F2: exact moment pinned, estimate unbiased-shaped on uniform freqs") {
+    val dir = tmpDir("graft_r11_ams")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    (0 until 100).map(u => (u.toLong, t0))
+      .toDF("user_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.queries.Round11Queries9.amsF2(spark, dir).collect().head
+    assert(r.getAs[Long]("n_users") == 100 && r.getAs[Long]("exact_f2") == 100)
+    val est = r.getAs[Double]("est_f2")
+    // E[c^2] = F2 = 100; median-of-8-means of chi2_16/16 stays well inside
+    // [0.3, 3]x — a collapse to the affine-hash failure mode (10x low) fails
+    assert(est > 30.0 && est < 300.0, s"est_f2=$est out of band")
+  }
 }
