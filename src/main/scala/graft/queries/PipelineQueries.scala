@@ -512,6 +512,39 @@ object PipelineQueries {
       // reuse point — same rationale as v4 (four gates fan out)
       .repartition(col("doc_id")))
 
+  /** x268 — capstone v6: v5's eleven stages PLUS the round-11 TRAINED
+    * logistic quality classifier (x259: 16 unrolled full-batch GD steps,
+    * Elliott rational sigmoid, fixed-point BIGINT gradients) as one more
+    * pre-mixture keep-gate — the C4/CCNet pattern where the pipeline
+    * first TRAINS a model on the corpus and then gates the corpus with
+    * it, all inside one dataflow and ONE oracle statement (the 16
+    * training iterations unroll as lr-prefixed CTE pairs). v5 keeps its
+    * oracle and moves to benchSkip (every generation stays VERIFIED,
+    * only the newest is timed). */
+  def trainingCorpusV6(spark: SparkSession, dir: String) =
+    rebalancedPacked(spark, dir, corpusKept(spark, dir, Seq(
+      TrainingQueries.repetitionKeepIds(spark, dir),
+      TrainingQueries.surprisalKeepIds(spark, dir),
+      Round9Queries.gopherKeepIds(spark, dir),
+      Round10Queries10.boilerplateKeepIds(spark, dir),
+      Round11Queries8.logisticKeepIds(spark, dir)))
+      // reuse point — same rationale as v4/v5 (five gates fan out)
+      .repartition(col("doc_id")))
+
+  private lazy val trainingCorpusV6Oracle = corpusOracleSql(
+    repSurExtraCtes +
+      s""",
+         |${Round9Queries.gopherKeepCtes},
+         |${Round10Queries10.boilerKeepCtes},
+         |${Round11Queries8.lrKeepCtes}""".stripMargin,
+    repSurPredSql +
+      s"""
+         |           AND s.doc_id IN (SELECT doc_id FROM gopher_keep)
+         |           AND s.doc_id IN (SELECT doc_id FROM boiler_keep)
+         |           AND s.doc_id IN (SELECT doc_id FROM lr_keep)""".stripMargin,
+    tailCtes = rebalanceTailCtes,
+    packSrc = "kept2", packExtra = " lang, source,")
+
   private lazy val trainingCorpusV5Oracle = corpusOracleSql(
     repSurExtraCtes +
       s""",
@@ -698,7 +731,10 @@ object PipelineQueries {
       trainingCorpusV4, Some(trainingCorpusV4Oracle), benchSkip = true),
     QueryDef("x178_training_corpus_v5",
       "capstone v5: v4 + the x158 boilerplate-mass gate (eleven stages, one oracle)",
-      trainingCorpusV5, Some(trainingCorpusV5Oracle)),
+      trainingCorpusV5, Some(trainingCorpusV5Oracle), benchSkip = true),
+    QueryDef("x268_training_corpus_v6",
+      "capstone v6: v5 + the x259 TRAINED logistic quality-classifier gate (twelve stages, one oracle)",
+      trainingCorpusV6, Some(trainingCorpusV6Oracle)),
     QueryDef("x92_training_corpus_v2",
       "full capstone v2: x91 + repetition gate + surprisal gate (all eight stages, one oracle)",
       trainingCorpusV2, Some(trainingCorpusV2Oracle), benchSkip = true),

@@ -61,6 +61,7 @@ object Round11Queries8 {
     Tables.documents(spark, dir)
       .filter($"n_chars" > 0)
       .select(
+        $"doc_id",
         when($"text".contains("spark"), 1.0).otherwise(0.0).as("y"),
         (nd / 1000.0 - lit(GdCenters(0).toDouble)).as("x1"),
         ((length($"text") - length(regexp_replace($"text", " ", ""))).cast("double") / nd
@@ -72,7 +73,8 @@ object Round11Queries8 {
   }
 
   private val featSql =
-    s"""SELECT CASE WHEN contains(text, 'spark') THEN 1.0 ELSE 0.0 END AS y,
+    s"""SELECT doc_id,
+      |       CASE WHEN contains(text, 'spark') THEN 1.0 ELSE 0.0 END AS y,
       |       CAST(n_chars AS DOUBLE) / 1000.0 - ${GdCenters(0)} AS x1,
       |       CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
       |         / CAST(n_chars AS DOUBLE) - ${GdCenters(1)} AS x2,
@@ -109,9 +111,10 @@ object Round11Queries8 {
     * shape); weight frames are broadcast one-row crosses. At 1000
     * executors each iteration is a single tree-aggregated pass — the
     * same plan MLlib's LogisticRegression runs per iteration. */
-  def logisticGd(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val feats = featFrame(spark, dir).localCheckpoint(true)
+  /** The unrolled training loop, shared by x259 and the x268 capstone
+    * gate: returns the one-row weight frame after [[GdIters]] steps. */
+  private def trainedW(feats: DataFrame): DataFrame = {
+    import feats.sparkSession.implicits._
     var w: DataFrame = feats.sparkSession.range(1).select(
       lit(0.0).as("w0"), lit(0.0).as("w1"), lit(0.0).as("w2"),
       lit(0.0).as("w3"), lit(0.0).as("w4"))
@@ -133,6 +136,25 @@ object Round11Queries8 {
         upd($"w2", $"g2").as("w2"), upd($"w3", $"g3").as("w3"),
         upd($"w4", $"g4").as("w4")).localCheckpoint(true)
     }
+    w
+  }
+
+  /** Capstone gate (x268): doc_ids the TRAINED classifier scores
+    * positive — train on the corpus, then gate the corpus, the
+    * C4/CCNet-style quality-classifier stage. */
+  private[queries] def logisticKeepIds(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = featFrame(spark, dir).localCheckpoint(true)
+    val w = trainedW(feats)
+    feats.crossJoin(broadcast(w))
+      .filter(zCol($"w0", $"w1", $"w2", $"w3", $"w4") > 0)
+      .select($"doc_id")
+  }
+
+  def logisticGd(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = featFrame(spark, dir).localCheckpoint(true)
+    val w = trainedW(feats)
     val z = zCol($"w0", $"w1", $"w2", $"w3", $"w4")
     feats.crossJoin(broadcast(w))
       .agg(
@@ -152,11 +174,15 @@ object Round11Queries8 {
         QueryUtil.halfUp4(($"tp" + $"tn").cast("double") / $"n_total".cast("double")).as("acc"))
   }
 
-  private val logisticGdOracle = {
+  /** The GD iteration CTE chain with a name prefix (x259 uses "", the
+    * x268 capstone uses "lr" to avoid colliding with the capstone's
+    * other CTE names). Column names inside are unprefixed — only CTE
+    * names collide. */
+  private[queries] def gdIterCtes(prefix: String): String = {
     def wRef(i: Int, j: Int): String = if (i == 0) "0.0" else s"w$j"
-    val iterCtes = (1 to GdIters).map { i =>
+    (1 to GdIters).map { i =>
       val p = pSql(zSql(j => wRef(i - 1, j)))
-      val from = if (i == 1) "feat" else s"feat, w${i - 1}"
+      val from = if (i == 1) s"${prefix}feat" else s"${prefix}feat, ${prefix}w${i - 1}"
       val gs = (0 to 4).map { j =>
         val x = if (j == 0) "" else s" * x$j"
         s"CAST(sum(CAST(floor((p - y)$x * $GdScale + 0.5) AS BIGINT)) AS BIGINT) AS g$j"
@@ -164,13 +190,26 @@ object Round11Queries8 {
       val ws = (0 to 4).map { j =>
         s"${wRef(i - 1, j)} - $GdEta * (CAST(g$j AS DOUBLE) / $GdScale) / CAST(n AS DOUBLE) AS w$j"
       }.mkString(",\n|             ")
-      val wFrom = if (i == 1) s"g$i" else s"g$i, w${i - 1}"
-      s"""g$i AS MATERIALIZED (SELECT $gs,
+      val wFrom = if (i == 1) s"${prefix}g$i" else s"${prefix}g$i, ${prefix}w${i - 1}"
+      s"""${prefix}g$i AS MATERIALIZED (SELECT $gs,
          |              CAST(count(*) AS BIGINT) AS n
          |       FROM (SELECT y, x1, x2, x3, x4, $p AS p FROM $from)),
-         |w$i AS MATERIALIZED (SELECT $ws
+         |${prefix}w$i AS MATERIALIZED (SELECT $ws
          |      FROM $wFrom)""".stripMargin
     }.mkString(",\n")
+  }
+
+  /** Capstone gate CTE block: feature frame + trained weights + the
+    * positive-score keep list, all lr-prefixed. */
+  private[queries] lazy val lrKeepCtes: String =
+    s"""lrfeat AS MATERIALIZED ($featSql),
+       |${gdIterCtes("lr")},
+       |lr_keep AS MATERIALIZED (
+       |  SELECT f.doc_id FROM lrfeat f, lrw$GdIters
+       |  WHERE ${zSql(j => s"w$j")} > 0)""".stripMargin
+
+  private val logisticGdOracle = {
+    val iterCtes = gdIterCtes("")
     val zf = zSql(j => s"w$j")
     s"""WITH feat AS MATERIALIZED ($featSql),
        |$iterCtes
