@@ -139,6 +139,59 @@ class Round11Spec extends SparkTestBase {
     assert(r.getAs[Double]("slope_cents") == 30000.0)
   }
 
+  test("x276 Shapley: hand-computed coalition lattice, exact phi and efficiency") {
+    val dir = tmpDir("graft_r11_shap")
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    // u1: view -> purchase (mask 1); u2: click,view -> purchase (mask 3);
+    // u3: purchase immediately (mask 0); u4: touches but never converts.
+    // v(S) = 1 + [view∈S] + [view,click⊆S]  =>  phi_view = 36/24,
+    // phi_click = 12/24, phi_signup = phi_error = 0.
+    Seq(
+      (1L, t("2024-01-01 00:00:00"), "view"),
+      (1L, t("2024-01-01 01:00:00"), "purchase"),
+      (2L, t("2024-01-01 00:00:00"), "click"),
+      (2L, t("2024-01-01 00:30:00"), "view"),
+      (2L, t("2024-01-01 01:00:00"), "purchase"),
+      (3L, t("2024-01-01 00:00:00"), "purchase"),
+      (4L, t("2024-01-01 00:00:00"), "view"),
+      (4L, t("2024-01-01 00:10:00"), "click"))
+      .toDF("user_id", "ts", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.queries.Round11Queries14.shapleyAttribution(spark, dir)
+      .collect().map(r => r.getAs[String]("channel") -> r).toMap
+    assert(out("view").getAs[Long]("phi24") == 36L)
+    assert(out("click").getAs[Long]("phi24") == 12L)
+    assert(out("signup").getAs[Long]("phi24") == 0L)
+    assert(out("error").getAs[Long]("phi24") == 0L)
+    assert(out("view").getAs[Long]("v_full") == 3L)
+    assert(out("view").getAs[Long]("v_empty") == 1L)
+    // efficiency: sum(phi) = v(full) - v(empty)
+    assert(out.values.map(_.getAs[Long]("phi24")).sum == 24L * (3L - 1L))
+  }
+
+  test("x273 clamped balance: hand trajectory 5,2,0,2,1 with one stockout day") {
+    val dir = tmpDir("graft_r11_bal")
+    val t = (s: String) => java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // deltas +5 -3 -4 +2 -1 -> balances 5 2 0 2 1 (clamp binds on day 3:
+    // 2 - 4 = -2 -> 0, so the unclamped sum would end at -1, not 1)
+    Seq(
+      (t("2024-01-01"), "R", 5.0), (t("2024-01-02"), "N", 3.0),
+      (t("2024-01-03"), "A", 4.0), (t("2024-01-04"), "R", 2.0),
+      (t("2024-01-05"), "N", 1.0))
+      .toDF("l_shipdate", "l_returnflag", "l_quantity")
+      .withColumn("l_suppkey", lit(77L))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((77L, 5L)).toDF("s_suppkey", "s_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val r = graft.queries.Round11Queries13.clampedBalance(spark, dir)
+      .collect().head
+    assert(r.getAs[Long]("nation") == 5L)
+    assert(r.getAs[Long]("n_days") == 5L)
+    assert(r.getAs[Long]("final_bal") == 1L, s"final=${r.getAs[Long]("final_bal")}")
+    assert(r.getAs[Long]("n_zero_days") == 1L)
+    assert(r.getAs[Long]("max_bal") == 5L)
+  }
+
   test("x264 AMS F2: exact moment pinned, estimate unbiased-shaped on uniform freqs") {
     val dir = tmpDir("graft_r11_ams")
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
