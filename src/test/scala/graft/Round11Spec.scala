@@ -192,6 +192,60 @@ class Round11Spec extends SparkTestBase {
     assert(r.getAs[Long]("max_bal") == 5L)
   }
 
+  test("x260 histogram select: exact p50/p99 on a 1..100 dollar ladder") {
+    val dir = tmpDir("graft_r11_hsel")
+    (1 to 100).map(i => i.toDouble).toDF("l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.queries.Round11Queries8.histogramSelect(spark, dir)
+      .collect().map(r => r.getAs[String]("rk") -> r).toMap
+    // n=100: p50 rank (n+1)//2 = 50 -> $50; p99 rank 99n//100+1 = 100 -> $100
+    assert(out("p50").getAs[Long]("sel_cents") == 5000L)
+    assert(out("p50").getAs[Long]("target_rank") == 50L)
+    assert(out("p99").getAs[Long]("sel_cents") == 10000L)
+    assert(out("p99").getAs[Long]("target_rank") == 100L)
+  }
+
+  test("x266 quantile normalization: two 2-doc shards map onto pooled ranks") {
+    val dir = tmpDir("graft_r11_qn")
+    // lengths: srcA (10, 20), srcB (30, 40); pooled sorted 10,20,30,40.
+    // shard rank r of 2 -> pooled k = ceil(r*4/2) in {2, 4} -> (20, 40)
+    // for BOTH shards: after-means equalize at 30, p50_after = 20.
+    Seq((1L, 10L, "srcA"), (2L, 20L, "srcA"), (3L, 30L, "srcB"), (4L, 40L, "srcB"))
+      .map { case (id, n, s) => (id, "x" * n.toInt, "en", s, n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.Round11Queries10.quantileNormalize(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("srcA").getAs[Double]("mean_before") == 15.0)
+    assert(out("srcB").getAs[Double]("mean_before") == 35.0)
+    assert(out("srcA").getAs[Double]("mean_after") == 30.0)
+    assert(out("srcB").getAs[Double]("mean_after") == 30.0)
+    assert(out("srcA").getAs[Long]("p50_after") == 20L)
+    assert(out("srcB").getAs[Long]("p50_after") == 20L)
+  }
+
+  test("x287 bag set-ops: hand multisets obey ANSI multiplicity rules") {
+    val dir = tmpDir("graft_r11_bag")
+    def ts(y: Int) = java.sql.Timestamp.valueOf(s"$y-06-01 00:00:00")
+    // A (urgent) = {(1,1995)x2, (3,1997)}; B (>=150k) = {(1,1995), (2,1996)}
+    Seq(
+      (1L, ts(1995), "1-URGENT", 200000.0),
+      (1L, ts(1995), "1-URGENT", 10.0),
+      (2L, ts(1996), "5-LOW", 200000.0),
+      (3L, ts(1997), "1-URGENT", 1.0))
+      .toDF("o_custkey", "o_orderdate", "o_orderpriority", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = graft.queries.Round11Queries21.bagSetOps(spark, dir)
+      .collect().map(r => r.getAs[String]("metric") -> r.getAs[Long]("cnt")).toMap
+    // A's distinct keys are {(1,1995),(3,1997)} — (1,1995) repeats, so
+    // except DISTINCT keeps only (3,1997) while except ALL keeps 2 rows
+    assert(out == Map(
+      "n_a" -> 3L, "n_b" -> 2L,
+      "intersect_all" -> 1L, "except_all" -> 2L,
+      "intersect_distinct" -> 1L, "except_distinct" -> 1L,
+      "union_all" -> 5L, "union_distinct" -> 3L), s"got $out")
+  }
+
   test("x264 AMS F2: exact moment pinned, estimate unbiased-shaped on uniform freqs") {
     val dir = tmpDir("graft_r11_ams")
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
