@@ -58,7 +58,10 @@ object Round11Queries17 {
     def suffix(t: Boolean, post: Boolean, split: Int): String =
       (if (t) "_t" else "_c") + (if (post) "_post" else "_pre") +
         (if (split == PolicyYear) "" else "_pl")
-    def rate(n: Column, u: Column): Column = u.cast("double") / n.cast("double")
+    // explicit NULL on an empty cell (ANSI div-by-zero would throw; a
+    // missing period should poison the contrast to NULL, not crash)
+    def rate(n: Column, u: Column): Column =
+      when(n =!= 0L, u.cast("double") / n.cast("double"))
     def did(p: String): Column =
       (rate(col("n_t_post" + p), col("u_t_post" + p))
         - rate(col("n_t_pre" + p), col("u_t_pre" + p))) -
@@ -90,7 +93,7 @@ object Round11Queries17 {
          |CAST(sum(CASE WHEN treated = $t AND $cond THEN u ELSE 0 END) AS BIGINT)
          |  AS u_$name""".stripMargin
     def rate(p: String): String =
-      s"CAST(u_$p AS DOUBLE) / CAST(n_$p AS DOUBLE)"
+      s"CASE WHEN n_$p <> 0 THEN CAST(u_$p AS DOUBLE) / CAST(n_$p AS DOUBLE) END"
     s"""WITH base AS MATERIALIZED (
        |  SELECT c_mktsegment = 'AUTOMOBILE' AS treated,
        |         year(o_orderdate) AS yr,

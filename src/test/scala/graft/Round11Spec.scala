@@ -246,6 +246,58 @@ class Round11Spec extends SparkTestBase {
       "union_all" -> 5L, "union_distinct" -> 3L), s"got $out")
   }
 
+  test("x285 KS: disjoint length distributions force D=1 and a rejection") {
+    val dir = tmpDir("graft_r11_ks")
+    // en lengths 10..29, others 60..79 — fully separated: D = 1, reject
+    val rows = (0 until 20).map(i => (i.toLong, "x" * (10 + i), "en", "s", (10 + i).toLong)) ++
+      (0 until 20).map(i => (100L + i, "x" * (60 + i), "fr", "s", (60 + i).toLong))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.queries.Round11Queries19.ksTest(spark, dir).collect().head
+    assert(r.getAs[Long]("n1") == 20 && r.getAs[Long]("n2") == 20)
+    // sup at the last en value: F1=20/20, F2=0/20 -> d_num = 20*20
+    assert(r.getAs[Long]("d_num") == 400L)
+    assert(r.getAs[Double]("d") == 1.0)
+    assert(r.getAs[Long]("at_value") == 29L)
+    assert(r.getAs[Long]("reject_5pct") == 1L)
+  }
+
+  test("x271 changepoint: a clean level shift is localized to the step day") {
+    val dir = tmpDir("graft_r11_cp")
+    // 10 days at 2 orders/day then 10 days at 8/day: split after day 10
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"1995-01-${d}%02d 00:00:00")
+    val rows = (1 to 10).flatMap(d => Seq.fill(2)(ts(d))) ++
+      (11 to 20).flatMap(d => Seq.fill(8)(ts(d)))
+    rows.map(t => (t, 1.0)).toDF("o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = graft.queries.Round11Queries12.changepoint(spark, dir).collect().head
+    assert(r.getAs[java.sql.Date]("split_day").toString == "1995-01-10")
+    assert(r.getAs[Long]("n_left") == 10 && r.getAs[Long]("n_right") == 10)
+    assert(r.getAs[Double]("mean_left") == 2.0)
+    assert(r.getAs[Double]("mean_right") == 8.0)
+  }
+
+  test("x283 DiD: constructed cells give the exact contrast and placebo") {
+    val dir = tmpDir("graft_r11_did")
+    def ts(y: Int) = java.sql.Timestamp.valueOf(s"$y-06-01 00:00:00")
+    def orders(ck: Long, y: Int, urgent: Int, total: Int) =
+      (0 until total).map(i =>
+        (ck, ts(y), if (i < urgent) "1-URGENT" else "5-LOW", 1.0))
+    // treated rates: pre 2/10, post 6/10; control: pre 1/10, post 2/10
+    // DiD = (0.6-0.2) - (0.2-0.1) = 0.3; placebo uses 1995 vs 1996-97 pre
+    val rows =
+      orders(1L, 1995, 2, 10) ++ orders(1L, 1999, 6, 10) ++
+        orders(2L, 1995, 1, 10) ++ orders(2L, 1999, 2, 10)
+    rows.toDF("o_custkey", "o_orderdate", "o_orderpriority", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, "AUTOMOBILE"), (2L, "BUILDING")).toDF("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val r = graft.queries.Round11Queries17.diffInDiff(spark, dir).collect().head
+    assert(r.getAs[Long]("n_t_pre") == 10 && r.getAs[Long]("u_t_pre") == 2)
+    assert(r.getAs[Long]("n_t_post") == 10 && r.getAs[Long]("u_t_post") == 6)
+    assert(r.getAs[Double]("did") == 0.3)
+  }
+
   test("x264 AMS F2: exact moment pinned, estimate unbiased-shaped on uniform freqs") {
     val dir = tmpDir("graft_r11_ams")
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
