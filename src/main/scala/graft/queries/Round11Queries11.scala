@@ -117,10 +117,15 @@ object Round11Queries11 {
     * variance uses the exact `Σ(t³−t)` BIGINT; the z-score is the only
     * double (IEEE-exact sqrt/divide of identical integers).
     *
+    * Delta vs q79 (which already ships MW per return flag): q79's rank
+    * window runs over the RAW combined sample — O(rows) per partition;
+    * here the entire rank computation runs on the value CENSUS
+    * (average ranks reconstructed from per-value counts + one running
+    * sum over |distinct| rows), the formulation that stays cheap when
+    * one partition holds 10⁹ rows over 10⁴ distinct values.
+    *
     * Scale: the corpus pass is one group-by-value census; everything
-    * after runs on |distinct values| rows. This is the rank test you
-    * can actually run on 100 TB — per-row global ranking never
-    * materializes. */
+    * after runs on |distinct values| rows. */
   def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val census = Tables.documents(spark, dir)

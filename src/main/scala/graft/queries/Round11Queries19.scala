@@ -29,8 +29,15 @@ object Round11Queries19 {
     * `(D·n₁·n₂)²·10⁶ > 1844164·n₁·n₂·(n₁+n₂)` — one cross-multiplied
     * DECIMAL(38)/HUGEINT predicate, no sqrt, no float accumulation.
     *
-    * Scale: the x270 census recipe — the corpus pass is one group-by,
-    * the sup runs over |distinct values| rows. */
+    * Delta vs q80 (which already ships the per-return-flag D
+    * statistic): this adds what a DECISION needs and q80 does not emit
+    * — the exact argmax LOCATION (where the distributions diverge
+    * most, the actionable part of a drift alarm) and the α=0.05
+    * accept/reject evaluated entirely in integer arithmetic, the same
+    * exact-predicate discipline as q104/x281.
+    *
+    * Scale: the census recipe — the corpus pass is one group-by, the
+    * sup runs over |distinct values| rows. */
   def ksTest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val census = Tables.documents(spark, dir)
