@@ -119,7 +119,8 @@ object Registry {
       queries.Round11Queries18.defs ++
       queries.Round11Queries19.defs ++
       queries.Round11Queries20.defs ++
-      queries.Round11Queries21.defs
+      queries.Round11Queries21.defs ++
+      queries.Round11Queries22.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
