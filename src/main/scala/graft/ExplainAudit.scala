@@ -101,7 +101,18 @@ object ExplainAudit {
       "q110_forecast_backtest", "q111_null_aware_antijoin",
       "x169_knn_eval", "x170_fusion_eval", "x171_cogroup_reconcile",
       "x173_linkage_weights", "x174_negative_sampling",
-      "x175_topic_segments", "x176_ict_pairs")
+      "x175_topic_segments", "x176_ict_pairs",
+      // round-11 shapes: two-phase histogram rank drill (broadcast picks
+      // probed into the bucket scan), grid-pruned skyline (every nested
+      // loop a tiny-frame broadcast — staircase survivors / 1-row audits),
+      // pooled-rank normalization join, 16-coalition Shapley lattice,
+      // census-side order statistics, census set-op arithmetic
+      // (NOT x262/x263/x273/x289: eager localCheckpoint at construction,
+      // like x63; NOT x259/x268/x281: eager trained-weight loops.)
+      "x260_histogram_select", "x261_skyline_grid",
+      "x266_quantile_normalize", "x276_shapley_attribution",
+      "x280_median_ci", "x284_avi_audit", "x285_ks_test",
+      "x287_bag_setops", "x288_null_semantics")
     names.foreach { n =>
       println(s"\n===== $n =====")
       Registry.byName(n).fn(spark, dir).explain("formatted")
