@@ -20,13 +20,19 @@ object Round11Queries15 {
     * Spark's builtin `soundex` and report block sizes (the classic
     * cheap blocking key for entity resolution: candidate pairs come
     * from same-block joins, Σ|block|² not |corpus|²). The oracle
-    * reimplements the algorithm Spark actually ships (probed: the
-    * SIMPLE variant — map letters through the classic code table,
-    * collapse adjacent equal codes, drop the leading code, strip
-    * zeros, pad to 3 digits) from first principles in SQL, so the
-    * builtin's exact semantics are pinned cross-engine. RE2 has no
-    * pattern backreferences, so the adjacent-duplicate collapse runs
-    * one regexp per code digit.
+    * reimplements the algorithm Spark actually ships (the H/W-SKIPPING
+    * variant: H and W are ignored WITHOUT resetting the previous code,
+    * so equal codes collapse ACROSS them — `ashcraft`→A261 not A226,
+    * `sikhs`→S200 not S220, `burroughs`→B620 not B622; vowels still
+    * break runs) from first principles in SQL: translate through the
+    * code table with H/W mapped to a sentinel 7, DELETE the sentinels
+    * from position 2 on (the head keeps its slot so the first letter's
+    * code still anchors the run-collapse even when the word STARTS
+    * with h/w), collapse adjacent equal codes, drop the leading code,
+    * strip zeros, pad to 3 digits. The divergent class (consonant +
+    * h/w + same-code consonant) is pinned by a unit fixture in
+    * Round12Spec. RE2 has no pattern backreferences, so the
+    * adjacent-duplicate collapse runs one regexp per code digit.
     *
     * Scale: one distinct + one group-by on a bounded vocabulary; as a
     * blocking stage the key assignment is a narrow map over the
@@ -47,11 +53,19 @@ object Round11Queries15 {
   }
 
   private val soundexBlockingOracle = {
-    // the classic letter->code table, A..Z
-    val table = "01230120022455012623010202"
+    // the classic letter->code table, A..Z, with H and W mapped to the
+    // sentinel 7 (Spark's own mapping): 7 means "silent — skip without
+    // resetting the run", unlike vowels' 0 which breaks runs
+    val table = "01230127022455012623017202"
+    val codes = s"translate(up, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '$table')"
+    // delete the H/W sentinels AFTER the head slot so adjacent-equal codes
+    // collapse across them; the head keeps its slot (and its own code) so
+    // h/w-initial words still anchor the collapse with code 7, which never
+    // equals a real code — e.g. `hb` stays H100, not H000
+    val joined = s"substr($codes, 1, 1) || replace(substr($codes, 2), '7', '')"
     // collapse adjacent equal codes: one regexp per digit (RE2: no backrefs)
-    val collapsed = (0 to 6).foldLeft("translate(up, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', " +
-      s"'$table')") { (acc, d) => s"regexp_replace($acc, '$d{2,}', '$d', 'g')" }
+    val collapsed = (0 to 6).foldLeft(joined) { (acc, d) =>
+      s"regexp_replace($acc, '$d{2,}', '$d', 'g')" }
     s"""WITH words AS MATERIALIZED (
        |  SELECT DISTINCT w FROM (
        |    SELECT unnest(string_split(p_name, ' ')) AS w FROM part

@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   */
 object Round11Queries19 {
 
-  /** KS α=0.05 coefficient: c(α)² = 1.358² as an exact rational. */
-  private val KsC2Num = 1844164L
-  private val KsC2Den = 1000000L
+  /** KS α=0.05 coefficient: c(α)² = 1.358² as an exact rational,
+    * reduced to lowest terms (1844164/1000000, gcd 4) so the
+    * cross-multiplied predicate carries a 4× smaller left factor. */
+  private val KsC2Num = 461041L
+  private val KsC2Den = 250000L
 
   // ---------------------------------------------------------------- x285
 
@@ -26,8 +28,17 @@ object Round11Queries19 {
     * window, then `D·n₁·n₂ = max_v |F₁num(v)·n₂ − F₂num(v)·n₁|` as an
     * exact BIGINT with the smallest attaining value as the
     * deterministic argmax; reject at 5% iff
-    * `(D·n₁·n₂)²·10⁶ > 1844164·n₁·n₂·(n₁+n₂)` — one cross-multiplied
+    * `(D·n₁·n₂)²·25·10⁴ > 461041·n₁·n₂·(n₁+n₂)` — one cross-multiplied
     * DECIMAL(38)/HUGEINT predicate, no sqrt, no float accumulation.
+    *
+    * Exact-arithmetic validity bound: the left side is `dnum²·2.5e5`
+    * with `dnum ≤ n₁·n₂`, so DECIMAL(38) (≤ ~1e38) holds it exactly
+    * while `n₁·n₂ ≤ 2·10¹⁶` — i.e. up to ~1.4·10⁸ documents per class
+    * (DuckDB's HUGEINT bound is the same order). Beyond that the
+    * predicate needs arbitrary precision (a BigInt typed aggregate on
+    * the one surviving row); the statistic D itself never overflows
+    * since dnum stays a BIGINT product of two in-range counts
+    * (ADVICE r11).
     *
     * Delta vs q80 (which already ships the per-return-flag D
     * statistic): this adds what a DECISION needs and q80 does not emit

@@ -200,10 +200,18 @@ object Sinks {
     * reserved-word columns like ORDER/DATE work against Derby/Postgres);
     * row fields are read by the Spark-side (original) name. One
     * transaction per batch: the commit IS the reference's per-batch flush
-    * (S3), and a duplicate-key failure only voids that row's statement,
-    * not the transaction. Exercised end-to-end against embedded Derby in
-    * JdbcSinkSpec. Scale: connections are per-batch on the executor —
-    * no driver round-trip, no state; parallelism = input partitions. */
+    * (S3). Each row runs inside its own savepoint: a duplicate-key
+    * violation rolls back to the savepoint instead of relying on the
+    * driver leaving the transaction usable after a failed statement —
+    * Derby does, PostgreSQL voids the whole transaction on ANY statement
+    * error, so the savepoint is what makes this portable (ADVICE r11).
+    * The violation itself is detected by SQLState class 23 (integrity
+    * constraint violation), not by exception subclass — Postgres's
+    * driver throws a direct SQLException subclass, never
+    * SQLIntegrityConstraintViolationException. Exercised end-to-end
+    * against embedded Derby in JdbcSinkSpec. Scale: connections are
+    * per-batch on the executor — no driver round-trip, no state;
+    * parallelism = input partitions. */
   def jdbcInsertIgnore(url: String, table: String, schema: StructType)
       : Seq[org.apache.spark.sql.Row] => Int = {
     val fields = schema.fields.map(_.name).toSeq
@@ -239,8 +247,13 @@ object Sinks {
               case v => ps.setObject(i + 1, v)
             }
           }
-          try { ps.executeUpdate(); n += 1 }
-          catch { case _: java.sql.SQLIntegrityConstraintViolationException => () }
+          val sp = conn.setSavepoint()
+          try { ps.executeUpdate(); n += 1; conn.releaseSavepoint(sp) }
+          catch {
+            case e: java.sql.SQLException
+                if Option(e.getSQLState).exists(_.startsWith("23")) =>
+              conn.rollback(sp)
+          }
         }
         conn.commit()
         n

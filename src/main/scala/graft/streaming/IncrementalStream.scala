@@ -499,6 +499,16 @@ object IncrementalStream {
       var out = List.empty[TwsSession]
       var (s0, e0, n0) =
         if (sess.exists()) sess.get() else (-1L, -1L, 0L)
+      // Pending EARLIER session: within-watermark arrivals more than a gap
+      // BEFORE the open session accumulate here instead of each becoming a
+      // singleton (ADVICE r11: two early events within gapSec of each other
+      // must merge, mirroring batch session_window semantics). Emitted when
+      // the next event jumps more than gapSec past its end, when the open
+      // session splits, or at end of batch.
+      var (ps, pe, pn) = (-1L, -1L, 0L)
+      def flushPending(): Unit = if (pn > 0) {
+        out ::= TwsSession(key, ps, pe, pn); ps = -1L; pe = -1L; pn = 0L
+      }
       secs.foreach { t =>
         if (s0 < 0) { s0 = t; e0 = t; n0 = 1L }
         else if (t >= s0 - gapSec && t - e0 <= gapSec) {
@@ -508,16 +518,27 @@ object IncrementalStream {
           // pull start back, not silently inflate n while start stays
           // wrong (ADVICE r10).
           s0 = math.min(s0, t); e0 = math.max(e0, t); n0 += 1
+          // The pulled-back start may now bridge to the pending earlier
+          // session — merge them, exactly as batch session_window would.
+          if (pn > 0 && s0 - pe <= gapSec) {
+            s0 = ps; n0 += pn; ps = -1L; pe = -1L; pn = 0L
+          }
         } else if (t < s0 - gapSec) {
-          // More than a gap BEFORE the open session: its own earlier
-          // session, emitted immediately (Append permits out-of-order
-          // emission; by the watermark nothing older can extend it).
-          out ::= TwsSession(key, t, t, 1L)
+          // More than a gap BEFORE the open session: extend the pending
+          // earlier session if within its gap (secs are sorted, so t ≥ pe),
+          // else close it and start a new one. By the watermark nothing
+          // OLDER than this batch's early arrivals can still show up once
+          // the batch that admitted them is done, so end-of-batch emission
+          // is safe for Append mode.
+          if (pn > 0 && t - pe <= gapSec) { pe = t; pn += 1 }
+          else { flushPending(); ps = t; pe = t; pn = 1L }
         } else {
+          flushPending()
           out ::= TwsSession(key, s0, e0, n0)
           s0 = t; e0 = t; n0 = 1L
         }
       }
+      flushPending()
       if (s0 >= 0) {
         sess.update((s0, e0, n0))
         getHandle.registerTimer((e0 + gapSec) * 1000L)

@@ -778,4 +778,68 @@ class StreamingSpec extends SparkTestBase {
         && out("max_cents") === expected("max_cents")).count()
       == expected.count())
   }
+
+  test("tws timers: early out-of-order events merge into sessions, not singletons (watermark delay > gap)") {
+    // ADVICE r11: with watermark delay (2000s) far above the gap (60s), a
+    // later micro-batch can deliver events more than a gap BEFORE the open
+    // session. Two divergences from batch session_window were possible:
+    // (a) two early events within gapSec of each other fragmented into two
+    //     singleton sessions — they must merge into one pending session;
+    // (b) an early event plus a bridging event that pulls the open session's
+    //     start back must all merge into ONE session.
+    val base = java.nio.file.Files.createTempDirectory("graft_tws_early").toString
+    def stage(i: Int, rows: Seq[(Long, Long)]): Unit = {
+      rows.toDF("user_id", "sec")
+        .withColumn("ts", $"sec".cast("timestamp"))
+        .coalesce(1).write.parquet(s"$base/src/s$i")
+      val part = new java.io.File(s"$base/src/s$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.FileSystems.getDefault.getPath(s"$base/src/f$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    // Batch 0: both users open a session at 1000.
+    stage(0, Seq((1L, 1000L), (2L, 1000L)))
+    // Batch 1: u1 gets two early events (920, 930) — both < s0−gap = 940,
+    // within gapSec of each other, and 930→1000 jumps 70 > gap: ONE pending
+    // session (920,930,2) emitted at end of batch (branch a). u2 gets an
+    // early 920 plus a bridging 950 (≥ 940): the open start pulls back to
+    // 950, which is within a gap of pending end 920 — all merge into one
+    // open session (920,1000,3) (branch b).
+    stage(1, Seq((1L, 920L), (1L, 930L), (2L, 920L), (2L, 950L)))
+    // Batch 2: u3 at 5000 advances the watermark to 3000 > 1060, firing
+    // both users' open-session timers. u3 itself stays open (3000 < 5060).
+    stage(2, Seq((3L, 5000L)))
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("sec", LongType), StructField("ts", TimestampType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      .withWatermark("ts", "2000 seconds")
+      .as[(Long, Long, java.sql.Timestamp)]
+    val out = IncrementalStream.twsTimerSessions(stream, gapSec = 60L)
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    queries.QueryUtil.withConfs(spark,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.shuffle.partitions" -> "4") {
+      val q = out.toDF().writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(buf.add)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    import scala.jdk.CollectionConverters._
+    val got = buf.asScala.toSeq.map(r => (r.getAs[Long]("user_id"),
+      r.getAs[Long]("start_sec"), r.getAs[Long]("end_sec"),
+      r.getAs[Long]("n_events"))).toSet
+    assert(got == Set(
+      (1L, 920L, 930L, 2L),   // branch a: merged pending, NOT two singletons
+      (1L, 1000L, 1000L, 1L), // u1 open session via timer
+      (2L, 920L, 1000L, 3L)), // branch b: early + bridge + open all merged
+      got.toString)
+  }
 }
