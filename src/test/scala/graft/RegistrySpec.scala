@@ -34,6 +34,34 @@ class RegistrySpec extends SparkTestBase {
       s"README selfcheck mentions $selfchecks; registry has $n")
   }
 
+  test("PLANS.md wrap bench counts match bench_last.json (doc-drift gate)") {
+    // r11 verdict #2/#4: the PLANS.md wrap paragraph said "368 timed,
+    // 377.1s" while the committed bench_last.json was 391/457.0 — the
+    // README got a drift gate in r11 but PLANS prose didn't. Convention:
+    // the LAST "N timed" and "X s total" mentions in PLANS.md are the live
+    // claim about the committed bench_last.json (earlier mentions are
+    // round history and exempt).
+    val plans = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/PLANS.md")), "UTF-8")
+    val bench = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/bench_last.json")), "UTF-8")
+    val nTimed = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(bench)
+      .map(m => """"([^"]+)":""".r.findAllMatchIn(m.group(1)).size).getOrElse(-1)
+    val totalS = """"total_s":([-0-9.eE]+)""".r.findFirstMatchIn(bench)
+      .map(_.group(1).toDouble).getOrElse(-1.0)
+    assert(nTimed > 0 && totalS > 0, "bench_last.json unparseable")
+    val timedMentions = """(\d+) timed""".r
+      .findAllMatchIn(plans).map(_.group(1).toInt).toList
+    assert(timedMentions.nonEmpty, "PLANS.md no longer states the timed count")
+    assert(timedMentions.last == nTimed,
+      s"PLANS.md wrap says ${timedMentions.last} timed; bench_last.json has $nTimed")
+    val totalMentions = """([0-9]+\.[0-9]+) s total""".r
+      .findAllMatchIn(plans).map(_.group(1).toDouble).toList
+    assert(totalMentions.nonEmpty, "PLANS.md no longer states the bench total")
+    assert(math.abs(totalMentions.last - totalS) < 0.5,
+      s"PLANS.md wrap says ${totalMentions.last}s total; bench_last.json has ${totalS}s")
+  }
+
   test("every query analyzes against sf0.001 schemas") {
     Registry.all.foreach { q =>
       val schema = q.fn(spark, sfDir).schema // analysis only, no execution
