@@ -44,6 +44,40 @@ class SinksSpec extends SparkTestBase {
     UpsertSink.clear("t1")
   }
 
+  test("SNK1 DSv2: task retry cannot double-apply (exactly-once under retries)") {
+    // VERDICT r11 #6: the buffer-into-commit-message design was asserted by
+    // design but never adversarially tested. Inject a REAL task failure —
+    // partition 2's first attempt throws midway, AFTER the writer has
+    // sealed one full batch and buffered part of the next (the hard case:
+    // those buffered rows must die with the attempt) — and let Spark retry
+    // it (SparkTestBase runs local[4, 2]). The committed store must equal
+    // the single-attempt run exactly, batch count included.
+    import graft.sinks.UpsertSink
+    val fmt = classOf[graft.sinks.UpsertSinkProvider].getName
+    UpsertSink.clear("t_retry")
+    val ds = spark.range(0, 100, 1, 4).map { i =>
+      val tc = org.apache.spark.TaskContext.get()
+      // partition 2 holds ids 50..74; with batchsize 10 the writer has
+      // sealed [50..59] and buffered [60..64] when 65 throws on attempt 0
+      if (tc != null && tc.partitionId() == 2 && tc.attemptNumber() == 0 && i == 65)
+        throw new RuntimeException("injected first-attempt failure")
+      (i, i * 2)
+    }.toDF("k", "v")
+    ds.write.format(fmt).mode("append")
+      .option("target", "t_retry").option("key", "k").option("batchsize", "10")
+      .save()
+    val s = UpsertSink.store("t_retry")
+    assert(s.rows.size() == 100)
+    (0L until 100L).foreach { i =>
+      assert(s.rows.get(UpsertSink.keyOf(i)) == Seq(i, i * 2), s"row $i")
+    }
+    // exactly-once at the BATCH level too: 4 partitions x ceil(25/10) = 12
+    // applied flushes — a leaked first-attempt batch would make this 13+
+    assert(s.flushes.get() == 12,
+      s"expected exactly 12 applied batches, got ${s.flushes.get()}")
+    UpsertSink.clear("t_retry")
+  }
+
   test("SNK1 DSv2: complex-typed rows are deep-copied out of the reused InternalRow") {
     import graft.sinks.UpsertSink
     val fmt = classOf[graft.sinks.UpsertSinkProvider].getName

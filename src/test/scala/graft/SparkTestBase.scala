@@ -11,7 +11,11 @@ trait SparkTestBase extends AnyFunSuite {
     val scratch = java.nio.file.Files.createTempDirectory("graft_test").toString
     System.setProperty("derby.system.home", scratch)
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[4, 2]: allow ONE task retry — the exactly-once sink spec
+      // (SinksSpec "task retry cannot double-apply") injects a first-attempt
+      // task failure and needs Spark to actually re-attempt it; suites that
+      // never fail tasks are unaffected.
+      .master("local[4, 2]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
