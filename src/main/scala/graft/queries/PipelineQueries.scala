@@ -375,7 +375,9 @@ object PipelineQueries {
     * post-mixture stages before packing. */
   private def corpusOracleSql(extraCtes: String, extraPredSql: String,
                               tailCtes: String = "", packSrc: String = "kept",
-                              packExtra: String = " source,"): String =
+                              packExtra: String = " source,",
+                              baseJoin: String = "",
+                              nTokSql: String = "s.n_tok"): String =
     DedupQueries.minhashCtes("WITH RECURSIVE") +
       s""", $gateCtes,
          |surv AS (SELECT q.doc_id, n_tok
@@ -386,10 +388,10 @@ object PipelineQueries {
          |contam AS (SELECT DISTINCT train_id AS doc_id
          |           FROM (SELECT train_id, eval_id FROM tr JOIN ev USING (fp)
          |                 GROUP BY train_id, eval_id HAVING count(*) >= $ContamMinShared))$extraCtes,
-         |base AS (SELECT s.doc_id, d.source, s.n_tok,
+         |base AS (SELECT s.doc_id, d.source, $nTokSql AS n_tok,
          |           $srcGrpSql AS src_grp,
          |           ${hexValSql(s"md5('mix' || '|' || CAST(s.doc_id AS VARCHAR))")} AS hv
-         |         FROM surv s JOIN documents d ON d.doc_id = s.doc_id
+         |         FROM surv s JOIN documents d ON d.doc_id = s.doc_id$baseJoin
          |         WHERE s.doc_id % 40 <> 0
          |           AND s.doc_id NOT IN (SELECT doc_id FROM contam)$extraPredSql),
          |kept AS (SELECT doc_id, source, n_tok, doc_id % $PackShards AS shard
@@ -531,19 +533,67 @@ object PipelineQueries {
       // reuse point — same rationale as v4/v5 (five gates fan out)
       .repartition(col("doc_id")))
 
-  private lazy val trainingCorpusV6Oracle = corpusOracleSql(
+  /** v6's five-gate CTE/predicate blocks, shared verbatim by v7. */
+  private lazy val v6ExtraCtes =
     repSurExtraCtes +
       s""",
          |${Round9Queries.gopherKeepCtes},
          |${Round10Queries10.boilerKeepCtes},
-         |${Round11Queries8.lrKeepCtes}""".stripMargin,
+         |${Round11Queries8.lrKeepCtes}""".stripMargin
+  private lazy val v6PredSql =
     repSurPredSql +
       s"""
          |           AND s.doc_id IN (SELECT doc_id FROM gopher_keep)
          |           AND s.doc_id IN (SELECT doc_id FROM boiler_keep)
-         |           AND s.doc_id IN (SELECT doc_id FROM lr_keep)""".stripMargin,
+         |           AND s.doc_id IN (SELECT doc_id FROM lr_keep)""".stripMargin
+
+  private lazy val trainingCorpusV6Oracle = corpusOracleSql(
+    v6ExtraCtes, v6PredSql,
     tailCtes = rebalanceTailCtes,
     packSrc = "kept2", packExtra = " lang, source,")
+
+  /** x292 — capstone v7: v6's twelve stages with the packing stage finally
+    * running on LEARNED-tokenizer counts (VERDICT r11 #5): the x236 BPE
+    * induction (learn [[Round11Queries.BpeMerges]] merges on the corpus,
+    * re-tokenize every document) feeds its per-doc BPE token count into
+    * the mixture/packing arithmetic in place of the whitespace `n_tok` —
+    * the order a real pretraining pipeline uses (the tokenizer is trained
+    * first, budgets and sequence boundaries are in ITS tokens). THIRTEEN
+    * composed stages, one dataflow, one oracle statement (the BPE chain
+    * embeds name-prefixed as `bpe_*` CTEs). v6 keeps its oracle and moves
+    * to benchSkip (every generation stays VERIFIED, only the newest is
+    * timed).
+    *
+    * Scale: the BPE chain is vocab-bounded (pair counting per vocab TYPE)
+    * plus one corpus explode + broadcast vocab join; everything else keeps
+    * v6's audited stage shapes. The swap changes only which integer rides
+    * the packing prefix sums. */
+  def trainingCorpusV7(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val kept = corpusKept(spark, dir, Seq(
+      TrainingQueries.repetitionKeepIds(spark, dir),
+      TrainingQueries.surprisalKeepIds(spark, dir),
+      Round9Queries.gopherKeepIds(spark, dir),
+      Round10Queries10.boilerplateKeepIds(spark, dir),
+      Round11Queries8.logisticKeepIds(spark, dir)))
+      .drop("n_tok")
+      .join(Round11Queries.bpeDocTokenCounts(spark, dir)
+        .select($"doc_id", $"n_tok"), "doc_id")
+      // reuse point — same rationale as v4/v5/v6 (five gates + the BPE
+      // tokenizer join all fan out into the census/rebalance consumers)
+      .repartition(col("doc_id"))
+    rebalancedPacked(spark, dir, kept)
+  }
+
+  private lazy val trainingCorpusV7Oracle = corpusOracleSql(
+    v6ExtraCtes +
+      s""",
+         |${Round11Queries.bpeChainCtes("bpe_")}""".stripMargin,
+    v6PredSql,
+    tailCtes = rebalanceTailCtes,
+    packSrc = "kept2", packExtra = " lang, source,",
+    baseJoin = " JOIN bpe_doc ON bpe_doc.doc_id = s.doc_id",
+    nTokSql = "bpe_doc.n_tok")
 
   private lazy val trainingCorpusV5Oracle = corpusOracleSql(
     repSurExtraCtes +
@@ -734,7 +784,10 @@ object PipelineQueries {
       trainingCorpusV5, Some(trainingCorpusV5Oracle), benchSkip = true),
     QueryDef("x268_training_corpus_v6",
       "capstone v6: v5 + the x259 TRAINED logistic quality-classifier gate (twelve stages, one oracle)",
-      trainingCorpusV6, Some(trainingCorpusV6Oracle)),
+      trainingCorpusV6, Some(trainingCorpusV6Oracle), benchSkip = true),
+    QueryDef("x292_training_corpus_v7",
+      "capstone v7: v6 packed on LEARNED BPE token counts (x236 induction feeds the packer; thirteen stages, one oracle)",
+      trainingCorpusV7, Some(trainingCorpusV7Oracle)),
     QueryDef("x92_training_corpus_v2",
       "full capstone v2: x91 + repetition gate + surprisal gate (all eight stages, one oracle)",
       trainingCorpusV2, Some(trainingCorpusV2Oracle), benchSkip = true),

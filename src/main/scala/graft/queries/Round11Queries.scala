@@ -87,7 +87,11 @@ object Round11Queries {
       .select(col("word"), col("wc"), col("seq"))
   }
 
-  def bpeApply(spark: SparkSession, dir: String): DataFrame = {
+  /** Learn [[BpeMerges]] merges on `dir`'s documents and re-tokenize: per
+    * doc the BPE token count and the in-order token-stream md5 pin —
+    * x236's core, package-visible so capstone v7 can pack on LEARNED
+    * token counts instead of whitespace counts. */
+  private[queries] def bpeDocTokenCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     val vocab = (1 to BpeMerges).foldLeft(bpeVocab(spark, docs)) { (w0, _) =>
@@ -98,7 +102,7 @@ object Round11Queries {
       expr("replace(substring(seq, 2, length(seq) - 2), '||', ' ')").as("seg"),
       expr("size(split(substring(seq, 2, length(seq) - 2), '\\\\|\\\\|'))")
         .cast("long").as("n_sym"))
-    val docToks = docs
+    docs
       .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "word")))
       .filter(length($"word") > 0)
       .join(segs, "word") // vocab dim join; broadcasts via AQE at any sane vocab
@@ -106,6 +110,11 @@ object Round11Queries {
       .agg(sum($"n_sym").as("n_tok"),
         md5(array_join(transform(array_sort(collect_list(struct($"pos", $"seg"))),
           x => x.getField("seg")), " ")).as("toks_md5"))
+  }
+
+  def bpeApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docToks = bpeDocTokenCounts(spark, dir)
     val cw = Window.partitionBy($"shard").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     docToks
@@ -117,10 +126,12 @@ object Round11Queries {
       .orderBy($"doc_id")
   }
 
-  /** One unrolled merge round of the oracle (v$i from v${i-1}). */
-  private def bpeRoundSql(i: Int): String = {
-    val prev = s"v${i - 1}"
-    s"""p$i AS (
+  /** One unrolled merge round of the oracle (v$i from v${i-1}), with all
+    * CTE names behind prefix `p` so the chain can embed inside a larger
+    * oracle (capstone v7) without name collisions. */
+  private def bpeRoundSql(i: Int, p: String): String = {
+    val prev = s"${p}v${i - 1}"
+    s"""${p}p$i AS (
        |  SELECT pr.a AS a, pr.b AS b, CAST(sum(wc) AS BIGINT) AS n
        |  FROM (SELECT wc,
        |          unnest(list_transform(generate_series(1, len(sy) - 1),
@@ -130,46 +141,54 @@ object Round11Queries {
        |              FROM $prev) s
        |        WHERE len(sy) > 1) q
        |  GROUP BY 1, 2),
-       |t$i AS (SELECT a, b FROM (SELECT a, b, n FROM p$i
+       |${p}t$i AS (SELECT a, b FROM (SELECT a, b, n FROM ${p}p$i
        |                          UNION ALL SELECT '', '', CAST(-1 AS BIGINT))
        |        ORDER BY n DESC, a, b LIMIT 1),
-       |v$i AS MATERIALIZED (
+       |${p}v$i AS MATERIALIZED (
        |  SELECT word, wc,
        |         replace(seq, '|' || a || '||' || b || '|',
        |                 '|' || a || b || '|') AS seq
-       |  FROM $prev CROSS JOIN t$i)""".stripMargin
+       |  FROM $prev CROSS JOIN ${p}t$i)""".stripMargin
   }
 
-  private val bpeApplyOracle = {
-    val rounds = (1 to BpeMerges).map(bpeRoundSql).mkString(",\n")
-    s"""WITH w AS (
+  /** The full BPE learn→apply oracle chain as CTE text (ends in
+    * `${p}doc(doc_id, n_tok, toks_md5)`), name-prefixed for embedding.
+    * ONE rendering shared by x236's own oracle (p = "") and capstone v7
+    * (p = "bpe_") so the two can never drift. */
+  private[queries] def bpeChainCtes(p: String): String = {
+    val rounds = (1 to BpeMerges).map(bpeRoundSql(_, p)).mkString(",\n")
+    s"""${p}w AS (
        |  SELECT word, CAST(count(*) AS BIGINT) AS wc
        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
        |  WHERE word <> '' GROUP BY word),
-       |v0 AS MATERIALIZED (
+       |${p}v0 AS MATERIALIZED (
        |  SELECT word, wc,
        |         '|' || array_to_string(list_transform(
        |             generate_series(1, length(word)), i -> substr(word, i, 1)),
        |           '||') || '|' AS seq
-       |  FROM w),
+       |  FROM ${p}w),
        |$rounds,
-       |segs AS (
+       |${p}segs AS (
        |  SELECT word,
        |         replace(substr(seq, 2, length(seq) - 2), '||', ' ') AS seg,
        |         CAST(len(string_split(substr(seq, 2, length(seq) - 2), '||'))
        |              AS BIGINT) AS n_sym
-       |  FROM v$BpeMerges),
-       |dt AS (
+       |  FROM ${p}v$BpeMerges),
+       |${p}dt AS (
        |  SELECT doc_id, u.pos AS pos, u.word AS word
        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) d,
        |       unnest(list_transform(generate_series(1, len(tk)),
        |         i -> struct_pack(pos := i, word := tk[i]))) AS t(u)
        |  WHERE u.word <> ''),
-       |doc AS (
+       |${p}doc AS (
        |  SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_tok,
        |         md5(string_agg(seg, ' ' ORDER BY pos)) AS toks_md5
-       |  FROM dt JOIN segs USING (word)
-       |  GROUP BY doc_id)
+       |  FROM ${p}dt JOIN ${p}segs USING (word)
+       |  GROUP BY doc_id)""".stripMargin
+  }
+
+  private val bpeApplyOracle = {
+    s"""WITH ${bpeChainCtes("")}
        |SELECT doc_id, doc_id % 8 AS shard, n_tok, toks_md5,
        |       CAST(coalesce(sum(n_tok) OVER (PARTITION BY doc_id % 8
        |              ORDER BY doc_id
