@@ -1,0 +1,625 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-12 first tier: exact resampling inference (permutation test +
+  * Benjamini–Hochberg FDR over exact integer p-values), consistent-hash
+  * shard rebalancing (HRW), margin-based bitext mining, and the
+  * padding-vs-packing waste audit.
+  */
+object Round12Queries {
+
+  // ---------------------------------------------------------------- x293
+
+  /** Rows per group for the exact permutation enumeration (first
+    * [[PermN]] orders per nation by orderkey; C(12,6) = 924 splits). */
+  private val PermN = 12
+  private val PermK = 6
+
+  /** Shared per-nation exact permutation p-values: observed statistic is
+    * |sum(first 6) − sum(last 6)| of the first 12 orders' total prices
+    * (cents); the null enumerates ALL C(12,6) equal-split relabelings.
+    * Everything is BIGINT: d = |2·sumA − S| compares exactly, and
+    * p = p_num/924 is a ratio of counts — the only resampling scheme
+    * that can be oracle-paired bit-for-bit, and the reason x294 can run
+    * BH on EXACT rationals. */
+  private def permPvalues(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ranked = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select($"c_nationkey".as("nationkey"), $"o_orderkey",
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"nationkey").orderBy($"o_orderkey")))
+      .filter($"rk" <= PermN)
+    val groups = ranked.groupBy($"nationkey")
+      .agg(count(lit(1)).as("nrows"),
+        expr("transform(array_sort(collect_list(struct(o_orderkey, cents))), x -> x.cents)")
+          .as("vals"),
+        sum(when($"rk" <= PermK, $"cents").otherwise(0L)).as("sum_a_obs"),
+        sum($"cents").as("s"))
+      .filter($"nrows" === PermN) // only full groups enumerate
+      .withColumn("d_obs", abs($"sum_a_obs" * 2 - $"s"))
+    // 2^12 masks; popcount via the same fold both engines run (no reliance
+    // on a bit_count builtin parity)
+    val masks = spark.range(0L, 1L << PermN).toDF("mask")
+      .filter(expr(s"aggregate(sequence(0, ${PermN - 1}), 0L, " +
+        s"(acc, i) -> acc + (shiftright(mask, i) & 1)) = $PermK"))
+    groups.crossJoin(broadcast(masks))
+      .withColumn("sum_a", expr(
+        s"aggregate(sequence(0, ${PermN - 1}), 0L, (acc, i) -> " +
+          "acc + IF((shiftright(mask, i) & 1) = 1, element_at(vals, i + 1), 0L))"))
+      .withColumn("d", abs($"sum_a" * 2 - $"s"))
+      .groupBy($"nationkey", $"d_obs")
+      .agg(sum(when($"d" >= $"d_obs", 1L).otherwise(0L)).as("p_num"),
+        count(lit(1)).as("p_den"))
+  }
+
+  /** The identical pipeline as DuckDB CTEs ending in
+    * `perm_p(nationkey, d_obs, p_num, p_den)`. */
+  private val permPvaluesCtes =
+    s"""ranked AS (
+       |  SELECT c_nationkey AS nationkey, o_orderkey,
+       |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+       |         row_number() OVER (PARTITION BY c_nationkey ORDER BY o_orderkey) AS rk
+       |  FROM orders JOIN customer ON o_custkey = c_custkey),
+       |grp AS (
+       |  SELECT nationkey,
+       |         list(cents ORDER BY o_orderkey) AS vals,
+       |         CAST(sum(CASE WHEN rk <= $PermK THEN cents ELSE 0 END) AS BIGINT) AS sum_a_obs,
+       |         CAST(sum(cents) AS BIGINT) AS s
+       |  FROM ranked WHERE rk <= $PermN
+       |  GROUP BY nationkey HAVING count(*) = $PermN),
+       |gobs AS (SELECT nationkey, vals, s, abs(sum_a_obs * 2 - s) AS d_obs FROM grp),
+       |msk AS (SELECT k AS mask FROM range(0, ${1 << PermN}) t(k)
+       |        WHERE list_sum(list_transform(range(0, $PermN),
+       |                i -> (k >> i) & 1)) = $PermK),
+       |perm AS (
+       |  SELECT nationkey, d_obs,
+       |         abs(2 * list_sum(list_transform(range(0, $PermN),
+       |               i -> CASE WHEN ((mask >> i) & 1) = 1
+       |                         THEN vals[i + 1] ELSE 0 END)) - s) AS d
+       |  FROM gobs, msk),
+       |perm_p AS (
+       |  SELECT nationkey, d_obs,
+       |         CAST(sum(CASE WHEN d >= d_obs THEN 1 ELSE 0 END) AS BIGINT) AS p_num,
+       |         CAST(count(*) AS BIGINT) AS p_den
+       |  FROM perm GROUP BY nationkey, d_obs)""".stripMargin
+
+  /** x293: exact two-sample permutation test per nation — the
+    * distribution-free significance test whose p-value is a RATIO OF
+    * COUNTS, enumerated completely (no RNG, no Monte-Carlo): the only
+    * resampling scheme an oracle-paired engine can ship bit-exact.
+    * Observed split = first [[PermK]] vs last of the first [[PermN]]
+    * orders per nation (by orderkey); statistic |2·sumA − S| in BIGINT
+    * cents.
+    *
+    * Scale: the corpus pass is one ranked top-[[PermN]] per group; the
+    * enumeration is groups × C(12,6) = bounded lattice rows, never
+    * corpus-shaped — exactly how an exact test stays feasible at 100 TB
+    * (enumerate per GROUP over a fixed panel, not per row). */
+  def permTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    permPvalues(spark, dir)
+      .select($"nationkey", $"d_obs", $"p_num", $"p_den",
+        QueryUtil.halfUp($"p_num".cast("double") / $"p_den", 6).as("p"))
+      .orderBy($"nationkey")
+  }
+
+  private val permTestOracle =
+    s"""WITH $permPvaluesCtes
+       |SELECT nationkey, d_obs, p_num, p_den,
+       |       floor(CAST(p_num AS DOUBLE) / p_den * 1000000 + 0.5) / 1000000.0 AS p
+       |FROM perm_p
+       |ORDER BY nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- x294
+
+  /** BH level α = 1/20. */
+  private val BhAlphaDen = 20L
+
+  /** x294: Benjamini–Hochberg FDR control over x293's EXACT p-values —
+    * the multiple-testing step every per-group significance sweep needs
+    * (25 nations tested at once inflate false positives). Because the
+    * p-values are exact rationals with one shared denominator, the BH
+    * predicate `p_(k) ≤ α·k/m` cross-multiplies to pure BIGINTs:
+    * `p_num·m·$BhAlphaDen ≤ p_den·k` — no float thresholds anywhere.
+    * `k_max` is the largest passing rank; rejected = rank ≤ k_max (the
+    * step-up rule, including non-passing ranks below k_max).
+    *
+    * Scale: runs on the per-GROUP p-value panel (|groups| rows), free at
+    * any corpus size once x293's census is done. */
+  def bhFdr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = permPvalues(spark, dir).localCheckpoint(true)
+    val m = p.agg(count(lit(1)).as("m"))
+    val ranked = p.crossJoin(broadcast(m))
+      .withColumn("k", row_number().over(Window.orderBy($"p_num", $"nationkey")).cast("long"))
+      .withColumn("pass", $"p_num" * $"m" * BhAlphaDen <= $"p_den" * $"k")
+    val kmax = ranked.agg(max(when($"pass", $"k").otherwise(0L)).as("k_max"))
+    ranked.crossJoin(broadcast(kmax))
+      .select($"nationkey", $"p_num", $"p_den", $"k", $"m",
+        $"pass".cast("long").as("pass"),
+        ($"k" <= $"k_max").cast("long").as("rejected"))
+      .orderBy($"nationkey")
+  }
+
+  private val bhFdrOracle =
+    s"""WITH $permPvaluesCtes,
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM perm_p),
+       |rk AS (
+       |  SELECT nationkey, p_num, p_den, m,
+       |         CAST(row_number() OVER (ORDER BY p_num, nationkey) AS BIGINT) AS k
+       |  FROM perm_p, mm),
+       |fl AS (SELECT *, (p_num * m * $BhAlphaDen <= p_den * k) AS pass FROM rk),
+       |km AS (SELECT max(CASE WHEN pass THEN k ELSE 0 END) AS k_max FROM fl)
+       |SELECT nationkey, p_num, p_den, k, m,
+       |       CAST(CASE WHEN pass THEN 1 ELSE 0 END AS BIGINT) AS pass,
+       |       CAST(CASE WHEN k <= k_max THEN 1 ELSE 0 END AS BIGINT) AS rejected
+       |FROM fl, km
+       |ORDER BY nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- x296
+
+  private val OldShards = 8
+  private val NewShards = 10
+
+  /** x296: HRW (highest-random-weight / rendezvous) shard rebalance audit
+    * — growing a corpus layout from [[OldShards]] to [[NewShards]]
+    * shards: under mod-sharding nearly every document relocates (a full
+    * 100 TB reshuffle); under HRW (shard = argmax over shards of
+    * h(doc, shard)) ONLY documents whose argmax lands on a NEW shard
+    * move — provably ≈ 2/10 of the corpus, and never into an old shard.
+    * The audit emits both movement counts plus the invariant violation
+    * count (HRW relocations into old shards — must be 0 BY CONSTRUCTION:
+    * old scores are unchanged, so a changed argmax can only be won by a
+    * new shard).
+    *
+    * Scale: one narrow map (shards × docs rows, grouped max) — the
+    * placement audit you run BEFORE committing to a reshuffle; exact
+    * integer hashes (32-bit md5 prefix), deterministic ties. */
+  def hrwRebalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seeds = Tables.documents(spark, dir).select($"doc_id")
+      .select($"doc_id", explode(sequence(lit(0), lit(NewShards - 1))).as("s"))
+      .withColumn("hw", conv(substring(
+        md5(concat_ws("|", lit("hrw"), $"doc_id", $"s")), 1, 8), 16, 10)
+        .cast("long"))
+    def argmax(n: Int, name: String) = seeds.filter($"s" < n)
+      .groupBy($"doc_id")
+      .agg(max(struct($"hw", (-$"s").cast("long").as("negs"))).as("mx"))
+      .select($"doc_id", (-$"mx.negs").as(name))
+    argmax(OldShards, "old_shard").join(argmax(NewShards, "new_shard"), "doc_id")
+      .select($"doc_id", $"old_shard", $"new_shard",
+        ($"doc_id" % OldShards).as("old_mod"), ($"doc_id" % NewShards).as("new_mod"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"old_shard" =!= $"new_shard", 1L).otherwise(0L)).as("moved_hrw"),
+        sum(when($"old_shard" =!= $"new_shard" && $"new_shard" < OldShards, 1L)
+          .otherwise(0L)).as("hrw_into_old"),
+        sum(when($"old_mod" =!= $"new_mod", 1L).otherwise(0L)).as("moved_mod"))
+      .select($"n_docs", $"moved_hrw", $"hrw_into_old", $"moved_mod",
+        QueryUtil.halfUp($"moved_hrw".cast("double") / $"n_docs", 6).as("hrw_frac"),
+        QueryUtil.halfUp($"moved_mod".cast("double") / $"n_docs", 6).as("mod_frac"))
+  }
+
+  /** 32-bit integer from the first 8 hex chars of md5 expr `$h`. */
+  private def hex8Sql(h: String) =
+    (1 to 8).map(i => s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1)")
+      .reduce((a, b) => s"($a * 16 + $b)")
+
+  private val hrwRebalanceOracle = {
+    val hw = hex8Sql("md5('hrw' || '|' || CAST(doc_id AS VARCHAR) || '|' || CAST(s AS VARCHAR))")
+    s"""WITH seeds AS (
+       |  SELECT doc_id, s, CAST($hw AS BIGINT) AS hw
+       |  FROM (SELECT doc_id FROM documents) d,
+       |       (SELECT k AS s FROM range(0, $NewShards) t(k))),
+       |olds AS (
+       |  SELECT doc_id, s AS old_shard FROM (
+       |    SELECT doc_id, s,
+       |           row_number() OVER (PARTITION BY doc_id ORDER BY hw DESC, s) AS rk
+       |    FROM seeds WHERE s < $OldShards) WHERE rk = 1),
+       |news AS (
+       |  SELECT doc_id, s AS new_shard FROM (
+       |    SELECT doc_id, s,
+       |           row_number() OVER (PARTITION BY doc_id ORDER BY hw DESC, s) AS rk
+       |    FROM seeds) WHERE rk = 1),
+       |j AS (
+       |  SELECT o.doc_id, old_shard, new_shard,
+       |         o.doc_id % $OldShards AS old_mod, o.doc_id % $NewShards AS new_mod
+       |  FROM olds o JOIN news n ON n.doc_id = o.doc_id)
+       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN old_shard <> new_shard THEN 1 ELSE 0 END) AS BIGINT) AS moved_hrw,
+       |       CAST(sum(CASE WHEN old_shard <> new_shard AND new_shard < $OldShards
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS hrw_into_old,
+       |       CAST(sum(CASE WHEN old_mod <> new_mod THEN 1 ELSE 0 END) AS BIGINT) AS moved_mod,
+       |       floor(CAST(sum(CASE WHEN old_shard <> new_shard THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / count(*) * 1000000 + 0.5) / 1000000.0 AS hrw_frac,
+       |       floor(CAST(sum(CASE WHEN old_mod <> new_mod THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / count(*) * 1000000 + 0.5) / 1000000.0 AS mod_frac
+       |FROM j""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- x297
+
+  /** Neighborhood size for the margin denominators. */
+  private val MarginK = 10
+
+  /** x297: margin-based bitext mining (the Artetxe–Schwenk RATIO margin,
+    * the standard parallel-corpus miner for multilingual training data):
+    * split the embedding table into a "source" side (even vec_id) and
+    * "target" side (odd), score every cross pair by
+    * `margin(a,b) = sim(a,b) / ((r(a) + r(b)) / 2)` with r(x) = mean
+    * similarity of x's [[MarginK]] nearest cross-side neighbors, and
+    * mine the pairs where a's best target and b's best source agree
+    * (mutual top-1). Arithmetic contract: cosines quantize to 1e-6
+    * fixed point (the x216 recipe); similarities shift to [0, 2e6] so
+    * every margin is positive-definite; the margin ranking key is the
+    * integer `(sim_shift · 1e6) div (r_a + r_b)` — floor of an exact
+    * rational, so both engines rank identically (x216's CSLS is the
+    * DIFFERENCE margin; this is the ratio variant the mining literature
+    * actually uses, plus the mutual-agreement gate).
+    *
+    * Scale: r comes from the kNN pass (brute here; IVF/LSH candidates at
+    * scale — x238's swap), the pair stage is src×tgt with the smaller
+    * side broadcast, and top-1 runs as the bounded topk_pairs aggregate
+    * (map-side k rows, no n² window shuffle). */
+  def marginBitext(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding",
+        Similarity.dot($"embedding", $"embedding").as("n2"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint(true)
+    val src = emb.filter($"vec_id" % 2 === 0).toDF("a", "av", "n2a")
+    val tgt = emb.filter($"vec_id" % 2 === 1).toDF("b", "bv", "n2b")
+    // sim shifted to [0, 2e6]: cos fixed-point + 1e6
+    val pairs = src.join(broadcast(tgt), $"a" =!= $"b")
+      .select($"a", $"b",
+        (expr("CAST(floor(vec_dot(av, bv) / sqrt(n2a * n2b) * 1000000 + 0.5) AS BIGINT)")
+          + 1000000L).as("sim_fp"))
+      .localCheckpoint(true)
+    val rA = pairs.groupBy($"a")
+      .agg(expr(s"topk_pairs(sim_fp, b, $MarginK)").as("top"))
+      .select($"a", expr("aggregate(top, 0L, (acc, x) -> acc + x.v) div size(top)").as("r_a"))
+    val rB = pairs.groupBy($"b")
+      .agg(expr(s"topk_pairs(sim_fp, a, $MarginK)").as("top"))
+      .select($"b", expr("aggregate(top, 0L, (acc, x) -> acc + x.v) div size(top)").as("r_b"))
+    val scored = pairs
+      .join(broadcast(rA), "a").join(broadcast(rB), "b")
+      .select($"a", $"b", $"sim_fp",
+        expr("(sim_fp * 1000000L) div (r_a + r_b)").as("margin_fp"))
+      // three consumers (fwd top-1, bwd top-1, the mined-pair join) —
+      // materialize the scored pairs once instead of re-running the joins
+      .localCheckpoint(true)
+    val fwd = scored.groupBy($"a")
+      .agg(expr("topk_pairs(margin_fp, b, 1)").as("t"))
+      .select($"a", $"t"(0).getField("id").as("b"),
+        $"t"(0).getField("v").as("margin_fp"))
+    val bwd = scored.groupBy($"b")
+      .agg(expr("topk_pairs(margin_fp, a, 1)").as("t"))
+      .select($"b", $"t"(0).getField("id").as("a"))
+    fwd.join(bwd, Seq("a", "b")) // mutual top-1 agreement
+      .join(scored.select($"a", $"b", $"sim_fp"), Seq("a", "b"))
+      .select($"a", $"b", $"margin_fp", ($"sim_fp" - 1000000L).as("cos_fp"))
+      .orderBy($"a")
+  }
+
+  private val marginBitextOracle = {
+    val cos =
+      """CAST(floor(list_sum(list_transform(range(1, len(s.embedding) + 1),
+        |    i -> CAST(s.embedding[i] AS DOUBLE) * CAST(t.embedding[i] AS DOUBLE)))
+        |  / (sqrt(s.n2) * sqrt(t.n2)) * 1000000 + 0.5) AS BIGINT)""".stripMargin
+    s"""WITH norms AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |         list_sum(list_transform(range(1, len(embedding) + 1),
+       |           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+       |           AS n2
+       |  FROM embeddings),
+       |pairs AS MATERIALIZED (
+       |  SELECT s.vec_id AS a, t.vec_id AS b, $cos + 1000000 AS sim_fp
+       |  FROM norms s JOIN norms t
+       |    ON s.vec_id % 2 = 0 AND t.vec_id % 2 = 1),
+       |ra AS (SELECT a, CAST(sum(sim_fp) // count(*) AS BIGINT) AS r_a FROM (
+       |         SELECT a, sim_fp,
+       |                row_number() OVER (PARTITION BY a ORDER BY sim_fp DESC, b) AS rk
+       |         FROM pairs) WHERE rk <= $MarginK GROUP BY a),
+       |rb AS (SELECT b, CAST(sum(sim_fp) // count(*) AS BIGINT) AS r_b FROM (
+       |         SELECT b, sim_fp,
+       |                row_number() OVER (PARTITION BY b ORDER BY sim_fp DESC, a) AS rk
+       |         FROM pairs) WHERE rk <= $MarginK GROUP BY b),
+       |scored AS MATERIALIZED (
+       |  SELECT p.a, p.b, sim_fp,
+       |         CAST((sim_fp * 1000000) // (r_a + r_b) AS BIGINT) AS margin_fp
+       |  FROM pairs p JOIN ra ON ra.a = p.a JOIN rb ON rb.b = p.b),
+       |fwd AS (SELECT a, b, margin_fp FROM (
+       |          SELECT a, b, margin_fp,
+       |                 row_number() OVER (PARTITION BY a ORDER BY margin_fp DESC, b) AS rk
+       |          FROM scored) WHERE rk = 1),
+       |bwd AS (SELECT a, b FROM (
+       |          SELECT a, b, margin_fp,
+       |                 row_number() OVER (PARTITION BY b ORDER BY margin_fp DESC, a) AS rk
+       |          FROM scored) WHERE rk = 1)
+       |SELECT f.a, f.b, f.margin_fp, sc.sim_fp - 1000000 AS cos_fp
+       |FROM fwd f JOIN bwd w ON w.a = f.a AND w.b = f.b
+       |JOIN scored sc ON sc.a = f.a AND sc.b = f.b
+       |ORDER BY f.a""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- x298
+
+  private val PackBudgets = Seq(128L, 256L, 512L, 1024L)
+  private val WasteShards = 8L
+
+  /** x298: padding-vs-packing waste audit — the budget-sweep arithmetic
+    * behind the packing decision every pretraining pipeline makes: for
+    * each sequence budget B, padding each document to its own
+    * ceil(n_tok/B) sequences wastes `Σ(ceil·B − n_tok)` token slots,
+    * while concat-packing (x50's layout) wastes only the final partial
+    * sequence per shard: `Σ_shard (ceil(tot/B)·B − tot)`. All BIGINT
+    * (integer ceil via (n + B − 1) div B); the published waste
+    * fractions round half-up at 1e-6.
+    *
+    * Scale: one corpus scan for the per-doc token counts, one
+    * shard-level census — the sweep itself runs on |budgets| × |shards|
+    * rows. */
+  def padVsPack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(filter(split($"text", " "), w => length(w) > 0))
+          .cast("long").as("n_tok"))
+      .localCheckpoint(true)
+    val budgets = PackBudgets.toDF("budget")
+    val pad = toks.crossJoin(broadcast(budgets))
+      .groupBy($"budget")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("total_tok"),
+        sum(expr("((n_tok + budget - 1) div budget) * budget - n_tok"))
+          .as("pad_waste"))
+    val shardTot = toks.groupBy(($"doc_id" % WasteShards).as("shard"))
+      .agg(sum($"n_tok").as("tot"))
+    val pack = shardTot.crossJoin(broadcast(budgets))
+      .groupBy($"budget")
+      .agg(sum(expr("((tot + budget - 1) div budget) * budget - tot"))
+        .as("pack_waste"))
+    pad.join(pack, "budget")
+      .select($"budget", $"n_docs", $"total_tok", $"pad_waste", $"pack_waste",
+        QueryUtil.halfUp($"pad_waste".cast("double")
+          / ($"total_tok" + $"pad_waste"), 6).as("pad_frac"),
+        QueryUtil.halfUp($"pack_waste".cast("double")
+          / ($"total_tok" + $"pack_waste"), 6).as("pack_frac"))
+      .orderBy($"budget")
+  }
+
+  private val padVsPackOracle = {
+    val budgets = PackBudgets.mkString("(", "), (", ")")
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+       |              AS BIGINT) AS n_tok
+       |  FROM documents),
+       |bud AS (SELECT CAST(budget AS BIGINT) AS budget
+       |        FROM (VALUES $budgets) t(budget)),
+       |pad AS (
+       |  SELECT budget, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_tok) AS BIGINT) AS total_tok,
+       |         CAST(sum(((n_tok + budget - 1) // budget) * budget - n_tok)
+       |              AS BIGINT) AS pad_waste
+       |  FROM toks, bud GROUP BY budget),
+       |st AS (SELECT doc_id % $WasteShards AS shard, CAST(sum(n_tok) AS BIGINT) AS tot
+       |       FROM toks GROUP BY 1),
+       |pk AS (
+       |  SELECT budget,
+       |         CAST(sum(((tot + budget - 1) // budget) * budget - tot)
+       |              AS BIGINT) AS pack_waste
+       |  FROM st, bud GROUP BY budget)
+       |SELECT pad.budget, n_docs, total_tok, pad_waste, pack_waste,
+       |       floor(CAST(pad_waste AS DOUBLE) / (total_tok + pad_waste)
+       |             * 1000000 + 0.5) / 1000000.0 AS pad_frac,
+       |       floor(CAST(pack_waste AS DOUBLE) / (total_tok + pack_waste)
+       |             * 1000000 + 0.5) / 1000000.0 AS pack_frac
+       |FROM pad JOIN pk ON pk.budget = pad.budget
+       |ORDER BY pad.budget""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- x295
+
+  /** x295: recursive CTE parity — Spark 4's `WITH RECURSIVE` (new SQL
+    * surface in the 4.x line) against DuckDB's, on a transitive-closure
+    * workload: suppliers form an implicit binary tree (parent(k) = k div
+    * 2, root 1), the recursion walks root→leaves accumulating depth and
+    * the path's account-balance cents, and the published result is the
+    * per-depth census (node count, path-cents total, key range). Both
+    * engines run the same anchor + UNION ALL step; arithmetic is BIGINT
+    * end-to-end.
+    *
+    * Scale: recursion depth is log₂(keys) (~24 levels at 16M nodes);
+    * each step is one equi-join of the frontier against the static
+    * table — the iterative-fixpoint shape Graph.scala implements by
+    * hand, now exercised through the ENGINE's own recursion operator. */
+  def recursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.supplier(spark, dir)
+      .select($"s_suppkey",
+        floor($"s_acctbal" * 100 + 0.5).cast("long").as("cents"))
+      .createOrReplaceTempView("x295_sup")
+    spark.sql(
+      """WITH RECURSIVE h(k, depth, path_cents) AS (
+        |  SELECT s_suppkey, CAST(1 AS BIGINT), cents
+        |  FROM x295_sup WHERE s_suppkey = 1
+        |  UNION ALL
+        |  SELECT s.s_suppkey, h.depth + 1, h.path_cents + s.cents
+        |  FROM x295_sup s JOIN h ON s.s_suppkey div 2 = h.k
+        |  WHERE s.s_suppkey > 1)
+        |SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes,
+        |       CAST(sum(path_cents) AS BIGINT) AS path_cents,
+        |       min(k) AS min_key, max(k) AS max_key
+        |FROM h GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
+  private val recursiveCteOracle =
+    """WITH RECURSIVE s AS (
+      |  SELECT s_suppkey,
+      |         CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM supplier),
+      |h(k, depth, path_cents) AS (
+      |  SELECT s_suppkey, CAST(1 AS BIGINT), cents FROM s WHERE s_suppkey = 1
+      |  UNION ALL
+      |  SELECT s.s_suppkey, h.depth + 1, h.path_cents + s.cents
+      |  FROM s JOIN h ON s.s_suppkey // 2 = h.k
+      |  WHERE s.s_suppkey > 1)
+      |SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes,
+      |       CAST(sum(path_cents) AS BIGINT) AS path_cents,
+      |       min(k) AS min_key, max(k) AS max_key
+      |FROM h GROUP BY depth ORDER BY depth""".stripMargin
+
+  // ---------------------------------------------------------------- x299
+
+  /** Micro-batch slice cuts (x207's convention) — three files ⇒ state
+    * crosses two real micro-batch boundaries. */
+  private val SliceCuts = Seq(1704800000L, 1705800000L)
+
+  /** Deterministic user sample for x299 (bounds the emitted panel). */
+  private val MapUserMod = 20L
+
+  private def stageEventSlices(spark: SparkSession, dir: String, base: String,
+                               df: DataFrame): Unit = {
+    import spark.implicits._
+    val bounds = (Long.MinValue +: SliceCuts) zip (SliceCuts :+ Long.MaxValue)
+    QueryUtil.stageFrames(
+      bounds.map { case (lo, hi) => df.filter($"sec" >= lo && $"sec" < hi) },
+      s"$base/src")
+  }
+
+  /** x299: `transformWithState` MAP-STATE batch parity — per-user counts
+    * keyed by event type in an explicit `MapState[String, Long]`
+    * ([[graft.streaming.IncrementalStream.TwsTypeCountProcessor]]),
+    * streamed over three chronological slices so individual map ENTRIES
+    * (not whole-user blobs) survive micro-batch boundaries on RocksDB.
+    * The last emission per (user, type) — counts only grow, so max(n) —
+    * must equal the batch `GROUP BY user_id, event_type` count. Closes
+    * the state-variable API matrix: ValueState (x207), timers (x231),
+    * MapState (this), ListState (x300).
+    *
+    * Scale: state is O(users × touched types) individual store entries;
+    * a batch writes only the entries it touches — the property that
+    * distinguishes MapState from a ValueState-of-map at wide per-key
+    * domains. Sampled to user_id % [[MapUserMod]] = 0 to keep the
+    * emitted panel bounded (the state machine is identical). */
+  def twsMapParity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_x299").toString
+    val ev = Tables.events(spark, dir)
+      .filter($"user_id" % MapUserMod === 0)
+      .select($"user_id", $"event_type",
+        expr("unix_timestamp(cast(date_trunc('second', ts) as timestamp))")
+          .cast("long").as("sec"))
+    stageEventSlices(spark, dir, base, ev)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+    val counts = graft.streaming.IncrementalStream.twsTypeCounts(
+      stream.select($"user_id", $"event_type").as[(Long, String)])
+    val emitted = QueryUtil.withConfs(spark,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.shuffle.partitions" -> "8") {
+      QueryUtil.stageStream(spark, counts.toDF(), base)
+    }
+    QueryUtil.deleteRecursively(base)
+    emitted.groupBy($"user_id", $"event_type")
+      .agg(max($"n").as("n"))
+      .orderBy($"user_id", $"event_type")
+  }
+
+  private val twsMapParityOracle =
+    s"""SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+       |FROM events
+       |WHERE user_id % $MapUserMod = 0
+       |GROUP BY user_id, event_type
+       |ORDER BY user_id, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- x300
+
+  /** x300: `transformWithState` LIST-STATE batch parity — every purchase
+    * APPENDS its cents to an explicit `ListState[Long]`
+    * ([[graft.streaming.IncrementalStream.TwsListProcessor]]; an O(1)
+    * store append, the event-log state shape), and each batch's emission
+    * re-derives order-free aggregates (count, sum, min) from a full list
+    * scan. The last emission per user must equal the batch aggregate —
+    * which proves the appended log held exactly the input rows across
+    * micro-batch boundaries, no loss, no duplication.
+    *
+    * Scale: appends are O(rows in batch); the per-batch list scan is the
+    * deliberate parity device (a production op would emit the appended
+    * deltas) — state size is the user's full event log, the shape
+    * ListState exists to store. */
+  def twsListParity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_x300").toString
+    val ev = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id",
+        floor($"value" * 100 + 0.5).cast("long").as("cents"),
+        expr("unix_timestamp(cast(date_trunc('second', ts) as timestamp))")
+          .cast("long").as("sec"))
+    stageEventSlices(spark, dir, base, ev)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+    val sums = graft.streaming.IncrementalStream.twsPurchaseLog(
+      stream.select($"user_id", $"cents").as[(Long, Long)])
+    val emitted = QueryUtil.withConfs(spark,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.shuffle.partitions" -> "8") {
+      QueryUtil.stageStream(spark, sums.toDF(), base)
+    }
+    QueryUtil.deleteRecursively(base)
+    // last emission per user = maximal running count (monotone)
+    emitted.groupBy($"user_id")
+      .agg(max(struct($"n", $"cents", $"min_cents")).as("s"))
+      .select($"user_id", $"s.n".as("n"), $"s.cents".as("cents"),
+        $"s.min_cents".as("min_cents"))
+      .orderBy($"user_id")
+  }
+
+  private val twsListParityOracle =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(cents) AS BIGINT) AS cents,
+      |       CAST(min(cents) AS BIGINT) AS min_cents
+      |FROM (SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |      FROM events WHERE event_type = 'purchase') p
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- defs
+
+  lazy val defs: Seq[QueryDef] = Seq(
+    QueryDef("x293_perm_test",
+      "exact two-sample permutation test: complete C(12,6) enumeration, integer p-values",
+      permTest, Some(permTestOracle)),
+    QueryDef("x294_bh_fdr",
+      "Benjamini-Hochberg FDR over exact permutation p-values (pure BIGINT step-up rule)",
+      bhFdr, Some(bhFdrOracle)),
+    QueryDef("x295_recursive_cte",
+      "WITH RECURSIVE parity: binary-tree transitive closure, per-depth path-cents census",
+      recursiveCte, Some(recursiveCteOracle)),
+    QueryDef("x296_hrw_rebalance",
+      "HRW rendezvous-hash shard rebalance audit vs mod-sharding (zero moves into old shards)",
+      hrwRebalance, Some(hrwRebalanceOracle)),
+    QueryDef("x297_margin_bitext",
+      "margin-based bitext mining: ratio margin + mutual top-1 agreement over split embeddings",
+      marginBitext, Some(marginBitextOracle)),
+    QueryDef("x298_pad_vs_pack",
+      "padding-vs-packing waste sweep across sequence budgets (exact integer slot accounting)",
+      padVsPack, Some(padVsPackOracle)),
+    QueryDef("x299_tws_mapstate_parity",
+      "transformWithState MapState batch parity: per-(user,type) counts as individual store entries over 3 micro-batches",
+      twsMapParity, Some(twsMapParityOracle)),
+    QueryDef("x300_tws_liststate_parity",
+      "transformWithState ListState batch parity: appended purchase log re-derives order-free aggregates",
+      twsListParity, Some(twsListParityOracle)))
+}

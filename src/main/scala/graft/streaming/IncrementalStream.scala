@@ -462,6 +462,105 @@ object IncrementalStream {
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
+  /** Per-(user, event_type) running count emitted by
+    * [[TwsTypeCountProcessor]]. */
+  final case class TwsTypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** The MAP-STATE surface of `transformWithState`: per-user running
+    * counts keyed by EVENT TYPE in an explicit `MapState[String, Long]`.
+    * Unlike a ValueState holding a whole map, MapState reads and writes
+    * individual entries against the store — a batch touching one event
+    * type for a user updates ONE RocksDB key, which is what keeps
+    * per-key state mutation O(touched) when the per-user domain is wide
+    * (the production shape: thousands of counters per entity, a few
+    * touched per batch). Emits the updated (user, type, n) rows only for
+    * types touched this batch. */
+  final class TwsTypeCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), TwsTypeCount] {
+    @transient private var counts:
+        org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, String)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TwsTypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      rows.foreach { case (_, et) =>
+        val cur = touched.getOrElse(et,
+          if (counts.containsKey(et)) counts.getValue(et) else 0L)
+        touched(et) = cur + 1L
+      }
+      touched.foreach { case (et, n) => counts.updateValue(et, n) }
+      touched.toSeq.map { case (et, n) => TwsTypeCount(key, et, n) }.iterator
+    }
+  }
+
+  /** `transformWithState` wrapper over (user_id, event_type) rows →
+    * per-key updated per-type running counts each micro-batch (RocksDB
+    * provider required; callers scope it with `QueryUtil.withConfs`). */
+  def twsTypeCounts(events: org.apache.spark.sql.Dataset[(Long, String)]):
+      org.apache.spark.sql.Dataset[TwsTypeCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new TwsTypeCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
+  /** Per-user list-derived summary emitted by [[TwsListProcessor]]. */
+  final case class TwsListSummary(user_id: Long, n: Long, cents: Long,
+                                  min_cents: Long)
+
+  /** The LIST-STATE surface of `transformWithState`: every purchase's
+    * cents APPENDS to an explicit `ListState[Long]` (an O(1) store
+    * append — no read-modify-write of a whole buffer, the property that
+    * makes ListState the right shape for event logs), and the emitted
+    * summary re-derives order-free aggregates (count, sum, min) from a
+    * full list scan so a batch oracle can gate the plumbing exactly. */
+  final class TwsListProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), TwsListSummary] {
+    @transient private var log:
+        org.apache.spark.sql.streaming.ListState[Long] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      log = getHandle.getListState[Long]("log",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TwsListSummary] = {
+      rows.foreach { case (_, c) => log.appendValue(c) }
+      var (n, s, m) = (0L, 0L, Long.MaxValue)
+      log.get().foreach { c => n += 1; s += c; if (c < m) m = c }
+      Iterator.single(TwsListSummary(key, n, s, m))
+    }
+  }
+
+  /** `transformWithState` wrapper over (user_id, cents) purchases →
+    * per-key list-derived summaries each micro-batch. */
+  def twsPurchaseLog(purchases: org.apache.spark.sql.Dataset[(Long, Long)]):
+      org.apache.spark.sql.Dataset[TwsListSummary] = {
+    val spark = purchases.sparkSession
+    import spark.implicits._
+    purchases.groupByKey(_._1)
+      .transformWithState(new TwsListProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   /** Session summary emitted by [[TwsTimerSessionProcessor]] when its
     * event-time timer expires. */
   final case class TwsSession(user_id: Long, start_sec: Long, end_sec: Long,
