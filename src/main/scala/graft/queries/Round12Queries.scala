@@ -443,18 +443,21 @@ object Round12Queries {
     * hand, now exercised through the ENGINE's own recursion operator. */
   def recursiveCte(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // node key = s_suppkey + 1: fixture keys start at 0, and a div-2 tree
+    // rooted at 1 only covers keys >= 1 — the shift makes the closure
+    // visit EVERY supplier exactly once (Round12Spec pins that invariant)
     Tables.supplier(spark, dir)
-      .select($"s_suppkey",
+      .select(($"s_suppkey" + 1).as("k0"),
         floor($"s_acctbal" * 100 + 0.5).cast("long").as("cents"))
       .createOrReplaceTempView("x295_sup")
     spark.sql(
       """WITH RECURSIVE h(k, depth, path_cents) AS (
-        |  SELECT s_suppkey, CAST(1 AS BIGINT), cents
-        |  FROM x295_sup WHERE s_suppkey = 1
+        |  SELECT k0, CAST(1 AS BIGINT), cents
+        |  FROM x295_sup WHERE k0 = 1
         |  UNION ALL
-        |  SELECT s.s_suppkey, h.depth + 1, h.path_cents + s.cents
-        |  FROM x295_sup s JOIN h ON s.s_suppkey div 2 = h.k
-        |  WHERE s.s_suppkey > 1)
+        |  SELECT s.k0, h.depth + 1, h.path_cents + s.cents
+        |  FROM x295_sup s JOIN h ON s.k0 div 2 = h.k
+        |  WHERE s.k0 > 1)
         |SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes,
         |       CAST(sum(path_cents) AS BIGINT) AS path_cents,
         |       min(k) AS min_key, max(k) AS max_key
@@ -463,15 +466,15 @@ object Round12Queries {
 
   private val recursiveCteOracle =
     """WITH RECURSIVE s AS (
-      |  SELECT s_suppkey,
+      |  SELECT s_suppkey + 1 AS k0,
       |         CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS cents
       |  FROM supplier),
       |h(k, depth, path_cents) AS (
-      |  SELECT s_suppkey, CAST(1 AS BIGINT), cents FROM s WHERE s_suppkey = 1
+      |  SELECT k0, CAST(1 AS BIGINT), cents FROM s WHERE k0 = 1
       |  UNION ALL
-      |  SELECT s.s_suppkey, h.depth + 1, h.path_cents + s.cents
-      |  FROM s JOIN h ON s.s_suppkey // 2 = h.k
-      |  WHERE s.s_suppkey > 1)
+      |  SELECT s.k0, h.depth + 1, h.path_cents + s.cents
+      |  FROM s JOIN h ON s.k0 // 2 = h.k
+      |  WHERE s.k0 > 1)
       |SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes,
       |       CAST(sum(path_cents) AS BIGINT) AS path_cents,
       |       min(k) AS min_key, max(k) AS max_key
@@ -595,6 +598,179 @@ object Round12Queries {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- x301
+
+  /** Katz attenuation 1/[[KatzAlphaDen]] and unrolled iteration count.
+    * The trade graph has ≤ 24 out-edges per nation, so λmax ≤ 24 <
+    * [[KatzAlphaDen]] guarantees convergence and the scaled-integer
+    * trajectory stays far inside BIGINT (n_i ≤ 32^i · 32/8). */
+  private val KatzAlphaDen = 32L
+  private val KatzIters = 6
+
+  /** x301: Katz centrality over the unweighted nation trade graph —
+    * PageRank (x63) normalizes by out-degree, HITS (x77) by the
+    * authority/hub split; Katz counts ALL walks into a node, length-k
+    * walks attenuated by α^k: x = Σ_k α^k (Aᵀ)^k·1. Unrolled
+    * [[KatzIters]] iterations of `x_{i+1} = 1 + α·Aᵀx_i` in EXACT
+    * integers: n_i = x_i·32^i, so `n_{i+1}(v) = 32^{i+1} +
+    * Σ_{u→v} n_i(u)` is pure BIGINT and the centrality ranking is
+    * bit-stable cross-engine (the x63/x77 discipline, third member of
+    * the family).
+    *
+    * Scale: k sparse matrix-vector joins, each a groupBy on dst —
+    * iteration localCheckpoints so the unrolled lineage never
+    * re-executes. */
+  def katzCentrality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val trade = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey")
+      .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey")),
+        $"l_suppkey" === $"s_suppkey")
+      .filter($"c_nationkey" =!= $"s_nationkey")
+      .select($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
+    val edges = trade
+      .unionByName(trade.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = edges.select($"src".as("node")).distinct().localCheckpoint(true)
+    val x0 = nodes.withColumn("n", lit(1L))
+    val xFinal = (1 to KatzIters).foldLeft(x0) { (x, i) =>
+      val scale = math.pow(KatzAlphaDen.toDouble, i).toLong
+      val inc = edges.join(x.withColumnRenamed("node", "src"), "src")
+        .groupBy($"dst".as("node")).agg(sum($"n").as("inc"))
+      nodes.join(inc, Seq("node"), "left")
+        .select($"node", (lit(scale) + coalesce($"inc", lit(0L))).as("n"))
+        .localCheckpoint(true)
+    }
+    xFinal
+      .join(broadcast(Tables.nation(spark, dir)), $"node" === $"n_nationkey")
+      .select($"node".cast("long").as("nationkey"), $"n_name",
+        $"n".as("katz_num"),
+        QueryUtil.halfUp($"n".cast("double")
+          / math.pow(KatzAlphaDen.toDouble, KatzIters), 6).as("katz"))
+      .orderBy($"katz_num".desc, $"nationkey")
+  }
+
+  private val katzOracle = {
+    def iter(prev: String, cur: String, i: Int): String = {
+      val scale = math.pow(KatzAlphaDen.toDouble, i).toLong
+      s"""$cur AS MATERIALIZED (
+         |  SELECT n.node,
+         |         $scale + COALESCE(s.inc, 0) AS n
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum(x.n) AS BIGINT) AS inc
+         |    FROM edges e JOIN $prev x ON x.node = e.src
+         |    GROUP BY e.dst) s ON s.node = n.node)""".stripMargin
+    }
+    val iters = (1 to KatzIters)
+      .map(i => iter(s"x${i - 1}", s"x$i", i)).mkString(",\n")
+    val denom = math.pow(KatzAlphaDen.toDouble, KatzIters)
+    s"""WITH trade AS MATERIALIZED (
+       |  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  WHERE c_nationkey <> s_nationkey),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst FROM trade
+       |  UNION SELECT dst, src FROM trade),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+       |x0 AS (SELECT node, CAST(1 AS BIGINT) AS n FROM nodes),
+       |$iters
+       |SELECT CAST(x.node AS BIGINT) AS nationkey, n_name,
+       |       x.n AS katz_num,
+       |       floor(CAST(x.n AS DOUBLE) / $denom * 1000000 + 0.5) / 1000000.0
+       |         AS katz
+       |FROM x$KatzIters x JOIN nation ON n_nationkey = x.node
+       |ORDER BY katz_num DESC, nationkey""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- x302
+
+  /** Contamination gram width (x237's span granularity). */
+  private val ContamSpanG = 8
+
+  /** x302: longest contaminated SPAN per training document — x51/x16
+    * count shared fingerprints (how MANY grams leak); the actionable
+    * decontamination metric is how LONG the longest leaked run is (a
+    * 7-token overlap is phrase reuse; a 200-token run is a copied eval
+    * record). Every training-doc 8-gram present anywhere in the eval
+    * split (doc_id % 40 = 0) marks its covered token interval; per doc,
+    * overlap-or-touch intervals merge (x237's array-local island fold)
+    * and the report gives the span count, total covered tokens, and the
+    * MAX single span length. Only contaminated docs emit rows.
+    *
+    * Scale: one gram explode + an equi-join against the (distinct,
+    * much smaller) eval gram set, then per-doc array-local folds — no
+    * window over the corpus, no pairwise doc join. */
+  def contamSpan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val G = ContamSpanG
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+    val grams = docs.select($"doc_id",
+      posexplode(when(size($"toks") >= G,
+        expr(s"transform(sequence(0, size(toks) - $G), " +
+          s"i -> concat_ws(' ', slice(toks, i + 1, $G)))"))
+        .otherwise(array())).as(Seq("p0", "gram")))
+      .select($"doc_id", ($"p0" + 1).as("p"), $"gram")
+    val evalGrams = grams.filter($"doc_id" % 40 === 0)
+      .select($"gram").distinct()
+    val hits = grams.filter($"doc_id" % 40 =!= 0)
+      .join(evalGrams, "gram")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list($"p")).as("ps"))
+    val spansExpr = expr(
+      s"""aggregate(ps,
+         |  cast(array() as array<struct<s:int,e:int>>),
+         |  (acc, p) -> CASE
+         |    WHEN size(acc) = 0 OR p > element_at(acc, -1).e + 1
+         |      THEN concat(acc, array(named_struct('s', p, 'e', p + ${G - 1})))
+         |    ELSE concat(slice(acc, 1, size(acc) - 1),
+         |           array(named_struct('s', element_at(acc, -1).s,
+         |                              'e', p + ${G - 1})))
+         |  END)""".stripMargin)
+    hits.select($"doc_id", spansExpr.as("runs"))
+      .select($"doc_id",
+        size($"runs").cast("long").as("n_spans"),
+        expr("aggregate(runs, 0L, (a, r) -> a + r.e - r.s + 1)").as("contam_toks"),
+        expr("aggregate(runs, 0L, (a, r) -> greatest(a, CAST(r.e - r.s + 1 AS BIGINT)))")
+          .as("max_span"))
+      .orderBy("doc_id")
+  }
+
+  private val contamSpanOracle = {
+    val G = ContamSpanG
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (SELECT doc_id, CAST(u.i AS INTEGER) AS p,
+       |        array_to_string(toks[CAST(u.i AS INTEGER):CAST(u.i AS INTEGER) + ${G - 1}], ' ') AS gram
+       |      FROM t, LATERAL unnest(range(1, greatest(len(toks) - ${G - 2}, 1))) AS u(i)
+       |      WHERE len(toks) >= $G),
+       |eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 40 = 0),
+       |dp AS (SELECT doc_id, p FROM g JOIN eg USING (gram) WHERE doc_id % 40 <> 0),
+       |brk AS (SELECT doc_id, p,
+       |          CASE WHEN lag(p) OVER w IS NULL
+       |                 OR p > lag(p) OVER w + $G THEN 1 ELSE 0 END AS new_run
+       |        FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+       |runs AS (SELECT doc_id, p,
+       |           sum(new_run) OVER (PARTITION BY doc_id ORDER BY p
+       |                              ROWS UNBOUNDED PRECEDING) AS run_id
+       |         FROM brk),
+       |agg AS (SELECT doc_id, run_id, min(p) AS s, max(p) + ${G - 1} AS e
+       |        FROM runs GROUP BY doc_id, run_id)
+       |SELECT doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_spans,
+       |       CAST(sum(e - s + 1) AS BIGINT) AS contam_toks,
+       |       CAST(max(e - s + 1) AS BIGINT) AS max_span
+       |FROM agg
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- defs
 
   lazy val defs: Seq[QueryDef] = Seq(
@@ -616,6 +792,12 @@ object Round12Queries {
     QueryDef("x298_pad_vs_pack",
       "padding-vs-packing waste sweep across sequence budgets (exact integer slot accounting)",
       padVsPack, Some(padVsPackOracle)),
+    QueryDef("x301_katz_centrality",
+      "Katz centrality: unrolled attenuated walk counts in exact scaled integers (third of the x63/x77 family)",
+      katzCentrality, Some(katzOracle)),
+    QueryDef("x302_contam_span",
+      "longest contaminated span per training doc: eval-gram islands merged, max run length",
+      contamSpan, Some(contamSpanOracle)),
     QueryDef("x299_tws_mapstate_parity",
       "transformWithState MapState batch parity: per-(user,type) counts as individual store entries over 3 micro-batches",
       twsMapParity, Some(twsMapParityOracle)),

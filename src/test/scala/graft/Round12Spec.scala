@@ -44,4 +44,79 @@ class Round12Spec extends SparkTestBase {
     assert(sparkSdx("sikhs") == "S200")
     assert(sparkSdx("burroughs") == "B620")
   }
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("x293: exact permutation p-values obey the enumeration invariants") {
+    val rows = queries.Round12Queries.permTest(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (pn, pd) = (r.getAs[Long]("p_num"), r.getAs[Long]("p_den"))
+      assert(pd == 924L, s"C(12,6) must be 924, got $pd")        // complete enumeration
+      assert(pn >= 1L && pn <= pd, s"p_num out of range: $pn")   // identity split counts
+      // complement symmetry: swapping the A/B labels leaves |2sA - S|
+      // unchanged and no 6-of-12 mask is its own complement, so the
+      // passing-mask set is closed under complement -> p_num is EVEN
+      assert(pn % 2 == 0, s"p_num must be even by complement symmetry: $pn")
+    }
+  }
+
+  test("x294: BH step-up rejects a prefix of the p-value ranking") {
+    val rows = queries.Round12Queries.bhFdr(spark, sfDir).collect()
+    val byK = rows.sortBy(_.getAs[Long]("k"))
+    val rejected = byK.map(_.getAs[Long]("rejected"))
+    // rejected must be a (possibly empty) prefix of the k-ordering
+    assert(!rejected.sliding(2).exists(p => p.length == 2 && p(0) == 0 && p(1) == 1),
+      s"BH rejections must be a prefix: ${rejected.mkString}")
+    // every passing rank is rejected (k_max >= any passing k)
+    byK.foreach { r =>
+      if (r.getAs[Long]("pass") == 1L) assert(r.getAs[Long]("rejected") == 1L)
+    }
+  }
+
+  test("x295: recursive closure visits every supplier exactly once at its binary-tree depth") {
+    val rows = queries.Round12Queries.recursiveCte(spark, sfDir).collect()
+    val n = Tables.supplier(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum == n)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("depth")
+      // depth-d nodes are exactly the keys in [2^(d-1), 2^d)
+      assert(r.getAs[Long]("min_key") >= (1L << (d - 1).toInt))
+      assert(r.getAs[Long]("max_key") < (1L << d.toInt))
+    }
+  }
+
+  test("x296: HRW rebalance never relocates into an old shard and beats mod-sharding") {
+    val r = queries.Round12Queries.hrwRebalance(spark, sfDir).head()
+    assert(r.getAs[Long]("hrw_into_old") == 0L)
+    assert(r.getAs[Long]("n_docs") == Tables.documents(spark, sfDir).count())
+    assert(r.getAs[Long]("moved_hrw") < r.getAs[Long]("moved_mod"),
+      "HRW must move strictly fewer docs than mod-sharding on this fixture")
+    // expected ~2/10 of docs move; allow a generous band for a 500-doc fixture
+    val frac = r.getAs[Double]("hrw_frac")
+    assert(frac > 0.10 && frac < 0.32, s"HRW moved fraction $frac outside [0.10, 0.32]")
+  }
+
+  test("x297: mined bitext pairs are cross-side and mutually agreed") {
+    val rows = queries.Round12Queries.marginBitext(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("a") % 2 == 0 && r.getAs[Long]("b") % 2 == 1)
+      assert(r.getAs[Long]("margin_fp") > 0L)
+    }
+    // mutual top-1 is one-to-one: no source or target appears twice
+    val as = rows.map(_.getAs[Long]("a"))
+    val bs = rows.map(_.getAs[Long]("b"))
+    assert(as.distinct.length == as.length && bs.distinct.length == bs.length)
+  }
+
+  test("x298: packing never wastes more than padding at any budget") {
+    val rows = queries.Round12Queries.padVsPack(spark, sfDir).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pack_waste") <= r.getAs[Long]("pad_waste"),
+        s"budget ${r.getAs[Long]("budget")}: pack must not exceed pad waste")
+      assert(r.getAs[Double]("pack_frac") <= r.getAs[Double]("pad_frac"))
+    }
+  }
 }
