@@ -166,83 +166,72 @@ object Round12Queries {
 
   // ---------------------------------------------------------------- x296
 
-  private val OldShards = 8
-  private val NewShards = 10
-
-  /** x296: HRW (highest-random-weight / rendezvous) shard rebalance audit
-    * — growing a corpus layout from [[OldShards]] to [[NewShards]]
-    * shards: under mod-sharding nearly every document relocates (a full
-    * 100 TB reshuffle); under HRW (shard = argmax over shards of
-    * h(doc, shard)) ONLY documents whose argmax lands on a NEW shard
-    * move — provably ≈ 2/10 of the corpus, and never into an old shard.
-    * The audit emits both movement counts plus the invariant violation
-    * count (HRW relocations into old shards — must be 0 BY CONSTRUCTION:
-    * old scores are unchanged, so a changed argmax can only be won by a
-    * new shard).
+  /** x296: Hodges–Lehmann pseudo-median per return flag — the robust
+    * location ESTIMATOR associated with x270's Mann–Whitney test (the
+    * test says "shifted?"; this says "by how much"): the median of all
+    * n(n+1)/2 pairwise Walsh averages (xᵢ+xⱼ)/2, i ≤ j. Computed
+    * entirely on the VALUE CENSUS: pair SUMS come from the census
+    * self-join (v ≤ w with multiplicity c·d, and c·(c+1)/2 on the
+    * diagonal), the median is read off cumulative pair counts (x280's
+    * rank recipe) — never an n²-row expansion. The doubled estimate
+    * `hl2 = xᵢ+xⱼ` stays BIGINT-exact; the published estimate halves it
+    * with half-up rounding.
     *
-    * Scale: one narrow map (shards × docs rows, grouped max) — the
-    * placement audit you run BEFORE committing to a reshuffle; exact
-    * integer hashes (32-bit md5 prefix), deterministic ties. */
-  def hrwRebalance(spark: SparkSession, dir: String): DataFrame = {
+    * Scale: |distinct values|² census pairs per group (quantities have
+    * ~50 distinct values regardless of corpus size) while the pair
+    * COUNT n(n+1)/2 only appears as arithmetic — the reason a
+    * pairwise-defined estimator is still computable on 10¹¹-row
+    * groups. */
+  def hodgesLehmann(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val seeds = Tables.documents(spark, dir).select($"doc_id")
-      .select($"doc_id", explode(sequence(lit(0), lit(NewShards - 1))).as("s"))
-      .withColumn("hw", conv(substring(
-        md5(concat_ws("|", lit("hrw"), $"doc_id", $"s")), 1, 8), 16, 10)
-        .cast("long"))
-    def argmax(n: Int, name: String) = seeds.filter($"s" < n)
-      .groupBy($"doc_id")
-      .agg(max(struct($"hw", (-$"s").cast("long").as("negs"))).as("mx"))
-      .select($"doc_id", (-$"mx.negs").as(name))
-    argmax(OldShards, "old_shard").join(argmax(NewShards, "new_shard"), "doc_id")
-      .select($"doc_id", $"old_shard", $"new_shard",
-        ($"doc_id" % OldShards).as("old_mod"), ($"doc_id" % NewShards).as("new_mod"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when($"old_shard" =!= $"new_shard", 1L).otherwise(0L)).as("moved_hrw"),
-        sum(when($"old_shard" =!= $"new_shard" && $"new_shard" < OldShards, 1L)
-          .otherwise(0L)).as("hrw_into_old"),
-        sum(when($"old_mod" =!= $"new_mod", 1L).otherwise(0L)).as("moved_mod"))
-      .select($"n_docs", $"moved_hrw", $"hrw_into_old", $"moved_mod",
-        QueryUtil.halfUp($"moved_hrw".cast("double") / $"n_docs", 6).as("hrw_frac"),
-        QueryUtil.halfUp($"moved_mod".cast("double") / $"n_docs", 6).as("mod_frac"))
+    val census = Tables.lineitem(spark, dir)
+      .select($"l_returnflag".as("grp"), $"l_quantity".cast("long").as("v"))
+      .groupBy($"grp", $"v").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val pairs = census.toDF("grp", "v", "c")
+      .join(census.toDF("grp", "w", "d"), Seq("grp"))
+      .filter($"v" <= $"w")
+      .select($"grp", ($"v" + $"w").as("hl2"),
+        expr("CASE WHEN v < w THEN c * d ELSE c * (c + 1) DIV 2 END").as("cnt"))
+      .groupBy($"grp", $"hl2").agg(sum($"cnt").as("cnt"))
+    val w = Window.partitionBy($"grp").orderBy($"hl2")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = pairs
+      .withColumn("cum", sum($"cnt").over(w))
+      .withColumn("before", $"cum" - $"cnt")
+    val ranks = pairs.groupBy($"grp").agg(sum($"cnt").as("n_pairs"))
+      .withColumn("med_rank", expr("(n_pairs + 1) DIV 2"))
+    cum.join(broadcast(ranks), "grp")
+      .filter($"before" < $"med_rank" && $"cum" >= $"med_rank")
+      .select($"grp", $"n_pairs", $"hl2",
+        QueryUtil.halfUp($"hl2".cast("double") / 2.0, 6).as("hl"))
+      .orderBy($"grp")
   }
 
-  /** 32-bit integer from the first 8 hex chars of md5 expr `$h`. */
-  private def hex8Sql(h: String) =
-    (1 to 8).map(i => s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1)")
-      .reduce((a, b) => s"($a * 16 + $b)")
-
-  private val hrwRebalanceOracle = {
-    val hw = hex8Sql("md5('hrw' || '|' || CAST(doc_id AS VARCHAR) || '|' || CAST(s AS VARCHAR))")
-    s"""WITH seeds AS (
-       |  SELECT doc_id, s, CAST($hw AS BIGINT) AS hw
-       |  FROM (SELECT doc_id FROM documents) d,
-       |       (SELECT k AS s FROM range(0, $NewShards) t(k))),
-       |olds AS (
-       |  SELECT doc_id, s AS old_shard FROM (
-       |    SELECT doc_id, s,
-       |           row_number() OVER (PARTITION BY doc_id ORDER BY hw DESC, s) AS rk
-       |    FROM seeds WHERE s < $OldShards) WHERE rk = 1),
-       |news AS (
-       |  SELECT doc_id, s AS new_shard FROM (
-       |    SELECT doc_id, s,
-       |           row_number() OVER (PARTITION BY doc_id ORDER BY hw DESC, s) AS rk
-       |    FROM seeds) WHERE rk = 1),
-       |j AS (
-       |  SELECT o.doc_id, old_shard, new_shard,
-       |         o.doc_id % $OldShards AS old_mod, o.doc_id % $NewShards AS new_mod
-       |  FROM olds o JOIN news n ON n.doc_id = o.doc_id)
-       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
-       |       CAST(sum(CASE WHEN old_shard <> new_shard THEN 1 ELSE 0 END) AS BIGINT) AS moved_hrw,
-       |       CAST(sum(CASE WHEN old_shard <> new_shard AND new_shard < $OldShards
-       |                THEN 1 ELSE 0 END) AS BIGINT) AS hrw_into_old,
-       |       CAST(sum(CASE WHEN old_mod <> new_mod THEN 1 ELSE 0 END) AS BIGINT) AS moved_mod,
-       |       floor(CAST(sum(CASE WHEN old_shard <> new_shard THEN 1 ELSE 0 END) AS DOUBLE)
-       |             / count(*) * 1000000 + 0.5) / 1000000.0 AS hrw_frac,
-       |       floor(CAST(sum(CASE WHEN old_mod <> new_mod THEN 1 ELSE 0 END) AS DOUBLE)
-       |             / count(*) * 1000000 + 0.5) / 1000000.0 AS mod_frac
-       |FROM j""".stripMargin
-  }
+  private val hodgesLehmannOracle =
+    """WITH census AS MATERIALIZED (
+      |  SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS v,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.grp, a.v + b.v AS hl2,
+      |         CAST(sum(CASE WHEN a.v < b.v THEN a.c * b.c
+      |                       ELSE a.c * (a.c + 1) // 2 END) AS BIGINT) AS cnt
+      |  FROM census a JOIN census b ON a.grp = b.grp AND a.v <= b.v
+      |  GROUP BY a.grp, a.v + b.v),
+      |cum AS (
+      |  SELECT grp, hl2, cnt,
+      |         CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY hl2
+      |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM pairs),
+      |rk AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n_pairs,
+      |              (sum(cnt) + 1) // 2 AS med_rank
+      |       FROM pairs GROUP BY grp)
+      |SELECT c.grp, r.n_pairs, c.hl2,
+      |       floor(CAST(c.hl2 AS DOUBLE) / 2.0 * 1000000 + 0.5) / 1000000.0 AS hl
+      |FROM cum c JOIN rk r ON r.grp = c.grp
+      |WHERE c.cum - c.cnt < r.med_rank AND c.cum >= r.med_rank
+      |ORDER BY c.grp""".stripMargin
 
   // ---------------------------------------------------------------- x297
 
@@ -783,9 +772,9 @@ object Round12Queries {
     QueryDef("x295_recursive_cte",
       "WITH RECURSIVE parity: binary-tree transitive closure, per-depth path-cents census",
       recursiveCte, Some(recursiveCteOracle)),
-    QueryDef("x296_hrw_rebalance",
-      "HRW rendezvous-hash shard rebalance audit vs mod-sharding (zero moves into old shards)",
-      hrwRebalance, Some(hrwRebalanceOracle)),
+    QueryDef("x296_hodges_lehmann",
+      "Hodges-Lehmann pseudo-median from the value census: pairwise Walsh-average median without n^2 rows",
+      hodgesLehmann, Some(hodgesLehmannOracle)),
     QueryDef("x297_margin_bitext",
       "margin-based bitext mining: ratio margin + mutual top-1 agreement over split embeddings",
       marginBitext, Some(marginBitextOracle)),

@@ -86,15 +86,21 @@ class Round12Spec extends SparkTestBase {
     }
   }
 
-  test("x296: HRW rebalance never relocates into an old shard and beats mod-sharding") {
-    val r = queries.Round12Queries.hrwRebalance(spark, sfDir).head()
-    assert(r.getAs[Long]("hrw_into_old") == 0L)
-    assert(r.getAs[Long]("n_docs") == Tables.documents(spark, sfDir).count())
-    assert(r.getAs[Long]("moved_hrw") < r.getAs[Long]("moved_mod"),
-      "HRW must move strictly fewer docs than mod-sharding on this fixture")
-    // expected ~2/10 of docs move; allow a generous band for a 500-doc fixture
-    val frac = r.getAs[Double]("hrw_frac")
-    assert(frac > 0.10 && frac < 0.32, s"HRW moved fraction $frac outside [0.10, 0.32]")
+  test("x296: Hodges-Lehmann pair census covers exactly n(n+1)/2 Walsh pairs per group") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.Round12Queries.hodgesLehmann(spark, sfDir).collect()
+    val groupN = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getAs[String]("grp")).toSet == groupN.keySet)
+    rows.foreach { r =>
+      val n = groupN(r.getAs[String]("grp"))
+      assert(r.getAs[Long]("n_pairs") == n * (n + 1) / 2,
+        s"grp ${r.getAs[String]("grp")}: pair count must be n(n+1)/2")
+      // the pseudo-median lies inside the value range (quantities are 1..50)
+      val hl = r.getAs[Double]("hl")
+      assert(hl >= 1.0 && hl <= 50.0)
+    }
   }
 
   test("x297: mined bitext pairs are cross-side and mutually agreed") {
