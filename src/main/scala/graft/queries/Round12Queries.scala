@@ -266,25 +266,32 @@ object Round12Queries {
       .localCheckpoint(true)
     val src = emb.filter($"vec_id" % 2 === 0).toDF("a", "av", "n2a")
     val tgt = emb.filter($"vec_id" % 2 === 1).toDF("b", "bv", "n2b")
-    // sim shifted to [0, 2e6]: cos fixed-point + 1e6
+    // sim shifted to [0, 2e6]: cos fixed-point + 1e6. The n_src×n_tgt pair
+    // frame must NEVER materialize into the storage pool (a localCheckpoint
+    // here pinned ~1e8 rows at sf1 and starved execution memory — caught by
+    // the r12 scale sweep, SparkOutOfMemoryError): instead ONE explicit
+    // exchange on `a` is the reuse point all four consumers (r_a, r_b,
+    // fwd, bwd) read via AQE stage reuse — shuffle data spills to disk
+    // natively, and the 64-dim dot products compute once, not four times.
     val pairs = src.join(broadcast(tgt), $"a" =!= $"b")
       .select($"a", $"b",
         (expr("CAST(floor(vec_dot(av, bv) / sqrt(n2a * n2b) * 1000000 + 0.5) AS BIGINT)")
           + 1000000L).as("sim_fp"))
-      .localCheckpoint(true)
+      .repartition($"a")
     val rA = pairs.groupBy($"a")
       .agg(expr(s"topk_pairs(sim_fp, b, $MarginK)").as("top"))
       .select($"a", expr("aggregate(top, 0L, (acc, x) -> acc + x.v) div size(top)").as("r_a"))
+      .localCheckpoint(true)
     val rB = pairs.groupBy($"b")
       .agg(expr(s"topk_pairs(sim_fp, a, $MarginK)").as("top"))
       .select($"b", expr("aggregate(top, 0L, (acc, x) -> acc + x.v) div size(top)").as("r_b"))
+      .localCheckpoint(true)
+    // scored pairs stay a streaming view over the reused exchange; top-1s
+    // come out of bounded topk aggregates (map-side k rows, no n² shuffle)
     val scored = pairs
       .join(broadcast(rA), "a").join(broadcast(rB), "b")
       .select($"a", $"b", $"sim_fp",
         expr("(sim_fp * 1000000L) div (r_a + r_b)").as("margin_fp"))
-      // three consumers (fwd top-1, bwd top-1, the mined-pair join) —
-      // materialize the scored pairs once instead of re-running the joins
-      .localCheckpoint(true)
     val fwd = scored.groupBy($"a")
       .agg(expr("topk_pairs(margin_fp, b, 1)").as("t"))
       .select($"a", $"t"(0).getField("id").as("b"),
@@ -292,9 +299,15 @@ object Round12Queries {
     val bwd = scored.groupBy($"b")
       .agg(expr("topk_pairs(margin_fp, a, 1)").as("t"))
       .select($"b", $"t"(0).getField("id").as("a"))
-    fwd.join(bwd, Seq("a", "b")) // mutual top-1 agreement
-      .join(scored.select($"a", $"b", $"sim_fp"), Seq("a", "b"))
-      .select($"a", $"b", $"margin_fp", ($"sim_fp" - 1000000L).as("cos_fp"))
+    // recover cos for the mined pairs from the EMBEDDINGS (|mined| ≈ n_src
+    // rows) instead of joining the n² scored frame a third time
+    val mined = fwd.join(bwd, Seq("a", "b")) // mutual top-1 agreement
+    mined
+      .join(emb.select($"vec_id".as("a"), $"embedding".as("av"), $"n2".as("n2a")), "a")
+      .join(emb.select($"vec_id".as("b"), $"embedding".as("bv"), $"n2".as("n2b")), "b")
+      .select($"a", $"b", $"margin_fp",
+        expr("CAST(floor(vec_dot(av, bv) / sqrt(n2a * n2b) * 1000000 + 0.5) AS BIGINT)")
+          .as("cos_fp"))
       .orderBy($"a")
   }
 
@@ -760,6 +773,92 @@ object Round12Queries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- x303
+
+  /** Token-bucket contract for x303: 2-token bucket, one token per 6 h. */
+  private val BucketCap = 2L
+  private val BucketRefillSec = 21600L
+
+  /** x303: token-bucket rate limiter batch parity — per-user admission
+    * control ([[graft.streaming.IncrementalStream.TwsTokenBucketProcessor]]:
+    * [[BucketCap]]-token bucket, one token per [[BucketRefillSec]] s,
+    * exact integer refill progress, full bucket pins the refill clock)
+    * streamed over three chronological slices. Unlike every prior
+    * stateful parity (counts/sums/sessions re-derivable by a keyed
+    * aggregate), admission DECISIONS feed back into state — there is no
+    * closed form, so the oracle runs the IDENTICAL sequential fold with
+    * `list_reduce` over the per-user (sec, event_id)-ordered event list;
+    * each list element is pre-encoded as "state if this event were
+    * first" so reduce's acc-type-equals-element-type contract holds.
+    * Last emission per user (admitted and dropped both monotone) must
+    * equal the fold.
+    *
+    * Scale: state is 4 longs per key; the per-batch work is the batch's
+    * own rows — the admission primitive every ingestion edge needs
+    * (crawl politeness, API quotas), running where the data already is
+    * instead of a bottleneck gateway. */
+  def tokenBucketParity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_x303").toString
+    val ev = Tables.events(spark, dir)
+      .select($"user_id",
+        expr("unix_timestamp(cast(date_trunc('second', ts) as timestamp))")
+          .cast("long").as("sec"),
+        $"event_id")
+    stageEventSlices(spark, dir, base, ev)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+    val stats = graft.streaming.IncrementalStream.twsTokenBucket(
+      stream.select($"user_id", $"sec", $"event_id").as[(Long, Long, Long)],
+      BucketCap, BucketRefillSec)
+    val emitted = QueryUtil.withConfs(spark,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.shuffle.partitions" -> "8") {
+      QueryUtil.stageStream(spark, stats.toDF(), base)
+    }
+    QueryUtil.deleteRecursively(base)
+    emitted.groupBy($"user_id")
+      .agg(max($"admitted").as("admitted"), max($"dropped").as("dropped"))
+      .orderBy($"user_id")
+  }
+
+  private val tokenBucketParityOracle = {
+    // NOT list_reduce: DuckDB 1.0.0 mis-evaluates multi-field struct
+    // accumulators under list_reduce (minimal repro: a 2-field fold whose
+    // CASE reads one field while updating another counts the branch
+    // inconsistently — isolated steps fold correctly, longer lists drift).
+    // The sequential fold runs as a recursive CTE instead: one frontier
+    // row per user per step, depth = max events/user (≤ ~100 at all SFs).
+    val (c, r) = (BucketCap, BucketRefillSec)
+    val g = s"((e.sec - st.lst) // $r)"
+    val tok1 = s"(CASE WHEN st.tok + $g >= $c THEN $c ELSE st.tok + $g END)"
+    val last1 = s"(CASE WHEN st.tok + $g >= $c THEN e.sec ELSE st.lst + $g * $r END)"
+    s"""WITH RECURSIVE ev AS MATERIALIZED (
+       |  SELECT user_id, sec,
+       |         CAST(row_number() OVER (PARTITION BY user_id
+       |                                 ORDER BY sec, event_id) AS BIGINT) AS i
+       |  FROM (SELECT user_id,
+       |               CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+       |               event_id
+       |        FROM events)),
+       |mx AS (SELECT user_id, max(i) AS n FROM ev GROUP BY user_id),
+       |st AS (
+       |  SELECT user_id, CAST(1 AS BIGINT) AS i, CAST(${c - 1} AS BIGINT) AS tok,
+       |         sec AS lst, CAST(1 AS BIGINT) AS adm, CAST(0 AS BIGINT) AS drp
+       |  FROM ev WHERE i = 1
+       |  UNION ALL
+       |  SELECT st.user_id, st.i + 1,
+       |         CAST(CASE WHEN $tok1 >= 1 THEN $tok1 - 1 ELSE $tok1 END AS BIGINT),
+       |         CAST($last1 AS BIGINT),
+       |         CAST(st.adm + CASE WHEN $tok1 >= 1 THEN 1 ELSE 0 END AS BIGINT),
+       |         CAST(st.drp + CASE WHEN $tok1 >= 1 THEN 0 ELSE 1 END AS BIGINT)
+       |  FROM st JOIN ev e ON e.user_id = st.user_id AND e.i = st.i + 1)
+       |SELECT st.user_id, adm AS admitted, drp AS dropped
+       |FROM st JOIN mx ON mx.user_id = st.user_id AND st.i = mx.n
+       |ORDER BY st.user_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- defs
 
   lazy val defs: Seq[QueryDef] = Seq(
@@ -792,5 +891,8 @@ object Round12Queries {
       twsMapParity, Some(twsMapParityOracle)),
     QueryDef("x300_tws_liststate_parity",
       "transformWithState ListState batch parity: appended purchase log re-derives order-free aggregates",
-      twsListParity, Some(twsListParityOracle)))
+      twsListParity, Some(twsListParityOracle)),
+    QueryDef("x303_stream_token_bucket",
+      "token-bucket rate-limiter parity: decision-feedback keyed state vs the identical sequential list_reduce fold",
+      tokenBucketParity, Some(tokenBucketParityOracle)))
 }

@@ -561,6 +561,74 @@ object IncrementalStream {
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
+  /** Per-user admission counters emitted by [[TwsTokenBucketProcessor]]. */
+  final case class TwsBucketStat(user_id: Long, admitted: Long, dropped: Long)
+
+  /** Token-bucket rate limiter as keyed streaming state — the ingestion
+    * admission primitive (per-entity request caps, crawl politeness,
+    * API-quota enforcement): a bucket of `capacity` tokens refills one
+    * token per `refillSec` elapsed seconds; each event consumes one
+    * token or is DROPPED. Refill progress is exact integer arithmetic —
+    * `last` advances by whole refill periods (gain·refillSec), so
+    * fractional progress carries across events with no float drift; a
+    * full bucket pins `last` to the event time (no credit accrues while
+    * full — the standard contract). Admission DECISIONS feed back into
+    * state, so unlike x273's clamped balance there is no prefix-scan
+    * closed form: the fold is inherently sequential per key, which is
+    * exactly what keyed streaming state is for. Events must arrive in
+    * event-time order across batches (chronological slices; any
+    * file-drop/Kafka source) and are sorted (sec, event_id) within a
+    * batch. */
+  final class TwsTokenBucketProcessor(capacity: Long, refillSec: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long), TwsBucketStat] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[(Long, Long, Long, Long)] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long, Long)]("bucket",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TwsBucketStat] = {
+      val evs = rows.toArray.sortBy(r => (r._2, r._3))
+      var (tok, last, adm, drp) =
+        if (st.exists()) st.get() else (-1L, -1L, 0L, 0L)
+      evs.foreach { case (_, sec, _) =>
+        if (last < 0) { tok = capacity; last = sec }
+        else {
+          val gain = (sec - last) / refillSec
+          if (tok + gain >= capacity) { tok = capacity; last = sec }
+          else { tok += gain; last += gain * refillSec }
+        }
+        if (tok >= 1) { tok -= 1; adm += 1 } else drp += 1
+      }
+      st.update((tok, last, adm, drp))
+      Iterator.single(TwsBucketStat(key, adm, drp))
+    }
+  }
+
+  /** `transformWithState` wrapper over (user_id, sec, event_id) rows →
+    * per-key running admission counters each micro-batch. */
+  def twsTokenBucket(events: org.apache.spark.sql.Dataset[(Long, Long, Long)],
+                     capacity: Long, refillSec: Long):
+      org.apache.spark.sql.Dataset[TwsBucketStat] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new TwsTokenBucketProcessor(capacity, refillSec),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   /** Session summary emitted by [[TwsTimerSessionProcessor]] when its
     * event-time timer expires. */
   final case class TwsSession(user_id: Long, start_sec: Long, end_sec: Long,
