@@ -116,6 +116,37 @@ class Round12Spec extends SparkTestBase {
     assert(as.distinct.length == as.length && bs.distinct.length == bs.length)
   }
 
+  test("x297: the pair exchange is a runtime reuse point (the sf1 OOM-fix pin)") {
+    // The r12 scale sweep caught x297 localCheckpointing the n_src×n_tgt
+    // pair frame (storage-pool pinning -> SparkOutOfMemoryError at sf1).
+    // The fix routes all four consumers through ONE repartition exchange
+    // via AQE stage reuse — pin that the finalized plan actually contains
+    // reused stages, so a refactor can't silently regress to four
+    // independent pair computations (or back to a checkpoint).
+    val plan = PlanAudit.finalizedPlan(
+      queries.Round12Queries.marginBitext(spark, sfDir))
+    assert(plan.contains("ReusedQueryStage") || plan.contains("ReusedExchange"),
+      s"x297 plan lost its pair-exchange reuse point:\n${plan.take(2000)}")
+  }
+
+  test("x303: token-bucket admission counters reconcile with event counts") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.Round12Queries.tokenBucketParity(spark, sfDir).collect()
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getAs[Long]("user_id")).toSet == perUser.keySet)
+    rows.foreach { r =>
+      val (a, d) = (r.getAs[Long]("admitted"), r.getAs[Long]("dropped"))
+      assert(a + d == perUser(r.getAs[Long]("user_id")),
+        "every event is either admitted or dropped")
+      assert(a >= 1L) // first event always admits (capacity >= 1)
+    }
+    // the fixture's event rate must actually exercise the DROP path
+    assert(rows.map(_.getAs[Long]("dropped")).sum > 0L,
+      "no drops — the bucket contract is untested at this rate")
+  }
+
   test("x298: packing never wastes more than padding at any budget") {
     val rows = queries.Round12Queries.padVsPack(spark, sfDir).collect()
     assert(rows.length == 4)
