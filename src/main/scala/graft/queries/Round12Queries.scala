@@ -859,6 +859,199 @@ object Round12Queries {
        |ORDER BY st.user_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- x304
+
+  /** x304: percentile_cont / percentile_disc engine-surface parity — the
+    * SQL-standard WITHIN GROUP quantile pair pinned against DuckDB's
+    * quantile_cont/quantile_disc on integer cents. Exactness argument:
+    * at dyadic p ∈ {¼, ½, ¾} the rank r = p·(n−1) and its fraction g are
+    * exact binary fractions, and the interpolation over integer cents
+    * (≤ 2⁵³) multiplies integers by exact dyadic g — so BOTH engines'
+    * doubles are bit-identical REGARDLESS of their interpolation formula
+    * (a+g·(b−a) vs (1−g)·a+g·b), and the pin needs no rounding at all.
+    * percentile_disc returns an actual element (cast back to BIGINT).
+    *
+    * Scale: builtin sketch-free exact percentiles sort within groups —
+    * at 100 TB use the census-rank recipe (q72/x280); this pin is about
+    * ENGINE SEMANTICS agreement, not the scale path. */
+  def percentileParity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_returnflag".as("grp"),
+        floor($"l_extendedprice" * 100 + 0.5).cast("long").as("v"))
+      .createOrReplaceTempView("x304_v")
+    spark.sql(
+      """SELECT grp,
+        |       percentile(v, 0.25D) AS p25,
+        |       percentile(v, 0.5D)  AS p50,
+        |       percentile(v, 0.75D) AS p75,
+        |       CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY v) AS BIGINT) AS d25,
+        |       CAST(percentile_disc(0.5)  WITHIN GROUP (ORDER BY v) AS BIGINT) AS d50,
+        |       CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY v) AS BIGINT) AS d75
+        |FROM x304_v GROUP BY grp ORDER BY grp""".stripMargin)
+  }
+
+  private val percentileParityOracle =
+    """WITH v AS (SELECT l_returnflag AS grp,
+      |                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+      |           FROM lineitem)
+      |SELECT grp,
+      |       quantile_cont(v, 0.25) AS p25,
+      |       quantile_cont(v, 0.5)  AS p50,
+      |       quantile_cont(v, 0.75) AS p75,
+      |       CAST(quantile_disc(v, 0.25) AS BIGINT) AS d25,
+      |       CAST(quantile_disc(v, 0.5)  AS BIGINT) AS d50,
+      |       CAST(quantile_disc(v, 0.75) AS BIGINT) AS d75
+      |FROM v GROUP BY grp ORDER BY grp""".stripMargin
+
+  // ---------------------------------------------------------------- x305
+
+  /** SDXL-style constant-area bucket set (≈ 512² px) and the LCM of the
+    * bucket heights, which turns the cross-multiplied aspect distance
+    * into ONE integer sort key comparable across buckets. */
+  private val AspectBuckets = Seq(
+    (0, 512, 512), (1, 448, 576), (2, 576, 448), (3, 384, 640),
+    (4, 640, 384), (5, 320, 768), (6, 768, 320))
+  private val AspectLcm = 161280L // lcm(512,576,448,640,384,768,320)
+
+  /** x305: aspect-ratio bucketing — the multimodal batching op every
+    * image-training pipeline runs (constant-token batches need
+    * near-constant-area shapes; bucketing by aspect ratio minimizes
+    * crop loss). Each decoded image picks the bucket minimizing
+    * |w/h − wb/hb|, computed EXACTLY: the distance ordering across
+    * buckets cross-multiplies to `|w·hb − h·wb| · (LCM/hb)` — one BIGINT
+    * key, deterministic ties by bucket id. The cover-crop loss is the
+    * exact rational `|w·hb − h·wb| / max(w·hb, h·wb)`, quantized to ppm
+    * by integer division. Published: per-bucket census + total/mean
+    * crop ppm.
+    *
+    * Scale: one narrow map over the decoded metadata (7 literal buckets
+    * per image), one group-by — the planning pass that runs BEFORE any
+    * pixel moves. */
+  def aspectBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val meta = graft.multimodal.Multimodal.decodeMeta(
+      graft.multimodal.Multimodal.attachFakeMedia(
+        Tables.documents(spark, dir))).toDF()
+      .select($"doc_id", $"width".cast("long").as("w"),
+        $"height".cast("long").as("h"))
+    val buckets = AspectBuckets.toDF("bid", "bw", "bh")
+      .select($"bid".cast("long").as("bid"), $"bw".cast("long").as("bw"),
+        $"bh".cast("long").as("bh"))
+    val scored = meta.crossJoin(broadcast(buckets))
+      .withColumn("c", abs($"w" * $"bh" - $"h" * $"bw"))
+      .withColumn("key", expr(s"c * ($AspectLcm div bh)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"key", $"bid")))
+      .filter($"rk" === 1)
+      .withColumn("crop_ppm",
+        expr("(c * 1000000L) div greatest(w * bh, h * bw)"))
+    scored.groupBy($"bid", $"bw", $"bh")
+      .agg(count(lit(1)).as("n_images"),
+        sum($"crop_ppm").as("total_crop_ppm"),
+        expr("sum(crop_ppm) div count(1)").as("mean_crop_ppm"))
+      .orderBy($"bid")
+  }
+
+  private val aspectBucketsOracle = {
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr(md5(text), ${i + 1}, 1)) - 1)"
+    val bucketRows = AspectBuckets
+      .map { case (id, w, h) => s"($id, $w, $h)" }.mkString(", ")
+    s"""WITH meta AS (
+       |  SELECT doc_id,
+       |         CAST(64 + (${nib(0)} * 16 + ${nib(1)}) % 448 AS BIGINT) AS w,
+       |         CAST(64 + (${nib(2)} * 16 + ${nib(3)}) % 448 AS BIGINT) AS h
+       |  FROM documents),
+       |b AS (SELECT CAST(bid AS BIGINT) AS bid, CAST(bw AS BIGINT) AS bw,
+       |             CAST(bh AS BIGINT) AS bh
+       |      FROM (VALUES $bucketRows) t(bid, bw, bh)),
+       |scored AS (
+       |  SELECT doc_id, bid, bw, bh,
+       |         abs(w * bh - h * bw) AS c,
+       |         abs(w * bh - h * bw) * ($AspectLcm // bh) AS key,
+       |         greatest(w * bh, h * bw) AS mx,
+       |         row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY abs(w * bh - h * bw) * ($AspectLcm // bh), bid) AS rk
+       |  FROM meta, b)
+       |SELECT bid, bw, bh,
+       |       CAST(count(*) AS BIGINT) AS n_images,
+       |       CAST(sum((c * 1000000) // mx) AS BIGINT) AS total_crop_ppm,
+       |       CAST(sum((c * 1000000) // mx) // count(*) AS BIGINT) AS mean_crop_ppm
+       |FROM scored WHERE rk = 1
+       |GROUP BY bid, bw, bh
+       |ORDER BY bid""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- x306
+
+  /** Warm-start cut: events before this second seed the initial state;
+    * events at/after it stream. */
+  private val WarmCutSec = 1705300000L
+
+  /** x306: `transformWithState` INITIAL-STATE batch parity — the
+    * warm-start/migration contract
+    * ([[graft.streaming.IncrementalStream.TwsWarmStartProcessor]]): a new
+    * streaming job inherits per-user (n, cents) purchase totals from the
+    * BATCH pipeline it replaces (events before [[WarmCutSec]]) via
+    * `handleInitialState`, then folds the post-cut stream (two
+    * chronological slices) on top. The last emission per streaming-active
+    * user must equal the batch aggregate over the user's ENTIRE history —
+    * proving seeded state and streamed folds compose exactly (users with
+    * no post-cut activity never emit, so the oracle restricts to users
+    * active after the cut). Completes the transformWithState surface
+    * matrix: ValueState, timers, MapState, ListState, initial state.
+    *
+    * Scale: the seed is one batch aggregate shuffled once into the state
+    * store's layout — the migration cost is one pass over the OLD
+    * pipeline's output, never a replay of raw history. */
+  def twsWarmStartParity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_x306").toString
+    val purchases = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id",
+        floor($"value" * 100 + 0.5).cast("long").as("cents"),
+        expr("unix_timestamp(cast(date_trunc('second', ts) as timestamp))")
+          .cast("long").as("sec"))
+    val init = purchases.filter($"sec" < WarmCutSec)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("cents"))
+      .select($"user_id", $"n", $"cents").as[(Long, Long, Long)]
+    val post = purchases.filter($"sec" >= WarmCutSec)
+    // two post-cut slices => the seeded state ALSO crosses a micro-batch
+    // boundary, not just the batch->stream hand-off
+    val mid = WarmCutSec + 1000000L
+    QueryUtil.stageFrames(Seq(
+      post.filter($"sec" < mid), post.filter($"sec" >= mid)), s"$base/src")
+    val stream = spark.readStream.schema(post.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+    val totals = graft.streaming.IncrementalStream.twsWarmTotals(
+      stream.select($"user_id", $"cents").as[(Long, Long)], init)
+    val emitted = QueryUtil.withConfs(spark,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.shuffle.partitions" -> "8") {
+      QueryUtil.stageStream(spark, totals.toDF(), base)
+    }
+    QueryUtil.deleteRecursively(base)
+    emitted.groupBy($"user_id")
+      .agg(max($"n").as("n"), max($"cents").as("cents"))
+      .orderBy($"user_id")
+  }
+
+  private val twsWarmStartParityOracle =
+    s"""WITH p AS (
+       |  SELECT user_id,
+       |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+       |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+       |  FROM events WHERE event_type = 'purchase')
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(cents) AS BIGINT) AS cents
+       |FROM p
+       |GROUP BY user_id
+       |HAVING max(CASE WHEN sec >= $WarmCutSec THEN 1 ELSE 0 END) = 1
+       |ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- defs
 
   lazy val defs: Seq[QueryDef] = Seq(
@@ -894,5 +1087,14 @@ object Round12Queries {
       twsListParity, Some(twsListParityOracle)),
     QueryDef("x303_stream_token_bucket",
       "token-bucket rate-limiter parity: decision-feedback keyed state vs the identical sequential list_reduce fold",
-      tokenBucketParity, Some(tokenBucketParityOracle)))
+      tokenBucketParity, Some(tokenBucketParityOracle)),
+    QueryDef("x304_percentile_parity",
+      "percentile_cont/percentile_disc WITHIN GROUP pinned against quantile_cont/quantile_disc at dyadic p (bit-exact, no rounding)",
+      percentileParity, Some(percentileParityOracle)),
+    QueryDef("x305_aspect_buckets",
+      "aspect-ratio bucketing for image batching: exact cross-multiplied bucket argmin + ppm crop-loss census",
+      aspectBuckets, Some(aspectBucketsOracle)),
+    QueryDef("x306_tws_warm_start",
+      "transformWithState INITIAL-STATE parity: batch-seeded totals + streamed folds equal full-history aggregates",
+      twsWarmStartParity, Some(twsWarmStartParityOracle)))
 }

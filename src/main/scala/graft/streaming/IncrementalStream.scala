@@ -561,6 +561,60 @@ object IncrementalStream {
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
+  /** Warm-started running totals emitted by [[TwsWarmStartProcessor]]. */
+  final case class TwsWarmTotals(user_id: Long, n: Long, cents: Long)
+
+  /** The INITIAL-STATE surface of `transformWithState`: per-key state is
+    * seeded from a BATCH dataset before the first micro-batch — the
+    * warm-start/migration contract (cut a new streaming job over while
+    * inheriting the totals the old batch pipeline already accumulated,
+    * instead of replaying history). `handleInitialState` runs once per
+    * key present in the initial-state dataset; input rows then fold on
+    * top exactly as in the cold-start processor. */
+  final class TwsWarmStartProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, (Long, Long), TwsWarmTotals, (Long, Long)] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("totals",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInitialState(
+        key: Long, initialState: (Long, Long),
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Unit =
+      st.update(initialState)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TwsWarmTotals] = {
+      var (n, s) = if (st.exists()) st.get() else (0L, 0L)
+      rows.foreach { case (_, c) => n += 1; s += c }
+      st.update((n, s))
+      Iterator.single(TwsWarmTotals(key, n, s))
+    }
+  }
+
+  /** `transformWithState` with initial state: stream purchases fold on
+    * top of per-user (n, cents) totals seeded from `init`. */
+  def twsWarmTotals(purchases: org.apache.spark.sql.Dataset[(Long, Long)],
+                    init: org.apache.spark.sql.Dataset[(Long, Long, Long)]):
+      org.apache.spark.sql.Dataset[TwsWarmTotals] = {
+    val spark = purchases.sparkSession
+    import spark.implicits._
+    purchases.groupByKey(_._1)
+      .transformWithState(new TwsWarmStartProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        init.groupByKey(_._1).mapValues(r => (r._2, r._3)))
+  }
+
   /** Per-user admission counters emitted by [[TwsTokenBucketProcessor]]. */
   final case class TwsBucketStat(user_id: Long, admitted: Long, dropped: Long)
 
