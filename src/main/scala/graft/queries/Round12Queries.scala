@@ -1052,6 +1052,101 @@ object Round12Queries {
        |HAVING max(CASE WHEN sec >= $WarmCutSec THEN 1 ELSE 0 END) = 1
        |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- x307
+
+  /** (bands, rows) factorizations of a 24-hash MinHash budget. */
+  private val LshConfigs = Seq((24, 1), (12, 2), (8, 3), (6, 4), (4, 6),
+    (3, 8), (2, 12), (1, 24))
+  /** Collision probability at s = (2k+1)/20, as an EXACT rational with
+    * denominator 20²⁴: P = 1 − (1 − sʳ)ᵇ ⇒
+    * p_num = 20²⁴ − (20ʳ − (2k+1)ʳ)ᵇ (BigInt, ≤ 1.7·10³¹ — fits
+    * DECIMAL(38)/HUGEINT with room for the weight products). */
+  private def lshPNum(b: Int, r: Int, k: Int): BigInt =
+    LshPDen - (BigInt(20).pow(r) - BigInt(2 * k + 1).pow(r)).pow(b)
+  private val LshPDen = BigInt(20).pow(24)
+
+  /** x307: LSH band planner — x191 plots the S-curve; this makes the
+    * DECISION: given a 24-hash budget, a target threshold τ = 0.7, and
+    * the corpus's MEASURED pair-similarity histogram (token-set Jaccard
+    * of consecutive-doc pairs, bucketed to the 10-step midpoint grid),
+    * rank every (bands, rows) factorization by expected error =
+    * Σ_{s<τ} w_s·P(s) + Σ_{s≥τ} w_s·(1−P(s)) — false positives below
+    * the threshold plus false negatives above it, weighted by how many
+    * real pairs live at each similarity. The S-curve values are exact
+    * rationals over 20²⁴ (x87's literal-table discipline: the constants
+    * derive from (b,r,k) combinatorics, embedded identically in both
+    * engines), the weighted sum is pure DECIMAL(38)/HUGEINT, and the
+    * ranking is an exact integer comparison — so the recommended config
+    * is oracle-gated, not eyeballed.
+    *
+    * Scale: the histogram is one narrow pass over consecutive pairs
+    * (production would reuse any candidate-pair sample); the plan
+    * itself runs on 8 configs × 10 buckets. */
+  def lshBandPlanner(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pRows = for ((b, r) <- LshConfigs; k <- 0 to 9)
+      yield (b.toLong, r.toLong, k.toLong, lshPNum(b, r, k).toString)
+    val p = pRows.toDF("b", "r", "k", "ps")
+      .select($"b", $"r", $"k", $"ps".cast("decimal(38,0)").as("p_num"))
+    val t = Tables.documents(spark, dir)
+      .select($"doc_id", array_sort(array_distinct(split($"text", " "))).as("ts"))
+    val pairs = t.select(($"doc_id" - 1).as("doc_id"), $"ts".as("tb"))
+      .join(t.withColumnRenamed("ts", "ta"), "doc_id")
+    val j0 = pairs.select(
+      call_function("sorted_intersect_count", $"ta", $"tb").cast("long").as("it"),
+      (size($"ta") + size($"tb")).cast("long").as("st"))
+    val w = j0.filter($"st" - $"it" > 0)
+      .select(least(lit(9L), expr("(10 * it) div (st - it)")).as("k"))
+      .groupBy($"k").agg(count(lit(1)).as("wk"))
+      .localCheckpoint(true)
+    val den = lit(LshPDen.toString).cast("decimal(38,0)")
+    val err = p.join(broadcast(w), "k")
+      .withColumn("term",
+        when($"k" <= 6, $"p_num" * $"wk") // s = (2k+1)/20 < 0.7 ⇔ k ≤ 6
+          .otherwise((den - $"p_num") * $"wk"))
+      .groupBy($"b", $"r").agg(sum($"term").as("err"))
+    val tot = w.agg(sum($"wk").as("tw"))
+    err.crossJoin(broadcast(tot))
+      .withColumn("rk", row_number().over(Window.orderBy($"err", $"b")).cast("long"))
+      .select($"rk", $"b", $"r",
+        QueryUtil.halfUp($"err".cast("double")
+          / (den.cast("double") * $"tw"), 6).as("err_rate"))
+      .orderBy($"rk")
+  }
+
+  private val lshBandPlannerOracle = {
+    val pRows = (for ((b, r) <- LshConfigs; k <- 0 to 9)
+      yield s"($b, $r, $k, '${lshPNum(b, r, k)}')").mkString(", ")
+    val den = s"CAST('$LshPDen' AS HUGEINT)"
+    s"""WITH p AS (
+       |  SELECT CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r,
+       |         CAST(k AS BIGINT) AS k, CAST(ps AS HUGEINT) AS p_num
+       |  FROM (VALUES $pRows) t(b, r, k, ps)),
+       |t AS (SELECT doc_id,
+       |             list_sort(list_distinct(string_split(text, ' '))) AS ts
+       |      FROM documents),
+       |pr AS (SELECT a.ts AS ta, b.ts AS tb
+       |       FROM t a JOIN t b ON b.doc_id = a.doc_id + 1),
+       |j0 AS (SELECT CAST(len(list_filter(ta, s -> list_contains(tb, s)))
+       |                AS BIGINT) AS it,
+       |              CAST(len(ta) + len(tb) AS BIGINT) AS st
+       |       FROM pr),
+       |w AS (SELECT least(9, (10 * it) // (st - it)) AS k,
+       |             CAST(count(*) AS BIGINT) AS wk
+       |      FROM j0 WHERE st - it > 0 GROUP BY 1),
+       |e AS (SELECT b, r,
+       |        sum(CASE WHEN p.k <= 6 THEN p_num * wk
+       |                 ELSE ($den - p_num) * wk END) AS err
+       |      FROM p JOIN w ON w.k = p.k GROUP BY b, r),
+       |tw AS (SELECT CAST(sum(wk) AS BIGINT) AS tw FROM w)
+       |SELECT CAST(row_number() OVER (ORDER BY err, b) AS BIGINT) AS rk,
+       |       b, r,
+       |       floor(CAST(err AS DOUBLE) / (CAST($den AS DOUBLE) * tw)
+       |             * 1000000 + 0.5) / 1000000.0 AS err_rate
+       |FROM e, tw
+       |ORDER BY rk""".stripMargin
+  }
+
   // ---------------------------------------------------------------- defs
 
   lazy val defs: Seq[QueryDef] = Seq(
@@ -1096,5 +1191,8 @@ object Round12Queries {
       aspectBuckets, Some(aspectBucketsOracle)),
     QueryDef("x306_tws_warm_start",
       "transformWithState INITIAL-STATE parity: batch-seeded totals + streamed folds equal full-history aggregates",
-      twsWarmStartParity, Some(twsWarmStartParityOracle)))
+      twsWarmStartParity, Some(twsWarmStartParityOracle)),
+    QueryDef("x307_lsh_band_planner",
+      "LSH band planner: exact-rational S-curve x measured pair-similarity histogram ranks (bands, rows) configs",
+      lshBandPlanner, Some(lshBandPlannerOracle)))
 }
