@@ -1147,6 +1147,81 @@ object Round12Queries {
        |ORDER BY rk""".stripMargin
   }
 
+  // ---------------------------------------------------------------- x308
+
+  /** χ²₁(0.05) = 3.841459 as an exact rational. */
+  private val CaChi2Num = 3841459L
+  private val CaChi2Den = 1000000L
+
+  /** x308: Cochran–Armitage trend test — the ordered-category companion
+    * to q71's chi-square independence: does return probability TREND
+    * with line number (scores w_i = i)? The statistic is exact integer
+    * arithmetic over the 7-row category census:
+    * `U = N·Σwᵢaᵢ − A·Σwᵢnᵢ`,
+    * `Z² = U²·N / (A·(N−A)·(N·Σwᵢ²nᵢ − (Σwᵢnᵢ)²))`, and the α=0.05
+    * decision cross-multiplies against 3841459/10⁶ in DECIMAL(38)/
+    * HUGEINT — same discipline as x285's KS decision, same documented
+    * validity bound style (U²·N·10⁶ ≤ ~10³⁸ holds through ~10⁷ rows per
+    * weight unit; beyond that the one surviving row needs BigInt).
+    *
+    * Scale: one group-by census (|categories| rows), then scalar
+    * arithmetic — the trend alarm for ordinal drift at any corpus
+    * size. */
+  def trendTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val census = Tables.lineitem(spark, dir)
+      .select($"l_linenumber".cast("long").as("w"),
+        when($"l_returnflag" === "R", 1L).otherwise(0L).as("y"))
+      .groupBy($"w").agg(count(lit(1)).as("n"), sum($"y").as("a"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    census.agg(
+        sum($"n").as("nn"), sum($"a").as("aa"),
+        sum($"w" * $"n").as("swn"), sum($"w" * $"a").as("swa"),
+        sum($"w" * $"w" * $"n").as("sw2n"))
+      .select($"nn".as("n"), $"aa".as("a"),
+        ($"nn" * $"swa" - $"aa" * $"swn").as("u_num"),
+        QueryUtil.halfUp(
+          ($"nn" * $"swa" - $"aa" * $"swn").cast("double")
+            * ($"nn" * $"swa" - $"aa" * $"swn").cast("double")
+            * $"nn".cast("double")
+            / ($"aa".cast("double") * ($"nn" - $"aa").cast("double")
+              * ($"nn" * $"sw2n" - $"swn" * $"swn").cast("double")), 6).as("z2"),
+        (dec($"nn" * $"swa" - $"aa" * $"swn") * dec($"nn" * $"swa" - $"aa" * $"swn")
+          * dec($"nn") * lit(CaChi2Den)
+          > lit(CaChi2Num) * dec($"aa") * dec($"nn" - $"aa")
+            * dec($"nn" * $"sw2n" - $"swn" * $"swn"))
+          .cast("long").as("reject_5pct"))
+  }
+
+  private val trendTestOracle =
+    s"""WITH census AS (
+       |  SELECT CAST(l_linenumber AS BIGINT) AS w,
+       |         CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS a
+       |  FROM lineitem GROUP BY 1),
+       |s AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(a) AS BIGINT) AS aa,
+       |             CAST(sum(w * n) AS BIGINT) AS swn,
+       |             CAST(sum(w * a) AS BIGINT) AS swa,
+       |             CAST(sum(w * w * n) AS BIGINT) AS sw2n
+       |      FROM census)
+       |SELECT nn AS n, aa AS a,
+       |       nn * swa - aa * swn AS u_num,
+       |       floor(CAST(nn * swa - aa * swn AS DOUBLE)
+       |             * CAST(nn * swa - aa * swn AS DOUBLE)
+       |             * CAST(nn AS DOUBLE)
+       |             / (CAST(aa AS DOUBLE) * CAST(nn - aa AS DOUBLE)
+       |                * CAST(nn * sw2n - swn * swn AS DOUBLE))
+       |             * 1000000 + 0.5) / 1000000.0 AS z2,
+       |       CAST(CASE WHEN CAST(nn * swa - aa * swn AS HUGEINT)
+       |                      * CAST(nn * swa - aa * swn AS HUGEINT)
+       |                      * CAST(nn AS HUGEINT) * $CaChi2Den
+       |                    > $CaChi2Num * CAST(aa AS HUGEINT)
+       |                      * CAST(nn - aa AS HUGEINT)
+       |                      * CAST(nn * sw2n - swn * swn AS HUGEINT)
+       |                 THEN 1 ELSE 0 END AS BIGINT) AS reject_5pct
+       |FROM s""".stripMargin
+
   // ---------------------------------------------------------------- defs
 
   lazy val defs: Seq[QueryDef] = Seq(
@@ -1194,5 +1269,8 @@ object Round12Queries {
       twsWarmStartParity, Some(twsWarmStartParityOracle)),
     QueryDef("x307_lsh_band_planner",
       "LSH band planner: exact-rational S-curve x measured pair-similarity histogram ranks (bands, rows) configs",
-      lshBandPlanner, Some(lshBandPlannerOracle)))
+      lshBandPlanner, Some(lshBandPlannerOracle)),
+    QueryDef("x308_trend_test",
+      "Cochran-Armitage trend test over ordered categories: exact integer statistic + cross-multiplied decision",
+      trendTest, Some(trendTestOracle)))
 }
