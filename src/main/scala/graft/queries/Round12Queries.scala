@@ -871,12 +871,16 @@ object Round12Queries {
     * (a+g·(b−a) vs (1−g)·a+g·b), and the pin needs no rounding at all.
     * percentile_disc returns an actual element (cast back to BIGINT).
     *
-    * Scale: builtin sketch-free exact percentiles sort within groups —
-    * at 100 TB use the census-rank recipe (q72/x280); this pin is about
-    * ENGINE SEMANTICS agreement, not the scale path. */
+    * Scale: builtin sketch-free exact percentiles sort within groups
+    * (SIX sort-based aggregates here — measured ~7 s over the full
+    * sf0.1 fact table), so the pin runs on a deterministic 1-in-10
+    * orderkey sample: engine-semantics agreement needs representative
+    * sizes, not the whole corpus. At 100 TB use the census-rank recipe
+    * (q72/x280); this pin is about SEMANTICS, not the scale path. */
   def percentileParity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, dir)
+      .filter($"l_orderkey" % 10 === 0)
       .select($"l_returnflag".as("grp"),
         floor($"l_extendedprice" * 100 + 0.5).cast("long").as("v"))
       .createOrReplaceTempView("x304_v")
@@ -894,7 +898,7 @@ object Round12Queries {
   private val percentileParityOracle =
     """WITH v AS (SELECT l_returnflag AS grp,
       |                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
-      |           FROM lineitem)
+      |           FROM lineitem WHERE l_orderkey % 10 = 0)
       |SELECT grp,
       |       quantile_cont(v, 0.25) AS p25,
       |       quantile_cont(v, 0.5)  AS p50,
