@@ -1226,6 +1226,97 @@ object Round12Queries {
        |                 THEN 1 ELSE 0 END AS BIGINT) AS reject_5pct
        |FROM s""".stripMargin
 
+  // ---------------------------------------------------------------- x309
+
+  /** Signature width for the weighted SimHash (x12's width — a 16-bit
+    * prototype bucketed so coarsely that sf0.1 emitted 170k verified
+    * pairs; 32 bits restores x12-class candidate selectivity). */
+  private val WSimBits = 32
+
+  /** x309: IDF-weighted SimHash near-dup candidates — the production
+    * refinement of x12's unweighted variant: every token votes on each
+    * signature bit with a RARITY weight (w = max(1, 25 − ⌊log₂ df⌋ − 1),
+    * halving per doubling of document frequency — the integer-exact
+    * stand-in for ⌈idf⌉, computed identically in both engines as
+    * `length(bin(df))`, no libm), so boilerplate tokens can no longer
+    * flip bits away from the distinguishing content — the classic
+    * failure mode of unweighted SimHash on templated corpora. Same
+    * bucket-join + exact Jaccard-verify tail as x12 (shared skew cap,
+    * same ≥ 0.5 admission on the RAW ratio).
+    *
+    * Scale: df is one vocabulary aggregate (broadcast dimension); the
+    * signature is 16 conditional sums over the exploded distinct-token
+    * stream; candidates come from equality buckets — no pairwise stage
+    * before the bucket join. */
+  def weightedSimhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", graft.operators.TextAnalysis.tokenSet($"text").as("toks"))
+      .localCheckpoint(true)
+    val tok = toks.select($"doc_id", explode($"toks").as("t"))
+    val dfw = tok.groupBy($"t").agg(count(lit(1)).as("df"))
+      .withColumn("w", greatest(lit(1L), lit(25L) - length(bin($"df"))))
+    val bitSums = (0 until WSimBits).map { p =>
+      val nib = p / 4 + 1
+      val shift = 3 - p % 4
+      sum(when(expr(
+        s"(shiftright(CAST(conv(substring(md5(t), $nib, 1), 16, 10) AS INT), $shift) & 1) = 1"),
+        $"w").otherwise(-$"w")).as(s"s$p")
+    }
+    val sig = tok.join(broadcast(dfw.select($"t", $"w")), "t")
+      .groupBy($"doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select($"doc_id", concat(
+        (0 until WSimBits).map(p => when(col(s"s$p") > 0, "1").otherwise("0")): _*)
+        .as("wsim"))
+    val base = toks.join(sig, "doc_id")
+    val capped = graft.operators.Dedup.capBuckets(base, Seq("wsim"),
+      graft.operators.Dedup.DefaultMaxBucket)
+    val withN = capped.withColumn("nt", size($"toks"))
+    val l = withN.select($"doc_id".as("a"), $"toks".as("ta"), $"wsim", $"nt".as("na"))
+    val r = withN.select($"doc_id".as("b"), $"toks".as("tb"), $"wsim", $"nt".as("nb"))
+    l.join(r,
+        l("wsim") === r("wsim") && $"a" < $"b" &&
+          $"na" * 2 >= $"nb" && $"nb" * 2 >= $"na")
+      .select($"a", $"b", l("wsim").as("wsim"),
+        QueryUtil.fence(graft.operators.Dedup.jaccardSorted($"ta", $"tb")).as("jraw"))
+      .filter($"jraw" >= 0.5)
+      .select($"a", $"b", $"wsim", QueryUtil.halfUp4($"jraw").as("jaccard"))
+      .orderBy("a", "b")
+  }
+
+  private val weightedSimhashOracle = {
+    val bitExprs = (0 until WSimBits).map { p =>
+      val nib = p / 4 + 1
+      val shift = 3 - p % 4
+      s"""CASE WHEN sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(t), $nib, 1)) - 1) >> $shift) & 1 = 1
+         |              THEN w ELSE -w END) > 0 THEN '1' ELSE '0' END""".stripMargin
+    }.mkString(" ||\n       ")
+    s"""WITH t0 AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks
+       |            FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS t FROM t0),
+       |dfw AS (SELECT t, greatest(1, 25 - length(bin(count(*)))) AS w
+       |        FROM tok GROUP BY t),
+       |sig AS (SELECT doc_id,
+       |       $bitExprs AS wsim
+       |      FROM tok JOIN dfw USING (t) GROUP BY doc_id),
+       |s0 AS (SELECT t0.doc_id, toks, wsim FROM t0 JOIN sig ON sig.doc_id = t0.doc_id),
+       |s AS (SELECT doc_id, toks, wsim
+       |      FROM (SELECT *, count(*) OVER (PARTITION BY wsim) AS bn FROM s0)
+       |      WHERE bn <= ${graft.operators.Dedup.DefaultMaxBucket}),
+       |p AS (SELECT x.doc_id AS a, y.doc_id AS b, x.wsim AS wsim, x.toks AS ta, y.toks AS tb
+       |      FROM s x JOIN s y ON x.wsim = y.wsim AND x.doc_id < y.doc_id
+       |                        AND len(x.toks) * 2 >= len(y.toks)
+       |                        AND len(y.toks) * 2 >= len(x.toks)),
+       |j AS (SELECT a, b, wsim,
+       |        CAST(len(list_filter(ta, s -> list_contains(tb, s))) AS DOUBLE)
+       |              / (len(ta) + len(tb) - len(list_filter(ta, s -> list_contains(tb, s)))) AS jraw
+       |      FROM p)
+       |SELECT a, b, wsim, floor(jraw * 10000 + 0.5) / 10000.0 AS jaccard FROM j
+       |WHERE jraw >= 0.5
+       |ORDER BY a, b""".stripMargin
+  }
+
   // ---------------------------------------------------------------- defs
 
   lazy val defs: Seq[QueryDef] = Seq(
@@ -1276,5 +1367,8 @@ object Round12Queries {
       lshBandPlanner, Some(lshBandPlannerOracle)),
     QueryDef("x308_trend_test",
       "Cochran-Armitage trend test over ordered categories: exact integer statistic + cross-multiplied decision",
-      trendTest, Some(trendTestOracle)))
+      trendTest, Some(trendTestOracle)),
+    QueryDef("x309_weighted_simhash",
+      "IDF-weighted SimHash near-dup candidates: rarity-weighted bit votes (integer log2 weights), Jaccard-verified",
+      weightedSimhash, Some(weightedSimhashOracle)))
 }
