@@ -21,20 +21,20 @@ object Round10Queries54 {
 
   /** x231: timer parity — user sessions (30-min gap) maintained by
     * [[graft.streaming.IncrementalStream.TwsTimerSessionProcessor]]:
-    * in-batch gap splits emit immediately; the OPEN session per user
-    * flushes from `handleExpiredTimer` once the event-time watermark
-    * passes end+gap (AvailableNow runs a final watermark-only batch,
-    * so every timer with expiry under max(ts)−delay fires before the
-    * query drains). The emitted set therefore equals ALL batch
-    * sessions EXCEPT each user's last one when its expiry outruns the
-    * final watermark — exactly what the oracle computes with one
-    * ranked sessionization. Earlier sessions always flush: a split
-    * implies the next event starts > gap after the previous end, so
-    * the previous expiry trails the final watermark by construction.
+    * every session is held in ListState and flushes ONLY from
+    * `handleExpiredTimer` once the event-time watermark passes
+    * end+gap (AvailableNow runs a final watermark-only batch, so
+    * every timer with expiry under max(ts)−delay fires before the
+    * query drains). The emitted set is therefore exactly the batch
+    * sessions whose expiry the final watermark passed — the pure
+    * watermark-semantics rule the r12 rework adopted after ADVICE
+    * caught eager end-of-batch emission fragmenting sessions that a
+    * later in-watermark event would have extended.
     *
-    * Scale: state is one open session per user plus its timer;
-    * timers live in the same RocksDB store, partitioned with the
-    * keys. */
+    * Scale: state is the per-user list of unexpired sessions (≥1 per
+    * gap of inactivity inside the watermark delay, so small) plus
+    * their timers; timers live in the same RocksDB store, partitioned
+    * with the keys. */
   def twsTimerParity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_x231").toString
@@ -94,13 +94,11 @@ object Round10Queries54 {
        |sess AS (
        |  SELECT user_id, CAST(min(sec) AS BIGINT) AS start_sec,
        |         CAST(max(sec) AS BIGINT) AS end_sec,
-       |         CAST(count(*) AS BIGINT) AS n_events,
-       |         row_number() OVER (PARTITION BY user_id
-       |                            ORDER BY min(sec) DESC) AS rk_desc
+       |         CAST(count(*) AS BIGINT) AS n_events
        |  FROM grp GROUP BY user_id, sid)
        |SELECT user_id, start_sec, end_sec, n_events
        |FROM sess, wm
-       |WHERE rk_desc > 1 OR end_sec + $GapSec < wmf
+       |WHERE end_sec + $GapSec < wmf
        |ORDER BY user_id, start_sec""".stripMargin
 
   lazy val defs: Seq[QueryDef] = Seq(

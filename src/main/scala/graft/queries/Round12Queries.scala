@@ -173,9 +173,13 @@ object Round12Queries {
     * entirely on the VALUE CENSUS: pair SUMS come from the census
     * self-join (v ≤ w with multiplicity c·d, and c·(c+1)/2 on the
     * diagonal), the median is read off cumulative pair counts (x280's
-    * rank recipe) — never an n²-row expansion. The doubled estimate
-    * `hl2 = xᵢ+xⱼ` stays BIGINT-exact; the published estimate halves it
-    * with half-up rounding.
+    * rank recipe) — never an n²-row expansion. Median convention: the
+    * TEXTBOOK estimator — with an even pair count the two middle Walsh
+    * averages are mid-averaged (ADVICE r12; the lower-median shortcut
+    * can sit half a step off). All of it stays BIGINT-exact: `hl4` is
+    * the sum of the doubled Walsh sums at ranks ⌈n/2⌉ and ⌊n/2⌋+1
+    * (equal when n_pairs is odd), and the published estimate is
+    * hl4/4 with half-up rounding.
     *
     * Scale: |distinct values|² census pairs per group (quantities have
     * ~50 distinct values regardless of corpus size) while the pair
@@ -200,11 +204,17 @@ object Round12Queries {
       .withColumn("cum", sum($"cnt").over(w))
       .withColumn("before", $"cum" - $"cnt")
     val ranks = pairs.groupBy($"grp").agg(sum($"cnt").as("n_pairs"))
-      .withColumn("med_rank", expr("(n_pairs + 1) DIV 2"))
+      .withColumn("k_lo", expr("(n_pairs + 1) DIV 2"))
+      .withColumn("k_hi", expr("n_pairs DIV 2 + 1"))
     cum.join(broadcast(ranks), "grp")
-      .filter($"before" < $"med_rank" && $"cum" >= $"med_rank")
-      .select($"grp", $"n_pairs", $"hl2",
-        QueryUtil.halfUp($"hl2".cast("double") / 2.0, 6).as("hl"))
+      .filter(($"before" < $"k_lo" && $"cum" >= $"k_lo") ||
+        ($"before" < $"k_hi" && $"cum" >= $"k_hi"))
+      .groupBy($"grp", $"n_pairs")
+      .agg(
+        (max(when($"before" < $"k_lo" && $"cum" >= $"k_lo", $"hl2")) +
+          max(when($"before" < $"k_hi" && $"cum" >= $"k_hi", $"hl2"))).as("hl4"))
+      .select($"grp", $"n_pairs", $"hl4",
+        QueryUtil.halfUp($"hl4".cast("double") / 4.0, 6).as("hl"))
       .orderBy($"grp")
   }
 
@@ -225,13 +235,23 @@ object Round12Queries {
       |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
       |  FROM pairs),
       |rk AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n_pairs,
-      |              (sum(cnt) + 1) // 2 AS med_rank
-      |       FROM pairs GROUP BY grp)
-      |SELECT c.grp, r.n_pairs, c.hl2,
-      |       floor(CAST(c.hl2 AS DOUBLE) / 2.0 * 1000000 + 0.5) / 1000000.0 AS hl
-      |FROM cum c JOIN rk r ON r.grp = c.grp
-      |WHERE c.cum - c.cnt < r.med_rank AND c.cum >= r.med_rank
-      |ORDER BY c.grp""".stripMargin
+      |              (sum(cnt) + 1) // 2 AS k_lo,
+      |              sum(cnt) // 2 + 1 AS k_hi
+      |       FROM pairs GROUP BY grp),
+      |mid AS (
+      |  SELECT c.grp, r.n_pairs,
+      |         CAST(max(CASE WHEN c.cum - c.cnt < r.k_lo AND c.cum >= r.k_lo
+      |                       THEN c.hl2 END) +
+      |              max(CASE WHEN c.cum - c.cnt < r.k_hi AND c.cum >= r.k_hi
+      |                       THEN c.hl2 END) AS BIGINT) AS hl4
+      |  FROM cum c JOIN rk r ON r.grp = c.grp
+      |  WHERE (c.cum - c.cnt < r.k_lo AND c.cum >= r.k_lo)
+      |     OR (c.cum - c.cnt < r.k_hi AND c.cum >= r.k_hi)
+      |  GROUP BY c.grp, r.n_pairs)
+      |SELECT grp, n_pairs, hl4,
+      |       floor(CAST(hl4 AS DOUBLE) / 4.0 * 1000000 + 0.5) / 1000000.0 AS hl
+      |FROM mid
+      |ORDER BY grp""".stripMargin
 
   // ---------------------------------------------------------------- x297
 

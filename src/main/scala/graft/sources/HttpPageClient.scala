@@ -4,10 +4,12 @@ package graft.sources
   * reference implements with `requests` (salesforce_extractor.py:86-136) —
   * SRC2's bearer-token auth and the 401 surface SRC3's single-retry wraps.
   *
-  *  - **Lazy bearer token per executor** (SRC2, :86-104): the token field is
-  *    `@transient`, so every deserialized task-side copy authenticates on
-  *    first use and then reuses its token for the life of the executor —
-  *    exactly the reference's module-level cached token, distributed.
+  *  - **Lazy bearer token per JVM** (SRC2, :86-104): tokens live in a
+  *    JVM-wide cache keyed by (authUrl, clientId), so however many
+  *    task-side copies of this client a stage deserializes, each executor
+  *    JVM authenticates once per credential — the reference's module-level
+  *    cached token, distributed (auth POSTs scale with executors, not
+  *    tasks; ADVICE r12).
   *  - **401 → [[PaginatedSource.UnauthorizedException]]** (SRC3, :126-136):
   *    this client NEVER retries internally; compose with
   *    [[PaginatedSource.RetryingClient]]`(c, () => c.reauth())` for the
@@ -26,22 +28,21 @@ final class HttpPageClient(pagesUrl: String, authUrl: String,
                            pageSize: Int = PaginatedSource.PageSize)
     extends PaginatedSource.PageClient {
 
-  @transient @volatile private var token: String = _
+  private def cacheKey = (authUrl, clientId)
 
   /** Force re-authentication (the SRC3 retry hook). */
-  def reauth(): Unit = synchronized { token = fetchToken() }
+  def reauth(): Unit = HttpPageClient.tokenCache.put(cacheKey, fetchToken())
 
   private def ensureToken(): String = {
-    val t = token
+    val t = HttpPageClient.tokenCache.get(cacheKey)
     if (t != null) t
-    else synchronized {
-      if (token == null) token = fetchToken()
-      token
-    }
+    else HttpPageClient.tokenCache.computeIfAbsent(cacheKey, _ => fetchToken())
   }
 
   private def fetchToken(): String = {
-    val body = s"""{"client_id":"$clientId","client_secret":"$clientSecret","grant_type":"client_credentials"}"""
+    // Credentials are data, not syntax: a quote/backslash/control char in
+    // either must yield a valid JSON body, not a broken auth POST.
+    val body = s"""{"client_id":${HttpPageClient.jstr(clientId)},"client_secret":${HttpPageClient.jstr(clientSecret)},"grant_type":"client_credentials"}"""
     val (code, resp) = HttpPageClient.post(authUrl, body)
     if (code != 200)
       throw new java.io.IOException(s"auth failed: HTTP $code $resp")
@@ -64,6 +65,20 @@ final class HttpPageClient(pagesUrl: String, authUrl: String,
 }
 
 object HttpPageClient {
+  /** Per-JVM bearer-token cache keyed by (authUrl, clientId): all
+    * deserialized client copies in one executor JVM share one token per
+    * credential, so a 1000-task sweep does one auth POST per executor. */
+  private[sources] val tokenCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]
+
+  /** JSON string literal with quote/backslash/control-char escapes. */
+  private[sources] def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   private def readAll(conn: java.net.HttpURLConnection): String = {
     val is = if (conn.getResponseCode >= 400) conn.getErrorStream
              else conn.getInputStream

@@ -688,24 +688,35 @@ object IncrementalStream {
   final case class TwsSession(user_id: Long, start_sec: Long, end_sec: Long,
                               n_events: Long)
 
-  /** The TIMER surface of `transformWithState`: a per-user session
-    * (gap-bounded) held in ValueState; every input batch extends the
-    * session and re-registers an EVENT-TIME timer at end + gap; the
-    * session is emitted ONLY from `handleExpiredTimer` once the
-    * watermark passes the expiry — the state machine the
-    * mapGroupsWithState timeout shape (sessionExpiry above) expresses
-    * with the new API's explicit timer registration. In-batch gap
-    * splits emit the closed session immediately (its timer would fire
-    * anyway; emitting early keeps state at one open session/key). */
+  /** The TIMER surface of `transformWithState`: ALL of a key's unexpired
+    * sessions are held in ListState; every input batch merges the new
+    * events into them with batch `session_window` semantics (sort by
+    * start, coalesce neighbors within gapSec) and registers an EVENT-TIME
+    * timer at each session's end + gap; sessions are emitted ONLY from
+    * `handleExpiredTimer` once the watermark passes their expiry.
+    *
+    * Earlier revisions emitted in-batch gap splits and "pending earlier"
+    * sessions eagerly at end of batch — ADVICE r12 caught the hole: with
+    * watermark delay > gap, a LATER micro-batch can still deliver an
+    * in-watermark event inside (end, end+gap] of an eagerly-emitted
+    * session that batch session_window would have merged into it,
+    * fragmenting the session. Holding every session until its timer fires
+    * is the only Append-mode-safe emission rule, and it makes the state
+    * machine uniform: one list, one merge, one expiry condition.
+    *
+    * No surviving input row can extend a timer-expired session: rows past
+    * the watermark filter have t ≳ wm, while an expired session has
+    * end + gap < wm, so t − end > gap — input-vs-timer processing order
+    * within a batch therefore cannot change the output. */
   final class TwsTimerSessionProcessor(gapSec: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, Long, java.sql.Timestamp), TwsSession] {
-    @transient private var sess:
-        org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+    @transient private var sessions:
+        org.apache.spark.sql.streaming.ListState[(Long, Long, Long)] = _
 
     override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-      sess = getHandle.getValueState[(Long, Long, Long)]("sess",
+      sessions = getHandle.getListState[(Long, Long, Long)]("sessions",
         org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.scalaLong,
           org.apache.spark.sql.Encoders.scalaLong,
@@ -716,55 +727,33 @@ object IncrementalStream {
         key: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[TwsSession] = {
-      val secs = rows.map(_._2).toArray.sorted
-      var out = List.empty[TwsSession]
-      var (s0, e0, n0) =
-        if (sess.exists()) sess.get() else (-1L, -1L, 0L)
-      // Pending EARLIER session: within-watermark arrivals more than a gap
-      // BEFORE the open session accumulate here instead of each becoming a
-      // singleton (ADVICE r11: two early events within gapSec of each other
-      // must merge, mirroring batch session_window semantics). Emitted when
-      // the next event jumps more than gapSec past its end, when the open
-      // session splits, or at end of batch.
-      var (ps, pe, pn) = (-1L, -1L, 0L)
-      def flushPending(): Unit = if (pn > 0) {
-        out ::= TwsSession(key, ps, pe, pn); ps = -1L; pe = -1L; pn = 0L
+      // Existing sessions plus each new event as a singleton interval,
+      // sorted by start, then coalesced: exactly the batch session_window
+      // merge. Within-watermark out-of-order arrivals (earlier than any
+      // open session, or bridging two of them) land wherever the merge
+      // puts them — no eager emission, no special cases (ADVICE r10/r11/
+      // r12 were all eager-emission bugs in the predecessor of this code).
+      val existing = sessions.get().toArray
+      val all = (existing ++ rows.map(r => (r._2, r._2, 1L)))
+        .sortBy(s => (s._1, s._2))
+      val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      all.foreach { case (s, e, n) =>
+        if (merged.nonEmpty && s - merged.last._2 <= gapSec) {
+          val (ls, le, ln) = merged.last
+          merged(merged.size - 1) = (ls, math.max(le, e), ln + n)
+        } else merged += ((s, e, n))
       }
-      secs.foreach { t =>
-        if (s0 < 0) { s0 = t; e0 = t; n0 = 1L }
-        else if (t >= s0 - gapSec && t - e0 <= gapSec) {
-          // Within a gap of the open session on EITHER side. The t < s0
-          // case is a within-watermark out-of-order arrival from a later
-          // micro-batch (rows are sorted only within a batch): it must
-          // pull start back, not silently inflate n while start stays
-          // wrong (ADVICE r10).
-          s0 = math.min(s0, t); e0 = math.max(e0, t); n0 += 1
-          // The pulled-back start may now bridge to the pending earlier
-          // session — merge them, exactly as batch session_window would.
-          if (pn > 0 && s0 - pe <= gapSec) {
-            s0 = ps; n0 += pn; ps = -1L; pe = -1L; pn = 0L
-          }
-        } else if (t < s0 - gapSec) {
-          // More than a gap BEFORE the open session: extend the pending
-          // earlier session if within its gap (secs are sorted, so t ≥ pe),
-          // else close it and start a new one. By the watermark nothing
-          // OLDER than this batch's early arrivals can still show up once
-          // the batch that admitted them is done, so end-of-batch emission
-          // is safe for Append mode.
-          if (pn > 0 && t - pe <= gapSec) { pe = t; pn += 1 }
-          else { flushPending(); ps = t; pe = t; pn = 1L }
-        } else {
-          flushPending()
-          out ::= TwsSession(key, s0, e0, n0)
-          s0 = t; e0 = t; n0 = 1L
-        }
+      sessions.put(merged.toArray)
+      // One timer per session at its expiry, registered only when the
+      // expiry is NEW this batch (an unchanged session's timer already
+      // exists in the store — re-registering is a warn-logged no-op). An
+      // extended/merged session gets a fresh timer; its superseded timers
+      // fire harmlessly (the expiry check below finds nothing due).
+      val had = existing.map { case (_, e, _) => e }.toSet
+      merged.foreach { case (_, e, _) =>
+        if (!had.contains(e)) getHandle.registerTimer((e + gapSec) * 1000L)
       }
-      flushPending()
-      if (s0 >= 0) {
-        sess.update((s0, e0, n0))
-        getHandle.registerTimer((e0 + gapSec) * 1000L)
-      }
-      out.reverseIterator
+      Iterator.empty
     }
 
     override def handleExpiredTimer(
@@ -772,18 +761,16 @@ object IncrementalStream {
         timerValues: org.apache.spark.sql.streaming.TimerValues,
         expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
         : Iterator[TwsSession] = {
-      if (sess.exists()) {
-        val (s0, e0, n0) = sess.get()
-        // Only flush if this timer corresponds to the CURRENT session (a
-        // later event may have extended it); a stale timer re-arms the
-        // session's true expiry so an input-quiet key still flushes once
-        // the watermark gets there.
-        if (expiredTimerInfo.getExpiryTimeInMs >= (e0 + gapSec) * 1000L) {
-          sess.clear()
-          return Iterator.single(TwsSession(key, s0, e0, n0))
-        } else getHandle.registerTimer((e0 + gapSec) * 1000L)
+      val expiry = expiredTimerInfo.getExpiryTimeInMs
+      val all = sessions.get().toArray
+      val (done, live) = all.partition { case (_, e, _) =>
+        (e + gapSec) * 1000L <= expiry
       }
-      Iterator.empty
+      if (done.nonEmpty) {
+        if (live.isEmpty) sessions.clear() else sessions.put(live)
+      }
+      done.sortBy(_._1).iterator
+        .map { case (s, e, n) => TwsSession(key, s, e, n) }
     }
   }
 

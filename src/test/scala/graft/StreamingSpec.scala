@@ -706,16 +706,17 @@ class StreamingSpec extends SparkTestBase {
       java.nio.file.Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
     }
-    // Batch 0: u1 one open session (100..120); u2 splits in-batch
-    // (100 closes immediately, 300 stays open).
+    // Batch 0: u1 holds (100..120) with timer 180; u2 holds TWO sessions
+    // in ListState — (100) timer 160 and (300) timer 360 (nothing emits
+    // eagerly; every session waits for its timer).
     stage(0, Seq((1L, 100L), (1L, 120L), (2L, 100L), (2L, 300L)))
-    // Batch 1: u1's 1000 splits in-batch (100..120 closes); watermark
-    // advances to 300−10, firing u2's stale 160s timer, which re-arms 360.
+    // Batch 1: u1's 1000 joins its list; the watermark (300−10=290) fires
+    // u1's 180 timer → (100..120) emits, and u2's 160 timer → (100) emits.
     stage(1, Seq((1L, 1000L)))
     // Batch 2: dummy u3 advances the watermark to 1000−10=990 > 360 ⇒
-    // u2's open session flushes FROM THE TIMER; then AvailableNow runs a
-    // final watermark-only batch (wm 2000−10=1990) that fires u1's
-    // re-armed 1060s timer too. Only u3 (expiry 2060 > 1990) stays.
+    // u2's (300) flushes from its timer; then AvailableNow runs a final
+    // watermark-only batch (wm 2000−10=1990) that fires u1's 1060s timer
+    // too. Only u3 (expiry 2060 > 1990) stays.
     stage(2, Seq((3L, 2000L)))
     val schema = StructType(Seq(StructField("user_id", LongType),
       StructField("sec", LongType), StructField("ts", TimestampType)))
@@ -742,9 +743,10 @@ class StreamingSpec extends SparkTestBase {
     val got = buf.asScala.toSeq.map(r => (r.getAs[Long]("user_id"),
       r.getAs[Long]("start_sec"), r.getAs[Long]("end_sec"),
       r.getAs[Long]("n_events"))).toSet
-    // In-batch splits: u2 (100), u1 (100..120). Timer flushes: u2 (300)
-    // when the watermark passes 360, u1 (1000) in the final
-    // watermark-only batch. Still open (never emitted): u3 (2000).
+    // Every session flushes from its own timer: u1 (100..120) and u2 (100)
+    // when the watermark passes 180/160, u2 (300) when it passes 360,
+    // u1 (1000) in the final watermark-only batch. Still unexpired
+    // (never emitted): u3 (2000).
     assert(got == Set((2L, 100L, 100L, 1L), (1L, 100L, 120L, 2L),
       (2L, 300L, 300L, 1L), (1L, 1000L, 1000L, 1L)), got.toString)
   }
@@ -801,12 +803,13 @@ class StreamingSpec extends SparkTestBase {
     }
     // Batch 0: both users open a session at 1000.
     stage(0, Seq((1L, 1000L), (2L, 1000L)))
-    // Batch 1: u1 gets two early events (920, 930) — both < s0−gap = 940,
-    // within gapSec of each other, and 930→1000 jumps 70 > gap: ONE pending
-    // session (920,930,2) emitted at end of batch (branch a). u2 gets an
-    // early 920 plus a bridging 950 (≥ 940): the open start pulls back to
-    // 950, which is within a gap of pending end 920 — all merge into one
-    // open session (920,1000,3) (branch b).
+    // Batch 1: u1 gets two early events (920, 930) — within gapSec of each
+    // other but 930→1000 jumps 70 > gap: the merge leaves TWO sessions in
+    // u1's list, (920,930,2) and (1000,1000,1), both held for their timers
+    // (branch a — under the pre-r13 eager flush (920,930,2) would have been
+    // emitted at end of batch, before the watermark passed its expiry).
+    // u2 gets an early 920 plus a bridging 950: 920–950–1000 chain within
+    // the gap, so the merge yields ONE session (920,1000,3) (branch b).
     stage(1, Seq((1L, 920L), (1L, 930L), (2L, 920L), (2L, 950L)))
     // Batch 2: u3 at 5000 advances the watermark to 3000 > 1060, firing
     // both users' open-session timers. u3 itself stays open (3000 < 5060).
