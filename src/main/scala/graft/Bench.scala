@@ -175,6 +175,19 @@ object Bench {
           else times.sorted.apply((times.size - 1) / 2)
       }
       results(name) = recorded
+      // The 2-3x band escaped r12's guard: the in-place spike rerun fires
+      // at >3x prior but the suspect flag at >2x, so x292 (2.5x) and x16
+      // (2.1x) were flagged suspect WITHOUT ever being re-measured under
+      // changed conditions. Any adaptive-policy entry still >2x its
+      // committed record after its in-sweep runs joins the fresh-session
+      // retry pass (bounded at 12 there).
+      if (fixedRuns.isEmpty && !errors.contains(name) &&
+          prior.get(name).exists(p => p > 0.5 && recorded > 2 * p) &&
+          !deferred.exists(_.name == name)) {
+        System.err.println(
+          f"[bench] $name >2x committed record (${recorded}%.2fs vs ${prior(name)}%.2fs) — deferring to fresh-session retry ${boxState(spark)}")
+        deferred += q
+      }
     }
 
     // Fresh-session retry pass: changed conditions, not repeated ones.
