@@ -123,7 +123,8 @@ object Registry {
       queries.Round11Queries22.defs ++
       queries.Round12Queries.defs ++
       queries.Round13Queries1.defs ++
-      queries.Round13Queries2.defs
+      queries.Round13Queries2.defs ++
+      queries.Round13Queries3.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
