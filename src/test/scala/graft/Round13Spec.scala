@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Hand-derived semantic checks for the round-13 tier — properties the
+  * DuckDB oracle parity cannot establish on its own (it proves Spark ==
+  * DuckDB, not that either computes the intended statistic). */
+class Round13Spec extends SparkTestBase {
+  import spark.implicits._
+
+  test("Holt linear recurrence: constant series converges to the constant with zero trend") {
+    // l1=100, b1=0; every step: l=(100+l+b)/2, b=(l-lprev+b)/2 — fixed
+    // point at l=100, b=0 reached immediately for a constant series.
+    var l = 100L; var b = 0L
+    (1 to 20).foreach { _ =>
+      val lp = l; l = (100L + l + b) / 2L; b = (l - lp + b) / 2L
+    }
+    assert(l == 100L && b == 0L)
+  }
+
+  test("Holt linear recurrence: truncating division matches DuckDB // on negative states") {
+    // The x317 pinned convention: JVM / truncates toward zero, as does
+    // DuckDB's //. A decreasing series drives the trend negative; the
+    // recurrence must stay within the integers the oracle's CTE computes.
+    // Hand step: x=(300,200,100): l1=300,b1=0; l2=(200+300+0)/2=250,
+    // b2=(250-300+0)/2=-25 (trunc: -50/2=-25); l3=(100+250-25)/2=162
+    // (325/2 trunc=162), b3=(162-250-25)/2=(-113)/2 trunc=-56.
+    var l = 300L; var b = 0L
+    Seq(200L, 100L).foreach { x =>
+      val lp = l; l = (x + l + b) / 2L; b = (l - lp + b) / 2L
+    }
+    assert(l == 162L && b == -56L, s"got l=$l b=$b")
+  }
+
+  test("dynamic-gap sessions: a purchase window bridges past a short-gap break") {
+    // user 1: purchase at t=0 (gap 1800), click at t=700 (gap 600),
+    // click at t=1500. Lag-based sessionization with per-event gaps
+    // would BREAK at 1500 (1500-700=800 > 600), but the purchase's
+    // window [0,1800) still covers 1500 — session_window must merge all
+    // three (running-max-of-ends semantics). Control user 2: two clicks
+    // 700 apart split into two sessions.
+    val ev = Seq(
+      (1L, 0L, "purchase"), (1L, 700L, "click"), (1L, 1500L, "click"),
+      (2L, 0L, "click"), (2L, 700L, "click"))
+      .toDF("user_id", "sec", "event_type")
+      .select($"user_id", $"sec".cast("timestamp").as("ts"), $"event_type")
+    val gap = when($"event_type" === "purchase", lit("1800 seconds"))
+      .otherwise(lit("600 seconds"))
+    val got = ev.groupBy($"user_id", session_window($"ts", gap))
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id",
+        expr("CAST(unix_timestamp(session_window.start) AS BIGINT)").as("s"),
+        expr("CAST(unix_timestamp(session_window.end) AS BIGINT)").as("e"),
+        $"n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (1L, 0L, 2100L, 3L),  // merged: end = max(0+1800, 700+600, 1500+600)
+      (2L, 0L, 600L, 1L), (2L, 700L, 1300L, 1L)), got.toString)
+  }
+
+  test("McNemar cells partition the users and chi2 matches the hand formula") {
+    val out = queries.Round13Queries1.mcnemar(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val (yy, b, c, nn) = (out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3))
+    val users = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"user_id").distinct().count()
+    assert(yy + b + c + nn == users, s"cells $yy+$b+$c+$nn != $users users")
+    if (b + c > 0) {
+      val chi2 = out.getDouble(4)
+      val expect = math.floor((b - c).toDouble * (b - c) / (b + c) * 1e6 + 0.5) / 1e6
+      assert(chi2 == expect)
+    }
+  }
+
+  test("filtered-ANN audit: hits never exceed the truth and recall is their exact ratio") {
+    val rows = queries.Round13Queries2.filteredAnn(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTrue, hits, recall) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(hits <= nTrue && nTrue <= 5)
+      assert(recall == math.floor(hits.toDouble / nTrue * 1e4 + 0.5) / 1e4)
+    }
+  }
+
+  test("Kruskal-Wallis doubled rank sums add up to the full rank mass N(N+1)") {
+    // Σ_g R2_g = 2·Σ ranks = N(N+1) — an identity any correct census
+    // ranking must satisfy regardless of the data.
+    val r = queries.Round13Queries1.kruskalWallis(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val n = r.getLong(0)
+    val r2sum = r.getLong(4) + r.getLong(5) + r.getLong(6)
+    assert(r2sum == n * (n + 1), s"rank mass $r2sum != ${n * (n + 1)}")
+  }
+}
