@@ -262,8 +262,13 @@ object Round13Queries3 {
   // ---------------------------------------------------------------- x321
 
   /** Overflow-forcing multiplier for the try_multiply arm (cents above
-    * ⌊Long.Max / this⌋ overflow and must yield NULL, not an error). */
-  private val TryMul = 2000000000000L
+    * ⌊Long.Max / this⌋ = 10,399,562 overflow and must yield NULL, not an
+    * error). Sized so overflow hits ~1% of rows (the fixture's cents
+    * p99–max band): TryExpression catches a JVM ArithmeticException per
+    * overflowing row, and a first cut that overflowed HALF the corpus
+    * spent 10 s/sweep on exception fill-in — the semantics pin must not
+    * double as an exception-throughput benchmark. */
+  private val TryMul = 886900000000L
 
   /** x321: `try_` arithmetic semantics pin — Spark's try_divide /
     * try_multiply return NULL where strict ANSI arithmetic raises
