@@ -124,7 +124,8 @@ object Registry {
       queries.Round12Queries.defs ++
       queries.Round13Queries1.defs ++
       queries.Round13Queries2.defs ++
-      queries.Round13Queries3.defs
+      queries.Round13Queries3.defs ++
+      queries.Round13Queries4.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
