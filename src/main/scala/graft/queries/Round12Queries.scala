@@ -27,7 +27,7 @@ object Round12Queries {
     * p = p_num/924 is a ratio of counts — the only resampling scheme
     * that can be oracle-paired bit-for-bit, and the reason x294 can run
     * BH on EXACT rationals. */
-  private def permPvalues(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def permPvalues(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ranked = Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir),
@@ -62,7 +62,7 @@ object Round12Queries {
 
   /** The identical pipeline as DuckDB CTEs ending in
     * `perm_p(nationkey, d_obs, p_num, p_den)`. */
-  private val permPvaluesCtes =
+  private[queries] val permPvaluesCtes =
     s"""ranked AS (
        |  SELECT c_nationkey AS nationkey, o_orderkey,
        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
