@@ -112,7 +112,18 @@ object ExplainAudit {
       "x260_histogram_select", "x261_skyline_grid",
       "x266_quantile_normalize", "x276_shapley_attribution",
       "x280_median_ci", "x284_avi_audit", "x285_ks_test",
-      "x287_bag_setops", "x288_null_semantics")
+      "x287_bag_setops", "x288_null_semantics",
+      // round-13 shapes: census-pivot rank tests (tiny windows over
+      // value censuses), unrounded argmin/argmax candidates over prefix
+      // sums, one-pair-scan two-window filtered ANN, dynamic-gap session
+      // aggregation, postings lag window, broadcast boundary audit
+      // (NOT x314: eager localCheckpoint at construction, like x63;
+      // NOT x317: typed mapGroups plan is trivial; NOT x319/x323: real
+      // streaming runs at construction.)
+      "x310_kruskal_wallis", "x313_jonckheere", "x315_changepoint_binseg",
+      "x316_filtered_ann", "x318_dynamic_gap_sessions", "x325_energy_distance",
+      "x326_gini_stump", "x327_pass_at_k", "x328_postings_compression",
+      "x329_range_boundaries")
     names.foreach { n =>
       println(s"\n===== $n =====")
       Registry.byName(n).fn(spark, dir).explain("formatted")

@@ -688,6 +688,30 @@ object IncrementalStream {
   final case class TwsSession(user_id: Long, start_sec: Long, end_sec: Long,
                               n_events: Long)
 
+  /** The batch-session_window merge as a pure function: existing sessions
+    * plus each arrival as a singleton interval, sorted by start, coalesced
+    * where the next start is within gapSec of the previous end. Extracted
+    * from [[TwsTimerSessionProcessor.handleInputRows]] so the one
+    * invariant that processor must uphold — folding ANY batch split of an
+    * event set through this merge yields exactly the batch sessionization
+    * of the whole set — is property-testable without a streaming query
+    * (StreamingSpec; the r10–r12 ADVICE findings were all batch-split
+    * sensitivities in this code's eager-emission predecessor). */
+  private[graft] def mergeSessions(existing: Array[(Long, Long, Long)],
+                                   arrivals: Array[Long],
+                                   gapSec: Long): Array[(Long, Long, Long)] = {
+    val all = (existing ++ arrivals.map(t => (t, t, 1L)))
+      .sortBy(s => (s._1, s._2))
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    all.foreach { case (s, e, n) =>
+      if (merged.nonEmpty && s - merged.last._2 <= gapSec) {
+        val (ls, le, ln) = merged.last
+        merged(merged.size - 1) = (ls, math.max(le, e), ln + n)
+      } else merged += ((s, e, n))
+    }
+    merged.toArray
+  }
+
   /** The TIMER surface of `transformWithState`: ALL of a key's unexpired
     * sessions are held in ListState; every input batch merges the new
     * events into them with batch `session_window` semantics (sort by
@@ -734,16 +758,9 @@ object IncrementalStream {
       // puts them — no eager emission, no special cases (ADVICE r10/r11/
       // r12 were all eager-emission bugs in the predecessor of this code).
       val existing = sessions.get().toArray
-      val all = (existing ++ rows.map(r => (r._2, r._2, 1L)))
-        .sortBy(s => (s._1, s._2))
-      val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-      all.foreach { case (s, e, n) =>
-        if (merged.nonEmpty && s - merged.last._2 <= gapSec) {
-          val (ls, le, ln) = merged.last
-          merged(merged.size - 1) = (ls, math.max(le, e), ln + n)
-        } else merged += ((s, e, n))
-      }
-      sessions.put(merged.toArray)
+      val merged = IncrementalStream.mergeSessions(
+        existing, rows.map(_._2).toArray, gapSec)
+      sessions.put(merged)
       // One timer per session at its expiry, registered only when the
       // expiry is NEW this batch (an unchanged session's timer already
       // exists in the store — re-registering is a warn-logged no-op). An

@@ -83,6 +83,46 @@ class Round13Spec extends SparkTestBase {
     }
   }
 
+  test("property: folding ANY batch split through mergeSessions equals batch sessionization") {
+    // The invariant behind TwsTimerSessionProcessor (and the r10-r12
+    // ADVICE bug class it replaced): however an event multiset is split
+    // into micro-batches - including out-of-order and duplicate
+    // timestamps across batches - folding the batches through the pure
+    // merge yields exactly the from-scratch batch session_window result
+    // (sorted runs split where the gap exceeds gapSec, counts summed).
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val gapSec = 10L
+    val eventsGen = Gen.listOfN(40, Gen.choose(0L, 300L))
+    def batchSessionize(secs: Seq[Long]): Seq[(Long, Long, Long)] = {
+      val sorted = secs.sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      sorted.foreach { t =>
+        if (out.nonEmpty && t - out.last._2 <= gapSec) {
+          val (s, _, n) = out.last; out(out.size - 1) = (s, t, n + 1)
+        } else out += ((t, t, 1L))
+      }
+      out.toSeq
+    }
+    (1L to 40L).foreach { seed =>
+      val secs = sample(eventsGen, seed)
+      // random batch split: assign each event a batch index, preserve order
+      val nBatches = 1 + (seed % 5).toInt
+      val batches = secs.zipWithIndex
+        .groupBy { case (t, i) => (t * 31 + i + seed) % nBatches }
+        .toSeq.sortBy(_._1).map(_._2.map(_._1))
+      var state = Array.empty[(Long, Long, Long)]
+      batches.foreach { b =>
+        state = graft.streaming.IncrementalStream
+          .mergeSessions(state, b.toArray, gapSec)
+      }
+      assert(state.toSeq == batchSessionize(secs),
+        s"seed=$seed split into ${batches.size} batches diverged")
+    }
+  }
+
   test("Kruskal-Wallis doubled rank sums add up to the full rank mass N(N+1)") {
     // Σ_g R2_g = 2·Σ ranks = N(N+1) — an identity any correct census
     // ranking must satisfy regardless of the data.
