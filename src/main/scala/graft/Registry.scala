@@ -127,7 +127,8 @@ object Registry {
       queries.Round13Queries3.defs ++
       queries.Round13Queries4.defs ++
       queries.Round13Queries5.defs ++
-      queries.Round13Queries6.defs
+      queries.Round13Queries6.defs ++
+      queries.Round13Queries7.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
