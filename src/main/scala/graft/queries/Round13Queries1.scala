@@ -256,7 +256,12 @@ object Round13Queries1 {
     * pair join: prices bucket to whole-dollar-÷100 values, the census
     * pivots to the five known priority columns, one cumulative window
     * per group gives #{x_g < v}, and all ten (g,h) U-counts are linear
-    * sums over the census. E[2JT] = N² − Σn_g²; the z uses the
+    * sums over the census. E[2JT] = Σ_{g<h} n_g·n_h = (N² − Σn_g²)/2
+    * (the ordered-pair count halved — exactly even, so the division is
+    * lossless; an earlier draft used the UNhalved count and inflated
+    * |z| ~40×, caught by a direct pair-fraction probe, not by the
+    * oracle, which shared the bug — the parity gate proves Spark ==
+    * DuckDB, never that either is the textbook). The z uses the
     * standard no-tie null variance [N²(2N+3) − Σn_g²(2n_g+3)]/72 —
     * documented approximation: bucketing introduces ties the classical
     * variance ignores (the exact integer 2jt/e2jt columns carry the
@@ -302,9 +307,10 @@ object Round13Queries1 {
       $"n3" * $"n3" * (lit(2L) * $"n3" + 3L) +
       $"n4" * $"n4" * (lit(2L) * $"n4" + 3L) +
       $"n5" * $"n5" * (lit(2L) * $"n5" + 3L)
-    agg.select($"n", $"jt2", ($"n" * $"n" - sumSq).as("e2jt"),
+    val e2jt = ($"n" * $"n" - sumSq) / lit(2L) // exact: ordered pairs are even
+    agg.select($"n", $"jt2", e2jt.cast("long").as("e2jt"),
       QueryUtil.halfUp4(
-        (d($"jt2") - d($"n" * $"n" - sumSq)) / 2.0
+        (d($"jt2") - d(e2jt)) / 2.0
           / sqrt((d($"n") * d($"n") * d(lit(2L) * $"n" + 3L) - d(sumCube)) / 72.0))
         .as("z"))
   }
@@ -336,9 +342,10 @@ object Round13Queries1 {
       |         CAST(sum(c5) AS BIGINT) AS n5
       |  FROM cumd)
       |SELECT n, jt2,
-      |       n * n - (n1*n1 + n2*n2 + n3*n3 + n4*n4 + n5*n5) AS e2jt,
+      |       (n * n - (n1*n1 + n2*n2 + n3*n3 + n4*n4 + n5*n5)) // 2 AS e2jt,
       |       floor((CAST(jt2 AS DOUBLE)
-      |              - CAST(n * n - (n1*n1 + n2*n2 + n3*n3 + n4*n4 + n5*n5) AS DOUBLE)) / 2.0
+      |              - CAST((n * n - (n1*n1 + n2*n2 + n3*n3 + n4*n4 + n5*n5)) // 2
+      |                     AS DOUBLE)) / 2.0
       |             / sqrt((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(2 * n + 3 AS DOUBLE)
       |                     - CAST(n1*n1*(2*n1+3) + n2*n2*(2*n2+3) + n3*n3*(2*n3+3)
       |                            + n4*n4*(2*n4+3) + n5*n5*(2*n5+3) AS DOUBLE)) / 72.0)
