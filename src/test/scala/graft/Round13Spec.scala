@@ -123,6 +123,42 @@ class Round13Spec extends SparkTestBase {
     }
   }
 
+  test("energy statistic census prefix sums equal brute-force pairwise masses") {
+    // x325 computes three pair-defined expectations WITHOUT a pair join;
+    // this recomputes them by brute force over the sf0.001 corpus (500
+    // docs -> 250k driver-side pairs, test-only) and checks the BIGINT
+    // pair masses match exactly.
+    val vals = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter($"n_chars" > 0)
+      .select($"n_chars".cast("long"), ($"lang" === "en").cast("boolean"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val xs = vals.filter(_._2).map(_._1); val ys = vals.filterNot(_._2).map(_._1)
+    val sxy = (for (a <- xs; b <- ys) yield math.abs(a - b)).sum
+    val sxx = (for (a <- xs; b <- xs) yield math.abs(a - b)).sum
+    val syy = (for (a <- ys; b <- ys) yield math.abs(a - b)).sum
+    val row = queries.Round13Queries5.energyDistance(spark, "/root/testdata/sf0.001")
+      .collect().head
+    assert(row.getLong(0) == xs.length && row.getLong(1) == ys.length)
+    assert(row.getLong(2) == sxy, s"sxy ${row.getLong(2)} != $sxy")
+    assert(row.getLong(3) == sxx, s"sxx ${row.getLong(3)} != $sxx")
+    assert(row.getLong(4) == syy, s"syy ${row.getLong(4)} != $syy")
+  }
+
+  test("Jonckheere null mean equals the unordered cross-group pair count") {
+    // e2jt must be sum over g<h of n_g*n_h -- the count of cross-group
+    // pairs (an earlier draft emitted the ORDERED count, inflating |z|
+    // ~40x; this identity pins the fix).
+    val r = queries.Round13Queries1.jonckheere(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val counts = Tables.orders(spark, "/root/testdata/sf0.001")
+      .groupBy(substring($"o_orderpriority", 1, 1)).count()
+      .collect().map(_.getLong(1))
+    val n = counts.sum
+    val pairs = (n * n - counts.map(c => c * c).sum) / 2
+    assert(r.getLong(0) == n && r.getLong(2) == pairs,
+      s"e2jt ${r.getLong(2)} != $pairs")
+  }
+
   test("Kruskal-Wallis doubled rank sums add up to the full rank mass N(N+1)") {
     // Σ_g R2_g = 2·Σ ranks = N(N+1) — an identity any correct census
     // ranking must satisfy regardless of the data.
