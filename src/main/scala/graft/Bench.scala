@@ -204,16 +204,20 @@ object Bench {
         val retries = scala.collection.mutable.ArrayBuffer.empty[Double]
         run1(q).foreach(retries += _)
         if (!errors.contains(q.name)) run1(q).foreach(retries += _)
+        // Every deferred query already SUCCEEDED in the main sweep (it was
+        // deferred for being slow, not for failing) — a retry-pass failure
+        // is the fresh session's environment, not the query. Any retry run
+        // that DID succeed is a valid changed-conditions measurement and
+        // must still count (r13 code-review: a first-retry success followed
+        // by a second-retry failure was thrown away, keeping the inflated
+        // main-sweep record); then drop the spurious error so a nonzero
+        // timing and an error entry stay mutually exclusive.
         if (errors.contains(q.name)) {
-          // Every deferred query already SUCCEEDED in the main sweep (it was
-          // deferred for being slow, not for failing) — a retry-pass failure
-          // is the fresh session's environment, not the query. Keep the slow
-          // but real main-sweep timing and drop the spurious error so a
-          // nonzero timing and an error entry stay mutually exclusive.
           System.err.println(
-            s"[bench] ${q.name} fresh-session retry FAILED (${errors(q.name)}) — keeping main-sweep timing, clearing error")
+            s"[bench] ${q.name} fresh-session retry error (${errors(q.name)}) — environmental; keeping timing evidence, clearing error")
           errors.remove(q.name)
-        } else if (retries.nonEmpty) {
+        }
+        if (retries.nonEmpty) {
           val best = math.min(results(q.name), retries.min)
           System.err.println(
             f"[bench] ${q.name} fresh-session retry: ${retries.map(t => f"$t%.2f").mkString("s, ")}s main=${results(q.name)}%.2fs recorded=$best%.2fs ${boxState(spark)}")
@@ -237,12 +241,8 @@ object Bench {
 
     // escape quote/backslash and ALL control chars — a stray control byte
     // in an exception message must not break the one JSON line this prints
-    def jstr(s: String) = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // (shared impl: one escaper in the codebase, not two divergent copies)
+    def jstr(s: String) = graft.sources.HttpPageClient.jstr(s)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val committedJson = prior.toSeq.sortBy(_._1)

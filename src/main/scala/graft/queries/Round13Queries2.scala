@@ -84,11 +84,8 @@ object Round13Queries2 {
     * over it. The full-data pass is one map-side-combinable groupBy. */
   def changepointBinseg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val daily = Tables.events(spark, dir)
-      .select($"event_type",
-        expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)").as("day"),
-        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
-      .groupBy($"event_type", $"day").agg(sum($"cents").as("s"))
+    val daily = Round13Queries3.dailyCents(spark, dir)
+      .withColumnRenamed("cents", "s")
     val wOrd = Window.partitionBy($"event_type").orderBy($"day")
       .rowsBetween(Window.unboundedPreceding, 0)
     val wAll = Window.partitionBy($"event_type")

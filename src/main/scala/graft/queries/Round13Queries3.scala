@@ -18,7 +18,7 @@ object Round13Queries3 {
 
   /** Per-type daily revenue census shared by the Holt fold and its
     * oracle: (event_type, epoch-day, cents). */
-  private def dailyCents(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def dailyCents(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)
       .select($"event_type",
@@ -166,8 +166,11 @@ object Round13Queries3 {
   // ---------------------------------------------------------------- x319
 
   /** x319: the STREAMING side of x318 — the same dynamic-gap session
-    * aggregation over a real file stream (3 chronology-respecting
-    * parquet slices, maxFilesPerTrigger = 1), complete mode, so the
+    * aggregation over a real file stream (3 ARBITRARY row splits via
+    * repartition — complete mode is arrival-order-insensitive, which is
+    * the point: sessions must merge correctly from any batch interleave;
+    * the watermarked append-mode variant x323 is the one that stages
+    * true chronological slices), maxFilesPerTrigger = 1, so the
     * session store must MERGE dynamic windows across micro-batches:
     * a purchase in batch 1 whose 30-minute window swallows a batch-2
     * click session is the state transition fixed-gap x133 cannot
@@ -332,7 +335,7 @@ object Round13Queries3 {
 
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("x317_holt_linear",
-      "Holt linear-trend smoothing as an exact floor-div integer recurrence: typed per-key fold vs recursive-CTE oracle",
+      "Holt linear-trend smoothing as an exact truncating-div integer recurrence: typed per-key fold vs recursive-CTE oracle",
       holtLinear, Some(holtLinearOracle)),
     QueryDef("x318_dynamic_gap_sessions",
       "session_window with per-event dynamic gaps: running-max-of-ends oracle sessionization, merge-at-touch boundary pinned",

@@ -13,6 +13,21 @@ import org.apache.spark.sql.functions._
   */
 object Round13Queries4 {
 
+  /** Shared en-vs-rest n_chars value census: (v, ta = en count,
+    * tb = non-en count). One definition feeds x322 (Cliff's delta),
+    * x325 (energy statistic), and x326 (Gini stump) so a fixture or
+    * normalization change can never drift the paired statistics apart
+    * (r13 code-review: this was copy-pasted three times). */
+  private[queries] def enCharsCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"n_chars" > 0)
+      .select($"n_chars".cast("long").as("v"),
+        when($"lang" === "en", 1L).otherwise(0L).as("a"))
+      .groupBy($"v")
+      .agg(sum($"a").as("ta"), sum(lit(1L) - $"a").as("tb"))
+  }
+
   // ---------------------------------------------------------------- x322
 
   /** x322: Cliff's delta between en and non-en document lengths —
@@ -28,12 +43,7 @@ object Round13Queries4 {
     * window over ≤|distinct lengths| rows, one scalar projection. */
   def cliffsDelta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val census = Tables.documents(spark, dir)
-      .filter($"n_chars" > 0)
-      .select($"n_chars".cast("long").as("v"),
-        when($"lang" === "en", 1L).otherwise(0L).as("a"))
-      .groupBy($"v")
-      .agg(sum($"a").as("ta"), sum(lit(1L) - $"a").as("tb"))
+    val census = enCharsCensus(spark, dir)
     val w = Window.orderBy($"v").rowsBetween(Long.MinValue, -1)
     val ranked = census
       .withColumn("cumb", coalesce(sum($"tb").over(w), lit(0L)))

@@ -87,12 +87,7 @@ object Round13Queries5 {
     * (DECIMAL swap documented for n beyond ~10⁷ at this v_max). */
   def energyDistance(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val census = Tables.documents(spark, dir)
-      .filter($"n_chars" > 0)
-      .select($"n_chars".cast("long").as("v"),
-        when($"lang" === "en", 1L).otherwise(0L).as("a"))
-      .groupBy($"v")
-      .agg(sum($"a").as("ta"), sum(lit(1L) - $"a").as("tb"))
+    val census = Round13Queries4.enCharsCensus(spark, dir)
     val w = Window.orderBy($"v").rowsBetween(Long.MinValue, -1)
     val cum = census
       .withColumn("ca", coalesce(sum($"ta").over(w), lit(0L)))
@@ -172,12 +167,7 @@ object Round13Queries5 {
     * scale, with the census as the (exact) histogram. */
   def giniStump(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val census = Tables.documents(spark, dir)
-      .filter($"n_chars" > 0)
-      .select($"n_chars".cast("long").as("v"),
-        when($"lang" === "en", 1L).otherwise(0L).as("a"))
-      .groupBy($"v")
-      .agg(sum($"a").as("ta"), sum(lit(1L) - $"a").as("tb"))
+    val census = Round13Queries4.enCharsCensus(spark, dir)
     val wCum = Window.orderBy($"v").rowsBetween(Long.MinValue, 0)
     val wAll = Window.partitionBy(lit(1))
     val cand = census

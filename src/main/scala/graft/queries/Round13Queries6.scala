@@ -195,8 +195,12 @@ object Round13Queries6 {
     val sample = cents.filter($"o_orderkey" % RangeStride === 0L)
       .agg(sort_array(collect_list($"cents")).as("s"))
       .select($"s", size($"s").cast("long").as("slen"))
+    // greatest(1, ·): a sample smaller than the partition count must
+    // yield duplicated boundaries (skewed but defined, parity-consistent),
+    // not element_at(s, 0), which Spark rejects while DuckDB s[0] returns
+    // NULL — divergent failure modes (r13 code-review catch).
     val withB = sample.select((1 until RangeParts).map(i =>
-      expr(s"element_at(s, CAST(($i * slen) DIV $RangeParts AS INT))")
+      expr(s"element_at(s, CAST(greatest(1, ($i * slen) DIV $RangeParts) AS INT))")
         .as(s"b$i")): _*)
     val bucketed = cents.crossJoin(broadcast(withB))
       .select($"cents",
@@ -218,7 +222,7 @@ object Round13Queries6 {
 
   private val rangeBoundariesOracle = {
     val bDefs = (1 until RangeParts).map(i =>
-      s"s[CAST(($i * slen) // $RangeParts AS INT)] AS b$i").mkString(",\n       |         ")
+      s"s[CAST(greatest(1, ($i * slen) // $RangeParts) AS INT)] AS b$i").mkString(",\n       |         ")
     val bucketExpr = (1 until RangeParts).map(i =>
       s"CASE WHEN cents > b$i THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH cents AS MATERIALIZED (

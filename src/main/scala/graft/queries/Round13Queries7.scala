@@ -34,8 +34,12 @@ object Round13Queries7 {
     *
     * Scale: the cell census (|types|·|weekdays| rows) is all the
     * iteration touches — the corpus pass is one map-side-combinable
-    * groupBy; margins are tiny aggregates joined back broadcast. Target
-    * arithmetic needs target·10⁶ < 2⁶³ (DECIMAL swap past ~10¹² events). */
+    * groupBy; margins are tiny aggregates joined back broadcast. The
+    * factor arithmetic target·10⁶ runs in DECIMAL(38)/HUGEINT on both
+    * sides (a BIGINT intermediate overflows SILENTLY in non-ANSI Spark
+    * at ~5·10⁷ events while the oracle errors — r13 code-review catch);
+    * the remaining BIGINT bound is the driver-side target itself,
+    * total·10⁶ < 2⁶³ (~9·10¹² events). */
   def ipfRaking(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cells0 = Tables.events(spark, dir)
@@ -52,11 +56,15 @@ object Round13Queries7 {
     (1 to IpfIters).foreach { _ =>
       val rm = cells.groupBy($"event_type").agg(sum($"n" * $"w").as("rm"))
       cells = cells.join(broadcast(rm), "event_type")
-        .withColumn("w", expr(s"(w * ((${tRow}L * $IpfScale) DIV rm)) DIV $IpfScale"))
+        .withColumn("w", expr(
+          s"(w * CAST((CAST(${tRow}L AS DECIMAL(38,0)) * CAST($IpfScale AS DECIMAL(38,0)))" +
+            s" DIV CAST(rm AS DECIMAL(38,0)) AS BIGINT)) DIV $IpfScale"))
         .drop("rm")
       val cm = cells.groupBy($"dow").agg(sum($"n" * $"w").as("cm"))
       cells = cells.join(broadcast(cm), "dow")
-        .withColumn("w", expr(s"(w * ((${tCol}L * $IpfScale) DIV cm)) DIV $IpfScale"))
+        .withColumn("w", expr(
+          s"(w * CAST((CAST(${tCol}L AS DECIMAL(38,0)) * CAST($IpfScale AS DECIMAL(38,0)))" +
+            s" DIV CAST(cm AS DECIMAL(38,0)) AS BIGINT)) DIV $IpfScale"))
         .drop("cm")
         .localCheckpoint(true)
     }
@@ -74,14 +82,14 @@ object Round13Queries7 {
       Seq(
         s"""r$k AS (
            |  SELECT c.event_type, c.dow, c.n,
-           |         (c.w * ((trow * $IpfScale) // rm)) // $IpfScale AS w
+           |         (c.w * CAST((CAST(trow AS HUGEINT) * $IpfScale) // rm AS BIGINT)) // $IpfScale AS w
            |  FROM ${if (k == 1) "c0" else s"c${k - 1}"} c
            |  JOIN (SELECT event_type, CAST(sum(n * w) AS BIGINT) AS rm
            |        FROM ${if (k == 1) "c0" else s"c${k - 1}"} GROUP BY 1) m
            |    ON m.event_type = c.event_type, t)""".stripMargin,
         s"""c$k AS (
            |  SELECT c.event_type, c.dow, c.n,
-           |         (c.w * ((tcol * $IpfScale) // cm)) // $IpfScale AS w
+           |         (c.w * CAST((CAST(tcol AS HUGEINT) * $IpfScale) // cm AS BIGINT)) // $IpfScale AS w
            |  FROM r$k c
            |  JOIN (SELECT dow, CAST(sum(n * w) AS BIGINT) AS cm
            |        FROM r$k GROUP BY 1) m ON m.dow = c.dow, t)""".stripMargin)

@@ -5,7 +5,7 @@ package graft.sources
   * SRC2's bearer-token auth and the 401 surface SRC3's single-retry wraps.
   *
   *  - **Lazy bearer token per JVM** (SRC2, :86-104): tokens live in a
-  *    JVM-wide cache keyed by (authUrl, clientId), so however many
+  *    JVM-wide cache keyed by (authUrl, clientId, clientSecret), so however many
   *    task-side copies of this client a stage deserializes, each executor
   *    JVM authenticates once per credential — the reference's module-level
   *    cached token, distributed (auth POSTs scale with executors, not
@@ -28,7 +28,7 @@ final class HttpPageClient(pagesUrl: String, authUrl: String,
                            pageSize: Int = PaginatedSource.PageSize)
     extends PaginatedSource.PageClient {
 
-  private def cacheKey = (authUrl, clientId)
+  private def cacheKey = (authUrl, clientId, clientSecret)
 
   /** Force re-authentication (the SRC3 retry hook). */
   def reauth(): Unit = HttpPageClient.tokenCache.put(cacheKey, fetchToken())
@@ -65,14 +65,19 @@ final class HttpPageClient(pagesUrl: String, authUrl: String,
 }
 
 object HttpPageClient {
-  /** Per-JVM bearer-token cache keyed by (authUrl, clientId): all
-    * deserialized client copies in one executor JVM share one token per
-    * credential, so a 1000-task sweep does one auth POST per executor. */
+  /** Per-JVM bearer-token cache keyed by the FULL credential
+    * (authUrl, clientId, clientSecret): all deserialized client copies in
+    * one executor JVM share one token per credential, so a 1000-task
+    * sweep does one auth POST per executor. The secret is part of the
+    * key — two clients with the same id but different secrets (e.g. mid
+    * secret-rotation) must not share or clobber each other's token
+    * (r13 code-review catch). */
   private[sources] val tokenCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), String]
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), String]
 
-  /** JSON string literal with quote/backslash/control-char escapes. */
-  private[sources] def jstr(s: String): String = "\"" + s.flatMap {
+  /** JSON string literal with quote/backslash/control-char escapes —
+    * the repo's ONE escaper (Bench's output line uses it too). */
+  private[graft] def jstr(s: String): String = "\"" + s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
     case c if c < ' ' => f"\\u${c.toInt}%04x"
