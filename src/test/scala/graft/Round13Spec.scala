@@ -168,4 +168,67 @@ class Round13Spec extends SparkTestBase {
     val r2sum = r.getLong(4) + r.getLong(5) + r.getLong(6)
     assert(r2sum == n * (n + 1), s"rank mass $r2sum != ${n * (n + 1)}")
   }
+
+  /** Brute-force Friedman via doubled average ranks on a b×k matrix:
+    * returns (ΣR2j², Σr2², b) for the integer Conover form. */
+  private def friedmanParts(m: Seq[Seq[Long]]): (Long, Long, Long) = {
+    val k = m.head.size
+    val r2 = m.map { row =>
+      row.map(v => 2L * row.count(_ < v) + row.count(_ == v) + 1L)
+    }
+    val r2j = (0 until k).map(j => r2.map(_(j)).sum)
+    (r2j.map(r => r * r).sum, r2.flatten.map(r => r * r).sum, m.size.toLong)
+  }
+
+  test("Friedman integer form matches the classic chi2_F on a no-ties textbook matrix") {
+    // b=4 blocks, k=3 treatments, no ties; classic chi2_F =
+    // 12/(b*k*(k+1)) * sum R_j^2 - 3*b*(k+1).
+    val m = Seq(Seq(1L, 2L, 3L), Seq(1L, 3L, 2L), Seq(2L, 1L, 3L), Seq(1L, 2L, 3L))
+    val (sR2sq, a2, b) = friedmanParts(m)
+    val k = 3L
+    val tInt = (k - 1).toDouble * (sR2sq - b * b * k * (k + 1) * (k + 1)).toDouble /
+      (a2 - b * k * (k + 1) * (k + 1)).toDouble
+    val rj = (0 until 3).map(j => m.map { row =>
+      row.indices.sortBy(row(_)).indexOf(j) + 1.0
+    }.sum)
+    val classic = 12.0 / (b * k * (k + 1)) * rj.map(r => r * r).sum - 3.0 * b * (k + 1)
+    assert(math.abs(tInt - classic) < 1e-12, s"$tInt != $classic")
+  }
+
+  test("Friedman doubled ranks handle within-block ties as average ranks") {
+    // block (5,5,2): ranks (2.5, 2.5, 1) -> doubled (5,5,2). The
+    // Conover denominator must then differ from the tie-free value.
+    val m = Seq(Seq(5L, 5L, 2L), Seq(4L, 6L, 1L))
+    val (sR2sq, a2, b) = friedmanParts(m)
+    // block1 doubled ranks: 5,5,2; block2: 4,6,2 -> R2 = (9,11,4)
+    assert(sR2sq == 81L + 121L + 16L && b == 2L)
+    assert(a2 == 25L + 25L + 4L + 16L + 36L + 4L)
+  }
+
+  test("Cochran Q integer form matches the textbook column-deviation form") {
+    // 6 blocks x 3 treatments of binaries (mixed rows incl. all-1 and
+    // all-0 blocks, which must cancel from the denominator).
+    val m = Seq(
+      Seq(1L, 0L, 0L), Seq(1L, 1L, 0L), Seq(0L, 0L, 0L),
+      Seq(1L, 1L, 1L), Seq(1L, 0L, 1L), Seq(1L, 0L, 0L))
+    val k = 3L
+    val cj = (0 until 3).map(j => m.map(_(j)).sum)
+    val ri = m.map(_.sum)
+    val nS = ri.sum
+    val qInt = (k - 1).toDouble * (k * cj.map(c => c * c).sum - nS * nS).toDouble /
+      (k * nS - ri.map(r => r * r).sum).toDouble
+    val qText = k * (k - 1).toDouble *
+      cj.map(c => (c - nS.toDouble / k) * (c - nS.toDouble / k)).sum /
+      (k * nS - ri.map(r => r * r).sum).toDouble
+    assert(math.abs(qInt - qText) < 1e-12, s"$qInt != $qText")
+  }
+
+  test("Cochran Q fixture invariants: column totals bounded by blocks, N = sum Cj") {
+    val r = queries.Round13Queries8.cochranQ(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val b = r.getLong(0); val n = r.getLong(1)
+    val cjs = (3 to 7).map(r.getLong)
+    assert(cjs.forall(c => c >= 0 && c <= b))
+    assert(cjs.sum == n, s"sum Cj ${cjs.sum} != N $n")
+  }
 }
