@@ -231,4 +231,72 @@ class Round13Spec extends SparkTestBase {
     assert(cjs.forall(c => c >= 0 && c <= b))
     assert(cjs.sum == n, s"sum Cj ${cjs.sum} != N $n")
   }
+
+  test("Brown-Forsythe census form matches direct ANOVA on |x - median| deviations") {
+    // Three small groups with distinct spreads; brute-force the textbook
+    // BF statistic and the integer-census form side by side.
+    val groups = Seq(
+      Seq(1L, 3L, 5L, 7L, 9L),        // spread-y, median 5
+      Seq(4L, 5L, 5L, 6L),             // tight, doubled median 10
+      Seq(2L, 2L, 8L, 8L, 10L, 10L))   // bimodal, doubled median 16
+    // direct: z_ij = |x - med_g| (med as double), one-way ANOVA F on z
+    val z = groups.map { g =>
+      val s = g.sorted
+      val med = (s((s.size - 1) / 2) + s(s.size / 2)) / 2.0
+      g.map(x => math.abs(x - med))
+    }
+    val nTot = z.map(_.size).sum.toDouble
+    val zTot = z.flatten.sum
+    val between = z.map(g => math.pow(g.sum, 2) / g.size).sum - zTot * zTot / nTot
+    val within = z.flatten.map(v => v * v).sum - z.map(g => math.pow(g.sum, 2) / g.size).sum
+    val fDirect = (between / (groups.size - 1)) / (within / (nTot - groups.size))
+    // census form: doubled medians, z2 = |2v - m2|, F from (n, S, Q)
+    val parts = groups.map { g =>
+      val s = g.sorted
+      val m2 = s((s.size - 1) / 2) + s(s.size / 2)
+      val z2 = g.map(x => math.abs(2 * x - m2))
+      (g.size.toLong, z2.sum, z2.map(v => v * v).sum)
+    }
+    val ssg = parts.map { case (n, s, _) => s.toDouble * s / n }.sum
+    val sTot = parts.map(_._2).sum.toDouble
+    val n = parts.map(_._1).sum.toDouble
+    val b2 = ssg - sTot * sTot / n
+    val w2 = parts.map(_._3).sum - ssg
+    val fCensus = (b2 / (groups.size - 1)) / (w2 / (n - groups.size))
+    assert(math.abs(fDirect - fCensus) < 1e-12, s"$fDirect != $fCensus")
+  }
+
+  test("Durbin-Watson integer residual numerator reproduces exact OLS residuals") {
+    // y = 2x + noise; residual numerator R_i / (nD) must equal the
+    // double-OLS residual to within quantization.
+    val xs = (1L to 8L).toSeq
+    val ys = Seq(3L, 5L, 6L, 9L, 11L, 12L, 16L, 17L)
+    val n = xs.size.toLong
+    val sx = xs.sum; val sxx = xs.map(x => x * x).sum
+    val sy = ys.sum; val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val dd = n * sxx - sx * sx
+    val bn = n * sxy - sx * sy
+    val slope = bn.toDouble / dd
+    val icept = (sy - slope * sx) / n
+    xs.zip(ys).foreach { case (x, y) =>
+      val rNum = n * dd * y - dd * sy + bn * sx - n * bn * x
+      val eInt = rNum.toDouble / (n * dd)
+      val eOls = y - icept - slope * x
+      assert(math.abs(eInt - eOls) < 1e-9, s"x=$x: $eInt != $eOls")
+    }
+    // DW of an alternating-sign residual series approaches 4; of a
+    // slowly-drifting one approaches 0 — sanity-pin the formula ends.
+    def dw(e: Seq[Double]) =
+      e.sliding(2).map { case Seq(a, b) => (b - a) * (b - a) }.sum / e.map(v => v * v).sum
+    assert(dw(Seq(1.0, -1.0, 1.0, -1.0, 1.0, -1.0)) > 3.0)
+    assert(dw(Seq(1.0, 1.1, 1.2, 1.3, 1.4, 1.5)) < 0.1)
+  }
+
+  test("Durbin-Watson fixture statistic lies in the admissible (0, 4) band") {
+    val r = queries.Round13Queries9.durbinWatson(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val dw = r.getDouble(5)
+    assert(dw > 0.0 && dw < 4.0, s"dw=$dw out of band")
+    assert(r.getLong(3) > 0L, "zero residual mass — degenerate fit")
+  }
 }
