@@ -299,4 +299,62 @@ class Round13Spec extends SparkTestBase {
     assert(dw > 0.0 && dw < 4.0, s"dw=$dw out of band")
     assert(r.getLong(3) > 0L, "zero residual mass — degenerate fit")
   }
+
+  test("Mantel-Haenszel collapses to the plain odds ratio on identical strata") {
+    // Two copies of the same 2x2 table: OR_MH must equal ad/bc of the
+    // single table (quantized path within micro-unit tolerance).
+    val (a, b, c, d) = (30L, 70L, 15L, 85L)
+    val n = a + b + c + d
+    def q(x: Long) = x * 1000000L / n // truncating, as the query does
+    val orMh = (q(a * d) + q(a * d)).toDouble / (q(b * c) + q(b * c))
+    val orPlain = (a * d).toDouble / (b * c)
+    assert(math.abs(orMh - orPlain) < 1e-4, s"$orMh != $orPlain")
+  }
+
+  test("MH chi-square matches the textbook form on a hand pair of strata") {
+    // Unquantized textbook: (|sum a - sum E|)^2 / sum V with
+    // E = (a+b)(a+c)/n, V = (a+b)(c+d)(a+c)(b+d)/(n^2(n-1)).
+    val strata = Seq((12L, 18L, 8L, 22L), (25L, 25L, 20L, 30L))
+    val (sa, se, sv) = strata.foldLeft((0.0, 0.0, 0.0)) {
+      case ((xa, xe, xv), (a, b, c, d)) =>
+        val n = (a + b + c + d).toDouble
+        (xa + a,
+          xe + (a + b) * (a + c) / n,
+          xv + (a + b).toDouble * (c + d) * (a + c) * (b + d) / (n * n * (n - 1)))
+    }
+    val chi2Text = (sa - se) * (sa - se) / sv
+    // quantized path (micro-units) as the query computes it
+    val s = 1000000L
+    val (qa, qe, qv) = strata.foldLeft((0L, 0L, 0L)) {
+      case ((xa, xe, xv), (a, b, c, d)) =>
+        val n = a + b + c + d
+        (xa + a,
+          xe + (a + b) * (a + c) * s / n,
+          xv + (a + b) * (c + d) * (a + c) * (b + d) * s / (n * n * (n - 1)))
+    }
+    val chi2Q = (qa.toDouble * s - qe) * (qa.toDouble * s - qe) / (s.toDouble * qv)
+    assert(math.abs(chi2Text - chi2Q) < 1e-3, s"$chi2Text != $chi2Q")
+  }
+
+  test("Fleiss kappa census form matches the per-item agreement definition, and is 1 on unanimity") {
+    // 5 items x 3 raters x 3 categories; counts per item sum to 3.
+    val items = Seq(Seq(3L, 0L, 0L), Seq(2L, 1L, 0L), Seq(0L, 3L, 0L),
+      Seq(1L, 1L, 1L), Seq(0L, 2L, 1L))
+    val nI = items.size.toDouble; val nR = 3.0
+    // definition: P_i = (sum n_ic^2 - n)/(n(n-1)), Pbar = mean P_i
+    val pbarDef = items.map(it => (it.map(v => v * v).sum - nR) / (nR * (nR - 1))).sum / nI
+    // census form used by the query
+    val s2 = items.map(_.map(v => v * v).sum).sum.toDouble
+    val pbarCensus = (s2 - nI * nR) / (nI * nR * (nR - 1))
+    assert(math.abs(pbarDef - pbarCensus) < 1e-12)
+    val cc = (0 until 3).map(j => items.map(_(j)).sum.toDouble)
+    val pe = cc.map(c => (c / (nI * nR)) * (c / (nI * nR))).sum
+    val kappa = (pbarCensus - pe) / (1.0 - pe)
+    assert(kappa > 0.0 && kappa < 1.0, s"kappa=$kappa")
+    // unanimity: every item 3-0-0 somewhere -> Pbar = 1 -> kappa = 1
+    val unan = Seq(Seq(3L, 0L, 0L), Seq(0L, 3L, 0L), Seq(0L, 0L, 3L))
+    val s2u = unan.map(_.map(v => v * v).sum).sum.toDouble
+    val pbarU = (s2u - 3 * nR) / (3 * nR * (nR - 1))
+    assert(math.abs(pbarU - 1.0) < 1e-12)
+  }
 }
