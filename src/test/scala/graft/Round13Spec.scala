@@ -357,4 +357,52 @@ class Round13Spec extends SparkTestBase {
     val pbarU = (s2u - 3 * nR) / (3 * nR * (nR - 1))
     assert(math.abs(pbarU - 1.0) < 1e-12)
   }
+
+  /** Reference HRU greedy mirroring x337's algebra on literal sizes. */
+  private def hruGreedy(sizes: Map[Long, Long], k: Int): Seq[(Long, Long)] = {
+    var cost = sizes.keys.map(m => m -> sizes(7L)).toMap
+    var picked = Set(7L)
+    (1 to k).map { _ =>
+      // iterator, not Set.map — a Set would dedupe equal per-descendant
+      // benefit terms before the sum
+      val best = sizes.keys.toSeq.filterNot(picked).map { v =>
+        val ben = sizes.keys.toSeq.filter(w => (w & v) == w)
+          .map(w => math.max(0L, cost(w) - sizes(v))).sum
+        (v, ben)
+      }.sortBy { case (v, ben) => (-ben, v) }.head
+      picked += best._1
+      cost = cost.map { case (w, c) =>
+        w -> (if ((w & best._1) == w) math.min(c, sizes(best._1)) else c)
+      }
+      best
+    }
+  }
+
+  test("HRU greedy picks the hand-derived trace incl. the lowest-mask tie-break") {
+    // sizes chosen so round 1 TIES views 1 and 3 at benefit 160 — the
+    // deterministic tie-break must take mask 1; rounds 2-3 follow.
+    val sizes = Map(0L -> 1L, 1L -> 20L, 2L -> 30L, 3L -> 60L,
+      4L -> 50L, 5L -> 70L, 6L -> 80L, 7L -> 100L)
+    assert(hruGreedy(sizes, 3) == Seq((1L, 160L), (3L, 80L), (5L, 60L)))
+  }
+
+  test("x337 fixture trace: total cost drops by exactly the claimed benefit each round") {
+    val rows = queries.Round13Queries11.viewSelection(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length == 3)
+    // initial total = 8 * |top view|; each greedy round's post-pick total
+    // must equal the previous total minus the picked benefit (the HRU
+    // benefit IS the total-cost reduction) and benefits must be
+    // non-increasing (submodularity).
+    val s7 = rows.head.getLong(4) + rows.head.getLong(3) // total1 + benefit1 = 8*s7
+    assert(s7 % 8 == 0, s"initial total $s7 not 8*|top|")
+    var prevTotal = s7
+    var prevBen = Long.MaxValue
+    rows.sortBy(_.getLong(0)).foreach { r =>
+      val ben = r.getLong(3); val tot = r.getLong(4)
+      assert(tot == prevTotal - ben, s"iter ${r.getLong(0)}: $tot != $prevTotal - $ben")
+      assert(ben <= prevBen, "greedy benefits must be non-increasing")
+      prevTotal = tot; prevBen = ben
+    }
+  }
 }
