@@ -405,4 +405,18 @@ class Round13Spec extends SparkTestBase {
       prevTotal = tot; prevBen = ben
     }
   }
+
+  test("x338 advisor invariants: ndv <= runs <= n, best is the argmin under dict<rle<plain ties") {
+    val rows = queries.Round13Queries12.encodingAdvisor(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (n, ndv, runs) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(ndv <= runs && runs <= n, s"${r.getString(0)}: $ndv <= $runs <= $n violated")
+      val (p, d, rl, best) = (r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7))
+      val expected = if (d <= rl && d <= p) "dict" else if (rl <= p) "rle" else "plain"
+      assert(best == expected, s"${r.getString(0)}: best=$best, expected $expected")
+      assert(d == Seq(p, d, rl).min || best != "dict" || d <= Seq(p, rl).min)
+    }
+  }
 }
