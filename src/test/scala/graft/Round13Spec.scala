@@ -419,4 +419,66 @@ class Round13Spec extends SparkTestBase {
       assert(d == Seq(p, d, rl).min || best != "dict" || d <= Seq(p, rl).min)
     }
   }
+
+  /** Reference k-truss peel to fixpoint on canonical (a<b) edges. */
+  private def trussRef(edges0: Set[(Long, Long)], k: Int): Set[(Long, Long)] = {
+    var e = edges0
+    var changed = true
+    while (changed) {
+      val sup = e.toSeq.flatMap { case (a, b) =>
+        e.toSeq.collect { case (x, y) if x == b && e((a, y)) => Seq((a, b), (a, y), (b, y)) }.flatten
+      }.groupBy(identity).map { case (k2, v) => k2 -> v.size.toLong }
+      val kept = e.filter(ed => sup.getOrElse(ed, 0L) >= k - 2)
+      changed = kept != e
+      e = kept
+    }
+    e
+  }
+
+  test("k-truss peels the pendant triangle but keeps K4 (hand graph), matching brute force") {
+    // K4 on 1-4 (each edge in 2 triangles) + triangle 4-5-6 (support 1)
+    // + pendant edge 6-7 (support 0): the 4-truss is exactly K4.
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val g = k4.toSet ++ Set((4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L))
+    assert(trussRef(g, 4) == k4.toSet)
+  }
+
+  test("x339 fixture 4-truss is a true fixed point: every surviving edge has support >= 2") {
+    val rows = queries.Round13Queries13.kTruss(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(2) >= 2L),
+      s"min support ${rows.map(_.getLong(2)).min} < k-2 — TrussRounds too small for fixture")
+  }
+
+  test("densest-subgraph peeling finds the K6 core hidden behind a path (reference trace)") {
+    // K6 (15 edges, deg 5) + disjoint 10-node path (9 edges): round 0
+    // keeps only nodes with deg*16 >= 3*24=72 -> K6; best density 15/6.
+    var edges = (for (i <- 1L to 6L; j <- (i + 1) to 6L) yield (i, j)).toSet ++
+      (10L until 19L).map(i => (i, i + 1)).toSet
+    var trace = Seq.empty[(Long, Long)] // (n, m)
+    (0 until 8).foreach { _ =>
+      val nodes = edges.flatMap(e => Seq(e._1, e._2))
+      if (nodes.nonEmpty) {
+        val n = nodes.size.toLong; val m = edges.size.toLong
+        trace :+= (n, m)
+        val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+          .map { case (k2, v) => k2 -> v.size.toLong }
+        val keep = nodes.filter(nd => deg(nd) * n >= 3 * m)
+        edges = edges.filter(e => keep(e._1) && keep(e._2))
+      }
+    }
+    assert(trace == Seq((16L, 24L), (6L, 15L)), s"trace $trace")
+    // cross-multiplied argmax: 15*16 vs 24*6 -> round 1 is best
+    assert(15L * 16L > 24L * 6L)
+  }
+
+  test("x340 fixture: exactly one best round, dens equals m/n on every row") {
+    val rows = queries.Round13Queries13.densestSubgraph(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.map(_.getLong(4)).sum == 1L, "exactly one best flag expected")
+    rows.foreach { r =>
+      val expect = math.floor(r.getLong(2).toDouble / r.getLong(1) * 10000 + 0.5) / 10000
+      assert(r.getDouble(3) == expect)
+    }
+  }
 }
