@@ -481,4 +481,42 @@ class Round13Spec extends SparkTestBase {
       assert(r.getDouble(3) == expect)
     }
   }
+
+  test("Page-Hinkley integer recurrence detects a level shift and stays flat before it") {
+    // series: stable at 10, then jumps to 30 — PH must be ~0 through the
+    // stable prefix and grow monotonically after the shift.
+    val xs = Seq(10L, 10L, 10L, 10L, 30L, 30L, 30L)
+    val micro = 1000000L; val delta = 2 * micro
+    var s = 0L; var m = 0L; var mn = 0L
+    val ph = xs.zipWithIndex.map { case (x, i) =>
+      val t = i + 1L
+      s += x
+      val mbar = s * micro / t // truncating, as the query's DIV
+      m += x * micro - mbar - delta
+      mn = math.min(mn, m)
+      m - mn
+    }
+    assert(ph.take(4).forall(_ == 0L), s"stable prefix must give PH=0, got ${ph.take(4)}")
+    assert(ph(4) > 0L && ph(5) > ph(4) && ph(6) > ph(5), s"post-shift PH must grow: $ph")
+    // alarm at lambda = 20 events fires by the end of the shift
+    assert(ph.last > 20L * micro)
+  }
+
+  test("average precision micro-quantization matches the hand-computed rational") {
+    // relevant at ranks 1, 3, 5 with R=3: AP = (1/1 + 2/3 + 3/5)/3.
+    val relRanks = Seq((1L, 1L), (3L, 2L), (5L, 3L)) // (rank, cumrel)
+    val sumP = relRanks.map { case (rk, cr) => cr * 1000000L / rk }.sum
+    assert(sumP == 1000000L + 666666L + 600000L)
+    assert(sumP / 3L == 755555L)
+    val apExact = (1.0 + 2.0 / 3 + 3.0 / 5) / 3
+    assert(math.abs(sumP / 3L / 1e6 - apExact) < 2e-6)
+  }
+
+  test("x342 fixture: ap_micro bounded by 1e6 and map_micro is the truncated mean") {
+    val rows = queries.Round13Queries14.mapEval(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L))
+    val expect = rows.map(_.getLong(3)).sum / rows.length
+    assert(rows.forall(_.getLong(4) == expect))
+  }
 }
