@@ -519,4 +519,60 @@ class Round13Spec extends SparkTestBase {
     val expect = rows.map(_.getLong(3)).sum / rows.length
     assert(rows.forall(_.getLong(4) == expect))
   }
+
+  /** Reference Holt-Winters step mirroring x343's integer recurrence. */
+  private def hwFold(xs: Seq[Long]): (Long, Long, Array[Long]) = {
+    var l = xs.head; var b = 0L; val s = Array.fill(7)(0L)
+    (2 to xs.length).foreach { i =>
+      val x = xs(i - 1); val idx = (i - 1) % 7
+      val lp = l
+      l = ((x - s(idx)) + l + b) / 2L
+      b = ((l - lp) + b) / 2L
+      s(idx) = ((x - l) + s(idx)) / 2L
+    }
+    (l, b, s)
+  }
+
+  test("Holt-Winters integer recurrence: constant series is a fixed point, negatives truncate") {
+    val (lc, bc, sc) = hwFold(Seq.fill(10)(100L))
+    assert(lc == 100L && bc == 0L && sc.forall(_ == 0L))
+    // hand trajectory on (300,200,100): i=2 -> l=250,b=-25,s1=-25;
+    // i=3 -> l=162 (325/2 trunc), b=(-113)/2=-56 trunc, s2=-31
+    val (l, b, s) = hwFold(Seq(300L, 200L, 100L))
+    assert(l == 162L && b == -56L && s(1) == -25L && s(2) == -31L,
+      s"got l=$l b=$b s=${s.toSeq}")
+  }
+
+  test("Holt-Winters learns a pure period-7 signal into the seasonal slots") {
+    // 70 days alternating by weekday slot: high on slot 0, low otherwise.
+    val xs = (1 to 70).map(i => if ((i - 1) % 7 == 0) 1000L else 100L)
+    val (_, _, s) = hwFold(xs)
+    assert(s(0) > s(1) + 100L,
+      s"slot 0 seasonal ${s(0)} must sit well above the off-slots ${s.toSeq}")
+  }
+
+  test("Witten-Bell probabilities sum to one over the vocabulary (exact rationals)") {
+    // train bigrams from 'a b a b a c': histories a->{b,b,c}, b->{a,a}.
+    // For v=a: c=3, T=2; unigrams over 6 train tokens.
+    val uni = Map("a" -> 3L, "b" -> 2L, "c" -> 1L); val n = 6L
+    val cvw = Map("b" -> 2L, "c" -> 1L); val cv = 3L; val tv = 2L
+    // exact: sum over FULL vocab of (c(vw)*N + T*c(w)) = cv*N + T*N
+    val num = uni.keys.map(w2 => cvw.getOrElse(w2, 0L) * n + tv * uni(w2)).sum
+    assert(num == (cv + tv) * n, s"$num != ${(cv + tv) * n}")
+    // micro-quantized sum lands within |vocab| micro-units of 1
+    val micro = uni.keys.map(w2 =>
+      (cvw.getOrElse(w2, 0L) * n + tv * uni(w2)) * 1000000L / (n * (cv + tv))).sum
+    assert(micro >= 1000000L - uni.size && micro <= 1000000L)
+  }
+
+  test("x344 fixture: every per-doc average probability lies in (0, 1]") {
+    val rows = queries.Round13Queries15.wittenBell(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val avg = r.getDouble(4)
+      assert(avg >= 0.0 && avg <= 1.0, s"doc ${r.getLong(0)}: avg_p $avg")
+      assert(r.getLong(1) > 0L)
+    }
+  }
 }
