@@ -575,4 +575,47 @@ class Round13Spec extends SparkTestBase {
       assert(r.getLong(1) > 0L)
     }
   }
+
+  test("Flesch-Kincaid hand example: 'the cat sat on the mat' pseudo-sentence") {
+    // 6 words, 1 pseudo-sentence (ceil(6/10)), vowel groups: e,a,a,o,e,a = 6.
+    val w = 6.0; val s = 1.0; val syl = 6.0
+    val fk = 0.39 * (w / s) + 11.8 * (syl / w) - 15.59
+    assert(math.abs(fk - (0.39 * 6 + 11.8 - 15.59)) < 1e-12)
+    // and the vowel-group regex counts GROUPS, not vowels: 'queue' has
+    // one contiguous run 'ueue'; 'banana' has three separated 'a's
+    assert("[aeiouy]+".r.findAllIn("queue").length == 1)
+    assert("[aeiouy]+".r.findAllIn("banana").length == 3)
+    assert("[aeiouy]+".r.findAllIn("the cat sat on the mat").length == 6)
+  }
+
+  test("Harrell's C is 1 on perfectly anti-ordered risk, 1/2 under ties-only, by formula") {
+    // subjects (t, e, score): earlier death always higher score -> all
+    // comparable pairs concordant -> C = 1.
+    val perfect = Seq((1L, 1L, 30L), (2L, 1L, 20L), (3L, 1L, 10L))
+    def cIndex(subj: Seq[(Long, Long, Long)]): Double = {
+      val ps = for {
+        i <- subj.indices; j <- subj.indices if i < j
+        (t1, e1, s1) = subj(i); (t2, e2, s2) = subj(j)
+        if t1 != t2
+        eEarly = if (t1 < t2) e1 else e2
+        if eEarly == 1L
+      } yield {
+        val sE = if (t1 < t2) s1 else s2; val sL = if (t1 < t2) s2 else s1
+        if (sE > sL) 1.0 else if (sE == sL) 0.5 else 0.0
+      }
+      ps.sum / ps.size
+    }
+    assert(cIndex(perfect) == 1.0)
+    assert(cIndex(Seq((1L, 1L, 5L), (2L, 1L, 5L), (3L, 1L, 5L))) == 0.5)
+    // censored-early subjects contribute no pairs from their side
+    assert(cIndex(Seq((1L, 0L, 9L), (2L, 1L, 5L), (3L, 1L, 1L))) == 1.0)
+  }
+
+  test("x346 fixture: c_micro consistent with the (nc, nt, ncomp) censuses") {
+    val r = queries.Round13Queries16.harrellC(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val (ncomp, nc, nt) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(ncomp > 0 && nc + nt <= ncomp)
+    assert(r.getLong(3) == (2 * nc + nt) * 1000000L / (2 * ncomp))
+  }
 }
