@@ -137,7 +137,8 @@ object Registry {
       queries.Round13Queries13.defs ++
       queries.Round13Queries14.defs ++
       queries.Round13Queries15.defs ++
-      queries.Round13Queries16.defs
+      queries.Round13Queries16.defs ++
+      queries.Round13Queries17.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

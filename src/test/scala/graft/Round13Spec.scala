@@ -618,4 +618,47 @@ class Round13Spec extends SparkTestBase {
     assert(ncomp > 0 && nc + nt <= ncomp)
     assert(r.getLong(3) == (2 * nc + nt) * 1000000L / (2 * ncomp))
   }
+
+  test("Croston recurrence: steady demand at a steady cadence reaches its integer fixed point") {
+    // demand 40 every 3 weeks: z converges to 40 exactly; p approaches 3
+    // FROM BELOW and the truncating update (3+2)/2 = 2 pins it at 2 —
+    // the documented downward interval bias of the integer smoother
+    // (a true fixed point only when initialized AT the cadence).
+    var z = 40L; var p = 1L
+    (1 to 12).foreach { _ => z = (40L + z) / 2L; p = (3L + p) / 2L }
+    assert(z == 40L && p == 2L, s"z=$z p=$p")
+    var pAt = 3L
+    (1 to 5).foreach(_ => pAt = (3L + pAt) / 2L)
+    assert(pAt == 3L, "initialized at the cadence, p must stay there")
+    // truncation on an alternating interval: p walks 1->(5+1)/2=3->(1+3)/2=2
+    var p2 = 1L
+    Seq(5L, 1L).foreach(a => p2 = (a + p2) / 2L)
+    assert(p2 == 2L)
+  }
+
+  test("Roaring container choice: run beats bitmap on dense runs, array on sparse, bitmap in between") {
+    def choose(n: Long, runs: Long): String = {
+      val arrayB = if (n <= 4096) 2 * n + 8 else Long.MaxValue
+      val runB = 8 + 4 * runs
+      val bitmapB = 8200L
+      val best = Seq(arrayB, runB, bitmapB).min
+      if (runB == best) "run" else if (arrayB == best) "array" else "bitmap"
+    }
+    assert(choose(5000, 1) == "run")      // one dense run: 12 bytes
+    assert(choose(100, 100) == "array")   // scattered sparse: 208 < 408
+    assert(choose(5000, 3000) == "bitmap") // dense but fragmented: 8200 < 12008
+  }
+
+  test("x348 fixture: run census bounded by cardinality and best_b is the admissible min") {
+    val rows = queries.Round13Queries17.roaringSizing(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, runs) = (r.getLong(1), r.getLong(2))
+      assert(runs >= 1 && runs <= n)
+      val cand = Seq(r.getLong(4), r.getLong(5)) ++
+        (if (r.getLong(3) >= 0) Seq(r.getLong(3)) else Nil)
+      assert(r.getLong(6) == cand.min)
+    }
+  }
 }
