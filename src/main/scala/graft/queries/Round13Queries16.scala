@@ -20,6 +20,10 @@ object Round13Queries16 {
     * on both engines. */
   private val SentWords = 10L
 
+  /** Survival-panel cap: the C-index pair join is panel², so the panel
+    * must be bounded whatever the corpus (first [[CPanel]] user ids). */
+  private val CPanel = 2000L
+
   // ---------------------------------------------------------------- x345
 
   /** x345: Flesch–Kincaid grade level per document. Words = space-split
@@ -72,9 +76,10 @@ object Round13Queries16 {
     * risk score, score ties count ½. C = (2·nc + nt)/(2·ncomp) kept as
     * exact integers and micro-quantized with truncating division.
     *
-    * Scale: subjects are a user census (~1 % of events); the pair join
-    * is census² — the x234 Kendall precedent — and everything before it
-    * is one map-side-combinable groupBy(user). */
+    * Scale: the pair join is capped at [[CPanel]]² whatever the corpus —
+    * the x234 TauTop precedent (an UNCAPPED user panel went 12× slower
+    * at 10× data in the r13 scale sweep: users² is quadratic) — and
+    * everything before it is one map-side-combinable groupBy(user). */
   def harrellC(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val subj = Tables.events(spark, dir)
@@ -86,6 +91,10 @@ object Round13Queries16 {
         count(lit(1)).as("score"))
       .select($"user_id", expr("span_us DIV 60000000").as("t_min"),
         when($"np" > 0L, 1L).otherwise(0L).as("e"), $"score")
+      .withColumn("panel_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"user_id")))
+      .filter($"panel_rk" <= CPanel)
+      .drop("panel_rk")
       .localCheckpoint(true)
     val pairs = subj.toDF("u1", "t1", "e1", "s1")
       .join(subj.toDF("u2", "t2", "e2", "s2"), $"u1" < $"u2")
@@ -106,13 +115,14 @@ object Round13Queries16 {
   }
 
   private val harrellCOracle =
-    """WITH subj AS MATERIALIZED (
+    s"""WITH subj AS MATERIALIZED (
       |  SELECT user_id,
       |         (epoch_us(max(ts)) - epoch_us(min(ts))) // 60000000 AS t_min,
       |         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
       |              THEN 1 ELSE 0 END AS e,
       |         CAST(count(*) AS BIGINT) AS score
-      |  FROM events GROUP BY 1),
+      |  FROM events GROUP BY 1
+      |  ORDER BY user_id LIMIT $CPanel),
       |pairs AS (
       |  SELECT CASE WHEN a.t_min < b.t_min THEN a.e ELSE b.e END AS e_early,
       |         CASE WHEN a.t_min < b.t_min THEN a.score ELSE b.score END AS s_early,

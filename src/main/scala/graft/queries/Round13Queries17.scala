@@ -110,10 +110,24 @@ object Round13Queries17 {
     * then partition the window work. Output is |rows|/2¹⁶ rows. */
   def roaringSizing(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ids = Tables.lineitem(spark, dir)
+    // distributed global rank: a bare Window.orderBy row_number over the
+    // whole fact table runs on ONE partition (7.2 s at sf1, and a
+    // non-starter at 100 TB). Two levels instead: per-orderkey ranks are
+    // partitioned windows (parallel), and the orderkey PREFIX offsets
+    // come from a window over the orders-grain census — same rid values,
+    // distributed plan.
+    val li = Tables.lineitem(spark, dir)
       .select($"l_orderkey", $"l_linenumber", $"l_returnflag")
-      .withColumn("rid", row_number().over(
-        Window.orderBy($"l_orderkey", $"l_linenumber", $"l_returnflag")).cast("long") - 1L)
+    val offsets = li.groupBy($"l_orderkey").agg(count(lit(1)).as("cnt"))
+      .withColumn("off",
+        coalesce(sum($"cnt").over(Window.orderBy($"l_orderkey")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"l_orderkey", $"off")
+    val ids = li
+      .withColumn("rn", row_number().over(Window.partitionBy($"l_orderkey")
+        .orderBy($"l_linenumber", $"l_returnflag")).cast("long"))
+      .join(offsets, "l_orderkey")
+      .withColumn("rid", $"off" + $"rn" - 1L)
       .filter($"l_returnflag" === "R")
       .select($"rid", expr(s"rid DIV $RoaringBits").as("cont"))
     val wLag = Window.partitionBy($"cont").orderBy($"rid")
