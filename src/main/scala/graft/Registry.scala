@@ -138,7 +138,8 @@ object Registry {
       queries.Round13Queries14.defs ++
       queries.Round13Queries15.defs ++
       queries.Round13Queries16.defs ++
-      queries.Round13Queries17.defs
+      queries.Round13Queries17.defs ++
+      queries.Round13Queries18.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

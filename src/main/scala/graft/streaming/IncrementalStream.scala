@@ -670,6 +670,66 @@ object IncrementalStream {
     }
   }
 
+  /** Per-day detector point emitted by [[TwsPageHinkleyProcessor]]. */
+  final case class TwsPhPoint(day: Long, x: Long, m_t: Long, ph: Long)
+
+  /** Streaming Page–Hinkley: the x341 batch detector's integer state —
+    * (t, Σx, m, running-min m) — carried in ONE ValueState and folded
+    * over day-census rows as they stream in. The running mean is
+    * micro-quantized with truncating division exactly as the batch
+    * windows compute it, so every emitted per-day PH point is
+    * bit-identical to the batch trajectory (the all-BIGINT state is what
+    * makes the detector replayable at all). Rows must arrive in day
+    * order across batches (chronological slices) and are sorted by day
+    * within a batch. */
+  final class TwsPageHinkleyProcessor(deltaMicro: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long), TwsPhPoint] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[(Long, Long, Long, Long)] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long, Long)]("ph",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TwsPhPoint] = {
+      val days = rows.toArray.sortBy(_._2)
+      var (t, s, m, mn) =
+        if (st.exists()) st.get() else (0L, 0L, 0L, Long.MaxValue)
+      val out = days.map { case (_, day, x) =>
+        t += 1; s += x
+        val mbar = s * 1000000L / t
+        m += x * 1000000L - mbar - deltaMicro
+        mn = math.min(mn, m)
+        TwsPhPoint(day, x, m, m - mn)
+      }
+      st.update((t, s, m, mn))
+      out.iterator
+    }
+  }
+
+  /** `transformWithState` wrapper over (key, day, count) day-census rows
+    * → per-day Page–Hinkley points. */
+  def twsPageHinkley(points: org.apache.spark.sql.Dataset[(Long, Long, Long)],
+                     deltaMicro: Long):
+      org.apache.spark.sql.Dataset[TwsPhPoint] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points.groupByKey(_._1)
+      .transformWithState(new TwsPageHinkleyProcessor(deltaMicro),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   /** `transformWithState` wrapper over (user_id, sec, event_id) rows →
     * per-key running admission counters each micro-batch. */
   def twsTokenBucket(events: org.apache.spark.sql.Dataset[(Long, Long, Long)],

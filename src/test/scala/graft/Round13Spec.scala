@@ -661,4 +661,38 @@ class Round13Spec extends SparkTestBase {
       assert(r.getLong(6) == cand.min)
     }
   }
+
+  test("x349 streaming Page-Hinkley trajectory equals the batch window recomputation") {
+    import org.apache.spark.sql.expressions.Window
+    val streamed = queries.Round13Queries18
+      .streamPageHinkley(spark, "/root/testdata/sf0.001").collect()
+    val wc = Window.orderBy($"day").rowsBetween(Window.unboundedPreceding, 0)
+    val batch = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)").as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("x"))
+      .withColumn("t", row_number().over(Window.orderBy($"day")).cast("long"))
+      .withColumn("s", sum($"x").over(wc))
+      .withColumn("dev", $"x" * 1000000L - expr("(s * 1000000) DIV t") - 2000000L)
+      .withColumn("m_t", sum($"dev").over(wc))
+      .withColumn("ph", $"m_t" - min($"m_t").over(wc))
+      .select($"day", $"x", $"m_t", $"ph").orderBy($"day").collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (sr, br) =>
+      assert(sr.getLong(0) == br.getLong(0) && sr.getLong(2) == br.getLong(2) &&
+        sr.getLong(3) == br.getLong(3),
+        s"day ${sr.getLong(0)}: stream (${sr.getLong(2)},${sr.getLong(3)}) " +
+          s"!= batch (${br.getLong(2)},${br.getLong(3)})")
+    }
+  }
+
+  test("Bloom config table matches (1-e^(-k/b))^k within rounding and is monotone") {
+    val cfgs = Seq((8L, 6L, 21577L), (10L, 7L, 8194L), (12L, 8L, 3142L),
+      (14L, 10L, 1201L), (16L, 11L, 459L), (20L, 14L, 67L))
+    cfgs.foreach { case (b, k, ppm) =>
+      val fpp = math.pow(1 - math.exp(-k.toDouble / b), k.toDouble)
+      assert(math.abs(fpp * 1e6 - ppm) < 1.0, s"b=$b: ${fpp * 1e6} vs $ppm")
+      assert(k == math.round(b * math.log(2)), s"b=$b: k=$k not optimal")
+    }
+    assert(cfgs.map(_._3) == cfgs.map(_._3).sorted.reverse, "fpp must fall as b grows")
+  }
 }
