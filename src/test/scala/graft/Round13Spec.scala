@@ -695,4 +695,52 @@ class Round13Spec extends SparkTestBase {
     }
     assert(cfgs.map(_._3) == cfgs.map(_._3).sorted.reverse, "fpp must fall as b grows")
   }
+
+  /** Closed-form AB block score sum, mirroring x351's arithmetic. */
+  private def abBlockSum(lo: Long, hi: Long, n: Long): Long = {
+    val c = (n + 1) / 2
+    val b1 = math.min(hi, c)
+    val a2 = math.max(lo, c + 1)
+    val s1 = if (b1 >= lo) (b1 * (b1 + 1) - (lo - 1) * lo) / 2 else 0L
+    val s2 = if (hi >= a2) (hi - a2 + 1) * (n + 1) - (hi * (hi + 1) - (a2 - 1) * a2) / 2
+    else 0L
+    s1 + s2
+  }
+
+  test("Ansari-Bradley closed-form block sums equal direct min(r, N+1-r) sums") {
+    // straddling, left-only, right-only blocks at even and odd N
+    for (n <- Seq(7L, 8L, 12L); lo <- 1L to n; hi <- lo to n) {
+      val direct = (lo to hi).map(r => math.min(r, n + 1 - r)).sum
+      assert(abBlockSum(lo, hi, n) == direct, s"n=$n block [$lo,$hi]")
+    }
+  }
+
+  test("Ansari-Bradley direction: the tighter group carries the larger score mass") {
+    // A tight around the median (middle ranks = high scores), R spread to
+    // the extremes (low scores): W_A must exceed its H0 expectation.
+    val a = Seq(5L, 5L, 6L, 6L) // middle values
+    val r = Seq(1L, 2L, 9L, 10L) // extremes
+    val all = (a.map((_, "A")) ++ r.map((_, "R"))).sortBy(_._1)
+    val n = all.size.toLong
+    val scores = all.zipWithIndex.map { case ((v, g), i) =>
+      (g, math.min(i + 1L, n - i)) // no ties in this construction
+    }
+    val wA = scores.filter(_._1 == "A").map(_._2).sum.toDouble
+    val e0 = a.size.toDouble * scores.map(_._2).sum / n
+    assert(wA > e0, s"W_A $wA must exceed E0 $e0 for the tight group")
+  }
+
+  test("x352 fixture: per-candidate totals add up and exactly one best flag") {
+    val rows = queries.Round13Queries19.sortOrderAdvisor(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length == 9)
+    val byCand = rows.groupBy(_.getString(0))
+    byCand.foreach { case (cand, rs) =>
+      assert(rs.map(_.getLong(3)).sum == rs.head.getLong(4),
+        s"$cand: rle_b parts must sum to total_b")
+    }
+    assert(byCand.values.map(_.head.getLong(5)).sum == 1L, "exactly one winner")
+    val winner = byCand.values.find(_.head.getLong(5) == 1L).get.head
+    assert(byCand.values.forall(_.head.getLong(4) >= winner.getLong(4)))
+  }
 }
