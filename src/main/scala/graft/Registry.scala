@@ -140,7 +140,8 @@ object Registry {
       queries.Round13Queries16.defs ++
       queries.Round13Queries17.defs ++
       queries.Round13Queries18.defs ++
-      queries.Round13Queries19.defs
+      queries.Round13Queries19.defs ++
+      queries.Round13Queries20.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -743,4 +743,68 @@ class Round13Spec extends SparkTestBase {
     val winner = byCand.values.find(_.head.getLong(5) == 1L).get.head
     assert(byCand.values.forall(_.head.getLong(4) >= winner.getLong(4)))
   }
+
+  /** Reference Hilbert xy->d (Wikipedia's iterative form), order 16. */
+  private def hilbertRef(x0: Long, y0: Long): Long = {
+    var (x, y, d) = (x0, y0, 0L)
+    var s = 8L
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+
+  test("SQL Hilbert chain equals the reference transform and is a unit-step bijection") {
+    val grid = spark.range(256).selectExpr("CAST(id % 16 AS BIGINT) AS cx",
+      "CAST(id DIV 16 AS BIGINT) AS cy")
+    val indexed = queries.Round13Queries20.hilbertSqlSteps("cx", "cy")
+      .foldLeft(grid.toDF()) { (df, s) => df.selectExpr("*", s) }
+      .selectExpr("CAST(cx AS BIGINT) AS cx", "CAST(cy AS BIGINT) AS cy",
+        "CAST(hd4 AS BIGINT) AS hidx",
+        s"CAST(${queries.Round13Queries20.zorderSql("cx", "cy")} AS BIGINT) AS zidx")
+      .collect()
+    val byD = indexed.map(r => r.getLong(2) -> (r.getLong(0), r.getLong(1))).toMap
+    assert(byD.size == 256, "Hilbert index must be a bijection on the grid")
+    indexed.foreach { r =>
+      assert(r.getLong(2) == hilbertRef(r.getLong(0), r.getLong(1)),
+        s"(${r.getLong(0)},${r.getLong(1)}): SQL ${r.getLong(2)}")
+    }
+    // THE defining property: consecutive Hilbert positions are grid
+    // neighbors (manhattan distance exactly 1) — Z-order violates this
+    (0L until 255L).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1L, s"jump at d=$d")
+    }
+    // and the z-order index is the bit interleave
+    indexed.foreach { r =>
+      val (x, y) = (r.getLong(0), r.getLong(1))
+      val z = (0 until 4).map { b =>
+        (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))
+      }.sum
+      assert(r.getLong(3) == z)
+    }
+  }
+
+  test("Somers' D is 1 on a strictly monotone census and 0 under X-independence") {
+    def somers(cells: Seq[(Long, Long, Long)]): Double = {
+      var (c, d, ty) = (0L, 0L, 0L)
+      for ((x1, y1, n1) <- cells; (x2, y2, n2) <- cells) {
+        if (x1 < x2 && y1 < y2) c += n1 * n2
+        else if (x1 < x2 && y1 > y2) d += n1 * n2
+        else if (x1 != x2 && y1 == y2) ty += n1 * n2
+      }
+      (c - d).toDouble / (c + d + ty)
+    }
+    assert(somers(Seq((1L, 1L, 3L), (2L, 2L, 2L), (3L, 3L, 5L))) == 1.0)
+    // X carries no information about Y: counts factorize -> D = 0
+    val indep = for (x <- 1L to 3L; y <- 1L to 2L) yield (x, y, 4L)
+    assert(math.abs(somers(indep)) < 1e-12)
+  }
 }
