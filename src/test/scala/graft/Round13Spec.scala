@@ -807,4 +807,31 @@ class Round13Spec extends SparkTestBase {
     val indep = for (x <- 1L to 3L; y <- 1L to 2L) yield (x, y, 4L)
     assert(math.abs(somers(indep)) < 1e-12)
   }
+
+  /** Driver-side Kruskal with union-find, keyed on the distinct cost. */
+  private def kruskal(edges: Seq[(Long, Long, Long)]): Set[(Long, Long)] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.sortBy(_._3).flatMap { case (a, b, d) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { parent(ra) = rb; Some((a, b)) } else None
+    }.toSet
+  }
+
+  test("x355 Boruvka MST equals a driver-side Kruskal on the same fixture edges (3rd algorithm)") {
+    // The oracle already proves Boruvka(Spark) == Prim(DuckDB); this adds
+    // Kruskal as an independent third derivation, all meeting at the
+    // UNIQUE MST the distinct perturbed costs guarantee.
+    val edges = queries.Round13Queries21.tradeWeighted(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val got = queries.Round13Queries21.mstBoruvka(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == kruskal(edges.toSeq), "Boruvka and Kruskal disagree")
+    assert(got.size == nodes.length - 1,
+      s"${got.size} tree edges for ${nodes.length} nodes — graph not spanned")
+  }
 }
