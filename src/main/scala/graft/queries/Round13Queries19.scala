@@ -149,24 +149,35 @@ object Round13Queries19 {
     import spark.implicits._
     val base = Tables.lineitem(spark, dir)
       .select($"l_orderkey", $"l_linenumber",
+        expr("l_orderkey DIV 1000").as("page"),
         $"l_returnflag".as("v_flag"), $"l_linestatus".as("v_status"),
         year($"l_shipdate").cast("long").cast("string").as("v_year"),
         $"l_quantity".cast("long").cast("string").as("v_qty"))
-    val melted = base.selectExpr("l_orderkey", "l_linenumber",
-      "v_flag", "v_status", "v_year",
-      "stack(3, 'flag', v_flag, 'qty', v_qty, 'year', v_year) AS (col_name, val)")
-    val byCand = SortCandidates.map { cand =>
-      val candVal = col(s"v_$cand")
-      melted.select(lit(cand).as("cand"), candVal.as("ckey"),
-        $"l_orderkey", $"l_linenumber", $"col_name", $"val")
+    // one window pass PER CANDIDATE computing all three columns' run
+    // flags at once — a (candidate x column) melt shuffled 9x the table
+    // (24 s at sf1, volume-bound); this ships 3x with page-local
+    // partitions (the x338 model). The tie order closes over ALL value
+    // columns so every column's run census is engine-deterministic.
+    val perCand = SortCandidates.map { cand =>
+      val w = Window.partitionBy(col(s"v_$cand"), $"page")
+        .orderBy($"l_orderkey", $"l_linenumber", $"v_flag", $"v_qty", $"v_year")
+      def chg(c: String) = when(lag(col(c), 1).over(w).isNull ||
+        lag(col(c), 1).over(w) =!= col(c), 1L).otherwise(0L)
+      base
+        .withColumn("cf", chg("v_flag"))
+        .withColumn("cq", chg("v_qty"))
+        .withColumn("cy", chg("v_year"))
+        .agg(sum($"cf").as("runs_flag"), sum($"cq").as("runs_qty"),
+          sum($"cy").as("runs_year"),
+          max(length($"v_flag").cast("long")).as("w_flag"),
+          max(length($"v_qty").cast("long")).as("w_qty"),
+          max(length($"v_year").cast("long")).as("w_year"))
+        .select(lit(cand).as("cand"), $"runs_flag", $"runs_qty", $"runs_year",
+          $"w_flag", $"w_qty", $"w_year")
     }.reduce(_ unionByName _)
-    val w = Window.partitionBy($"cand", $"ckey", $"col_name")
-      .orderBy($"l_orderkey", $"l_linenumber", $"val")
-    val runs = byCand
-      .withColumn("chg", when(lag($"val", 1).over(w).isNull ||
-        lag($"val", 1).over(w) =!= $"val", 1L).otherwise(0L))
-      .groupBy($"cand", $"col_name")
-      .agg(sum($"chg").as("runs"), max(length($"val").cast("long")).as("wmax"))
+    val runs = perCand.selectExpr("cand",
+      "stack(3, 'flag', runs_flag, w_flag, 'qty', runs_qty, w_qty, " +
+        "'year', runs_year, w_year) AS (col_name, runs, wmax)")
       .withColumn("rle_b", $"runs" * ($"wmax" + 4L))
     val totals = runs.groupBy($"cand").agg(sum($"rle_b").as("total_b"))
     val best = totals
@@ -178,33 +189,36 @@ object Round13Queries19 {
   }
 
   private val sortOrderAdvisorOracle = {
-    val melts = Seq("flag" -> "v_flag", "qty" -> "v_qty", "year" -> "v_year")
-      .map { case (nm, c) =>
-        s"SELECT l_orderkey, l_linenumber, v_flag, v_status, v_year, '$nm' AS col_name, $c AS val FROM base"
-      }.mkString("\n  UNION ALL ")
     val cands = SortCandidates.map { cand =>
-      s"SELECT '$cand' AS cand, v_$cand AS ckey, l_orderkey, l_linenumber, col_name, val FROM melted"
+      val w = s"OVER (PARTITION BY v_$cand, page ORDER BY l_orderkey, l_linenumber, v_flag, v_qty, v_year)"
+      s"""SELECT '$cand' AS cand,
+         |       CAST(sum(cf) AS BIGINT) AS runs_flag,
+         |       CAST(sum(cq) AS BIGINT) AS runs_qty,
+         |       CAST(sum(cy) AS BIGINT) AS runs_year,
+         |       CAST(max(length(v_flag)) AS BIGINT) AS w_flag,
+         |       CAST(max(length(v_qty)) AS BIGINT) AS w_qty,
+         |       CAST(max(length(v_year)) AS BIGINT) AS w_year
+         |FROM (SELECT v_flag, v_qty, v_year,
+         |        CASE WHEN lag(v_flag) $w IS DISTINCT FROM v_flag THEN 1 ELSE 0 END AS cf,
+         |        CASE WHEN lag(v_qty) $w IS DISTINCT FROM v_qty THEN 1 ELSE 0 END AS cq,
+         |        CASE WHEN lag(v_year) $w IS DISTINCT FROM v_year THEN 1 ELSE 0 END AS cy
+         |      FROM base)""".stripMargin
     }.mkString("\n  UNION ALL ")
     s"""WITH base AS MATERIALIZED (
-       |  SELECT l_orderkey, l_linenumber,
+       |  SELECT l_orderkey, l_linenumber, l_orderkey // 1000 AS page,
        |         l_returnflag AS v_flag, l_linestatus AS v_status,
        |         CAST(CAST(year(l_shipdate) AS BIGINT) AS VARCHAR) AS v_year,
        |         CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS v_qty
        |  FROM lineitem),
-       |melted AS MATERIALIZED (
-       |  $melts),
-       |by_cand AS MATERIALIZED (
+       |per_cand AS MATERIALIZED (
        |  $cands),
-       |marked AS (
-       |  SELECT cand, col_name, val,
-       |         CASE WHEN lag(val) OVER (PARTITION BY cand, ckey, col_name
-       |                ORDER BY l_orderkey, l_linenumber, val) IS DISTINCT FROM val
-       |              THEN 1 ELSE 0 END AS chg
-       |  FROM by_cand),
        |runs AS (
-       |  SELECT cand, col_name, CAST(sum(chg) AS BIGINT) AS runs,
-       |         CAST(max(length(val)) AS BIGINT) AS wmax
-       |  FROM marked GROUP BY 1, 2),
+       |  SELECT cand, col_name, runs, wmax FROM (
+       |    SELECT cand, 'flag' AS col_name, runs_flag AS runs, w_flag AS wmax FROM per_cand
+       |    UNION ALL
+       |    SELECT cand, 'qty', runs_qty, w_qty FROM per_cand
+       |    UNION ALL
+       |    SELECT cand, 'year', runs_year, w_year FROM per_cand)),
        |sized AS (SELECT *, runs * (wmax + 4) AS rle_b FROM runs),
        |totals AS (SELECT cand, CAST(sum(rle_b) AS BIGINT) AS total_b
        |           FROM sized GROUP BY 1),
