@@ -142,7 +142,8 @@ object Registry {
       queries.Round13Queries18.defs ++
       queries.Round13Queries19.defs ++
       queries.Round13Queries20.defs ++
-      queries.Round13Queries21.defs
+      queries.Round13Queries21.defs ++
+      queries.Round13Queries22.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

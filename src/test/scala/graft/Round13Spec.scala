@@ -834,4 +834,60 @@ class Round13Spec extends SparkTestBase {
     assert(got.size == nodes.length - 1,
       s"${got.size} tree edges for ${nodes.length} nodes — graph not spanned")
   }
+
+  test("x356 fixture invariants: above-cells bounded by group totals, groups partition N") {
+    val r = queries.Round13Queries22.moodsMedian(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val nn = r.getLong(0)
+    val (aab, nab, rab) = (r.getLong(2), r.getLong(3), r.getLong(4))
+    val (at, nt, rt) = (r.getLong(5), r.getLong(6), r.getLong(7))
+    assert(aab <= at && nab <= nt && rab <= rt)
+    assert(at + nt + rt == nn)
+    // the doubled global median bisects: at most half the mass strictly above
+    assert(2 * (aab + nab + rab) <= nn + 1)
+  }
+
+  test("partial correlation equals the correlation of OLS residuals (hand data)") {
+    // x and y both load on z plus independent parts; the formula
+    // (rxy - rxz*ryz)/sqrt((1-rxz^2)(1-ryz^2)) must equal corr of the
+    // residuals from regressing x on z and y on z.
+    val z = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0)
+    val x = Seq(2.1, 3.9, 6.2, 8.0, 9.8, 12.1) // ~2z + noise
+    val y = Seq(0.9, 2.2, 2.8, 4.3, 4.9, 6.2)  // ~z + noise
+    def corr(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = a.size
+      val (sa, sb) = (a.sum, b.sum)
+      val sab = a.zip(b).map { case (p, q) => p * q }.sum
+      val (saa, sbb) = (a.map(v => v * v).sum, b.map(v => v * v).sum)
+      (n * sab - sa * sb) / math.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+    }
+    def resid(a: Seq[Double]): Seq[Double] = {
+      val n = a.size
+      val slope = (n * a.zip(z).map { case (p, q) => p * q }.sum - a.sum * z.sum) /
+        (n * z.map(v => v * v).sum - z.sum * z.sum)
+      val icept = (a.sum - slope * z.sum) / n
+      a.zip(z).map { case (p, q) => p - icept - slope * q }
+    }
+    val (rxy, rxz, ryz) = (corr(x, y), corr(x, z), corr(y, z))
+    val formula = (rxy - rxz * ryz) / math.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+    val residual = corr(resid(x), resid(y))
+    assert(math.abs(formula - residual) < 1e-12, s"$formula != $residual")
+  }
+
+  test("Nelson-Aalen hand example and fixture monotonicity") {
+    // spans (1,1,2), events (1,1,0): at t=1 two events with three at
+    // risk -> increment floor(2e6/3) = 666666; t=2 has no event row.
+    assert(2L * 1000000L / 3L == 666666L)
+    val rows = queries.Round13Queries22.nelsonAalen(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    var (prevRisk, prevCum) = (Long.MaxValue, 0L)
+    var cum = 0L
+    rows.foreach { r =>
+      assert(r.getLong(2) <= prevRisk, "at-risk counts must not increase")
+      cum += r.getLong(3)
+      assert(r.getLong(4) == cum, "h_cum must be the prefix sum of h_inc")
+      prevRisk = r.getLong(2); prevCum = r.getLong(4)
+    }
+  }
 }
