@@ -595,6 +595,49 @@ object PipelineQueries {
     baseJoin = " JOIN bpe_doc ON bpe_doc.doc_id = s.doc_id",
     nTokSql = "bpe_doc.n_tok")
 
+  /** x359 — capstone v8: v7's thirteen stages plus the x345 READABILITY
+    * gate (Flesch–Kincaid band keep, [[Round13Queries16.FkLo]] ≤ grade ≤
+    * [[Round13Queries16.FkHi]]) — the document-quality dimension the gate
+    * panel lacked: Gopher rules catch structural junk, the logistic
+    * classifier catches learned badness, the boilerplate gate catches
+    * template mass, and the FK band catches degenerate reading-level
+    * outliers (too-telegraphic or too-run-on for the target register).
+    * FOURTEEN composed stages, one dataflow, one oracle statement. v7
+    * keeps its oracle and moves to benchSkip (every generation stays
+    * VERIFIED, only the newest is timed).
+    *
+    * Scale: the FK gate is an embarrassingly parallel per-document
+    * projection (one regex scan, zero shuffle) — the cheapest gate in
+    * the panel; everything else keeps v7's audited stage shapes. */
+  def trainingCorpusV8(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val kept = corpusKept(spark, dir, Seq(
+      TrainingQueries.repetitionKeepIds(spark, dir),
+      TrainingQueries.surprisalKeepIds(spark, dir),
+      Round9Queries.gopherKeepIds(spark, dir),
+      Round10Queries10.boilerplateKeepIds(spark, dir),
+      Round11Queries8.logisticKeepIds(spark, dir),
+      Round13Queries16.readabilityKeepIds(spark, dir)))
+      .drop("n_tok")
+      .join(Round11Queries.bpeDocTokenCounts(spark, dir)
+        .select($"doc_id", $"n_tok"), "doc_id")
+      .repartition(col("doc_id"))
+    rebalancedPacked(spark, dir, kept)
+  }
+
+  private lazy val trainingCorpusV8Oracle = corpusOracleSql(
+    v6ExtraCtes +
+      s""",
+         |${Round13Queries16.readKeepCtes},
+         |${Round11Queries.bpeChainCtes("bpe_")}""".stripMargin,
+    v6PredSql +
+      s"""
+         |           AND s.doc_id IN (SELECT doc_id FROM read_keep)""".stripMargin,
+    tailCtes = rebalanceTailCtes,
+    packSrc = "kept2", packExtra = " lang, source,",
+    baseJoin = " JOIN bpe_doc ON bpe_doc.doc_id = s.doc_id",
+    nTokSql = "bpe_doc.n_tok")
+
   private lazy val trainingCorpusV5Oracle = corpusOracleSql(
     repSurExtraCtes +
       s""",
@@ -787,7 +830,10 @@ object PipelineQueries {
       trainingCorpusV6, Some(trainingCorpusV6Oracle), benchSkip = true),
     QueryDef("x292_training_corpus_v7",
       "capstone v7: v6 packed on LEARNED BPE token counts (x236 induction feeds the packer; thirteen stages, one oracle)",
-      trainingCorpusV7, Some(trainingCorpusV7Oracle)),
+      trainingCorpusV7, Some(trainingCorpusV7Oracle), benchSkip = true),
+    QueryDef("x359_training_corpus_v8",
+      "capstone v8: v7 + the x345 Flesch-Kincaid readability band gate (fourteen stages, one oracle)",
+      trainingCorpusV8, Some(trainingCorpusV8Oracle)),
     QueryDef("x92_training_corpus_v2",
       "full capstone v2: x91 + repetition gate + surprisal gate (all eight stages, one oracle)",
       trainingCorpusV2, Some(trainingCorpusV2Oracle), benchSkip = true),

@@ -64,6 +64,40 @@ object Round13Queries16 {
        |              - 15.59) * 10000 + 0.5) / 10000.0 AS fk_grade
        |FROM s ORDER BY doc_id""".stripMargin
 
+  /** FK-grade band the capstone-v8 readability gate keeps (trims both
+    * tails of the fixture's ~0.5–8.4 grade range; endpoints are exactly
+    * representable doubles and the grade itself is an identical double
+    * on both engines, so the band flag is engine-deterministic). */
+  private[queries] val FkLo = 3.0
+  private[queries] val FkHi = 7.0
+
+  /** x345's grade reduced to surviving doc ids — the capstone-v8 gate. */
+  private[graft] def readabilityKeepIds(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(split($"text", " ")).cast("long").as("words"),
+        size(regexp_extract_all($"text", lit("[aeiouy]+"), lit(0))).cast("long").as("syls"))
+      .withColumn("sents", expr(s"(words + ${SentWords - 1}) DIV $SentWords"))
+    val grade = lit(0.39) * ($"words".cast("double") / $"sents".cast("double")) +
+      lit(11.8) * ($"syls".cast("double") / $"words".cast("double")) - lit(15.59)
+    base.filter(grade >= FkLo && grade <= FkHi).select($"doc_id")
+  }
+
+  /** Splice-ready CTE block ending in `read_keep(doc_id)` — the
+    * capstone-v8 readability gate. */
+  private[queries] lazy val readKeepCtes: String =
+    s"""read_base AS (
+       |  SELECT doc_id,
+       |         0.39 * (CAST(words AS DOUBLE) / CAST(sents AS DOUBLE))
+       |         + 11.8 * (CAST(syls AS DOUBLE) / CAST(words AS DOUBLE)) - 15.59 AS fk
+       |  FROM (SELECT doc_id,
+       |               CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+       |               (CAST(len(string_split(text, ' ')) AS BIGINT) + ${SentWords - 1}) // $SentWords AS sents,
+       |               CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS syls
+       |        FROM documents)),
+       |read_keep AS (SELECT doc_id FROM read_base WHERE fk >= $FkLo AND fk <= $FkHi)""".stripMargin
+
   // ---------------------------------------------------------------- x346
 
   /** x346: Harrell's concordance index — does a user's activity volume

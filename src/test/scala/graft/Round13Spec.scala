@@ -890,4 +890,16 @@ class Round13Spec extends SparkTestBase {
       prevRisk = r.getLong(2); prevCum = r.getLong(4)
     }
   }
+
+  test("capstone-v8 readability gate is a real filter and v8 output never exceeds v7's") {
+    val total = Tables.documents(spark, "/root/testdata/sf0.001").count()
+    val kept = queries.Round13Queries16
+      .readabilityKeepIds(spark, "/root/testdata/sf0.001").count()
+    assert(kept > 0 && kept < total,
+      s"FK band keeps $kept of $total — a no-op or kill-all gate is miscalibrated")
+    val v8 = queries.PipelineQueries.trainingCorpusV8(spark, "/root/testdata/sf0.001").count()
+    val v7 = queries.PipelineQueries.trainingCorpusV7(spark, "/root/testdata/sf0.001").count()
+    assert(v8 <= v7, s"an extra gate cannot grow the packed output ($v8 > $v7)")
+    assert(v8 > 0, "v8 must still pack a nonempty corpus")
+  }
 }
