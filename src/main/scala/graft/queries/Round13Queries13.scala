@@ -29,9 +29,12 @@ object Round13Queries13 {
   /** The heavy-route nation trade graph (x65's edge rule): canonical
     * nation pairs whose lineitem count is ≥ the global mean pair count —
     * sparse enough that 4-truss peeling actually removes edges. */
-  private def heavyTradeEdges(spark: SparkSession, dir: String): DataFrame = {
+  /** The weighted nation trade-pair census (a, b, w) — ONE copy shared by
+    * x339's heavy-route filter and x355's MST costs (a third hand-rolled
+    * copy was an r13 review finding). */
+  private[graft] def nationPairCensus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey")
+    Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey")
       .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
         $"l_orderkey" === $"o_orderkey")
       .join(broadcast(Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")),
@@ -42,13 +45,10 @@ object Round13Queries13 {
       .select(least($"c_nationkey", $"s_nationkey").cast("long").as("a"),
         greatest($"c_nationkey", $"s_nationkey").cast("long").as("b"))
       .groupBy($"a", $"b").agg(count(lit(1)).as("w"))
-    val mean = pairs.agg((sum($"w") * 2L).as("w2"), count(lit(1)).as("np"))
-    pairs.crossJoin(broadcast(mean))
-      .filter($"w" * $"np" * 2L >= $"w2") // w >= mean, cross-multiplied
-      .select($"a", $"b")
   }
 
-  private val heavyTradeEdgesSql =
+  /** Oracle-side rendering of [[nationPairCensus]] (a `pairs AS ...` CTE). */
+  private[graft] val nationPairCensusSql =
     """pairs AS MATERIALIZED (
       |  SELECT least(c.c_nationkey, s.s_nationkey) AS a,
       |         greatest(c.c_nationkey, s.s_nationkey) AS b,
@@ -58,7 +58,19 @@ object Round13Queries13 {
       |  JOIN customer c ON o.o_custkey = c.c_custkey
       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
       |  WHERE c.c_nationkey <> s.s_nationkey
-      |  GROUP BY 1, 2),
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private def heavyTradeEdges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = nationPairCensus(spark, dir)
+    val mean = pairs.agg((sum($"w") * 2L).as("w2"), count(lit(1)).as("np"))
+    pairs.crossJoin(broadcast(mean))
+      .filter($"w" * $"np" * 2L >= $"w2") // w >= mean, cross-multiplied
+      .select($"a", $"b")
+  }
+
+  private val heavyTradeEdgesSql =
+    s"""$nationPairCensusSql,
       |mean AS (SELECT CAST(sum(w) * 2 AS BIGINT) AS w2, CAST(count(*) AS BIGINT) AS np FROM pairs),
       |e0 AS MATERIALIZED (
       |  SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b

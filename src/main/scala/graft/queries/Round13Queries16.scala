@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Round-13 sixteenth tier: readability scoring and survival-model
@@ -36,17 +36,29 @@ object Round13Queries16 {
     *
     * Scale: embarrassingly parallel per-document projection — no
     * shuffle at all beyond the final ORDER BY. */
-  def fleschKincaid(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared FK census: (doc_id, words, sents, syls) — one copy feeds
+    * both the x345 query and the capstone-v8 gate so the two can never
+    * drift. */
+  private def fkCensus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select($"doc_id",
         size(split($"text", " ")).cast("long").as("words"),
         size(regexp_extract_all($"text", lit("[aeiouy]+"), lit(0))).cast("long").as("syls"))
       .withColumn("sents", expr(s"(words + ${SentWords - 1}) DIV $SentWords"))
-    val grade = lit(0.39) * ($"words".cast("double") / $"sents".cast("double")) +
+  }
+
+  /** The FK grade expression over [[fkCensus]] columns. */
+  private def fkGrade(spark: SparkSession): Column = {
+    import spark.implicits._
+    lit(0.39) * ($"words".cast("double") / $"sents".cast("double")) +
       lit(11.8) * ($"syls".cast("double") / $"words".cast("double")) - lit(15.59)
-    base.select($"doc_id", $"words", $"sents", $"syls",
-      QueryUtil.halfUp4(grade).as("fk_grade"))
+  }
+
+  def fleschKincaid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    fkCensus(spark, dir).select($"doc_id", $"words", $"sents", $"syls",
+      QueryUtil.halfUp4(fkGrade(spark)).as("fk_grade"))
       .orderBy($"doc_id")
   }
 
@@ -74,14 +86,8 @@ object Round13Queries16 {
   /** x345's grade reduced to surviving doc ids — the capstone-v8 gate. */
   private[graft] def readabilityKeepIds(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = Tables.documents(spark, dir)
-      .select($"doc_id",
-        size(split($"text", " ")).cast("long").as("words"),
-        size(regexp_extract_all($"text", lit("[aeiouy]+"), lit(0))).cast("long").as("syls"))
-      .withColumn("sents", expr(s"(words + ${SentWords - 1}) DIV $SentWords"))
-    val grade = lit(0.39) * ($"words".cast("double") / $"sents".cast("double")) +
-      lit(11.8) * ($"syls".cast("double") / $"words".cast("double")) - lit(15.59)
-    base.filter(grade >= FkLo && grade <= FkHi).select($"doc_id")
+    val g = fkGrade(spark)
+    fkCensus(spark, dir).filter(g >= FkLo && g <= FkHi).select($"doc_id")
   }
 
   /** Splice-ready CTE block ending in `read_keep(doc_id)` — the
@@ -114,9 +120,13 @@ object Round13Queries16 {
     * the x234 TauTop precedent (an UNCAPPED user panel went 12× slower
     * at 10× data in the r13 scale sweep: users² is quadratic) — and
     * everything before it is one map-side-combinable groupBy(user). */
-  def harrellC(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared survival frame: (user_id, t_min, e, score) — observation
+    * span in minutes, purchase = event, activity volume as risk score.
+    * One copy feeds x346 (capped pair census) and x358 (Nelson–Aalen)
+    * so the Kaplan–Meier-family queries really share their framing. */
+  private[graft] def survivalSubjects(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val subj = Tables.events(spark, dir)
+    Tables.events(spark, dir)
       .groupBy($"user_id")
       .agg(
         (unix_micros(max($"ts").cast("timestamp")) -
@@ -125,6 +135,21 @@ object Round13Queries16 {
         count(lit(1)).as("score"))
       .select($"user_id", expr("span_us DIV 60000000").as("t_min"),
         when($"np" > 0L, 1L).otherwise(0L).as("e"), $"score")
+  }
+
+  /** The oracle-side rendering of [[survivalSubjects]] (body of a
+    * `subj AS (...)` CTE, without panel cap). */
+  private[graft] val survivalSubjectsSql =
+    """SELECT user_id,
+      |         (epoch_us(max(ts)) - epoch_us(min(ts))) // 60000000 AS t_min,
+      |         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+      |              THEN 1 ELSE 0 END AS e,
+      |         CAST(count(*) AS BIGINT) AS score
+      |  FROM events GROUP BY user_id""".stripMargin
+
+  def harrellC(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val subj = survivalSubjects(spark, dir)
       .withColumn("panel_rk", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy($"user_id")))
       .filter($"panel_rk" <= CPanel)
@@ -150,12 +175,7 @@ object Round13Queries16 {
 
   private val harrellCOracle =
     s"""WITH subj AS MATERIALIZED (
-      |  SELECT user_id,
-      |         (epoch_us(max(ts)) - epoch_us(min(ts))) // 60000000 AS t_min,
-      |         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
-      |              THEN 1 ELSE 0 END AS e,
-      |         CAST(count(*) AS BIGINT) AS score
-      |  FROM events GROUP BY 1
+      |  SELECT * FROM ($survivalSubjectsSql)
       |  ORDER BY user_id LIMIT $CPanel),
       |pairs AS (
       |  SELECT CASE WHEN a.t_min < b.t_min THEN a.e ELSE b.e END AS e_early,

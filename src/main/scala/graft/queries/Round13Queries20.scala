@@ -81,7 +81,7 @@ object Round13Queries20 {
       .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
       .select(($"o_custkey" % GridN).cast("long").as("cx"),
         ($"l_suppkey" % GridN).cast("long").as("cy"))
-      .groupBy($"cx", $"cy").agg(count(lit(1)).as("w"))
+      .distinct()
     val hSteps = hilbertSqlSteps("cx", "cy")
     val indexed = hSteps.foldLeft(cells.as("c").toDF()) { (df, stepSql) =>
       df.selectExpr("*", stepSql)
@@ -163,15 +163,17 @@ object Round13Queries20 {
       .localCheckpoint(true)
     val pairs = cells.toDF("x1", "y1", "n1")
       .crossJoin(cells.toDF("x2", "y2", "n2"))
+    // every predicate uses x1 < x2, so each unordered pair is counted
+    // exactly ONCE — the first cut used the symmetric x1 <> x2 for the
+    // Y-tie term, double-counting T_Y against single-counted C/D and
+    // deflating D toward (C−D)/(C+D+2T_Y); caught by the r13 review
     val agg = pairs.agg(
-      sum(when($"x1" < $"x2" && $"y1" < $"y2", $"n1" * $"n2").otherwise(0L)).as("c2"),
-      sum(when($"x1" < $"x2" && $"y1" > $"y2", $"n1" * $"n2").otherwise(0L)).as("d2"),
-      sum(when($"x1" =!= $"x2" && $"y1" === $"y2", $"n1" * $"n2").otherwise(0L)).as("ty2"))
-    // every unordered pair is seen twice in the full cell² frame, so the
-    // doubled counts are exact and the factor cancels in the ratio
-    agg.select($"c2", $"d2", $"ty2",
-      QueryUtil.halfUp4(($"c2" - $"d2").cast("double") /
-        ($"c2" + $"d2" + $"ty2").cast("double")).as("somers_d"))
+      sum(when($"x1" < $"x2" && $"y1" < $"y2", $"n1" * $"n2").otherwise(0L)).as("nc"),
+      sum(when($"x1" < $"x2" && $"y1" > $"y2", $"n1" * $"n2").otherwise(0L)).as("nd"),
+      sum(when($"x1" < $"x2" && $"y1" === $"y2", $"n1" * $"n2").otherwise(0L)).as("ty"))
+    agg.select($"nc", $"nd", $"ty",
+      QueryUtil.halfUp4(($"nc" - $"nd").cast("double") /
+        ($"nc" + $"nd" + $"ty").cast("double")).as("somers_d"))
   }
 
   private val somersDOracle =
@@ -182,13 +184,13 @@ object Round13Queries20 {
       |  FROM lineitem GROUP BY 1, 2),
       |agg AS (
       |  SELECT
-      |    CAST(sum(CASE WHEN a.x < b.x AND a.y < b.y THEN a.n * b.n ELSE 0 END) AS BIGINT) AS c2,
-      |    CAST(sum(CASE WHEN a.x < b.x AND a.y > b.y THEN a.n * b.n ELSE 0 END) AS BIGINT) AS d2,
-      |    CAST(sum(CASE WHEN a.x <> b.x AND a.y = b.y THEN a.n * b.n ELSE 0 END) AS BIGINT) AS ty2
+      |    CAST(sum(CASE WHEN a.x < b.x AND a.y < b.y THEN a.n * b.n ELSE 0 END) AS BIGINT) AS nc,
+      |    CAST(sum(CASE WHEN a.x < b.x AND a.y > b.y THEN a.n * b.n ELSE 0 END) AS BIGINT) AS nd,
+      |    CAST(sum(CASE WHEN a.x < b.x AND a.y = b.y THEN a.n * b.n ELSE 0 END) AS BIGINT) AS ty
       |  FROM cells a CROSS JOIN cells b)
-      |SELECT c2, d2, ty2,
-      |       floor((CAST(c2 AS DOUBLE) - CAST(d2 AS DOUBLE))
-      |             / (CAST(c2 AS DOUBLE) + CAST(d2 AS DOUBLE) + CAST(ty2 AS DOUBLE))
+      |SELECT nc, nd, ty,
+      |       floor((CAST(nc AS DOUBLE) - CAST(nd AS DOUBLE))
+      |             / (CAST(nc AS DOUBLE) + CAST(nd AS DOUBLE) + CAST(ty AS DOUBLE))
       |             * 10000 + 0.5) / 10000.0 AS somers_d
       |FROM agg""".stripMargin
 

@@ -27,32 +27,14 @@ object Round13Queries21 {
     * distinct-cost perturbation. */
   private[graft] def tradeWeighted(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey")
-      .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
-        $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")),
-        $"o_custkey" === $"c_custkey")
-      .join(broadcast(Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey")),
-        $"l_suppkey" === $"s_suppkey")
-      .filter($"c_nationkey" =!= $"s_nationkey")
-      .select(least($"c_nationkey", $"s_nationkey").cast("long").as("a"),
-        greatest($"c_nationkey", $"s_nationkey").cast("long").as("b"))
-      .groupBy($"a", $"b").agg(count(lit(1)).as("w"))
+    Round13Queries13.nationPairCensus(spark, dir)
       .withColumn("d", $"w" * 4096L + $"a" * 64L + $"b")
   }
 
   private val tradeWeightedSql =
-    """edges AS MATERIALIZED (
-      |  SELECT a, b, w, w * 4096 + a * 64 + b AS d FROM (
-      |    SELECT least(c.c_nationkey, s.s_nationkey) AS a,
-      |           greatest(c.c_nationkey, s.s_nationkey) AS b,
-      |           CAST(count(*) AS BIGINT) AS w
-      |    FROM lineitem l
-      |    JOIN orders o ON l.l_orderkey = o.o_orderkey
-      |    JOIN customer c ON o.o_custkey = c.c_custkey
-      |    JOIN supplier s ON l.l_suppkey = s.s_suppkey
-      |    WHERE c.c_nationkey <> s.s_nationkey
-      |    GROUP BY 1, 2))""".stripMargin
+    s"""${Round13Queries13.nationPairCensusSql},
+      |edges AS MATERIALIZED (
+      |  SELECT a, b, w, w * 4096 + a * 64 + b AS d FROM pairs)""".stripMargin
 
   /** x355: MST of the trade graph by distributed Borůvka. Per round:
     * contract by labeling nodes with the connected components of the

@@ -210,13 +210,8 @@ object Round13Queries22 {
     * two window sums. */
   def nelsonAalen(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val subj = Tables.events(spark, dir)
-      .groupBy($"user_id")
-      .agg((unix_micros(max($"ts").cast("timestamp")) -
-        unix_micros(min($"ts").cast("timestamp"))).as("span_us"),
-        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("np"))
-      .select(expr("span_us DIV 60000000").as("t_min"),
-        when($"np" > 0L, 1L).otherwise(0L).as("e"))
+    val subj = Round13Queries16.survivalSubjects(spark, dir)
+      .select($"t_min", $"e")
     val census = subj.groupBy($"t_min")
       .agg(count(lit(1)).as("n_at"), sum($"e").as("d_ev"))
     val wRisk = Window.orderBy($"t_min")
@@ -232,11 +227,8 @@ object Round13Queries22 {
   }
 
   private val nelsonAalenOracle =
-    """WITH subj AS MATERIALIZED (
-      |  SELECT (epoch_us(max(ts)) - epoch_us(min(ts))) // 60000000 AS t_min,
-      |         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
-      |              THEN 1 ELSE 0 END AS e
-      |  FROM events GROUP BY user_id),
+    s"""WITH subj AS MATERIALIZED (
+      |  SELECT t_min, e FROM (${Round13Queries16.survivalSubjectsSql})),
       |census AS (
       |  SELECT t_min, CAST(count(*) AS BIGINT) AS n_at, CAST(sum(e) AS BIGINT) AS d_ev
       |  FROM subj GROUP BY 1),

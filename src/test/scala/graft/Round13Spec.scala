@@ -794,11 +794,13 @@ class Round13Spec extends SparkTestBase {
 
   test("Somers' D is 1 on a strictly monotone census and 0 under X-independence") {
     def somers(cells: Seq[(Long, Long, Long)]): Double = {
+      // every term keyed on x1 < x2 so pairs count ONCE — the symmetric
+      // x1 != x2 tie predicate double-counted T_Y (r13 review catch)
       var (c, d, ty) = (0L, 0L, 0L)
-      for ((x1, y1, n1) <- cells; (x2, y2, n2) <- cells) {
-        if (x1 < x2 && y1 < y2) c += n1 * n2
-        else if (x1 < x2 && y1 > y2) d += n1 * n2
-        else if (x1 != x2 && y1 == y2) ty += n1 * n2
+      for ((x1, y1, n1) <- cells; (x2, y2, n2) <- cells if x1 < x2) {
+        if (y1 < y2) c += n1 * n2
+        else if (y1 > y2) d += n1 * n2
+        else ty += n1 * n2
       }
       (c - d).toDouble / (c + d + ty)
     }
@@ -806,6 +808,10 @@ class Round13Spec extends SparkTestBase {
     // X carries no information about Y: counts factorize -> D = 0
     val indep = for (x <- 1L to 3L; y <- 1L to 2L) yield (x, y, 4L)
     assert(math.abs(somers(indep)) < 1e-12)
+    // the review counterexample where the double-counted tie term showed:
+    // cells (1,1),(2,1),(2,2): C=1 ((1,1)<(2,2)), D=0, T_Y=1 ((1,1)~(2,1))
+    // -> D_yx = 1/2, NOT 1/3
+    assert(somers(Seq((1L, 1L, 1L), (2L, 1L, 1L), (2L, 2L, 1L))) == 0.5)
   }
 
   /** Driver-side Kruskal with union-find, keyed on the distinct cost. */
