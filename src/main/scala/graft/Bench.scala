@@ -35,6 +35,22 @@ object Bench {
     spark
   }
 
+  /** Machine-load calibration probe: a fixed CPU-bound aggregation whose
+    * cost is independent of the query set — the unit in which committed
+    * records are comparable across boxes/rounds. Median of `reps`. */
+  private def calibProbe(spark: SparkSession, cpus: Int, reps: Int = 3): Double =
+    try {
+      val ts = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0L, 50000000L, 1, cpus)
+          .selectExpr("sum((id * 2654435761) % 1000000007) AS s").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      ts.sorted.apply((reps - 1) / 2)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] calib FAILED: ${e.getMessage}"); -1.0
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -85,13 +101,30 @@ object Bench {
         """"([^"]+)":([-0-9.eE]+)""".r.findAllMatchIn(m.group(1))
           .map(x => x.group(1) -> x.group(2).toDouble).toMap
       }.getOrElse(Map.empty)
-    val prior: Map[String, Double] = try {
+    val priorFile: String = try {
       val p = java.nio.file.Paths.get(benchOutPath)
-      if (java.nio.file.Files.exists(p)) {
-        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        parseQueriesMap(s, "queries")
-      } else Map.empty
-    } catch { case _: Throwable => Map.empty[String, Double] }
+      if (java.nio.file.Files.exists(p))
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      else ""
+    } catch { case _: Throwable => "" }
+    val prior: Map[String, Double] = parseQueriesMap(priorFile, "queries")
+    // r13 judge finding #2: committed records drift 2x+ across rounds on
+    // byte-identical code because they're raw seconds on whatever box speed
+    // the last sweep had — and the >2x/>3x gates compared RAW seconds, so
+    // a drifted record silently re-based the gate. Normalize: measure the
+    // calib probe BEFORE the sweep (gates fire mid-sweep), read the prior
+    // sweep's calib from the committed file, and scale every
+    // gate-vs-committed comparison by calibRatio = calibNow / calibPrior.
+    // Clamped — a wild probe reading must not widen the gate into uselessness.
+    val priorCalib: Double = """"calib_s":([-0-9.eE]+)""".r
+      .findFirstMatchIn(priorFile).map(_.group(1).toDouble).getOrElse(-1.0)
+    val calibStart = calibProbe(spark, cpus.toInt)
+    val calibRatio: Double =
+      if (calibStart > 0 && priorCalib > 0)
+        math.max(0.25, math.min(4.0, calibStart / priorCalib))
+      else 1.0
+    System.err.println(
+      f"[bench] calib_start=$calibStart%.3fs prior_calib=$priorCalib%.3fs calib_ratio=$calibRatio%.3f")
     // Superseded capstones (x90-x93) are verified by Verify/selfcheck but
     // not re-timed: their stages are strict subsets of the newest capstone
     // (x127), so benching all five re-ran ~70s of identical work per round.
@@ -150,7 +183,7 @@ object Bench {
             if (ok && times.size == 2 &&
               (times.max - times.min) / times.min > 0.10) run1(q).foreach(times += _)
           } else if (ok && times.nonEmpty &&
-            prior.get(name).forall(p => p <= 0 || times.head > 3 * p)) {
+            prior.get(name).forall(p => p <= 0 || times.head > 3 * p * calibRatio)) {
             // Spike guard: expensive AND either >3x this query's last
             // record (presumably unchanged code) OR a FIRST-APPEARANCE
             // query with no record to defend it (r10's x178 recorded a
@@ -164,7 +197,7 @@ object Bench {
               f"[bench] $name spike-guard rerun: first=${times.head}%.2fs prior=${prior.getOrElse(name, -1.0)}%.2fs ${boxState(spark)}")
             run1(q).foreach(times += _)
             val p = prior.getOrElse(name, -1.0)
-            if (ok && times.size == 2 && p > 0 && times.min > 3 * p) {
+            if (ok && times.size == 2 && p > 0 && times.min > 3 * p * calibRatio) {
               System.err.println(
                 f"[bench] $name spike PERSISTED (${times.mkString("s, ")}s vs prior $p%.2fs) — deferring to fresh-session retry ${boxState(spark)}")
               deferred += q
@@ -182,7 +215,7 @@ object Bench {
       // committed record after its in-sweep runs joins the fresh-session
       // retry pass (bounded at 12 there).
       if (fixedRuns.isEmpty && !errors.contains(name) &&
-          prior.get(name).exists(p => p > 0.5 && recorded > 2 * p) &&
+          prior.get(name).exists(p => p > 0.5 && recorded > 2 * p * calibRatio) &&
           !deferred.exists(_.name == name)) {
         System.err.println(
           f"[bench] $name >2x committed record (${recorded}%.2fs vs ${prior(name)}%.2fs) — deferring to fresh-session retry ${boxState(spark)}")
@@ -234,10 +267,11 @@ object Bench {
     // flagged suspect IN THE ARTIFACT, so the judge reads the divergence
     // directly instead of reconstructing it from git.
     val suspect = results.collect {
-      case (name, t) if prior.get(name).exists(p => p > 0.5 && t > 2 * p) => name
+      case (name, t) if prior.get(name).exists(p => p > 0.5 && t > 2 * p * calibRatio) => name
     }.toSeq
     if (suspect.nonEmpty)
-      System.err.println(s"[bench] SUSPECT (>2x committed record): ${suspect.mkString(", ")}")
+      System.err.println(
+        s"[bench] SUSPECT (>2x committed record at calib_ratio=$calibRatio): ${suspect.mkString(", ")}")
 
     // escape quote/backslash and ALL control chars — a stray control byte
     // in an exception message must not break the one JSON line this prints
@@ -257,27 +291,24 @@ object Bench {
     // "the machine was busy" from "a query regressed".
     // A calib failure must never eat the bench line (same rule as query
     // failures): fall back to -1.0 and keep printing.
-    val calib = try {
-      val reps = 3
-      val ts = (0 until reps).map { _ =>
-        val t0 = System.nanoTime()
-        spark.range(0L, 50000000L, 1, cpus.toInt)
-          .selectExpr("sum((id * 2654435761) % 1000000007) AS s").collect()
-        (System.nanoTime() - t0) / 1e9
-      }
-      ts.sorted.apply((reps - 1) / 2)
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] calib FAILED: ${e.getMessage}"); -1.0
-    }
+    val calibEnd = calibProbe(spark, cpus.toInt)
+    // calib_s stays the cross-round comparable number: median of the start
+    // and end probes when both succeeded (a sweep-long drift shouldn't be
+    // represented by either endpoint alone), else whichever one did.
+    val calib =
+      if (calibStart > 0 && calibEnd > 0) (calibStart + calibEnd) / 2
+      else math.max(calibStart, calibEnd)
     // "total_s" is deliberately the LAST key: the driver stores only the log
     // TAIL, so early keys (including per-query timings) can truncate away —
     // the headline number must survive at the end of the line.
     // "policy" stamps the measurement epoch (r8: fixed lower-median-of-3;
     // r9: adaptive min-of-2/solo; r10: + spike-guard rerun + benchSkip;
-    // r12: + fresh-session deferred retry + committed/suspect fields) so
-    // cross-round tooling can refuse mixed-policy diffs (ADVICE r9).
-    val policy = fixedRuns.map(n => s"fixed-$n").getOrElse("adaptive-v3-freshretry")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","policy":"$policy","bench_skipped":${skipped.size},"queries":$qs,"committed":$committedJson,"suspect":$suspectJson,"errors":$errs,"sf":"$sfDir","calib_s":$calib,"total_s":$total}"""
+    // r12: + fresh-session deferred retry + committed/suspect fields;
+    // r14: calib-normalized gates — every vs-committed comparison scaled by
+    // calibRatio, probe moved before the sweep) so cross-round tooling can
+    // refuse mixed-policy diffs (ADVICE r9).
+    val policy = fixedRuns.map(n => s"fixed-$n").getOrElse("adaptive-v4-calibnorm")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","policy":"$policy","bench_skipped":${skipped.size},"queries":$qs,"committed":$committedJson,"calib_ratio":$calibRatio,"calib_start_s":$calibStart,"calib_end_s":$calibEnd,"prior_calib_s":$priorCalib,"suspect":$suspectJson,"errors":$errs,"sf":"$sfDir","calib_s":$calib,"total_s":$total}"""
     println(line)
     // The driver's stdout-tail capture truncated 74 of 132 per-query times
     // in round 7 ("parsed": null) — the file copy is the durable record for
