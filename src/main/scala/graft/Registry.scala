@@ -143,7 +143,8 @@ object Registry {
       queries.Round13Queries19.defs ++
       queries.Round13Queries20.defs ++
       queries.Round13Queries21.defs ++
-      queries.Round13Queries22.defs
+      queries.Round13Queries22.defs ++
+      queries.Round14Queries1.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

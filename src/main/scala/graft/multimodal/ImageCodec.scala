@@ -1,0 +1,302 @@
+package graft.multimodal
+
+import java.nio.charset.StandardCharsets
+
+/** Dependency-free byte-exact codecs for public media formats (r13 verdict
+  * "Next round #1": replace the md5-intensity stub with a REAL decode so the
+  * multimodal queries compute over actual pixels/samples).
+  *
+  * Formats implemented from their public specs:
+  *  - BMP: 24-bit uncompressed Windows bitmap (BITMAPFILEHEADER +
+  *    BITMAPINFOHEADER), little-endian fields, bottom-up row order with
+  *    4-byte row padding; negative biHeight = top-down (decoder handles
+  *    both, encoder writes canonical bottom-up).
+  *  - PPM: P6 binary portable pixmap — ASCII header (magic, width, height,
+  *    maxval) with arbitrary whitespace and `#` comments, then raw RGB.
+  *  - WAV: RIFF/WAVE with PCM `fmt ` + `data` chunks; the decoder WALKS
+  *    chunks (skipping unknown ones, honoring even-byte chunk alignment)
+  *    instead of assuming the canonical 44-byte layout.
+  *
+  * All parsers fail loudly (IllegalArgumentException) on malformed input —
+  * a silent best-effort decode would poison downstream dedup/scene features.
+  *
+  * Scale note: codecs are per-row narrow work inside `mapPartitions`; the
+  * 100 TB story is the surrounding plan (banded joins over the features),
+  * never the decode itself.
+  */
+object ImageCodec {
+
+  /** Decoded raster, top-down row-major; channels 0..255. */
+  final case class Image(width: Int, height: Int,
+                         r: Array[Int], g: Array[Int], b: Array[Int]) {
+    require(r.length == width * height && g.length == r.length && b.length == r.length,
+      s"channel length ${r.length} != $width*$height")
+    /** Integer luma (ITU-R 601 weights, truncating division — both engines
+      * agree on `(299r+587g+114b)//1000` for non-negative operands). */
+    def luma(i: Int): Int = (299 * r(i) + 587 * g(i) + 114 * b(i)) / 1000
+  }
+
+  // ---------------------------------------------------------------- BMP --
+
+  private def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def rdLe16(b: Array[Byte], o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def rdLe32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  /** BMP row stride: 3 bytes/px padded up to a 4-byte boundary. */
+  def bmpRowSize(width: Int): Int = (3 * width + 3) & ~3
+
+  /** Total encoded BMP size for a w*h 24-bit image (54-byte headers + rows). */
+  def bmpFileSize(width: Int, height: Int): Int = 54 + bmpRowSize(width) * height
+
+  /** Encode as canonical 24-bit bottom-up BMP. */
+  def encodeBmp(img: Image): Array[Byte] = {
+    val rowSize = bmpRowSize(img.width)
+    val size = bmpFileSize(img.width, img.height)
+    val out = new Array[Byte](size)
+    // BITMAPFILEHEADER (14 bytes)
+    out(0) = 'B'; out(1) = 'M'
+    System.arraycopy(le32(size), 0, out, 2, 4)      // bfSize
+    System.arraycopy(le32(54), 0, out, 10, 4)       // bfOffBits
+    // BITMAPINFOHEADER (40 bytes)
+    System.arraycopy(le32(40), 0, out, 14, 4)       // biSize
+    System.arraycopy(le32(img.width), 0, out, 18, 4)
+    System.arraycopy(le32(img.height), 0, out, 22, 4) // positive: bottom-up
+    System.arraycopy(le16(1), 0, out, 26, 2)        // biPlanes
+    System.arraycopy(le16(24), 0, out, 28, 2)       // biBitCount
+    System.arraycopy(le32(rowSize * img.height), 0, out, 34, 4) // biSizeImage
+    System.arraycopy(le32(2835), 0, out, 38, 4)     // 72 DPI
+    System.arraycopy(le32(2835), 0, out, 42, 4)
+    var y = 0
+    while (y < img.height) {
+      val srcRow = img.height - 1 - y // bottom-up: file row 0 = image bottom
+      var x = 0
+      val base = 54 + y * rowSize
+      while (x < img.width) {
+        val i = srcRow * img.width + x
+        out(base + 3 * x) = img.b(i).toByte     // BGR order
+        out(base + 3 * x + 1) = img.g(i).toByte
+        out(base + 3 * x + 2) = img.r(i).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Parse a 24-bit uncompressed BMP starting at `off`; returns the image
+    * and the file's total byte length (for container walking). */
+  def decodeBmp(bytes: Array[Byte], off: Int = 0): (Image, Int) = {
+    require(bytes.length >= off + 54, "BMP: truncated header")
+    require(bytes(off) == 'B' && bytes(off + 1) == 'M', "BMP: bad magic")
+    val fileSize = rdLe32(bytes, off + 2)
+    val offBits = rdLe32(bytes, off + 10)
+    val biSize = rdLe32(bytes, off + 14)
+    require(biSize >= 40, s"BMP: unsupported header size $biSize")
+    val width = rdLe32(bytes, off + 18)
+    val rawHeight = rdLe32(bytes, off + 22)
+    val topDown = rawHeight < 0
+    val height = math.abs(rawHeight)
+    require(rdLe16(bytes, off + 26) == 1, "BMP: planes != 1")
+    require(rdLe16(bytes, off + 28) == 24, "BMP: only 24-bit supported")
+    require(rdLe32(bytes, off + 30) == 0, "BMP: compressed data unsupported")
+    require(width > 0 && height > 0, s"BMP: bad geometry ${width}x$rawHeight")
+    val rowSize = bmpRowSize(width)
+    require(bytes.length >= off + offBits + rowSize * height, "BMP: truncated pixels")
+    val n = width * height
+    val r = new Array[Int](n); val g = new Array[Int](n); val b = new Array[Int](n)
+    var fy = 0
+    while (fy < height) {
+      val imgRow = if (topDown) fy else height - 1 - fy
+      val base = off + offBits + fy * rowSize
+      var x = 0
+      while (x < width) {
+        val i = imgRow * width + x
+        b(i) = bytes(base + 3 * x) & 0xff
+        g(i) = bytes(base + 3 * x + 1) & 0xff
+        r(i) = bytes(base + 3 * x + 2) & 0xff
+        x += 1
+      }
+      fy += 1
+    }
+    (Image(width, height, r, g, b), fileSize)
+  }
+
+  // ---------------------------------------------------------------- PPM --
+
+  /** Encode as binary PPM (P6) with a comment line — comments exercise the
+    * parser's header handling on every synthetic frame, not just in specs.
+    * Header: "P6\n# <comment>\n<w> <h>\n255\n" + raw RGB. */
+  def encodePpm(img: Image, comment: String): Array[Byte] = {
+    require(!comment.contains('\n'), "PPM comment must be single-line")
+    val header = s"P6\n# $comment\n${img.width} ${img.height}\n255\n"
+      .getBytes(StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + 3 * img.width * img.height)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    val n = img.width * img.height
+    while (i < n) {
+      out(header.length + 3 * i) = img.r(i).toByte
+      out(header.length + 3 * i + 1) = img.g(i).toByte
+      out(header.length + 3 * i + 2) = img.b(i).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Encoded PPM size under [[encodePpm]]'s canonical header. */
+  def ppmFileSize(width: Int, height: Int, comment: String): Int =
+    s"P6\n# $comment\n$width $height\n255\n".length + 3 * width * height
+
+  /** Parse a binary PPM (P6) starting at `off`: full header grammar —
+    * whitespace runs and `#`-to-EOL comments between tokens, exactly one
+    * whitespace byte after maxval. Returns the image and total byte length. */
+  def decodePpm(bytes: Array[Byte], off: Int = 0): (Image, Int) = {
+    require(bytes.length >= off + 2 && bytes(off) == 'P' && bytes(off + 1) == '6',
+      "PPM: bad magic")
+    var p = off + 2
+    def isWs(c: Byte): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == 0x0b || c == 0x0c
+    def skipWsAndComments(): Unit = {
+      var moved = true
+      while (moved) {
+        moved = false
+        while (p < bytes.length && isWs(bytes(p))) { p += 1; moved = true }
+        if (p < bytes.length && bytes(p) == '#') {
+          while (p < bytes.length && bytes(p) != '\n') p += 1
+          moved = true
+        }
+      }
+    }
+    def readInt(): Int = {
+      skipWsAndComments()
+      require(p < bytes.length && bytes(p) >= '0' && bytes(p) <= '9', "PPM: expected integer")
+      var v = 0
+      while (p < bytes.length && bytes(p) >= '0' && bytes(p) <= '9') {
+        v = v * 10 + (bytes(p) - '0'); p += 1
+      }
+      v
+    }
+    val width = readInt(); val height = readInt(); val maxval = readInt()
+    require(width > 0 && height > 0, s"PPM: bad geometry ${width}x$height")
+    require(maxval >= 1 && maxval <= 255, s"PPM: unsupported maxval $maxval")
+    require(p < bytes.length && isWs(bytes(p)), "PPM: missing raster separator")
+    p += 1 // exactly ONE whitespace byte separates header from raster
+    val n = width * height
+    require(bytes.length >= p + 3 * n, "PPM: truncated raster")
+    val r = new Array[Int](n); val g = new Array[Int](n); val b = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      r(i) = bytes(p + 3 * i) & 0xff
+      g(i) = bytes(p + 3 * i + 1) & 0xff
+      b(i) = bytes(p + 3 * i + 2) & 0xff
+      i += 1
+    }
+    (Image(width, height, r, g, b), p + 3 * n - off)
+  }
+
+  // ------------------------------------------------------ video container --
+
+  /** Decode a concatenation of BMP and/or PPM frames (MJPEG-style: each
+    * frame's own header carries its length — bfSize for BMP, the header
+    * grammar + 3wh for PPM; the container needs no index of its own). */
+  def decodeFrames(bytes: Array[Byte]): Seq[Image] = {
+    val out = Seq.newBuilder[Image]
+    var p = 0
+    while (p < bytes.length) {
+      val (img, len) =
+        if (bytes(p) == 'B') decodeBmp(bytes, p)
+        else if (bytes(p) == 'P') decodePpm(bytes, p)
+        else throw new IllegalArgumentException(
+          s"container: unknown frame magic 0x${(bytes(p) & 0xff).toHexString} at $p")
+      require(len > 0, "container: zero-length frame")
+      out += img
+      p += len
+    }
+    out.result()
+  }
+
+  // ----------------------------------------------------------------- WAV --
+
+  /** Encode unsigned-8-bit mono PCM as canonical RIFF/WAVE (44-byte header). */
+  def encodeWav(samples: Array[Byte], sampleRate: Int = 8000): Array[Byte] = {
+    val out = new Array[Byte](44 + samples.length)
+    def put(s: String, o: Int): Unit = {
+      val a = s.getBytes(StandardCharsets.US_ASCII)
+      System.arraycopy(a, 0, out, o, a.length)
+    }
+    put("RIFF", 0); System.arraycopy(le32(36 + samples.length), 0, out, 4, 4)
+    put("WAVE", 8)
+    put("fmt ", 12); System.arraycopy(le32(16), 0, out, 16, 4)
+    System.arraycopy(le16(1), 0, out, 20, 2)           // PCM
+    System.arraycopy(le16(1), 0, out, 22, 2)           // mono
+    System.arraycopy(le32(sampleRate), 0, out, 24, 4)
+    System.arraycopy(le32(sampleRate), 0, out, 28, 4)  // byte rate (8-bit mono)
+    System.arraycopy(le16(1), 0, out, 32, 2)           // block align
+    System.arraycopy(le16(8), 0, out, 34, 2)           // bits/sample
+    put("data", 36); System.arraycopy(le32(samples.length), 0, out, 40, 4)
+    System.arraycopy(samples, 0, out, 44, samples.length)
+    out
+  }
+
+  /** Decoded PCM stream: unsigned-8-bit samples + the declared rate. */
+  final case class Pcm(sampleRate: Int, samples: Array[Byte])
+
+  /** Parse RIFF/WAVE by walking chunks: requires a PCM u8 mono `fmt `
+    * before `data`, SKIPS unknown chunks (with RIFF's even-byte padding) —
+    * the part naive 44-byte-offset readers get wrong on real files. */
+  def decodeWav(bytes: Array[Byte]): Pcm = {
+    require(bytes.length >= 12, "WAV: truncated RIFF header")
+    def tag(o: Int): String = new String(bytes, o, 4, StandardCharsets.US_ASCII)
+    require(tag(0) == "RIFF" && tag(8) == "WAVE", "WAV: bad RIFF/WAVE magic")
+    var p = 12
+    var rate = -1
+    var data: Array[Byte] = null
+    while (p + 8 <= bytes.length && data == null) {
+      val id = tag(p)
+      val size = rdLe32(bytes, p + 4)
+      require(size >= 0 && p + 8 + size <= bytes.length, s"WAV: chunk $id overruns file")
+      id match {
+        case "fmt " =>
+          require(size >= 16, "WAV: fmt chunk too small")
+          require(rdLe16(bytes, p + 8) == 1, "WAV: only PCM supported")
+          require(rdLe16(bytes, p + 10) == 1, "WAV: only mono supported")
+          rate = rdLe32(bytes, p + 12)
+          require(rdLe16(bytes, p + 22) == 8, "WAV: only 8-bit supported")
+        case "data" =>
+          require(rate > 0, "WAV: data chunk before fmt")
+          data = java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + size)
+        case _ => () // skip unknown chunk (LIST, fact, ...)
+      }
+      p += 8 + size + (size & 1) // RIFF chunks pad to even length
+    }
+    require(data != null, "WAV: no data chunk")
+    Pcm(rate, data)
+  }
+
+  // -------------------------------------------------------------- resize --
+
+  /** Nearest-neighbor resize (the resample real pHash runs before hashing):
+    * target (tx,ty) samples source (tx*w // tw, ty*h // th) — truncating
+    * integer division, so DuckDB `//` reproduces the sampling grid. */
+  def resizeNearest(img: Image, tw: Int, th: Int): Image = {
+    require(tw > 0 && th > 0, "target geometry must be positive")
+    val n = tw * th
+    val r = new Array[Int](n); val g = new Array[Int](n); val b = new Array[Int](n)
+    var ty = 0
+    while (ty < th) {
+      val sy = ty * img.height / th
+      var tx = 0
+      while (tx < tw) {
+        val si = sy * img.width + (tx * img.width / tw)
+        val di = ty * tw + tx
+        r(di) = img.r(si); g(di) = img.g(si); b(di) = img.b(si)
+        tx += 1
+      }
+      ty += 1
+    }
+    Image(tw, th, r, g, b)
+  }
+}

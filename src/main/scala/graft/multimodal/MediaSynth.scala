@@ -1,0 +1,183 @@
+package graft.multimodal
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.col
+
+/** Deterministic media synthesis + REAL-decode feature extraction (r13
+  * verdict "Next round #1").
+  *
+  * The pixel CONTENT of every synthetic frame is a pure function of the
+  * `documents` row (md5 over character cells of `text` — the same CJK-safe
+  * framing the earlier stub used), so a DuckDB oracle re-derives the exact
+  * pixels in SQL. The Spark path, however, goes through REAL bytes:
+  * pixels → [[ImageCodec.encodeBmp]]/[[ImageCodec.encodePpm]] → a
+  * concatenated-frame video container → [[ImageCodec.decodeFrames]] →
+  * features. Any decoder defect — BGR vs RGB order, bottom-up row flip,
+  * 4-byte row padding, PPM comment/whitespace grammar, container length
+  * arithmetic — lands in the features and fails the oracle hash, so the
+  * byte-exact parse itself is oracle-gated (not just the plumbing).
+  *
+  * Per-doc geometry (nibbles of md5(text), oracle formulas inline below):
+  * n_frames = 1 + nib0 % 12, width = 4 + nib1 % 2, height = 4 + nib2 % 4.
+  * Even doc_id frames encode as BMP, odd as PPM — both parsers sit in the
+  * sf0.01 oracle path. Pixel (x,y) of frame i takes channels r,g,b from
+  * bytes 3x, 3x+1, 3x+2 of md5(cell(i,y)) where cell(i,y) is the character
+  * slice of `text` at index (i*height + y), stride = max(1,
+  * clen / (n_frames*height)).
+  */
+object MediaSynth {
+
+  /** Geometry moduli — single source for Scala and the oracle SQL. */
+  val NFramesMod = 12
+  val WidthMod = 2 // width in 4..5 (≤5: one md5 = 16 bytes covers 3*5 channels)
+  val HeightMod = 4 // height in 4..7
+
+  /** One synthesized media document: a real multi-frame byte payload. */
+  final case class VideoDoc(doc_id: Long, video: Array[Byte], fmt: String)
+
+  /** Per-frame decode features: geometry, quadrant luma sums (exact
+    * integers — quadrant q = 2*[2y>=h] + [2x>=w]), total luma. */
+  final case class FrameStats(doc_id: Long, frame_idx: Int, width: Int, height: Int,
+                              s0: Long, s1: Long, s2: Long, s3: Long, luma_sum: Long)
+
+  /** Decode audit row: geometry + container byte arithmetic. */
+  final case class VideoMeta(doc_id: Long, fmt: String, width: Int, height: Int,
+                             n_frames: Int, container_bytes: Int, luma_sum: Long)
+
+  private def hexNib(md: MessageDigest, s: String, k: Int): Int = {
+    md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    val b = d(k / 2) & 0xff
+    if (k % 2 == 0) b >> 4 else b & 0xf
+  }
+
+  /** Pixels of frame i for a doc: channels from md5 of per-row cells. */
+  private[graft] def framePixels(md: MessageDigest, text: String, i: Int,
+                          w: Int, h: Int, stride: Int): ImageCodec.Image = {
+    val n = w * h
+    val r = new Array[Int](n); val g = new Array[Int](n); val b = new Array[Int](n)
+    var y = 0
+    while (y < h) {
+      val from = math.min((i * h + y) * stride, text.length)
+      val cell = text.substring(from, math.min(from + stride, text.length))
+      md.reset()
+      val d = md.digest(cell.getBytes(StandardCharsets.UTF_8))
+      var x = 0
+      while (x < w) {
+        val p = y * w + x
+        r(p) = d(3 * x) & 0xff
+        g(p) = d(3 * x + 1) & 0xff
+        b(p) = d(3 * x + 2) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    ImageCodec.Image(w, h, r, g, b)
+  }
+
+  private[graft] def geom(md: MessageDigest, text: String): (Int, Int, Int, Int) = {
+    val nf = 1 + hexNib(md, text, 0) % NFramesMod
+    val w = 4 + hexNib(md, text, 1) % WidthMod
+    val h = 4 + hexNib(md, text, 2) % HeightMod
+    val stride = math.max(1, text.length / (nf * h))
+    (nf, w, h, stride)
+  }
+
+  /** Synthesize the per-doc video payload: REAL encoded bytes. */
+  def synthVideos(docs: DataFrame): Dataset[VideoDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.map { case (docId, text) =>
+        val (nf, w, h, stride) = geom(md, text)
+        val bmp = docId % 2 == 0
+        val frames = (0 until nf).map { i =>
+          val img = framePixels(md, text, i, w, h, stride)
+          if (bmp) ImageCodec.encodeBmp(img) else ImageCodec.encodePpm(img, s"f$i")
+        }
+        val total = frames.map(_.length).sum
+        val out = new Array[Byte](total)
+        var off = 0
+        frames.foreach { f => System.arraycopy(f, 0, out, off, f.length); off += f.length }
+        VideoDoc(docId, out, if (bmp) "bmp" else "ppm")
+      }
+    }
+  }
+
+  private def quadSums(img: ImageCodec.Image): (Long, Long, Long, Long, Long) = {
+    var s0 = 0L; var s1 = 0L; var s2 = 0L; var s3 = 0L
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val l = img.luma(y * img.width + x)
+        val q = 2 * (if (2 * y >= img.height) 1 else 0) + (if (2 * x >= img.width) 1 else 0)
+        q match {
+          case 0 => s0 += l
+          case 1 => s1 += l
+          case 2 => s2 += l
+          case _ => s3 += l
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (s0, s1, s2, s3, s0 + s1 + s2 + s3)
+  }
+
+  /** REAL-decode path: parse the video container frame by frame, emit
+    * per-frame quadrant luma sums. */
+  def decodeFrameStats(videos: Dataset[VideoDoc]): Dataset[FrameStats] = {
+    val spark = videos.sparkSession
+    import spark.implicits._
+    videos.flatMap { v =>
+      ImageCodec.decodeFrames(v.video).iterator.zipWithIndex.map { case (img, i) =>
+        val (s0, s1, s2, s3, tot) = quadSums(img)
+        FrameStats(v.doc_id, i, img.width, img.height, s0, s1, s2, s3, tot)
+      }
+    }
+  }
+
+  /** REAL-decode audit: per-doc geometry, frame count, container byte
+    * length (the BMP padding / PPM header arithmetic), total luma. */
+  def decodeVideoMeta(videos: Dataset[VideoDoc]): Dataset[VideoMeta] = {
+    val spark = videos.sparkSession
+    import spark.implicits._
+    videos.map { v =>
+      val frames = ImageCodec.decodeFrames(v.video)
+      val head = frames.head
+      val tot = frames.map(f => quadSums(f)._5).sum
+      VideoMeta(v.doc_id, v.fmt, head.width, head.height, frames.size, v.video.length, tot)
+    }
+  }
+
+  /** dHash geometry shared with the oracle: resize frame 0 to DhashW x
+    * DhashH (nearest-neighbor), 15 gradient bits over row-major lumas. */
+  val DhashW = 4
+  val DhashH = 4
+
+  /** REAL-decode perceptual hash: parse frame 0, nearest-resize to 4x4,
+    * dHash over the resized lumas — the pipeline real pHash runs. */
+  def dhashReal(videos: Dataset[VideoDoc]): Dataset[Multimodal.MediaHash] = {
+    val spark = videos.sparkSession
+    import spark.implicits._
+    videos.map { v =>
+      val frame0 =
+        if (v.video(0) == 'B') ImageCodec.decodeBmp(v.video)._1
+        else ImageCodec.decodePpm(v.video)._1
+      val small = ImageCodec.resizeNearest(frame0, DhashW, DhashH)
+      val n = DhashW * DhashH
+      var ph = 0
+      var p = 0
+      while (p < n - 1) {
+        if (small.luma(p) > small.luma(p + 1)) ph |= 1 << p
+        p += 1
+      }
+      Multimodal.MediaHash(v.doc_id, ph)
+    }
+  }
+}

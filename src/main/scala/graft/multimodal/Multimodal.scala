@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
   * run as typed `mapPartitions` stages (the Scala analog of `mapInPandas` —
   * batch-shaped, partition-local, no driver involvement).
   *
-  * STUB NOTE: no image/audio codecs exist in this container, so
-  * [[decodeMeta]]'s "decoder" is a clearly-marked deterministic fake that
-  * derives metadata from the md5 of the payload bytes. The Spark-side
-  * plumbing — schema, encoders, partition iteration, batch shape — is real
-  * and tested; swapping in a real codec changes only the body of
-  * `fakeDecode`.
+  * REAL CODECS (since r14): byte-exact BMP/PPM/WAV parsers live in
+  * [[ImageCodec]] and the oracle-gated decode pipeline in [[MediaSynth]] —
+  * x74/x75/x128/x360/x361 compute over REALLY decoded pixels/samples. The
+  * stages below that predate them ([[decodeMeta]], [[sampleFrames]],
+  * [[frameFeatures]], [[resizeTo]]) keep their original deterministic-fake
+  * transform (metadata from md5 of the payload) because their queries
+  * (x70/x71) pin the PLUMBING shape — schema, encoders, partition
+  * iteration, 1→N batch shape — which is unchanged by codec choice.
   *
   * Scale: per-row narrow work; heavy decoders want
   * `spark.task.cpus`/partition-size tuning, not a different plan shape.
@@ -95,44 +97,10 @@ object Multimodal {
     }
   }
 
-  /** Perceptual hash of one media payload (dHash family, 15 bits). */
+  /** Perceptual hash of one media payload (dHash family, 15 bits).
+    * Produced since r14 by [[MediaSynth.dhashReal]] — real decode + 4x4
+    * nearest-neighbor resize + gradient bits over decoded lumas. */
   final case class MediaHash(doc_id: Long, phash: Int)
-
-  /** dHash-style perceptual hashing stage: the payload is cut into
-    * `chunks` fixed character cells ("pixel rows"), each cell gets an
-    * intensity, and bit i records whether cell i is brighter than cell
-    * i+1 — the gradient signature real dHash takes from resized pixel
-    * rows, robust to uniform shifts of the intensity scale. FAKE
-    * intensity (stub, like [[fakeDecode]]): the first two md5 hex nibbles
-    * of the cell (0–255) stand in for mean luminance — deterministic and
-    * oracle-reproducible, but NOT locally smooth like real luminance, so
-    * only equal-chunking payloads land near each other; the Hamming-band
-    * machinery downstream (x74) is the real deliverable. Cells chunk by
-    * CHARACTER (UTF-16 units == DuckDB char positions for BMP text, the
-    * same CJK-safe framing sampleFrames uses); tail cells beyond the text
-    * are empty and hash to md5("") on both engines. */
-  def perceptualHash(ds: Dataset[MediaDoc], chunks: Int = 16): Dataset[MediaHash] = {
-    require(chunks > 1, "need at least 2 cells for a gradient bit")
-    val spark = ds.sparkSession
-    import spark.implicits._
-    ds.mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      it.map { m =>
-        val text = new String(m.content, java.nio.charset.StandardCharsets.UTF_8)
-        val stride = math.max(1, (text.length + chunks - 1) / chunks)
-        val iv = (0 until chunks).map { i =>
-          val from = math.min(i * stride, text.length)
-          val cell = text.substring(from, math.min(from + stride, text.length))
-          md.reset()
-          val hex = md.digest(cell.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          ((hex(0) & 0xff)) // first two hex nibbles == first byte
-        }
-        var ph = 0
-        (0 until chunks - 1).foreach(i => if (iv(i) > iv(i + 1)) ph |= 1 << i)
-        MediaHash(m.doc_id, ph)
-      }
-    }
-  }
 
   /** Resized media record: payload plus the target geometry it now claims. */
   final case class ResizedMedia(doc_id: Long, content: Array[Byte], mime: String,

@@ -175,20 +175,22 @@ object ConnectorQueries {
   }
 
   /** X7 + X2 crossover: perceptual-hash near-dup detection over media
-    * payloads — dHash signatures from the typed decode stage, candidates
-    * from a 3-band Hamming LSH over the 15-bit hash (5 bits per band: a
-    * pair within Hamming distance 1 touches at most one band, so ≥ 2
-    * bands still match → found; 5-bit bands collide half as often as
-    * 4-bit ones, measured 2.5× fewer candidate pairs), bucket cap shared
-    * with the text-LSH family, verified by exact popcount.
-    * With the stub md5 intensity only equal-chunking payloads cluster
-    * (documented on [[Multimodal.perceptualHash]]); the band-join shape
-    * is what a real pHash dedup ships at 100 TB — no pairwise scan, two
-    * keyed shuffles. */
+    * payloads — REAL pipeline since r14: per-doc video bytes (actual
+    * BMP/PPM frames, [[graft.multimodal.MediaSynth.synthVideos]]) are
+    * parsed by the byte-exact decoder, frame 0 is nearest-neighbor resized
+    * to 4x4 (the resample real pHash runs), and the dHash gradient bits
+    * come from DECODED pixel lumas. Candidates from a 3-band Hamming LSH
+    * over the 15-bit hash (5 bits per band: a pair within Hamming
+    * distance 1 touches at most one band, so ≥ 2 bands still match →
+    * found), bucket cap shared with the text-LSH family, verified by
+    * exact popcount. The oracle recomputes the pixels directly from the
+    * md5 formulas — a decoder defect (BGR order, bottom-up flip, row
+    * padding, PPM header grammar) fails the hash compare. At 100 TB: no
+    * pairwise scan, two keyed shuffles; decode is partition-local. */
   def phashNearDup(spark: SparkSession, dir: String) = {
     import spark.implicits._
-    val ph = Multimodal.perceptualHash(
-      Multimodal.attachFakeMedia(Tables.documents(spark, dir))).toDF()
+    val ph = graft.multimodal.MediaSynth.dhashReal(
+      graft.multimodal.MediaSynth.synthVideos(Tables.documents(spark, dir))).toDF()
     val bands = ph.select($"doc_id", $"phash",
       explode(array((0 until 3).map(j => struct(lit(j).as("band"),
         shiftright($"phash", 5 * j).bitwiseAND(lit(31)).as("bv"))): _*)).as("s"))
@@ -208,22 +210,8 @@ object ConnectorQueries {
   }
 
   private val phashOracle = {
-    def hex2(expr: String) =
-      s"((strpos('0123456789abcdef', substr(md5($expr), 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5($expr), 2, 1)) - 1))"
-    s"""WITH d AS (SELECT doc_id, text, length(text) AS clen FROM documents),
-       |s AS (SELECT doc_id, text, greatest(1, (clen + 15) // 16) AS stride FROM d),
-       |g0 AS (SELECT doc_id, text, stride, unnest(range(0, 16)) AS i FROM s),
-       |g AS (SELECT doc_id, i,
-       |        substr(text, CAST(i * stride + 1 AS INTEGER), CAST(stride AS INTEGER)) AS cell
-       |      FROM g0),
-       |iv AS (SELECT doc_id, i, ${hex2("cell")} AS iv FROM g),
-       |bt AS (SELECT doc_id, i, iv,
-       |         lead(iv) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
-       |       FROM iv),
-       |ph AS (SELECT doc_id,
-       |         CAST(sum(CASE WHEN iv > nxt THEN 1 << CAST(i AS INTEGER) ELSE 0 END) AS BIGINT) AS phash
-       |       FROM bt WHERE i < 15 GROUP BY doc_id),
-       |bd0 AS (SELECT doc_id, phash, unnest(range(0, 3)) AS j FROM ph),
+    MediaOracleSql.dhashCtes + s""",
+       |bd0 AS (SELECT doc_id, phash, unnest(range(0, 3)) AS j FROM dh),
        |bd AS (SELECT doc_id, phash, j, (phash >> CAST(5 * j AS INTEGER)) & 31 AS bv FROM bd0),
        |pruned AS (SELECT doc_id, phash, j, bv
        |           FROM (SELECT *, count(*) OVER (PARTITION BY j, bv) AS bn FROM bd)
@@ -236,28 +224,28 @@ object ConnectorQueries {
        |ORDER BY a, b""".stripMargin
   }
 
-  /** Scene-cut L1 threshold for x75 (frame features are 1/15-grid
-    * rationals, so distances are exact doubles and the comparison cannot
-    * sit on a rounding boundary). */
-  private val SceneTau = 1.2
+  /** Scene-cut L1 threshold for x75/x128 over integer quadrant luma sums
+    * (r14: features come from REAL decoded pixels, so the distance is an
+    * exact BIGINT and the comparison cannot sit on a rounding boundary).
+    * Calibrated so md5-random frame pairs land on both sides (mean L1 of
+    * independent frames ≈ 1150 at the 4..5 x 4..7 geometry). */
+  private val SceneTau = 1200L
 
-  /** X7 stage 4: scene segmentation — the standard shot-boundary pass of
-    * a video pipeline: sample EVERY frame (x71's sampler at k=1),
-    * per-frame features, and a cut wherever the L1 feature distance to
-    * the previous frame exceeds τ; per-doc scene count plus an md5 of the
-    * ordered cut indices (so the oracle checks the exact cut SET, not
-    * just the count). Narrow shapes end to end: the only shuffle keys the
-    * per-doc lag window and final aggregate. */
-  /** Every frame with its shot-boundary flag — x75's cut pass, shared
-    * with x128's keyframe selection. */
+  /** X7 stage 4 input: every decoded frame with its shot-boundary flag —
+    * x75's cut pass, shared with x128's keyframe selection. Since r14 the
+    * features are quadrant luma sums of REAL BMP/PPM-decoded pixels
+    * ([[graft.multimodal.MediaSynth.decodeFrameStats]]); a cut fires when
+    * the L1 distance to the previous frame exceeds τ. Narrow shapes end
+    * to end: decode is partition-local, the only shuffle keys the per-doc
+    * lag window and final aggregate. */
   private def framesWithCuts(spark: SparkSession, dir: String) = {
     import spark.implicits._
-    val media = Multimodal.attachFakeMedia(Tables.documents(spark, dir))
-    val frames = Multimodal.frameFeatures(Multimodal.sampleFrames(media, everyK = 1)).toDF()
+    val frames = graft.multimodal.MediaSynth.decodeFrameStats(
+      graft.multimodal.MediaSynth.synthVideos(Tables.documents(spark, dir))).toDF()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"frame_idx")
-    val dist = abs($"f0" - lag($"f0", 1).over(w)) + abs($"f1" - lag($"f1", 1).over(w)) +
-      abs($"f2" - lag($"f2", 1).over(w)) + abs($"f3" - lag($"f3", 1).over(w))
+    val dist = abs($"s0" - lag($"s0", 1).over(w)) + abs($"s1" - lag($"s1", 1).over(w)) +
+      abs($"s2" - lag($"s2", 1).over(w)) + abs($"s3" - lag($"s3", 1).over(w))
     frames.withColumn("cut", (dist > SceneTau).cast("int"))
   }
 
@@ -274,36 +262,20 @@ object ConnectorQueries {
       .orderBy("doc_id")
   }
 
-  /** The m→s→f→fs→fx→d→c chain ending in `c(doc_id, frame_idx, cut)` —
-    * one definition for the x75 and x128 oracles (fx also feeds x128's
-    * keyframe features). */
-  private val sceneCtes: String = {
-    def nibOf(expr: String, i: Int) =
-      s"(strpos('0123456789abcdef', substr(md5($expr), ${i + 1}, 1)) - 1)"
-    s"""WITH m AS (SELECT doc_id, text,
-       |             1 + ${nibOf("text", 0)} % 30 AS n_frames,
-       |             length(text) AS clen
-       |           FROM documents),
-       |s AS (SELECT doc_id, text, clen, n_frames,
-       |             greatest(1, clen // n_frames) AS stride
-       |      FROM m),
-       |f AS (SELECT doc_id, text, clen, stride, unnest(range(0, n_frames)) AS i FROM s),
-       |fs AS (SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
-       |         substr(text, CAST(i * stride + 1 AS INTEGER), CAST(stride AS INTEGER)) AS ftext
-       |       FROM f WHERE i * stride < clen),
-       |fx AS (SELECT doc_id, frame_idx,
-       |         ${nibOf("ftext", 0)} / 15.0 AS f0, ${nibOf("ftext", 1)} / 15.0 AS f1,
-       |         ${nibOf("ftext", 2)} / 15.0 AS f2, ${nibOf("ftext", 3)} / 15.0 AS f3
-       |       FROM fs),
-       |d AS (SELECT doc_id, frame_idx,
-       |        abs(f0 - lag(f0) OVER w) + abs(f1 - lag(f1) OVER w)
-       |        + abs(f2 - lag(f2) OVER w) + abs(f3 - lag(f3) OVER w) AS dist
-       |      FROM fx
+  /** The quadrant-sum chain ending in `c(doc_id, frame_idx, cut)` — one
+    * definition for the x75 and x128 oracles (fq also feeds x128's
+    * keyframe features). Pixels re-derived from the md5 formulas; the
+    * Spark side got them through real encoded bytes. */
+  private val sceneCtes: String =
+    MediaOracleSql.frameQuadCtes + s""",
+       |d AS (SELECT doc_id, frame_idx, s0, s1, s2, s3,
+       |        abs(s0 - lag(s0) OVER w) + abs(s1 - lag(s1) OVER w)
+       |        + abs(s2 - lag(s2) OVER w) + abs(s3 - lag(s3) OVER w) AS dist
+       |      FROM fq
        |      WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
        |c AS (SELECT doc_id, frame_idx,
        |        CASE WHEN dist > $SceneTau THEN 1 ELSE 0 END AS cut
        |      FROM d)""".stripMargin
-  }
 
   private val sceneOracle =
     sceneCtes + s"""
@@ -329,8 +301,7 @@ object ConnectorQueries {
       .filter($"frame_idx" === 0 || $"cut" === 1)
       .withColumn("scene_id", row_number().over(w))
       .select($"doc_id", $"scene_id", $"frame_idx".as("start_frame"),
-        QueryUtil.halfUp($"f0", 4).as("kf0"), QueryUtil.halfUp($"f1", 4).as("kf1"),
-        QueryUtil.halfUp($"f2", 4).as("kf2"), QueryUtil.halfUp($"f3", 4).as("kf3"))
+        $"s0".as("ks0"), $"s1".as("ks1"), $"s2".as("ks2"), $"s3".as("ks3"))
       .orderBy("doc_id", "scene_id")
   }
 
@@ -341,11 +312,9 @@ object ConnectorQueries {
        |       FROM c WHERE c.frame_idx = 0 OR c.cut = 1)
        |SELECT kf.doc_id, CAST(kf.scene_id AS INTEGER) AS scene_id,
        |       kf.frame_idx AS start_frame,
-       |       floor(fx.f0 * 10000 + 0.5) / 10000.0 AS kf0,
-       |       floor(fx.f1 * 10000 + 0.5) / 10000.0 AS kf1,
-       |       floor(fx.f2 * 10000 + 0.5) / 10000.0 AS kf2,
-       |       floor(fx.f3 * 10000 + 0.5) / 10000.0 AS kf3
-       |FROM kf JOIN fx ON fx.doc_id = kf.doc_id AND fx.frame_idx = kf.frame_idx
+       |       CAST(fq.s0 AS BIGINT) AS ks0, CAST(fq.s1 AS BIGINT) AS ks1,
+       |       CAST(fq.s2 AS BIGINT) AS ks2, CAST(fq.s3 AS BIGINT) AS ks3
+       |FROM kf JOIN fq ON fq.doc_id = kf.doc_id AND fq.frame_idx = kf.frame_idx
        |ORDER BY kf.doc_id, kf.scene_id""".stripMargin
 
   lazy val defs: Seq[QueryDef] = Seq(
