@@ -72,6 +72,28 @@ class RegistrySpec extends SparkTestBase {
       s"PLANS.md wrap says ${totalMentions.last}s total; bench_last.json has ${totalS}s")
   }
 
+  test("SURVEY.md §2.R2 generated index matches the registry (doc-drift gate)") {
+    // r13 verdict #7: the hand-kept 2.R1 table grows 50 rows/round and its
+    // query→file mapping can silently rot. §2.R2 is GENERATED
+    // (`runMain graft.GenSurveyTable`); this asserts exact name-set
+    // equality in both directions, so a registered query missing from
+    // SURVEY.md — or a stale row for an unregistered one — fails the build.
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/SURVEY.md")), "UTF-8")
+    val si = survey.indexOf(GenSurveyTable.Start)
+    val ei = survey.indexOf(GenSurveyTable.End)
+    assert(si >= 0 && ei > si, "SURVEY.md §2.R2 generated block missing")
+    val block = survey.substring(si, ei)
+    val documented = """\| `([a-z0-9_]+)` \|""".r
+      .findAllMatchIn(block).map(_.group(1)).toSet
+    val registered = Registry.all.map(_.name).toSet
+    val missing = registered -- documented
+    val stale = documented -- registered
+    assert(missing.isEmpty && stale.isEmpty,
+      s"SURVEY §2.R2 drift — run `sbt 'runMain graft.GenSurveyTable'`; " +
+        s"missing=${missing.toSeq.sorted.take(10)} stale=${stale.toSeq.sorted.take(10)}")
+  }
+
   test("every query analyzes against sf0.001 schemas") {
     Registry.all.foreach { q =>
       val schema = q.fn(spark, sfDir).schema // analysis only, no execution
