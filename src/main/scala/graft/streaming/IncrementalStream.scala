@@ -863,4 +863,97 @@ object IncrementalStream {
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
+
+  /** DYNAMIC-gap session merge (r13 verdict "Next round #8"): every event
+    * is its own window [t, t + gap_event]; existing sessions plus the new
+    * singletons sort by start and coalesce at TOUCH (next.start <=
+    * prev.end — the x318-pinned boundary), keeping max end. Sorting the
+    * union each batch makes the fold batch-split invariant: a long-gap
+    * event can bridge past a short-gap successor (the running-max-of-ends
+    * subtlety lag-diff sessionizers get wrong), and a later bridging
+    * interval re-merges previously separate sessions. Shares the
+    * fixed-gap [[mergeSessions]] contract; property-tested beside it. */
+  private[graft] def mergeDynSessions(existing: Array[(Long, Long, Long)],
+                                      arrivals: Array[(Long, Long)]): Array[(Long, Long, Long)] = {
+    val all = (existing ++ arrivals.map { case (s, e) => (s, e, 1L) })
+      .sortBy(s => (s._1, s._2))
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    all.foreach { case (s, e, n) =>
+      if (merged.nonEmpty && s <= merged.last._2) {
+        val (ls, le, ln) = merged.last
+        merged(merged.size - 1) = (ls, math.max(le, e), ln + n)
+      } else merged += ((s, e, n))
+    }
+    merged.toArray
+  }
+
+  /** Dynamic-gap twin of [[TwsTimerSessionProcessor]] — ONE audited state
+    * contract for both gap families (r13 verdict #8): all of a key's
+    * unexpired sessions in ListState, merged per batch by
+    * [[mergeDynSessions]], emitted ONLY from `handleExpiredTimer`. The
+    * session end already includes each event's own gap (end = max of
+    * t + gap_t), so the timer registers at end itself and the emission
+    * boundary is the built-in dynamic `session_window`'s strict
+    * `end < watermark` (x323's pinned contract). Input rows carry
+    * (user, sec, gapSec, ts). */
+  final class TwsDynTimerSessionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, java.sql.Timestamp), TwsSession] {
+    @transient private var sessions:
+        org.apache.spark.sql.streaming.ListState[(Long, Long, Long)] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      sessions = getHandle.getListState[(Long, Long, Long)]("dynsessions",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TwsSession] = {
+      val existing = sessions.get().toArray
+      val merged = IncrementalStream.mergeDynSessions(
+        existing, rows.map { case (_, sec, gap, _) => (sec, sec + gap) }.toArray)
+      sessions.put(merged)
+      // fresh timer only for ends new this batch; superseded timers fire
+      // harmlessly (the expiry partition below finds nothing due)
+      val had = existing.map { case (_, e, _) => e }.toSet
+      merged.foreach { case (_, e, _) =>
+        if (!had.contains(e)) getHandle.registerTimer(e * 1000L)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[TwsSession] = {
+      val expiry = expiredTimerInfo.getExpiryTimeInMs
+      val all = sessions.get().toArray
+      val (done, live) = all.partition { case (_, e, _) => e * 1000L <= expiry }
+      if (done.nonEmpty) {
+        if (live.isEmpty) sessions.clear() else sessions.put(live)
+      }
+      done.sortBy(_._1).iterator
+        .map { case (s, e, n) => TwsSession(key, s, e, n) }
+    }
+  }
+
+  /** Timer-driven DYNAMIC-gap sessionization over (user_id, sec, gapSec)
+    * events: event-time mode keyed on the caller-derived `ts` column. */
+  def twsDynTimerSessions(
+      events: org.apache.spark.sql.Dataset[(Long, Long, Long, java.sql.Timestamp)])
+      : org.apache.spark.sql.Dataset[TwsSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new TwsDynTimerSessionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
 }

@@ -751,6 +751,75 @@ class StreamingSpec extends SparkTestBase {
       (2L, 300L, 300L, 1L), (1L, 1000L, 1000L, 1L)), got.toString)
   }
 
+  test("dynamic-gap timer sessions: late in-gap arrival with a SHORTER gap merges instead of fragmenting") {
+    // r13 verdict #8: the dynamic-gap streaming variants merged on a
+    // per-batch recompute shape; this drives the ported timer-held
+    // processor through the exact hole the r12 advice found in the
+    // fixed-gap family — watermark delay > gap, so a LATER batch delivers
+    // an in-watermark event inside an open session that eager emission
+    // would have fragmented. Dynamic twist: the late event carries a
+    // SHORTER gap (60s vs the purchase 300s), so a lag-diff sessionizer
+    // (or one keying the merge on the latest event's gap) would split.
+    val base = java.nio.file.Files.createTempDirectory("graft_dyngap_spec").toString
+    def stage(i: Int, rows: Seq[(Long, Long, Long)]): Unit = {
+      import spark.implicits._
+      rows.toDF("user_id", "sec", "gap")
+        .withColumn("ts", $"sec".cast("timestamp"))
+        .coalesce(1).write.parquet(s"$base/src/s$i")
+      val part = new java.io.File(s"$base/src/s$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.FileSystems.getDefault.getPath(s"$base/src/f$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    import spark.implicits._
+    // Batch 0: u1 long-gap event at 100 (window [100,400]) + a later event
+    // at 1000 ([1000,1060]) that keeps the watermark low enough... wm
+    // after batch 0 = 1000−700 = 300 < 400 ⇒ nothing fires.
+    stage(0, Seq((1L, 100L, 300L), (1L, 1000L, 60L)))
+    // Batch 1: LATE short-gap arrival at 350 ([350,410]) — inside the open
+    // [100,400] window and within the watermark (350 ≥ 300). Must MERGE
+    // into (100..410, n=2) — and its 410 end EXTENDS the session past the
+    // original 400 expiry, superseding that timer.
+    stage(1, Seq((1L, 350L, 60L)))
+    // Batch 2: u2 far ahead advances the final watermark to 5000−700=4300:
+    // both of u1's sessions flush from timers; u2 ([5000,5060]) stays.
+    stage(2, Seq((2L, 5000L, 60L)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sec", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("gap", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      .withWatermark("ts", "700 seconds")
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+    val out = IncrementalStream.twsDynTimerSessions(stream)
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    queries.QueryUtil.withConfs(spark,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.shuffle.partitions" -> "4") {
+      val q = out.toDF().writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(buf.add)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    import scala.jdk.CollectionConverters._
+    val got = buf.asScala.toSeq.map(r => (r.getAs[Long]("user_id"),
+      r.getAs[Long]("start_sec"), r.getAs[Long]("end_sec"),
+      r.getAs[Long]("n_events"))).toSet
+    // The late 350 event merged into the long-gap window AND extended it
+    // to 410 (running max of ends); the 1000 event stayed its own session.
+    assert(got == Set((1L, 100L, 410L, 2L), (1L, 1000L, 1060L, 1L)), got.toString)
+    queries.QueryUtil.deleteRecursively(base)
+  }
+
   test("transformWithState running totals match the batch aggregate across real micro-batches") {
     val sfDir = "/root/testdata/sf0.001"
     // Precondition that makes the parity meaningful: at least one user
