@@ -101,6 +101,11 @@ object Similarity {
         .select(col("cent_id"),
           when(col("mn") > 0, col("mv")).otherwise(col("prev_cv")).as("cv"),
           when(col("mn") > 0, col("mn")).otherwise(col("prev_cn")).as("cn"))
+        // pin each round (tiny frame): iteration k+1 references `cur`
+        // twice (assignment join + empty-cell fallback), so a lazy chain
+        // re-executes round k's full assignment 2-3x per further round —
+        // multi-iteration training was paying ~2^iters plan blowup
+        .localCheckpoint(true)
     }
     cur
   }
@@ -150,6 +155,9 @@ object Similarity {
       cur = cur.select(col("s"), col("c"), col("cv").as("prev_cv"))
         .join(means, Seq("s", "c"), "left")
         .select(col("s"), col("c"), coalesce(col("mv"), col("prev_cv")).as("cv"))
+        // pin each round — same 2-3x-per-round lineage blowup as
+        // refineCentroids; the frame is M*K rows
+        .localCheckpoint(true)
     }
     cur
   }

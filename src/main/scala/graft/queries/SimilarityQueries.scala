@@ -769,11 +769,11 @@ object SimilarityQueries {
   /** PQ geometry: 8 subspaces × 8 dims, 16 centroids per subspace; the
     * codebook seeds are fixed corpus rows (present at every SF, disjoint
     * from nothing in particular — a seed may also be a query). */
-  private val PqM = 8
-  private val PqSubD = 8
+  private[queries] val PqM = 8
+  private[queries] val PqSubD = 8
   private val PqSeeds = Seq(1L, 29L, 61L, 103L, 149L, 173L, 211L, 239L,
     271L, 307L, 331L, 367L, 401L, 433L, 461L, 491L)
-  private val PqRerank = 64
+  private[queries] val PqRerank = 64
 
   /** x38: product-quantization ANN with asymmetric-distance scoring — the
     * highest-compression tier of the vector-store family (x30 brute, x31/
@@ -800,7 +800,7 @@ object SimilarityQueries {
     * table) — the stored-bytes win (32×) is what matters at 100 TB. */
   /** Shared PQ plumbing: corpus with norms, per-subspace sub-vectors, and
     * the fixed seed codebook. */
-  private def pqParts(spark: SparkSession, dir: String) = {
+  private[queries] def pqParts(spark: SparkSession, dir: String) = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding", Similarity.norm($"embedding").as("nrm"))
