@@ -146,7 +146,8 @@ object Registry {
       queries.Round13Queries22.defs ++
       queries.Round14Queries1.defs ++
       queries.Round14Queries2.defs ++
-      queries.Round14Queries3.defs
+      queries.Round14Queries3.defs ++
+      queries.Round14Queries4.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

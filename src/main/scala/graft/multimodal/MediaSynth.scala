@@ -155,6 +155,35 @@ object MediaSynth {
     }
   }
 
+  /** One channel-histogram cell of a doc's decoded pixels. */
+  final case class ChannelBin(doc_id: Long, channel: String, bin: Int, n: Long)
+
+  /** REAL-decode color profile: per-doc histogram of each RGB channel over
+    * ALL frames' pixels (bin = v * bins / 256, truncating). Channel-exact:
+    * a BGR/RGB swap moves counts between the r and b histograms even when
+    * luma-based audits happen to cancel. */
+  def decodeChannelHist(videos: Dataset[VideoDoc], bins: Int = 4): Dataset[ChannelBin] = {
+    val spark = videos.sparkSession
+    import spark.implicits._
+    videos.flatMap { v =>
+      val counts = Array.ofDim[Long](3, bins)
+      ImageCodec.decodeFrames(v.video).foreach { img =>
+        val n = img.width * img.height
+        var i = 0
+        while (i < n) {
+          counts(0)(img.r(i) * bins / 256) += 1
+          counts(1)(img.g(i) * bins / 256) += 1
+          counts(2)(img.b(i) * bins / 256) += 1
+          i += 1
+        }
+      }
+      for {
+        (ch, ci) <- Seq(("r", 0), ("g", 1), ("b", 2))
+        b <- 0 until bins
+      } yield ChannelBin(v.doc_id, ch, b, counts(ci)(b))
+    }
+  }
+
   /** dHash geometry shared with the oracle: resize frame 0 to DhashW x
     * DhashH (nearest-neighbor), 15 gradient bits over row-major lumas. */
   val DhashW = 4

@@ -19,9 +19,11 @@ private[queries] object MediaOracleSql {
       s"+ (strpos($Hex, substr(hx, CAST(($pos) + 1 AS INTEGER), 1)) - 1))"
 
   /** CTE chain ending in `lm(doc_id, nf, w, h, i, y, x, l)` — integer luma
-    * per pixel of every frame, plus `s` carrying per-doc geometry. */
-  val pixelCtes: String =
-    s"""WITH m AS (SELECT doc_id, text, length(text) AS clen,
+    * per pixel of every frame, plus `s` carrying per-doc geometry and `px`
+    * the per-channel values. `prefix` lets a consumer that appends a
+    * recursive CTE open with "WITH RECURSIVE". */
+  def pixelCtesWith(prefix: String): String =
+    s"""$prefix m AS (SELECT doc_id, text, length(text) AS clen,
        |             1 + ${nib("text", 0)} % ${MediaSynth.NFramesMod} AS nf,
        |             4 + ${nib("text", 1)} % ${MediaSynth.WidthMod} AS w,
        |             4 + ${nib("text", 2)} % ${MediaSynth.HeightMod} AS h
@@ -40,6 +42,8 @@ private[queries] object MediaOracleSql {
        |         (299 * r + 587 * g + 114 * b) // 1000 AS l
        |       FROM px)""".stripMargin
 
+  val pixelCtes: String = pixelCtesWith("WITH")
+
   /** Appends `fq(doc_id, nf, frame_idx, s0..s3)` — per-frame quadrant luma
     * sums (quadrant split at 2x>=w / 2y>=h, matching MediaSynth.quadSums). */
   val frameQuadCtes: String =
@@ -53,8 +57,8 @@ private[queries] object MediaOracleSql {
 
   /** Appends `dh(doc_id, phash)` — the 15-bit dHash over frame 0 resized to
     * 4x4 by nearest-neighbor (source index = target*src // 4, truncating). */
-  val dhashCtes: String =
-    pixelCtes + s""",
+  def dhashCtesWith(prefix: String): String =
+    pixelCtesWith(prefix) + s""",
        |tg AS (SELECT doc_id, w, h, ty, tx,
        |         (ty * h) // ${MediaSynth.DhashH} AS sy,
        |         (tx * w) // ${MediaSynth.DhashW} AS sx
@@ -70,4 +74,6 @@ private[queries] object MediaOracleSql {
        |         CAST(coalesce(sum(CASE WHEN l > nxt THEN 1 << CAST(p AS INTEGER) ELSE 0 END), 0) AS BIGINT) AS phash
        |       FROM bt WHERE p < ${MediaSynth.DhashW * MediaSynth.DhashH - 1}
        |       GROUP BY doc_id)""".stripMargin
+
+  val dhashCtes: String = dhashCtesWith("WITH")
 }
