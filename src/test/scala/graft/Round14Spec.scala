@@ -44,6 +44,26 @@ class Round14Spec extends SparkTestBase {
     }
   }
 
+  test("AhoCorasick counts all occurrences, incl. overlapping and dictionary-substring matches") {
+    val ac = new graft.operators.AhoCorasick(Seq("an", "scan", "ana", "na"))
+    // "banana scan": an@2,4 (overlapping via "ana"), ana@2(overlaps ana@4? banana: a1n2a3n4a5 -> ana@1,3), na@...
+    val got = ac.countAll("banana scan")
+    // brute force reference
+    def brute(t: String, p: String): Long =
+      (0 to t.length - p.length).count(i => t.regionMatches(i, p, 0, p.length)).toLong
+    assert(got.toSeq == Seq("an", "scan", "ana", "na").map(brute("banana scan", _)))
+    // randomized cross-check over a small alphabet (dense overlaps)
+    val rnd = new scala.util.Random(7)
+    val pats = Seq("ab", "aba", "b", "bab", "aab", "a")
+    val ac2 = new graft.operators.AhoCorasick(pats)
+    (1 to 200).foreach { _ =>
+      val t = (1 to 30).map(_ => if (rnd.nextBoolean()) 'a' else 'b').mkString
+      val got2 = ac2.countAll(t).toSeq
+      val want = pats.map(brute(t, _))
+      assert(got2 == want, s"text=$t got=$got2 want=$want")
+    }
+  }
+
   test("mergeDynSessions: a later bridging interval re-merges previously separate sessions") {
     val s1 = graft.streaming.IncrementalStream
       .mergeDynSessions(Array.empty, Array((0L, 10L), (20L, 30L)))
