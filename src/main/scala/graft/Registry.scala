@@ -149,7 +149,8 @@ object Registry {
       queries.Round14Queries3.defs ++
       queries.Round14Queries4.defs ++
       queries.Round14Queries5.defs ++
-      queries.Round14Queries6.defs
+      queries.Round14Queries6.defs ++
+      queries.Round14Queries7.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

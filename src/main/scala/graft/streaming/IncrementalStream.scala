@@ -944,6 +944,68 @@ object IncrementalStream {
     }
   }
 
+  /** One emitted SPRT decision (see [[sprtStream]]). */
+  final case class SprtDecision(event_type: String, decision: String,
+                                n_at_decision: Long, llr_fp: Long)
+
+  /** Streaming Wald SPRT (r14): per event type, ValueState carries the
+    * exact fixed-point LLR walk (llr, n, decided) across micro-batches;
+    * each batch folds its rows in (sec, event_id) order — with
+    * chronological batch cuts the fold order is the global order, so the
+    * decision point is batch-split invariant — and the decision row is
+    * emitted exactly once, in the batch whose observation crosses the
+    * boundary. State per key: two Longs and a flag. */
+  final class SprtProcessor(stepFp: Long, boundFp: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, Long, Int), SprtDecision] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[(Long, Long, Boolean)] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Boolean)]("sprt",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaBoolean),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String, rows: Iterator[(String, Long, Long, Int)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SprtDecision] = {
+      var (llr, n, decided) = if (st.exists()) st.get() else (0L, 0L, false)
+      val out = scala.collection.mutable.ArrayBuffer.empty[SprtDecision]
+      // in-batch order must be the global (sec, event_id) order
+      rows.toArray.sortBy { case (_, id, sec, _) => (sec, id) }.foreach {
+        case (_, _, _, x) =>
+          if (!decided) {
+            llr += (if (x == 1) stepFp else -stepFp)
+            n += 1
+            if (math.abs(llr) >= boundFp) {
+              decided = true
+              out += SprtDecision(key,
+                if (llr >= boundFp) "accept_h1" else "accept_h0", n, llr)
+            }
+          }
+      }
+      st.update((llr, n, decided))
+      out.iterator
+    }
+  }
+
+  /** Streaming SPRT over (event_type, event_id, sec, x) rows. */
+  def sprtStream(events: org.apache.spark.sql.Dataset[(String, Long, Long, Int)],
+                 stepFp: Long, boundFp: Long)
+      : org.apache.spark.sql.Dataset[SprtDecision] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new SprtProcessor(stepFp, boundFp),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** Timer-driven DYNAMIC-gap sessionization over (user_id, sec, gapSec)
     * events: event-time mode keyed on the caller-derived `ts` column. */
   def twsDynTimerSessions(
