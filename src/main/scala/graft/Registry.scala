@@ -150,7 +150,8 @@ object Registry {
       queries.Round14Queries4.defs ++
       queries.Round14Queries5.defs ++
       queries.Round14Queries6.defs ++
-      queries.Round14Queries7.defs
+      queries.Round14Queries7.defs ++
+      queries.Round14Queries8.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
