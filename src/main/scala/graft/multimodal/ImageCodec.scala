@@ -199,20 +199,21 @@ object ImageCodec {
 
   // ------------------------------------------------------ video container --
 
-  /** Decode a concatenation of BMP and/or PPM frames (MJPEG-style: each
-    * frame's own header carries its length — bfSize for BMP, the header
-    * grammar + 3wh for PPM; the container needs no index of its own). */
+  /** Decode a concatenation of BMP/PPM frames or animated GIFs
+    * (MJPEG-style: each element's own header carries its length — bfSize
+    * for BMP, the header grammar + 3wh for PPM, block structure for GIF;
+    * the container needs no index of its own). */
   def decodeFrames(bytes: Array[Byte]): Seq[Image] = {
     val out = Seq.newBuilder[Image]
     var p = 0
     while (p < bytes.length) {
-      val (img, len) =
-        if (bytes(p) == 'B') decodeBmp(bytes, p)
-        else if (bytes(p) == 'P') decodePpm(bytes, p)
+      val len =
+        if (bytes(p) == 'B') { val (img, l) = decodeBmp(bytes, p); out += img; l }
+        else if (bytes(p) == 'P') { val (img, l) = decodePpm(bytes, p); out += img; l }
+        else if (bytes(p) == 'G') { val (fs, l) = GifCodec.decodeGif(bytes, p); out ++= fs; l }
         else throw new IllegalArgumentException(
           s"container: unknown frame magic 0x${(bytes(p) & 0xff).toHexString} at $p")
       require(len > 0, "container: zero-length frame")
-      out += img
       p += len
     }
     out.result()

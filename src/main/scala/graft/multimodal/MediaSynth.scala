@@ -155,6 +155,23 @@ object MediaSynth {
     }
   }
 
+  /** Animated-GIF variant of [[synthVideos]]: identical geometry and
+    * pixels, but the payload is ONE real GIF89a file per doc — palette
+    * index = integer luma (the 256-gray ramp), so the md5-pixel oracles
+    * gate the LZW round trip itself. */
+  def synthGifVideos(docs: DataFrame): Dataset[VideoDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.map { case (docId, text) =>
+        val (nf, w, h, stride) = geom(md, text)
+        val frames = (0 until nf).map(i => framePixels(md, text, i, w, h, stride))
+        VideoDoc(docId, GifCodec.encodeGif(frames), "gif")
+      }
+    }
+  }
+
   /** One channel-histogram cell of a doc's decoded pixels. */
   final case class ChannelBin(doc_id: Long, channel: String, bin: Int, n: Long)
 
@@ -197,6 +214,7 @@ object MediaSynth {
     videos.map { v =>
       val frame0 =
         if (v.video(0) == 'B') ImageCodec.decodeBmp(v.video)._1
+        else if (v.video(0) == 'G') GifCodec.decodeGif(v.video)._1.head
         else ImageCodec.decodePpm(v.video)._1
       val small = ImageCodec.resizeNearest(frame0, DhashW, DhashH)
       val n = DhashW * DhashH

@@ -229,7 +229,7 @@ object ConnectorQueries {
     * exact BIGINT and the comparison cannot sit on a rounding boundary).
     * Calibrated so md5-random frame pairs land on both sides (mean L1 of
     * independent frames ≈ 1150 at the 4..5 x 4..7 geometry). */
-  private val SceneTau = 1200L
+  private[queries] val SceneTau = 1200L
 
   /** X7 stage 4 input: every decoded frame with its shot-boundary flag —
     * x75's cut pass, shared with x128's keyframe selection. Since r14 the
@@ -266,7 +266,7 @@ object ConnectorQueries {
     * definition for the x75 and x128 oracles (fq also feeds x128's
     * keyframe features). Pixels re-derived from the md5 formulas; the
     * Spark side got them through real encoded bytes. */
-  private val sceneCtes: String =
+  private[queries] val sceneCtes: String =
     MediaOracleSql.frameQuadCtes + s""",
        |d AS (SELECT doc_id, frame_idx, s0, s1, s2, s3,
        |        abs(s0 - lag(s0) OVER w) + abs(s1 - lag(s1) OVER w)

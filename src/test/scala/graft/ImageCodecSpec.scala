@@ -115,6 +115,36 @@ class ImageCodecSpec extends SparkTestBase {
     assert(big.r(0) == 0 && big.r(7) == 3 && big.r(8 * 7 + 7) == 15)
   }
 
+  test("GIF/LZW roundtrip: deep code table (width 9→12, table reset), KwKwK runs, multi-frame") {
+    import graft.multimodal.GifCodec
+    val rnd = new scala.util.Random(11)
+    // few gray levels + size >> 4096 entries: the LZW table grows through
+    // every width and hits the 4096 CLEAR/reset path
+    def gray(w: Int, h: Int, f: Int => Int): Image = {
+      val c = Array.tabulate(w * h)(f)
+      Image(w, h, c, c.clone(), c.clone())
+    }
+    val big = gray(200, 120, _ => Seq(10, 80, 150, 220)(rnd.nextInt(4)))
+    val (back, len) = GifCodec.decodeGif(GifCodec.encodeGif(Seq(big)))
+    assert(len == GifCodec.encodeGif(Seq(big)).length)
+    assert(back.size == 1 && back.head.r.sameElements(big.r))
+    // constant image: maximal KwKwK (code == next) incidence
+    val const = gray(64, 64, _ => 42)
+    assert(GifCodec.decodeGif(GifCodec.encodeGif(Seq(const)))._1.head.r.sameElements(const.r))
+    // multi-frame animation roundtrip with mixed content
+    val frames = Seq(gray(9, 7, i => i * 3 % 256), gray(9, 7, _ => 0),
+      gray(9, 7, i => 255 - i % 256))
+    val (fs, _) = GifCodec.decodeGif(GifCodec.encodeGif(frames))
+    assert(fs.size == 3 && fs.zip(frames).forall { case (a, b) => a.r.sameElements(b.r) })
+    // decoder skips extension blocks (splice a comment extension)
+    val enc = GifCodec.encodeGif(frames)
+    val gctEnd = 13 + 256 * 3
+    val ext = Array[Byte](0x21, 0xfe.toByte, 3, 'h', 'i', '!', 0)
+    val spliced = enc.take(gctEnd) ++ ext ++ enc.drop(gctEnd)
+    val (fs2, len2) = GifCodec.decodeGif(spliced)
+    assert(len2 == spliced.length && fs2.size == 3 && fs2.head.r.sameElements(frames.head.r))
+  }
+
   test("synth→encode→decode identity: decoded frames equal direct pixel synthesis") {
     import spark.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(40)
