@@ -107,7 +107,11 @@ object Bench {
         new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
       else ""
     } catch { case _: Throwable => "" }
-    val prior: Map[String, Double] = parseQueriesMap(priorFile, "queries")
+    // parse failures must never eat the bench line (r14 review: the move
+    // out of the file-read try left .toDouble able to crash main)
+    val prior: Map[String, Double] =
+      try parseQueriesMap(priorFile, "queries")
+      catch { case _: Throwable => Map.empty[String, Double] }
     // r13 judge finding #2: committed records drift 2x+ across rounds on
     // byte-identical code because they're raw seconds on whatever box speed
     // the last sweep had — and the >2x/>3x gates compared RAW seconds, so
@@ -116,8 +120,10 @@ object Bench {
     // sweep's calib from the committed file, and scale every
     // gate-vs-committed comparison by calibRatio = calibNow / calibPrior.
     // Clamped — a wild probe reading must not widen the gate into uselessness.
-    val priorCalib: Double = """"calib_s":([-0-9.eE]+)""".r
-      .findFirstMatchIn(priorFile).map(_.group(1).toDouble).getOrElse(-1.0)
+    val priorCalib: Double =
+      try """"calib_s":([-0-9.eE]+)""".r
+        .findFirstMatchIn(priorFile).map(_.group(1).toDouble).getOrElse(-1.0)
+      catch { case _: Throwable => -1.0 }
     val calibStart = calibProbe(spark, cpus.toInt)
     val calibRatio: Double =
       if (calibStart > 0 && priorCalib > 0)

@@ -76,8 +76,9 @@ object GifCodec {
     }
   }
 
-  private def le16(v: Int): Array[Byte] =
-    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  // little-endian helpers shared with the sibling codecs (one definition)
+  private def le16(v: Int): Array[Byte] = ImageCodec.le16(v)
+  private def rdLe16(b: Array[Byte], o: Int): Int = ImageCodec.rdLe16(b, o)
 
   /** Encode frames (all same geometry) as one animated grayscale GIF89a:
     * palette index of pixel i = luma(i). */
@@ -181,8 +182,6 @@ object GifCodec {
     out
   }
 
-  private def rdLe16(b: Array[Byte], o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
-
   /** Parse an animated grayscale GIF: every frame as an Image whose three
     * channels equal the palette entry (gray ramp ⇒ channel = index).
     * Returns (frames, total byte length). */
@@ -194,7 +193,15 @@ object GifCodec {
     val packed = bytes(off + 10) & 0xff
     require((packed & 0x80) != 0, "GIF: global color table required")
     val gctSize = 2 << (packed & 7)
+    require(bytes.length >= off + 13 + 3 * gctSize, "GIF: truncated color table")
     var p = off + 13
+    // every forward step fails loudly on truncation (r14 review: the walk
+    // otherwise escaped as ArrayIndexOutOfBounds, not the documented
+    // IllegalArgumentException the other parsers throw)
+    def byteAt(i: Int): Int = {
+      require(i < bytes.length, s"GIF: truncated at $i")
+      bytes(i) & 0xff
+    }
     val gct = new Array[Int](gctSize)
     (0 until gctSize).foreach { i =>
       gct(i) = bytes(p) & 0xff // gray ramp: r == g == b; take red
@@ -203,26 +210,27 @@ object GifCodec {
     val frames = Seq.newBuilder[ImageCodec.Image]
     var done = false
     while (!done) {
-      require(p < bytes.length, "GIF: missing trailer")
-      (bytes(p) & 0xff) match {
+      byteAt(p) match {
         case 0x3b => done = true; p += 1
         case 0x21 => // extension: label + sub-blocks, skip
           p += 2
-          while ((bytes(p) & 0xff) != 0) p += 1 + (bytes(p) & 0xff)
+          while (byteAt(p) != 0) p += 1 + byteAt(p)
           p += 1
         case 0x2c =>
+          require(bytes.length >= p + 11, "GIF: truncated image descriptor")
           val fw = rdLe16(bytes, p + 5); val fh = rdLe16(bytes, p + 7)
           val fpacked = bytes(p + 9) & 0xff
           require((fpacked & 0x80) == 0, "GIF: local color tables unsupported")
           require((fpacked & 0x40) == 0, "GIF: interlace unsupported")
           require(fw == w && fh == h, "GIF: sub-rectangle frames unsupported")
           p += 10
-          val mcs = bytes(p) & 0xff
+          val mcs = byteAt(p)
           require(mcs == MinCodeSize, s"GIF: unexpected min code size $mcs")
           p += 1
           val data = scala.collection.mutable.ArrayBuffer.empty[Byte]
-          while ((bytes(p) & 0xff) != 0) {
-            val n = bytes(p) & 0xff
+          while (byteAt(p) != 0) {
+            val n = byteAt(p)
+            require(bytes.length >= p + 1 + n, "GIF: truncated sub-block")
             data ++= bytes.slice(p + 1, p + 1 + n)
             p += 1 + n
           }

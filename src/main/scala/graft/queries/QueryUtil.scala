@@ -131,4 +131,18 @@ object QueryUtil {
     * projected value (merge-walk jaccard, pair cosine) that a filter then
     * consumes, so it's evaluated once per row instead of twice. */
   def fence(c: Column): Column = call_function("fence", c)
+
+  /** First `hexChars` md5 hex chars of `c` as a BIGINT — the cross-engine
+    * deterministic-hash recipe (x53's 16-bit threshold trick,
+    * parameterized). Pair with [[md5IntSql]]; keep both in lockstep. */
+  def md5Int(c: Column, hexChars: Int): Column =
+    conv(substring(md5(c), 1, hexChars), 16, 10).cast("long")
+
+  /** DuckDB twin of [[md5Int]]: `inner` is the full argument expression
+    * (e.g. "concat_ws('|', 'salt', CAST(id AS VARCHAR))"). */
+  def md5IntSql(inner: String, hexChars: Int): String = {
+    val h = s"md5($inner)"
+    (1 to hexChars).map(i => s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1)")
+      .reduce((a, b) => s"($a * 16 + $b)")
+  }
 }

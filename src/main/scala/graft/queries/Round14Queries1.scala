@@ -51,6 +51,11 @@ object Round14Queries1 {
     Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       .as[(Long, String)].map { case (docId, text) =>
         val pcm = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        // the oracle computes energy/length from ascii() CODE POINTS, so
+        // this tier (like x72) is only valid on the ASCII fixture — fail
+        // LOUDLY on a multi-byte char instead of silently diverging
+        require(pcm.length == text.length,
+          s"doc $docId: non-ASCII text — x361's ascii() oracle does not apply")
         val canon = ImageCodec.encodeWav(pcm)
         val junk = "graftpd".getBytes(java.nio.charset.StandardCharsets.US_ASCII) // 7 bytes (odd)
         val out = new Array[Byte](canon.length + 8 + junk.length + 1)

@@ -73,6 +73,9 @@ object Round14Queries5 {
         val pcm = ImageCodec.decodeWav(ImageCodec.encodeWav(
           text.getBytes(java.nio.charset.StandardCharsets.UTF_8), 8000))
         val in = pcm.samples
+        // ascii() oracle ⇒ ASCII-only fixture contract; fail loudly (x361)
+        require(in.length == text.length,
+          s"doc $docId: non-ASCII text — x368's ascii() oracle does not apply")
         val nOut = (in.length + 1) / 2
         val out = new Array[Byte](nOut)
         var k = 0

@@ -76,17 +76,15 @@ object Round14Queries6 {
     val nodes = array(HrwNodes.map(lit): _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"hv".desc, $"node")
-    val wSurv = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"hv".desc, $"node")
     val scored = Tables.documents(spark, dir)
       .select($"doc_id", explode(nodes).as("node"))
       .select($"doc_id", $"node",
-        conv(substring(md5(concat_ws("|", lit("hrw"), $"doc_id", $"node")), 1, 8), 16, 10)
-          .cast("long").as("hv"))
+        QueryUtil.md5Int(concat_ws("|", lit("hrw"), $"doc_id", $"node"), 8).as("hv"))
+      .localCheckpoint(true) // both routings rank the same scored frame
     val full = scored.withColumn("rk", row_number().over(w))
       .filter($"rk" === 1).select($"doc_id", $"node".as("shard_full"))
     val survivors = scored.filter($"node" =!= HrwRemoved)
-      .withColumn("rk", row_number().over(wSurv))
+      .withColumn("rk", row_number().over(w))
       .filter($"rk" === 1).select($"doc_id", $"node".as("shard_after"))
     full.join(survivors, "doc_id")
       .groupBy($"shard_after")
@@ -101,12 +99,9 @@ object Round14Queries6 {
 
   private val rendezvousOracle = {
     val nodeList = HrwNodes.map(n => s"'$n'").mkString(", ")
-    def hex8(h: String) =
-      (1 to 8).map(i => s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1)")
-        .reduce((a, b) => s"($a * 16 + $b)")
     s"""WITH nodes AS (SELECT unnest([$nodeList]) AS node),
        |scored AS (SELECT d.doc_id, nodes.node,
-       |             CAST(${hex8("md5('hrw' || '|' || CAST(d.doc_id AS VARCHAR) || '|' || nodes.node)")} AS BIGINT) AS hv
+       |             CAST(${QueryUtil.md5IntSql("concat_ws('|', 'hrw', CAST(d.doc_id AS VARCHAR), nodes.node)", 8)} AS BIGINT) AS hv
        |           FROM documents d CROSS JOIN nodes),
        |full_r AS (SELECT doc_id, node AS shard_full
        |           FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hv DESC, node) AS rk

@@ -40,6 +40,7 @@ object Round14Queries7 {
         when($"value" >= SprtThresh, lit(StepFp)).otherwise(lit(-StepFp)).as("step"))
       .withColumn("n", row_number().over(w))
       .withColumn("llr", sum($"step").over(w))
+      .localCheckpoint(true) // three consumers (crossed, totals, llr join)
     val crossed = walk.filter(abs($"llr") >= BoundFp)
       .groupBy($"event_type").agg(min($"n").as("n_dec"))
     val tot = walk.groupBy($"event_type")
@@ -104,8 +105,7 @@ object Round14Queries7 {
     import spark.implicits._
     val binned = Tables.documents(spark, dir)
       .select($"doc_id", $"n_chars",
-        (conv(substring(md5(concat_ws("|", lit("brier"), $"doc_id")), 1, 4), 16, 10)
-          .cast("long") % BrierBins).as("k"),
+        (QueryUtil.md5Int(concat_ws("|", lit("brier"), $"doc_id"), 4) % BrierBins).as("k"),
         ($"n_chars" >= BrierLabelChars).cast("long").as("o"))
     val perBin = binned.groupBy($"k")
       .agg(count(lit(1)).as("nk"), sum($"o").as("pk"),
@@ -141,13 +141,9 @@ object Round14Queries7 {
   }
 
   private val brierOracle = {
-    def h16(salt: String, expr: String) = {
-      val h = s"md5(concat_ws('|', '$salt', $expr))"
-      (1 to 4).map(i => s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1)")
-        .reduce((a, b) => s"($a * 16 + $b)")
-    }
+    val h16 = QueryUtil.md5IntSql("concat_ws('|', 'brier', CAST(doc_id AS VARCHAR))", 4)
     s"""WITH b AS (SELECT doc_id,
-       |             CAST(${h16("brier", "CAST(doc_id AS VARCHAR)")} % $BrierBins AS BIGINT) AS k,
+       |             CAST($h16 % $BrierBins AS BIGINT) AS k,
        |             CASE WHEN n_chars >= $BrierLabelChars THEN 1 ELSE 0 END AS o
        |           FROM documents),
        |pb AS (SELECT k, CAST(count(*) AS BIGINT) AS nk, CAST(sum(o) AS BIGINT) AS pk,

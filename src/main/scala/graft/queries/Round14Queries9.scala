@@ -32,12 +32,13 @@ object Round14Queries9 {
     val ev = Tables.events(spark, dir)
       .select($"event_id", $"event_type",
         floor($"value" * 100 + lit(0.5)).cast("long").as("cents"),
-        (conv(substring(md5(concat_ws("|", lit("conf"), $"event_id")), 1, 4), 16, 10)
-          .cast("long") < 32768L).cast("int").as("is_cal"))
+        (QueryUtil.md5Int(concat_ws("|", lit("conf"), $"event_id"), 4) < 32768L)
+          .cast("int").as("is_cal"))
     val stats = ev.filter($"is_cal" === 1).groupBy($"event_type")
       .agg(count(lit(1)).as("n_cal"), sum($"cents").as("cal_sum"))
     val scored = ev.join(broadcast(stats), "event_type")
       .withColumn("score", abs($"n_cal" * $"cents" - $"cal_sum"))
+      .localCheckpoint(true) // the rank pass and the coverage pass both scan it
     val wRank = Window.partitionBy($"event_type").orderBy($"score", $"event_id")
     val q = scored.filter($"is_cal" === 1)
       .withColumn("rk", row_number().over(wRank))
@@ -58,14 +59,10 @@ object Round14Queries9 {
   }
 
   private val conformalOracle = {
-    def h16(expr: String) = {
-      val h = s"md5(concat_ws('|', 'conf', $expr))"
-      (1 to 4).map(i => s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1)")
-        .reduce((a, b) => s"($a * 16 + $b)")
-    }
+    val h16 = QueryUtil.md5IntSql("concat_ws('|', 'conf', CAST(event_id AS VARCHAR))", 4)
     s"""WITH ev AS (SELECT event_id, event_type,
        |              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
-       |              CASE WHEN ${h16("CAST(event_id AS VARCHAR)")} < 32768 THEN 1 ELSE 0 END AS is_cal
+       |              CASE WHEN $h16 < 32768 THEN 1 ELSE 0 END AS is_cal
        |            FROM events),
        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal,
        |         CAST(sum(cents) AS BIGINT) AS cal_sum
@@ -172,11 +169,12 @@ object Round14Queries9 {
         expr("unix_timestamp(cast(date_trunc('second', ts) as timestamp))")
           .cast("long").as("sec"),
         ($"value" >= RewardThresh).cast("long").as("r"),
-        (conv(substring(md5(concat_ws("|", lit("dr"), $"event_id")), 1, 4), 16, 10)
-          .cast("long") < 32768L).cast("int").as("is_train"))
+        (QueryUtil.md5Int(concat_ws("|", lit("dr"), $"event_id"), 4) < 32768L)
+          .cast("int").as("is_train"))
       .withColumn("prev", lag($"event_type", 1).over(w))
       .filter($"prev".isNotNull)
-    val train = ev.filter($"is_train" === 1)
+      .localCheckpoint(true) // train half (2 consumers) + eval half reuse it
+    val train = ev.filter($"is_train" === 1).localCheckpoint(true)
     val policy = train.groupBy($"prev", $"event_type").agg(count(lit(1)).as("n"))
       .withColumn("rk", row_number().over(
         Window.partitionBy($"prev").orderBy($"n".desc, $"event_type")))
@@ -202,15 +200,11 @@ object Round14Queries9 {
   }
 
   private val doublyRobustOracle = {
-    def h16(expr: String) = {
-      val h = s"md5(concat_ws('|', 'dr', $expr))"
-      (1 to 4).map(i => s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1)")
-        .reduce((a, b) => s"($a * 16 + $b)")
-    }
+    val h16 = QueryUtil.md5IntSql("concat_ws('|', 'dr', CAST(event_id AS VARCHAR))", 4)
     s"""WITH ev AS (SELECT user_id, event_id, event_type,
        |              CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
        |              CASE WHEN value >= $RewardThresh THEN 1 ELSE 0 END AS r,
-       |              CASE WHEN ${h16("CAST(event_id AS VARCHAR)")} < 32768 THEN 1 ELSE 0 END AS is_train
+       |              CASE WHEN $h16 < 32768 THEN 1 ELSE 0 END AS is_train
        |            FROM events),
        |lagd AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev
        |         FROM ev),

@@ -52,24 +52,26 @@ class RegistrySpec extends SparkTestBase {
     // never written by the driver. Fallback to bench_last.json only when
     // the snapshot is missing (pre-r14 checkouts).
     val wrapPath = java.nio.file.Paths.get("/root/repo/bench_wrap.json")
-    val bench = new String(java.nio.file.Files.readAllBytes(
+    val benchPath =
       if (java.nio.file.Files.exists(wrapPath)) wrapPath
-      else java.nio.file.Paths.get("/root/repo/bench_last.json")), "UTF-8")
+      else java.nio.file.Paths.get("/root/repo/bench_last.json")
+    val benchName = benchPath.getFileName.toString
+    val bench = new String(java.nio.file.Files.readAllBytes(benchPath), "UTF-8")
     val nTimed = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(bench)
       .map(m => """"([^"]+)":""".r.findAllMatchIn(m.group(1)).size).getOrElse(-1)
     val totalS = """"total_s":([-0-9.eE]+)""".r.findFirstMatchIn(bench)
       .map(_.group(1).toDouble).getOrElse(-1.0)
-    assert(nTimed > 0 && totalS > 0, "bench_last.json unparseable")
+    assert(nTimed > 0 && totalS > 0, s"$benchName unparseable")
     val timedMentions = """(\d+) timed""".r
       .findAllMatchIn(plans).map(_.group(1).toInt).toList
     assert(timedMentions.nonEmpty, "PLANS.md no longer states the timed count")
     assert(timedMentions.last == nTimed,
-      s"PLANS.md wrap says ${timedMentions.last} timed; bench_last.json has $nTimed")
+      s"PLANS.md wrap says ${timedMentions.last} timed; $benchName has $nTimed")
     val totalMentions = """([0-9]+\.[0-9]+) s total""".r
       .findAllMatchIn(plans).map(_.group(1).toDouble).toList
     assert(totalMentions.nonEmpty, "PLANS.md no longer states the bench total")
     assert(math.abs(totalMentions.last - totalS) < 0.5,
-      s"PLANS.md wrap says ${totalMentions.last}s total; bench_last.json has ${totalS}s")
+      s"PLANS.md wrap says ${totalMentions.last}s total; $benchName has ${totalS}s")
   }
 
   test("SURVEY.md §2.R2 generated index matches the registry (doc-drift gate)") {
