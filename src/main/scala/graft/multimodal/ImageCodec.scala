@@ -211,6 +211,7 @@ object ImageCodec {
         if (bytes(p) == 'B') { val (img, l) = decodeBmp(bytes, p); out += img; l }
         else if (bytes(p) == 'P') { val (img, l) = decodePpm(bytes, p); out += img; l }
         else if (bytes(p) == 'G') { val (fs, l) = GifCodec.decodeGif(bytes, p); out ++= fs; l }
+        else if ((bytes(p) & 0xff) == 0x89) { val (img, l) = PngCodec.decodePng(bytes, p); out += img; l }
         else throw new IllegalArgumentException(
           s"container: unknown frame magic 0x${(bytes(p) & 0xff).toHexString} at $p")
       require(len > 0, "container: zero-length frame")

@@ -172,6 +172,51 @@ object MediaSynth {
     }
   }
 
+  /** PNG variant of [[synthVideos]]: one concatenated-PNG container per
+    * doc (each frame its own CRC-framed, DEFLATE-compressed image; the
+    * encoder cycles the filter type per row so decode reconstructs
+    * through all five PNG filters). Pixels = the md5 luma plane. */
+  def synthPngVideos(docs: DataFrame): Dataset[VideoDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.map { case (docId, text) =>
+        val (nf, w, h, stride) = geom(md, text)
+        val frames = (0 until nf).map(i => framePixels(md, text, i, w, h, stride))
+        VideoDoc(docId, frames.map(PngCodec.encodePng).reduce(_ ++ _), "png")
+      }
+    }
+  }
+
+  /** MIXED-format variant: the per-doc container format cycles
+    * doc_id % 4 → BMP frames / PPM frames / animated GIF / concatenated
+    * PNGs — the "universal reader" corpus a real multimodal lake presents.
+    * Pixels identical to [[synthVideos]] in every branch (PNG/GIF carry
+    * luma; BMP/PPM carry RGB whose luma matches), so one pixel oracle
+    * covers all four codecs. */
+  def synthMixedVideos(docs: DataFrame): Dataset[VideoDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.map { case (docId, text) =>
+        val (nf, w, h, stride) = geom(md, text)
+        val frames = (0 until nf).map(i => framePixels(md, text, i, w, h, stride))
+        (docId % 4) match {
+          case 0 => VideoDoc(docId,
+            frames.map(ImageCodec.encodeBmp).reduce(_ ++ _), "bmp")
+          case 1 => VideoDoc(docId,
+            frames.zipWithIndex.map { case (f, i) => ImageCodec.encodePpm(f, s"f$i") }
+              .reduce(_ ++ _), "ppm")
+          case 2 => VideoDoc(docId, GifCodec.encodeGif(frames), "gif")
+          case _ => VideoDoc(docId,
+            frames.map(PngCodec.encodePng).reduce(_ ++ _), "png")
+        }
+      }
+    }
+  }
+
   /** One channel-histogram cell of a doc's decoded pixels. */
   final case class ChannelBin(doc_id: Long, channel: String, bin: Int, n: Long)
 
@@ -215,6 +260,7 @@ object MediaSynth {
       val frame0 =
         if (v.video(0) == 'B') ImageCodec.decodeBmp(v.video)._1
         else if (v.video(0) == 'G') GifCodec.decodeGif(v.video)._1.head
+        else if ((v.video(0) & 0xff) == 0x89) PngCodec.decodePng(v.video)._1
         else ImageCodec.decodePpm(v.video)._1
       val small = ImageCodec.resizeNearest(frame0, DhashW, DhashH)
       val n = DhashW * DhashH

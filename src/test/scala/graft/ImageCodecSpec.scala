@@ -145,6 +145,28 @@ class ImageCodecSpec extends SparkTestBase {
     assert(len2 == spliced.length && fs2.size == 3 && fs2.head.r.sameElements(frames.head.r))
   }
 
+  test("PNG roundtrip: all five filters, CRC verification, corruption rejected") {
+    import graft.multimodal.PngCodec
+    val rnd = new scala.util.Random(13)
+    // h >= 6 guarantees filter rows 0..4 (None/Sub/Up/Average/Paeth) all occur
+    (1 to 30).foreach { _ =>
+      val w = 1 + rnd.nextInt(12); val h = 6 + rnd.nextInt(10)
+      val c = Array.fill(w * h)(rnd.nextInt(256))
+      val src = Image(w, h, c, c.clone(), c.clone())
+      val enc = PngCodec.encodePng(src)
+      val (back, len) = PngCodec.decodePng(enc)
+      assert(len == enc.length)
+      assert(back.width == w && back.height == h && back.r.sameElements(c))
+    }
+    // flipping one IDAT payload byte must fail the CRC check loudly
+    val img = Image(4, 6, Array.tabulate(24)(i => i * 10 % 256),
+      Array.tabulate(24)(i => i * 10 % 256), Array.tabulate(24)(i => i * 10 % 256))
+    val enc = PngCodec.encodePng(img)
+    val corrupt = enc.clone()
+    corrupt(8 + 25 + 12) = (corrupt(8 + 25 + 12) ^ 0x40).toByte // inside IDAT data
+    intercept[IllegalArgumentException](PngCodec.decodePng(corrupt))
+  }
+
   test("synth→encode→decode identity: decoded frames equal direct pixel synthesis") {
     import spark.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(40)
