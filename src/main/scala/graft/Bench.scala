@@ -37,16 +37,20 @@ object Bench {
 
   /** Machine-load calibration probe: a fixed CPU-bound aggregation whose
     * cost is independent of the query set — the unit in which committed
-    * records are comparable across boxes/rounds. Median of `reps`. */
+    * records are comparable across boxes/rounds. One UNTIMED warmup run
+    * (the first execution pays codegen/JIT — measured start probes of
+    * 0.35–0.81s vs a 0.07s steady state in the r14 sweeps) then the MIN
+    * of `reps` (box capability; min sheds one-sided GC interjections). */
   private def calibProbe(spark: SparkSession, cpus: Int, reps: Int = 3): Double =
     try {
-      val ts = (0 until reps).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         spark.range(0L, 50000000L, 1, cpus)
           .selectExpr("sum((id * 2654435761) % 1000000007) AS s").collect()
         (System.nanoTime() - t0) / 1e9
       }
-      ts.sorted.apply((reps - 1) / 2)
+      once() // warmup, discarded
+      (0 until reps).map(_ => once()).min
     } catch { case e: Throwable =>
       System.err.println(s"[bench] calib FAILED: ${e.getMessage}"); -1.0
     }
