@@ -150,10 +150,11 @@ object ImageCodec {
   def ppmFileSize(width: Int, height: Int, comment: String): Int =
     s"P6\n# $comment\n$width $height\n255\n".length + 3 * width * height
 
-  /** Parse a binary PPM (P6) starting at `off`: full header grammar —
-    * whitespace runs and `#`-to-EOL comments between tokens, exactly one
-    * whitespace byte after maxval. Returns the image and total byte length. */
-  def decodePpm(bytes: Array[Byte], off: Int = 0): (Image, Int) = {
+  /** PPM header parse (shared by decode and the length PEEK): returns
+    * (width, height, raster start offset). Full grammar — whitespace runs
+    * and `#`-to-EOL comments between tokens, exactly one whitespace byte
+    * after maxval. */
+  private def parsePpmHeader(bytes: Array[Byte], off: Int): (Int, Int, Int) = {
     require(bytes.length >= off + 2 && bytes(off) == 'P' && bytes(off + 1) == '6',
       "PPM: bad magic")
     var p = off + 2
@@ -184,8 +185,15 @@ object ImageCodec {
     require(maxval >= 1 && maxval <= 255, s"PPM: unsupported maxval $maxval")
     require(p < bytes.length && isWs(bytes(p)), "PPM: missing raster separator")
     p += 1 // exactly ONE whitespace byte separates header from raster
+    require(bytes.length >= p + 3 * width * height, "PPM: truncated raster")
+    (width, height, p)
+  }
+
+  /** Parse a binary PPM (P6) starting at `off`; returns the image and
+    * total byte length. */
+  def decodePpm(bytes: Array[Byte], off: Int = 0): (Image, Int) = {
+    val (width, height, p) = parsePpmHeader(bytes, off)
     val n = width * height
-    require(bytes.length >= p + 3 * n, "PPM: truncated raster")
     val r = new Array[Int](n); val g = new Array[Int](n); val b = new Array[Int](n)
     var i = 0
     while (i < n) {
@@ -196,6 +204,21 @@ object ImageCodec {
     }
     (Image(width, height, r, g, b), p + 3 * n - off)
   }
+
+  /** Header-only frame-length PEEK for BMP/PPM container elements — lets
+    * a frame SAMPLER skip non-sampled frames without touching their
+    * pixels (BMP: the bfSize field; PPM: header grammar + 3wh). The
+    * decode-budget pushdown a 100 TB video pipeline needs: skipped bytes
+    * are never read, let alone decoded. */
+  def peekFrameLength(bytes: Array[Byte], off: Int): Int =
+    if (bytes(off) == 'B') {
+      require(bytes.length >= off + 6, "BMP: truncated header")
+      rdLe32(bytes, off + 2)
+    } else if (bytes(off) == 'P') {
+      val (w, h, p) = parsePpmHeader(bytes, off)
+      p + 3 * w * h - off
+    } else throw new IllegalArgumentException(
+      s"peek: unsupported frame magic 0x${(bytes(off) & 0xff).toHexString}")
 
   // ------------------------------------------------------ video container --
 

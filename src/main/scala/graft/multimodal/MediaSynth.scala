@@ -246,6 +246,40 @@ object MediaSynth {
     }
   }
 
+  /** Sampled-decode audit row: frame/byte budget + sampled-frame luma. */
+  final case class SampledStats(doc_id: Long, n_frames: Int, n_decoded: Int,
+                                bytes_total: Int, bytes_decoded: Int, luma_sum: Long)
+
+  /** Frame sampling with DECODE PUSHDOWN: keep every `everyK`-th frame of
+    * a BMP/PPM container, but SKIP the others via header-only length
+    * peeks ([[ImageCodec.peekFrameLength]]) — their pixels are never
+    * decoded. Emits the budget audit (frames/bytes decoded vs total) plus
+    * the sampled frames' total luma, so the oracle gates both the
+    * sampling arithmetic and the skip-walk correctness (a wrong peek
+    * length desynchronizes every later frame). */
+  def decodeSampledStats(videos: Dataset[VideoDoc], everyK: Int): Dataset[SampledStats] = {
+    require(everyK > 0, "everyK must be positive")
+    val spark = videos.sparkSession
+    import spark.implicits._
+    videos.map { v =>
+      var p = 0; var i = 0; var nDec = 0; var bDec = 0; var luma = 0L
+      while (p < v.video.length) {
+        val len = ImageCodec.peekFrameLength(v.video, p)
+        if (i % everyK == 0) {
+          val img =
+            if (v.video(p) == 'B') ImageCodec.decodeBmp(v.video, p)._1
+            else ImageCodec.decodePpm(v.video, p)._1
+          var j = 0
+          val n = img.width * img.height
+          while (j < n) { luma += img.luma(j); j += 1 }
+          nDec += 1; bDec += len
+        }
+        p += len; i += 1
+      }
+      SampledStats(v.doc_id, i, nDec, v.video.length, bDec, luma)
+    }
+  }
+
   /** dHash geometry shared with the oracle: resize frame 0 to DhashW x
     * DhashH (nearest-neighbor), 15 gradient bits over row-major lumas. */
   val DhashW = 4
