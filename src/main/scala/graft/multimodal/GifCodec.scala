@@ -202,9 +202,18 @@ object GifCodec {
       require(i < bytes.length, s"GIF: truncated at $i")
       bytes(i) & 0xff
     }
-    val gct = new Array[Int](gctSize)
+    // Read ALL THREE palette channels (ADVICE r14: taking only the red
+    // byte silently mis-decoded any non-gray palette — a best-effort
+    // decode this module's contract forbids). Our encoder writes the
+    // gray ramp, so gray inputs decode identically to before; a color
+    // palette now decodes to its true per-channel values.
+    val gctR = new Array[Int](gctSize)
+    val gctG = new Array[Int](gctSize)
+    val gctB = new Array[Int](gctSize)
     (0 until gctSize).foreach { i =>
-      gct(i) = bytes(p) & 0xff // gray ramp: r == g == b; take red
+      gctR(i) = bytes(p) & 0xff
+      gctG(i) = bytes(p + 1) & 0xff
+      gctB(i) = bytes(p + 2) & 0xff
       p += 3
     }
     val frames = Seq.newBuilder[ImageCodec.Image]
@@ -236,8 +245,7 @@ object GifCodec {
           }
           p += 1
           val idx = lzwDecode(data.toArray, w * h)
-          val ch = idx.map(gct)
-          frames += ImageCodec.Image(w, h, ch, ch.clone(), ch.clone())
+          frames += ImageCodec.Image(w, h, idx.map(gctR), idx.map(gctG), idx.map(gctB))
         case other =>
           throw new IllegalArgumentException(f"GIF: unknown block 0x$other%02x at $p")
       }

@@ -103,8 +103,23 @@ object ImageCodec {
     require(rdLe16(bytes, off + 28) == 24, "BMP: only 24-bit supported")
     require(rdLe32(bytes, off + 30) == 0, "BMP: compressed data unsupported")
     require(width > 0 && height > 0, s"BMP: bad geometry ${width}x$rawHeight")
+    require(offBits >= 54, s"BMP: pixel offset $offBits inside headers")
+    // All extent arithmetic in Long (ADVICE r14): off + offBits +
+    // rowSize*height can overflow Int for hostile headers, making the
+    // truncation check PASS and the row walk die in
+    // ArrayIndexOutOfBounds instead of the documented loud failure.
     val rowSize = bmpRowSize(width)
-    require(bytes.length >= off + offBits + rowSize * height, "BMP: truncated pixels")
+    val pixelEnd = off.toLong + offBits.toLong + rowSize.toLong * height.toLong
+    require(width.toLong * height.toLong <= Int.MaxValue && pixelEnd <= Int.MaxValue,
+      s"BMP: declared geometry ${width}x$height overflows")
+    require(bytes.length >= pixelEnd, "BMP: truncated pixels")
+    // Cross-check the declared bfSize against the computed pixel-array
+    // extent (ADVICE r14): decodeFrames trusts bfSize as the frame
+    // stride, so a header whose bfSize disagrees with its actual extent
+    // would desynchronize the container walk and surface as a mis-parse
+    // FRAMES LATER — fail loudly at the frame that carries the lie.
+    require(fileSize.toLong >= offBits.toLong + rowSize.toLong * height.toLong,
+      s"BMP: declared size $fileSize < pixel extent ${offBits + rowSize * height}")
     val n = width * height
     val r = new Array[Int](n); val g = new Array[Int](n); val b = new Array[Int](n)
     var fy = 0
@@ -235,6 +250,7 @@ object ImageCodec {
         else if (bytes(p) == 'P') { val (img, l) = decodePpm(bytes, p); out += img; l }
         else if (bytes(p) == 'G') { val (fs, l) = GifCodec.decodeGif(bytes, p); out ++= fs; l }
         else if ((bytes(p) & 0xff) == 0x89) { val (img, l) = PngCodec.decodePng(bytes, p); out += img; l }
+        else if ((bytes(p) & 0xff) == 0xff) { val (img, l) = JpegCodec.decodeJpeg(bytes, p); out += img; l }
         else throw new IllegalArgumentException(
           s"container: unknown frame magic 0x${(bytes(p) & 0xff).toHexString} at $p")
       require(len > 0, "container: zero-length frame")

@@ -280,6 +280,200 @@ object MediaSynth {
     }
   }
 
+  // ------------------------------------------------------- JPEG fixtures --
+  // Block-constant pixels: every 8x8 block of a frame carries ONE value, so
+  // baseline JPEG with quantizer 1 decodes it integer-exactly (DC-only
+  // blocks — see JpegCodec's losslessness contract) and the md5 oracle can
+  // gate the real entropy-coded decode. Geometry from the same md5 nibbles
+  // as the other fixtures; block values from md5 over text slices.
+
+  /** JPEG geometry moduli + cell formula constants — single source for
+    * Scala and the oracle SQL. */
+  val JpegNFramesMod = 6
+  val JpegBwMod = 2 // blocks across in 2..3 (image width 16..24)
+  val JpegBhMod = 2 // block rows in 2..3
+  val JpegMcuMod = 2 // 4:2:0 MCUs per side in 1..2 (image 16..32 px)
+  val JpegCellLen = 13
+  val JpegYMult = 7
+  val JpegChromaMult = 11
+
+  private[graft] def jpegGeom(md: MessageDigest, text: String): (Int, Int, Int) =
+    (1 + hexNib(md, text, 0) % JpegNFramesMod,
+      2 + hexNib(md, text, 1) % JpegBwMod,
+      2 + hexNib(md, text, 2) % JpegBhMod)
+
+  private[graft] def jpeg420Geom(md: MessageDigest, text: String): (Int, Int, Int) =
+    (1 + hexNib(md, text, 0) % JpegNFramesMod,
+      1 + hexNib(md, text, 1) % JpegMcuMod,
+      1 + hexNib(md, text, 2) % JpegMcuMod)
+
+  /** Byte `k` of md5 over the text cell for `cellIdx` (oracle mirror:
+    * substr(text, ((cellIdx*mult) % greatest(1,clen)) + 1, 13)). */
+  private def cellByte(md: MessageDigest, text: String, cellIdx: Int,
+                       mult: Int, k: Int): Int = {
+    val clen = math.max(1, text.length)
+    val from = math.min((cellIdx * mult) % clen, text.length)
+    val cell = text.substring(from, math.min(from + JpegCellLen, text.length))
+    md.reset()
+    md.digest(cell.getBytes(StandardCharsets.UTF_8))(k) & 0xff
+  }
+
+  /** Grayscale JPEG container: one baseline JPEG per frame, concatenated
+    * (same MJPEG shape as the other containers); block (by,bx) of frame i
+    * carries value md5-byte0 of cell (i·bh+by)·bw+bx. */
+  def synthJpegVideos(docs: DataFrame): Dataset[VideoDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.map { case (docId, text) =>
+        val (nf, bw, bh) = jpegGeom(md, text)
+        val frames = (0 until nf).map { i =>
+          val blocks = Array.tabulate(bh * bw)(j =>
+            cellByte(md, text, i * bh * bw + j, JpegYMult, 0))
+          JpegCodec.encodeJpegGray(blocks, bw, bh)
+        }
+        VideoDoc(docId, frames.reduce(_ ++ _), "jpg")
+      }
+    }
+  }
+
+  /** One decoded JPEG block: frame/grid position + the block's uniform
+    * value (uniformity is REQUIRED during decode — it is the proof that
+    * the DC-only pipeline reproduced the fixture exactly). */
+  final case class JpegBlock(doc_id: Long, frame_idx: Int, by: Int, bx: Int, v: Int)
+
+  /** REAL-decode path for [[synthJpegVideos]]: walk the concatenated
+    * JPEGs, decode each through the full baseline pipeline (Huffman →
+    * dequant → IDCT), assert per-block uniformity, emit block values. */
+  def decodeJpegBlockStats(videos: Dataset[VideoDoc]): Dataset[JpegBlock] = {
+    val spark = videos.sparkSession
+    import spark.implicits._
+    videos.flatMap { vd =>
+      val out = Seq.newBuilder[JpegBlock]
+      var p = 0
+      var fi = 0
+      while (p < vd.video.length) {
+        val (img, len) = JpegCodec.decodeJpeg(vd.video, p)
+        val bw = img.width / 8; val bh = img.height / 8
+        var by = 0
+        while (by < bh) {
+          var bx = 0
+          while (bx < bw) {
+            val v0 = img.r((by * 8) * img.width + bx * 8)
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                val i = (by * 8 + y) * img.width + bx * 8 + x
+                require(img.r(i) == v0 && img.g(i) == v0 && img.b(i) == v0,
+                  s"JPEG: block ($by,$bx) not uniform — DC-only decode diverged")
+                x += 1
+              }
+              y += 1
+            }
+            out += JpegBlock(vd.doc_id, fi, by, bx, v0)
+            bx += 1
+          }
+          by += 1
+        }
+        p += len
+        fi += 1
+      }
+      out.result()
+    }
+  }
+
+  /** Cross-format parity payloads: the SAME gray block-constant pixels
+    * encoded per-doc BOTH as concatenated JPEGs and as concatenated BMPs
+    * (r=g=b=v, luma(v,v,v)=v exactly). */
+  final case class ParityStats(doc_id: Long, n_frames: Int,
+                               luma_jpeg: Long, luma_bmp: Long)
+
+  /** Encode-decode both paths and sum decoded luma per doc: the
+    * entropy-coded pipeline and the flat-raster pipeline must agree
+    * pixel-for-pixel, and BOTH must agree with the md5 oracle. */
+  def jpegBmpParity(docs: DataFrame): Dataset[ParityStats] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.map { case (docId, text) =>
+        val (nf, bw, bh) = jpegGeom(md, text)
+        val blockGrids = (0 until nf).map { i =>
+          Array.tabulate(bh * bw)(j => cellByte(md, text, i * bh * bw + j, JpegYMult, 0))
+        }
+        val jpegBytes = blockGrids.map(bl => JpegCodec.encodeJpegGray(bl, bw, bh)).reduce(_ ++ _)
+        val bmpBytes = blockGrids.map { bl =>
+          val w = 8 * bw; val h = 8 * bh
+          val ch = Array.tabulate(w * h)(p => bl((p / w / 8) * bw + (p % w) / 8))
+          ImageCodec.encodeBmp(ImageCodec.Image(w, h, ch, ch.clone(), ch.clone()))
+        }.reduce(_ ++ _)
+        def lumaSum(bytes: Array[Byte]): Long = {
+          var s = 0L
+          ImageCodec.decodeFrames(bytes).foreach { img =>
+            var i = 0
+            val n = img.width * img.height
+            while (i < n) { s += img.luma(i); i += 1 }
+          }
+          s
+        }
+        ParityStats(docId, nf, lumaSum(jpegBytes), lumaSum(bmpBytes))
+      }
+    }
+  }
+
+  /** 4:2:0 color JPEG container: Y constant per 8x8 block (md5 byte 0,
+    * cell stride [[JpegYMult]]), Cb/Cr constant per 16x16 MCU (md5 bytes
+    * 1 and 2, stride [[JpegChromaMult]]). */
+  def synthJpeg420Videos(docs: DataFrame): Dataset[VideoDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.map { case (docId, text) =>
+        val (nf, mw, mh) = jpeg420Geom(md, text)
+        val frames = (0 until nf).map { i =>
+          val yB = Array.tabulate(4 * mw * mh)(j =>
+            cellByte(md, text, i * 4 * mw * mh + j, JpegYMult, 0))
+          val cb = Array.tabulate(mw * mh)(j =>
+            cellByte(md, text, i * mw * mh + j, JpegChromaMult, 1))
+          val cr = Array.tabulate(mw * mh)(j =>
+            cellByte(md, text, i * mw * mh + j, JpegChromaMult, 2))
+          JpegCodec.encodeJpeg420(yB, cb, cr, mw, mh)
+        }
+        VideoDoc(docId, frames.reduce(_ ++ _), "jpg420")
+      }
+    }
+  }
+
+  /** Per-frame RGB channel sums after the full color path (4:2:0 decode →
+    * box upsample → JFIF matrix) — the oracle recomputes the same sums
+    * from the Y/Cb/Cr block formulas and the SAME floor(x+0.5) matrix. */
+  final case class JpegRgb(doc_id: Long, frame_idx: Int,
+                           r_sum: Long, g_sum: Long, b_sum: Long)
+
+  def decodeJpeg420ChannelSums(videos: Dataset[VideoDoc]): Dataset[JpegRgb] = {
+    val spark = videos.sparkSession
+    import spark.implicits._
+    videos.flatMap { vd =>
+      val out = Seq.newBuilder[JpegRgb]
+      var p = 0
+      var fi = 0
+      while (p < vd.video.length) {
+        val (img, len) = JpegCodec.decodeJpeg(vd.video, p)
+        var rs = 0L; var gs = 0L; var bs = 0L
+        var i = 0
+        val n = img.width * img.height
+        while (i < n) { rs += img.r(i); gs += img.g(i); bs += img.b(i); i += 1 }
+        out += JpegRgb(vd.doc_id, fi, rs, gs, bs)
+        p += len
+        fi += 1
+      }
+      out.result()
+    }
+  }
+
   /** dHash geometry shared with the oracle: resize frame 0 to DhashW x
     * DhashH (nearest-neighbor), 15 gradient bits over row-major lumas. */
   val DhashW = 4

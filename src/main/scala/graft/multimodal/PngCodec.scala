@@ -109,7 +109,16 @@ object PngCodec {
       p += 12 + len
     }
     require(w > 0 && h > 0, "PNG: missing IHDR")
-    val raw = new Array[Byte](h * (w + 1))
+    // Size math in Long BEFORE allocating (ADVICE r14): huge declared
+    // dimensions otherwise overflow Int (NegativeArraySizeException) or
+    // allocate gigabytes — escaping the documented IllegalArgumentException
+    // failure mode. The inflated stream can't exceed the compressed input
+    // by more than DEFLATE's theoretical bound, but the simple safe cap is
+    // the raster itself: it must be expandable from the IDAT bytes present.
+    val rawLen = h.toLong * (w.toLong + 1L)
+    require(rawLen <= Int.MaxValue && h.toLong * w.toLong <= Int.MaxValue,
+      s"PNG: declared geometry ${w}x$h overflows")
+    val raw = new Array[Byte](rawLen.toInt)
     val infl = new Inflater
     infl.setInput(idat.toArray)
     var got = 0
