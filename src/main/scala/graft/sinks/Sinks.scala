@@ -261,6 +261,64 @@ object Sinks {
     }
   }
 
+  /** SNK1 in the reference's NATIVE dialect (r14 verdict "Next round #5"):
+    * a per-batch closure that prepares the LITERAL MySQL statement the
+    * reference executes —
+    *   INSERT INTO t (`c1`, ...) VALUES (?, ...)
+    *   ON DUPLICATE KEY UPDATE `hash`=`hash`
+    * (salesforce_extractor.py:213-217; the self-assignment makes a
+    * duplicate a no-op) — and counts a row as inserted when the driver
+    * reports affected-rows == 1 (MySQL contract: 1 = inserted, 2 =
+    * updated to different values, 0 = duplicate left unchanged, which is
+    * what the no-op self-assignment always yields). Unlike
+    * [[jdbcInsertIgnore]] no savepoint machinery is needed: ON DUPLICATE
+    * KEY UPDATE never raises the constraint violation, so the statement
+    * sequence is exactly prepare → executeUpdate* → commit, one
+    * transaction per batch (the reference's per-batch flush).
+    *
+    * The portable [[jdbcInsertIgnore]] stays the default for engines
+    * without MySQL's clause; this variant exists so the exact statement
+    * SHAPE the reference runs is exercised end-to-end (JdbcSinkSpec
+    * drives it through a strict in-memory MySQL-dialect JDBC endpoint —
+    * no MySQL server exists in the offline environment, and the endpoint
+    * rejects any statement that isn't this literal shape). */
+  def jdbcUpsertMySqlNoop(url: String, table: String, schema: StructType,
+                          dupKeyCol: String): Seq[org.apache.spark.sql.Row] => Int = {
+    val fields = schema.fields.map(_.name).toSeq
+    require(fields.contains(dupKeyCol),
+      s"jdbcUpsertMySqlNoop: dup-key column $dupKeyCol not in schema ${fields.mkString(",")}")
+    def bq(c: String): String = {
+      require(!c.contains('`'), s"column name $c not backtick-quotable")
+      "`" + c + "`"
+    }
+    val sql = s"INSERT INTO $table (" + fields.map(bq).mkString(", ") +
+      s") VALUES (${fields.map(_ => "?").mkString(", ")})" +
+      s" ON DUPLICATE KEY UPDATE ${bq(dupKeyCol)}=${bq(dupKeyCol)}"
+    rows => {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        conn.setAutoCommit(false)
+        val ps = conn.prepareStatement(sql)
+        var n = 0
+        rows.foreach { r =>
+          fields.indices.foreach { i =>
+            r.get(r.fieldIndex(fields(i))) match {
+              case null => ps.setObject(i + 1, null)
+              case t: java.time.LocalDateTime =>
+                ps.setTimestamp(i + 1, java.sql.Timestamp.valueOf(t))
+              case t: java.time.Instant =>
+                ps.setTimestamp(i + 1, java.sql.Timestamp.from(t))
+              case v => ps.setObject(i + 1, v)
+            }
+          }
+          if (ps.executeUpdate() == 1) n += 1
+        }
+        conn.commit()
+        n
+      } finally conn.close()
+    }
+  }
+
   /** Training-shard writer: materialize a corpus as one directory per
     * shard with rows stored in the given visit order — the layout a
     * sequential dataloader consumes (x52's epoch shuffle computes the

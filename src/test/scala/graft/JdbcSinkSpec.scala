@@ -183,6 +183,51 @@ class JdbcSinkSpec extends SparkTestBase {
     assert(distinct == 100L)
   }
 
+  test("SNK1 MySQL dialect: the reference's literal ON DUPLICATE KEY UPDATE no-op, batched + replayed (r14 verdict #5)") {
+    // The statement under test is the exact shape salesforce_extractor.py
+    // :213-217 executes. The endpoint (MySqlMiniDb) parses it strictly —
+    // a drift in the generated SQL (missing backticks, wrong update
+    // clause, wrong placeholder count) throws SQLSyntaxErrorException
+    // instead of being absorbed.
+    assert(MySqlMiniDb.registered)
+    val url = s"${MySqlMiniDb.UrlPrefix}graftmysql"
+    val t = MySqlMiniDb.createTable("lead_activity_my",
+      Seq("hash", "lead_id", "url"), uniqueCol = "hash")
+    import spark.implicits._
+    val df = (0 until 730).map(i => (f"h$i%04d", s"L$i", s"http://x/$i"))
+      .toDF("hash", "lead_id", "url")
+    val upsert = Sinks.jdbcUpsertMySqlNoop(url, "lead_activity_my", df.schema, "hash")
+    // bulk: every row inserts (affected-rows 1 each)
+    val inserted = Sinks.upsertBatched(df, batchSize = 200)(upsert)
+    assert(inserted == 730, s"bulk inserted $inserted")
+    assert(t.rows.size == 730)
+    assert(t.commits >= 4, s"per-batch commit count ${t.commits}") // 730/200 -> 4 batches
+    // whole-job replay: every key duplicates; the self-assignment leaves
+    // rows unchanged, MySQL reports affected-rows 0 -> inserted count 0
+    val replay = Sinks.upsertBatched(df, batchSize = 200)(upsert)
+    assert(replay == 0L, s"replay inserted $replay")
+    assert(t.rows.size == 730)
+    // incremental with boundary overlap: rows 700..729 re-sent, 730..1233 new
+    val inc = (700 until 1234).map(i => (f"h$i%04d", s"L$i", s"http://x/$i"))
+      .toDF("hash", "lead_id", "url")
+    val insertedInc = Sinks.upsertBatched(inc, batchSize = 200)(upsert)
+    assert(insertedInc == 504, s"incremental inserted $insertedInc, expected 504")
+    assert(t.rows.size == 1234)
+    // endpoint strictness: a statement that ISN'T the reference shape is
+    // rejected loudly (here: plain INSERT without the upsert clause)
+    val conn = java.sql.DriverManager.getConnection(url)
+    intercept[java.sql.SQLSyntaxErrorException] {
+      conn.prepareStatement(
+        "INSERT INTO lead_activity_my (`hash`, `lead_id`, `url`) VALUES (?, ?, ?)")
+    }
+    // ... and a NON-no-op update clause is rejected too: the reference's
+    // idempotency rests on the self-assignment
+    intercept[java.sql.SQLSyntaxErrorException] {
+      conn.prepareStatement(
+        "INSERT INTO lead_activity_my (`hash`, `lead_id`, `url`) VALUES (?, ?, ?) ON DUPLICATE KEY UPDATE `lead_id`=`lead_id`")
+    }
+  }
+
   test("jdbcInsertIgnore fails loudly on unmapped column types") {
     import org.apache.spark.sql.types._
     val bad = StructType(Seq(StructField("a", ArrayType(LongType))))
