@@ -55,6 +55,25 @@ object Bench {
       System.err.println(s"[bench] calib FAILED: ${e.getMessage}"); -1.0
     }
 
+  /** r14 judge finding: a single start-of-sweep calibration scalar cannot
+    * model INTRA-sweep drift — the official r14 sweep degraded mid-run and
+    * flagged 19 false suspects at start-ratio 0.963, and position skew
+    * doubled x179/x180's committed records on unchanged code. Policy v5
+    * ("adaptive-v5-localcalib") therefore:
+    *  1. interleaves the calib probe every [[ProbeEvery]] queries and
+    *     normalizes EVERY timing by its nearest probe — per-query records
+    *     live in CALIB UNITS (seconds / probe-seconds), a box-speed-free
+    *     number comparable across rounds and across drifting sweeps;
+    *  2. commits MIN-across-sweeps records: the committed record for a
+    *     query is min(this sweep's ratio, prior record) — a slow patch of
+    *     box can only leave a record alone, never inflate it (the judge's
+    *     min-of-3-sweeps evidence, formalized). An INTENTIONAL slowdown
+    *     (code change) can reset its record via SPARK_GRAFT_FRESH_RECORDS
+    *     (comma-separated names, record := this sweep's ratio);
+    *  3. seed-shuffles the sweep order so residual position effects
+    *     decorrelate from specific query names round over round. */
+  private val ProbeEvery = 25
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -92,19 +111,21 @@ object Bench {
     // Per-query records from the LAST bench run — in the driver's official
     // sweep this is the COMMITTED builder record, which makes it double
     // duty: (a) the spike guard compares a first run against the query's
-    // own history so a one-off load spike (r9: q14_string_funcs 0.35s ->
-    // 21.8s with unchanged code) earns a confirming rerun instead of
-    // becoming the official number; (b) the output line re-emits it as
+    // own history so a one-off load spike earns a confirming rerun instead
+    // of becoming the official number; (b) the output line re-emits it as
     // "committed" next to the official timings so official-vs-committed
-    // divergence is self-describing (VERDICT r11 #8) instead of
-    // reconstructed from git. Parsed with a narrow regex — the file is
-    // this program's own one-line JSON with bare identifier keys and
-    // plain numeric values.
+    // divergence is self-describing (VERDICT r11 #8). Parsed with a narrow
+    // regex — the file is this program's own one-line JSON with bare
+    // identifier keys and plain numeric values.
     def parseQueriesMap(s: String, key: String): Map[String, Double] =
       (s""""$key":\\{([^}]*)\\}""").r.findFirstMatchIn(s).map { m =>
         """"([^"]+)":([-0-9.eE]+)""".r.findAllMatchIn(m.group(1))
           .map(x => x.group(1) -> x.group(2).toDouble).toMap
       }.getOrElse(Map.empty)
+    def parseNum(s: String, key: String): Double =
+      try (s""""$key":([-0-9.eE]+)""").r
+        .findFirstMatchIn(s).map(_.group(1).toDouble).getOrElse(-1.0)
+      catch { case _: Throwable => -1.0 }
     val priorFile: String = try {
       val p = java.nio.file.Paths.get(benchOutPath)
       if (java.nio.file.Files.exists(p))
@@ -113,35 +134,63 @@ object Bench {
     } catch { case _: Throwable => "" }
     // parse failures must never eat the bench line (r14 review: the move
     // out of the file-read try left .toDouble able to crash main)
-    val prior: Map[String, Double] =
+    val priorQueries: Map[String, Double] =
       try parseQueriesMap(priorFile, "queries")
       catch { case _: Throwable => Map.empty[String, Double] }
-    // r13 judge finding #2: committed records drift 2x+ across rounds on
-    // byte-identical code because they're raw seconds on whatever box speed
-    // the last sweep had — and the >2x/>3x gates compared RAW seconds, so
-    // a drifted record silently re-based the gate. Normalize: measure the
-    // calib probe BEFORE the sweep (gates fire mid-sweep), read the prior
-    // sweep's calib from the committed file, and scale every
-    // gate-vs-committed comparison by calibRatio = calibNow / calibPrior.
-    // Clamped — a wild probe reading must not widen the gate into uselessness.
-    val priorCalib: Double =
-      try """"calib_s":([-0-9.eE]+)""".r
-        .findFirstMatchIn(priorFile).map(_.group(1).toDouble).getOrElse(-1.0)
-      catch { case _: Throwable => -1.0 }
+    // Prior RECORDS in calib units. A v5+ file carries them directly; a
+    // legacy (pre-v5) file is converted via its END-of-sweep probe — the
+    // stable box number (the r14 PLANS analysis: start probes read
+    // 0.35–0.81s on an identical-speed box, end probes 0.073–0.090s).
+    // ADVICE r14: the transition must not gate against an incomparable
+    // calibration number — legacy-derived records get a 1.5x slack on
+    // every gate for this one sweep.
+    val priorIsV5 = priorFile.contains("\"records\":")
+    val priorRecords: Map[String, Double] =
+      if (priorIsV5)
+        try parseQueriesMap(priorFile, "records")
+        catch { case _: Throwable => Map.empty[String, Double] }
+      else {
+        val endProbe = parseNum(priorFile, "calib_end_s")
+        val basis = if (endProbe > 0) endProbe else parseNum(priorFile, "calib_s")
+        if (basis > 0) priorQueries.map { case (k, v) => k -> v / basis }
+        else Map.empty[String, Double]
+      }
+    val transitionSlack = if (priorIsV5 || priorRecords.isEmpty) 1.0 else 1.5
+    if (transitionSlack != 1.0)
+      System.err.println(
+        s"[bench] prior file is pre-v5 — records derived from its end probe, gates widened x$transitionSlack for this sweep")
+    // Record floor in calib units: gates only fire for queries whose prior
+    // record is at least ~0.5s of work on the r13/r14 reference box
+    // (probe ~0.085s) — sub-half-second queries are noise-dominated.
+    val RecordFloor = 6.0
+    val freshRecords: Set[String] =
+      sys.env.get("SPARK_GRAFT_FRESH_RECORDS").map(_.split(",").map(_.trim).toSet)
+        .getOrElse(Set.empty)
+
     val calibStart = calibProbe(spark, cpus.toInt)
+    // calib_ratio is retained as a DIAGNOSTIC (start probe vs prior sweep's
+    // canonical probe); gates no longer use it — local probes subsume it.
+    val priorCalib = parseNum(priorFile, "calib_s")
     val calibRatio: Double =
       if (calibStart > 0 && priorCalib > 0)
         math.max(0.25, math.min(4.0, calibStart / priorCalib))
       else 1.0
     System.err.println(
-      f"[bench] calib_start=$calibStart%.3fs prior_calib=$priorCalib%.3fs calib_ratio=$calibRatio%.3f")
-    // Superseded capstones (x90-x93) are verified by Verify/selfcheck but
-    // not re-timed: their stages are strict subsets of the newest capstone
-    // (x127), so benching all five re-ran ~70s of identical work per round.
+      f"[bench] calib_start=$calibStart%.3fs prior_calib=$priorCalib%.3fs calib_ratio=$calibRatio%.3f (diagnostic)")
+
+    // Superseded capstones / strictly-contained family members are
+    // verified by Verify/selfcheck but not re-timed (benchSkip).
     val benched = Registry.all.filterNot(_.benchSkip)
     val skipped = Registry.all.filter(_.benchSkip).map(_.name)
     if (skipped.nonEmpty)
       System.err.println(s"[bench] benchSkip (verified, not timed): ${skipped.mkString(", ")}")
+
+    // Seed-shuffled sweep order (policy v5 #3). The seed is logged in the
+    // artifact so any sweep is reproducible.
+    val orderSeed = sys.env.get("SPARK_GRAFT_ORDER_SEED").map(_.toLong)
+      .getOrElse(System.nanoTime())
+    val order = new scala.util.Random(orderSeed).shuffle(benched.toVector)
+    System.err.println(s"[bench] order_seed=$orderSeed")
 
     /** One timed noop-materialization of `q` on the CURRENT session;
       * returns seconds or None on failure (recorded in `errors`). */
@@ -172,12 +221,29 @@ object Bench {
     // degrading condition survives a same-session rerun (VERDICT r11: x268
     // was ~66s on BOTH runs vs a 12.8s committed record), so min-of-two
     // cannot recover. These retry at sweep end under CHANGED conditions —
-    // a fresh SparkSession (clean storage pool, clean shuffle dirs, reset
-    // codegen cache) after the rest of the sweep's pressure is gone.
+    // a fresh SparkSession after the rest of the sweep's pressure is gone.
     val deferred = scala.collection.mutable.ArrayBuffer.empty[QueryDef]
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // per-query segment index (which interleaved probe pair brackets it)
+    val segOf = scala.collection.mutable.HashMap[String, Int]()
+    val segProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    segProbes += (if (calibStart > 0) calibStart else 1.0)
 
-    benched.foreach { q =>
+    order.zipWithIndex.foreach { case (q, qi) =>
+      if (qi > 0 && qi % ProbeEvery == 0) {
+        val p = calibProbe(spark, cpus.toInt)
+        segProbes += (if (p > 0) p else segProbes.last)
+        System.err.println(f"[bench] probe[${segProbes.size - 1}]=${segProbes.last}%.3fs after $qi queries")
+      }
+      val seg = qi / ProbeEvery
+      segOf(q.name) = seg
+      val curProbe = segProbes(seg)
+      // mid-sweep gate ratio: prior record (calib units) × the probe that
+      // opened this segment — the best local estimate available before the
+      // closing probe exists.
+      def gateSecs(mult: Double): Option[Double] =
+        priorRecords.get(q.name).filter(_ > 0)
+          .map(r => mult * r * curProbe * transitionSlack)
       val name = q.name
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       def ok = !errors.contains(name)
@@ -193,23 +259,22 @@ object Bench {
             if (ok && times.size == 2 &&
               (times.max - times.min) / times.min > 0.10) run1(q).foreach(times += _)
           } else if (ok && times.nonEmpty &&
-            prior.get(name).forall(p => p <= 0 || times.head > 3 * p * calibRatio)) {
-            // Spike guard: expensive AND either >3x this query's last
-            // record (presumably unchanged code) OR a FIRST-APPEARANCE
-            // query with no record to defend it (r10's x178 recorded a
-            // 22.6s load spike officially while three re-measurements said
-            // 9-11s, exactly because new queries skipped this guard) — one
+            gateSecs(3.0).forall(g => times.head > g)) {
+            // Spike guard: expensive AND either >3x this query's record
+            // (presumably unchanged code) OR a FIRST-APPEARANCE query with
+            // no record to defend it (r10's x178 recorded a 22.6s load
+            // spike officially while three re-measurements said 9-11s,
+            // exactly because new queries skipped this guard) — one
             // confirming rerun; min of the two bounds the true cost from
             // above. If BOTH runs spike the condition is persistent and a
             // same-session rerun proves nothing: log the box state and
             // defer to the fresh-session retry pass.
             System.err.println(
-              f"[bench] $name spike-guard rerun: first=${times.head}%.2fs prior=${prior.getOrElse(name, -1.0)}%.2fs ${boxState(spark)}")
+              f"[bench] $name spike-guard rerun: first=${times.head}%.2fs record=${priorRecords.getOrElse(name, -1.0)}%.2fxcal probe=$curProbe%.3fs ${boxState(spark)}")
             run1(q).foreach(times += _)
-            val p = prior.getOrElse(name, -1.0)
-            if (ok && times.size == 2 && p > 0 && times.min > 3 * p * calibRatio) {
+            if (ok && times.size == 2 && gateSecs(3.0).exists(g => times.min > g)) {
               System.err.println(
-                f"[bench] $name spike PERSISTED (${times.mkString("s, ")}s vs prior $p%.2fs) — deferring to fresh-session retry ${boxState(spark)}")
+                f"[bench] $name spike PERSISTED (${times.mkString("s, ")}s) — deferring to fresh-session retry ${boxState(spark)}")
               deferred += q
             }
           }
@@ -219,30 +284,43 @@ object Bench {
       }
       results(name) = recorded
       // The 2-3x band escaped r12's guard: the in-place spike rerun fires
-      // at >3x prior but the suspect flag at >2x, so x292 (2.5x) and x16
-      // (2.1x) were flagged suspect WITHOUT ever being re-measured under
-      // changed conditions. Any adaptive-policy entry still >2x its
-      // committed record after its in-sweep runs joins the fresh-session
-      // retry pass (bounded at 12 there).
+      // at >3x record but the suspect flag at >2x, so a 2.5x entry was
+      // flagged suspect WITHOUT ever being re-measured under changed
+      // conditions. Any adaptive-policy entry still >2x its record after
+      // its in-sweep runs joins the fresh-session retry pass.
       if (fixedRuns.isEmpty && !errors.contains(name) &&
-          prior.get(name).exists(p => p > 0.5 && recorded > 2 * p * calibRatio) &&
+          priorRecords.get(name).exists(r => r > RecordFloor &&
+            recorded > 2 * r * curProbe * transitionSlack) &&
           !deferred.exists(_.name == name)) {
         System.err.println(
-          f"[bench] $name >2x committed record (${recorded}%.2fs vs ${prior(name)}%.2fs) — deferring to fresh-session retry ${boxState(spark)}")
+          f"[bench] $name >2x committed record ($recorded%.2fs vs ${priorRecords(name)}%.2fxcal at probe $curProbe%.3fs) — deferring to fresh-session retry ${boxState(spark)}")
         deferred += q
       }
+    }
+    // closing probe: every segment has a probe on BOTH sides
+    val calibEnd = calibProbe(spark, cpus.toInt)
+    segProbes += (if (calibEnd > 0) calibEnd else segProbes.last)
+
+    // local probe per query = min of the probes bracketing its segment
+    // (probes are upward-noisy: an interjection slows one, nothing speeds
+    // one — min is the box-capability estimate nearest the query).
+    def localProbe(name: String): Double = {
+      val s = segOf.getOrElse(name, 0)
+      math.min(segProbes(s), segProbes(math.min(s + 1, segProbes.size - 1)))
     }
 
     // Fresh-session retry pass: changed conditions, not repeated ones.
     // Bounded — if MANY queries spiked the box itself is degraded (the
-    // calib divides that out) and re-running a third of the sweep would
-    // double wall time for no signal.
+    // local probes divide that out) and re-running a third of the sweep
+    // would double wall time for no signal.
+    var retryProbe = -1.0
     if (deferred.nonEmpty && deferred.size <= 12) {
       System.err.println(
         s"[bench] fresh-session retry for ${deferred.size} persistent spike(s): ${deferred.map(_.name).mkString(", ")}")
       spark.stop()
       spark = newSession(cpus)
       try materialize(SparkEntry.entry(spark)) catch { case _: Throwable => () }
+      retryProbe = calibProbe(spark, cpus.toInt)
       deferred.foreach { q =>
         val retries = scala.collection.mutable.ArrayBuffer.empty[Double]
         run1(q).foreach(retries += _)
@@ -251,10 +329,8 @@ object Bench {
         // deferred for being slow, not for failing) — a retry-pass failure
         // is the fresh session's environment, not the query. Any retry run
         // that DID succeed is a valid changed-conditions measurement and
-        // must still count (r13 code-review: a first-retry success followed
-        // by a second-retry failure was thrown away, keeping the inflated
-        // main-sweep record); then drop the spurious error so a nonzero
-        // timing and an error entry stay mutually exclusive.
+        // must still count (r13 code-review); then drop the spurious error
+        // so a nonzero timing and an error entry stay mutually exclusive.
         if (errors.contains(q.name)) {
           System.err.println(
             s"[bench] ${q.name} fresh-session retry error (${errors(q.name)}) — environmental; keeping timing evidence, clearing error")
@@ -262,6 +338,9 @@ object Bench {
         }
         if (retries.nonEmpty) {
           val best = math.min(results(q.name), retries.min)
+          // if the retry produced the better number, its probe is the one
+          // that normalizes it
+          if (retries.min < results(q.name) && retryProbe > 0) segOf(q.name) = -1
           System.err.println(
             f"[bench] ${q.name} fresh-session retry: ${retries.map(t => f"$t%.2f").mkString("s, ")}s main=${results(q.name)}%.2fs recorded=$best%.2fs ${boxState(spark)}")
           results(q.name) = best
@@ -269,56 +348,87 @@ object Bench {
       }
     } else if (deferred.size > 12) {
       System.err.println(
-        s"[bench] ${deferred.size} persistent spikes — box-wide degradation, skipping retry pass (calib_s is the divisor)")
+        s"[bench] ${deferred.size} persistent spikes — box-wide degradation, skipping retry pass (local probes are the divisor)")
     }
 
-    // Self-describing divergence (VERDICT r11 #8): any entry whose official
-    // record is still >2x its committed prior after the retry pass is
-    // flagged suspect IN THE ARTIFACT, so the judge reads the divergence
-    // directly instead of reconstructing it from git.
-    val suspect = results.collect {
-      case (name, t) if prior.get(name).exists(p => p > 0.5 && t > 2 * p * calibRatio) => name
-    }.toSeq
+    // Ratios (calib units) for every query: seconds / nearest probe.
+    // segOf == -1 marks "retry-pass measurement" → retry probe.
+    def probeFor(name: String): Double =
+      if (segOf.getOrElse(name, 0) == -1 && retryProbe > 0) retryProbe
+      else localProbe(name)
+    val ratios: Map[String, Double] = results.collect {
+      case (name, t) if t > 0 && !errors.contains(name) => name -> t / probeFor(name)
+    }.toMap
+
+    // Committed records: min-across-sweeps in calib units (policy v5 #2).
+    // A name in SPARK_GRAFT_FRESH_RECORDS resets to this sweep's ratio
+    // (the escape hatch for INTENTIONAL slowdowns); a query absent from
+    // this sweep (error / benchSkip) carries its prior record forward so
+    // one bad sweep can't erase history.
+    val records: Map[String, Double] = {
+      val names = (ratios.keySet ++ priorRecords.keySet)
+        .filter(n => Registry.byName.contains(n))
+      names.map { n =>
+        val cur = ratios.get(n)
+        val pri = priorRecords.get(n).filter(_ > 0)
+        val rec =
+          if (freshRecords.contains(n)) cur.orElse(pri).getOrElse(0.0)
+          else (cur, pri) match {
+            case (Some(c), Some(p)) => math.min(c, p)
+            case (Some(c), None) => c
+            case (None, Some(p)) => p
+            case _ => 0.0
+          }
+        n -> rec
+      }.filter(_._2 > 0).toMap
+    }
+
+    // Self-describing divergence (VERDICT r11 #8): any entry whose ratio is
+    // still >2x its committed record after the retry pass is flagged
+    // suspect IN THE ARTIFACT, so the judge reads the divergence directly
+    // instead of reconstructing it from git.
+    val suspect = ratios.collect {
+      case (name, r) if priorRecords.get(name).exists(p =>
+        p > RecordFloor && r > 2 * p * transitionSlack) => name
+    }.toSeq.sorted
     if (suspect.nonEmpty)
       System.err.println(
-        s"[bench] SUSPECT (>2x committed record at calib_ratio=$calibRatio): ${suspect.mkString(", ")}")
+        s"[bench] SUSPECT (>2x committed record in calib units): ${suspect.mkString(", ")}")
 
     // escape quote/backslash and ALL control chars — a stray control byte
     // in an exception message must not break the one JSON line this prints
     // (shared impl: one escaper in the codebase, not two divergent copies)
     def jstr(s: String) = graft.sources.HttpPageClient.jstr(s)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val committedJson = prior.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def numMap(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + (math.rint(v * 10000) / 10000) }
+        .mkString("{", ",", "}")
+    val qs = numMap(results)
+    val committedJson = numMap(priorQueries.toSeq.sortBy(_._1))
+    val recordsJson = numMap(records.toSeq.sortBy(_._1))
+    val priorRecordsJson = numMap(priorRecords.toSeq.sortBy(_._1))
+    val probesJson = segProbes.map(p => math.rint(p * 10000) / 10000).mkString("[", ",", "]")
     val suspectJson = suspect.map(jstr).mkString("[", ",", "]")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // Machine-load calibration: a fixed CPU-bound aggregation whose cost is
-    // independent of the query set. Round-over-round totals drift ±30% with
-    // box load (every query moves uniformly); dividing by calib_s separates
-    // "the machine was busy" from "a query regressed".
-    // A calib failure must never eat the bench line (same rule as query
-    // failures): fall back to -1.0 and keep printing.
-    val calibEnd = calibProbe(spark, cpus.toInt)
-    // calib_s stays the cross-round comparable number: median of the start
-    // and end probes when both succeeded (a sweep-long drift shouldn't be
-    // represented by either endpoint alone), else whichever one did.
-    val calib =
-      if (calibStart > 0 && calibEnd > 0) (calibStart + calibEnd) / 2
-      else math.max(calibStart, calibEnd)
+    // calib_s stays the cross-round comparable number. Under v5 the
+    // canonical probe is the MEDIAN of the interleaved probes — robust to
+    // both the start-of-JVM inflation (r14: start probes 4-9x the steady
+    // state even after an untimed warmup) and to end-of-sweep outliers.
+    val sortedProbes = segProbes.sorted
+    val calib = sortedProbes(sortedProbes.size / 2)
     // "total_s" is deliberately the LAST key: the driver stores only the log
     // TAIL, so early keys (including per-query timings) can truncate away —
     // the headline number must survive at the end of the line.
     // "policy" stamps the measurement epoch (r8: fixed lower-median-of-3;
     // r9: adaptive min-of-2/solo; r10: + spike-guard rerun + benchSkip;
     // r12: + fresh-session deferred retry + committed/suspect fields;
-    // r14: calib-normalized gates — every vs-committed comparison scaled by
-    // calibRatio, probe moved before the sweep) so cross-round tooling can
-    // refuse mixed-policy diffs (ADVICE r9).
-    val policy = fixedRuns.map(n => s"fixed-$n").getOrElse("adaptive-v4-calibnorm")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","policy":"$policy","bench_skipped":${skipped.size},"queries":$qs,"committed":$committedJson,"calib_ratio":$calibRatio,"calib_start_s":$calibStart,"calib_end_s":$calibEnd,"prior_calib_s":$priorCalib,"suspect":$suspectJson,"errors":$errs,"sf":"$sfDir","calib_s":$calib,"total_s":$total}"""
+    // r14: calib-normalized gates; r15: v5 — interleaved probes every 25
+    // queries, per-query nearest-probe normalization, records committed in
+    // calib units with min-across-sweeps, seed-shuffled order) so
+    // cross-round tooling can refuse mixed-policy diffs (ADVICE r9).
+    val policy = fixedRuns.map(n => s"fixed-$n").getOrElse("adaptive-v5-localcalib")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","policy":"$policy","bench_skipped":${skipped.size},"order_seed":$orderSeed,"queries":$qs,"committed":$committedJson,"records":$recordsJson,"records_unit":"xcalib_probe","prior_records":$priorRecordsJson,"probes":$probesJson,"calib_ratio":$calibRatio,"calib_start_s":$calibStart,"calib_end_s":$calibEnd,"prior_calib_s":$priorCalib,"suspect":$suspectJson,"errors":$errs,"sf":"$sfDir","calib_s":$calib,"total_s":$total}"""
     println(line)
     // The driver's stdout-tail capture truncated 74 of 132 per-query times
     // in round 7 ("parsed": null) — the file copy is the durable record for
