@@ -24,6 +24,22 @@ object QueryTimer {
     // sweep times ~60 queries at two SFs); a failing query prints FAILED
     // and the sweep continues instead of dying mid-list.
     val runs = sys.env.getOrElse("SPARK_GRAFT_QT_RUNS", "3").toInt
+    // Bench's calibration probe, bracketing each query (policy v5): the
+    // median is reported in CALIB UNITS too, directly comparable to the
+    // committed "records" map regardless of box speed at measurement time
+    // (a fresh QueryTimer JVM rides the same start-of-JVM ramp Bench's
+    // interleaved probes divide out).
+    def probe(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 50000000L, 1, cpus.toInt)
+          .selectExpr("sum((id * 2654435761) % 1000000007) AS s").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once()
+      (0 until 3).map(_ => once()).min
+    }
+    var probeBefore = probe()
     args.tail.foreach { name =>
       val fn = Registry.byName(name).fn
       try {
@@ -37,7 +53,11 @@ object QueryTimer {
             .foreach(_.unpersist(blocking = false))
           t
         }
-        println(f"[qtimer] $name%-28s median=${ts.sorted.apply((ts.size - 1) / 2)}%7.3f s  runs=${ts.map(t => f"$t%.3f").mkString(",")}")
+        val probeAfter = probe()
+        val local = math.min(probeBefore, probeAfter)
+        probeBefore = probeAfter
+        val med = ts.sorted.apply((ts.size - 1) / 2)
+        println(f"[qtimer] $name%-28s median=$med%7.3f s = ${med / local}%.2f xcal (probe=$local%.3f)  runs=${ts.map(t => f"$t%.3f").mkString(",")}")
       } catch { case e: Throwable =>
         println(s"[qtimer] $name FAILED: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(200)}")
       }
