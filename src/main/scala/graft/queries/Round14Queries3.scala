@@ -45,7 +45,15 @@ object Round14Queries3 {
     * level-2 training loop (checkpointed — the loop re-references it);
     * stored codes are 16 bytes/vector, the ADC scan is two integer table
     * lookups per subspace. */
-  def pqResidualTopK(spark: SparkSession, dir: String): DataFrame = {
+  def pqResidualTopK(spark: SparkSession, dir: String): DataFrame =
+    pqResidualTopKWith(spark, dir, Rerank)
+
+  /** The x363 pipeline with a parameterized rerank depth — the registered
+    * query pins `Rerank` (the oracle derives the same constant); the
+    * RecallSweep dev tool drives larger depths to measure the
+    * recall-vs-rerank mitigation curve at 10x/30x corpus scale. */
+  private[graft] def pqResidualTopKWith(spark: SparkSession, dir: String,
+                                        rerank: Int): DataFrame = {
     import spark.implicits._
     val (emb, subArr, sub0, cb0) = SimilarityQueries.pqParts(spark, dir)
     // the level-2 training loop and both encode passes re-reference these;
@@ -100,7 +108,7 @@ object Round14Queries3 {
       .groupBy($"q_id", $"vec_id")
       .agg(sum($"ip1_fp" + $"ip2_fp").as("aip_fp"))
       .withColumn("ark", row_number().over(wApprox))
-      .filter($"ark" <= Rerank)
+      .filter($"ark" <= rerank)
       .join(emb.select($"vec_id", $"embedding".as("cv"), $"nrm".as("cn")), "vec_id")
       .join(broadcast(qs.select($"vec_id".as("q_id"), $"embedding".as("qv"),
         $"nrm".as("qn"))), "q_id")
