@@ -474,6 +474,65 @@ object MediaSynth {
     }
   }
 
+  /** Length-prefixed MJPEG container: [len:4 LE][baseline JPEG] per
+    * frame — the AVI-style index shape that makes frame SAMPLING possible
+    * for an entropy-coded codec (a bare JPEG concatenation can only find
+    * frame N by Huffman-walking frames 0..N-1; the index prefix is what a
+    * real media lake stores so a decode-budget sampler can seek). Same
+    * grayscale block-constant pixels as [[synthJpegVideos]]. */
+  def synthMjpegIndexed(docs: DataFrame): Dataset[VideoDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.map { case (docId, text) =>
+        val (nf, bw, bh) = jpegGeom(md, text)
+        val frames = (0 until nf).map { i =>
+          val blocks = Array.tabulate(bh * bw)(j =>
+            cellByte(md, text, i * bh * bw + j, JpegYMult, 0))
+          val jp = JpegCodec.encodeJpegGray(blocks, bw, bh)
+          Array[Byte]((jp.length & 0xff).toByte, ((jp.length >> 8) & 0xff).toByte,
+            ((jp.length >> 16) & 0xff).toByte, ((jp.length >> 24) & 0xff).toByte) ++ jp
+        }
+        VideoDoc(docId, frames.reduce(_ ++ _), "mjpgi")
+      }
+    }
+  }
+
+  /** Sampled-decode audit for [[synthMjpegIndexed]]: decode every
+    * `everyK`-th frame through the full baseline JPEG pipeline, SKIP the
+    * others via the index prefix (their entropy bytes are never read).
+    * The skipped-frame walk is gated implicitly: a wrong length prefix
+    * desynchronizes the next decode (bad SOI → loud), and each decoded
+    * frame's consumed length is cross-checked against its prefix. */
+  final case class MjpegSample(doc_id: Long, n_frames: Int, n_decoded: Int,
+                               luma_sum: Long)
+
+  def decodeMjpegSampled(videos: Dataset[VideoDoc], everyK: Int): Dataset[MjpegSample] = {
+    require(everyK > 0, "everyK must be positive")
+    val spark = videos.sparkSession
+    import spark.implicits._
+    videos.map { v =>
+      var p = 0; var i = 0; var nDec = 0; var luma = 0L
+      while (p < v.video.length) {
+        require(p + 4 <= v.video.length, "mjpgi: truncated length prefix")
+        val len = (v.video(p) & 0xff) | ((v.video(p + 1) & 0xff) << 8) |
+          ((v.video(p + 2) & 0xff) << 16) | ((v.video(p + 3) & 0xff) << 24)
+        require(len > 0 && p + 4 + len <= v.video.length, s"mjpgi: bad frame length $len")
+        if (i % everyK == 0) {
+          val (img, consumed) = JpegCodec.decodeJpeg(v.video, p + 4)
+          require(consumed == len, s"mjpgi: prefix $len != decoded length $consumed")
+          var j = 0
+          val n = img.width * img.height
+          while (j < n) { luma += img.luma(j); j += 1 }
+          nDec += 1
+        }
+        p += 4 + len; i += 1
+      }
+      MjpegSample(v.doc_id, i, nDec, luma)
+    }
+  }
+
   /** dHash geometry shared with the oracle: resize frame 0 to DhashW x
     * DhashH (nearest-neighbor), 15 gradient bits over row-major lumas. */
   val DhashW = 4

@@ -123,6 +123,42 @@ object Round15Queries {
        |ORDER BY doc_id, frame_idx""".stripMargin
   }
 
+  // ---------------------------------------------------------------- x390 --
+
+  private val MjpegK = 3
+
+  /** x390: decode-budget pushdown for the ENTROPY-CODED tier (x386's
+    * story, harder format): a bare JPEG concatenation can only locate
+    * frame N by Huffman-walking everything before it, so the container
+    * carries an AVI-style length index — the sampler decodes every 3rd
+    * frame and skips the rest via the prefix, never reading their entropy
+    * bytes. Decoded lengths are cross-checked against the index, so a
+    * desynchronized walk fails loudly; the sampled luma and counts are
+    * oracle-gated from the md5 block formulas. */
+  def mjpegSampledDecode(spark: SparkSession, dir: String): DataFrame =
+    MediaSynth.decodeMjpegSampled(
+      MediaSynth.synthMjpegIndexed(Tables.documents(spark, dir)), MjpegK)
+      .toDF().orderBy("doc_id")
+
+  private val mjpegSampledOracle =
+    s"""WITH m AS (SELECT doc_id, text, greatest(1, length(text)) AS clen,
+       |             1 + ${nib("text", 0)} % ${MediaSynth.JpegNFramesMod} AS nf,
+       |             2 + ${nib("text", 1)} % ${MediaSynth.JpegBwMod} AS bw,
+       |             2 + ${nib("text", 2)} % ${MediaSynth.JpegBhMod} AS bh
+       |           FROM documents),
+       |fr AS (SELECT doc_id, text, clen, nf, bw, bh, unnest(range(0, nf)) AS i FROM m),
+       |sfr AS (SELECT * FROM fr WHERE i % $MjpegK = 0),
+       |rw AS (SELECT *, unnest(range(0, bh)) AS by FROM sfr),
+       |cl AS (SELECT *, unnest(range(0, bw)) AS bx FROM rw),
+       |bv AS (SELECT doc_id, nf,
+       |         ${md5Byte(cellExpr("(i * bh + by) * bw + bx", MediaSynth.JpegYMult), 0)} AS v
+       |       FROM cl)
+       |SELECT doc_id, CAST(nf AS INTEGER) AS n_frames,
+       |       CAST((nf + ${MjpegK - 1}) // $MjpegK AS INTEGER) AS n_decoded,
+       |       CAST(64 * sum(v) AS BIGINT) AS luma_sum
+       |FROM bv GROUP BY doc_id, nf
+       |ORDER BY doc_id""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("x387_jpeg_block_decode",
       "baseline JPEG grayscale decode, block-exact: real Huffman/zigzag/IDCT pipeline vs md5 pixel oracle (X7)",
@@ -132,5 +168,8 @@ object Round15Queries {
       jpegBmpParity, Some(jpegBmpParityOracle)),
     QueryDef("x389_jpeg420_color",
       "4:2:0 color JPEG: interleaved MCUs, per-component predictors, box upsampling, JFIF YCbCr->RGB — channel sums oracle-gated (X7)",
-      jpeg420ColorDecode, Some(jpeg420Oracle)))
+      jpeg420ColorDecode, Some(jpeg420Oracle)),
+    QueryDef("x390_mjpeg_sampled_decode",
+      "decode-budget pushdown for the entropy-coded tier: AVI-style length index lets the sampler skip 2/3 of JPEG frames unread (X7)",
+      mjpegSampledDecode, Some(mjpegSampledOracle)))
 }

@@ -168,6 +168,32 @@ class JpegCodecSpec extends SparkTestBase {
     }
   }
 
+  test("indexed MJPEG sampler: skips via the length prefix, cross-checks decoded length, fails on a lying index") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(20)
+    val vids = MediaSynth.synthMjpegIndexed(docs)
+    val sampled = MediaSynth.decodeMjpegSampled(vids, 3).collect()
+    assert(sampled.nonEmpty)
+    sampled.foreach { s =>
+      assert(s.n_decoded == (s.n_frames + 2) / 3, s"doc ${s.doc_id}: ${s.n_decoded}/${s.n_frames}")
+      assert(s.luma_sum > 0)
+    }
+    // full decode (k=1) over the same container must cover every frame
+    val full = MediaSynth.decodeMjpegSampled(vids, 1).collect()
+      .map(s => s.doc_id -> s).toMap
+    sampled.foreach(s => assert(full(s.doc_id).n_frames == s.n_frames &&
+      full(s.doc_id).luma_sum >= s.luma_sum))
+    // a lying index desynchronizes the walk and must fail loudly
+    val one = vids.filter($"doc_id" === sampled.head.doc_id).collect().head
+    val lying = one.video.clone()
+    lying(0) = (lying(0) + 2).toByte // first frame's declared length += 2
+    val bad = MediaSynth.VideoDoc(one.doc_id, lying, one.fmt)
+    intercept[Exception] {
+      MediaSynth.decodeMjpegSampled(
+        spark.createDataset(Seq(bad))(org.apache.spark.sql.Encoders.product[MediaSynth.VideoDoc]), 1).collect()
+    }
+  }
+
   // ------------------------------- r14 ADVICE hardening regression cases --
 
   test("GIF decode reads all three palette channels (ADVICE r14)") {
