@@ -353,22 +353,27 @@ object JpegCodec {
       Array(0xff.toByte, 0xd9.toByte)
   }
 
-  /** Encode a 4:2:0 YCbCr baseline JPEG from block-constant planes:
-    * `yBlocks((2·mh) rows x (2·mw) cols)` are per-8x8-block Y values,
-    * `cb`/`cr` (mh x mw) are per-16x16-MCU chroma values; the image is
-    * (16·mw)x(16·mh). MCU interleave per T.81 §A.2.3: Y00 Y01 Y10 Y11
-    * Cb Cr, each component with its own DC predictor. */
-  def encodeJpeg420(yBlocks: Array[Int], cb: Array[Int], cr: Array[Int],
-                    mw: Int, mh: Int): Array[Byte] = {
-    require(yBlocks.length == 4 * mw * mh, s"yBlocks ${yBlocks.length} != 4*$mw*$mh")
+  /** Encode a YCbCr baseline JPEG from block-constant planes at Y
+    * sampling (hy, vy) — (2,2) = 4:2:0, (2,1) = 4:2:2, (1,1) = 4:4:4;
+    * chroma is always 1x1. `yBlocks((vy·mh) rows x (hy·mw) cols)` are
+    * per-8x8-block Y values, `cb`/`cr` (mh x mw) are per-MCU chroma
+    * values; the image is (8·hy·mw)x(8·vy·mh). MCU interleave per T.81
+    * §A.2.3: the Y blocks left-right top-bottom, then Cb, Cr — each
+    * component with its own DC predictor. */
+  def encodeJpegYcc(yBlocks: Array[Int], cb: Array[Int], cr: Array[Int],
+                    mw: Int, mh: Int, hy: Int, vy: Int): Array[Byte] = {
+    require(hy >= 1 && hy <= 2 && vy >= 1 && vy <= 2 && vy <= hy,
+      s"unsupported Y sampling ${hy}x$vy")
+    require(yBlocks.length == hy * vy * mw * mh,
+      s"yBlocks ${yBlocks.length} != $hy*$vy*$mw*$mh")
     require(cb.length == mw * mh && cr.length == mw * mh, "chroma plane size mismatch")
     require((yBlocks ++ cb ++ cr).forall(v => v >= 0 && v <= 255), "values must be 0..255")
     val dcY = new HuffEncoder(DcLumBits, DcLumVals)
     val acY = new HuffEncoder(AcLumBits, AcLumVals)
     val dcC = new HuffEncoder(DcChrBits, DcChrVals)
     val acC = new HuffEncoder(AcChrBits, AcChrVals)
-    val sof = segment(0xc0, Array[Byte](8) ++ be16(16 * mh) ++ be16(16 * mw) ++
-      Array[Byte](3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+    val sof = segment(0xc0, Array[Byte](8) ++ be16(8 * vy * mh) ++ be16(8 * hy * mw) ++
+      Array[Byte](3, 1, ((hy << 4) | vy).toByte, 0, 2, 0x11, 1, 3, 0x11, 1))
     val sos = segment(0xda, Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
     val bw = new BitWriterMsb
     var predY = 0; var predCb = 0; var predCr = 0
@@ -377,10 +382,10 @@ object JpegCodec {
       var mx = 0
       while (mx < mw) {
         var by = 0
-        while (by < 2) {
+        while (by < vy) {
           var bx = 0
-          while (bx < 2) {
-            val dc = 8 * (yBlocks((2 * my + by) * (2 * mw) + 2 * mx + bx) - 128)
+          while (bx < hy) {
+            val dc = 8 * (yBlocks((vy * my + by) * (hy * mw) + hy * mx + bx) - 128)
             putDcOnlyBlock(bw, dc - predY, dcY, acY)
             predY = dc
             bx += 1
@@ -400,6 +405,11 @@ object JpegCodec {
       dht(0, 1, DcChrBits, DcChrVals) ++ dht(1, 1, AcChrBits, AcChrVals) ++
       sof ++ sos ++ bw.result() ++ Array(0xff.toByte, 0xd9.toByte)
   }
+
+  /** 4:2:0 convenience shape (the x389 fixture layout). */
+  def encodeJpeg420(yBlocks: Array[Int], cb: Array[Int], cr: Array[Int],
+                    mw: Int, mh: Int): Array[Byte] =
+    encodeJpegYcc(yBlocks, cb, cr, mw, mh, 2, 2)
 
   // -------------------------------------------------------------- decode --
 
@@ -467,9 +477,14 @@ object JpegCodec {
           if (nc == 1)
             require(comps(0).h == 1 && comps(0).v == 1, "JPEG: grayscale must be 1x1 sampling")
           else
-            require(comps(0).h == 2 && comps(0).v == 2 &&
+            // all common single-scan samplings: 4:4:4 (Y 1x1), 4:2:2
+            // (Y 2x1), 4:2:0 (Y 2x2) — chroma always 1x1. The MCU walk,
+            // plane sizing, and box upsampling below are written against
+            // (h, v) generally, so only this gate names the supported set.
+            require(comps(0).h >= 1 && comps(0).h <= 2 &&
+              comps(0).v >= 1 && comps(0).v <= 2 && comps(0).v <= comps(0).h &&
               comps.tail.forall(c => c.h == 1 && c.v == 1),
-              "JPEG: only 4:2:0 (Y 2x2, chroma 1x1) supported")
+              s"JPEG: unsupported sampling Y ${comps(0).h}x${comps(0).v} (4:4:4 / 4:2:2 / 4:2:0 only)")
           p = segBase + len
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
           throw new IllegalArgumentException(

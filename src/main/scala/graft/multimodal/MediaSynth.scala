@@ -423,29 +423,36 @@ object MediaSynth {
     }
   }
 
-  /** 4:2:0 color JPEG container: Y constant per 8x8 block (md5 byte 0,
-    * cell stride [[JpegYMult]]), Cb/Cr constant per 16x16 MCU (md5 bytes
-    * 1 and 2, stride [[JpegChromaMult]]). */
-  def synthJpeg420Videos(docs: DataFrame): Dataset[VideoDoc] = {
+  /** Color JPEG container at Y sampling (hy, vy): Y constant per 8x8
+    * block (md5 byte 0, cell stride [[JpegYMult]]), Cb/Cr constant per
+    * MCU (md5 bytes 1 and 2, stride [[JpegChromaMult]]). (2,2) = 4:2:0,
+    * (2,1) = 4:2:2, (1,1) = 4:4:4 — one fixture family covers every
+    * sampling the decoder accepts. */
+  def synthJpegYccVideos(docs: DataFrame, hy: Int, vy: Int, fmt: String): Dataset[VideoDoc] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
       val md = MessageDigest.getInstance("MD5")
       it.map { case (docId, text) =>
         val (nf, mw, mh) = jpeg420Geom(md, text)
+        val bpm = hy * vy // Y blocks per MCU
         val frames = (0 until nf).map { i =>
-          val yB = Array.tabulate(4 * mw * mh)(j =>
-            cellByte(md, text, i * 4 * mw * mh + j, JpegYMult, 0))
+          val yB = Array.tabulate(bpm * mw * mh)(j =>
+            cellByte(md, text, i * bpm * mw * mh + j, JpegYMult, 0))
           val cb = Array.tabulate(mw * mh)(j =>
             cellByte(md, text, i * mw * mh + j, JpegChromaMult, 1))
           val cr = Array.tabulate(mw * mh)(j =>
             cellByte(md, text, i * mw * mh + j, JpegChromaMult, 2))
-          JpegCodec.encodeJpeg420(yB, cb, cr, mw, mh)
+          JpegCodec.encodeJpegYcc(yB, cb, cr, mw, mh, hy, vy)
         }
-        VideoDoc(docId, frames.reduce(_ ++ _), "jpg420")
+        VideoDoc(docId, frames.reduce(_ ++ _), fmt)
       }
     }
   }
+
+  /** The x389 fixture shape: 4:2:0. */
+  def synthJpeg420Videos(docs: DataFrame): Dataset[VideoDoc] =
+    synthJpegYccVideos(docs, 2, 2, "jpg420")
 
   /** Per-frame RGB channel sums after the full color path (4:2:0 decode →
     * box upsample → JFIF matrix) — the oracle recomputes the same sums

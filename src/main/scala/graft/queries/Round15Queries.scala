@@ -123,6 +123,55 @@ object Round15Queries {
        |ORDER BY doc_id, frame_idx""".stripMargin
   }
 
+  // --------------------------------------------------------- x391 / x392 --
+
+  /** Shared oracle for the color-sampling family: per-frame RGB channel
+    * sums for Y sampling (hy, vy) — the Y grid is (vy·mh) x (hy·mw)
+    * blocks, chroma constant per MCU at (by//vy, bx//hy). x389 is the
+    * (2,2) member; these parameterize the same formulas. */
+  private def jpegYccOracle(hy: Int, vy: Int): String = {
+    val bpm = hy * vy
+    val yv = md5Byte(cellExpr(s"(i * $bpm * mw * mh) + by * ($hy * mw) + bx", MediaSynth.JpegYMult), 0)
+    val cbv = md5Byte(cellExpr(s"(i * mw * mh) + (by // $vy) * mw + (bx // $hy)", MediaSynth.JpegChromaMult), 1)
+    val crv = md5Byte(cellExpr(s"(i * mw * mh) + (by // $vy) * mw + (bx // $hy)", MediaSynth.JpegChromaMult), 2)
+    s"""WITH m AS (SELECT doc_id, text, greatest(1, length(text)) AS clen,
+       |             1 + ${nib("text", 0)} % ${MediaSynth.JpegNFramesMod} AS nf,
+       |             1 + ${nib("text", 1)} % ${MediaSynth.JpegMcuMod} AS mw,
+       |             1 + ${nib("text", 2)} % ${MediaSynth.JpegMcuMod} AS mh
+       |           FROM documents),
+       |fr AS (SELECT doc_id, text, clen, mw, mh, unnest(range(0, nf)) AS i FROM m),
+       |rw AS (SELECT *, unnest(range(0, $vy * mh)) AS by FROM fr),
+       |cl AS (SELECT *, unnest(range(0, $hy * mw)) AS bx FROM rw),
+       |ycc AS (SELECT doc_id, i, $yv AS y, $cbv AS cb, $crv AS cr FROM cl),
+       |rgb AS (SELECT doc_id, i,
+       |          least(255, greatest(0, CAST(floor(y + ${dbl("1.402")} * (cr - 128) + 0.5) AS INTEGER))) AS r,
+       |          least(255, greatest(0, CAST(floor(y - ${dbl("0.344136")} * (cb - 128) - ${dbl("0.714136")} * (cr - 128) + 0.5) AS INTEGER))) AS g,
+       |          least(255, greatest(0, CAST(floor(y + ${dbl("1.772")} * (cb - 128) + 0.5) AS INTEGER))) AS b
+       |        FROM ycc)
+       |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+       |       CAST(64 * sum(r) AS BIGINT) AS r_sum,
+       |       CAST(64 * sum(g) AS BIGINT) AS g_sum,
+       |       CAST(64 * sum(b) AS BIGINT) AS b_sum
+       |FROM rgb GROUP BY doc_id, i
+       |ORDER BY doc_id, frame_idx""".stripMargin
+  }
+
+  /** x391: 4:2:2 — two Y blocks per MCU share one chroma pair; the
+    * horizontal-only box upsample is the branch 4:2:0 never runs. */
+  def jpeg422ColorDecode(spark: SparkSession, dir: String): DataFrame =
+    MediaSynth.decodeJpeg420ChannelSums(
+      MediaSynth.synthJpegYccVideos(Tables.documents(spark, dir), 2, 1, "jpg422"))
+      .toDF().orderBy("doc_id", "frame_idx")
+
+  /** x392: 4:4:4 — no subsampling at all; every component block-aligned,
+    * the MCU is one block per component and the upsample is the identity
+    * (so a subsampling-index bug that 4:2:0/4:2:2 happen to mask shows
+    * here, and vice versa). */
+  def jpeg444ColorDecode(spark: SparkSession, dir: String): DataFrame =
+    MediaSynth.decodeJpeg420ChannelSums(
+      MediaSynth.synthJpegYccVideos(Tables.documents(spark, dir), 1, 1, "jpg444"))
+      .toDF().orderBy("doc_id", "frame_idx")
+
   // ---------------------------------------------------------------- x390 --
 
   private val MjpegK = 3
@@ -171,5 +220,11 @@ object Round15Queries {
       jpeg420ColorDecode, Some(jpeg420Oracle)),
     QueryDef("x390_mjpeg_sampled_decode",
       "decode-budget pushdown for the entropy-coded tier: AVI-style length index lets the sampler skip 2/3 of JPEG frames unread (X7)",
-      mjpegSampledDecode, Some(mjpegSampledOracle)))
+      mjpegSampledDecode, Some(mjpegSampledOracle)),
+    QueryDef("x391_jpeg422_color",
+      "4:2:2 JPEG: two Y blocks per MCU, horizontal-only chroma upsample — the sampling branch 4:2:0 never runs (X7)",
+      jpeg422ColorDecode, Some(jpegYccOracle(2, 1))),
+    QueryDef("x392_jpeg444_color",
+      "4:4:4 JPEG: no subsampling, identity upsample — isolates the color matrix from the sampling indexing (X7)",
+      jpeg444ColorDecode, Some(jpegYccOracle(1, 1))))
 }

@@ -168,6 +168,37 @@ class JpegCodecSpec extends SparkTestBase {
     }
   }
 
+  test("sampling matrix: 4:4:4 / 4:2:2 / 4:2:0 all roundtrip exactly through one decoder") {
+    val rnd = new scala.util.Random(23)
+    for (((hy, vy), _) <- Seq((1, 1), (2, 1), (2, 2)).zipWithIndex; _ <- 1 to 8) {
+      val mw = 1 + rnd.nextInt(2); val mh = 1 + rnd.nextInt(2)
+      val yB = Array.fill(hy * vy * mw * mh)(rnd.nextInt(256))
+      val cb = Array.fill(mw * mh)(rnd.nextInt(256))
+      val cr = Array.fill(mw * mh)(rnd.nextInt(256))
+      val enc = JpegCodec.encodeJpegYcc(yB, cb, cr, mw, mh, hy, vy)
+      val (img, len) = JpegCodec.decodeJpeg(enc)
+      assert(len == enc.length)
+      assert(img.width == 8 * hy * mw && img.height == 8 * vy * mh)
+      for (y <- 0 until img.height; x <- 0 until img.width) {
+        val yv = yB((y / 8) * (hy * mw) + x / 8)
+        val mcu = (y / (8 * vy)) * mw + x / (8 * hy)
+        val (er, eg, eb) = JpegCodec.ycbcrToRgb(yv, cb(mcu), cr(mcu))
+        val i = y * img.width + x
+        assert(img.r(i) == er && img.g(i) == eg && img.b(i) == eb,
+          s"${hy}x$vy pixel ($y,$x)")
+      }
+    }
+    // vertical-only subsampling (1x2) stays rejected: v <= h gate
+    intercept[IllegalArgumentException] {
+      val enc = JpegCodec.encodeJpegYcc(Array(1, 2), Array(9), Array(9), 1, 1, 2, 1)
+      // rewrite Y sampling byte 0x21 -> 0x12 and re-decode
+      val idx = enc.indices.find(i => i + 1 < enc.length &&
+        (enc(i) & 0xff) == 0xff && (enc(i + 1) & 0xff) == 0xc0).get
+      val bad = enc.clone(); bad(idx + 11) = 0x12.toByte
+      JpegCodec.decodeJpeg(bad)
+    }
+  }
+
   test("indexed MJPEG sampler: skips via the length prefix, cross-checks decoded length, fails on a lying index") {
     import spark.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(20)
