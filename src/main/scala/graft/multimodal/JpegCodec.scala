@@ -601,8 +601,13 @@ object JpegCodec {
                 val run = rs >> 4
                 val sz = rs & 0xf
                 if (sz == 0) {
-                  if (run == 15) k += 16 // ZRL
-                  else eob = true
+                  if (run == 15) {
+                    k += 16 // ZRL
+                    // fail-loud contract (ADVICE r15): a corrupt stream
+                    // whose ZRLs march k past the block must throw, not
+                    // silently end the block via the loop condition
+                    require(k <= 64, "JPEG: ZRL overruns block")
+                  } else eob = true
                 } else {
                   k += run
                   require(k < 64, "JPEG: AC run overruns block")

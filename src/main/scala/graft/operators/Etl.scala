@@ -54,7 +54,7 @@ object Etl {
   }
 
   /** SNK1 (salesforce_extractor.py:197-230): idempotent merge. The reference
-    * leans on MySQL `INSERT ... ON DUPLICATE KEY UPDATE hash=hash` (a no-op
+    * leans on MySQL `INSERT ... ON DUPLICATE KEY UPDATE hash=VALUES(hash)` (a no-op
     * update keyed on the unique `hash`); relational equivalent: keep existing
     * rows, append only incoming rows whose hash is not already present.
     *

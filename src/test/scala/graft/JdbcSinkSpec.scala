@@ -184,11 +184,13 @@ class JdbcSinkSpec extends SparkTestBase {
   }
 
   test("SNK1 MySQL dialect: the reference's literal ON DUPLICATE KEY UPDATE no-op, batched + replayed (r14 verdict #5)") {
-    // The statement under test is the exact shape salesforce_extractor.py
-    // :213-217 executes. The endpoint (MySqlMiniDb) parses it strictly —
-    // a drift in the generated SQL (missing backticks, wrong update
-    // clause, wrong placeholder count) throws SQLSyntaxErrorException
-    // instead of being absorbed.
+    // The statement under test is the shape SQLAlchemy renders for
+    // salesforce_extractor.py:213-217 — ONE multi-row VALUES insert per
+    // batch with `hash`=VALUES(`hash`) (ADVICE r15). The endpoint
+    // (MySqlMiniDb) parses it strictly — a drift in the generated SQL
+    // (missing backticks, wrong update clause, wrong placeholder count,
+    // per-row statements) throws SQLSyntaxErrorException instead of being
+    // absorbed.
     assert(MySqlMiniDb.registered)
     val url = s"${MySqlMiniDb.UrlPrefix}graftmysql"
     val t = MySqlMiniDb.createTable("lead_activity_my",
@@ -220,11 +222,18 @@ class JdbcSinkSpec extends SparkTestBase {
       conn.prepareStatement(
         "INSERT INTO lead_activity_my (`hash`, `lead_id`, `url`) VALUES (?, ?, ?)")
     }
-    // ... and a NON-no-op update clause is rejected too: the reference's
-    // idempotency rests on the self-assignment
+    // ... a NON-no-op update clause is rejected too: the reference's
+    // idempotency rests on re-assigning the dup key itself
     intercept[java.sql.SQLSyntaxErrorException] {
       conn.prepareStatement(
-        "INSERT INTO lead_activity_my (`hash`, `lead_id`, `url`) VALUES (?, ?, ?) ON DUPLICATE KEY UPDATE `lead_id`=`lead_id`")
+        "INSERT INTO lead_activity_my (`hash`, `lead_id`, `url`) VALUES (?, ?, ?) ON DUPLICATE KEY UPDATE `lead_id`=VALUES(`lead_id`)")
+    }
+    // ... and so is the pre-r16 per-row SELF-assignment shape `hash`=`hash`
+    // (semantically equivalent, but not what the reference's driver sends —
+    // ADVICE r15 pinned the endpoint to the SQLAlchemy-rendered form)
+    intercept[java.sql.SQLSyntaxErrorException] {
+      conn.prepareStatement(
+        "INSERT INTO lead_activity_my (`hash`, `lead_id`, `url`) VALUES (?, ?, ?) ON DUPLICATE KEY UPDATE `hash`=`hash`")
     }
   }
 

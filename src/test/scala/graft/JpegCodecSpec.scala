@@ -63,6 +63,21 @@ class JpegCodecSpec extends SparkTestBase {
     intercept[IllegalArgumentException](JpegCodec.decodeJpeg(corrupt))
   }
 
+  test("ZRL marching k past the block fails loudly (ADVICE r15)") {
+    // Hand-built entropy segment: DC cat 0 ('00') then FOUR ZRLs (AC-lum
+    // 0xF0 = '11111111001', 11 bits each) — k = 1+16*4 = 65 > 64. A legal
+    // encoder can never emit this (it would use EOB), so the bytes are
+    // spliced over the golden single-block stream's 1-byte entropy
+    // segment: 46 bits + '11' padding = 6 bytes, with 0x00 stuffed after
+    // the 0xFF. Pre-fix the decoder ended the block silently and decoded
+    // to EOI without error; the fail-loud contract requires a throw.
+    val base = JpegCodec.encodeJpegGray(Array(128), 1, 1)
+    val zrlRun = Array(0x3f, 0xcf, 0xf9, 0xff, 0x00, 0x3f, 0xe7).map(_.toByte)
+    val corrupt = base.dropRight(3) ++ zrlRun ++ base.takeRight(2)
+    val e = intercept[IllegalArgumentException](JpegCodec.decodeJpeg(corrupt))
+    assert(e.getMessage.contains("ZRL"), e.getMessage)
+  }
+
   test("4:2:0 color roundtrip: box upsampling + JFIF matrix, exact vs the reference formula") {
     val rnd = new scala.util.Random(42)
     (1 to 20).foreach { _ =>

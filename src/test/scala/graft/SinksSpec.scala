@@ -211,7 +211,7 @@ class SinksSpec extends SparkTestBase {
 
 /** In-JVM stand-in for a MySQL table with a unique key on `hash`
   * (reference sink salesforce_extractor.py:197-230): insertIgnore is
-  * INSERT ... ON DUPLICATE KEY UPDATE hash=hash. A singleton object so
+  * INSERT ... ON DUPLICATE KEY UPDATE hash=VALUES(hash). A singleton object so
   * executor-side closures (which get a serialized copy of any instance)
   * still hit the same table in local mode. */
 object FakeJdbcTable {
