@@ -3,12 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Dev tool (r14 verdict "Next round #7"): measure x363's recall@3 as a
-  * function of the exact-rerank depth at a given corpus scale. The
-  * registered query pins rerank=64 (oracle-paired); this sweep quantifies
-  * the MITIGATION — how much rerank depth buys back the recall that a
-  * fixed-size codebook loses as the corpus grows — so the scale story in
-  * PLANS.md carries measured numbers instead of a hypothesis.
-  * Usage: `runMain graft.RecallSweep <sfDir> <rerank>...` */
+  * function of the exact-rerank depth at a given corpus scale. This sweep
+  * quantifies the MITIGATION — how much rerank depth buys back the recall
+  * that a fixed-size codebook loses as the corpus grows — so the scale
+  * story in PLANS.md carries measured numbers instead of a hypothesis.
+  * Since r16 the registered query SHIPS the measured guidance (rerank =
+  * max(64, corpus/100), oracle-paired); pass "auto" to sweep that default.
+  * Usage: `runMain graft.RecallSweep <sfDir> <rerank|auto>...` */
 object RecallSweep {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: RecallSweep <sfDir> <rerank>...")
@@ -21,13 +22,14 @@ object RecallSweep {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    args.tail.map(_.toInt).foreach { rerank =>
+    args.tail.foreach { arg =>
+      val rerank = if (arg == "auto") None else Some(arg.toInt)
       val t0 = System.nanoTime()
       val rows = queries.Round14Queries3.pqResidualTopKWith(spark, sfDir, rerank)
         .selectExpr("count(*) AS n", "sum(hit3) AS hits").collect()(0)
       val n = rows.getLong(0); val hits = rows.getLong(1)
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[recall] sf=$sfDir rerank=$rerank%-5d recall@3=${hits.toDouble / n}%.3f ($hits/$n)  ${dt}%.1f s")
+      println(f"[recall] sf=$sfDir rerank=$arg%-5s recall@3=${hits.toDouble / n}%.3f ($hits/$n)  ${dt}%.1f s")
     }
     spark.stop()
   }

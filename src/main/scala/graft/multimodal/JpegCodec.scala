@@ -359,9 +359,12 @@ object JpegCodec {
     * per-8x8-block Y values, `cb`/`cr` (mh x mw) are per-MCU chroma
     * values; the image is (8·hy·mw)x(8·vy·mh). MCU interleave per T.81
     * §A.2.3: the Y blocks left-right top-bottom, then Cb, Cr — each
-    * component with its own DC predictor. */
+    * component with its own DC predictor. `dri` > 0 emits a DRI segment
+    * and RSTn markers every `dri` MCUs, resetting all three predictors
+    * (T.81 §E.1.4) — r15 verdict #4: the restart path must be
+    * oracle-gated on interleaved scans too, not just grayscale. */
   def encodeJpegYcc(yBlocks: Array[Int], cb: Array[Int], cr: Array[Int],
-                    mw: Int, mh: Int, hy: Int, vy: Int): Array[Byte] = {
+                    mw: Int, mh: Int, hy: Int, vy: Int, dri: Int = 0): Array[Byte] = {
     require(hy >= 1 && hy <= 2 && vy >= 1 && vy <= 2 && vy <= hy,
       s"unsupported Y sampling ${hy}x$vy")
     require(yBlocks.length == hy * vy * mw * mh,
@@ -375,8 +378,12 @@ object JpegCodec {
     val sof = segment(0xc0, Array[Byte](8) ++ be16(8 * vy * mh) ++ be16(8 * hy * mw) ++
       Array[Byte](3, 1, ((hy << 4) | vy).toByte, 0, 2, 0x11, 1, 3, 0x11, 1))
     val sos = segment(0xda, Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
-    val bw = new BitWriterMsb
+    val driSeg = if (dri > 0) segment(0xdd, be16(dri)) else Array.empty[Byte]
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var writer = new BitWriterMsb
     var predY = 0; var predCb = 0; var predCr = 0
+    var rstIdx = 0
+    var mcusInInterval = 0
     var my = 0
     while (my < mh) {
       var mx = 0
@@ -386,24 +393,34 @@ object JpegCodec {
           var bx = 0
           while (bx < hy) {
             val dc = 8 * (yBlocks((vy * my + by) * (hy * mw) + hy * mx + bx) - 128)
-            putDcOnlyBlock(bw, dc - predY, dcY, acY)
+            putDcOnlyBlock(writer, dc - predY, dcY, acY)
             predY = dc
             bx += 1
           }
           by += 1
         }
         val dcb = 8 * (cb(my * mw + mx) - 128)
-        putDcOnlyBlock(bw, dcb - predCb, dcC, acC); predCb = dcb
+        putDcOnlyBlock(writer, dcb - predCb, dcC, acC); predCb = dcb
         val dcr = 8 * (cr(my * mw + mx) - 128)
-        putDcOnlyBlock(bw, dcr - predCr, dcC, acC); predCr = dcr
+        putDcOnlyBlock(writer, dcr - predCr, dcC, acC); predCr = dcr
+        mcusInInterval += 1
+        if (dri > 0 && mcusInInterval == dri && !(my == mh - 1 && mx == mw - 1)) {
+          chunks += writer.result()
+          chunks += Array(0xff.toByte, (0xd0 + rstIdx).toByte)
+          rstIdx = (rstIdx + 1) % 8
+          writer = new BitWriterMsb
+          predY = 0; predCb = 0; predCr = 0
+          mcusInInterval = 0
+        }
         mx += 1
       }
       my += 1
     }
+    chunks += writer.result()
     Array(0xff.toByte, 0xd8.toByte) ++ app0Jfif ++ dqtUnit(0) ++ dqtUnit(1) ++
       dht(0, 0, DcLumBits, DcLumVals) ++ dht(1, 0, AcLumBits, AcLumVals) ++
       dht(0, 1, DcChrBits, DcChrVals) ++ dht(1, 1, AcChrBits, AcChrVals) ++
-      sof ++ sos ++ bw.result() ++ Array(0xff.toByte, 0xd9.toByte)
+      sof ++ driSeg ++ sos ++ chunks.flatten.toArray ++ Array(0xff.toByte, 0xd9.toByte)
   }
 
   /** 4:2:0 convenience shape (the x389 fixture layout). */

@@ -302,6 +302,14 @@ object MediaSynth {
       2 + hexNib(md, text, 1) % JpegBwMod,
       2 + hexNib(md, text, 2) % JpegBhMod)
 
+  /** Restart-interval policy for every JPEG fixture family (r15 verdict
+    * #4): a deterministic third of the docs carry DRI=2 + RSTn markers,
+    * so the decoder's restart path (marker sequencing, predictor resets,
+    * bit realignment) is exercised by the ORACLE-GATED pipeline each
+    * round, not only by JpegCodecSpec. Pixels are unchanged — the oracles
+    * re-derive pixel values from text, independent of stream framing. */
+  private[graft] def jpegDri(docId: Long): Int = if (docId % 3 == 0) 2 else 0
+
   private[graft] def jpeg420Geom(md: MessageDigest, text: String): (Int, Int, Int) =
     (1 + hexNib(md, text, 0) % JpegNFramesMod,
       1 + hexNib(md, text, 1) % JpegMcuMod,
@@ -331,7 +339,7 @@ object MediaSynth {
         val frames = (0 until nf).map { i =>
           val blocks = Array.tabulate(bh * bw)(j =>
             cellByte(md, text, i * bh * bw + j, JpegYMult, 0))
-          JpegCodec.encodeJpegGray(blocks, bw, bh)
+          JpegCodec.encodeJpegGray(blocks, bw, bh, dri = jpegDri(docId))
         }
         VideoDoc(docId, frames.reduce(_ ++ _), "jpg")
       }
@@ -403,7 +411,9 @@ object MediaSynth {
         val blockGrids = (0 until nf).map { i =>
           Array.tabulate(bh * bw)(j => cellByte(md, text, i * bh * bw + j, JpegYMult, 0))
         }
-        val jpegBytes = blockGrids.map(bl => JpegCodec.encodeJpegGray(bl, bw, bh)).reduce(_ ++ _)
+        val jpegBytes = blockGrids
+          .map(bl => JpegCodec.encodeJpegGray(bl, bw, bh, dri = jpegDri(docId)))
+          .reduce(_ ++ _)
         val bmpBytes = blockGrids.map { bl =>
           val w = 8 * bw; val h = 8 * bh
           val ch = Array.tabulate(w * h)(p => bl((p / w / 8) * bw + (p % w) / 8))
@@ -443,7 +453,7 @@ object MediaSynth {
             cellByte(md, text, i * mw * mh + j, JpegChromaMult, 1))
           val cr = Array.tabulate(mw * mh)(j =>
             cellByte(md, text, i * mw * mh + j, JpegChromaMult, 2))
-          JpegCodec.encodeJpegYcc(yB, cb, cr, mw, mh, hy, vy)
+          JpegCodec.encodeJpegYcc(yB, cb, cr, mw, mh, hy, vy, dri = jpegDri(docId))
         }
         VideoDoc(docId, frames.reduce(_ ++ _), fmt)
       }
@@ -497,7 +507,7 @@ object MediaSynth {
         val frames = (0 until nf).map { i =>
           val blocks = Array.tabulate(bh * bw)(j =>
             cellByte(md, text, i * bh * bw + j, JpegYMult, 0))
-          val jp = JpegCodec.encodeJpegGray(blocks, bw, bh)
+          val jp = JpegCodec.encodeJpegGray(blocks, bw, bh, dri = jpegDri(docId))
           Array[Byte]((jp.length & 0xff).toByte, ((jp.length >> 8) & 0xff).toByte,
             ((jp.length >> 16) & 0xff).toByte, ((jp.length >> 24) & 0xff).toByte) ++ jp
         }
