@@ -35,12 +35,33 @@ object Bench {
     spark
   }
 
-  /** Machine-load calibration probe: a fixed CPU-bound aggregation whose
-    * cost is independent of the query set — the unit in which committed
-    * records are comparable across boxes/rounds. One UNTIMED warmup run
-    * (the first execution pays codegen/JIT — measured start probes of
-    * 0.35–0.81s vs a 0.07s steady state in the r14 sweeps) then the MIN
-    * of `reps` (box capability; min sheds one-sided GC interjections). */
+  /** Monotonic shuffle-bytes meter (write+read totals across all tasks on
+    * this session). Callers take deltas around a run; reads drain the
+    * async listener bus first so a run's last task-end events are counted
+    * (GraftSparkHooks — never on a timed path). */
+  private final class ShuffleMeter(sc: org.apache.spark.SparkContext) {
+    private val bytes = new java.util.concurrent.atomic.AtomicLong()
+    sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) bytes.addAndGet(
+          m.shuffleWriteMetrics.bytesWritten + m.shuffleReadMetrics.totalBytesRead)
+      }
+    })
+    def read(): Long = {
+      org.apache.spark.GraftSparkHooks.drainListenerBus(sc)
+      bytes.get()
+    }
+  }
+
+  /** CPU-shaped calibration probe: a fixed tight-loop aggregation whose
+    * cost is independent of the query set — one axis of the v6 unit in
+    * which committed records are comparable across boxes/rounds. One
+    * UNTIMED warmup run (the first execution pays codegen/JIT — measured
+    * start probes of 0.35–0.81s vs a 0.07s steady state in the r14 sweeps)
+    * then the MIN of `reps` (box capability; min sheds one-sided GC
+    * interjections). */
   private def calibProbe(spark: SparkSession, cpus: Int, reps: Int = 3): Double =
     try {
       def once(): Double = {
@@ -55,29 +76,59 @@ object Bench {
       System.err.println(s"[bench] calib FAILED: ${e.getMessage}"); -1.0
     }
 
+  /** Shuffle-shaped calibration probe (v6, r15 verdict #1): a fixed
+    * full-row repartition — every row hash-partitioned, serialized,
+    * written to shuffle files and read back, with only a trivial count on
+    * top — so its seconds track the box's shuffle/serialization/disk
+    * throughput the way [[calibProbe]] tracks its arithmetic throughput.
+    * The r15 official sweep proved the two CAN diverge 3.6x on one box
+    * while query times hold still; normalizing a mixed CPU/shuffle query
+    * by the CPU probe alone is what manufactured 39 false suspects.
+    * Returns (min-of-reps seconds, shuffle bytes of one run) — the bytes
+    * calibrate per-query mix weights (BenchMath.mixWeight). */
+  private def shuffleProbe(spark: SparkSession, cpus: Int,
+                           meter: ShuffleMeter, reps: Int = 3): (Double, Double) =
+    try {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 3000000L, 1, cpus)
+          .selectExpr("id AS k", "id * 2654435761 AS v")
+          .repartition(org.apache.spark.sql.functions.col("k"))
+          .selectExpr("count(v) AS c").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warmup, discarded
+      val b0 = meter.read()
+      val t1 = once()
+      val bytes = (meter.read() - b0).toDouble
+      val t = (t1 +: (1 until reps).map(_ => once())).min
+      (t, bytes)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] shuffle calib FAILED: ${e.getMessage}"); (-1.0, 0.0)
+    }
+
   /** r14 judge finding: a single start-of-sweep calibration scalar cannot
     * model INTRA-sweep drift — the official r14 sweep degraded mid-run and
     * flagged 19 false suspects at start-ratio 0.963, and position skew
     * doubled x179/x180's committed records on unchanged code. Policy v5
-    * ("adaptive-v5-localcalib") therefore:
-    *  1. interleaves the calib probe every [[ProbeEvery]] queries and
-    *     normalizes EVERY timing by its nearest probe — per-query records
-    *     live in CALIB UNITS (seconds / probe-seconds), a box-speed-free
-    *     number comparable across rounds and across drifting sweeps;
-    *  2. commits MIN-across-sweeps records: the committed record for a
-    *     query is min(this sweep's ratio, prior record) — a slow patch of
-    *     box can only leave a record alone, never inflate it (the judge's
-    *     min-of-3-sweeps evidence, formalized). An INTENTIONAL slowdown
-    *     (code change) can reset its record via SPARK_GRAFT_FRESH_RECORDS
-    *     (comma-separated names, record := this sweep's ratio);
-    *  3. seed-shuffles the sweep order so residual position effects
-    *     decorrelate from specific query names round over round. */
+    * answered with interleaved CPU probes every [[ProbeEvery]] queries,
+    * per-query nearest-probe normalization, min-across-sweeps records in
+    * calib units, and seed-shuffled order. r15's residual: the CPU probe
+    * alone DECORRELATES from mixed CPU/shuffle queries when a box's
+    * arithmetic and shuffle throughput drift apart (official r15 sweep:
+    * probe ramped 0.144→0.039s, queries flat, 39 false suspects). Policy
+    * v6 ("adaptive-v6-dualprobe") therefore interleaves a SECOND,
+    * shuffle-shaped probe and normalizes every query by a per-query blend
+    * of the two probes, weighted by the query's own measured shuffle share
+    * (BenchMath). Records stay in the same units (on the pinned basis box
+    * the blend equals the CPU probe), so v5 history carries forward. */
   private val ProbeEvery = 25
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     var spark = newSession(cpus)
+    var meter = new ShuffleMeter(spark.sparkContext)
     // Materialize EVERY column: `.count()` would let Catalyst prune
     // computed projections that don't affect the row count, under-measuring
     // pure-projection queries. The noop sink consumes all rows/columns
@@ -102,9 +153,8 @@ object Bench {
     //     (both runs bound the true cost from above; min sheds one-sided
     //     noise) — only a disagreeing pair pays a tie-break 3rd run and
     //     records the median.
-    // SPARK_GRAFT_BENCH_RUNS=N forces the old fixed-N lower-median policy
-    // for apples-to-apples re-measurement (QueryTimer uses that path).
-    val fixedRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt)
+    // (The pre-v6 SPARK_GRAFT_BENCH_RUNS fixed-N branch is deleted — r15
+    // verdict #8: nothing used it; QueryTimer has its own median-of-3.)
     val SoloCutoff = 4.0
     val benchOutPath =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_last.json")
@@ -168,6 +218,7 @@ object Bench {
         .getOrElse(Set.empty)
 
     val calibStart = calibProbe(spark, cpus.toInt)
+    val (shCalibStart, shProbeBytes0) = shuffleProbe(spark, cpus.toInt, meter)
     // calib_ratio is retained as a DIAGNOSTIC (start probe vs prior sweep's
     // canonical probe); gates no longer use it — local probes subsume it.
     val priorCalib = parseNum(priorFile, "calib_s")
@@ -175,8 +226,19 @@ object Bench {
       if (calibStart > 0 && priorCalib > 0)
         math.max(0.25, math.min(4.0, calibStart / priorCalib))
       else 1.0
+    // Basis ratio: shuffleProbe/cpuProbe on the box the records mean
+    // "1 calib unit" on. Pinned ONCE in the artifact ("probe_basis") and
+    // carried forward verbatim so the unit never drifts; the first v6
+    // sweep establishes it from its own probe medians (and until the end
+    // of that sweep uses its start pair as the provisional value — the
+    // gates it feeds carry 2-3x margins).
+    val priorBasis = parseNum(priorFile, "probe_basis")
+    var basisRatio: Double =
+      if (priorBasis > 0) priorBasis
+      else if (calibStart > 0 && shCalibStart > 0) shCalibStart / calibStart
+      else -1.0
     System.err.println(
-      f"[bench] calib_start=$calibStart%.3fs prior_calib=$priorCalib%.3fs calib_ratio=$calibRatio%.3f (diagnostic)")
+      f"[bench] calib_start=$calibStart%.3fs shuffle_start=$shCalibStart%.3fs (${shProbeBytes0 / 1e6}%.0f MB) prior_calib=$priorCalib%.3fs probe_basis=$basisRatio%.3f calib_ratio=$calibRatio%.3f (diagnostic)")
 
     // Superseded capstones / strictly-contained family members are
     // verified by Verify/selfcheck but not re-timed (benchSkip).
@@ -184,6 +246,28 @@ object Bench {
     val skipped = Registry.all.filter(_.benchSkip).map(_.name)
     if (skipped.nonEmpty)
       System.err.println(s"[bench] benchSkip (verified, not timed): ${skipped.mkString(", ")}")
+
+    // Warm-touch first-appearance queries (r15 verdict #3): a query with
+    // no committed record gets one UNTIMED materialization at the smallest
+    // available SF before the sweep, so its first timed run measures the
+    // query, not first-touch JIT of a brand-new code path (x387's official
+    // r15 first record was 6.38s vs a 0.75s warm wrap for exactly this
+    // reason). sf0.001 keeps the touch to ~a second; errors are swallowed
+    // here and surface in the timed run.
+    val firstAppearance = benched.filter(q => !priorRecords.contains(q.name))
+    if (firstAppearance.nonEmpty) {
+      val warmDir = {
+        val p = java.nio.file.Paths.get(sfDir)
+        val sib = Option(p.getParent).map(_.resolve("sf0.001"))
+        sib.filter(java.nio.file.Files.exists(_)).map(_.toString).getOrElse(sfDir)
+      }
+      System.err.println(s"[bench] warm-touch (untimed, $warmDir) for ${firstAppearance.size} first-appearance quer${if (firstAppearance.size == 1) "y" else "ies"}: ${firstAppearance.map(_.name).mkString(", ")}")
+      firstAppearance.foreach { q =>
+        try materialize(q.fn(spark, warmDir)) catch { case _: Throwable => () }
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+    }
 
     // Seed-shuffled sweep order (policy v5 #3). The seed is logged in the
     // artifact so any sweep is reproducible.
@@ -224,103 +308,120 @@ object Bench {
     // a fresh SparkSession after the rest of the sweep's pressure is gone.
     val deferred = scala.collection.mutable.ArrayBuffer.empty[QueryDef]
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    // per-query segment index (which interleaved probe pair brackets it)
+    // per-query segment index (which interleaved probe pair brackets it);
+    // -1 marks "best measurement came from the fresh-session retry pass"
     val segOf = scala.collection.mutable.HashMap[String, Int]()
-    val segProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
-    segProbes += (if (calibStart > 0) calibStart else 1.0)
+    // per-query shuffle-mix weight (BenchMath.mixWeight from the first
+    // run's task-metric bytes) — emitted in the artifact as "probe_mix"
+    val mixOf = scala.collection.mutable.HashMap[String, Double]()
+    // Interleaved probe columns; <= 0 marks a FAILED probe (ADVICE r15:
+    // never normalize by a made-up 1.0 — BenchMath.localProbe borrows the
+    // nearest valid probe instead, and an all-failed CPU column disables
+    // record commits for the sweep entirely).
+    val cpuProbes = scala.collection.mutable.ArrayBuffer[Double](calibStart)
+    val shProbes = scala.collection.mutable.ArrayBuffer[Double](shCalibStart)
+    var shProbeBytes = math.max(shProbeBytes0, 1.0)
 
     order.zipWithIndex.foreach { case (q, qi) =>
       if (qi > 0 && qi % ProbeEvery == 0) {
-        val p = calibProbe(spark, cpus.toInt)
-        segProbes += (if (p > 0) p else segProbes.last)
-        System.err.println(f"[bench] probe[${segProbes.size - 1}]=${segProbes.last}%.3fs after $qi queries")
+        cpuProbes += calibProbe(spark, cpus.toInt)
+        val (shP, shB) = shuffleProbe(spark, cpus.toInt, meter)
+        shProbes += shP
+        if (shB > 0) shProbeBytes = shB
+        System.err.println(f"[bench] probe[${cpuProbes.size - 1}]=${cpuProbes.last}%.3fs shuffle=${shProbes.last}%.3fs after $qi queries")
       }
       val seg = qi / ProbeEvery
       segOf(q.name) = seg
-      val curProbe = segProbes(seg)
-      // mid-sweep gate ratio: prior record (calib units) × the probe that
-      // opened this segment — the best local estimate available before the
-      // closing probe exists.
-      def gateSecs(mult: Double): Option[Double] =
-        priorRecords.get(q.name).filter(_ > 0)
-          .map(r => mult * r * curProbe * transitionSlack)
       val name = q.name
+      // Per-query normalizer at THIS point in the sweep: blend of the
+      // segment-opening probes, weighted by the query's own shuffle share
+      // (known after the first run). Falls back to pure CPU (v5) until
+      // the mix/shuffle probe exists.
+      def normHere: Double = {
+        val c = BenchMath.localProbe(cpuProbes.toIndexedSeq, seg)
+        val s = BenchMath.localProbe(shProbes.toIndexedSeq, seg)
+        BenchMath.norm(c, s, basisRatio, mixOf.getOrElse(name, 0.0))
+      }
+      // mid-sweep gate: prior record (calib units) × the blended local
+      // normalizer — the best estimate available before the closing probe.
+      def gateSecs(mult: Double): Option[Double] =
+        priorRecords.get(name).filter(_ > 0).filter(_ => normHere > 0)
+          .map(r => mult * r * normHere * transitionSlack)
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       def ok = !errors.contains(name)
-      val recorded: Double = fixedRuns match {
-        case Some(n) => // legacy fixed-N lower median
-          (1 to n).foreach(_ => if (ok) run1(q).foreach(times += _))
-          if (!ok || times.isEmpty) 0.0
-          else times.sorted.apply((times.size - 1) / 2)
-        case None =>
-          run1(q).foreach(times += _)
-          if (ok && times.nonEmpty && times.head <= SoloCutoff) {
-            run1(q).foreach(times += _)
-            if (ok && times.size == 2 &&
-              (times.max - times.min) / times.min > 0.10) run1(q).foreach(times += _)
-          } else if (ok && times.nonEmpty &&
-            gateSecs(3.0).forall(g => times.head > g)) {
-            // Spike guard: expensive AND either >3x this query's record
-            // (presumably unchanged code) OR a FIRST-APPEARANCE query with
-            // no record to defend it (r10's x178 recorded a 22.6s load
-            // spike officially while three re-measurements said 9-11s,
-            // exactly because new queries skipped this guard) — one
-            // confirming rerun; min of the two bounds the true cost from
-            // above. If BOTH runs spike the condition is persistent and a
-            // same-session rerun proves nothing: log the box state and
-            // defer to the fresh-session retry pass.
-            System.err.println(
-              f"[bench] $name spike-guard rerun: first=${times.head}%.2fs record=${priorRecords.getOrElse(name, -1.0)}%.2fxcal probe=$curProbe%.3fs ${boxState(spark)}")
-            run1(q).foreach(times += _)
-            if (ok && times.size == 2 && gateSecs(3.0).exists(g => times.min > g)) {
-              System.err.println(
-                f"[bench] $name spike PERSISTED (${times.mkString("s, ")}s) — deferring to fresh-session retry ${boxState(spark)}")
-              deferred += q
-            }
-          }
-          if (!ok || times.isEmpty) 0.0
-          else if (times.size <= 2) times.min
-          else times.sorted.apply((times.size - 1) / 2)
+      val bytes0 = meter.read()
+      run1(q).foreach(times += _)
+      if (times.nonEmpty)
+        mixOf(name) = BenchMath.mixWeight(
+          times.head, (meter.read() - bytes0).toDouble,
+          BenchMath.localProbe(shProbes.toIndexedSeq, seg), shProbeBytes)
+      if (ok && times.nonEmpty && times.head <= SoloCutoff) {
+        run1(q).foreach(times += _)
+        if (ok && times.size == 2 &&
+          (times.max - times.min) / times.min > 0.10) run1(q).foreach(times += _)
+      } else if (ok && times.nonEmpty &&
+        gateSecs(3.0).forall(g => times.head > g)) {
+        // Spike guard: expensive AND either >3x this query's record
+        // (presumably unchanged code) OR a FIRST-APPEARANCE query with
+        // no record to defend it (r10's x178 recorded a 22.6s load
+        // spike officially while three re-measurements said 9-11s,
+        // exactly because new queries skipped this guard) — one
+        // confirming rerun; min of the two bounds the true cost from
+        // above. If BOTH runs spike the condition is persistent and a
+        // same-session rerun proves nothing: log the box state and
+        // defer to the fresh-session retry pass.
+        System.err.println(
+          f"[bench] $name spike-guard rerun: first=${times.head}%.2fs record=${priorRecords.getOrElse(name, -1.0)}%.2fxcal norm=$normHere%.3fs mix=${mixOf.getOrElse(name, 0.0)}%.2f ${boxState(spark)}")
+        run1(q).foreach(times += _)
+        if (ok && times.size == 2 && gateSecs(3.0).exists(g => times.min > g)) {
+          System.err.println(
+            f"[bench] $name spike PERSISTED (${times.mkString("s, ")}s) — deferring to fresh-session retry ${boxState(spark)}")
+          deferred += q
+        }
       }
+      val recorded: Double =
+        if (!ok || times.isEmpty) 0.0
+        else if (times.size <= 2) times.min
+        else times.sorted.apply((times.size - 1) / 2)
       results(name) = recorded
       // The 2-3x band escaped r12's guard: the in-place spike rerun fires
       // at >3x record but the suspect flag at >2x, so a 2.5x entry was
       // flagged suspect WITHOUT ever being re-measured under changed
-      // conditions. Any adaptive-policy entry still >2x its record after
-      // its in-sweep runs joins the fresh-session retry pass.
-      if (fixedRuns.isEmpty && !errors.contains(name) &&
+      // conditions. Any entry still >2x its record after its in-sweep
+      // runs joins the fresh-session retry pass.
+      if (!errors.contains(name) && normHere > 0 &&
           priorRecords.get(name).exists(r => r > RecordFloor &&
-            recorded > 2 * r * curProbe * transitionSlack) &&
+            recorded > 2 * r * normHere * transitionSlack) &&
           !deferred.exists(_.name == name)) {
         System.err.println(
-          f"[bench] $name >2x committed record ($recorded%.2fs vs ${priorRecords(name)}%.2fxcal at probe $curProbe%.3fs) — deferring to fresh-session retry ${boxState(spark)}")
+          f"[bench] $name >2x committed record ($recorded%.2fs vs ${priorRecords(name)}%.2fxcal at norm $normHere%.3fs) — deferring to fresh-session retry ${boxState(spark)}")
         deferred += q
       }
     }
-    // closing probe: every segment has a probe on BOTH sides
-    val calibEnd = calibProbe(spark, cpus.toInt)
-    segProbes += (if (calibEnd > 0) calibEnd else segProbes.last)
-
-    // local probe per query = min of the probes bracketing its segment
-    // (probes are upward-noisy: an interjection slows one, nothing speeds
-    // one — min is the box-capability estimate nearest the query).
-    def localProbe(name: String): Double = {
-      val s = segOf.getOrElse(name, 0)
-      math.min(segProbes(s), segProbes(math.min(s + 1, segProbes.size - 1)))
-    }
+    // closing probes: every segment has a probe pair on BOTH sides
+    cpuProbes += calibProbe(spark, cpus.toInt)
+    val (shEnd, shEndB) = shuffleProbe(spark, cpus.toInt, meter)
+    shProbes += shEnd
+    if (shEndB > 0) shProbeBytes = shEndB
+    val calibEnd = cpuProbes.last
 
     // Fresh-session retry pass: changed conditions, not repeated ones.
     // Bounded — if MANY queries spiked the box itself is degraded (the
     // local probes divide that out) and re-running a third of the sweep
     // would double wall time for no signal.
-    var retryProbe = -1.0
+    var retryCpuProbe = -1.0
+    var retryShProbe = -1.0
     if (deferred.nonEmpty && deferred.size <= 12) {
       System.err.println(
         s"[bench] fresh-session retry for ${deferred.size} persistent spike(s): ${deferred.map(_.name).mkString(", ")}")
       spark.stop()
       spark = newSession(cpus)
+      meter = new ShuffleMeter(spark.sparkContext)
       try materialize(SparkEntry.entry(spark)) catch { case _: Throwable => () }
-      retryProbe = calibProbe(spark, cpus.toInt)
+      retryCpuProbe = calibProbe(spark, cpus.toInt)
+      val (rsP, rsB) = shuffleProbe(spark, cpus.toInt, meter)
+      retryShProbe = rsP
+      if (rsB > 0) shProbeBytes = rsB
       deferred.foreach { q =>
         val retries = scala.collection.mutable.ArrayBuffer.empty[Double]
         run1(q).foreach(retries += _)
@@ -338,9 +439,9 @@ object Bench {
         }
         if (retries.nonEmpty) {
           val best = math.min(results(q.name), retries.min)
-          // if the retry produced the better number, its probe is the one
-          // that normalizes it
-          if (retries.min < results(q.name) && retryProbe > 0) segOf(q.name) = -1
+          // if the retry produced the better number, its probes are the
+          // ones that normalize it
+          if (retries.min < results(q.name) && retryCpuProbe > 0) segOf(q.name) = -1
           System.err.println(
             f"[bench] ${q.name} fresh-session retry: ${retries.map(t => f"$t%.2f").mkString("s, ")}s main=${results(q.name)}%.2fs recorded=$best%.2fs ${boxState(spark)}")
           results(q.name) = best
@@ -351,35 +452,50 @@ object Bench {
         s"[bench] ${deferred.size} persistent spikes — box-wide degradation, skipping retry pass (local probes are the divisor)")
     }
 
-    // Ratios (calib units) for every query: seconds / nearest probe.
-    // segOf == -1 marks "retry-pass measurement" → retry probe.
-    def probeFor(name: String): Double =
-      if (segOf.getOrElse(name, 0) == -1 && retryProbe > 0) retryProbe
-      else localProbe(name)
+    // An all-failed CPU probe column means NOTHING can be normalized this
+    // sweep: commit no records, flag no suspects, stamp the artifact
+    // (ADVICE r15 — a probe-less sweep must not write artificially low
+    // records that later sweeps can never beat).
+    val calibFailed = !cpuProbes.exists(_ > 0)
+    if (calibFailed)
+      System.err.println("[bench] EVERY cpu probe failed — records carried forward unchanged, no suspects flagged")
+
+    // If the basis wasn't inherited, pin it now from this sweep's medians
+    // (more robust than the provisional start pair the gates used).
+    val medCpu = BenchMath.medianValid(cpuProbes.toSeq)
+    val medSh = BenchMath.medianValid(shProbes.toSeq)
+    if (priorBasis <= 0 && medCpu > 0 && medSh > 0) {
+      basisRatio = medSh / medCpu
+      System.err.println(f"[bench] probe_basis established: $basisRatio%.3f (= $medSh%.3f / $medCpu%.3f)")
+    }
+
+    // Ratios (v6 calib units) for every query: seconds / blended local
+    // normalizer. segOf == -1 marks "retry-pass measurement" → retry probes.
+    def normFor(name: String): Double = {
+      val seg = segOf.getOrElse(name, 0)
+      val (c, s) =
+        if (seg == -1 && retryCpuProbe > 0) (retryCpuProbe, retryShProbe)
+        else (BenchMath.localProbe(cpuProbes.toIndexedSeq, seg),
+              BenchMath.localProbe(shProbes.toIndexedSeq, seg))
+      BenchMath.norm(c, s, basisRatio, mixOf.getOrElse(name, 0.0))
+    }
     val ratios: Map[String, Double] = results.collect {
-      case (name, t) if t > 0 && !errors.contains(name) => name -> t / probeFor(name)
+      case (name, t) if t > 0 && !errors.contains(name) && normFor(name) > 0 =>
+        name -> t / normFor(name)
     }.toMap
 
     // Committed records: min-across-sweeps in calib units (policy v5 #2).
     // A name in SPARK_GRAFT_FRESH_RECORDS resets to this sweep's ratio
     // (the escape hatch for INTENTIONAL slowdowns); a query absent from
-    // this sweep (error / benchSkip) carries its prior record forward so
-    // one bad sweep can't erase history.
+    // this sweep (error / benchSkip / failed probes) carries its prior
+    // record forward so one bad sweep can't erase history.
     val records: Map[String, Double] = {
       val names = (ratios.keySet ++ priorRecords.keySet)
         .filter(n => Registry.byName.contains(n))
       names.map { n =>
-        val cur = ratios.get(n)
+        val cur = if (calibFailed) None else ratios.get(n)
         val pri = priorRecords.get(n).filter(_ > 0)
-        val rec =
-          if (freshRecords.contains(n)) cur.orElse(pri).getOrElse(0.0)
-          else (cur, pri) match {
-            case (Some(c), Some(p)) => math.min(c, p)
-            case (Some(c), None) => c
-            case (None, Some(p)) => p
-            case _ => 0.0
-          }
-        n -> rec
+        n -> BenchMath.mergeRecord(cur, pri, freshRecords.contains(n))
       }.filter(_._2 > 0).toMap
     }
 
@@ -387,10 +503,12 @@ object Bench {
     // still >2x its committed record after the retry pass is flagged
     // suspect IN THE ARTIFACT, so the judge reads the divergence directly
     // instead of reconstructing it from git.
-    val suspect = ratios.collect {
-      case (name, r) if priorRecords.get(name).exists(p =>
-        p > RecordFloor && r > 2 * p * transitionSlack) => name
-    }.toSeq.sorted
+    val suspect =
+      if (calibFailed) Seq.empty[String]
+      else ratios.collect {
+        case (name, r) if priorRecords.get(name).exists(p =>
+          p > RecordFloor && r > 2 * p * transitionSlack) => name
+      }.toSeq.sorted
     if (suspect.nonEmpty)
       System.err.println(
         s"[bench] SUSPECT (>2x committed record in calib units): ${suspect.mkString(", ")}")
@@ -406,17 +524,18 @@ object Bench {
     val committedJson = numMap(priorQueries.toSeq.sortBy(_._1))
     val recordsJson = numMap(records.toSeq.sortBy(_._1))
     val priorRecordsJson = numMap(priorRecords.toSeq.sortBy(_._1))
-    val probesJson = segProbes.map(p => math.rint(p * 10000) / 10000).mkString("[", ",", "]")
+    val mixJson = numMap(mixOf.toSeq.sortBy(_._1))
+    def probeArr(ps: Seq[Double]): String =
+      ps.map(p => math.rint(p * 10000) / 10000).mkString("[", ",", "]")
     val suspectJson = suspect.map(jstr).mkString("[", ",", "]")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // calib_s stays the cross-round comparable number. Under v5 the
+    // calib_s stays the cross-round comparable number. Under v5+ the
     // canonical probe is the MEDIAN of the interleaved probes — robust to
     // both the start-of-JVM inflation (r14: start probes 4-9x the steady
     // state even after an untimed warmup) and to end-of-sweep outliers.
-    val sortedProbes = segProbes.sorted
-    val calib = sortedProbes(sortedProbes.size / 2)
+    val calib = medCpu
     // "total_s" is deliberately the LAST key: the driver stores only the log
     // TAIL, so early keys (including per-query timings) can truncate away —
     // the headline number must survive at the end of the line.
@@ -425,10 +544,13 @@ object Bench {
     // r12: + fresh-session deferred retry + committed/suspect fields;
     // r14: calib-normalized gates; r15: v5 — interleaved probes every 25
     // queries, per-query nearest-probe normalization, records committed in
-    // calib units with min-across-sweeps, seed-shuffled order) so
-    // cross-round tooling can refuse mixed-policy diffs (ADVICE r9).
-    val policy = fixedRuns.map(n => s"fixed-$n").getOrElse("adaptive-v5-localcalib")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","policy":"$policy","bench_skipped":${skipped.size},"order_seed":$orderSeed,"queries":$qs,"committed":$committedJson,"records":$recordsJson,"records_unit":"xcalib_probe","prior_records":$priorRecordsJson,"probes":$probesJson,"calib_ratio":$calibRatio,"calib_start_s":$calibStart,"calib_end_s":$calibEnd,"prior_calib_s":$priorCalib,"suspect":$suspectJson,"errors":$errs,"sf":"$sfDir","calib_s":$calib,"total_s":$total}"""
+    // calib units with min-across-sweeps, seed-shuffled order; r16: v6 —
+    // second shuffle-shaped probe, per-query mix-weighted blend normalizer,
+    // pinned probe_basis, warm-touch for first-appearance queries, probe
+    // validity/calib_failed hygiene) so cross-round tooling can refuse
+    // mixed-policy diffs (ADVICE r9).
+    val policy = "adaptive-v6-dualprobe"
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","policy":"$policy","bench_skipped":${skipped.size},"order_seed":$orderSeed,"queries":$qs,"committed":$committedJson,"records":$recordsJson,"records_unit":"xcalib_probe","prior_records":$priorRecordsJson,"probes":${probeArr(cpuProbes.toSeq)},"shuffle_probes":${probeArr(shProbes.toSeq)},"probe_mix":$mixJson,"probe_basis":${math.rint(basisRatio * 10000) / 10000},"calib_failed":$calibFailed,"calib_ratio":$calibRatio,"calib_start_s":$calibStart,"calib_end_s":$calibEnd,"prior_calib_s":$priorCalib,"calib_shuffle_s":${math.rint(medSh * 10000) / 10000},"suspect":$suspectJson,"errors":$errs,"sf":"$sfDir","calib_s":$calib,"total_s":$total}"""
     println(line)
     // The driver's stdout-tail capture truncated 74 of 132 per-query times
     // in round 7 ("parsed": null) — the file copy is the durable record for

@@ -750,7 +750,13 @@ object Round10Queries2 {
       survivorQuality, Some(survivorQualityOracle)),
     QueryDef("x133_stream_session_parity",
       "streaming session_window batch parity: real multi-batch file-stream run with cross-batch session merge == lag-gap recompute oracle",
-      streamSessionParity, Some(streamSessionParityOracle)),
+      streamSessionParity, Some(streamSessionParityOracle),
+      // r15 verdict #5 (streaming-parity bill): constant-gap
+      // session_window append drains are the special case of the
+      // still-timed x323_stream_dyngap_append (same session-window
+      // state-store operator, gap expression generalized) — Verify-gated
+      // every round, not re-timed.
+      benchSkip = true),
     QueryDef("x137_bucket_join",
       "bucketed co-located fact-fact join: one-time bucketed write, then exchange-free sort-merge join (plan-asserted)",
       bucketJoin, Some(bucketJoinOracle)),
@@ -759,7 +765,12 @@ object Round10Queries2 {
       labelSpreading, Some(labelSpreadingOracle)),
     QueryDef("x138_stream_join_parity",
       "stream-stream interval join batch parity: chronological file replay through the watermarked click-attribution join == batch interval join",
-      streamJoinParity, Some(streamJoinParityOracle)),
+      streamJoinParity, Some(streamJoinParityOracle),
+      // r15 verdict #5: the INNER interval-join drains are a strict
+      // subset of the still-timed x242_stream_outer_join_parity's
+      // left-outer matrix (same watermarked stream-stream join state,
+      // plus the unmatched-flush arm) — Verify-gated, not re-timed.
+      benchSkip = true),
     QueryDef("x139_partition_prune",
       "date-partitioned write + partition-pruned scan: year filter binds at planning time, 1 of 7 directories read (plan-asserted)",
       partitionPrune, Some(partitionPruneOracle)))

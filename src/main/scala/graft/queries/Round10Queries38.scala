@@ -89,5 +89,10 @@ object Round10Queries38 {
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("x207_tws_parity",
       "transformWithState (Spark-4 arbitrary-state API) batch parity: ValueState running purchase totals over 3 real micro-batches on RocksDB",
-      twsParity, Some(twsParityOracle)))
+      twsParity, Some(twsParityOracle),
+      // r15 verdict #5: the ValueState-across-micro-batches contract is
+      // exercised by four still-timed TWS ValueState queries (x303 token
+      // bucket, x349 Page-Hinkley, x375 SPRT, x306 warm start) on the
+      // same RocksDB provider path — Verify-gated, not re-timed.
+      benchSkip = true))
 }

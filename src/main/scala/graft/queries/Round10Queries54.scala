@@ -104,5 +104,11 @@ object Round10Queries54 {
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("x231_tws_timer_parity",
       "handleExpiredTimer parity: timer-flushed sessions over 3 real micro-batches equal batch sessions minus unflushed last-opens",
-      twsTimerParity, Some(twsTimerParityOracle)))
+      twsTimerParity, Some(twsTimerParityOracle),
+      // r15 verdict #5: TwsTimerSessionProcessor (ListState sessions,
+      // timer-only emission, constant gap) is the fixed-gap special case
+      // of the still-timed x362_tws_dyngap_timer's
+      // TwsDynTimerSessionProcessor (same ListState layout + timer
+      // contract, per-event dynamic gap) — Verify-gated, not re-timed.
+      benchSkip = true))
 }
