@@ -333,13 +333,16 @@ object Bench {
       val seg = qi / ProbeEvery
       segOf(q.name) = seg
       val name = q.name
-      // Per-query normalizer at THIS point in the sweep: blend of the
-      // segment-opening probes, weighted by the query's own shuffle share
-      // (known after the first run). Falls back to pure CPU (v5) until
-      // the mix/shuffle probe exists.
+      // Per-query GATE normalizer at THIS point in the sweep: blend of
+      // the GENEROUS probes (max of local bracket and running median —
+      // BenchMath.gateProbe; a momentary fast probe dip must not indict
+      // its segments), weighted by the query's own shuffle share (known
+      // after the first run). Falls back to pure CPU (v5) until the
+      // mix/shuffle probe exists. Records never use this normalizer —
+      // they keep the conservative min-bracket (see normFor below).
       def normHere: Double = {
-        val c = BenchMath.localProbe(cpuProbes.toIndexedSeq, seg)
-        val s = BenchMath.localProbe(shProbes.toIndexedSeq, seg)
+        val c = BenchMath.gateProbe(cpuProbes.toIndexedSeq, seg)
+        val s = BenchMath.gateProbe(shProbes.toIndexedSeq, seg)
         BenchMath.norm(c, s, basisRatio, mixOf.getOrElse(name, 0.0))
       }
       // mid-sweep gate: prior record (calib units) × the blended local
@@ -470,18 +473,28 @@ object Bench {
     }
 
     // Ratios (v6 calib units) for every query: seconds / blended local
-    // normalizer. segOf == -1 marks "retry-pass measurement" → retry probes.
-    def normFor(name: String): Double = {
+    // normalizer. segOf == -1 marks "retry-pass measurement" → retry
+    // probes. Two normalizers with OPPOSITE conservatism (r16 sweep-2
+    // finding, BenchMath.gateProbe doc): RECORD ratios divide by the
+    // min-bracket probe (ratchet only on the fastest defensible box
+    // estimate), SUSPECT ratios divide by the generous median-floored
+    // probe (a fast dip must not manufacture suspects).
+    def normWith(pick: (IndexedSeq[Double], Int) => Double)(name: String): Double = {
       val seg = segOf.getOrElse(name, 0)
       val (c, s) =
         if (seg == -1 && retryCpuProbe > 0) (retryCpuProbe, retryShProbe)
-        else (BenchMath.localProbe(cpuProbes.toIndexedSeq, seg),
-              BenchMath.localProbe(shProbes.toIndexedSeq, seg))
+        else (pick(cpuProbes.toIndexedSeq, seg), pick(shProbes.toIndexedSeq, seg))
       BenchMath.norm(c, s, basisRatio, mixOf.getOrElse(name, 0.0))
     }
+    val normFor = normWith(BenchMath.localProbe) _
+    val gateNormFor = normWith(BenchMath.gateProbe) _
     val ratios: Map[String, Double] = results.collect {
       case (name, t) if t > 0 && !errors.contains(name) && normFor(name) > 0 =>
         name -> t / normFor(name)
+    }.toMap
+    val gateRatios: Map[String, Double] = results.collect {
+      case (name, t) if t > 0 && !errors.contains(name) && gateNormFor(name) > 0 =>
+        name -> t / gateNormFor(name)
     }.toMap
 
     // Committed records: min-across-sweeps in calib units (policy v5 #2).
@@ -505,7 +518,7 @@ object Bench {
     // instead of reconstructing it from git.
     val suspect =
       if (calibFailed) Seq.empty[String]
-      else ratios.collect {
+      else gateRatios.collect {
         case (name, r) if priorRecords.get(name).exists(p =>
           p > RecordFloor && r > 2 * p * transitionSlack) => name
       }.toSeq.sorted

@@ -78,6 +78,24 @@ object BenchMath {
     if (v.isEmpty) -1.0 else v(v.size / 2)
   }
 
+  /** GENEROUS probe for suspicion gates: max(local min-bracket, sweep
+    * median). The two probe uses need OPPOSITE conservatism (measured in
+    * the r16 sweep-2 shape): committed records must ratchet only on the
+    * FASTEST defensible box estimate (min-bracket — a probe can read fast
+    * only by actually running fast), while a false SUSPECT is manufactured
+    * by exactly that same fast dip when the box oscillates between CPU
+    * states faster than the probe cadence — 12 of sweep-2's 14 suspects
+    * had raw seconds equal to sweep-1's, flagged because one 0.053s probe
+    * dip amid a 0.10s median poisoned its two segments. Flooring the gate
+    * probe at the sweep median keeps a dip from indicting 50 queries
+    * while a locally-slow patch (localMin > median) still widens the gate
+    * as before. Records NEVER use this. */
+  def gateProbe(probes: IndexedSeq[Double], seg: Int): Double = {
+    val local = localProbe(probes, seg)
+    val med = medianValid(probes)
+    if (local <= 0) med else math.max(local, med)
+  }
+
   /** Committed record merge: min-across-sweeps unless `fresh` resets it
     * (the escape hatch for INTENTIONAL slowdowns). */
   def mergeRecord(cur: Option[Double], prior: Option[Double],

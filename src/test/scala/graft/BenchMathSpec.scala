@@ -86,6 +86,31 @@ class BenchMathSpec extends AnyFunSuite {
     assert(BenchMath.localProbe(IndexedSeq(0.09, 0.08), 5) === 0.08)
   }
 
+  test("r16 sweep-2 replay: a probe dip on an oscillating box must not manufacture suspects, but records stay conservative") {
+    // The r16 sweep-2 shape: box runs queries at ~2x the record basis
+    // (median cpu probe 0.10 vs records set at ~0.054), but one probe
+    // dips to 0.053 — the box momentarily ran fast while its segment's
+    // queries ran slow. q48's shape: record 25.25 xcal, raw 2.65 s.
+    val probes = IndexedSeq(0.10, 0.053, 0.10, 0.11, 0.095)
+    val record = 25.25
+    val raw = 2.65
+    // min-bracket (record normalizer) around the dip reads 0.053 →
+    // gate at 2*record*0.053 = 2.68 ≈ raw: under v6.0 this flagged q48
+    val minProbe = BenchMath.localProbe(probes, 1)
+    assert(minProbe === 0.053)
+    assert(raw / minProbe > 1.9 * record, "min-bracket normalization sits at the gate edge")
+    // generous gate probe floors at the sweep median → no suspect
+    val gp = BenchMath.gateProbe(probes, 1)
+    assert(gp === 0.10)
+    assert(raw / gp <= 2 * record, "median-floored gate must clear the flat query")
+    // a genuine regression (6 s raw on the same box) IS still flagged
+    assert(6.0 / gp > 2 * record)
+    // a locally-SLOW patch (localMin above median) keeps the wider gate
+    assert(BenchMath.gateProbe(IndexedSeq(0.10, 0.15, 0.16), 1) === 0.15)
+    // all-invalid bracket falls back to the median, not -1
+    assert(BenchMath.gateProbe(IndexedSeq(-1.0, -1.0, 0.1, 0.12), 0) > 0)
+  }
+
   test("medianValid ignores failed probes; mergeRecord keeps min unless fresh") {
     assert(BenchMath.medianValid(Seq(-1.0, 0.08, 0.10, 0.09)) === 0.09)
     assert(BenchMath.medianValid(Seq(-1.0, -1.0)) === -1.0)
