@@ -46,13 +46,18 @@ object Round14Queries3 {
     * stored codes are 16 bytes/vector, the ADC scan is two integer table
     * lookups per subspace.
     *
-    * Rerank depth is CORPUS-PROPORTIONAL — max(Rerank, corpus/100) via a
+    * Rerank depth is CORPUS-PROPORTIONAL — max(Rerank, corpus/32) via a
     * broadcast scalar, oracle re-derived (r15 verdict #2): the r15
     * RecallSweep measured the fixed-64 depth decaying 0.917 → 0.628 →
-    * 0.532 recall@3 at 1x/10x/30x corpus while rerank ≈ 1% of corpus
-    * restores ≥ 0.95 at every scale, at no extra wall cost (the ADC scan
-    * dominates). The shipped default IS the measured production guidance;
-    * at sf ≤ 0.1 the floor (64) binds, so committed results are
+    * 0.532 recall@3 at 1x/10x/30x corpus while rerank ≈ 3% of corpus
+    * (640 of 20k, 1800 of 60k) restores ≥ 0.95 at every scale, at no
+    * extra wall cost (the ADC scan dominates). r16 correction: the r15
+    * PLANS table overstated the corpora 3x (6k/60k/180k; the embeddings
+    * tables actually hold 2k/20k/60k vectors), so the measured mitigation
+    * is ~3%, not 1% — a 1% default re-measured at only 0.848/0.903.
+    * n/32 (3.125%) re-measures at 0.965/0.979 (RecallSweep auto, r16).
+    * The shipped default IS the measured production guidance; at
+    * sf ≤ 0.1 the floor (64) binds, so committed results are
     * unchanged. */
   def pqResidualTopK(spark: SparkSession, dir: String): DataFrame =
     pqResidualTopKWith(spark, dir, None)
@@ -123,7 +128,7 @@ object Round14Queries3 {
           case Some(r) => ranked.filter($"ark" <= r)
           case None => // corpus-proportional: one broadcast scalar row
             val rr = emb.agg(greatest(lit(Rerank.toLong),
-              floor(count(lit(1)) / lit(100)).cast("long")).as("rr"))
+              floor(count(lit(1)) / lit(32)).cast("long")).as("rr"))
             ranked.crossJoin(broadcast(rr)).filter($"ark" <= $"rr").drop("rr")
         }
       }
@@ -233,7 +238,7 @@ object Round14Queries3 {
        |          FROM cand
        |          JOIN e ce ON ce.vec_id = cand.vec_id
        |          JOIN e qe ON qe.vec_id = cand.q_id
-       |          WHERE cand.ark <= (SELECT greatest($Rerank, count(*) // 100) FROM embeddings)),
+       |          WHERE cand.ark <= (SELECT greatest($Rerank, count(*) // 32) FROM embeddings)),
        |r AS (SELECT q_id, vec_id, aip_fp, cosine,
        |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
        |      FROM exact),
@@ -250,6 +255,6 @@ object Round14Queries3 {
 
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("x363_pq_residual_topk",
-      "two-level residual PQ: both codebooks Lloyd-trained + oracle-rederived, ADC over 2 integer tables, corpus-proportional rerank max(64, n/100), in-query recall audit (recall@3 0.917 at sf0.1, >=0.95 held at 10x/30x corpus) (X3)",
+      "two-level residual PQ: both codebooks Lloyd-trained + oracle-rederived, ADC over 2 integer tables, corpus-proportional rerank max(64, n/32), in-query recall audit (recall@3 0.917 at sf0.1, >=0.95 held at 10x/30x corpus) (X3)",
       pqResidualTopK, Some(pqResidualOracle)))
 }
