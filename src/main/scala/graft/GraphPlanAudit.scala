@@ -54,6 +54,10 @@ object GraphPlanAudit {
     println("\n===== sssp: one Bellman-Ford relaxation (dist ⋈ edges → union → per-node min) =====")
     Graph.ssspStep(dist, edges).explain("formatted")
 
+    println("\n===== components stars: convergence probe (one census aggregation — r16 fusion of semi-join count + groupBy count) =====")
+    graft.operators.Components.starCensusPending(edges.select(col("src"), col("dst")))
+      .explain("formatted")
+
     val eDec = edges.select(col("src"), col("dst"),
       col("w").cast("decimal(38,0)").as("w"))
     val hubs = nd.select(col("node"), lit(1).cast("decimal(38,0)").as("hub"))

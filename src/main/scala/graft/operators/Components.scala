@@ -173,13 +173,17 @@ object Components {
     // the final label join then emits u twice with r1 ≠ r2 (hit on x179's
     // base-edge subset at sf0.01: 501 label rows for 500 nodes; one more
     // small-star round resolves it, the loop just has to keep going).
-    def notStar(cur: DataFrame): Long = {
-      val chains = cur
-        .join(realias(cur).select(col("src").as("dst")).distinct(), Seq("dst"), "left_semi")
-        .count()
-      val multiParent = cur.groupBy("src").count().filter(col("count") > 1).count()
-      chains + multiParent
-    }
+    //
+    // Both conjuncts are counted in ONE aggregation pass over a per-node
+    // (out-degree s, in-degree d) census: chains = Σ_{n: s>0} d (each edge
+    // whose dst is also a src) and multiParent = #{n: s>1} — value-identical
+    // to the former semi-join count + groupBy count, but one job and one
+    // full exchange per round instead of two of each (r16: the check ran
+    // 2× per round on every components consumer — x14/x179/x180/x185/x244/
+    // x364 — and the edge state is checkpointed, so the extra pass was pure
+    // convergence-probe overhead).
+    def notStar(cur: DataFrame): Long =
+      starCensusPending(cur).first().getLong(0)
     var pending = notStar(e)
     while (pending > 0 && iter < maxIter) {
       // LARGE-STAR over symmetric neighborhoods: m reduces map-side (min
@@ -222,6 +226,26 @@ object Components {
       .join(lab, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("component"), col(idCol)).as("component"))
     (labels, iter)
+  }
+
+  /** The stars loop's convergence probe as ONE plannable aggregation
+    * (r16; the per-round driver action `notStar` above): a per-node
+    * (out-degree s, in-degree d) census of the current edge state, reduced
+    * to the single pending count chains + multiParent =
+    * Σ_{n: s>0} d + #{n: s>1}. Package-visible so GraphPlanAudit can print
+    * the shape without executing a components fixpoint. */
+  private[graft] def starCensusPending(cur: DataFrame): DataFrame = {
+    // fresh ExprIds for the second reference of `cur` — same
+    // DeduplicateRelations-under-AQE hazard the loop's realias documents
+    val dstSide = cur.select(cur.columns.map(c => col(c).as(c)).toIndexedSeq: _*)
+      .select(col("dst").as("n"), lit(0L).as("s"), lit(1L).as("d"))
+    val census = cur.select(col("src").as("n"), lit(1L).as("s"), lit(0L).as("d"))
+      .unionByName(dstSide)
+      .groupBy(col("n"))
+      .agg(sum(col("s")).as("s"), sum(col("d")).as("d"))
+    census.agg(coalesce(sum(
+        when(col("s") > 0, col("d")).otherwise(0L)
+          + when(col("s") > 1, 1L).otherwise(0L)), lit(0L)).as("pending"))
   }
 
   /** See [[connectedComponentsStarsWithRounds]]. */

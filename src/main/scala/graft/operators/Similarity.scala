@@ -89,7 +89,7 @@ object Similarity {
           (col("sx").cast("double") / (col("nx").cast("double") * CentroidFixedPoint))
             .cast("float").as("m"))
         .groupBy(col("cent_id"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("m")))),
           e => e.getField("m")).as("mv"))
         .withColumn("mn", norm(col("mv")))
       // keep the previous centroid when its cluster went empty (it would
@@ -150,7 +150,7 @@ object Similarity {
           (col("sx").cast("double") / (col("nx").cast("double") * CentroidFixedPoint))
             .cast("float").as("m"))
         .groupBy(col("s"), col("c"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("m")))),
           e => e.getField("m")).as("mv"))
       cur = cur.select(col("s"), col("c"), col("cv").as("prev_cv"))
         .join(means, Seq("s", "c"), "left")

@@ -899,7 +899,7 @@ object AnalyticsQueries {
         substring($"event_type", 1, 1).as("ch"))
       .groupBy($"user_id")
       .agg(array_join(
-        transform(array_sort(collect_list(struct($"ts", $"event_id", $"ch"))),
+        transform(sort_array(collect_list(struct($"ts", $"event_id", $"ch"))),
           x => x.getField("ch")), "").as("journey"))
     j.select($"user_id", length($"journey").as("n_events"),
         regexp_count($"journey", lit("v[ce]*p")).as("n_conversions"),

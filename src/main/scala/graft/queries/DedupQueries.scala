@@ -503,7 +503,7 @@ object DedupQueries {
     val dfreq = e.groupBy($"g").agg(count(lit(1)).as("df"))
     val ordered = e.join(broadcast(dfreq), "g")
       .groupBy($"doc_id")
-      .agg(array_sort(collect_list(struct($"df", $"g"))).as("ord"))
+      .agg(sort_array(collect_list(struct($"df", $"g"))).as("ord"))
       .select($"doc_id", transform($"ord", x => x.getField("g")).as("og"),
         size($"ord").as("n"))
     // p = n − ⌈τ·n⌉ + 1 = ⌊n/2⌋ + 1 at τ = 1/2, in integer arithmetic

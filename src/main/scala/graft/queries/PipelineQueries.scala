@@ -248,7 +248,7 @@ object PipelineQueries {
         count(lit(1)).as("n_docs"),
         sum($"n_tok").as("tot_tok"),
         md5(array_join(
-          transform(array_sort(collect_list(struct($"skey", $"doc_id"))),
+          transform(sort_array(collect_list(struct($"skey", $"doc_id"))),
             s => s.getField("doc_id").cast("string")), ",")).as("order_md5"))
       .orderBy("shard")
   }
@@ -728,8 +728,16 @@ object PipelineQueries {
       .withColumn("present", lit(true))
     val trainFps = fps.filter($"doc_id" % 40 =!= 0)
       .select($"doc_id".as("train_id"), $"fp")
+    // r16: dedupe the k=3 probe positions ARRAY-LOCALLY before the explode
+    // instead of a corpus-wide .distinct() after it — (train_id, fp) is
+    // unique upstream, so duplicate (train_id, fp, pos) rows can only come
+    // from one fp's own hash slices colliding mod m; array_distinct removes
+    // exactly those, deleting a full shuffle+dedup of the 3×|train fps|
+    // intermediate (the query's largest). Oracle's DISTINCT unchanged —
+    // same set either way.
     val gramHits = trainFps.crossJoin(broadcast(m))
-      .select($"train_id", $"fp", explode(positions($"fp", $"m")).as("pos")).distinct()
+      .select($"train_id", $"fp",
+        explode(array_distinct(positions($"fp", $"m"))).as("pos"))
       .join(broadcast(evalPos), Seq("pos"), "left")
       .groupBy($"train_id", $"fp")
       .agg(count(lit(1)).as("np"), count($"present").as("ni"))

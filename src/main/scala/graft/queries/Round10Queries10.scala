@@ -46,7 +46,7 @@ object Round10Queries10 {
         max($"nd").cast("int").as("max_shared_docs"),
         md5(array_join(
           transform(
-            array_sort(collect_list(when($"nd" < 2, struct($"k", $"span")))),
+            sort_array(collect_list(when($"nd" < 2, struct($"k", $"span")))),
             s => s.getField("span")),
           " ")).as("kept_md5"))
       .orderBy("doc_id")

@@ -209,7 +209,7 @@ object Round10Queries12 {
       .agg(count(lit(1)).cast("int").as("n_turns"),
         sum(when($"turn" % 2 === 1, 1).otherwise(0)).cast("int").as("n_user_turns"),
         md5(array_join(
-          transform(array_sort(collect_list(struct($"turn", $"line"))),
+          transform(sort_array(collect_list(struct($"turn", $"line"))),
             s => s.getField("line")),
           "\n")).as("convo_md5"))
       .orderBy("user_id")

@@ -196,6 +196,7 @@ object Round10Queries13 {
         expr("unix_timestamp(cast(date_trunc('second', ts) as timestamp))")
           .cast("long").as("sec"),
         $"event_id", $"event_type")
+      .localCheckpoint(true) // r16: one scan for all staged slices
     val bounds = (Long.MinValue +: SecCuts) zip (SecCuts :+ Long.MaxValue)
     bounds.zipWithIndex.foreach { case ((lo, hi), i) =>
       val f = ev.filter($"sec" >= lo && $"sec" < hi)

@@ -170,7 +170,7 @@ object Round10Queries14 {
         sum(floor($"value" * 100 + lit(0.5)).cast("long")).as("cents"),
         sum($"ts_us" % 1000000L).as("us_sum"),
         md5(array_join(transform(
-          array_sort(collect_list(struct($"ts_us", $"event_id"))),
+          sort_array(collect_list(struct($"ts_us", $"event_id"))),
           s => s.getField("event_id").cast("string")), ",")).as("order_md5"))
       .localCheckpoint()
     QueryUtil.deleteRecursively(base)

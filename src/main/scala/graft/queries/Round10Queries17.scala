@@ -114,6 +114,7 @@ object Round10Queries17 {
         expr("unix_timestamp(cast(date_trunc('second', ts) as timestamp))")
           .cast("long").as("sec"),
         datediff(to_date($"ts"), lit("2024-01-01")).as("dayn"))
+      .localCheckpoint(true) // r16: one scan for 3 staged slices + the batch arm
     val bounds = (Long.MinValue +: SecCuts) zip (SecCuts :+ Long.MaxValue)
     bounds.zipWithIndex.foreach { case ((lo, hi), i) =>
       val f = ev.filter($"sec" >= lo && $"sec" < hi)

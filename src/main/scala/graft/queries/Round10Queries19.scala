@@ -54,7 +54,7 @@ object Round10Queries19 {
       .agg((count(lit(1)) + 1).cast("int").as("n_windows"),
         sum($"cut").cast("int").as("n_cuts"),
         md5(coalesce(array_join(
-          transform(array_sort(collect_list(when($"cut" === 1, struct($"w")))),
+          transform(sort_array(collect_list(when($"cut" === 1, struct($"w")))),
             s => s.getField("w").cast("string")), ","), lit(""))).as("cuts_md5"))
       .orderBy("doc_id")
   }

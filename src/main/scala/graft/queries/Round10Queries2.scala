@@ -238,13 +238,13 @@ object Round10Queries2 {
   def dupNgramMass(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val G = 8
-    val docs = Tables.documents(spark, dir)
-      .select($"doc_id", graft.operators.TextAnalysis.tokens($"text").as("toks"))
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    // native one-pass 8-grams (r16): the interpreted transform() lambda
+    // re-ran slice+concat per element; token_ngrams emits the identical
+    // list and returns [] for docs shorter than G (the old when() guard)
     val grams = docs
       .select($"doc_id",
-        explode(when(size($"toks") >= G,
-          expr(s"transform(sequence(0, size(toks) - $G), i -> concat_ws(' ', slice(toks, i + 1, $G)))"))
-          .otherwise(array())).as("gram"))
+        explode(call_function("token_ngrams", $"text", lit(G))).as("gram"))
     val cd = grams.groupBy($"doc_id", $"gram").agg(count(lit(1)).as("c"))
     val ct = cd.groupBy($"gram").agg(sum($"c").as("total"))
     val perDoc = cd.join(ct, "gram")
@@ -605,7 +605,9 @@ object Round10Queries2 {
     * strictly increasing mtimes, so the file stream source (which orders
     * by modification time) replays them in event-time order — the
     * discipline a production file-drop pipeline provides naturally. */
-  private def stageSlices(df: DataFrame, tsCol: String, dir: String): Unit = {
+  private def stageSlices(df0: DataFrame, tsCol: String, dir: String): Unit = {
+    // r16: snapshot once — slices filter the checkpoint, not a re-scan
+    val df = df0.localCheckpoint(true)
     val fs = java.nio.file.FileSystems.getDefault
     SliceCuts.zipWithIndex.foldLeft(Option.empty[String]) { case (lo, (hi, i)) =>
       val slice = lo.fold(df.filter(col(tsCol) < hi))(l =>

@@ -40,6 +40,7 @@ object Round10Queries38 {
         expr("unix_timestamp(cast(date_trunc('second', ts) as timestamp))")
           .cast("long").as("sec"),
         floor($"value" * 100 + 0.5).cast("long").as("cents"))
+      .localCheckpoint(true) // r16: one scan for all staged slices
     val bounds = (Long.MinValue +: SliceCuts) zip (SliceCuts :+ Long.MaxValue)
     bounds.zipWithIndex.foreach { case ((lo, hi), i) =>
       purchases.filter($"sec" >= lo && $"sec" < hi)

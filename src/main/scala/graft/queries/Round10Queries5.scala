@@ -32,8 +32,13 @@ object Round10Queries5 {
   private def stageSlicesBy(df: DataFrame, colName: String, cuts: Seq[Long],
       dir: String): Unit = {
     val bounds = (Long.MinValue +: cuts) zip (cuts :+ Long.MaxValue)
+    // r16: snapshot the cohort ONCE — each staged slice used to re-run the
+    // whole upstream scan+projection per filter (N+1 slices = N+1 parquet
+    // scans); the slices now filter the in-memory snapshot. Bench/Verify
+    // unpersist checkpoint blocks between queries.
+    val snap = df.localCheckpoint(true)
     stageFrames(bounds.map { case (lo, hi) =>
-      df.filter(col(colName) >= lo && col(colName) < hi)
+      snap.filter(col(colName) >= lo && col(colName) < hi)
     }, dir)
   }
 
@@ -296,6 +301,7 @@ object Round10Queries5 {
     val base = java.nio.file.Files.createTempDirectory("graft_x152").toString
     val ev = Tables.events(spark, dir)
       .select(date_trunc("second", $"ts").as("ts"), $"event_id")
+      .localCheckpoint(true) // r16: one scan for the four staged slices
     val cut1 = lit("2024-01-11").cast("timestamp_ntz")
     val cut2 = lit("2024-01-21").cast("timestamp_ntz")
     val isLate = $"event_id" % 20 === 0 && $"ts" < cut1

@@ -44,6 +44,7 @@ object Round10Queries54 {
           .cast("long").as("sec"))
       .select($"user_id", $"sec",
         $"sec".cast("timestamp").as("ts"))
+      .localCheckpoint(true) // r16: one scan for all staged slices
     val bounds = (Long.MinValue +: SliceCuts) zip (SliceCuts :+ Long.MaxValue)
     bounds.zipWithIndex.foreach { case ((lo, hi), i) =>
       ev.filter($"sec" >= lo && $"sec" < hi)

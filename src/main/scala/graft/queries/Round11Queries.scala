@@ -108,7 +108,7 @@ object Round11Queries {
       .join(segs, "word") // vocab dim join; broadcasts via AQE at any sane vocab
       .groupBy($"doc_id")
       .agg(sum($"n_sym").as("n_tok"),
-        md5(array_join(transform(array_sort(collect_list(struct($"pos", $"seg"))),
+        md5(array_join(transform(sort_array(collect_list(struct($"pos", $"seg"))),
           x => x.getField("seg")), " ")).as("toks_md5"))
   }
 
@@ -242,11 +242,13 @@ object Round11Queries {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", split($"text", " ").as("toks"))
-    val grams = docs.select($"doc_id",
-      posexplode(when(size($"toks") >= SpanG,
-        expr(s"transform(sequence(0, size(toks) - $SpanG), " +
-          "i -> concat_ws(' ', slice(toks, i + 1, " + SpanG + ")))"))
-        .otherwise(array())).as(Seq("p0", "gram")))
+    // native one-pass G-grams (r16): the interpreted transform() lambda
+    // re-ran slice+concat per element (O(tokens·G) interpreter steps per
+    // doc); token_ngrams emits the identical in-order gram list and [] for
+    // short docs (the old when() guard), so posexplode positions match
+    val grams = Tables.documents(spark, dir).select($"doc_id",
+      posexplode(call_function("token_ngrams", $"text", lit(SpanG)))
+        .as(Seq("p0", "gram")))
       .select($"doc_id", ($"p0" + 1).as("p"), $"gram") // 1-based start pos
     val ct = grams.groupBy($"gram").agg(count(lit(1)).as("total"))
     val dupStarts = grams.join(ct.filter($"total" >= 2), "gram")

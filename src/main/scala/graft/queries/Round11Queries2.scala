@@ -158,11 +158,14 @@ object Round11Queries2 {
   def streamOuterJoinParity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_x242").toString
+    // r16: snapshot once — the view/click slice stack used to re-scan
+    // events per staged file (2 sides × 3 slices)
     val ev = Tables.events(spark, dir).filter($"user_id" < OuterUsers)
       .select($"user_id", $"event_id", $"event_type",
         date_trunc("second", $"ts").as("ts"),
         expr("unix_timestamp(cast(date_trunc('second', ts) as timestamp))")
           .cast("long").as("sec"))
+      .localCheckpoint(true)
     val views = ev.filter($"event_type" === "view")
       .select($"user_id".as("view_user"), $"event_id".as("view_id"),
         $"ts".as("view_ts"), $"sec")
@@ -268,11 +271,14 @@ object Round11Queries2 {
   def chainedStatefulParity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_x243").toString
+    // r16: snapshot once — the slice + same-batch-dup + cross-batch-dup
+    // stack used to re-scan events per staged filter (~7 scans)
     val ev = Tables.events(spark, dir).filter($"user_id" < ChainUsers)
       .select($"event_id", $"user_id",
         date_trunc("second", $"ts").as("ts"),
         expr("unix_timestamp(cast(date_trunc('second', ts) as timestamp))")
           .cast("long").as("sec"))
+      .localCheckpoint(true)
     val bounds = (Long.MinValue +: ChainCuts) zip (ChainCuts :+ Long.MaxValue)
     val slices = bounds.zipWithIndex.map { case ((lo, hi), i) =>
       val slice = ev.filter($"sec" >= lo && $"sec" < hi)

@@ -180,12 +180,11 @@ object Round11Queries22 {
     * hash aggregates, the second over |distinct counts| rows. */
   def chao1(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // native one-pass bigrams (r16): same list as the interpreted
+    // transform() lambda (concat with single space), [] for 1-token docs
+    // (the old size>=2 guard)
     val types = Tables.documents(spark, dir)
-      .select(split($"text", " ").as("toks"))
-      .filter(size($"toks") >= 2) // sequence() descends when size < 2
-      .select(explode(expr(
-        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))"))
-        .as("tok"))
+      .select(explode(call_function("token_ngrams", $"text", lit(2))).as("tok"))
       .groupBy($"tok").agg(count(lit(1)).as("f"))
     val fof = types.groupBy($"f").agg(count(lit(1)).as("types"))
       .localCheckpoint(true)

@@ -39,7 +39,7 @@ object Round12Queries {
       .filter($"rk" <= PermN)
     val groups = ranked.groupBy($"nationkey")
       .agg(count(lit(1)).as("nrows"),
-        expr("transform(array_sort(collect_list(struct(o_orderkey, cents))), x -> x.cents)")
+        expr("transform(sort_array(collect_list(struct(o_orderkey, cents))), x -> x.cents)")
           .as("vals"),
         sum(when($"rk" <= PermK, $"cents").otherwise(0L)).as("sum_a_obs"),
         sum($"cents").as("s"))
@@ -515,8 +515,10 @@ object Round12Queries {
                                df: DataFrame): Unit = {
     import spark.implicits._
     val bounds = (Long.MinValue +: SliceCuts) zip (SliceCuts :+ Long.MaxValue)
+    // r16: snapshot once — slices filter the checkpoint, not a re-scan
+    val snap = df.localCheckpoint(true)
     QueryUtil.stageFrames(
-      bounds.map { case (lo, hi) => df.filter($"sec" >= lo && $"sec" < hi) },
+      bounds.map { case (lo, hi) => snap.filter($"sec" >= lo && $"sec" < hi) },
       s"$base/src")
   }
 
@@ -732,13 +734,12 @@ object Round12Queries {
   def contamSpan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val G = ContamSpanG
-    val docs = Tables.documents(spark, dir)
-      .select($"doc_id", split($"text", " ").as("toks"))
-    val grams = docs.select($"doc_id",
-      posexplode(when(size($"toks") >= G,
-        expr(s"transform(sequence(0, size(toks) - $G), " +
-          s"i -> concat_ws(' ', slice(toks, i + 1, $G)))"))
-        .otherwise(array())).as(Seq("p0", "gram")))
+    // native one-pass G-grams (r16, same rewrite as x237): identical
+    // in-order gram list, [] for short docs — the lambda form re-ran
+    // slice+concat through the HOF interpreter per element
+    val grams = Tables.documents(spark, dir).select($"doc_id",
+      posexplode(call_function("token_ngrams", $"text", lit(G)))
+        .as(Seq("p0", "gram")))
       .select($"doc_id", ($"p0" + 1).as("p"), $"gram")
     val evalGrams = grams.filter($"doc_id" % 40 === 0)
       .select($"gram").distinct()
@@ -1041,7 +1042,7 @@ object Round12Queries {
       .groupBy($"user_id")
       .agg(count(lit(1)).as("n"), sum($"cents").as("cents"))
       .select($"user_id", $"n", $"cents").as[(Long, Long, Long)]
-    val post = purchases.filter($"sec" >= WarmCutSec)
+    val post = purchases.filter($"sec" >= WarmCutSec).localCheckpoint(true) // r16: one scan for both staged slices
     // two post-cut slices => the seeded state ALSO crosses a micro-batch
     // boundary, not just the batch->stream hand-off
     val mid = WarmCutSec + 1000000L
@@ -1113,7 +1114,10 @@ object Round12Queries {
     val p = pRows.toDF("b", "r", "k", "ps")
       .select($"b", $"r", $"k", $"ps".cast("decimal(38,0)").as("p_num"))
     val t = Tables.documents(spark, dir)
-      .select($"doc_id", array_sort(array_distinct(split($"text", " "))).as("ts"))
+      // native sorted-distinct token set (r16): same byte-order sorted set
+      // as array_sort(array_distinct(split(...))) without two interpreted
+      // HOF passes per doc
+      .select($"doc_id", call_function("sorted_token_set", $"text").as("ts"))
     val pairs = t.select(($"doc_id" - 1).as("doc_id"), $"ts".as("tb"))
       .join(t.withColumnRenamed("ts", "ta"), "doc_id")
     val j0 = pairs.select(

@@ -45,8 +45,10 @@ object Round13Queries18 {
       .groupBy($"day").agg(count(lit(1)).as("x"))
       .select(lit(0L).as("k"), $"day", $"x")
     val bounds = (Long.MinValue +: PhSliceCuts) zip (PhSliceCuts :+ Long.MaxValue)
+    // r16: snapshot once — slices filter the checkpoint, not a re-aggregation
+    val snap = daily.localCheckpoint(true)
     QueryUtil.stageFrames(
-      bounds.map { case (lo, hi) => daily.filter($"day" >= lo && $"day" < hi) },
+      bounds.map { case (lo, hi) => snap.filter($"day" >= lo && $"day" < hi) },
       s"$base/src")
     val stream = spark.readStream.schema(daily.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$base/src")

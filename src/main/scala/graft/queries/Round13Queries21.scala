@@ -55,8 +55,12 @@ object Round13Queries21 {
     val nodes = edges.select($"a".as("node"))
       .unionByName(edges.select($"b".as("node"))).distinct()
       .localCheckpoint(true)
+    val nNodes = nodes.count()
     var mst: DataFrame = null
-    (1 to BoruvkaRounds).foreach { _ =>
+    var round = 0
+    var converged = false
+    while (round < BoruvkaRounds && !converged) {
+      round += 1
       // contraction = connected components of the tree-so-far: reuses the
       // audited large-star/small-star fixpoint instead of hand-rolled
       // pointer jumping (a first cut chained self-left-joins per jump —
@@ -81,6 +85,14 @@ object Round13Queries21 {
         .localCheckpoint(true)
       mst = if (mst == null) pick
       else mst.unionByName(pick).localCheckpoint(true)
+      // Standard Borůvka termination (r16): once the tree SPANS (n−1 edges,
+      // connected case) or a round picks no edge (no inter-component edges
+      // remain — disconnected case), every later round re-runs the whole
+      // components fixpoint + edge-label join to add zero edges. Both
+      // counts are one cheap scan of an already-checkpointed frame; the
+      // emitted edge set is identical because converged rounds are no-ops
+      // (an edge inside a component never passes the la ≠ lb filter).
+      converged = pick.isEmpty || mst.count() == nNodes - 1
     }
     mst.select($"a", $"b", $"w").orderBy($"a", $"b")
   }

@@ -125,8 +125,10 @@ object Round13Queries4 {
         expr("unix_timestamp(cast(date_trunc('second', ts) as timestamp))")
           .cast("long").as("sec"))
     val bounds = (Long.MinValue +: SliceCuts) zip (SliceCuts :+ Long.MaxValue)
+    // r16: snapshot once — slices filter the checkpoint, not a re-scan
+    val snap = ev.localCheckpoint(true)
     QueryUtil.stageFrames(bounds.map { case (lo, hi) =>
-      ev.filter($"sec" >= lo && $"sec" < hi).drop("sec")
+      snap.filter($"sec" >= lo && $"sec" < hi).drop("sec")
     }, s"$base/src")
     val stream = spark.readStream.schema(ev.drop("sec").schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$base/src")

@@ -28,7 +28,7 @@ object Round14Queries11 {
       .agg(count(lit(1)).cast("int").as("n_frames"),
         (lit(1) + coalesce(sum($"cut"), lit(0L))).cast("int").as("n_scenes"),
         md5(array_join(
-          transform(array_sort(collect_list(when($"cut" === 1, $"frame_idx"))),
+          transform(sort_array(collect_list(when($"cut" === 1, $"frame_idx"))),
             _.cast("string")), ","))
           .as("cuts_md5"))
       .orderBy("doc_id")

@@ -39,6 +39,7 @@ object Round14Queries2 {
         when($"event_type" === "purchase", lit(GapPurchase))
           .otherwise(lit(GapOther)).cast("long").as("gap"))
       .select($"user_id", $"sec", $"gap", $"sec".cast("timestamp").as("ts"))
+      .localCheckpoint(true) // r16: one scan for all staged slices
     val bounds = (Long.MinValue +: SliceCuts) zip (SliceCuts :+ Long.MaxValue)
     QueryUtil.stageFrames(bounds.map { case (lo, hi) =>
       ev.filter($"sec" >= lo && $"sec" < hi)

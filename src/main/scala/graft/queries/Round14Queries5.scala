@@ -26,7 +26,10 @@ object Round14Queries5 {
   def streamMediaGate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_x367").toString
+    // r16: snapshot once — the max() probe + three staged slices each
+    // re-scanned documents before
     val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+      .localCheckpoint(true)
     val n = docs.agg(max($"doc_id")).head().getLong(0)
     val cuts = Seq(n / 3, 2 * n / 3)
     val bounds = (Long.MinValue +: cuts) zip (cuts :+ Long.MaxValue)

@@ -189,6 +189,7 @@ object Round14Queries7 {
         expr("unix_timestamp(cast(date_trunc('second', ts) as timestamp))")
           .cast("long").as("sec"),
         when($"value" >= SprtThresh, lit(1)).otherwise(lit(0)).as("x"))
+      .localCheckpoint(true) // r16: one scan for all staged slices
     val cuts = Seq(1704800000L, 1705800000L)
     val bounds = (Long.MinValue +: cuts) zip (cuts :+ Long.MaxValue)
     QueryUtil.stageFrames(bounds.map { case (lo, hi) =>

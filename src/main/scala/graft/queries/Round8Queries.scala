@@ -141,11 +141,13 @@ object Round8Queries {
     * the same two-shuffle shape as the TF-IDF family. */
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // native one-pass 3-grams (r16): the interpreted transform() lambda
+    // re-evaluated split(text) + slice PER ELEMENT — O(tokens²) per doc;
+    // token_ngrams emits the identical gram list (short docs → empty array,
+    // so the explode drops them exactly like the old size>=3 filter)
     val grams = Tables.documents(spark, dir)
-      .filter(size(split($"text", " ")) >= 3)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(0, size(split(text, ' ')) - 3), i -> " +
-          "concat_ws(' ', slice(split(text, ' '), i + 1, 3)))")).as("g"))
+      .select($"doc_id",
+        explode(call_function("token_ngrams", $"text", lit(3))).as("g"))
       .distinct()
     val gdoc = grams.groupBy($"g").agg(count(lit(1)).as("nd"))
     grams.join(gdoc, "g")

@@ -318,7 +318,7 @@ object Round9Queries {
         max($"len").as("dlen"),
         sum(when($"ndocs" >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
         md5(array_join(expr(
-          "transform(array_sort(collect_list(struct(pos, clen))), s -> CAST(s.clen AS STRING))"),
+          "transform(sort_array(collect_list(struct(pos, clen))), s -> CAST(s.clen AS STRING))"),
           ",")).as("len_digest"))
       .select($"doc_id", $"n_chunks",
         QueryUtil.halfUp($"dlen".cast("double") / $"n_chunks".cast("double"), 4)

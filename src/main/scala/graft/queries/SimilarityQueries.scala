@@ -444,7 +444,7 @@ object SimilarityQueries {
           + lit(RocchioAlpha) * ($"sfp".cast("double") / lit(RocchioFb * 1e6)))
           .cast("float").as("qd"))
       .groupBy($"q_id")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, qd))), s -> s.qd)").as("q2v"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, qd))), s -> s.qd)").as("q2v"))
       .select($"q_id", $"q2v", Similarity.norm($"q2v").as("q2n"))
     val w2 = Window.partitionBy($"q_id").orderBy($"cosine2".desc, $"vec_id")
     emb.join(broadcast(q2), $"vec_id" =!= $"q_id")
@@ -693,8 +693,8 @@ object SimilarityQueries {
       .groupBy($"pos")
       .agg(min($"x".cast("double")).as("mn"), max($"x".cast("double")).as("mx"))
     val params = dims.agg(
-      transform(array_sort(collect_list(struct($"pos", $"mn"))), s => s.getField("mn")).as("mns"),
-      transform(array_sort(collect_list(struct($"pos", $"mx"))), s => s.getField("mx")).as("mxs"))
+      transform(sort_array(collect_list(struct($"pos", $"mn"))), s => s.getField("mn")).as("mns"),
+      transform(sort_array(collect_list(struct($"pos", $"mx"))), s => s.getField("mx")).as("mxs"))
     val quant = transform(sequence(lit(1), lit(Dim)), i =>
       when(element_at($"mxs", i) === element_at($"mns", i), lit(0L))
         .otherwise(
@@ -1120,7 +1120,7 @@ object SimilarityQueries {
       .select($"label", $"dim",
         ($"sx".cast("double") / ($"nx".cast("double") * fp)).cast("float").as("m"))
       .groupBy($"label")
-      .agg(transform(array_sort(collect_list(struct($"dim", $"m"))),
+      .agg(transform(sort_array(collect_list(struct($"dim", $"m"))),
         e => e.getField("m")).as("cv"))
       .select($"label".as("clabel"), $"cv", Similarity.norm($"cv").as("cn"))
     val wA = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"clabel")
@@ -1185,7 +1185,7 @@ object SimilarityQueries {
       .select($"label", $"half", $"dim", $"nx",
         ($"sx".cast("double") / ($"nx".cast("double") * fp)).cast("float").as("m"))
       .groupBy($"label", $"half")
-      .agg(transform(array_sort(collect_list(struct($"dim", $"m"))),
+      .agg(transform(sort_array(collect_list(struct($"dim", $"m"))),
         e => e.getField("m")).as("cv"),
         min($"nx").as("n")) // nx identical across dims; min mirrors the oracle
     val c0 = cents.filter($"half" === 0)

@@ -93,7 +93,7 @@ object TrainingQueries {
         sum(when($"rn" === 1, 1).otherwise(0)).cast("int").as("n_kept"),
         md5(array_join(
           transform(
-            array_sort(collect_list(when($"rn" === 1, struct($"k", $"chunk")))),
+            sort_array(collect_list(when($"rn" === 1, struct($"k", $"chunk")))),
             s => s.getField("chunk")),
           " ")).as("kept_md5"))
       .orderBy("doc_id")
@@ -227,17 +227,18 @@ object TrainingQueries {
     * whose width is bounded by per-doc vocab, not corpus vocab. */
   def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir).select($"doc_id", split($"text", " ").as("toks"))
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
     val tokAgg = docs
-      .select($"doc_id", explode($"toks").as("tok"))
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
       .groupBy($"doc_id").agg(sum($"c").as("n_tok"), max($"c").as("top_c"))
-    val bigram = when(size($"toks") > 1,
-      transform(sequence(lit(1), size($"toks") - 1),
-        i => concat_ws(" ", element_at($"toks", i), element_at($"toks", i + 1))))
-      .otherwise(array().cast("array<string>"))
+    // native one-pass bigrams (r16): identical adjacent-pair list joined
+    // with one space; [] for 1-token docs (the old when() guard). The
+    // lambda form paid two element_at + concat through the HOF interpreter
+    // per pair — and this path runs inside every capstone via
+    // repetitionKeepIds, so the win compounds.
     val bgAgg = docs
-      .select($"doc_id", explode(bigram).as("bg"))
+      .select($"doc_id", explode(call_function("token_ngrams", $"text", lit(2))).as("bg"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bg"), countDistinct($"bg").as("n_dist"))
     val topShare = $"top_c".cast("double") / $"n_tok".cast("double")

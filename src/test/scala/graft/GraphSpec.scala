@@ -28,6 +28,36 @@ class GraphSpec extends SparkTestBase {
   }
   import spark.implicits._
 
+  test("stars convergence probe: chain-only and multi-parent-only non-star shapes both keep the loop running") {
+    // r16 fused the two-job notStar check (semi-join count + groupBy count)
+    // into one census aggregation; these are the two shapes where exactly
+    // ONE conjunct is violated, so an under-counting fusion would exit the
+    // loop early and mislabel.
+    // chain 3→2→1: no multi-parent src, but dst 2 is itself a src.
+    val nodesC = Seq(1L, 2L, 3L).toDF("node")
+    val chain = Seq((3L, 2L), (2L, 1L)).toDF("a", "b")
+    val (labC, roundsC) = graft.operators.Components
+      .connectedComponentsStarsWithRounds(spark, nodesC, chain, "node")
+    assert(roundsC >= 1, "chain shape must not read as an initial star forest")
+    assert(labC.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // multi-parent: 5→1 and 5→2 — no dst is a src, but src 5 has two parents
+    // (the latent shape the unique-parent conjunct exists for).
+    val nodesM = Seq(1L, 2L, 5L).toDF("node")
+    val multi = Seq((5L, 1L), (5L, 2L)).toDF("a", "b")
+    val (labM, roundsM) = graft.operators.Components
+      .connectedComponentsStarsWithRounds(spark, nodesM, multi, "node")
+    assert(roundsM >= 1, "multi-parent shape must not read as an initial star forest")
+    assert(labM.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 5L -> 1L))
+    // and a genuine star forest converges with zero rounds
+    val nodesS = Seq(1L, 2L, 3L, 7L).toDF("node")
+    val star = Seq((2L, 1L), (3L, 1L)).toDF("a", "b")
+    val (_, roundsS) = graft.operators.Components
+      .connectedComponentsStarsWithRounds(spark, nodesS, star, "node")
+    assert(roundsS == 0, s"star forest should take 0 rounds, took $roundsS")
+  }
+
   test("pageRank conserves mass up to flooring dust on a strongly connected graph") {
     // 3-cycle a->b->c->a, unit weights: symmetric roles, rank ~ 1/3 each.
     val nodes = Seq(1L, 2L, 3L).toDF("node")
